@@ -1,0 +1,39 @@
+"""Download-link rewriting and query-routing predicates.
+
+- ``format_download_link``: rewrite scraped ``location.href='...'`` onclick
+  fragments into absolute URLs. Reference: LINK_CLEANING_PATTERN +
+  format/adjust/clean chain (/root/reference/src/downloaders.py:27-29,232-280).
+  Golden vectors from tests/test_downloaders.py:87-108.
+- ``search_field_for``: the Dimensions query router — ``doi`` iff the term
+  starts with ``10.`` else ``text_search``
+  (/root/reference/src/webscrapers.py:264-276).
+"""
+
+from __future__ import annotations
+
+import re
+
+LINK_CLEANING_PATTERN = re.compile(r"(?P<location>location\.href=\')(?P<sep>/+)?")
+
+
+def format_download_link(download_link: str | None, base_url: str = "https://sci-hub.se") -> str | None:
+    """Rewrite ``location.href='<path>`` to an absolute URL, else None.
+
+    A ``//host/...`` separator becomes ``https://``; a single ``/`` is
+    replaced by ``base_url`` + ``/`` (the reference's ``self.url`` carries a
+    trailing slash via its config URL root).
+    """
+    if not isinstance(download_link, str):
+        return None
+    m = LINK_CLEANING_PATTERN.match(download_link)
+    if not m:
+        return None
+    stripped = download_link.replace(m.group("location"), "")
+    sep = m.group("sep")
+    if sep == "//":
+        return stripped.replace(sep, "https://", 1)
+    return stripped.replace(sep, base_url + "/", 1)
+
+
+def search_field_for(search_text: str) -> str:
+    return "doi" if search_text.startswith("10.") else "text_search"

@@ -1,0 +1,196 @@
+"""Golden kernel tests.
+
+The parametrized vectors are ported verbatim from the reference suite
+(/root/reference/tests/test_wordscore.py, test_doiregex.py,
+test_webscrapers.py:15-31, test_downloaders.py:87-108) — they pin the exact
+per-document semantics before any distribution. Additional tests check the
+vectorized Arrow/numpy forms against the scalar reference-parity forms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sciscraper_ray.kernels import (
+    calculate_likelihood,
+    extract_identifier,
+    find_parentheticals,
+    format_download_link,
+    format_manuscript,
+    match_terms,
+    search_field_for,
+    tokenize_column,
+    top_terms_exploded,
+    wordscore_vec,
+)
+from sciscraper_ray.kernels.nested import clean_nested_values
+
+
+@pytest.mark.parametrize(
+    ("total_words", "match_words", "bycatch_words", "expected"),
+    [
+        (100, 20, 5, 0.5625),
+        (1000, 500, 10, 0.7425),
+        (0, 20, 5, 0.0),
+        (100, -20, 5, 0.0),
+        (100, 20, -5, 0.0),
+        (100, 20, 80, 0.0),
+        (100, 100, 0, 1.0),
+        (100, 0, 0, 0.5),
+        (1, 0, 0, 0.5),
+    ],
+)
+def test_calculate_likelihood(total_words, match_words, bycatch_words, expected):
+    assert calculate_likelihood(total_words, match_words, bycatch_words) == expected
+    vec = wordscore_vec(
+        np.array([total_words]), np.array([match_words]), np.array([bycatch_words])
+    )
+    assert vec[0] == expected
+
+
+@given(
+    st.integers(-5, 10_000), st.integers(-5, 10_000), st.integers(-5, 10_000)
+)
+@settings(max_examples=200)
+def test_wordscore_vec_matches_scalar(t, d, u):
+    assert wordscore_vec(np.array([t]), np.array([d]), np.array([u]))[0] == (
+        calculate_likelihood(t, d, u)
+    )
+
+
+@pytest.mark.parametrize(
+    ("identifier", "expected"),
+    [
+        ("10.1234/abc.123", "10.1234/abc.123"),
+        ("10.1234/abc123", "10.1234/abc123"),
+        ("https://doi.org/10.1234/abc.123", "10.1234/abc.123"),
+        ("https://doi.org/10.1234/abc123", "10.1234/abc123"),
+        ("https://doi.org/10.1234/123.456", "10.1234/123.456"),
+        ("https://doi.org/10.1234/123456", "10.1234/123456"),
+        ("1234.5678", "1234.5678"),
+        ("arxiv:1234.5678v1", "1234.5678"),
+        ("arxiv:1234.5678", "1234.5678"),
+        ("arxiv:1234.5678.pdf", "1234.5678"),
+        ("arxiv:1234.5678v123", "1234.5678"),
+        ("arxiv:1234.5678v123.pdf", "1234.5678"),
+        ("1234.5678v123.pdf", "1234.5678"),
+        ("https://arxiv.org/abs/1234.5678", None),
+        ("https://arxiv.org/abs/1234.5678v1", None),
+        ("https://arxiv.org/abs/1234.5678.pdf", "1234.5678"),
+        ("https://arxiv.org/abs/1234.5678v123", None),
+        ("https://arxiv.org/abs/1234.5678v123.pdf", "1234.5678"),
+    ],
+)
+def test_extract_identifier(identifier, expected):
+    assert extract_identifier(identifier) == expected
+
+
+@pytest.mark.parametrize(
+    ("search_input", "expected"),
+    [
+        ("10.1000/182", "doi"),
+        ("apples", "text_search"),
+        ("10.1000/185", "doi"),
+        ("Don Quixote", "text_search"),
+        ("12.1050/100", "text_search"),
+        ("100.000", "text_search"),
+    ],
+)
+def test_search_field(search_input, expected):
+    assert search_field_for(search_input) == expected
+
+
+@pytest.mark.parametrize(
+    ("download_link", "expected"),
+    [
+        (
+            "location.href='/downloads/2022-11-06/46/li2022.pdf?download=true",
+            "https://sci-hub.se/downloads/2022-11-06/46/li2022.pdf?download=true",
+        ),
+        (
+            "location.href='//zero.sci-hub.se/7011/f4d76a25ca2ccd9ff38f46fd75b0b3bf/wang2017.pdf?download=true",
+            "https://zero.sci-hub.se/7011/f4d76a25ca2ccd9ff38f46fd75b0b3bf/wang2017.pdf?download=true",
+        ),
+        (
+            "location.href='/downloads/2020-01-28/9e/10.1016@B978-0-12-849867-5.00001-X.pdf?download=true",
+            "https://sci-hub.se/downloads/2020-01-28/9e/10.1016@B978-0-12-849867-5.00001-X.pdf?download=true",
+        ),
+        (None, None),
+        ("no match here", None),
+    ],
+)
+def test_format_download_link(download_link, expected):
+    assert format_download_link(download_link) == expected
+
+
+def test_tokenizer_single_space_quirk():
+    # Runs of whitespace yield empty tokens; newlines are NOT split points.
+    assert format_manuscript("  A  b c\nd ") == ["a", "", "b", "c\nd"]
+    col = tokenize_column(pa.array(["  A  b c\nd ", "x y", None]))
+    assert col.to_pylist() == [["a", "", "b", "c\nd"], ["x", "y"], None]
+
+
+def test_match_terms_reference_example():
+    # Docstring example from docscraper.py:55-94.
+    words = ["a", "a", "b", "c", "d", "d", "d", "d", "c", "a", "f", "f", "f", "g", "d"]
+    count, dist = match_terms(words, {"a", "b", "f"})
+    assert dist == [("a", 3), ("f", 3), ("b", 1)]
+    assert count == 7
+
+
+def test_top_terms_exploded_matches_counter():
+    docs = [
+        ["a", "a", "b", "c", "d", "d", "d", "d", "c", "a", "f", "f", "f", "g", "d"],
+        [],
+        ["z", "z"],
+        ["b", "f", "a", "b", "f", "a"],  # all ties -> first-occurrence order
+        None,
+    ]
+    word_set = frozenset({"a", "b", "f"})
+    arr = pa.array(docs, type=pa.list_(pa.string()))
+    out = top_terms_exploded(arr, word_set)
+    per_doc = {}
+    for p, t, c, r in zip(out["parent"], out["token"], out["count"], out["rank"]):
+        per_doc.setdefault(p, []).append((t, c, r))
+    assert per_doc[0] == [("a", 3, 1), ("f", 3, 2), ("b", 1, 3)]
+    assert 1 not in per_doc and 2 not in per_doc
+    assert per_doc[3] == [("b", 2, 1), ("f", 2, 2), ("a", 2, 3)]
+    assert out["term_count"].tolist() == [7, 0, 0, 6, 0]
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), max_size=30),
+        max_size=20,
+    )
+)
+@settings(max_examples=100)
+def test_top_terms_exploded_property(docs):
+    word_set = frozenset({"a", "b", "c", "d"})
+    arr = pa.array(docs, type=pa.list_(pa.string()))
+    out = top_terms_exploded(arr, word_set)
+    per_doc: dict[int, list] = {}
+    for p, t, c in zip(out["parent"], out["token"], out["count"]):
+        per_doc.setdefault(int(p), []).append((t, int(c)))
+    for i, doc in enumerate(docs):
+        count, dist = match_terms(doc, word_set)
+        assert per_doc.get(i, []) == dist
+        assert out["term_count"][i] == count
+
+
+def test_parentheticals_greedy():
+    text = "result (p = .05) and also (n=10) end"
+    # Greedy .* -> ONE span covering both parens on the same line.
+    assert find_parentheticals(text) == ["(p = .05) and also (n=10)"]
+    assert find_parentheticals("line1 (a=1)\nline2 (b=2)") == ["(a=1)", "(b=2)"]
+    assert find_parentheticals("nothing here") == []
+
+
+def test_clean_nested_values_reorder():
+    vals = ["plain1", "{'doi': '10.1/x'}", "plain2", "{'other': 1}"]
+    # Plain rows first, then unwrapped nested rows (serials.py:66-86).
+    assert clean_nested_values(vals, "doi") == ["plain1", "plain2", "10.1/x", ""]

@@ -1,0 +1,137 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry and its ``oracle_sql()`` twin over an sf dir
+(default sf0.01) and compares row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted by all
+columns, values canonicalized). Exit 1 on any mismatch.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canonical(df: pd.DataFrame) -> str:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object:
+            df[c] = col.map(lambda v: repr(v) if not isinstance(v, str) else v)
+        elif str(col.dtype).startswith("datetime"):
+            df[c] = col.astype("datetime64[us]").map(
+                lambda v: v.isoformat() if pd.notna(v) else "NaT"
+            )
+        elif col.dtype.kind == "f":
+            df[c] = col.map(lambda v: f"{v:.12g}" if pd.notna(v) else "nan")
+        else:
+            df[c] = col.astype(str)
+    rows = sorted("\x1f".join(r) for r in df.itertuples(index=False, name=None))
+    return hashlib.sha256("\x1e".join(rows).encode()).hexdigest()
+
+
+def to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()  # ray.data.Dataset
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=8,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = e.queries()
+    oracles = e.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            got = to_pandas(fn(sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: ray side raised {type(exc).__name__}: {exc}")
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok   {name}: rows-only ({len(got)} rows)")
+            continue
+        try:
+            want = con.execute(sql).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: oracle raised {type(exc).__name__}: {exc}")
+            continue
+        problems = []
+        if len(got) != len(want):
+            problems.append(f"rows {len(got)} != {len(want)}")
+        if sorted(got.columns) != sorted(want.columns):
+            problems.append(f"cols {sorted(got.columns)} != {sorted(want.columns)}")
+        elif canonical(got) != canonical(want):
+            problems.append("value hash mismatch")
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            if "value hash mismatch" in problems:
+                g = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+                w = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+                diff_shown = 0
+                for i in range(min(len(g), len(w))):
+                    if not g.iloc[i].equals(w.iloc[i]):
+                        print(f"  row {i}:\n    ray   : {g.iloc[i].to_dict()}\n    oracle: {w.iloc[i].to_dict()}")
+                        diff_shown += 1
+                        if diff_shown >= 3:
+                            break
+        else:
+            print(f"ok   {name}: {len(got)} rows match")
+
+    ray.shutdown()
+    if failures:
+        print(f"\n{len(failures)} FAILED: {failures}")
+        return 1
+    print("\nall queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
