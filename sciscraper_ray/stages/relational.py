@@ -1,0 +1,63 @@
+"""Relational-tier building blocks: partial aggregation and broadcast joins.
+
+Scale notes (SURVEY §4):
+- Every ``groupby`` here is fed by a per-batch PARTIAL aggregate emitted
+  from ``map_batches`` — at 100 TB the shuffle moves one row per (key,
+  batch), not one row per input row.
+- Small sides (dimension tables, key→attribute maps) are broadcast with
+  ``ray.put`` once and fetched per actor/task, never shuffled
+  (the reference's positional joins J1/J2 become key joins; J3 enrichment
+  becomes this broadcast pattern — fetch.py:128-160, webscrapers.py:195-262).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def group_count_batch(batch: pa.Table, keys: list[str], agg_cols: dict[str, str] | None = None) -> pa.Table:
+    """Partial per-batch groupby: count(*) plus optional sums.
+
+    ``agg_cols`` maps input column -> output sum-column name. Output has one
+    row per distinct key combination in this batch with columns
+    ``keys + ['cnt'] + list(agg_cols.values())`` — feed it to a global
+    ``groupby(keys).aggregate(Sum(...))`` to finish.
+    """
+    agg_cols = agg_cols or {}
+    aggs = [("__one", "sum")] + [(c, "sum") for c in agg_cols]
+    t = batch.append_column("__one", pa.array(np.ones(len(batch), np.int64)))
+    out = t.group_by(keys).aggregate(aggs)
+    renames = {"__one_sum": "cnt"}
+    renames.update({f"{c}_sum": name for c, name in agg_cols.items()})
+    return out.rename_columns([renames.get(c, c) for c in out.column_names])
+
+
+def keep_latest_batch(batch: pd.DataFrame, key: str, order: list[str]) -> pd.DataFrame:
+    """Partial keep-latest: per key, the row with max ``order`` tuple within
+    this batch. Compose with a global groupby(key).map_groups of the same
+    reducer — the partials shrink the shuffle to ≤1 row per (key, batch)."""
+    idx = batch.sort_values(order, ascending=False).groupby(key, sort=False).head(1).index
+    return batch.loc[idx]
+
+
+class BroadcastLookup:
+    """Actor-pool stage: append columns from a broadcast key→row mapping.
+
+    ``mapping_ref`` is ``ray.put(pandas.DataFrame indexed by key)`` created
+    once on the driver; each actor fetches it once in ``__init__`` (object
+    store read, zero-copy within a node) and merges per batch.
+    """
+
+    def __init__(self, mapping_ref, on: str):
+        import ray
+
+        self.mapping: pd.DataFrame = ray.get(mapping_ref)
+        self.on = on
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(
+            self.mapping, left_on=self.on, right_index=True, how="left"
+        )
