@@ -1,0 +1,188 @@
+"""Dedup pipeline compositions: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Partitioning assumptions (stated per SURVEY §2 custom-operator rule):
+- exact dedup shuffles once on the content hash (uniform key, no skew);
+- near-dup variants shuffle once on LSH band / chunk keys (uniform by
+  construction), then exact-verify only the CANDIDATE pairs — the candidate
+  set is assumed ≪ corpus (guaranteed by LSH parameters), so the verify
+  step broadcasts just the involved documents' texts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from sciscraper_ray.stages.dedup import (
+    MinHashBandStage,
+    SimHashStage,
+    bucket_pairs,
+    char_ngrams,
+    content_hash_batch,
+    hamming64,
+    jaccard,
+    word_shingles,
+)
+
+
+def exact_dedup(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Keep the lowest-id row per distinct text (hash-partitioned groupby)."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__h", content_hash_batch(batch, text_col))
+
+    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("__h")
+        .map_groups(first_per_group, batch_format="pandas")
+        .drop_columns(["__h"])
+    )
+
+
+def _candidate_pairs(banded: ray.data.Dataset, keys: list[str]) -> pd.DataFrame:
+    """LSH buckets -> distinct unordered candidate id pairs (driver-side
+    pandas; the candidate set is small by LSH construction)."""
+    pairs = (
+        banded.groupby(keys)
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    return pairs.drop_duplicates(ignore_index=True)
+
+
+def _texts_for(ds: ray.data.Dataset, ids: np.ndarray, id_col: str, text_col: str) -> dict:
+    """Fetch texts of the involved ids only (broadcast-small-side pattern)."""
+    id_set = set(ids.tolist())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = np.isin(batch[id_col].to_numpy(zero_copy_only=False), list(id_set))
+        return batch.filter(pa.array(mask))
+
+    small = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return dict(zip(small[id_col], small[text_col]))
+
+
+def near_dup_pairs_minhash(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perms: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> pa.Table:
+    """MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
+
+    Returns (a, b) with word-k-gram-shingle Jaccard >= threshold, a < b.
+    """
+    banded = ds.map_batches(
+        MinHashBandStage,
+        fn_constructor_kwargs=dict(
+            id_col=id_col, text_col=text_col, num_perms=num_perms, bands=bands, k=k
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    pairs = _candidate_pairs(banded, ["band_id", "band_hash"])
+    if pairs.empty:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    texts = _texts_for(ds, np.unique(pairs[["a", "b"]].to_numpy()), id_col, text_col)
+    from sciscraper_ray.kernels.tokenize import format_manuscript
+
+    shingle_cache = {
+        i: set(word_shingles(format_manuscript(t), k).tolist())
+        for i, t in texts.items()
+    }
+    keep = [
+        jaccard(shingle_cache[a], shingle_cache[b]) >= threshold
+        for a, b in zip(pairs["a"], pairs["b"])
+    ]
+    out = pairs[keep]
+    return pa.table({"a": pa.array(out["a"], pa.int64()), "b": pa.array(out["b"], pa.int64())})
+
+
+def near_dup_pairs_simhash(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    k: int = 3,
+) -> pa.Table:
+    """SimHash near-duplicate pairs: 4×16-bit chunk blocking (pigeonhole
+    guarantees recall for hamming <= 3), exact hamming verified."""
+    sigs = ds.map_batches(
+        SimHashStage,
+        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col, k=k),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    sig_df = sigs.to_pandas()  # (doc_id, simhash, chunk0..3); small: 1 row/doc
+    candidates = []
+    for c in range(4):
+        g = sig_df.groupby(f"chunk{c}")["doc_id"]
+        for _, ids in g:
+            if len(ids) > 1:
+                arr = np.sort(ids.to_numpy())
+                ia, ib = np.triu_indices(len(arr), k=1)
+                candidates.append(np.stack([arr[ia], arr[ib]], axis=1))
+    if not candidates:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    pairs = pd.DataFrame(
+        np.unique(np.concatenate(candidates), axis=0), columns=["a", "b"]
+    )
+    sig_map = dict(zip(sig_df[id_col], sig_df["simhash"].astype(np.uint64)))
+    ha = np.array([sig_map[a] for a in pairs["a"]], np.uint64)
+    hb = np.array([sig_map[b] for b in pairs["b"]], np.uint64)
+    out = pairs[hamming64(ha, hb) <= max_hamming]
+    return pa.table({"a": pa.array(out["a"], pa.int64()), "b": pa.array(out["b"], pa.int64())})
+
+
+def near_dup_pairs_ngram(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n: int = 5,
+    num_perms: int = 64,
+    bands: int = 16,
+) -> pa.Table:
+    """Char n-gram Jaccard near-dup pairs: char-shingle MinHash-LSH
+    candidates, then EXACT char-n-gram Jaccard >= threshold."""
+    banded = ds.map_batches(
+        MinHashBandStage,
+        fn_constructor_kwargs=dict(
+            id_col=id_col,
+            text_col=text_col,
+            shingle_mode="char",
+            num_perms=num_perms,
+            bands=bands,
+            k=n,
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    pairs = _candidate_pairs(banded, ["band_id", "band_hash"])
+    if pairs.empty:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    texts = _texts_for(ds, np.unique(pairs[["a", "b"]].to_numpy()), id_col, text_col)
+    gram_cache = {i: char_ngrams(t, n) for i, t in texts.items()}
+    keep = [
+        jaccard(gram_cache[a], gram_cache[b]) >= threshold
+        for a, b in zip(pairs["a"], pairs["b"])
+    ]
+    out = pairs[keep]
+    return pa.table({"a": pa.array(out["a"], pa.int64()), "b": pa.array(out["b"], pa.int64())})

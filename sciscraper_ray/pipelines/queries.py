@@ -673,3 +673,494 @@ def events_json_props(sf_dir: str):
             Sum(on="sum_k", alias_name="sum_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deduplication family (SURVEY §2.6 rebuild additions). The synthetic
+# corpus has no duplicates, so each query injects deterministic copies
+# (keyed on doc_id) on BOTH sides; the oracle states the expected survivors
+# or pairs by construction.
+# --------------------------------------------------------------------------
+
+
+def _with_copies(sf_dir: str, mod: int, offset: int, drop_last_word: bool):
+    """documents ∪ deterministic copies: doc_id % mod == 0 -> copy at
+    doc_id+offset (optionally with the last word dropped = near-dup)."""
+    ds = _docs(sf_dir)
+
+    def make_copies(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % mod == 0
+        texts = [t for t, k in zip(batch["text"].to_pylist(), keep) if k]
+        if drop_last_word:
+            texts = [" ".join(t.split(" ")[:-1]) for t in texts]
+        return pa.table(
+            {
+                "doc_id": pa.array((ids[keep] + offset).tolist(), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    return ds.union(ds.map_batches(make_copies, batch_format="pyarrow"))
+
+
+@register(
+    "dedup_exact",
+    oracle="SELECT doc_id, text FROM documents",
+)
+def dedup_exact(sf_dir: str):
+    """Exact dedup: content-hash partition -> keep lowest id. Input is
+    documents ∪ exact copies (+100000 for doc_id%5==0); survivors must be
+    exactly the originals."""
+    from sciscraper_ray.pipelines.dedup import exact_dedup
+
+    ds = _with_copies(sf_dir, mod=5, offset=100_000, drop_last_word=False)
+    return exact_dedup(ds)
+
+
+def _jaccard_pairs_sql(copy_mod: int, copy_offset: int, mode: str, threshold: float) -> str:
+    """Oracle that INDEPENDENTLY computes exact-Jaccard near-dup pairs in
+    SQL (distinct word-3-gram or char-5-gram shingles) over the same
+    union input — the strongest check for the LSH pipelines: the synthetic
+    corpus contains natural near-dups (text || ' dup' copies) in addition
+    to the injected ones, and this oracle finds them all from semantics."""
+    union_docs = f"""
+    all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {copy_offset},
+               array_to_string(
+                   string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' ')
+        FROM documents WHERE doc_id % {copy_mod} = 0
+    )"""
+    if mode == "word":
+        shingle_list = """
+        CASE WHEN len(lst) < 3 THEN [array_to_string(lst, ' ')]
+             ELSE list_transform(range(1, len(lst) - 1),
+                                 i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2])
+        END"""
+        prep = f"toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS lst FROM all_docs),\n    grams AS (SELECT doc_id, {shingle_list} AS shl FROM toks)"
+    else:
+        shingle_list = """
+        CASE WHEN length(text) < 5 THEN [text]
+             ELSE list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))
+        END"""
+        prep = f"grams AS (SELECT doc_id, {shingle_list} AS shl FROM all_docs)"
+    return f"""
+    WITH {union_docs},
+    {prep},
+    sh AS (SELECT DISTINCT doc_id, unnest(shl) AS g FROM grams),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT a, b FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= {threshold}
+    """
+
+
+@register(
+    "dedup_minhash",
+    oracle=_jaccard_pairs_sql(copy_mod=7, copy_offset=200_000, mode="word", threshold=0.8),
+)
+def dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup pairs (word 3-gram shingles, 64 perms, 16x4
+    bands, exact-verified Jaccard >= 0.8). The oracle recomputes exact
+    Jaccard dedup in SQL from first principles."""
+    from sciscraper_ray.pipelines.dedup import near_dup_pairs_minhash
+
+    ds = _with_copies(sf_dir, mod=7, offset=200_000, drop_last_word=True)
+    return near_dup_pairs_minhash(ds, threshold=0.8)
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    SELECT doc_id AS a, doc_id + 300000 AS b FROM documents
+    WHERE doc_id % 11 = 0
+      AND NOT list_contains(string_split(lower(trim(text)), ' '), 'dup')
+    """,
+)
+def dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs (hamming <= 3, 4x16-bit chunk blocking with
+    guaranteed recall for that radius). The fixture filters out the
+    corpus's natural ' dup'-suffix near-copies (their hamming distance is
+    data-dependent, not SQL-expressible) and injects exact copies
+    (hamming 0); perturbation cases are covered in tests/test_dedup.py."""
+    from sciscraper_ray.pipelines.dedup import near_dup_pairs_simhash
+
+    def drop_natural_dups(batch: pa.Table) -> pa.Table:
+        keep = [
+            "dup" not in t.strip().lower().split(" ")
+            for t in batch["text"].to_pylist()
+        ]
+        return batch.filter(pa.array(keep))
+
+    base = _docs(sf_dir).map_batches(drop_natural_dups, batch_format="pyarrow")
+
+    def make_copies(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 11 == 0
+        return pa.table(
+            {
+                "doc_id": pa.array((ids[keep] + 300_000).tolist(), type=pa.int64()),
+                "text": pa.array(
+                    [t for t, k in zip(batch["text"].to_pylist(), keep) if k],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    ds = base.union(base.map_batches(make_copies, batch_format="pyarrow"))
+    return near_dup_pairs_simhash(ds, max_hamming=3)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_jaccard_pairs_sql(copy_mod=13, copy_offset=400_000, mode="char", threshold=0.8),
+)
+def dedup_ngram_jaccard(sf_dir: str):
+    """Char-5-gram Jaccard near-dup pairs (>= 0.8), LSH-blocked then
+    exact-verified; the oracle recomputes exact char-gram Jaccard dedup in
+    SQL from first principles."""
+    from sciscraper_ray.pipelines.dedup import near_dup_pairs_ngram
+
+    ds = _with_copies(sf_dir, mod=13, offset=400_000, drop_last_word=True)
+    return near_dup_pairs_ngram(ds, threshold=0.8, n=5)
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings (list<float>).
+# --------------------------------------------------------------------------
+
+N_ANN_QUERIES = 10
+ANN_K = 5
+
+
+def _query_vectors(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t["vec_id"], N_ANN_QUERIES))
+    from sciscraper_ray.stages.ann import _stack
+
+    return t["vec_id"].to_numpy(zero_copy_only=False), _stack(t["embedding"])
+
+
+@register(
+    "knn_cosine",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id < {N_ANN_QUERIES}
+    ), s AS (
+        SELECT qid, e.vec_id AS neighbor,
+               list_cosine_similarity(qe, e.embedding) AS sim
+        FROM q, embeddings e WHERE e.vec_id <> qid
+    )
+    SELECT qid, neighbor, rank FROM (
+        SELECT qid, neighbor,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY sim DESC, neighbor ASC
+               ) AS rank
+        FROM s
+    ) WHERE rank <= {ANN_K}
+    """,
+)
+def knn_cosine(sf_dir: str):
+    """Brute-force cosine top-k: broadcast query matrix, per-batch partial
+    top-k (one matmul per batch), tiny grouped merge."""
+    import ray
+    import ray.data
+
+    from sciscraper_ray.stages.ann import BruteForceTopK, topk_reduce
+
+    qids, qmat = _query_vectors(sf_dir)
+    queries_ref = ray.put((qids, qmat))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": ANN_K},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    merged = partials.groupby("qid").map_groups(
+        lambda g: topk_reduce(g, ANN_K), batch_format="pandas"
+    )
+    return merged.select_columns(["qid", "neighbor", "rank"])
+
+
+@register("ann_ivf")  # approximate -> rows-only driver check; recall vs
+# brute force is asserted in tests/test_ann.py.
+def ann_ivf(sf_dir: str):
+    """IVF-style ANN: deterministic centroids (seeded greedy + Lloyd),
+    corpus bucketed by nearest centroid in one streamed pass, queries probe
+    the nprobe=8 of 16 nearest buckets (recall ~0.8 vs brute force on the
+    synthetic clustered embeddings; asserted in tests/test_ann.py)."""
+    import ray
+    import ray.data
+
+    from sciscraper_ray.stages.ann import (
+        CentroidAssign,
+        cosine_matrix,
+        pick_centroids,
+        topk_reduce,
+        _stack,
+    )
+    import pandas as pd
+
+    qids, qmat = _query_vectors(sf_dir)
+    import pyarrow.parquet as pq
+
+    sample = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ).slice(0, 256)
+    cents = pick_centroids(_stack(sample["embedding"]), n_centroids=16)
+    cents_ref = ray.put(cents)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    bucketed = ds.map_batches(
+        CentroidAssign,
+        fn_constructor_kwargs={"centroids_ref": cents_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    probe = np.argsort(-cosine_matrix(qmat, cents), axis=1)[:, :8]
+
+    def search(batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        buckets = batch["bucket"].to_numpy(zero_copy_only=False)
+        v = _stack(batch["embedding"])
+        sims = cosine_matrix(qmat, v)
+        rows_q, rows_n, rows_s = [], [], []
+        for qi in range(len(qids)):
+            in_probe = np.isin(buckets, probe[qi]) & (vids != qids[qi])
+            if not in_probe.any():
+                continue
+            cand = np.nonzero(in_probe)[0]
+            order = cand[np.lexsort((vids[cand], -sims[qi, cand]))][:ANN_K]
+            rows_q.extend([qids[qi]] * len(order))
+            rows_n.extend(vids[order].tolist())
+            rows_s.extend(sims[qi, order].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(rows_q, type=pa.int64()),
+                "neighbor": pa.array(rows_n, type=pa.int64()),
+                "sim": pa.array(rows_s, type=pa.float64()),
+            }
+        )
+
+    merged = (
+        bucketed.map_batches(search, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(lambda g: topk_reduce(g, ANN_K), batch_format="pandas")
+    )
+    return merged.select_columns(["qid", "neighbor", "rank"])
+
+
+# --------------------------------------------------------------------------
+# Text analysis (lang-ID, quality, token counting, fingerprinting) — each
+# formula is mirrored verbatim in the oracle SQL.
+# --------------------------------------------------------------------------
+
+from sciscraper_ray.stages.textstats import (  # noqa: E402
+    BPE_SPLIT_PATTERN,
+    LANG_PROFILES,
+    STOPWORDS_EN,
+    WinnowStage,
+    bpe_token_count_batch,
+    lang_id_batch,
+    md5_fingerprint_batch,
+    quality_batch,
+)
+
+
+def _lang_sql() -> str:
+    langs = sorted(LANG_PROFILES)
+    counts = ",\n".join(
+        f"sum(CASE WHEN token IN {sql_in_list(LANG_PROFILES[lang])} THEN 1 ELSE 0 END) AS c_{lang}"
+        for lang in langs
+    )
+    # argmax with alphabetical tie-break == first strict max in lang order
+    pick = "CASE "
+    for lang in langs:
+        others = [f"c_{o}" for o in langs if o < lang]
+        cond = f"c_{lang} > 0"
+        for o in others:
+            cond += f" AND c_{lang} > {o}"
+        for o in [f"c_{o}" for o in langs if o > lang]:
+            cond += f" AND c_{lang} >= {o}"
+        pick += f"WHEN {cond} THEN '{lang}' "
+    pick += "ELSE 'und' END"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), scores AS (
+        SELECT doc_id, {counts} FROM toks GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE({pick}, 'und') AS lang_pred
+    FROM documents d LEFT JOIN scores USING (doc_id)
+    """
+
+
+@register("doc_lang_id", oracle=_lang_sql())
+def doc_lang_id(sf_dir: str):
+    """Stopword-profile language heuristic (argmax hit count, alphabetical
+    tie-break, 'und' when nothing matches)."""
+    return _docs(sf_dir).map_batches(
+        lambda b: lang_id_batch(b).drop_columns(["text"]), batch_format="pyarrow"
+    )
+
+
+@register(
+    "doc_quality",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len({_SQL_TOKENS}) AS n_words,
+               list_sum(list_transform({_SQL_TOKENS}, x -> length(x))) AS sum_len,
+               len(list_filter({_SQL_TOKENS},
+                   x -> x IN {sql_in_list(STOPWORDS_EN)})) AS stop_cnt
+        FROM documents
+    )
+    SELECT doc_id,
+           n_chars,
+           CAST(n_words AS BIGINT) AS n_words,
+           sum_len * 1.0 / n_words AS mean_word_len,
+           stop_cnt * 1.0 / n_words AS stopword_ratio,
+           0.5 * LEAST(1.0, n_words / 100.0)
+             + 0.3 * (1.0 - stop_cnt * 1.0 / n_words)
+             + 0.2 * LEAST(1.0, (sum_len * 1.0 / n_words) / 8.0) AS quality
+    FROM base
+    """,
+)
+def doc_quality(sf_dir: str):
+    """Quality scoring: length/stopword/word-length metrics + composite."""
+    return _docs(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
+
+
+@register(
+    "doc_bpe_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}')) AS BIGINT)
+               AS bpe_tokens
+    FROM documents
+    """,
+)
+def doc_bpe_tokens(sf_dir: str):
+    """BPE-ish pre-tokenizer count (compiled regex, RE2-compatible)."""
+    return _docs(sf_dir).map_batches(bpe_token_count_batch, batch_format="pyarrow")
+
+
+@register(
+    "doc_fingerprint",
+    oracle="SELECT doc_id, md5(text) AS fingerprint FROM documents",
+)
+def doc_fingerprint(sf_dir: str):
+    """Content fingerprint (md5; DuckDB-compatible)."""
+    return _docs(sf_dir).map_batches(md5_fingerprint_batch, batch_format="pyarrow")
+
+
+@register("doc_winnow")  # rolling-hash winnowing: not SQL-expressible ->
+# rows-only driver check; determinism asserted in tests/test_textstats.py.
+def doc_winnow(sf_dir: str):
+    """Winnowing document fingerprints (Karp-Rabin k-grams, min-per-window)."""
+    return _docs(sf_dir).map_batches(
+        WinnowStage, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+
+# --------------------------------------------------------------------------
+# Messy-source cleaning + declared-schema cast (M14-M17).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "nested_unwrap",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 6 = 0 THEN '10.77' || doc_id || '/z'
+                ELSE 'plain-' || doc_id END AS value,
+           CASE WHEN doc_id % 9 = 0 THEN 'N/A'
+                ELSE 'src-' || (doc_id % 20) END AS filled
+    FROM documents
+    """,
+)
+def nested_unwrap(sf_dir: str):
+    """M14+M15: dict-literal cell unwrap (ast.literal_eval, never eval) and
+    fillna('N/A'). The reference's plain-rows-first reorder (serials.py:66-86)
+    is order-only — the keyed output here is order-insensitive."""
+    from sciscraper_ray.kernels.nested import clean_nested_values, fill_na
+
+    def build_and_clean(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        messy = [
+            ("{'doi': '10.77%d/z'}" % i) if i % 6 == 0 else f"plain-{i}"
+            for i in ids
+        ]
+        # per-row unwrap (keyed variant of clean_nested_values)
+        values = [
+            clean_nested_values([m], "doi")[0] for m in messy
+        ]
+        maybe_null = pa.array(
+            [None if i % 9 == 0 else f"src-{i % 20}" for i in ids], type=pa.string()
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "value": pa.array(values, type=pa.string()),
+                "filled": fill_na(maybe_null, "N/A"),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(build_and_clean, batch_format="pyarrow")
+
+
+@register(
+    "schema_cast",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(CASE WHEN doc_id % 10 = 0 THEN 'not a date'
+                         WHEN doc_id % 10 = 1 THEN ''
+                         ELSE '2024-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+                              || '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                    END AS TIMESTAMP) AS pub_date,
+           CAST(doc_id % 1000 AS SMALLINT) AS times_cited
+    FROM documents
+    """,
+)
+def schema_cast(sf_dir: str):
+    """M17: declared-schema cast — pub_date to_datetime(errors='coerce')
+    analog (null on garbage) + int16 downcast (KEY_TYPE_PAIRINGS,
+    config.py:119-135)."""
+    def build_and_cast(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        raw = [
+            "not a date" if i % 10 == 0 else
+            "" if i % 10 == 1 else
+            f"2024-{1 + i % 12:02d}-{1 + i % 28:02d}"
+            for i in ids
+        ]
+        parsed = pc.strptime(
+            pa.array(raw, type=pa.string()), format="%Y-%m-%d", unit="us",
+            error_is_null=True,
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pub_date": parsed,
+                "times_cited": pc.cast(pa.array(ids % 1000), pa.int16()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(build_and_cast, batch_format="pyarrow")

@@ -1,0 +1,115 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``BruteForceTopK``: exact cosine top-k — a broadcast query matrix
+  (``ray.put`` once) against streamed embedding batches; each batch emits a
+  PARTIAL top-k per query, merged in a tiny final grouped reduce. One
+  matmul per batch, no shuffle of the corpus.
+- ``assign_centroids`` / IVF search: the scale path — vectors are bucketed
+  by nearest centroid (one shuffle-free pass); queries probe only the
+  ``nprobe`` nearest buckets. Approximate; recall is measured in tests
+  against brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _stack(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def cosine_matrix(q: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """(nq, d) x (nv, d) -> (nq, nv) cosine similarities, float64."""
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    return qn @ vn.T
+
+
+class BruteForceTopK:
+    """map_batches stage: per batch, partial top-k rows (qid, neighbor, sim).
+
+    ``queries_ref`` = ray.put((qids: np.ndarray, qmat: (nq,d) ndarray)).
+    """
+
+    def __init__(self, queries_ref, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+
+        self.qids, self.qmat = ray.get(queries_ref)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = cosine_matrix(self.qmat, _stack(batch[self.vec_col]))
+        # exclude self-matches
+        self_mask = vids[None, :] == self.qids[:, None]
+        sims[self_mask] = -np.inf
+        k = min(self.k, sims.shape[1])
+        # partial top-k per query within this batch (sim desc, neighbor asc)
+        order = np.lexsort((vids[None, :].repeat(len(self.qids), 0), -sims), axis=1)[:, :k]
+        rows_q, rows_n, rows_s = [], [], []
+        for qi in range(len(self.qids)):
+            sel = order[qi]
+            sel = sel[np.isfinite(sims[qi, sel])]
+            rows_q.extend([self.qids[qi]] * len(sel))
+            rows_n.extend(vids[sel].tolist())
+            rows_s.extend(sims[qi, sel].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(rows_q, type=pa.int64()),
+                "neighbor": pa.array(rows_n, type=pa.int64()),
+                "sim": pa.array(rows_s, type=pa.float64()),
+            }
+        )
+
+
+def topk_reduce(group: pd.DataFrame, k: int = 5) -> pd.DataFrame:
+    """Merge partial top-k rows: global top-k per qid (sim desc, neighbor asc)."""
+    g = group.sort_values(["sim", "neighbor"], ascending=[False, True]).head(k)
+    g = g.reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1)
+    return g
+
+
+def pick_centroids(vectors: np.ndarray, n_centroids: int, seed: int = 42) -> np.ndarray:
+    """Deterministic centroid init: k-means++-style seeded greedy farthest
+    selection, then a few Lloyd iterations on the given sample."""
+    rng = np.random.default_rng(seed)
+    idx = [int(rng.integers(len(vectors)))]
+    for _ in range(n_centroids - 1):
+        d = np.min(
+            1 - cosine_matrix(vectors[idx], vectors), axis=0
+        )
+        idx.append(int(np.argmax(d)))
+    cents = vectors[idx].copy()
+    for _ in range(5):
+        assign = np.argmax(cosine_matrix(cents, vectors), axis=0)
+        for c in range(n_centroids):
+            members = vectors[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+class CentroidAssign:
+    """map_batches stage: append nearest-centroid bucket id."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding"):
+        import ray
+
+        self.centroids = ray.get(centroids_ref)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = _stack(batch[self.vec_col])
+        assign = np.argmax(cosine_matrix(self.centroids, v), axis=0)
+        return batch.append_column("bucket", pa.array(assign.astype(np.int64)))

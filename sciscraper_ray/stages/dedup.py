@@ -1,0 +1,219 @@
+"""Deduplication stages: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+The rebuild adds these as first-class operators (SURVEY §2.6: the reference
+has no dedup; Common-Crawl-style tables require it). All hash functions are
+seeded/keyed deterministically — results are reproducible across processes
+and cluster sizes.
+
+Scale shape (per the MinHash-LSH literature, Broder 1997 / LSH banding):
+  shingle -> minhash signature per doc (map_batches, embarrassingly
+  parallel) -> explode to (band_id, band_hash, doc_id) rows -> groupby the
+  band key (THE shuffle — keys are uniform hashes, so no skew) -> emit
+  candidate pairs per bucket -> exact-verify pairs against the (small)
+  set of involved documents, broadcast once.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# Mersenne prime 2^31-1: universal-hash space. Keeping coefficients and
+# (reduced) shingle hashes below 2^31 means a*h+b fits in uint64 with no
+# overflow, so minhash signatures stay fully vectorized.
+_PRIME = (1 << 31) - 1
+
+
+def _stable_hash64(s: str) -> int:
+    """Deterministic 64-bit string hash (process-independent, unlike hash())."""
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+
+
+def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Array:
+    """md5 hex content hash column (matches DuckDB's md5())."""
+    return pa.array(
+        [hashlib.md5(t.encode()).hexdigest() if t is not None else None
+         for t in batch[text_col].to_pylist()],
+        type=pa.string(),
+    )
+
+
+def word_shingles(tokens: list[str], k: int = 3) -> np.ndarray:
+    """Distinct word k-gram shingle hashes (uint64) of one document."""
+    if len(tokens) < k:
+        joined = [" ".join(tokens)] if tokens else []
+    else:
+        joined = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    return np.unique(np.fromiter(
+        (_stable_hash64(s) for s in joined), dtype=np.uint64, count=len(joined)
+    ))
+
+
+class MinHasher:
+    """num_perms universal-hash minhash over word k-gram shingles.
+
+    Deterministic: permutation coefficients derive from ``seed`` via a
+    seeded PCG64. Signature rows -> ``bands`` bands of ``rows_per_band``.
+    """
+
+    def __init__(self, num_perms: int = 64, bands: int = 16, k: int = 3, seed: int = 42):
+        assert num_perms % bands == 0
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _PRIME, size=num_perms, dtype=np.uint64)
+        self.b = rng.integers(0, _PRIME, size=num_perms, dtype=np.uint64)
+        self.num_perms = num_perms
+        self.bands = bands
+        self.rows_per_band = num_perms // bands
+        self.k = k
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        """(num_perms,) uint64 minhash signature; empty doc -> all-max."""
+        if shingles.size == 0:
+            return np.full(self.num_perms, np.iinfo(np.uint64).max, np.uint64)
+        h = (shingles % np.uint64(_PRIME)).astype(np.uint64)
+        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_PRIME)
+        return vals.min(axis=1)
+
+    def band_hashes(self, sig: np.ndarray) -> np.ndarray:
+        """(bands,) uint64: one hash per band of the signature."""
+        out = np.empty(self.bands, np.uint64)
+        for bi in range(self.bands):
+            chunk = sig[bi * self.rows_per_band : (bi + 1) * self.rows_per_band]
+            out[bi] = _stable_hash64("|".join(map(str, chunk.tolist())))
+        return out
+
+
+def char_shingles(text: str, n: int = 5) -> np.ndarray:
+    """Distinct char n-gram shingle hashes (uint64) of one document."""
+    grams = char_ngrams(text, n)
+    if not grams:
+        return np.empty(0, np.uint64)
+    return np.unique(np.fromiter(
+        (_stable_hash64(g) for g in grams), dtype=np.uint64, count=len(grams)
+    ))
+
+
+class MinHashBandStage:
+    """map_batches stage: (id, text) -> exploded (band_id, band_hash, doc_id).
+
+    ``shingle_mode``: 'word' (k-gram over the reference tokenizer) or
+    'char' (n-gram over raw text, for the n-gram-Jaccard dedup variant).
+    """
+
+    def __init__(
+        self,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        shingle_mode: str = "word",
+        **mh_kwargs,
+    ):
+        self.mh = MinHasher(**mh_kwargs)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.shingle_mode = shingle_mode
+
+    def _shingles(self, text: str) -> np.ndarray:
+        from sciscraper_ray.kernels.tokenize import format_manuscript
+
+        if self.shingle_mode == "char":
+            return char_shingles(text, self.mh.k)
+        return word_shingles(format_manuscript(text), self.mh.k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_band, out_hash, out_id = [], [], []
+        for i, t in zip(ids, texts):
+            if t is None:
+                continue
+            sig = self.mh.signature(self._shingles(t))
+            bh = self.mh.band_hashes(sig)
+            out_band.extend(range(self.mh.bands))
+            out_hash.extend(bh.tolist())
+            out_id.extend([i] * self.mh.bands)
+        return pa.table(
+            {
+                "band_id": pa.array(out_band, type=pa.int32()),
+                "band_hash": pa.array(np.array(out_hash, np.uint64)),
+                "doc_id": pa.array(out_id, type=pa.int64()),
+            }
+        )
+
+
+def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """All unordered id pairs within one LSH bucket (a < b)."""
+    ids = np.sort(group["doc_id"].to_numpy())
+    if len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
+    ia, ib = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
+
+
+def simhash64(tokens: list[str], k: int = 3) -> np.uint64:
+    """64-bit SimHash over word k-gram shingle features (weight 1)."""
+    sh = word_shingles(tokens, k)
+    if sh.size == 0:
+        return np.uint64(0)
+    bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for j in range(64):
+        if acc[j] > 0:
+            out |= np.uint64(1) << np.uint64(j)
+    return out
+
+
+class SimHashStage:
+    """map_batches stage: (id, text) -> (doc_id, simhash, chunk0..chunk3).
+
+    The four 16-bit chunk columns are the blocking keys: two signatures
+    within hamming distance 3 must agree on >=1 chunk (pigeonhole)."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from sciscraper_ray.kernels.tokenize import format_manuscript
+
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        sigs = np.array(
+            [simhash64(format_manuscript(t) if t else [], self.k) for t in texts],
+            dtype=np.uint64,
+        )
+        cols = {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "simhash": pa.array(sigs),
+        }
+        for c in range(4):
+            cols[f"chunk{c}"] = pa.array(
+                ((sigs >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            )
+        return pa.table(cols)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a, b)
+    cnt = np.zeros(x.shape, np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return cnt
+
+
+def char_ngrams(text: str, n: int = 5) -> set[str]:
+    if len(text) < n:
+        return {text} if text else set()
+    return {text[i : i + n] for i in range(len(text) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)

@@ -1,0 +1,84 @@
+"""Dedup stage tests: determinism, recall/precision on controlled fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from sciscraper_ray.stages.dedup import (
+    MinHasher,
+    hamming64,
+    jaccard,
+    simhash64,
+    word_shingles,
+)
+
+
+def test_minhash_deterministic_across_instances():
+    mh1, mh2 = MinHasher(seed=42), MinHasher(seed=42)
+    sh = word_shingles(["a", "b", "c", "d", "e"])
+    assert (mh1.signature(sh) == mh2.signature(sh)).all()
+    assert (mh1.band_hashes(mh1.signature(sh)) == mh2.band_hashes(mh2.signature(sh))).all()
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(200)]
+    a = [words[i] for i in rng.integers(0, 200, 300)]
+    b = a[:-30] + [words[i] for i in rng.integers(0, 200, 30)]
+    sa, sb = word_shingles(a), word_shingles(b)
+    true_j = jaccard(set(sa.tolist()), set(sb.tolist()))
+    mh = MinHasher(num_perms=256, bands=32)
+    est = (mh.signature(sa) == mh.signature(sb)).mean()
+    assert abs(est - true_j) < 0.15
+
+
+def test_simhash_near_and_far():
+    base = [f"tok{i}" for i in range(1000)]
+    h1 = simhash64(base)
+    # tiny perturbation: drop one word -> small hamming
+    h2 = simhash64(base[:-1])
+    near = int(hamming64(np.array([h1]), np.array([h2]))[0])
+    # unrelated doc -> hamming near 32
+    h3 = simhash64([f"other{i}" for i in range(1000)])
+    far = int(hamming64(np.array([h1]), np.array([h3]))[0])
+    assert near < 8 < far
+    assert far > 20
+
+
+def test_simhash_deterministic():
+    toks = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    assert simhash64(toks) == simhash64(list(toks))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup_keeps_lowest_id():
+    import ray.data
+
+    from sciscraper_ray.pipelines.dedup import exact_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [5, 1, 3, 2, 4],
+            "text": ["x", "x", "y", "y", "z"],
+        }
+    )
+    out = exact_dedup(ray.data.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 2, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_pipeline_finds_planted_pair():
+    import ray.data
+
+    from sciscraper_ray.pipelines.dedup import near_dup_pairs_minhash
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, 80)) for _ in range(40)]
+    texts.append(" ".join(texts[0].split(" ")[:-2]))  # near-dup of doc 0
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    pairs = near_dup_pairs_minhash(ray.data.from_pandas(df), threshold=0.8).to_pandas()
+    assert (0, 40) in set(zip(pairs["a"], pairs["b"]))
