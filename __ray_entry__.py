@@ -15,10 +15,13 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship: DocAnalyzer wordscore pipeline over sf0.001 documents."""
-    from sciscraper_ray.pipelines.flagship import wordscore_pipeline
+    """Flagship: the full page-table extraction pipeline on sf0.001 —
+    synthesized Common-Crawl-style pages (mixed HTML/PDF payloads,
+    duplicate fetches) -> keep-latest url dedup -> payload routing ->
+    HTML/PDF extraction -> DocAnalyzer."""
+    from sciscraper_ray.pipelines.queries import page_extract_pipeline
 
-    return wordscore_pipeline("/root/testdata/sf0.001/documents.parquet")
+    return page_extract_pipeline("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

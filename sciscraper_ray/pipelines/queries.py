@@ -1164,3 +1164,79 @@ def schema_cast(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(build_and_cast, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Page-table extraction (the north-star pipeline): HTML boilerplate strip,
+# PDF layout parse, payload routing, url dedup. Pages are synthesized
+# deterministically from the documents table (sources/page_synth.py), so
+# the oracle for byte-identical extraction is the identity on text.
+# --------------------------------------------------------------------------
+
+
+def _pages(sf_dir: str, pdf_mod: int | None, dup_mod: int | None):
+    from sciscraper_ray.sources.page_synth import synth_pages_batch
+
+    return _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+        lambda b: synth_pages_batch(b, pdf_mod=pdf_mod or 0, dup_mod=dup_mod or 0),
+        batch_format="pyarrow",
+    )
+
+
+@register(
+    "html_extract",
+    oracle="SELECT doc_id, text AS extracted_text FROM documents",
+)
+def html_extract(sf_dir: str):
+    """Readability/text-density boilerplate strip (HtmlMainContent actor
+    pool): byte-identical main content per url vs the known ground truth."""
+    from sciscraper_ray.pipelines.extract import extraction_pipeline
+
+    out = extraction_pipeline(
+        _pages(sf_dir, pdf_mod=None, dup_mod=None), dedup=False, analyze=False
+    )
+    return out.select_columns(["doc_id", "extracted_text"])
+
+
+@register(
+    "pdf_extract",
+    oracle="SELECT doc_id, text AS extracted_text FROM documents",
+)
+def pdf_extract(sf_dir: str):
+    """PDF layout parse (PdfParser actor pool: content-stream interpret,
+    glyph clustering with x_tol=1/y_tol=3, pages joined ' ' —
+    docscraper.py:188-205): byte-identical text per url."""
+    from sciscraper_ray.pipelines.extract import extraction_pipeline
+
+    out = extraction_pipeline(
+        _pages(sf_dir, pdf_mod=1, dup_mod=None), dedup=False, analyze=False
+    )
+    return out.select_columns(["doc_id", "extracted_text"])
+
+
+_WORDSCORE_WITH_TEXT_SQL = _WORDSCORE_SQL.replace(
+    "SELECT d.doc_id,", "SELECT d.doc_id, d.text AS extracted_text,", 1
+)
+
+
+@register("page_extract_pipeline", oracle=_WORDSCORE_WITH_TEXT_SQL)
+def page_extract_pipeline(sf_dir: str):
+    """EP1-analog end to end: mixed HTML/PDF page table with duplicate
+    fetches -> keep-latest url dedup -> payload routing -> extraction ->
+    DocAnalyzer. Verifies byte-identical extracted text AND the full
+    downstream analysis in one pipeline."""
+    from sciscraper_ray.pipelines.extract import extraction_pipeline
+
+    out = extraction_pipeline(
+        _pages(sf_dir, pdf_mod=10, dup_mod=17), dedup=True, analyze=True
+    )
+    return out.select_columns(
+        [
+            "doc_id",
+            "extracted_text",
+            "matching_terms",
+            "bycatch_terms",
+            "total_word_count",
+            "wordscore",
+        ]
+    )

@@ -1,0 +1,158 @@
+"""Deterministic Common-Crawl-style page-table synthesizer.
+
+Renders the FIXTURES.md §1 schema (url, warc_ts, html: binary, text, lang)
+from a documents table: most rows become HTML pages (known main-content
+text wrapped in nav/sidebar/footer/script boilerplate), a deterministic
+subset become PDF payloads (%PDF- magic, Flate-compressed content streams),
+plus exact-duplicate urls and a skewed host distribution (one mega-host)
+to exercise dedup and salting. Everything is keyed on doc_id — no RNG at
+render time, so the ground truth is the input text column itself.
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+
+import numpy as np
+import pyarrow as pa
+
+from sciscraper_ray.sources.pdf_write import build_pdf
+
+HOSTS = [
+    "mega.example.org",  # skewed: ~30% of rows
+    "alpha.example.com",
+    "beta.example.net",
+    "gamma.example.io",
+    "delta.example.edu",
+    "epsilon.example.dev",
+]
+
+_BOILER_NAV = (
+    '<nav class="top"><ul>'
+    '<li><a href="/">home</a></li>'
+    '<li><a href="/papers">papers</a></li>'
+    '<li><a href="/about">about us</a></li>'
+    '<li><a href="/contact">contact</a></li>'
+    "</ul></nav>"
+)
+_BOILER_SIDEBAR = (
+    '<aside class="sidebar"><h3>related</h3>'
+    '<a href="/r/1">related one</a> <a href="/r/2">related two</a> '
+    '<a href="/r/3">more links here</a><p>subscribe to our <a href="/n">newsletter</a></p></aside>'
+)
+_BOILER_FOOTER = (
+    '<footer><a href="/privacy">privacy</a> | <a href="/terms">terms</a>'
+    " | © 2024 example press</footer>"
+)
+
+
+def host_for(doc_id: int) -> str:
+    # ~30% of ids land on the mega-host; the rest spread uniformly.
+    if doc_id % 10 < 3:
+        return HOSTS[0]
+    return HOSTS[1 + doc_id % 5]
+
+
+def render_html(doc_id: int, text: str, lang: str) -> bytes:
+    """Known main-content text inside realistic boilerplate chrome.
+
+    Content paragraphs are ~40-word chunks; the extractor's contract is to
+    reproduce ``" ".join(chunks) == text`` byte-identically.
+    """
+    words = text.split(" ")
+    paras = [
+        "<p>" + html_mod.escape(" ".join(words[i : i + 40])) + "</p>"
+        for i in range(0, len(words), 40)
+    ]
+    doc = (
+        "<!DOCTYPE html>"
+        f'<html lang="{lang}"><head><title>Document {doc_id}</title>'
+        "<style>body{margin:0} .sidebar{float:right}</style>"
+        '<script>var tracker="' + str(doc_id) + '";trk(tracker);</script>'
+        "</head><body>"
+        + _BOILER_NAV
+        + _BOILER_SIDEBAR
+        + f"<header><h1>Document {doc_id}</h1><p>by the synthesis authors</p></header>"
+        + '<article id="main">'
+        + "".join(paras)
+        + "</article>"
+        + _BOILER_FOOTER
+        + "</body></html>"
+    )
+    return doc.encode("utf-8")
+
+
+def synth_pages_batch(batch: pa.Table, pdf_mod: int = 10, dup_mod: int = 17) -> pa.Table:
+    """documents batch -> page-table batch.
+
+    - doc_id % pdf_mod == 0: payload is a PDF (one text line per page,
+      40 words per page) instead of HTML.
+    - doc_id % dup_mod == 0: an extra exact-duplicate fetch of the same
+      url at a later warc_ts is appended (dedup fixture).
+    """
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    texts = batch["text"].to_pylist()
+    langs = batch["lang"].to_pylist()
+
+    urls: list[str] = []
+    ts: list[int] = []
+    payloads: list[bytes] = []
+    out_text: list[str | None] = []
+    out_lang: list[str] = []
+    out_ids: list[int] = []
+
+    base_ts = 1_700_000_000_000_000  # 2023-11-14, microseconds
+
+    def emit(i: int, t: str, lang: str, fetch: int) -> None:
+        is_pdf = bool(pdf_mod) and i % pdf_mod == 0
+        kind = "pdf" if is_pdf else "html"
+        urls.append(f"https://{host_for(i)}/{kind}/doc-{i}")
+        ts.append(base_ts + i * 1_000_000 + fetch)
+        if is_pdf:
+            words = t.split(" ")
+            pages = [" ".join(words[j : j + 40]) for j in range(0, len(words), 40)]
+            payloads.append(build_pdf(pages))
+            out_text.append(None)  # PDF rows carry no pre-extracted text
+        else:
+            payloads.append(render_html(i, t, lang))
+            out_text.append(t)
+        out_lang.append(lang)
+        out_ids.append(i)
+
+    for i, t, lang in zip(ids, texts, langs):
+        emit(int(i), t, lang, fetch=0)
+        if dup_mod and i % dup_mod == 0:
+            emit(int(i), t, lang, fetch=500_000)  # same url, later fetch
+
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+            "html": pa.array(payloads, type=pa.binary()),
+            "text": pa.array(out_text, type=pa.string()),
+            "lang": pa.array(out_lang, type=pa.string()),
+            "doc_id": pa.array(out_ids, type=pa.int64()),
+        }
+    )
+
+
+def synth_page_table(sf_dir: str, out_dir: str, num_files: int = 8) -> str:
+    """Materialize the synthetic page table under ``out_dir`` (idempotent:
+    skipped if the directory already has parquet files)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(out_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(out_dir)
+    ):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    n = len(docs)
+    per = max(1, (n + num_files - 1) // num_files)
+    for fi in range(0, n, per):
+        chunk = docs.slice(fi, per)
+        pages = synth_pages_batch(chunk)
+        pq.write_table(pages, f"{out_dir}/part-{fi // per:05d}.parquet")
+    return out_dir

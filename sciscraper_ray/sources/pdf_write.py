@@ -1,0 +1,92 @@
+"""Minimal deterministic PDF writer for the synthetic page table.
+
+Produces structurally honest PDFs: catalog / pages tree / page objects,
+Flate-compressed content streams, per-word text positioning via Tm, an
+xref table and trailer. The glyph metric is a fixed 0.6em advance —
+documented and shared with the layout parser (stages/pdf_parse.py), which
+is the same simplification a font-metric table would fill in for real
+fonts.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+FONT_SIZE = 10.0
+CHAR_W = 0.6 * FONT_SIZE  # fixed-width glyph advance
+WORD_GAP = CHAR_W  # inter-word gap (> x_tolerance -> word boundary)
+LINE_H = 14.0
+PAGE_W, PAGE_H = 612, 792
+MARGIN_X, TOP_Y = 72.0, 720.0
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _page_stream(lines: list[str]) -> bytes:
+    """One Tm + Tj per word, one text line per list entry."""
+    ops = ["BT", f"/F1 {FONT_SIZE:g} Tf"]
+    y = TOP_Y
+    for line in lines:
+        x = MARGIN_X
+        for word in line.split(" "):
+            ops.append(f"1 0 0 1 {x:g} {y:g} Tm")
+            ops.append(f"({_esc(word)}) Tj")
+            x += len(word) * CHAR_W + WORD_GAP
+        y -= LINE_H
+    ops.append("ET")
+    return zlib.compress("\n".join(ops).encode("latin-1"))
+
+
+def build_pdf(pages: list[str], lines_per_page: int = 1) -> bytes:
+    """pages: one text string per page; each is split into
+    ``lines_per_page`` lines (1 = single long line, round-trip-exact with
+    the reference's ' '.join(pages) concatenation)."""
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)  # 1-based object number
+
+    n_pages = len(pages)
+    # object numbers laid out up front: 1 catalog, 2 pages, 3 font,
+    # then (page, content) pairs.
+    page_obj_nums = [4 + 2 * i for i in range(n_pages)]
+    kids = " ".join(f"{n} 0 R" for n in page_obj_nums)
+    add(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    add(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())  # 2
+    add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")  # 3
+    for i, text in enumerate(pages):
+        if lines_per_page > 1:
+            words = text.split(" ")
+            per = max(1, (len(words) + lines_per_page - 1) // lines_per_page)
+            lines = [" ".join(words[j : j + per]) for j in range(0, len(words), per)]
+        else:
+            lines = [text]
+        stream = _page_stream(lines)
+        add(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
+            f"/Contents {4 + 2 * i + 1} 0 R /Resources << /Font << /F1 3 0 R >> >> >>".encode()
+        )
+        add(
+            f"<< /Length {len(stream)} /Filter /FlateDecode >>\nstream\n".encode()
+            + stream
+            + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)

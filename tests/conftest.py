@@ -15,6 +15,10 @@ def ray_session():
     )
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # list<struct> columns (spans, top-3 terms) must stay Arrow lists in
+    # pandas, not be coerced to the tensor extension.
+    ctx.enable_tensor_extension_casting = False
     yield
     ray.shutdown()

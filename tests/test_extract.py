@@ -1,0 +1,101 @@
+"""HTML/PDF extraction tests: boilerplate stripping, layout parsing,
+routing, dedup, byte-identical round trips, error degradation."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from sciscraper_ray.sources.page_synth import render_html, synth_pages_batch
+from sciscraper_ray.sources.pdf_write import build_pdf
+from sciscraper_ray.stages.html_extract import extract_main_content
+from sciscraper_ray.stages.pdf_parse import extract_pdf_text
+
+
+def test_html_extractor_strips_boilerplate():
+    text = " ".join(f"word{i}" for i in range(60))
+    html = render_html(7, text, "en").decode()
+    got, spans = extract_main_content(html)
+    assert got == text
+    # nav/footer/sidebar content must not leak
+    for boiler in ("privacy", "newsletter", "about us", "related one", "Document 7"):
+        assert boiler not in got
+    # spans tile the extracted text (two 40/20-word paragraphs)
+    assert len(spans) == 2
+    assert spans[0][0] == 0 and spans[-1][1] == len(got)
+    assert got[spans[1][0] : spans[1][1]] == " ".join(f"word{i}" for i in range(40, 60))
+
+
+def test_html_extractor_entities_and_garbage():
+    got, _ = extract_main_content(
+        "<body><article><p>a &amp; b &lt;tag&gt; and some more padding text</p></article></body>"
+    )
+    assert got == "a & b <tag> and some more padding text"
+    # garbage input degrades, never raises
+    extract_main_content("<<<>>>< not html at all")
+    extract_main_content("")
+
+
+def test_pdf_multipage_multiline():
+    pages = ["first page words here", "second page more words"]
+    text, n = extract_pdf_text(build_pdf(pages))
+    assert n == 2
+    assert text == "first page words here second page more words"
+    # multi-line pages produce newlines within a page (pdfplumber-style)
+    text2, _ = extract_pdf_text(build_pdf(["one two three four"], lines_per_page=2))
+    assert text2 == "one two\nthree four"
+
+
+def test_pdf_escapes():
+    tricky = r"paren (open and close) back\slash"
+    text, _ = extract_pdf_text(build_pdf([tricky]))
+    assert text == tricky
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_extraction_pipeline_end_to_end():
+    import ray.data
+
+    from sciscraper_ray.pipelines.extract import extraction_pipeline
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(12), pa.int64()),
+            "text": pa.array(
+                [" ".join(f"tok{i}w{j}" for j in range(50)) for i in range(12)]
+            ),
+            "lang": pa.array(["en"] * 12),
+        }
+    )
+    pages = synth_pages_batch(docs, pdf_mod=3, dup_mod=5)
+    ds = ray.data.from_arrow(pages)
+    out = extraction_pipeline(ds, dedup=True, analyze=True).to_pandas()
+    assert len(out) == 12  # dup fetches removed
+    src = {i: t for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())}
+    for _, r in out.iterrows():
+        assert r["extract_status"] == "ok"
+        assert r["extracted_text"] == src[r["doc_id"]], r["doc_id"]
+        assert r["total_word_count"] == 50
+    # both payload routes exercised
+    assert (out["doc_id"] % 3 == 0).any() and (out["doc_id"] % 3 != 0).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_extraction_error_rows_degrade():
+    import ray.data
+
+    from sciscraper_ray.stages.pdf_parse import PdfParser
+
+    bad = pa.table(
+        {
+            "url": pa.array(["u1", "u2"]),
+            "html": pa.array([b"%PDF-garbage no streams", None], type=pa.binary()),
+        }
+    )
+    out = (
+        ray.data.from_arrow(bad)
+        .map_batches(PdfParser, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+    )
+    assert out["extract_status"].str.startswith(("ok", "error")).all()
+    assert out["extracted_text"].iloc[1] is None
