@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Bench harness: headline pipelines over $GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "num_cpus": N}
+
+``--scaling`` runs the flagship extraction pipeline twice in FRESH
+processes (num_cpus=8 then 32) on the same input and reports throughput at
+both plus scaling efficiency (north_rule: >=0.8 N->4N) — the in-sandbox
+evidence for the two-cluster-size criterion. This script OWNS its Ray
+session (ray.init/ray.shutdown); the library never does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Headline set: flagship extraction + one representative per operator family.
+HEADLINE = [
+    "page_extract_pipeline",  # north-star: dedup -> route -> extract -> analyze
+    "doc_wordscore",          # fused DocAnalyzer (fastscore mode)
+    "top_tokens_global",      # two-phase token tally + global top-k
+    "lineitem_pricing",       # partial-agg groupby
+    "orders_by_region",       # broadcast join
+    "events_hourly",          # windowed aggregate
+    "dedup_minhash",          # MinHash+LSH near-dup
+    "knn_cosine",             # brute-force ANN
+    "doc_quality",            # text-quality scoring
+]
+
+FLAGSHIP = "page_extract_pipeline"
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _consume(result) -> int:
+    """Stream the result to completion; return row count. Never take_all."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        n = 0
+        for b in result.iter_batches(batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    raise TypeError(f"unexpected result type {type(result)}")
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        rows[name] = _consume(qs[name](sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(times.values()), 3)
+    return {
+        "metric": "headline_pipelines_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "rows": rows,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+    }
+
+
+def run_child(sf_dir: str, num_cpus: int) -> dict:
+    """One flagship run in THIS process (invoked as a fresh subprocess)."""
+    _init_ray(num_cpus)
+    import __ray_entry__ as e
+
+    fn = e.queries()[FLAGSHIP]
+    t0 = time.perf_counter()
+    n = _consume(fn(sf_dir))
+    elapsed = time.perf_counter() - t0
+    return {"num_cpus": num_cpus, "rows": n, "sec": round(elapsed, 3),
+            "docs_per_sec": round(n / elapsed, 2)}
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same job, fresh ray.init at N and 4N CPUs -> scaling efficiency."""
+    low, high = 8, 32
+    runs = []
+    for cpus in (low, high):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child",
+             str(cpus), sf_dir],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    speedup = runs[1]["docs_per_sec"] / runs[0]["docs_per_sec"]
+    efficiency = speedup / (high / low)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": "ratio",
+        "speedup": round(speedup, 3),
+        "runs": runs,
+        "flagship": FLAGSHIP,
+        "sf": _sf_of(sf_dir),
+    }
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--scaling-child":
+        print(json.dumps(run_child(argv[2], int(argv[1]))))
+        import ray
+
+        ray.shutdown()
+        return
+    if argv and argv[0] == "--scaling":
+        print(json.dumps(run_scaling(SF_DIR)))
+        return
+    print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
