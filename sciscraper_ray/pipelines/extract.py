@@ -131,13 +131,23 @@ def extraction_pipeline(
     if dedup:
         ds = keep_latest_by_url(ds)
 
-    out = ds.map_batches(
+    extracted = ds.map_batches(
         PayloadExtractor,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=concurrency,
-    ).select_columns(EXTRACT_COLUMNS)
+    )
+    # Pass lineage columns (fragment_id from run_resumable) through untouched;
+    # a per-batch projection avoids ds.schema()'s partial execution.
+    def project(batch: pa.Table) -> pa.Table:
+        keep = [
+            c for c in EXTRACT_COLUMNS + ["fragment_id"]
+            if c in batch.column_names
+        ]
+        return batch.select(keep)
+
+    out = extracted.map_batches(project, batch_format="pyarrow")
     if analyze:
         out = out.map_batches(
             DocAnalyzer,

@@ -1167,6 +1167,41 @@ def schema_cast(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Lineage + checkpoint/resume (north_rule). Stateful across runs -> not
+# SQL-expressible -> rows-only driver check; full interrupted-run semantics
+# are asserted in tests/test_checkpoint.py.
+# --------------------------------------------------------------------------
+
+
+@register("resumable_extract")
+def resumable_extract(sf_dir: str):
+    """Checkpointed extraction: synth page table -> run interrupted (1 of 3
+    waves) -> resume -> return the per-fragment lineage manifest (fragment
+    ids, row ranges, order-independent content hashes)."""
+    import shutil
+    import tempfile
+
+    from sciscraper_ray.pipelines.extract import extraction_pipeline
+    from sciscraper_ray.sources.page_synth import synth_page_table
+    from sciscraper_ray.state import CheckpointStore, run_resumable
+
+    work = tempfile.mkdtemp(prefix="sciscraper_resume_")
+    try:
+        pages = synth_page_table(sf_dir, f"{work}/pages", num_files=8)
+
+        def pipeline(ds):
+            return extraction_pipeline(ds, dedup=False, analyze=False)
+
+        out = f"{work}/out"
+        run_resumable(pages, out, pipeline, wave_size=3, max_waves=1)
+        run_resumable(pages, out, pipeline, wave_size=3)
+        manifest = CheckpointStore(out).manifest()
+        return manifest.drop_columns(["wall_s", "path"]).sort_by("fragment_id")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # Page-table extraction (the north-star pipeline): HTML boilerplate strip,
 # PDF layout parse, payload routing, url dedup. Pages are synthesized
 # deterministically from the documents table (sources/page_synth.py), so

@@ -1,0 +1,94 @@
+"""Per-partition lineage records (BASELINE.json north_rule).
+
+Every completed partition is described by one lineage row:
+
+    fragment_id    deterministic id of the INPUT fragment (relative path
+                   + file size — stable across runs, changes when the
+                   input file changes)
+    path           input file path
+    num_rows       rows persisted for this fragment
+    row_start/row_end   row range within the fragment (0-based, [start, end))
+    content_hash   order-independent 64-bit content hash of the persisted
+                   rows (sum of vectorized per-row hashes mod 2^64), so a
+                   resume that reorders blocks still verifies
+    wall_s         seconds spent on the wave that produced this fragment
+
+The reference has no lineage or resume at all (reruns start from scratch,
+/root/reference/src/fetch.py:236-263); this module is the scale-mandated
+addition.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+LINEAGE_SCHEMA = pa.schema(
+    [
+        ("fragment_id", pa.string()),
+        ("path", pa.string()),
+        ("num_rows", pa.int64()),
+        ("row_start", pa.int64()),
+        ("row_end", pa.int64()),
+        ("content_hash", pa.uint64()),
+        ("wall_s", pa.float64()),
+    ]
+)
+
+
+def fragment_id(path: str, root: str | None = None) -> str:
+    """Deterministic input-fragment id: relative path + byte size.
+
+    Restricted to ``[A-Za-z0-9_-]`` so it is usable verbatim as a hive
+    partition value (anything else gets %-encoded by the parquet writer,
+    which would break dir lookups)."""
+    import re
+
+    rel = os.path.relpath(path, root) if root else os.path.basename(path)
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        size = -1
+    safe = re.sub(r"[^A-Za-z0-9_-]", "-", rel)
+    return f"{safe}-{size}"
+
+
+def row_hashes(table: pa.Table, columns: list[str] | None = None) -> np.ndarray:
+    """Vectorized per-row 64-bit hashes (pandas hash_pandas_object — no
+    Python loop). Lists/structs are stringified first; binary is hashed by
+    content."""
+    cols = columns or table.column_names
+    df = table.select(cols).to_pandas()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: repr(v), na_action="ignore")
+    return pd.util.hash_pandas_object(df, index=False).to_numpy()
+
+
+def content_hash(table: pa.Table, columns: list[str] | None = None) -> int:
+    """Order-independent content hash: uint64 wrap-around sum of row hashes."""
+    if table.num_rows == 0:
+        return 0
+    return int(row_hashes(table, columns).sum(dtype=np.uint64))
+
+
+def lineage_for_table(
+    frag_id: str,
+    path: str,
+    table: pa.Table,
+    *,
+    wall_s: float = 0.0,
+    columns: list[str] | None = None,
+) -> dict:
+    return {
+        "fragment_id": frag_id,
+        "path": path,
+        "num_rows": table.num_rows,
+        "row_start": 0,
+        "row_end": table.num_rows,
+        "content_hash": content_hash(table, columns),
+        "wall_s": wall_s,
+    }
