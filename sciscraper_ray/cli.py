@@ -1,0 +1,119 @@
+"""CLI driver — the D5/D6 analog (/root/reference/src/factories.py:26-125,
+main.py:20-49, argsbuilder.py:19-76): named pipeline modes over parquet
+inputs, exported through the CSV-parity sink.
+
+Run locally or via ``ray job submit -- python -m sciscraper_ray.cli ...``:
+
+    python -m sciscraper_ray.cli -m wordscore -f /root/testdata/sf0.001/documents.parquet -e /tmp/out
+    python -m sciscraper_ray.cli -m extract   -f <pages.parquet|dir>       -e /tmp/out
+    python -m sciscraper_ray.cli -m resume    -f <pages dir> -e /tmp/out
+    python -m sciscraper_ray.cli -m query:top_tokens_global -f /root/testdata/sf0.001 -e /tmp/out
+
+MODES is the user-extension registry (the SCISCRAPERS dict analog): name ->
+builder(input_path) -> Dataset. This module owns the Ray session when run
+standalone (guarded init; the external driver initialises Ray itself).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import logging
+from collections.abc import Callable
+
+import ray
+import ray.data
+
+log = logging.getLogger("sciscraper_ray")
+
+
+def _wordscore(path: str) -> ray.data.Dataset:
+    from sciscraper_ray.pipelines.flagship import wordscore_pipeline
+
+    return wordscore_pipeline(path)
+
+
+def _extract(path: str) -> ray.data.Dataset:
+    from sciscraper_ray.pipelines.extract import extraction_pipeline
+
+    return extraction_pipeline(path)
+
+
+def _extract_only(path: str) -> ray.data.Dataset:
+    from sciscraper_ray.pipelines.extract import extraction_pipeline
+
+    return extraction_pipeline(path, analyze=False)
+
+
+MODES: dict[str, Callable[[str], ray.data.Dataset]] = {
+    "wordscore": _wordscore,   # EP2/fastscore analog: text rows -> DocAnalyzer
+    "extract": _extract,       # EP1 analog: page table -> dedup/route/extract/analyze
+    "extract-only": _extract_only,
+    "fastscore": _wordscore,   # reference mode alias (factories.py:101)
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sciscraper_ray",
+        description="Ray-Data-native sciscraper engine",
+    )
+    p.add_argument("-m", "--mode", required=True,
+                   help=f"one of {sorted(MODES)}, 'resume', or 'query:<name>'")
+    p.add_argument("-f", "--file", required=True, help="input parquet file/dir (or sf dir for query:)")
+    p.add_argument("-e", "--export", required=True, help="export directory")
+    p.add_argument("--date-stamp", default=None, help="YYMMDD run-dir stamp (default: today)")
+    p.add_argument("--wave-size", type=int, default=64, help="resume mode: fragments per wave")
+    p.add_argument("-d", "--debug", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> str:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
+
+    if not ray.is_initialized():  # external drivers init Ray themselves
+        ray.init(address="local", include_dashboard=False)
+
+    stamp = args.date_stamp or datetime.date.today().strftime("%y%m%d")
+
+    if args.mode == "resume":
+        from sciscraper_ray.pipelines.extract import extraction_pipeline
+        from sciscraper_ray.state import run_resumable
+
+        summary = run_resumable(
+            args.file,
+            args.export,
+            lambda ds: extraction_pipeline(ds, dedup=False),
+            wave_size=args.wave_size,
+        )
+        log.info("resume run: %s", summary)
+        return args.export
+
+    if args.mode.startswith("query:"):
+        from sciscraper_ray.pipelines.queries import QUERIES
+
+        name = args.mode.split(":", 1)[1]
+        result = QUERIES[name](args.file)
+        if not isinstance(result, ray.data.Dataset):
+            import pyarrow as pa
+
+            table = (
+                pa.Table.from_pandas(result)
+                if not isinstance(result, pa.Table)
+                else result
+            )
+            result = ray.data.from_arrow(table)
+        ds = result
+    else:
+        ds = MODES[args.mode](args.file)
+
+    from sciscraper_ray.pipelines.sink import export_results
+
+    run_dir = export_results(ds, args.export, date_stamp=stamp)
+    log.info("exported to %s", run_dir)
+    return run_dir
+
+
+if __name__ == "__main__":
+    main()

@@ -186,3 +186,51 @@ def near_dup_pairs_ngram(
     ]
     out = pairs[keep]
     return pa.table({"a": pa.array(out["a"], pa.int64()), "b": pa.array(out["b"], pa.int64())})
+
+
+def near_dup_pairs_embedding(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 64,
+    bands: int = 16,
+    dim: int = 64,
+) -> pa.Table:
+    """Embedding-cosine near-dup pairs: signed-random-projection LSH
+    candidates (one matmul per batch, one shuffle on the uniform band key),
+    then EXACT cosine >= threshold on the involved vectors only."""
+    from sciscraper_ray.stages.ann import _stack, cosine_matrix
+    from sciscraper_ray.stages.dedup import HyperplaneBandStage
+
+    banded = ds.map_batches(
+        HyperplaneBandStage,
+        fn_constructor_kwargs=dict(
+            id_col=id_col, vec_col=vec_col, dim=dim, bits=bits, bands=bands
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    pairs = _candidate_pairs(banded, ["band_id", "band_hash"])
+    if pairs.empty:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+
+    involved = np.unique(pairs[["a", "b"]].to_numpy())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = np.isin(batch[id_col].to_numpy(zero_copy_only=False), involved)
+        return batch.filter(pa.array(mask))
+
+    small = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    vec_map = {
+        i: np.asarray(v, dtype=np.float64)
+        for i, v in zip(small[id_col], small[vec_col])
+    }
+    a_mat = np.stack([vec_map[a] for a in pairs["a"]])
+    b_mat = np.stack([vec_map[b] for b in pairs["b"]])
+    an = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+    bn = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
+    sims = np.einsum("ij,ij->i", an, bn)
+    out = pairs[sims >= threshold]
+    return pa.table({"a": pa.array(out["a"], pa.int64()), "b": pa.array(out["b"], pa.int64())})

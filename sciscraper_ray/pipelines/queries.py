@@ -539,6 +539,111 @@ def source_token_tally(sf_dir: str):
     )
 
 
+@register(
+    "citation_tally",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               unnest([(doc_id * 2) % 997,
+                       (doc_id * 3 + 3) % 997,
+                       (doc_id * 4 + 6) % 997]) AS cited
+        FROM documents
+    )
+    SELECT cited, count(*) AS cnt, min(doc_id) AS first_source
+    FROM c GROUP BY cited
+    """,
+)
+def citation_tally(sf_dir: str):
+    """EP3/E2+A4 analog: explode a citations list column with provenance
+    (vectorized list_flatten + list_parent_indices, stagers.py:55-125
+    semantics), then the citation tally groupby. Citations are synthesized
+    deterministically from doc_id."""
+    from ray.data.aggregate import Min, Sum
+
+    from sciscraper_ray.stages.relational import group_count_batch
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        cited = np.stack(
+            [(ids * 2) % 997, (ids * 3 + 3) % 997, (ids * 4 + 6) % 997], axis=1
+        )
+        lists = pa.FixedSizeListArray.from_arrays(
+            pa.array(cited.ravel(), type=pa.int64()), 3
+        ).cast(pa.list_(pa.int64()))
+        parents = pc.list_parent_indices(lists)
+        exploded = pa.table(
+            {
+                "cited": pc.list_flatten(lists),
+                "doc_id": batch["doc_id"].take(parents),
+            }
+        )
+        # partial aggregate before the shuffle: cnt + min(source) per key
+        out = exploded.group_by(["cited"]).aggregate(
+            [([], "count_all"), ("doc_id", "min")]
+        )
+        renames = {"count_all": "cnt", "doc_id_min": "first_source"}
+        return out.rename_columns(
+            [renames.get(c, c) for c in out.column_names]
+        )
+
+    return (
+        _docs(sf_dir, columns=("doc_id",))
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("cited")
+        .aggregate(
+            Sum(on="cnt", alias_name="cnt"),
+            Min(on="first_source", alias_name="first_source"),
+        )
+    )
+
+
+@register(
+    "link_routing",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0
+                    THEN 'https://dacemirror.sci-hub.se/journal/x' || doc_id || '.pdf'
+                WHEN doc_id % 4 = 1
+                    THEN 'https://sci-hub.se/downloads/2021/x' || doc_id || '.pdf'
+           END AS link,
+           CASE WHEN doc_id % 2 = 0 THEN 'doi' ELSE 'text_search' END
+               AS search_field
+    FROM documents
+    """,
+)
+def link_routing(sf_dir: str):
+    """M21 link rewrite + M18 query routing over synthesized onclick
+    fragments and search terms (goldens: reference
+    tests/test_downloaders.py:87-108, tests/test_webscrapers.py:15-31)."""
+    from sciscraper_ray.kernels.links import format_download_link, search_field_for
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        raw = [
+            f"location.href='//dacemirror.sci-hub.se/journal/x{i}.pdf" if i % 4 == 0
+            else f"location.href='/downloads/2021/x{i}.pdf" if i % 4 == 1
+            else f"no match {i}" if i % 4 == 2
+            else None
+            for i in ids
+        ]
+        terms = [f"10.{i}/x" if i % 2 == 0 else f"paper {i}" for i in ids]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "link": pa.array(
+                    [format_download_link(r) for r in raw], type=pa.string()
+                ),
+                "search_field": pa.array(
+                    [search_field_for(t) for t in terms], type=pa.string()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        build, batch_format="pyarrow"
+    )
+
+
 # --------------------------------------------------------------------------
 # Events: windowed aggregate, keep-latest dedup, JSON scalar extraction
 # (SURVEY §2.10 streaming-shaped + M23).
@@ -833,6 +938,52 @@ def dedup_ngram_jaccard(sf_dir: str):
     return near_dup_pairs_ngram(ds, threshold=0.8, n=5)
 
 
+@register(
+    "dedup_embedding",
+    oracle="""
+    SELECT vec_id AS a, vec_id + 500000 AS b FROM embeddings
+    WHERE vec_id % 9 = 0
+    """,
+)
+def dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-dup (SRP-LSH candidates + exact cosine >= 0.95
+    verify). The corpus has no natural pairs (max cosine ~0.65, checked per
+    sf), so deterministic perturbed copies are injected for vec_id % 9 == 0
+    (seeded noise, cosine ~0.99 to the source); the oracle states the
+    expected pairs by construction. Perturbation-sweep recall is asserted
+    in tests/test_dedup.py."""
+    import ray.data
+
+    from sciscraper_ray.pipelines.dedup import near_dup_pairs_embedding
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def make_copies(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 9 == 0
+        vecs = [
+            v for v, k in zip(batch["embedding"].to_pylist(), keep) if k
+        ]
+        out = []
+        for vid, v in zip(ids[keep], vecs):
+            v = np.asarray(v, dtype=np.float64)
+            rng = np.random.default_rng(1000 + int(vid))
+            d = rng.standard_normal(len(v))
+            d *= 0.15 * np.linalg.norm(v) / np.linalg.norm(d)
+            out.append((v + d).astype(np.float32).tolist())
+        return pa.table(
+            {
+                "vec_id": pa.array((ids[keep] + 500_000).tolist(), type=pa.int64()),
+                "embedding": pa.array(out, type=pa.list_(pa.float32())),
+            }
+        )
+
+    full = ds.union(ds.map_batches(make_copies, batch_format="pyarrow"))
+    return near_dup_pairs_embedding(full, threshold=0.95)
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings (list<float>).
 # --------------------------------------------------------------------------
@@ -1078,6 +1229,114 @@ def doc_winnow(sf_dir: str):
     return _docs(sf_dir).map_batches(
         WinnowStage, batch_format="pyarrow", concurrency=(1, 8)
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns: opaque binary payloads + typed metadata, decoded by
+# actor-pool stages. Real codecs are absent in this container — the decode
+# stubs are import-gated (stages/multimodal.py) and the fixture uses the
+# deterministic FIMG/FAUD fake formats, so the oracle can state the decoded
+# metrics from doc_id arithmetic.
+# --------------------------------------------------------------------------
+
+
+def _media(sf_dir: str, kind: str):
+    from sciscraper_ray.stages.multimodal import synth_media_batch
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        lambda b: synth_media_batch(b, kind=kind), batch_format="pyarrow"
+    )
+
+
+@register(
+    "media_image_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + doc_id % 48 AS INTEGER) AS width,
+           CAST(8 + doc_id % 24 AS INTEGER) AS height,
+           3 AS channels,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_c0,
+           CAST((doc_id * 3) % 256 AS DOUBLE) AS mean_c1,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_c2
+    FROM documents
+    """,
+)
+def media_image_features(sf_dir: str):
+    """Image decode -> per-channel features, actor pools with small batches
+    (payload rows are wide). Constant-fill fakes make the channel means
+    exact doc_id arithmetic; gradient/resize behavior is covered in
+    tests/test_multimodal.py."""
+    from sciscraper_ray.stages.multimodal import ImageDecodeStage, ImageFeatureStage
+
+    decoded = _media(sf_dir, "image").map_batches(
+        ImageDecodeStage,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 8),
+    )
+    feats = decoded.map_batches(
+        ImageFeatureStage, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        mean = batch["mean"]
+        if isinstance(mean, pa.ChunkedArray):
+            mean = mean.combine_chunks()
+        m = np.asarray(mean.flatten()).reshape(len(batch), 3)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": batch["width"],
+                "height": batch["height"],
+                "channels": batch["channels"],
+                "mean_c0": pa.array(m[:, 0]),
+                "mean_c1": pa.array(m[:, 1]),
+                "mean_c2": pa.array(m[:, 2]),
+            }
+        )
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
+
+
+@register(
+    "media_audio_frames",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(1600 + (d.doc_id % 100) * 16 AS BIGINT) AS n_samples,
+           round(1.0 * (1600 + (d.doc_id % 100) * 16) / 16000, 6) AS duration_s,
+           round(sqrt(avg(power(((d.doc_id % 97) + g.x) % 251 - 125, 2))), 6)
+               AS rms
+    FROM documents d,
+         LATERAL unnest(range(1600 + (d.doc_id % 100) * 16)) AS g(x)
+    GROUP BY d.doc_id
+    """,
+)
+def media_audio_frames(sf_dir: str):
+    """Audio decode + fixed-hop frame sampling; rms/duration recomputed by
+    the oracle from the FAUD generator formula."""
+    from sciscraper_ray.stages.multimodal import AudioFrameSampleStage
+
+    sampled = _media(sf_dir, "audio").map_batches(
+        AudioFrameSampleStage,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 8),
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        dur = batch["duration_s"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_samples": pa.array(
+                    np.round(dur * 16_000).astype(np.int64)
+                ),
+                "duration_s": pc.round(batch["duration_s"], 6),
+                "rms": pc.round(batch["rms"], 6),
+            }
+        )
+
+    return sampled.map_batches(project, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------

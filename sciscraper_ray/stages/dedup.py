@@ -217,3 +217,50 @@ def jaccard(a: set, b: set) -> float:
         return 1.0
     inter = len(a & b)
     return inter / (len(a) + len(b) - inter)
+
+
+class HyperplaneBandStage:
+    """map_batches stage for embedding-cosine near-dup LSH: signed random
+    projections (Charikar 2002 SRP) -> exploded (band_id, band_hash, doc_id).
+
+    ``bits`` seeded hyperplanes; sign bits are packed into ``bands`` bands
+    of ``bits // bands`` bits each (the band value IS the band hash — no
+    rehash needed). One matmul per batch; deterministic across processes.
+    """
+
+    def __init__(
+        self,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        dim: int = 64,
+        bits: int = 64,
+        bands: int = 16,
+        seed: int = 42,
+    ):
+        assert bits % bands == 0
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((bits, dim))
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.bands = bands
+        self.rows_per_band = bits // bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from sciscraper_ray.stages.ann import _stack
+
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        signs = (_stack(batch[self.vec_col]) @ self.planes.T) >= 0  # (n, bits)
+        weights = (1 << np.arange(self.rows_per_band, dtype=np.uint64))
+        n = len(ids)
+        band_vals = (
+            signs.reshape(n, self.bands, self.rows_per_band).astype(np.uint64)
+            @ weights
+        )  # (n, bands)
+        band_ids = np.broadcast_to(np.arange(self.bands, dtype=np.int32), (n, self.bands))
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids.ravel()),
+                "band_hash": pa.array(band_vals.ravel().astype(np.uint64)),
+                "doc_id": pa.array(np.repeat(ids, self.bands).astype(np.int64)),
+            }
+        )

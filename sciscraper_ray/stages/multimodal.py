@@ -1,0 +1,264 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
+typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The container has no image/audio codecs (no PIL/libsndfile/ffmpeg), so the
+REAL decoders are import-gated stubs that raise ``NotImplementedError``
+with the dependency named — while the Ray-side plumbing (schemas, actor
+signatures, batch sizing, output layout) is real and tested against the
+deterministic FAKE container formats below:
+
+    FIMG: b"FIMG" | u16 width | u16 height | u8 channels | u8 fill...
+          (one fill byte per channel; pixel[c][y][x] == fill[c] + trailing
+          gradient flag: if the last header byte is 1, pixel = (fill[c]
+          + x + y) % 256 instead)
+    FAUD: b"FAUD" | u32 sample_rate | u32 n_samples | i16 seed
+          (sample[t] == ((seed + t) % 251) - 125, int16)
+
+Scale notes: payloads are multi-MB in real crawls -> decode stages take
+SMALL batches (default 32) and ``num_cpus=1`` each; features/resize output
+fixed-size vectors so downstream blocks are compact. Nothing here holds
+more than one batch in memory.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+IMAGE_MAGIC = b"FIMG"
+AUDIO_MAGIC = b"FAUD"
+
+DECODED_IMAGE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("channels", pa.int32()),
+        ("pixels", pa.binary()),  # C-order uint8 [h][w][c]
+        ("decode_status", pa.string()),
+    ]
+)
+
+
+def encode_fake_image(
+    width: int, height: int, fills: list[int], gradient: bool = False
+) -> bytes:
+    return (
+        IMAGE_MAGIC
+        + struct.pack("<HHB", width, height, len(fills))
+        + bytes(f % 256 for f in fills)
+        + bytes([1 if gradient else 0])
+    )
+
+
+def encode_fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
+    return AUDIO_MAGIC + struct.pack("<IIh", sample_rate, n_samples, seed)
+
+
+def decode_image_payload(payload: bytes) -> tuple[np.ndarray, str]:
+    """binary -> (h, w, c) uint8 array. Real formats require a codec the
+    environment lacks — the dependency boundary is explicit."""
+    if payload[:4] == IMAGE_MAGIC:
+        w, h, c = struct.unpack("<HHB", payload[4:9])
+        fills = np.frombuffer(payload[9 : 9 + c], np.uint8)
+        grad = payload[9 + c] == 1
+        img = np.broadcast_to(fills, (h, w, c)).astype(np.uint8)
+        if grad:
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = ((img.astype(np.int32) + (xx + yy)[:, :, None]) % 256).astype(
+                np.uint8
+            )
+        return np.ascontiguousarray(img), "ok"
+    # Real JPEG/PNG path: PIL is not installed in this environment.
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decode requires Pillow (not in this container); "
+            "payloads must use the FIMG fake format here"
+        ) from exc
+    raise NotImplementedError("non-FIMG decode path not implemented")
+
+
+def decode_audio_payload(payload: bytes) -> tuple[np.ndarray, int]:
+    """binary -> (samples: int16 ndarray, sample_rate)."""
+    if payload[:4] == AUDIO_MAGIC:
+        sr, n, seed = struct.unpack("<IIh", payload[4:14])
+        t = np.arange(n, dtype=np.int64)
+        return (((seed + t) % 251) - 125).astype(np.int16), int(sr)
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real audio decode requires libsndfile (not in this container); "
+            "payloads must use the FAUD fake format here"
+        ) from exc
+    raise NotImplementedError("non-FAUD decode path not implemented")
+
+
+class ImageDecodeStage:
+    """Actor-pool stage: (doc_id, payload) -> DECODED_IMAGE_SCHEMA rows.
+
+    Decode errors degrade to null pixels + status, never crash the task
+    (same error contract as PayloadExtractor)."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ws, hs, cs, px, status = [], [], [], [], []
+        for payload in batch[self.payload_col].to_pylist():
+            try:
+                img, st = decode_image_payload(bytes(payload))
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                cs.append(img.shape[2])
+                px.append(img.tobytes())
+                status.append(st)
+            except (NotImplementedError, Exception) as exc:  # noqa: BLE001
+                ws.append(0)
+                hs.append(0)
+                cs.append(0)
+                px.append(None)
+                status.append(f"error: {type(exc).__name__}")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "channels": pa.array(cs, pa.int32()),
+                "pixels": pa.array(px, pa.binary()),
+                "decode_status": pa.array(status, pa.string()),
+            }
+        )
+
+
+class ImageResizeStage:
+    """Actor-pool stage over decoded rows: nearest-neighbor resize to a
+    fixed (target_w, target_h) — vectorized index take, no Python pixel
+    loops."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 32):
+        self.tw = target_w
+        self.th = target_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for w, h, c, px in zip(
+            batch["width"].to_pylist(),
+            batch["height"].to_pylist(),
+            batch["channels"].to_pylist(),
+            batch["pixels"].to_pylist(),
+        ):
+            if px is None or w == 0:
+                out.append(None)
+                continue
+            img = np.frombuffer(px, np.uint8).reshape(h, w, c)
+            ys = (np.arange(self.th) * h // self.th).astype(np.int64)
+            xs = (np.arange(self.tw) * w // self.tw).astype(np.int64)
+            out.append(img[ys][:, xs].tobytes())
+        return (
+            batch.drop_columns(["pixels", "width", "height"])
+            .append_column("width", pa.array([self.tw] * len(batch), pa.int32()))
+            .append_column("height", pa.array([self.th] * len(batch), pa.int32()))
+            .append_column("pixels", pa.array(out, pa.binary()))
+        )
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: per-channel mean/std features from decoded pixels."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        means, stds = [], []
+        for w, h, c, px in zip(
+            batch["width"].to_pylist(),
+            batch["height"].to_pylist(),
+            batch["channels"].to_pylist(),
+            batch["pixels"].to_pylist(),
+        ):
+            if px is None or w == 0:
+                means.append(None)
+                stds.append(None)
+                continue
+            img = np.frombuffer(px, np.uint8).reshape(h * w, c).astype(np.float64)
+            means.append(img.mean(axis=0).tolist())
+            stds.append(img.std(axis=0).tolist())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": batch["width"],
+                "height": batch["height"],
+                "channels": batch["channels"],
+                "mean": pa.array(means, pa.list_(pa.float64())),
+                "std": pa.array(stds, pa.list_(pa.float64())),
+                "decode_status": batch["decode_status"],
+            }
+        )
+
+
+class AudioFrameSampleStage:
+    """Actor-pool stage: decode FAUD payloads and sample fixed-hop frames
+    (every ``hop``-th sample, first ``max_frames``), emitting the frame
+    vector plus rms/duration metadata."""
+
+    def __init__(self, payload_col: str = "payload", hop: int = 160, max_frames: int = 64):
+        self.payload_col = payload_col
+        self.hop = hop
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        frames, rms, dur, status = [], [], [], []
+        for payload in batch[self.payload_col].to_pylist():
+            try:
+                samples, sr = decode_audio_payload(bytes(payload))
+                sel = samples[:: self.hop][: self.max_frames]
+                frames.append(sel.astype(np.int32).tolist())
+                x = samples.astype(np.float64)
+                rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+                dur.append(len(samples) / sr if sr else 0.0)
+                status.append("ok")
+            except (NotImplementedError, Exception) as exc:  # noqa: BLE001
+                frames.append(None)
+                rms.append(None)
+                dur.append(None)
+                status.append(f"error: {type(exc).__name__}")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "frames": pa.array(frames, pa.list_(pa.int32())),
+                "rms": pa.array(rms, pa.float64()),
+                "duration_s": pa.array(dur, pa.float64()),
+                "decode_status": pa.array(status, pa.string()),
+            }
+        )
+
+
+def synth_media_batch(batch: pa.Table, kind: str = "image") -> pa.Table:
+    """documents batch -> (doc_id, payload, media_type) with deterministic
+    fake payloads keyed on doc_id (the multimodal test fixture):
+
+    image: width = 16 + doc_id % 48, height = 8 + doc_id % 24, 3 channels
+           filled with (doc_id % 256, (doc_id*3) % 256, (doc_id*7) % 256)
+    audio: sample_rate 16000, n = 1600 + (doc_id % 100) * 16, seed doc_id % 97
+    """
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    payloads = []
+    for i in ids:
+        i = int(i)
+        if kind == "image":
+            payloads.append(
+                encode_fake_image(
+                    16 + i % 48, 8 + i % 24, [i % 256, (i * 3) % 256, (i * 7) % 256]
+                )
+            )
+        else:
+            payloads.append(encode_fake_audio(16_000, 1600 + (i % 100) * 16, i % 97))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array([kind] * len(ids), pa.string()),
+        }
+    )

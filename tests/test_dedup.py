@@ -82,3 +82,67 @@ def test_minhash_pipeline_finds_planted_pair():
     df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
     pairs = near_dup_pairs_minhash(ray.data.from_pandas(df), threshold=0.8).to_pandas()
     assert (0, 40) in set(zip(pairs["a"], pairs["b"]))
+
+
+class TestEmbeddingNearDup:
+    def _base(self):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            "/root/testdata/sf0.001/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        )
+        return t.slice(0, 200)
+
+    def test_injected_pairs_found_exactly(self, ray_session):
+        import ray.data
+        from sciscraper_ray.pipelines.dedup import near_dup_pairs_embedding
+
+        base = self._base()
+        ids = base["vec_id"].to_numpy(zero_copy_only=False)
+        copies = []
+        for vid, v in zip(ids, base["embedding"].to_pylist()):
+            if vid % 10 != 0:
+                continue
+            v = np.asarray(v, dtype=np.float64)
+            rng = np.random.default_rng(int(vid))
+            d = rng.standard_normal(len(v))
+            d *= 0.1 * np.linalg.norm(v) / np.linalg.norm(d)
+            copies.append({"vec_id": int(vid) + 10_000,
+                           "embedding": (v + d).astype(np.float32).tolist()})
+        ds = ray.data.from_arrow(base).union(
+            ray.data.from_items(copies).map_batches(
+                lambda b: pa.table({
+                    "vec_id": pa.array(b["vec_id"].to_pylist(), pa.int64()),
+                    "embedding": pa.array(b["embedding"].to_pylist(),
+                                          pa.list_(pa.float32())),
+                }),
+                batch_format="pyarrow",
+            )
+        )
+        got = near_dup_pairs_embedding(ds, threshold=0.95)
+        pairs = sorted(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+        expected = sorted((int(i), int(i) + 10_000) for i in ids if i % 10 == 0)
+        assert pairs == expected
+
+    def test_matches_brute_force(self, ray_session):
+        """LSH+verify output == exact all-pairs cosine >= threshold."""
+        import ray.data
+        from sciscraper_ray.pipelines.dedup import near_dup_pairs_embedding
+        from sciscraper_ray.stages.ann import _stack, cosine_matrix
+
+        base = self._base()
+        v = _stack(base["embedding"])
+        sims = cosine_matrix(v, v)
+        ids = base["vec_id"].to_numpy(zero_copy_only=False)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        exact = sorted(
+            (int(ids[x]), int(ids[y]))
+            for x, y in zip(ia[sims[ia, ib] >= 0.4], ib[sims[ia, ib] >= 0.4])
+        )
+        got = near_dup_pairs_embedding(
+            ray.data.from_arrow(base), threshold=0.4, bands=32
+        )
+        pairs = sorted(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+        # LSH recall at this band setting must reproduce exact pairs here
+        assert pairs == exact and len(exact) > 0

@@ -1,0 +1,118 @@
+"""Multimodal stages: fake-format decode plumbing, resize, frame sampling,
+and the import-gated real-codec boundary."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sciscraper_ray.stages.multimodal import (
+    AudioFrameSampleStage,
+    ImageDecodeStage,
+    ImageFeatureStage,
+    ImageResizeStage,
+    decode_audio_payload,
+    decode_image_payload,
+    encode_fake_audio,
+    encode_fake_image,
+    synth_media_batch,
+)
+
+
+def test_image_roundtrip_constant_fill():
+    img, st = decode_image_payload(encode_fake_image(10, 4, [7, 8, 9]))
+    assert st == "ok" and img.shape == (4, 10, 3)
+    assert (img[:, :, 0] == 7).all() and (img[:, :, 2] == 9).all()
+
+
+def test_image_gradient_payload():
+    img, _ = decode_image_payload(encode_fake_image(5, 3, [100], gradient=True))
+    assert img[0, 0, 0] == 100 and img[2, 4, 0] == (100 + 6) % 256
+
+
+def test_real_codec_paths_are_gated():
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image_payload(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError, match="libsndfile"):
+        decode_audio_payload(b"RIFFxxxxWAVE")
+
+
+def test_decode_stage_degrades_on_garbage():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([encode_fake_image(4, 4, [1, 2, 3]), b"JUNK"], pa.binary()),
+        }
+    )
+    out = ImageDecodeStage()(batch)
+    assert out["decode_status"].to_pylist() == ["ok", "error: NotImplementedError"]
+    assert out["pixels"][1].as_py() is None
+
+
+def test_resize_nearest_neighbor_gradient():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "payload": pa.array(
+                [encode_fake_image(8, 8, [0], gradient=True)], pa.binary()
+            ),
+        }
+    )
+    decoded = ImageDecodeStage()(batch)
+    resized = ImageResizeStage(target_w=4, target_h=4)(decoded)
+    img = np.frombuffer(resized["pixels"][0].as_py(), np.uint8).reshape(4, 4, 1)
+    # nearest-neighbor: output (y, x) samples source (2y, 2x) -> value 2y+2x
+    yy, xx = np.mgrid[0:4, 0:4]
+    assert (img[:, :, 0] == (2 * yy + 2 * xx) % 256).all()
+
+
+def test_feature_stage_mean_std():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([5], pa.int64()),
+            "payload": pa.array([encode_fake_image(6, 2, [10, 200, 30])], pa.binary()),
+        }
+    )
+    feats = ImageFeatureStage()(ImageDecodeStage()(batch))
+    assert feats["mean"][0].as_py() == [10.0, 200.0, 30.0]
+    assert feats["std"][0].as_py() == [0.0, 0.0, 0.0]
+
+
+def test_audio_frame_sampling_matches_formula():
+    payload = encode_fake_audio(16_000, 1000, seed=11)
+    batch = pa.table(
+        {"doc_id": pa.array([3], pa.int64()), "payload": pa.array([payload], pa.binary())}
+    )
+    out = AudioFrameSampleStage(hop=100, max_frames=5)(batch)
+    t = np.arange(1000)
+    samples = ((11 + t) % 251) - 125
+    assert out["frames"][0].as_py() == samples[::100][:5].tolist()
+    assert out["duration_s"][0].as_py() == pytest.approx(1000 / 16_000)
+    assert out["rms"][0].as_py() == pytest.approx(np.sqrt((samples.astype(float) ** 2).mean()))
+
+
+def test_synth_media_is_deterministic_and_typed():
+    docs = pa.table({"doc_id": pa.array([0, 1, 97], pa.int64())})
+    a, b = synth_media_batch(docs, "image"), synth_media_batch(docs, "image")
+    assert a.equals(b)
+    assert a.schema.field("payload").type == pa.binary()
+    assert a["media_type"].to_pylist() == ["image"] * 3
+
+
+def test_stages_compose_in_ray(ray_session):
+    import ray.data
+
+    docs = pa.table({"doc_id": pa.array(list(range(40)), pa.int64())})
+    ds = (
+        ray.data.from_arrow(docs)
+        .map_batches(lambda b: synth_media_batch(b, "image"), batch_format="pyarrow")
+        .map_batches(ImageDecodeStage, batch_format="pyarrow", batch_size=8,
+                     concurrency=2)
+        .map_batches(ImageResizeStage,
+                     fn_constructor_kwargs={"target_w": 8, "target_h": 8},
+                     batch_format="pyarrow", concurrency=2)
+    )
+    out = ds.take_all()
+    assert len(out) == 40
+    assert all(len(r["pixels"]) == 8 * 8 * 3 for r in out)

@@ -1,0 +1,88 @@
+"""CSV-parity sink (M16/M17/S5 semantics) and the CLI driver."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _input_table() -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "wordscore": pa.array([0.5625, 0.7425, 0.25], pa.float64()),
+            "matching_terms": pa.array([100, 500, 0], pa.int64()),
+            "pub_date": pa.array(["2024-01-05", "not a date", None], pa.string()),
+            "all_empty": pa.array(["", None, ""], pa.string()),
+            "tags": pa.array([["a", "b"], [], None], pa.list_(pa.string())),
+        }
+    )
+
+
+def test_export_cast_and_empty_drop(ray_session, tmp_path):
+    import ray.data
+
+    from sciscraper_ray.pipelines.sink import export_results
+
+    ds = ray.data.from_arrow(_input_table())
+    run_dir = export_results(ds, str(tmp_path), date_stamp="240101")
+    assert os.path.basename(run_dir) == "240101_sciscraper"
+
+    out = pq.read_table(os.path.join(run_dir, "parquet")).sort_by("doc_id")
+    # M16: the all-empty column is gone
+    assert "all_empty" not in out.column_names
+    # M17: declared dtypes at the sink (KEY_TYPE_PAIRINGS)
+    assert out.schema.field("wordscore").type == pa.float16()
+    assert out.schema.field("matching_terms").type == pa.int16()
+    assert out.schema.field("pub_date").type == pa.timestamp("us")
+    # pub_date errors="coerce": garbage -> null
+    assert out["pub_date"].null_count == 2
+    assert out["pub_date"][0].as_py().year == 2024
+    # float16 rounding is the reference's documented precision loss
+    assert out["wordscore"].to_pylist() == pytest.approx(
+        [0.5625, 0.7425, 0.25], abs=1e-3
+    )
+
+    csv_dir = os.path.join(run_dir, "csv")
+    assert any(f for f in os.listdir(csv_dir))
+
+
+def test_cli_wordscore_mode(ray_session, tmp_path):
+    from sciscraper_ray.cli import main
+
+    run_dir = main(
+        [
+            "-m", "wordscore",
+            "-f", "/root/testdata/sf0.001/documents.parquet",
+            "-e", str(tmp_path),
+            "--date-stamp", "240102",
+        ]
+    )
+    out = pq.read_table(os.path.join(run_dir, "parquet"))
+    assert out.num_rows == 500
+    assert out.schema.field("wordscore").type == pa.float16()
+
+
+def test_cli_query_mode(ray_session, tmp_path):
+    from sciscraper_ray.cli import main
+
+    run_dir = main(
+        [
+            "-m", "query:top_tokens_global",
+            "-f", "/root/testdata/sf0.001",
+            "-e", str(tmp_path),
+            "--date-stamp", "240103",
+        ]
+    )
+    out = pq.read_table(os.path.join(run_dir, "parquet"))
+    assert out.num_rows > 0 and "token" in out.column_names
+
+
+def test_cli_rejects_unknown_mode(ray_session, tmp_path):
+    from sciscraper_ray.cli import main
+
+    with pytest.raises(KeyError):
+        main(["-m", "nope", "-f", "x", "-e", str(tmp_path)])
