@@ -94,21 +94,134 @@ class PayloadExtractor:
         )
 
 
-def keep_latest_by_url(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Exact dedup, keep-latest fetch per url (SURVEY §2.6): per-batch
-    partial keep-latest, then one hash-partitioned grouped reduce."""
+def _key_hashes(df, url_col: str, ts_col: str):
+    """Stable 64-bit hash per (url, ts) row — same function on both sides
+    of the winner filter, so only equality matters. Timestamps are
+    normalized to epoch-microseconds first: the aggregate round-trip can
+    change the datetime64 unit (us -> ms), which would silently change the
+    hash."""
     import pandas as pd
 
-    from sciscraper_ray.stages.relational import keep_latest_batch
-
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return keep_latest_batch(batch, "url", ["warc_ts"])
-
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("url")
-        .map_groups(lambda g: keep_latest_batch(g, "url", ["warc_ts"]), batch_format="pandas")
+    key = pd.DataFrame(
+        {
+            "u": df[url_col].astype(str),
+            "t": pd.to_datetime(df[ts_col])
+            .astype("datetime64[us]")
+            .astype("int64"),
+        }
     )
+    return pd.util.hash_pandas_object(key, index=False).to_numpy()
+
+
+def keep_latest_by_url(
+    ds: ray.data.Dataset, url_col: str = "url", ts_col: str = "warc_ts"
+) -> ray.data.Dataset:
+    """Exact dedup, keep-latest fetch per url (SURVEY §2.6) — WITHOUT
+    moving payloads through a shuffle.
+
+    Pass 1 projects only the key columns (a column-pruned parquet read at
+    scale), shuffles those tiny rows by url, and emits the LOSER keys —
+    every (url, warc_ts) except each url's latest. Pass 2 broadcasts the
+    loser key-hashes (``ray.put`` once; duplicates are assumed ≪ corpus,
+    the Common-Crawl case) and streams the full rows through a hash filter.
+    Payload bytes never enter an all-to-all exchange.
+
+    Assumes (url, warc_ts) uniquely identifies a fetch (WARC semantics);
+    64-bit hash collisions are the documented correctness tradeoff at
+    10^12 rows (use 128-bit keys there).
+
+    Every step is a vectorized aggregate — no per-group Python
+    (``map_groups`` over millions of url groups is itself a serial
+    bottleneck): per-batch partials shrink the key shuffle to ≤1 row per
+    (url, batch), the global max/count runs in the C++ kernels, and only
+    urls that actually have >1 fetch reach the driver.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as _pc
+
+    import ray as _ray
+    from ray.data.aggregate import Max, Sum
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        out = (
+            batch.select([url_col, ts_col])
+            .group_by([url_col])
+            .aggregate([(ts_col, "max"), ([], "count_all")])
+        )
+        renames = {f"{ts_col}_max": "max_ts", "count_all": "cnt"}
+        return out.rename_columns([renames.get(c, c) for c in out.column_names])
+
+    dup_urls = (
+        ds.select_columns([url_col, ts_col])
+        .map_batches(key_partial, batch_format="pyarrow")
+        .groupby(url_col)
+        .aggregate(Max(on="max_ts", alias_name="max_ts"),
+                   Sum(on="cnt", alias_name="cnt"))
+        .map_batches(
+            lambda b: b.filter(_pc.greater(b["cnt"], 1)),
+            batch_format="pyarrow",
+        )  # only duplicated urls reach the driver
+    ).to_pandas()
+
+    if len(dup_urls):
+        winners = dup_urls.rename(columns={"max_ts": ts_col})[[url_col, ts_col]]
+        dup_hash = np.sort(
+            pd.util.hash_pandas_object(dup_urls[[url_col]], index=False).to_numpy()
+        )
+        winner_hash = np.sort(_key_hashes(winners, url_col, ts_col))
+    else:
+        dup_hash = winner_hash = np.empty(0, np.uint64)
+    refs = _ray.put((dup_hash, winner_hash))
+
+    def keep_latest_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        """Keep a row unless its url has duplicate fetches AND this row is
+        not the (url, max_ts) winner. A plain TASK, not an actor pool —
+        the broadcast tables come from the object store via a zero-copy
+        local ``ray.get`` per call, and tasks reuse warm worker processes
+        (an actor pool here would pay a per-execution actor spin-up that
+        grows with cluster size)."""
+        dup_hash, winner_hash = _ray.get(refs)
+        if len(dup_hash) == 0:
+            return batch
+        url_h = pd.util.hash_pandas_object(
+            batch[[url_col]], index=False
+        ).to_numpy()
+        in_dup = np.isin(url_h, dup_hash)
+        if not in_dup.any():
+            return batch
+        row_h = _key_hashes(batch, url_col, ts_col)
+        keep = ~in_dup | np.isin(row_h, winner_hash)
+        return batch[keep]
+
+    return ds.map_batches(keep_latest_filter, batch_format="pandas")
+
+
+def _cluster_cpus(default: int = 8) -> int:
+    """Actor-pool ceiling: scale with the cluster instead of a constant —
+    a fixed cap silently becomes the whole pipeline's speedup limit."""
+    import ray as _ray
+
+    try:
+        return max(default, int(_ray.cluster_resources().get("CPU", default)))
+    except Exception:  # noqa: BLE001 — uninitialised Ray in unit contexts
+        return default
+
+
+def scaled_page_pipeline(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
+    """Bench workload: the flagship pipeline over a synthetic page table
+    scaled ``repeat``× (distinct urls/doc_ids per copy). repeat=1 is the
+    oracle-checked fixture; larger values amortize fixed overheads so the
+    scaling-efficiency measurement reflects compute, not ramp-up."""
+    from sciscraper_ray.sources.page_synth import synth_pages_batch
+
+    pages = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(
+        lambda b: synth_pages_batch(b, pdf_mod=10, dup_mod=17, repeat=repeat),
+        batch_format="pyarrow",
+    )
+    return extraction_pipeline(pages, dedup=True, analyze=True)
 
 
 def extraction_pipeline(
@@ -117,13 +230,15 @@ def extraction_pipeline(
     dedup: bool = True,
     analyze: bool = True,
     batch_size: int = 256,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """pages (path or Dataset) -> extracted (and optionally analyzed) docs.
 
     ``batch_size`` is small because payload rows are wide (multi-KB to
     multi-MB binary); the extract stages are the CPU-heavy pools.
     """
+    if concurrency is None:
+        concurrency = (2, _cluster_cpus())
     if isinstance(source, str):
         ds = ray.data.read_parquet(source)
     else:

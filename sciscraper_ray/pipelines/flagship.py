@@ -20,13 +20,17 @@ def wordscore_pipeline(
     text_column: str = "text",
     key_columns: tuple[str, ...] = ("doc_id",),
     batch_size: int = 2048,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """Score every document: tokenize, match terms, wordscore, top-3s.
 
     ``source`` is a parquet path (columns are pruned to key+text at the
     read) or an existing Dataset that already has ``text_column``.
     """
+    if concurrency is None:
+        from sciscraper_ray.pipelines.extract import _cluster_cpus
+
+        concurrency = (1, _cluster_cpus())
     if isinstance(source, str):
         ds = ray.data.read_parquet(
             source, columns=[*key_columns, text_column]

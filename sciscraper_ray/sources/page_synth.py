@@ -82,13 +82,18 @@ def render_html(doc_id: int, text: str, lang: str) -> bytes:
     return doc.encode("utf-8")
 
 
-def synth_pages_batch(batch: pa.Table, pdf_mod: int = 10, dup_mod: int = 17) -> pa.Table:
+def synth_pages_batch(
+    batch: pa.Table, pdf_mod: int = 10, dup_mod: int = 17, repeat: int = 1
+) -> pa.Table:
     """documents batch -> page-table batch.
 
     - doc_id % pdf_mod == 0: payload is a PDF (one text line per page,
       40 words per page) instead of HTML.
     - doc_id % dup_mod == 0: an extra exact-duplicate fetch of the same
       url at a later warc_ts is appended (dedup fixture).
+    - repeat > 1: each document yields ``repeat`` pages with DISTINCT urls
+      and doc_ids (bench scaling knob — more extraction work, same per-row
+      semantics).
     """
     ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     texts = batch["text"].to_pylist()
@@ -103,10 +108,11 @@ def synth_pages_batch(batch: pa.Table, pdf_mod: int = 10, dup_mod: int = 17) -> 
 
     base_ts = 1_700_000_000_000_000  # 2023-11-14, microseconds
 
-    def emit(i: int, t: str, lang: str, fetch: int) -> None:
+    def emit(i: int, t: str, lang: str, fetch: int, rep: int = 0) -> None:
         is_pdf = bool(pdf_mod) and i % pdf_mod == 0
         kind = "pdf" if is_pdf else "html"
-        urls.append(f"https://{host_for(i)}/{kind}/doc-{i}")
+        suffix = f"-r{rep}" if rep else ""
+        urls.append(f"https://{host_for(i)}/{kind}/doc-{i}{suffix}")
         ts.append(base_ts + i * 1_000_000 + fetch)
         if is_pdf:
             words = t.split(" ")
@@ -117,12 +123,13 @@ def synth_pages_batch(batch: pa.Table, pdf_mod: int = 10, dup_mod: int = 17) -> 
             payloads.append(render_html(i, t, lang))
             out_text.append(t)
         out_lang.append(lang)
-        out_ids.append(i)
+        out_ids.append(i + rep * 100_000_000)
 
     for i, t, lang in zip(ids, texts, langs):
-        emit(int(i), t, lang, fetch=0)
-        if dup_mod and i % dup_mod == 0:
-            emit(int(i), t, lang, fetch=500_000)  # same url, later fetch
+        for rep in range(max(1, repeat)):
+            emit(int(i), t, lang, fetch=0, rep=rep)
+            if dup_mod and i % dup_mod == 0:
+                emit(int(i), t, lang, fetch=500_000, rep=rep)  # same url, later
 
     return pa.table(
         {
@@ -155,4 +162,34 @@ def synth_page_table(sf_dir: str, out_dir: str, num_files: int = 8) -> str:
         chunk = docs.slice(fi, per)
         pages = synth_pages_batch(chunk)
         pq.write_table(pages, f"{out_dir}/part-{fi // per:05d}.parquet")
+    return out_dir
+
+
+def synth_page_table_ray(
+    sf_dir: str, out_dir: str, *, repeat: int = 1, pdf_mod: int = 10, dup_mod: int = 17
+) -> str:
+    """Ray-parallel page-table materialization (bench input generation —
+    NOT pipeline work). Idempotent via a _SUCCESS marker, so the second
+    bench process at a different CPU count reuses the same input."""
+    import os
+
+    import ray.data
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    if os.path.isdir(out_dir):  # half-written previous attempt
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(
+        lambda b: synth_pages_batch(b, pdf_mod=pdf_mod, dup_mod=dup_mod, repeat=repeat),
+        batch_format="pyarrow",
+        batch_size=512,
+    )
+    ds.write_parquet(out_dir)
+    with open(marker, "w") as f:
+        f.write("ok")
     return out_dir
