@@ -104,7 +104,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-SCALING_REPEAT = int(os.environ.get("BENCH_SCALING_REPEAT", "60"))
+# Sized so per-level compute dominates the fixed costs that don't scale
+# (sort-aggregate setup, actor spin-up, per-execution scheduling): ~1.7M
+# pages ≈ 10 min of single-core extraction work.
+SCALING_REPEAT = int(os.environ.get("BENCH_SCALING_REPEAT", "320"))
 
 
 def run_child(sf_dir: str, num_cpus: int) -> dict:

@@ -114,7 +114,10 @@ def _key_hashes(df, url_col: str, ts_col: str):
 
 
 def keep_latest_by_url(
-    ds: ray.data.Dataset, url_col: str = "url", ts_col: str = "warc_ts"
+    ds: ray.data.Dataset,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    keys_source: "ray.data.Dataset | None" = None,
 ) -> ray.data.Dataset:
     """Exact dedup, keep-latest fetch per url (SURVEY §2.6) — WITHOUT
     moving payloads through a shuffle.
@@ -143,19 +146,44 @@ def keep_latest_by_url(
     import ray as _ray
     from ray.data.aggregate import Max, Sum
 
-    def key_partial(batch: pa.Table) -> pa.Table:
-        out = (
-            batch.select([url_col, ts_col])
-            .group_by([url_col])
-            .aggregate([(ts_col, "max"), ([], "count_all")])
-        )
-        renames = {f"{ts_col}_max": "max_ts", "count_all": "cnt"}
-        return out.rename_columns([renames.get(c, c) for c in out.column_names])
+    def key_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        """(url, ts) -> per-batch (url_hash: uint64, max_ts: int64, cnt).
 
-    dup_urls = (
-        ds.select_columns([url_col, ts_col])
-        .map_batches(key_partial, batch_format="pyarrow")
-        .groupby(url_col)
+        Hashing the url BEFORE the shuffle matters twice at scale: the
+        sort-exchange moves 8-byte ints instead of full url strings, and
+        the range-sort itself is an integer sort (utf8 comparisons were
+        the dominant cost of this pass). The downstream filter only ever
+        needs hashes, so nothing is lost.
+
+        The hash travels as INT64 (bit view), never uint64: a uint64 key
+        silently promotes to float64 inside the sort-aggregate (numpy's
+        uint64+int64 rule), which rounds away the low bits and breaks
+        every equality downstream."""
+        h = (
+            pd.util.hash_pandas_object(batch[[url_col]], index=False)
+            .to_numpy()
+            .view(np.int64)
+        )
+        ts = (
+            pd.to_datetime(batch[ts_col])
+            .astype("datetime64[us]")
+            .astype("int64")
+            .to_numpy()
+        )
+        out = (
+            pd.DataFrame({"url_hash": h, "ts": ts})
+            .groupby("url_hash", sort=False)
+            .agg(max_ts=("ts", "max"), cnt=("ts", "size"))
+            .reset_index()
+        )
+        return out
+
+    keys = keys_source if keys_source is not None else ds.select_columns(
+        [url_col, ts_col]
+    )
+    dups = (
+        keys.map_batches(key_partial, batch_format="pandas")
+        .groupby("url_hash")
         .aggregate(Max(on="max_ts", alias_name="max_ts"),
                    Sum(on="cnt", alias_name="cnt"))
         .map_batches(
@@ -164,14 +192,25 @@ def keep_latest_by_url(
         )  # only duplicated urls reach the driver
     ).to_pandas()
 
-    if len(dup_urls):
-        winners = dup_urls.rename(columns={"max_ts": ts_col})[[url_col, ts_col]]
-        dup_hash = np.sort(
-            pd.util.hash_pandas_object(dup_urls[[url_col]], index=False).to_numpy()
+    def winner_key(url_h_i64: np.ndarray, ts_i64: np.ndarray) -> np.ndarray:
+        # combines url hash and timestamp; identical arithmetic on both
+        # sides, only equality matters (uint64 wraparound is fine)
+        return (
+            url_h_i64.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + ts_i64.astype(np.uint64)
         )
-        winner_hash = np.sort(_key_hashes(winners, url_col, ts_col))
+
+    if len(dups):
+        dup_hash = np.sort(dups["url_hash"].to_numpy().astype(np.int64))
+        winner_hash = np.sort(
+            winner_key(
+                dups["url_hash"].to_numpy().astype(np.int64),
+                dups["max_ts"].to_numpy().astype(np.int64),
+            )
+        )
     else:
-        dup_hash = winner_hash = np.empty(0, np.uint64)
+        dup_hash = np.empty(0, np.int64)
+        winner_hash = np.empty(0, np.uint64)
     refs = _ray.put((dup_hash, winner_hash))
 
     def keep_latest_filter(batch: pd.DataFrame) -> pd.DataFrame:
@@ -184,14 +223,21 @@ def keep_latest_by_url(
         dup_hash, winner_hash = _ray.get(refs)
         if len(dup_hash) == 0:
             return batch
-        url_h = pd.util.hash_pandas_object(
-            batch[[url_col]], index=False
-        ).to_numpy()
+        url_h = (
+            pd.util.hash_pandas_object(batch[[url_col]], index=False)
+            .to_numpy()
+            .view(np.int64)
+        )
         in_dup = np.isin(url_h, dup_hash)
         if not in_dup.any():
             return batch
-        row_h = _key_hashes(batch, url_col, ts_col)
-        keep = ~in_dup | np.isin(row_h, winner_hash)
+        ts = (
+            pd.to_datetime(batch[ts_col])
+            .astype("datetime64[us]")
+            .astype("int64")
+            .to_numpy()
+        )
+        keep = ~in_dup | np.isin(winner_key(url_h, ts), winner_hash)
         return batch[keep]
 
     return ds.map_batches(keep_latest_filter, batch_format="pandas")
@@ -203,7 +249,7 @@ def _cluster_cpus(default: int = 8) -> int:
     import ray as _ray
 
     try:
-        return max(default, int(_ray.cluster_resources().get("CPU", default)))
+        return max(1, int(_ray.cluster_resources().get("CPU", default)))
     except Exception:  # noqa: BLE001 — uninitialised Ray in unit contexts
         return default
 
@@ -236,22 +282,35 @@ def extraction_pipeline(
 
     ``batch_size`` is small because payload rows are wide (multi-KB to
     multi-MB binary); the extract stages are the CPU-heavy pools.
+
+    Pool sizing: FIXED pools sized to measured per-stage cost —
+    PayloadExtractor ~0.33 ms/row gets 5/8 of cluster CPUs, DocAnalyzer
+    ~0.12 ms/row gets 1/4 (starving it to cpus//8 made IT the pipeline
+    ceiling). Fixed pools launch every actor in parallel up front; an
+    autoscaling (min, max) pool ramps one straggling actor at a time and
+    the ramp itself becomes the serial bottleneck on short jobs. The
+    remaining ~1/8 of slots stays free for the read/filter TASKS — actors
+    hold their CPU slot while alive, so pools summing to the whole cluster
+    starve the upstream reads and stall the pipeline.
     """
-    if concurrency is None:
-        concurrency = (2, _cluster_cpus())
+    cpus = _cluster_cpus()
+    extract_conc = concurrency if concurrency is not None else max(2, (cpus * 5) // 8)
+    analyze_conc = concurrency if concurrency is not None else max(1, cpus // 4)
     if isinstance(source, str):
         ds = ray.data.read_parquet(source)
+        keys = ray.data.read_parquet(source, columns=["url", "warc_ts"])
     else:
         ds = source
+        keys = None
     if dedup:
-        ds = keep_latest_by_url(ds)
+        ds = keep_latest_by_url(ds, keys_source=keys)
 
     extracted = ds.map_batches(
         PayloadExtractor,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=extract_conc,
     )
     # Pass lineage columns (fragment_id from run_resumable) through untouched;
     # a per-batch projection avoids ds.schema()'s partial execution.
@@ -270,6 +329,6 @@ def extraction_pipeline(
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=2048,
-            concurrency=concurrency,
+            concurrency=analyze_conc,
         )
     return out

@@ -651,6 +651,39 @@ def link_routing(sf_dir: str):
 
 
 @register(
+    "host_tally_salted",
+    oracle="""
+    SELECT CASE WHEN doc_id % 10 < 3 THEN 'mega.example.org'
+                WHEN 1 + doc_id % 5 = 1 THEN 'alpha.example.com'
+                WHEN 1 + doc_id % 5 = 2 THEN 'beta.example.net'
+                WHEN 1 + doc_id % 5 = 3 THEN 'gamma.example.io'
+                WHEN 1 + doc_id % 5 = 4 THEN 'delta.example.edu'
+                ELSE 'epsilon.example.dev' END AS host,
+           count(*) AS cnt
+    FROM documents GROUP BY host
+    """,
+)
+def host_tally_salted(sf_dir: str):
+    """North-rule skew handling made explicit: per-host page tally over the
+    synthetic page table (one mega-host holds ~30% of urls) via the salted
+    two-phase groupby — each hot key is spread over 16 reducers in phase 1
+    and collapsed in a tiny phase-2 groupby."""
+    from sciscraper_ray.stages.relational import salted_group_count
+
+    pages = _pages(sf_dir, pdf_mod=None, dup_mod=None)
+
+    def host_of(batch: pa.Table) -> pa.Table:
+        hosts = pc.replace_substring_regex(
+            batch["url"], pattern=r"^https://([^/]+)/.*$", replacement=r"\1"
+        )
+        return pa.table({"host": hosts})
+
+    return salted_group_count(
+        pages.map_batches(host_of, batch_format="pyarrow"), "host", salts=16
+    )
+
+
+@register(
     "events_hourly",
     oracle="""
     SELECT event_type,
@@ -1475,6 +1508,106 @@ def _pages(sf_dir: str, pdf_mod: int | None, dup_mod: int | None):
         lambda b: synth_pages_batch(b, pdf_mod=pdf_mod or 0, dup_mod=dup_mod or 0),
         batch_format="pyarrow",
     )
+
+
+@register(
+    "dom_extract",
+    oracle="""
+    SELECT doc_id,
+           'Title ' || doc_id AS title,
+           CAST(doc_id % 500 AS VARCHAR) AS cited_by,
+           CAST(1990 + doc_id % 35 AS VARCHAR) AS year,
+           'https://sci-hub.se/downloads/x' || doc_id || '.pdf' AS link
+    FROM documents
+    """,
+)
+def dom_extract(sf_dir: str):
+    """M19/M20: CSS-select text extraction with regex refinement
+    (find_element_text, webscrapers.py:163-183) and the #buttons
+    button:nth-child(1) onclick probe + M21 rewrite (downloaders.py:198-280)
+    over synthesized scholar-result HTML."""
+    from sciscraper_ray.kernels.links import format_download_link
+    from sciscraper_ray.stages.dom_select import DomSelectStage, find_download_link
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        htmls = [
+            (
+                f'<html><body><div id="gs_res"><div class="gs_ri">'
+                f'<h3 class="gs_rt">Title {i}</h3>'
+                f'<div class="gs_fl">Cited by {i % 500} - year {1990 + i % 35}</div>'
+                f"</div></div>"
+                f'<div id="buttons"><button onclick="location.href=\'/downloads/x{i}.pdf">dl</button>'
+                f"<button>other</button></div></body></html>"
+            )
+            for i in ids
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "html": pa.array(htmls, pa.string())}
+        )
+
+    pages = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        build, batch_format="pyarrow"
+    )
+    selected = pages.map_batches(
+        DomSelectStage,
+        fn_constructor_kwargs={
+            "extractions": [
+                ("title", "h3.gs_rt", None),
+                ("cited_by", "div.gs_fl", r"\d+"),
+                ("year", "div.gs_fl", r"\d{4}"),
+                ("raw_html_keep", "#nope", None),
+            ],
+            "html_col": "html",
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def add_link(batch: pa.Table) -> pa.Table:
+        # the onclick probe needs the raw html again; rebuild (deterministic)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        links = [
+            format_download_link(
+                find_download_link(
+                    f'<div id="buttons"><button onclick="location.href=\'/downloads/x{i}.pdf">dl</button></div>'
+                )
+            )
+            for i in ids
+        ]
+        return batch.drop_columns(["raw_html_keep"]).append_column(
+            "link", pa.array(links, pa.string())
+        )
+
+    return selected.map_batches(add_link, batch_format="pyarrow")
+
+
+@register(
+    "terms_from_txt",
+    oracle="SELECT 'src-' || CAST(x AS VARCHAR) AS term FROM range(20) t(x)",
+)
+def terms_from_txt(sf_dir: str):
+    """S1 serialize_from_txt (serials.py:14-23): a txt term file (one term
+    per line, messy case/whitespace) -> read_text -> strip().lower() per
+    line, vectorized with pyarrow compute."""
+    import os
+    import tempfile
+
+    import ray.data
+
+    d = tempfile.mkdtemp(prefix="sciscraper_terms_")
+    path = os.path.join(d, "terms.txt")
+    with open(path, "w") as f:
+        for k in range(20):
+            f.write(f"  SRC-{k}\t \n")
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        return pa.table(
+            {"term": pc.utf8_lower(pc.utf8_trim_whitespace(col))}
+        )
+
+    return ray.data.read_text(path).map_batches(normalize, batch_format="pyarrow")
 
 
 @register(

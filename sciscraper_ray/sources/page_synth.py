@@ -182,6 +182,9 @@ def synth_page_table_ray(
         import shutil
 
         shutil.rmtree(out_dir, ignore_errors=True)
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     ).map_batches(
@@ -189,7 +192,13 @@ def synth_page_table_ray(
         batch_format="pyarrow",
         batch_size=512,
     )
-    ds.write_parquet(out_dir)
+    # ≥128 files so the read (file-grained IO + decompress) can use every
+    # core at the larger cluster size — a handful of fat files caps read
+    # parallelism. repartition gives the writer 128 blocks (one file each);
+    # max_rows_per_file is the enforced per-file ceiling.
+    ds.repartition(128).write_parquet(
+        out_dir, max_rows_per_file=max(1000, (n_docs * repeat) // 128)
+    )
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir

@@ -61,3 +61,55 @@ class BroadcastLookup:
         return batch.merge(
             self.mapping, left_on=self.on, right_index=True, how="left"
         )
+
+
+def salted_group_count(
+    ds,
+    key: str,
+    *,
+    salts: int = 16,
+    agg_cols: dict[str, str] | None = None,
+):
+    """Salted two-phase grouped count/sum (SURVEY §4: hot keys — mega-hosts,
+    stop-tokens — overload single reducers in a plain groupby).
+
+    Phase 1 groups by ``(salt, key)`` where salt = row_position % salts,
+    spreading each hot key across ``salts`` reducers; phase 2 collapses the
+    salted partials with a second (tiny) groupby on the bare key. Combined
+    with per-batch partial aggregation the shuffle carries at most
+    ``salts`` rows per hot key, never the raw row stream.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    agg_cols = agg_cols or {}
+
+    def phase1_partial(batch: pa.Table) -> pa.Table:
+        salt = pa.array(
+            (np.arange(len(batch)) % salts).astype(np.int32)
+        )
+        t = batch.append_column("__salt", salt)
+        return group_count_batch(t, ["__salt", key], agg_cols)
+
+    salted = (
+        ds.map_batches(phase1_partial, batch_format="pyarrow")
+        .groupby(["__salt", key])
+        .aggregate(
+            Sum(on="cnt", alias_name="cnt"),
+            *[Sum(on=name, alias_name=name) for name in agg_cols.values()],
+        )
+    )
+
+    def drop_salt(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["__salt"])
+
+    return (
+        salted.map_batches(drop_salt, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(
+            Sum(on="cnt", alias_name="cnt"),
+            *[Sum(on=name, alias_name=name) for name in agg_cols.values()],
+        )
+    )
