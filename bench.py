@@ -105,9 +105,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 
 # Sized so per-level compute dominates the fixed costs that don't scale
-# (sort-aggregate setup, actor spin-up, per-execution scheduling): ~1.7M
-# pages ≈ 10 min of single-core extraction work.
-SCALING_REPEAT = int(os.environ.get("BENCH_SCALING_REPEAT", "320"))
+# (sort-aggregate setup, actor spin-up, per-execution scheduling): ~3.4M
+# pages, enough single-core-minutes of extraction that the per-level compute dwarfs them.
+SCALING_REPEAT = int(os.environ.get("BENCH_SCALING_REPEAT", "640"))
 
 
 def run_child(sf_dir: str, num_cpus: int) -> dict:

@@ -118,6 +118,8 @@ def keep_latest_by_url(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     keys_source: "ray.data.Dataset | None" = None,
+    key_merge: str = "driver",
+    driver_merge_limit: int = 50_000_000,
 ) -> ray.data.Dataset:
     """Exact dedup, keep-latest fetch per url (SURVEY §2.6) — WITHOUT
     moving payloads through a shuffle.
@@ -181,16 +183,33 @@ def keep_latest_by_url(
     keys = keys_source if keys_source is not None else ds.select_columns(
         [url_col, ts_col]
     )
-    dups = (
-        keys.map_batches(key_partial, batch_format="pandas")
-        .groupby("url_hash")
-        .aggregate(Max(on="max_ts", alias_name="max_ts"),
-                   Sum(on="cnt", alias_name="cnt"))
-        .map_batches(
-            lambda b: b.filter(_pc.greater(b["cnt"], 1)),
-            batch_format="pyarrow",
-        )  # only duplicated urls reach the driver
-    ).to_pandas()
+    partials = keys.map_batches(key_partial, batch_format="pandas")
+
+    # Merging the per-batch partials has two physical plans:
+    #   driver  — stream the (url_hash:int64, max_ts, cnt) partials to the
+    #             driver (16 B/key) and merge with one vectorized pandas
+    #             groupby. Right up to ~50M keys: Ray's sort-aggregate pays
+    #             per-GROUP Python overhead in the reduce (~100 µs x mostly
+    #             unique keys dwarfs the actual work), where the driver
+    #             merge is one C call.
+    #   shuffle — the 10^12-row plan: distributed sort-aggregate on the
+    #             int64 hash; nothing ever concentrates on one node.
+    if key_merge == "driver":
+        merged = partials.to_pandas(limit=driver_merge_limit)
+        g = merged.groupby("url_hash", sort=False).agg(
+            max_ts=("max_ts", "max"), cnt=("cnt", "sum")
+        )
+        dups = g[g["cnt"] > 1].reset_index()
+    else:
+        dups = (
+            partials.groupby("url_hash")
+            .aggregate(Max(on="max_ts", alias_name="max_ts"),
+                       Sum(on="cnt", alias_name="cnt"))
+            .map_batches(
+                lambda b: b.filter(_pc.greater(b["cnt"], 1)),
+                batch_format="pyarrow",
+            )  # only duplicated urls reach the driver
+        ).to_pandas()
 
     def winner_key(url_h_i64: np.ndarray, ts_i64: np.ndarray) -> np.ndarray:
         # combines url hash and timestamp; identical arithmetic on both
@@ -213,34 +232,35 @@ def keep_latest_by_url(
         winner_hash = np.empty(0, np.uint64)
     refs = _ray.put((dup_hash, winner_hash))
 
-    def keep_latest_filter(batch: pd.DataFrame) -> pd.DataFrame:
+    def keep_latest_filter(batch: pa.Table) -> pa.Table:
         """Keep a row unless its url has duplicate fetches AND this row is
-        not the (url, max_ts) winner. A plain TASK, not an actor pool —
-        the broadcast tables come from the object store via a zero-copy
-        local ``ray.get`` per call, and tasks reuse warm worker processes
-        (an actor pool here would pay a per-execution actor spin-up that
-        grows with cluster size)."""
+        not the (url, max_ts) winner. Arrow-native: only the key columns
+        leave Arrow for hashing — the payload bytes are never converted
+        to Python objects (a pandas batch here would materialize every
+        payload as a bytes object just to drop a few rows). A plain TASK,
+        not an actor pool — the broadcast tables come from the object
+        store via a zero-copy local ``ray.get`` per call."""
+        import pyarrow.compute as pc_
+
         dup_hash, winner_hash = _ray.get(refs)
         if len(dup_hash) == 0:
             return batch
+        urls = pd.DataFrame({url_col: batch[url_col].to_pandas()})
         url_h = (
-            pd.util.hash_pandas_object(batch[[url_col]], index=False)
+            pd.util.hash_pandas_object(urls, index=False)
             .to_numpy()
             .view(np.int64)
         )
         in_dup = np.isin(url_h, dup_hash)
         if not in_dup.any():
             return batch
-        ts = (
-            pd.to_datetime(batch[ts_col])
-            .astype("datetime64[us]")
-            .astype("int64")
-            .to_numpy()
-        )
+        ts = pc_.cast(
+            pc_.cast(batch[ts_col], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
         keep = ~in_dup | np.isin(winner_key(url_h, ts), winner_hash)
-        return batch[keep]
+        return batch.filter(pa.array(keep))
 
-    return ds.map_batches(keep_latest_filter, batch_format="pandas")
+    return ds.map_batches(keep_latest_filter, batch_format="pyarrow")
 
 
 def _cluster_cpus(default: int = 8) -> int:

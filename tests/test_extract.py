@@ -99,3 +99,34 @@ def test_extraction_error_rows_degrade():
     )
     assert out["extract_status"].str.startswith(("ok", "error")).all()
     assert out["extracted_text"].iloc[1] is None
+
+
+def test_keep_latest_merge_plans_agree(ray_session):
+    """driver-merge and shuffle-merge keep-latest produce identical rows."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from sciscraper_ray.pipelines.extract import keep_latest_by_url
+    from sciscraper_ray.sources.page_synth import synth_pages_batch
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+    ).slice(0, 150)
+    pages = synth_pages_batch(docs, pdf_mod=10, dup_mod=7)
+    ds = ray.data.from_arrow(pages)
+    a = (
+        keep_latest_by_url(ds, key_merge="driver")
+        .to_pandas()
+        .sort_values(["url", "warc_ts"])
+        .reset_index(drop=True)
+    )
+    b = (
+        keep_latest_by_url(ds, key_merge="shuffle")
+        .to_pandas()
+        .sort_values(["url", "warc_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == 150  # dups removed
+    assert a["url"].tolist() == b["url"].tolist()
+    assert a["warc_ts"].tolist() == b["warc_ts"].tolist()
