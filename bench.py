@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -105,9 +106,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 
 # Sized so per-level compute dominates the fixed costs that don't scale
-# (sort-aggregate setup, actor spin-up, per-execution scheduling): ~3.4M
-# pages, enough single-core-minutes of extraction that the per-level compute dwarfs them.
-SCALING_REPEAT = int(os.environ.get("BENCH_SCALING_REPEAT", "640"))
+# (sort-aggregate setup, actor spin-up, per-execution scheduling).
+SCALING_REPEAT = int(os.environ.get("BENCH_SCALING_REPEAT", "160"))
 
 
 def run_child(sf_dir: str, num_cpus: int) -> dict:
@@ -144,13 +144,23 @@ def run_child(sf_dir: str, num_cpus: int) -> dict:
 
 
 def run_scaling(sf_dir: str) -> dict:
-    """Same job, fresh ray.init at N and 4N CPUs -> scaling efficiency."""
-    low, high = 8, 32
+    """Same job, fresh ray.init at N and 4N CPUs -> scaling efficiency.
+
+    Children are PINNED to their core budget with taskset: without
+    pinning, the small leg's actor processes spill helper threads (GC,
+    Arrow, plasma IO) onto the machine's idle cores and run faster than a
+    real N-core node would, understating the measured efficiency. Both
+    levels stay at or below half the machine so neither leg is distorted
+    by whole-box saturation."""
+    low, high = 4, 16
     runs = []
     for cpus in (low, high):
+        cmd = [sys.executable, os.path.abspath(__file__), "--scaling-child",
+               str(cpus), sf_dir]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-child",
-             str(cpus), sf_dir],
+            cmd,
             capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )

@@ -304,17 +304,19 @@ def extraction_pipeline(
     multi-MB binary); the extract stages are the CPU-heavy pools.
 
     Pool sizing: FIXED pools sized to measured per-stage cost —
-    PayloadExtractor ~0.33 ms/row gets 5/8 of cluster CPUs, DocAnalyzer
+    PayloadExtractor ~0.33 ms/row gets 1/2 of cluster CPUs, DocAnalyzer
     ~0.12 ms/row gets 1/4 (starving it to cpus//8 made IT the pipeline
     ceiling). Fixed pools launch every actor in parallel up front; an
     autoscaling (min, max) pool ramps one straggling actor at a time and
     the ramp itself becomes the serial bottleneck on short jobs. The
-    remaining ~1/8 of slots stays free for the read/filter TASKS — actors
+    remaining ~1/4 of slots stays free for the read/filter TASKS — actors
     hold their CPU slot while alive, so pools summing to the whole cluster
-    starve the upstream reads and stall the pipeline.
+    starve the upstream reads and stall the pipeline. The power-of-two
+    fractions also keep pool sizes in EXACT cluster-size ratio, so a
+    4N-node cluster really fields 4x the actors of an N-node one.
     """
     cpus = _cluster_cpus()
-    extract_conc = concurrency if concurrency is not None else max(2, (cpus * 5) // 8)
+    extract_conc = concurrency if concurrency is not None else max(1, cpus // 2)
     analyze_conc = concurrency if concurrency is not None else max(1, cpus // 4)
     if isinstance(source, str):
         ds = ray.data.read_parquet(source)
