@@ -48,14 +48,36 @@ def exact_dedup(
     )
 
 
-def _candidate_pairs(banded: ray.data.Dataset, keys: list[str]) -> pd.DataFrame:
-    """LSH buckets -> distinct unordered candidate id pairs (driver-side
-    pandas; the candidate set is small by LSH construction)."""
-    pairs = (
-        banded.groupby(keys)
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
+def _candidate_pairs(
+    banded: ray.data.Dataset, keys: list[str], pair_mode: str = "driver"
+) -> pd.DataFrame:
+    """LSH buckets -> distinct unordered candidate id pairs.
+
+    ``driver`` (default): stream the band rows (a fixed ``bands`` rows per
+    doc — tiny vs the corpus) to the driver and pair with one vectorized
+    pandas pass. Ray's ``groupby().map_groups`` pays per-GROUP Python
+    overhead, and LSH produces ~one bucket per doc, so the distributed
+    plan costs O(corpus) group dispatches to find O(dups) pairs.
+
+    ``shuffle``: the beyond-driver-memory plan — distributed groupby on
+    the uniform band key, pairs emitted per bucket.
+    """
+    if pair_mode == "shuffle":
+        pairs = (
+            banded.groupby(keys)
+            .map_groups(bucket_pairs, batch_format="pandas")
+            .to_pandas()
+        )
+    else:
+        df = banded.to_pandas()
+        sizes = df.groupby(keys, sort=False)["doc_id"].transform("size")
+        df = df[sizes > 1]  # only multi-doc buckets can produce pairs
+        chunks = [bucket_pairs(g) for _, g in df.groupby(keys, sort=False)]
+        pairs = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame({"a": [], "b": []}).astype("int64")
+        )
     if pairs.empty:
         return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
     return pairs.drop_duplicates(ignore_index=True)
@@ -87,13 +109,14 @@ def near_dup_pairs_minhash(
 
     Returns (a, b) with word-k-gram-shingle Jaccard >= threshold, a < b.
     """
+    # instance => task-based map_batches: the stage state (hash
+    # coefficients) is tiny, so shipping it once in the serialized fn beats
+    # paying an actor pool spin-up per execution
     banded = ds.map_batches(
-        MinHashBandStage,
-        fn_constructor_kwargs=dict(
+        MinHashBandStage(
             id_col=id_col, text_col=text_col, num_perms=num_perms, bands=bands, k=k
         ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     pairs = _candidate_pairs(banded, ["band_id", "band_hash"])
     if pairs.empty:
@@ -124,10 +147,8 @@ def near_dup_pairs_simhash(
     """SimHash near-duplicate pairs: 4×16-bit chunk blocking (pigeonhole
     guarantees recall for hamming <= 3), exact hamming verified."""
     sigs = ds.map_batches(
-        SimHashStage,
-        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col, k=k),
+        SimHashStage(id_col=id_col, text_col=text_col, k=k),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     sig_df = sigs.to_pandas()  # (doc_id, simhash, chunk0..3); small: 1 row/doc
     candidates = []
@@ -163,8 +184,7 @@ def near_dup_pairs_ngram(
     """Char n-gram Jaccard near-dup pairs: char-shingle MinHash-LSH
     candidates, then EXACT char-n-gram Jaccard >= threshold."""
     banded = ds.map_batches(
-        MinHashBandStage,
-        fn_constructor_kwargs=dict(
+        MinHashBandStage(
             id_col=id_col,
             text_col=text_col,
             shingle_mode="char",
@@ -173,7 +193,6 @@ def near_dup_pairs_ngram(
             k=n,
         ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     pairs = _candidate_pairs(banded, ["band_id", "band_hash"])
     if pairs.empty:
@@ -205,12 +224,10 @@ def near_dup_pairs_embedding(
     from sciscraper_ray.stages.dedup import HyperplaneBandStage
 
     banded = ds.map_batches(
-        HyperplaneBandStage,
-        fn_constructor_kwargs=dict(
+        HyperplaneBandStage(
             id_col=id_col, vec_col=vec_col, dim=dim, bits=bits, bands=bands
         ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     pairs = _candidate_pairs(banded, ["band_id", "band_hash"])
     if pairs.empty:

@@ -1069,10 +1069,8 @@ def knn_cosine(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     partials = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"queries_ref": queries_ref, "k": ANN_K},
+        BruteForceTopK(queries_ref=queries_ref, k=ANN_K),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     merged = partials.groupby("qid").map_groups(
         lambda g: topk_reduce(g, ANN_K), batch_format="pandas"
@@ -1112,10 +1110,8 @@ def ann_ivf(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     bucketed = ds.map_batches(
-        CentroidAssign,
-        fn_constructor_kwargs={"centroids_ref": cents_ref},
+        CentroidAssign(centroids_ref=cents_ref),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     probe = np.argsort(-cosine_matrix(qmat, cents), axis=1)[:, :8]
 
