@@ -1607,6 +1607,131 @@ def terms_from_txt(sf_dir: str):
 
 
 @register(
+    "extract_spans",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS word,
+               unnest(range(len(string_split(text, ' ')))) AS ord
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, word, ord, ord // 40 AS blk,
+               sum(length(word) + 1) OVER (
+                   PARTITION BY doc_id ORDER BY ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prefix
+        FROM w
+    ), blocks AS (
+        SELECT doc_id, blk,
+               min(COALESCE(prefix, 0)) AS s,
+               sum(length(word)) + count(*) - 1 AS blen
+        FROM pos GROUP BY doc_id, blk
+    )
+    SELECT doc_id, CAST(blk AS BIGINT) AS block_idx,
+           CAST(s AS BIGINT) AS span_start,
+           CAST(s + blen AS BIGINT) AS span_end
+    FROM blocks
+    """,
+)
+def extract_spans(sf_dir: str):
+    """North-star span check: per-block [start, end) offsets into the
+    extracted text (HTML paragraphs / PDF pages, both 40-word blocks in
+    the fixture), recomputed by the oracle from pure string arithmetic
+    over the ground-truth text."""
+    from sciscraper_ray.pipelines.extract import extraction_pipeline
+
+    out = extraction_pipeline(
+        _pages(sf_dir, pdf_mod=10, dup_mod=None), dedup=False, analyze=False
+    )
+
+    def explode_spans(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parents = pc.list_parent_indices(spans)
+        flat = pc.list_flatten(spans)
+        n = len(spans)
+        # block index within each document
+        lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+        block_idx = np.concatenate(
+            [np.arange(k, dtype=np.int64) for k in lengths]
+        ) if n else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(parents),
+                "block_idx": pa.array(block_idx),
+                "span_start": pc.struct_field(flat, "start"),
+                "span_end": pc.struct_field(flat, "end"),
+            }
+        )
+
+    return out.map_batches(explode_spans, batch_format="pyarrow")
+
+
+@register(
+    "terms_from_csv",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN '10.55/x' || doc_id
+                WHEN doc_id % 4 = 1 THEN 'N/A'
+                ELSE 'doi-' || doc_id END AS doi
+    FROM documents
+    """,
+)
+def terms_from_csv(sf_dir: str):
+    """S2 serialize_from_csv (serials.py:26-43): read a CSV whose doi
+    column mixes plain values, dict-literal cells, and empties ->
+    fillna('N/A') + M14 nested unwrap."""
+    import csv
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from sciscraper_ray.kernels.nested import clean_nested_values, fill_na
+
+    ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    d = tempfile.mkdtemp(prefix="sciscraper_csv_")
+    path = os.path.join(d, "input.csv")
+    with open(path, "w", newline="") as f:
+        wcsv = csv.writer(f)
+        wcsv.writerow(["doc_id", "doi", "other"])
+        for i in ids:
+            if i % 4 == 0:
+                doi = "{'doi': '10.55/x%d'}" % i  # dict-literal cell
+            elif i % 4 == 1:
+                doi = ""  # empty -> N/A
+            else:
+                doi = f"doi-{i}"
+            wcsv.writerow([i, doi, "x"])
+
+    def unwrap(batch: pa.Table) -> pa.Table:
+        # empty/missing -> null -> fillna('N/A'), then M14 nested unwrap
+        raw = pa.array(
+            [v if v else None for v in batch["doi"].to_pylist()],
+            type=pa.string(),
+        )
+        na_filled = fill_na(raw, "N/A").to_pylist()
+        unwrapped = [clean_nested_values([v], "doi")[0] for v in na_filled]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "doi": pa.array(unwrapped, type=pa.string()),
+            }
+        )
+
+    return (
+        ray.data.read_csv(path)
+        .select_columns(["doc_id", "doi"])
+        .map_batches(unwrap, batch_format="pyarrow")
+    )
+
+
+@register(
     "html_extract",
     oracle="SELECT doc_id, text AS extracted_text FROM documents",
 )
