@@ -24,6 +24,16 @@ def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+def _pdf_string(word: str) -> str:
+    """Literal string when latin-1 suffices; else a UTF-16BE hex string
+    with BOM (the standard PDF text-string encoding for non-Latin text)."""
+    try:
+        word.encode("latin-1")
+        return f"({_esc(word)})"
+    except UnicodeEncodeError:
+        return "<FEFF" + word.encode("utf-16-be").hex().upper() + ">"
+
+
 def _page_stream(lines: list[str]) -> bytes:
     """One Tm + Tj per word, one text line per list entry."""
     ops = ["BT", f"/F1 {FONT_SIZE:g} Tf"]
@@ -32,7 +42,7 @@ def _page_stream(lines: list[str]) -> bytes:
         x = MARGIN_X
         for word in line.split(" "):
             ops.append(f"1 0 0 1 {x:g} {y:g} Tm")
-            ops.append(f"({_esc(word)}) Tj")
+            ops.append(f"{_pdf_string(word)} Tj")
             x += len(word) * CHAR_W + WORD_GAP
         y -= LINE_H
     ops.append("ET")

@@ -30,10 +30,13 @@ BLOCK_TAGS = frozenset(
 CONTAINER_TAGS = frozenset(
     "body article section main div aside nav footer header ul ol table blockquote form".split()
 )
-SKIP_CONTENT_TAGS = frozenset({"script", "style", "noscript", "template", "svg"})
+SKIP_CONTENT_TAGS = frozenset(
+    {"script", "style", "noscript", "template", "svg", "title"}
+)
 
 MIN_BLOCK_CHARS = 20
 MAX_LINK_DENSITY = 0.33
+NEGATIVE_CONTAINER_TAGS = frozenset({"nav", "footer", "aside", "header", "form"})
 
 
 class _BlockParser(HTMLParser):
@@ -47,6 +50,9 @@ class _BlockParser(HTMLParser):
         self._skip_depth = 0
         self._in_link = 0
         self._containers: list[int] = [0]  # innermost-last; 0 = implicit body
+        self.container_tags: dict[int, str] = {0: "body"}
+        # boilerplate-ness INHERITS: a <ul> inside <nav> is still nav chrome
+        self.container_neg: dict[int, bool] = {0: False}
         self._next_container = 1
 
     def _flush(self) -> None:
@@ -63,6 +69,11 @@ class _BlockParser(HTMLParser):
         if tag in BLOCK_TAGS:
             self._flush()
         if tag in CONTAINER_TAGS:
+            parent_neg = self.container_neg[self._containers[-1]]
+            self.container_tags[self._next_container] = tag
+            self.container_neg[self._next_container] = (
+                parent_neg or tag in NEGATIVE_CONTAINER_TAGS
+            )
             self._containers.append(self._next_container)
             self._next_container += 1
         if tag == "a":
@@ -105,11 +116,28 @@ def extract_main_content(html: str) -> tuple[str, list[tuple[int, int]]]:
     if not parser.blocks:
         return "", []
     scores: dict[int, float] = {}
+    textlen: dict[int, int] = {}
     for text, link_chars, cid in parser.blocks:
         scores[cid] = scores.get(cid, 0.0) + _block_score(text, link_chars)
-    best = max(scores, key=lambda c: (scores[c], -c))
-    if scores[best] == 0.0:
-        return "", []
+        textlen[cid] = textlen.get(cid, 0) + len(text)
+    def negative(cid: int) -> bool:
+        return parser.container_neg.get(cid, False)
+
+    # Arc90-style tag prior: boilerplate containers (nav/footer/aside/...)
+    # only win if no content-like container exists at all. Without this, a
+    # page whose main content is shorter than MIN_BLOCK_CHARS hands the
+    # whole document to its footer.
+    positive = {c: s for c, s in scores.items() if s > 0 and not negative(c)}
+    if positive:
+        best = max(positive, key=lambda c: (positive[c], -c))
+    else:
+        nonneg = {c: n for c, n in textlen.items() if n > 0 and not negative(c)}
+        if nonneg:
+            best = max(nonneg, key=lambda c: (nonneg[c], -c))
+        elif any(s > 0 for s in scores.values()):
+            best = max(scores, key=lambda c: (scores[c], -c))
+        else:
+            return "", []
     kept = [t for t, _, cid in parser.blocks if cid == best]
     spans: list[tuple[int, int]] = []
     pos = 0

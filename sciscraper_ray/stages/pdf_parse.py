@@ -65,6 +65,19 @@ def _tokenize(stream: str):
                 j += 1
             yield ("str", "".join(out))
             i = j + 1
+        elif c == "<" and not (i + 1 < n and stream[i + 1] == "<"):
+            j = stream.find(">", i + 1)
+            if j == -1:
+                break
+            raw = bytes.fromhex(
+                "".join(stream[i + 1 : j].split())
+            )
+            if raw[:2] == b"\xfe\xff":
+                s = raw[2:].decode("utf-16-be", errors="replace")
+            else:
+                s = raw.decode("latin-1")
+            yield ("str", s)
+            i = j + 1
         elif c == "[":
             yield ("arr_open", None)
             i += 1

@@ -130,3 +130,51 @@ def test_keep_latest_merge_plans_agree(ray_session):
     assert len(a) == 150  # dups removed
     assert a["url"].tolist() == b["url"].tolist()
     assert a["warc_ts"].tolist() == b["warc_ts"].tolist()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# word alphabet deliberately includes unicode, digits and punctuation that
+# must survive HTML-escape round-trips and PDF string encoding
+_words = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Nd", "Po"),
+        blacklist_characters=" \t\n\r",
+        max_codepoint=0x2FF,
+    ),
+    min_size=1,
+    max_size=12,
+)
+_texts = st.lists(_words, min_size=1, max_size=120).map(" ".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(text=_texts, doc_id=st.integers(0, 10_000))
+def test_html_roundtrip_byte_identical(text, doc_id):
+    """render -> readability strip reproduces the text byte-identically,
+    and spans index exactly into it (north-star per-row invariant)."""
+    from sciscraper_ray.sources.page_synth import render_html
+    from sciscraper_ray.stages.html_extract import extract_main_content
+
+    html = render_html(doc_id, text, "en").decode("utf-8")
+    got, spans = extract_main_content(html)
+    assert got == text
+    words = text.split(" ")
+    blocks = [" ".join(words[i : i + 40]) for i in range(0, len(words), 40)]
+    assert [got[s:e] for s, e in spans] == blocks
+
+
+@settings(max_examples=40, deadline=None)
+@given(text=_texts)
+def test_pdf_roundtrip_byte_identical(text):
+    """build_pdf -> layout parse, pages joined with " "
+    (docscraper.py:202-205 semantics) reproduces the text exactly."""
+    from sciscraper_ray.sources.pdf_write import build_pdf
+    from sciscraper_ray.stages.pdf_parse import extract_pdf_pages
+
+    words = text.split(" ")
+    pages = [" ".join(words[i : i + 40]) for i in range(0, len(words), 40)]
+    payload = build_pdf(pages)
+    got = extract_pdf_pages(payload)
+    assert " ".join(got) == text
