@@ -43,8 +43,10 @@ class CheckpointStore:
         self.root = out_dir
         self.data_dir = os.path.join(out_dir, "data")
         self.manifest_dir = os.path.join(out_dir, "_manifest")
+        self.metrics_dir = os.path.join(out_dir, "_metrics")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
+        os.makedirs(self.metrics_dir, exist_ok=True)
 
     def manifest(self) -> pa.Table:
         files = [
@@ -68,6 +70,26 @@ class CheckpointStore:
         tmp = os.path.join(self.manifest_dir, f".{name}.tmp")
         pq.write_table(table, tmp)
         os.replace(tmp, os.path.join(self.manifest_dir, f"{name}.parquet"))
+
+    def write_metrics(self, wave_name: str, record: dict) -> None:
+        """Per-wave, per-stage metrics side table (north_rule: metrics to
+        the checkpoint store). One parquet per wave, same atomic rename."""
+        table = pa.Table.from_pylist([record])
+        tmp = os.path.join(self.metrics_dir, f".{wave_name}.tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(self.metrics_dir, f"{wave_name}.parquet"))
+
+    def metrics(self) -> pa.Table:
+        files = [
+            os.path.join(self.metrics_dir, f)
+            for f in sorted(os.listdir(self.metrics_dir))
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            return pa.table({})
+        return pa.concat_tables(
+            (pq.read_table(f) for f in files), promote_options="default"
+        )
 
     def fragment_dir(self, fid: str) -> str:
         return os.path.join(self.data_dir, f"fragment_id={fid}")
@@ -140,6 +162,21 @@ def run_resumable(
         out = pipeline_fn(ds.map_batches(tag, batch_format="pyarrow"))
         out.write_parquet(store.data_dir, partition_cols=["fragment_id"])
         wall = time.perf_counter() - t0
+
+        wave_name = f"wave-{abs(hash(tuple(sorted(fids.values())))) :016x}"
+        try:
+            stats_text = out.stats()
+        except Exception:  # noqa: BLE001 — stats are best-effort telemetry
+            stats_text = ""
+        store.write_metrics(
+            wave_name,
+            {
+                "wave": wave_name,
+                "fragments": sorted(fids.values()),
+                "wall_s": round(wall, 4),
+                "stage_stats": stats_text,
+            },
+        )
 
         records = []
         for f in wave:

@@ -90,3 +90,15 @@ def test_changed_input_fragment_gets_new_id(pages_dir):
     fid = fragment_id(f0, pages_dir)
     assert files[0].replace(".", "-") in fid
     assert fid.endswith(f"-{os.path.getsize(f0)}")
+
+
+def test_per_wave_metrics_recorded(pages_dir, tmp_path):
+    out = str(tmp_path / "metrics_run")
+    run_resumable(pages_dir, out, _pipeline, wave_size=3)
+    m = CheckpointStore(out).metrics()
+    assert m.num_rows == 2  # 6 fragments / wave_size 3
+    assert set(m.column_names) >= {"wave", "fragments", "wall_s", "stage_stats"}
+    frags = sorted(f for row in m["fragments"].to_pylist() for f in row)
+    assert frags == sorted(CheckpointStore(out).completed())
+    # per-stage operator timings are captured for each wave
+    assert all("Operator" in s for s in m["stage_stats"].to_pylist())
