@@ -539,6 +539,72 @@ def source_token_tally(sf_dir: str):
     )
 
 
+_ENRICH_WORDSCORE_SQL = f"""
+    WITH enriched AS (
+        SELECT doc_id, text,
+               '10.90/d' || doc_id AS doi,
+               'Paper ' || doc_id AS title,
+               CAST(doc_id * 7 % 1000 AS SMALLINT) AS times_cited
+        FROM documents
+    ),
+    scored AS ({_WORDSCORE_SQL.replace("FROM documents", "FROM enriched")})
+    SELECT e.doc_id, e.doi, e.title, e.times_cited,
+           s.matching_terms, s.bycatch_terms, s.total_word_count, s.wordscore
+    FROM enriched e JOIN scored s USING (doc_id)
+    """
+
+
+@register("enrich_wordscore", oracle=_ENRICH_WORDSCORE_SQL)
+def enrich_wordscore(sf_dir: str):
+    """EP2 'wordscore mode' end to end (fetch.py:177-194 composition):
+    bibliographic enrichment as a BROADCAST join against a papers fixture
+    keyed by doi (the offline J3 form of the Dimensions lookup,
+    webscrapers.py:195-262), then the fused DocAnalyzer over the text,
+    with the declared int16 cast on times_cited (KEY_TYPE_PAIRINGS)."""
+    import pandas as pd
+    import ray as _ray
+
+    from sciscraper_ray.pipelines.flagship import wordscore_pipeline
+    from sciscraper_ray.stages.relational import BroadcastLookup
+
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_pylist()
+    papers = pd.DataFrame(
+        {
+            "doi": [f"10.90/d{i}" for i in ids],
+            "title": [f"Paper {i}" for i in ids],
+            "times_cited": pd.array(
+                [i * 7 % 1000 for i in ids], dtype="int16"
+            ),
+        }
+    ).set_index("doi")
+    papers_ref = _ray.put(papers)
+
+    def add_doi(batch: pa.Table) -> pa.Table:
+        ids_np = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "doi", pa.array([f"10.90/d{i}" for i in ids_np], pa.string())
+        )
+
+    docs = _docs(sf_dir).map_batches(add_doi, batch_format="pyarrow")
+    enriched = docs.map_batches(
+        BroadcastLookup,
+        fn_constructor_kwargs={"mapping_ref": papers_ref, "on": "doi"},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    scored = wordscore_pipeline(enriched)
+    return scored.select_columns(
+        [
+            "doc_id", "doi", "title", "times_cited",
+            "matching_terms", "bycatch_terms", "total_word_count", "wordscore",
+        ]
+    )
+
+
 @register(
     "citation_tally",
     oracle="""
@@ -593,6 +659,73 @@ def citation_tally(sf_dir: str):
         .aggregate(
             Sum(on="cnt", alias_name="cnt"),
             Min(on="first_source", alias_name="first_source"),
+        )
+    )
+
+
+@register(
+    "citations_enriched",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id AS source_doc_id,
+               'Paper ' || doc_id AS source_title,
+               unnest([(doc_id * 2) % 997,
+                       (doc_id * 3 + 3) % 997,
+                       (doc_id * 4 + 6) % 997]) AS cited
+        FROM documents
+    )
+    SELECT source_doc_id, source_title, cited,
+           'Paper ' || cited AS cited_title,
+           CAST(cited * 7 % 1000 AS SMALLINT) AS cited_times_cited
+    FROM c
+    """,
+)
+def citations_enriched(sf_dir: str):
+    """EP3 'citations mode' (J2 + staging, fetch.py:138-160,
+    stagers.py:55-125): explode the citations list CARRYING source
+    provenance through the explode (the positional join-back becomes
+    columns that never leave the row), then enrich each cited id from the
+    broadcast papers fixture."""
+    import pandas as pd
+    import ray as _ray
+
+    from sciscraper_ray.stages.relational import BroadcastLookup
+
+    papers = pd.DataFrame(
+        {
+            "cited": pd.array(range(997), dtype="int64"),
+            "cited_title": [f"Paper {i}" for i in range(997)],
+            "cited_times_cited": pd.array(
+                [i * 7 % 1000 for i in range(997)], dtype="int16"
+            ),
+        }
+    ).set_index("cited")
+    papers_ref = _ray.put(papers)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        cited = np.stack(
+            [(ids * 2) % 997, (ids * 3 + 3) % 997, (ids * 4 + 6) % 997], axis=1
+        ).ravel()
+        src = np.repeat(ids, 3)
+        return pa.table(
+            {
+                "source_doc_id": pa.array(src, type=pa.int64()),
+                "source_title": pa.array(
+                    [f"Paper {i}" for i in src], pa.string()
+                ),
+                "cited": pa.array(cited, type=pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=("doc_id",))
+        .map_batches(explode, batch_format="pyarrow")
+        .map_batches(
+            BroadcastLookup,
+            fn_constructor_kwargs={"mapping_ref": papers_ref, "on": "cited"},
+            batch_format="pandas",
+            concurrency=(1, 4),
         )
     )
 
