@@ -347,7 +347,10 @@ def extraction_pipeline(
     if analyze:
         out = out.map_batches(
             DocAnalyzer,
-            fn_constructor_kwargs={"text_column": "extracted_text"},
+            fn_constructor_kwargs={
+                "text_column": "extracted_text",
+                "with_identifiers": True,  # EP1: doi_from_pdf text chain
+            },
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=2048,

@@ -1895,6 +1895,50 @@ def pdf_extract(sf_dir: str):
     return out.select_columns(["doc_id", "extracted_text"])
 
 
+@register(
+    "page_extract_identifiers",
+    oracle=f"""
+    WITH pages AS (SELECT doc_id, {_IDENT_SUFFIX_SQL} AS text FROM documents)
+    SELECT doc_id, text AS extracted_text,
+           CASE WHEN doc_id % 3 = 0
+                    THEN '10.' || (1000 + doc_id % 9000) || '/ax.' || doc_id
+                WHEN doc_id % 3 = 1 THEN '2345.' || (20000 + doc_id)
+           END AS doi,
+           CASE WHEN doc_id % 3 = 0 THEN 'doi'
+                WHEN doc_id % 3 = 1 THEN 'arxiv'
+           END AS identifier_type
+    FROM pages
+    """,
+)
+def page_extract_identifiers(sf_dir: str):
+    """EP1 identifier parity end to end: page texts carry known DOI/arXiv
+    ids -> render HTML/PDF -> extract -> identifier chain over the
+    EXTRACTED text. Byte-identical extraction is a precondition — the
+    $-anchored arXiv canonicalizer only matches if the id survives at
+    end-of-text through render + strip."""
+    from sciscraper_ray.pipelines.extract import extraction_pipeline
+
+    docs = _docs(sf_dir, columns=("doc_id", "text")).map_batches(
+        _ident_suffix_ray, batch_format="pyarrow"
+    )
+
+    def add_lang(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "lang", pa.array(["en"] * len(batch), pa.string())
+        )
+
+    from sciscraper_ray.sources.page_synth import synth_pages_batch
+
+    pages = docs.map_batches(add_lang, batch_format="pyarrow").map_batches(
+        lambda b: synth_pages_batch(b, pdf_mod=10, dup_mod=0),
+        batch_format="pyarrow",
+    )
+    out = extraction_pipeline(pages, dedup=False, analyze=True)
+    return out.select_columns(
+        ["doc_id", "extracted_text", "doi", "identifier_type"]
+    )
+
+
 _WORDSCORE_WITH_TEXT_SQL = _WORDSCORE_SQL.replace(
     "SELECT d.doc_id,", "SELECT d.doc_id, d.text AS extracted_text,", 1
 )

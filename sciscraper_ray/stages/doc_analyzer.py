@@ -59,11 +59,17 @@ class DocAnalyzer:
         bycatch_words: frozenset[str] = BYCATCH_WORDS,
         text_column: str = "text",
         with_parentheticals: bool = True,
+        with_identifiers: bool = False,
     ):
         self.target_words = frozenset(target_words)
         self.bycatch_words = frozenset(bycatch_words)
         self.text_column = text_column
         self.with_parentheticals = with_parentheticals
+        # EP1 parity: mine DOI/arXiv ids from the (extracted) text — the
+        # text step of the doifrompdf fallback chain
+        # (/root/reference/src/doifrompdf.py:30-52); metadata steps live in
+        # the PDF actor.
+        self.with_identifiers = with_identifiers
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch[self.text_column]
@@ -104,5 +110,16 @@ class DocAnalyzer:
             batch = batch.append_column(
                 "paper_parentheticals",
                 pa.array(stats.tolist(), type=pa.list_(pa.string())),
+            )
+        if self.with_identifiers:
+            from sciscraper_ray.kernels.identifiers import extract_identifiers_array
+
+            ids, kinds = extract_identifiers_array(
+                [t if t is not None else "" for t in text.to_pylist()]
+            )
+            batch = batch.append_column(
+                "doi", pa.array(ids, type=pa.string())
+            ).append_column(
+                "identifier_type", pa.array(kinds, type=pa.string())
             )
         return batch

@@ -146,3 +146,22 @@ class TestEmbeddingNearDup:
         pairs = sorted(zip(got["a"].to_pylist(), got["b"].to_pylist()))
         # LSH recall at this band setting must reproduce exact pairs here
         assert pairs == exact and len(exact) > 0
+
+
+def test_candidate_pair_modes_agree(ray_session):
+    """driver and shuffle candidate pairing produce identical pair sets."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from sciscraper_ray.pipelines.dedup import _candidate_pairs
+    from sciscraper_ray.stages.dedup import MinHashBandStage
+
+    base = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).slice(0, 120)
+    ds = ray.data.from_arrow(base)
+    banded = ds.map_batches(MinHashBandStage(), batch_format="pyarrow")
+    a = _candidate_pairs(banded, ["band_id", "band_hash"], pair_mode="driver")
+    b = _candidate_pairs(banded, ["band_id", "band_hash"], pair_mode="shuffle")
+    pa_ = sorted(map(tuple, a[["a", "b"]].to_numpy().tolist()))
+    pb_ = sorted(map(tuple, b[["a", "b"]].to_numpy().tolist()))
+    assert pa_ == pb_ and len(pa_) > 0
