@@ -110,6 +110,9 @@ def main(argv: list[str] | None = None) -> str:
 
     from sciscraper_ray.pipelines.sink import export_results
 
+    # The sink makes three passes (empty-column scan, parquet, csv) —
+    # materialize once so the pipeline executes once, not three times.
+    ds = ds.materialize()
     run_dir = export_results(ds, args.export, date_stamp=stamp)
     log.info("exported to %s", run_dir)
     return run_dir

@@ -104,6 +104,7 @@ def near_dup_pairs_minhash(
     num_perms: int = 64,
     bands: int = 16,
     k: int = 3,
+    pair_mode: str = "driver",
 ) -> pa.Table:
     """MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -118,7 +119,7 @@ def near_dup_pairs_minhash(
         ),
         batch_format="pyarrow",
     )
-    pairs = _candidate_pairs(banded, ["band_id", "band_hash"])
+    pairs = _candidate_pairs(banded, ["band_id", "band_hash"], pair_mode)
     if pairs.empty:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     texts = _texts_for(ds, np.unique(pairs[["a", "b"]].to_numpy()), id_col, text_col)
@@ -180,6 +181,7 @@ def near_dup_pairs_ngram(
     n: int = 5,
     num_perms: int = 64,
     bands: int = 16,
+    pair_mode: str = "driver",
 ) -> pa.Table:
     """Char n-gram Jaccard near-dup pairs: char-shingle MinHash-LSH
     candidates, then EXACT char-n-gram Jaccard >= threshold."""
@@ -194,7 +196,7 @@ def near_dup_pairs_ngram(
         ),
         batch_format="pyarrow",
     )
-    pairs = _candidate_pairs(banded, ["band_id", "band_hash"])
+    pairs = _candidate_pairs(banded, ["band_id", "band_hash"], pair_mode)
     if pairs.empty:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     texts = _texts_for(ds, np.unique(pairs[["a", "b"]].to_numpy()), id_col, text_col)
@@ -216,6 +218,7 @@ def near_dup_pairs_embedding(
     bits: int = 64,
     bands: int = 16,
     dim: int = 64,
+    pair_mode: str = "driver",
 ) -> pa.Table:
     """Embedding-cosine near-dup pairs: signed-random-projection LSH
     candidates (one matmul per batch, one shuffle on the uniform band key),
@@ -229,7 +232,7 @@ def near_dup_pairs_embedding(
         ),
         batch_format="pyarrow",
     )
-    pairs = _candidate_pairs(banded, ["band_id", "band_hash"])
+    pairs = _candidate_pairs(banded, ["band_id", "band_hash"], pair_mode)
     if pairs.empty:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
 

@@ -94,25 +94,6 @@ class PayloadExtractor:
         )
 
 
-def _key_hashes(df, url_col: str, ts_col: str):
-    """Stable 64-bit hash per (url, ts) row — same function on both sides
-    of the winner filter, so only equality matters. Timestamps are
-    normalized to epoch-microseconds first: the aggregate round-trip can
-    change the datetime64 unit (us -> ms), which would silently change the
-    hash."""
-    import pandas as pd
-
-    key = pd.DataFrame(
-        {
-            "u": df[url_col].astype(str),
-            "t": pd.to_datetime(df[ts_col])
-            .astype("datetime64[us]")
-            .astype("int64"),
-        }
-    )
-    return pd.util.hash_pandas_object(key, index=False).to_numpy()
-
-
 def keep_latest_by_url(
     ds: ray.data.Dataset,
     url_col: str = "url",
@@ -257,7 +238,16 @@ def keep_latest_by_url(
         ts = pc_.cast(
             pc_.cast(batch[ts_col], pa.timestamp("us")), pa.int64()
         ).to_numpy(zero_copy_only=False)
-        keep = ~in_dup | np.isin(winner_key(url_h, ts), winner_hash)
+        row_key = winner_key(url_h, ts)
+        keep = ~in_dup | np.isin(row_key, winner_hash)
+        # Tie at max warc_ts: a key filter cannot pick among identical
+        # (url, ts) rows, so drop within-batch repeats of a winner key
+        # here (same-url fetches are adjacent in crawl files, so ties
+        # almost always share a batch). Byte-identical rows split across
+        # batches are the documented residual — exact content dedup is
+        # the stage that owns those.
+        first_seen = ~pd.Series(row_key).duplicated().to_numpy()
+        keep &= ~in_dup | first_seen
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(keep_latest_filter, batch_format="pyarrow")
@@ -297,6 +287,7 @@ def extraction_pipeline(
     analyze: bool = True,
     batch_size: int = 256,
     concurrency: int | tuple[int, int] | None = None,
+    dedup_key_merge: str = "driver",
 ) -> ray.data.Dataset:
     """pages (path or Dataset) -> extracted (and optionally analyzed) docs.
 
@@ -325,7 +316,7 @@ def extraction_pipeline(
         ds = source
         keys = None
     if dedup:
-        ds = keep_latest_by_url(ds, keys_source=keys)
+        ds = keep_latest_by_url(ds, keys_source=keys, key_merge=dedup_key_merge)
 
     extracted = ds.map_batches(
         PayloadExtractor,

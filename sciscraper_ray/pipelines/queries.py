@@ -1441,10 +1441,16 @@ def media_image_features(sf_dir: str):
     )
 
     def flatten(batch: pa.Table) -> pa.Table:
-        mean = batch["mean"]
-        if isinstance(mean, pa.ChunkedArray):
-            mean = mean.combine_chunks()
-        m = np.asarray(mean.flatten()).reshape(len(batch), 3)
+        # null-safe: a decode-error row has mean=None (the stages degrade,
+        # never crash) — Arrow's flatten() drops nulls and would break a
+        # row-count reshape, so substitute NaN triples per row instead.
+        m = np.array(
+            [
+                v if v is not None else [np.nan, np.nan, np.nan]
+                for v in batch["mean"].to_pylist()
+            ],
+            dtype=np.float64,
+        ).reshape(len(batch), 3)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -1656,7 +1662,7 @@ def dom_extract(sf_dir: str):
     button:nth-child(1) onclick probe + M21 rewrite (downloaders.py:198-280)
     over synthesized scholar-result HTML."""
     from sciscraper_ray.kernels.links import format_download_link
-    from sciscraper_ray.stages.dom_select import DomSelectStage, find_download_link
+    from sciscraper_ray.stages.dom_select import DomSelectStage
 
     def build(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -1685,7 +1691,11 @@ def dom_extract(sf_dir: str):
                 ("title", "h3.gs_rt", None),
                 ("cited_by", "div.gs_fl", r"\d+"),
                 ("year", "div.gs_fl", r"\d{4}"),
-                ("raw_html_keep", "#nope", None),
+            ],
+            # M20's onclick probe runs on the SAME parse as the text
+            # extractions
+            "attr_extractions": [
+                ("onclick", "#buttons button:nth-child(1)", "onclick"),
             ],
             "html_col": "html",
         },
@@ -1693,22 +1703,16 @@ def dom_extract(sf_dir: str):
         concurrency=(1, 8),
     )
 
-    def add_link(batch: pa.Table) -> pa.Table:
-        # the onclick probe needs the raw html again; rebuild (deterministic)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    def rewrite_link(batch: pa.Table) -> pa.Table:
         links = [
-            format_download_link(
-                find_download_link(
-                    f'<div id="buttons"><button onclick="location.href=\'/downloads/x{i}.pdf">dl</button></div>'
-                )
-            )
-            for i in ids
+            format_download_link(v)
+            for v in batch["onclick"].to_pylist()
         ]
-        return batch.drop_columns(["raw_html_keep"]).append_column(
+        return batch.drop_columns(["onclick"]).append_column(
             "link", pa.array(links, pa.string())
         )
 
-    return selected.map_batches(add_link, batch_format="pyarrow")
+    return selected.map_batches(rewrite_link, batch_format="pyarrow")
 
 
 @register(

@@ -36,7 +36,15 @@ def cast_declared_schema(batch: pa.Table) -> pa.Table:
         i = batch.column_names.index(name)
         col = batch[name]
         if name in INT16_COLUMNS:
-            batch = batch.set_column(i, name, pc.cast(col, pa.int16()))
+            # numpy-style WRAPPING cast, not Arrow's checked cast: the
+            # reference's astype('int16') wraps silently (fetch.py:205-227),
+            # and a >32767-word document must not kill the export job.
+            wrapped = (
+                col.to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .astype(np.int16)
+            )
+            batch = batch.set_column(i, name, pa.array(wrapped, pa.int16()))
         elif name in FLOAT16_COLUMNS:
             batch = batch.set_column(i, name, pc.cast(col, pa.float16()))
         elif name in DATETIME_COLUMNS and pa.types.is_string(col.type):

@@ -150,23 +150,35 @@ def find_download_link(html: str) -> str | None:
 
 
 class DomSelectStage:
-    """Actor-pool map_batches stage: apply a list of (name, selector,
-    regex) extractions to an html string column -> one output column per
-    extraction. Selectors are parsed once in __init__."""
+    """Actor-pool map_batches stage: apply text extractions (name,
+    selector, regex-refine) and attribute extractions (name, selector,
+    attr) to an html string column — one parse per row serves all of them,
+    one output column each. Selectors are parsed once in __init__."""
 
     def __init__(
         self,
-        extractions: list[tuple[str, str, str | None]],
+        extractions: list[tuple[str, str, str | None]] | None = None,
         html_col: str = "html",
+        attr_extractions: list[tuple[str, str, str]] | None = None,
+        keep_html: bool = False,
     ):
         self.extractions = [
-            (name, _parse_selector(sel), rx) for name, sel, rx in extractions
+            (name, _parse_selector(sel), rx)
+            for name, sel, rx in (extractions or [])
+        ]
+        self.attr_extractions = [
+            (name, _parse_selector(sel), attr)
+            for name, sel, attr in (attr_extractions or [])
         ]
         self.html_col = html_col
+        self.keep_html = keep_html
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         htmls = batch[self.html_col].to_pylist()
-        cols: dict[str, list[str | None]] = {n: [] for n, _, _ in self.extractions}
+        names = [n for n, _, _ in self.extractions] + [
+            n for n, _, _ in self.attr_extractions
+        ]
+        cols: dict[str, list[str | None]] = {n: [] for n in names}
         for h in htmls:
             if isinstance(h, bytes):
                 h = h.decode("utf-8", errors="replace")
@@ -179,7 +191,10 @@ class DomSelectStage:
                     m = re.search(rx, val)
                     val = m.group(0) if m else None
                 cols[name].append(val)
-        out = batch.drop_columns([self.html_col])
-        for name, vals in cols.items():
-            out = out.append_column(name, pa.array(vals, type=pa.string()))
+            for name, parts, attr in self.attr_extractions:
+                nodes = _select(builder.root, parts)
+                cols[name].append(nodes[0].attrs.get(attr) if nodes else None)
+        out = batch if self.keep_html else batch.drop_columns([self.html_col])
+        for name in names:
+            out = out.append_column(name, pa.array(cols[name], type=pa.string()))
         return out

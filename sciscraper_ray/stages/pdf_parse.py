@@ -69,9 +69,10 @@ def _tokenize(stream: str):
             j = stream.find(">", i + 1)
             if j == -1:
                 break
-            raw = bytes.fromhex(
-                "".join(stream[i + 1 : j].split())
-            )
+            digits = "".join(stream[i + 1 : j].split())
+            if len(digits) % 2:  # PDF spec §7.3.4.3: odd final digit -> pad 0
+                digits += "0"
+            raw = bytes.fromhex(digits)
             if raw[:2] == b"\xfe\xff":
                 s = raw[2:].decode("utf-16-be", errors="replace")
             else:

@@ -31,8 +31,8 @@ import pyarrow.parquet as pq
 
 from sciscraper_ray.state.lineage import (
     LINEAGE_SCHEMA,
+    content_hash_of_dir,
     fragment_id,
-    lineage_for_table,
 )
 
 
@@ -182,17 +182,20 @@ def run_resumable(
         for f in wave:
             fid = fids[f]
             frag_dir = store.fragment_dir(fid)
-            written = (
-                pq.read_table(frag_dir)
-                if os.path.isdir(frag_dir)
-                else pa.table({})
-            )
+            if os.path.isdir(frag_dir):
+                h, rows = content_hash_of_dir(frag_dir, lineage_columns)
+            else:
+                h, rows = 0, 0
             records.append(
-                lineage_for_table(
-                    fid, f, written,
-                    wall_s=round(wall / len(wave), 4),
-                    columns=lineage_columns,
-                )
+                {
+                    "fragment_id": fid,
+                    "path": f,
+                    "num_rows": rows,
+                    "row_start": 0,
+                    "row_end": rows,
+                    "content_hash": h,
+                    "wall_s": round(wall / len(wave), 4),
+                }
             )
         store.mark_done(records)
 

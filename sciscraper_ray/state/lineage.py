@@ -61,10 +61,19 @@ def row_hashes(table: pa.Table, columns: list[str] | None = None) -> np.ndarray:
     Python loop). Lists/structs are stringified first; binary is hashed by
     content."""
     cols = columns or table.column_names
+
+    def stringify(v):
+        # numpy arrays repr-truncate beyond 1000 elements, which would make
+        # the content hash blind to mid-array differences — go through
+        # tolist() (exact, full-length; float repr round-trips).
+        if isinstance(v, np.ndarray):
+            return repr(v.tolist())
+        return repr(v)
+
     df = table.select(cols).to_pandas()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: repr(v), na_action="ignore")
+            df[c] = df[c].map(stringify, na_action="ignore")
     return pd.util.hash_pandas_object(df, index=False).to_numpy()
 
 
@@ -73,6 +82,30 @@ def content_hash(table: pa.Table, columns: list[str] | None = None) -> int:
     if table.num_rows == 0:
         return 0
     return int(row_hashes(table, columns).sum(dtype=np.uint64))
+
+
+def content_hash_of_dir(frag_dir: str, columns: list[str] | None = None) -> tuple[int, int]:
+    """(content_hash, num_rows) of a written fragment directory, streamed
+    one row group at a time — never the whole fragment in memory (the
+    lineage pass re-reads persisted bytes by design: it certifies what is
+    actually on disk, but must not concentrate a large fragment on the
+    driver)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = np.uint64(0)
+    rows = 0
+    for name in sorted(os.listdir(frag_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        f = pq.ParquetFile(os.path.join(frag_dir, name))
+        for rg in range(f.num_row_groups):
+            t = f.read_row_group(rg)
+            rows += t.num_rows
+            if t.num_rows:
+                total += row_hashes(t, columns).sum(dtype=np.uint64)
+    return int(total), rows
 
 
 def lineage_for_table(

@@ -102,3 +102,17 @@ def test_per_wave_metrics_recorded(pages_dir, tmp_path):
     assert frags == sorted(CheckpointStore(out).completed())
     # per-stage operator timings are captured for each wave
     assert all("Operator" in s for s in m["stage_stats"].to_pylist())
+
+
+def test_content_hash_sees_long_list_differences():
+    """repr() of numpy arrays truncates >1000 elements; the hash must not."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sciscraper_ray.state.lineage import content_hash
+
+    a = pa.table({"v": [list(range(2000))]})
+    changed = list(range(2000)); changed[1000] = -1
+    b = pa.table({"v": [changed]})
+    assert content_hash(a) != content_hash(b)
+    assert content_hash(a) == content_hash(a)

@@ -178,3 +178,28 @@ def test_pdf_roundtrip_byte_identical(text):
     payload = build_pdf(pages)
     got = extract_pdf_pages(payload)
     assert " ".join(got) == text
+
+
+def test_pdf_odd_length_hex_string_pads():
+    """PDF spec 7.3.4.3: odd final hex digit is padded with 0."""
+    from sciscraper_ray.stages.pdf_parse import _tokenize
+
+    toks = list(_tokenize("<48656C6C6F2> Tj"))
+    assert toks[0] == ("str", "Hello "), toks
+
+
+def test_keep_latest_drops_same_batch_ts_ties(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+    from sciscraper_ray.pipelines.extract import keep_latest_by_url
+
+    t = pa.table(
+        {
+            "url": ["u", "u", "v"],
+            "warc_ts": pa.array([100, 100, 5], pa.timestamp("us")),
+            "payload": ["a", "b", "c"],
+        }
+    )
+    out = keep_latest_by_url(ray.data.from_arrow(t)).to_pandas()
+    assert sorted(out["url"]) == ["u", "v"]  # one survivor per url

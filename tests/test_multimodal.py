@@ -116,3 +116,17 @@ def test_stages_compose_in_ray(ray_session):
     out = ds.take_all()
     assert len(out) == 40
     assert all(len(r["pixels"]) == 8 * 8 * 3 for r in out)
+
+
+def test_feature_stage_null_pixels_degrade():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array(
+                [encode_fake_image(4, 4, [9, 9, 9]), b"JUNK"], pa.binary()
+            ),
+        }
+    )
+    feats = ImageFeatureStage()(ImageDecodeStage()(batch))
+    assert feats["mean"][1].as_py() is None
+    assert feats["mean"][0].as_py() == [9.0, 9.0, 9.0]

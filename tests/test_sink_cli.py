@@ -86,3 +86,16 @@ def test_cli_rejects_unknown_mode(ray_session, tmp_path):
 
     with pytest.raises(KeyError):
         main(["-m", "nope", "-f", "x", "-e", str(tmp_path)])
+
+
+def test_int16_cast_wraps_instead_of_crashing():
+    """>32767 counts must wrap (reference astype semantics), not raise."""
+    import numpy as np
+
+    from sciscraper_ray.pipelines.sink import cast_declared_schema
+
+    batch = pa.table({"matching_terms": pa.array([40_000, 5], pa.int64())})
+    out = cast_declared_schema(batch)
+    assert out["matching_terms"].to_pylist() == [
+        int(np.int64(40_000).astype(np.int16)), 5
+    ]
