@@ -136,11 +136,14 @@ def run_child(sf_dir: str, num_cpus: int) -> dict:
         if f.endswith(".parquet")
     )[:2]
     extraction_pipeline(ray.data.read_parquet(warm_files)).count()  # warm workers
-    t0 = time.perf_counter()
-    n = extraction_pipeline(pages_dir).count()
-    elapsed = time.perf_counter() - t0
-    return {"num_cpus": num_cpus, "rows": n, "sec": round(elapsed, 3),
-            "docs_per_sec": round(n / elapsed, 2)}
+    best, n = None, 0
+    for _ in range(2):  # best-of-2: shields the ratio from transient noise
+        t0 = time.perf_counter()
+        n = extraction_pipeline(pages_dir).count()
+        elapsed = time.perf_counter() - t0
+        best = elapsed if best is None else min(best, elapsed)
+    return {"num_cpus": num_cpus, "rows": n, "sec": round(best, 3),
+            "docs_per_sec": round(n / best, 2)}
 
 
 def run_scaling(sf_dir: str) -> dict:

@@ -1507,6 +1507,57 @@ def media_audio_frames(sf_dir: str):
     return sampled.map_batches(project, batch_format="pyarrow")
 
 
+@register(
+    "media_video_frames",
+    oracle="""
+    WITH v AS (
+        SELECT doc_id, 60 + doc_id % 240 AS n, doc_id % 251 AS seed
+        FROM documents
+    ), f AS (
+        SELECT doc_id, n, seed, unnest(range(0, n, 30)) AS frame_idx FROM v
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST((seed + frame_idx) % 256 AS DOUBLE) AS mean_luma,
+           round(n / 30.0, 6) AS duration_s
+    FROM f
+    """,
+)
+def media_video_frames(sf_dir: str):
+    """Video frame sampling (every 30th frame) with per-frame mean luma,
+    exploded to one row per sampled frame; the FVID generator makes each
+    frame's luma pure doc_id arithmetic for the oracle."""
+    from sciscraper_ray.stages.multimodal import VideoFrameSampleStage
+
+    sampled = _media(sf_dir, "video").map_batches(
+        VideoFrameSampleStage,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 8),
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        idx = batch["frame_idx"]
+        if isinstance(idx, pa.ChunkedArray):
+            idx = idx.combine_chunks()
+        luma = batch["frame_mean_luma"]
+        if isinstance(luma, pa.ChunkedArray):
+            luma = luma.combine_chunks()
+        parents = pc.list_parent_indices(idx)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(parents),
+                "frame_idx": pc.list_flatten(idx),
+                "mean_luma": pc.list_flatten(luma),
+                "duration_s": pc.round(
+                    batch["duration_s"].take(parents), 6
+                ),
+            }
+        )
+
+    return sampled.map_batches(explode, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # Messy-source cleaning + declared-schema cast (M14-M17).
 # --------------------------------------------------------------------------

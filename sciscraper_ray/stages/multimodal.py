@@ -242,6 +242,7 @@ def synth_media_batch(batch: pa.Table, kind: str = "image") -> pa.Table:
     image: width = 16 + doc_id % 48, height = 8 + doc_id % 24, 3 channels
            filled with (doc_id % 256, (doc_id*3) % 256, (doc_id*7) % 256)
     audio: sample_rate 16000, n = 1600 + (doc_id % 100) * 16, seed doc_id % 97
+    video: 32x18, n_frames = 60 + doc_id % 240, fps 30, seed doc_id % 251
     """
     ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     payloads = []
@@ -253,8 +254,12 @@ def synth_media_batch(batch: pa.Table, kind: str = "image") -> pa.Table:
                     16 + i % 48, 8 + i % 24, [i % 256, (i * 3) % 256, (i * 7) % 256]
                 )
             )
-        else:
+        elif kind == "audio":
             payloads.append(encode_fake_audio(16_000, 1600 + (i % 100) * 16, i % 97))
+        else:
+            payloads.append(
+                encode_fake_video(32, 18, 60 + i % 240, 30, i % 251)
+            )
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -262,3 +267,70 @@ def synth_media_batch(batch: pa.Table, kind: str = "image") -> pa.Table:
             "media_type": pa.array([kind] * len(ids), pa.string()),
         }
     )
+
+
+VIDEO_MAGIC = b"FVID"
+
+
+def encode_fake_video(
+    width: int, height: int, n_frames: int, fps: int, seed: int
+) -> bytes:
+    """FVID: b"FVID" | u16 w | u16 h | u16 n_frames | u16 fps | u8 seed —
+    frame t is a constant fill of (seed + t) % 256."""
+    return VIDEO_MAGIC + struct.pack("<HHHHB", width, height, n_frames, fps, seed)
+
+
+def decode_video_payload(payload: bytes):
+    """binary -> (w, h, n_frames, fps, frame_fn(t) -> (h, w) uint8)."""
+    if payload[:4] == VIDEO_MAGIC:
+        w, h, n, fps, seed = struct.unpack("<HHHHB", payload[4:13])
+
+        def frame(t: int) -> np.ndarray:
+            return np.full((h, w), (seed + t) % 256, np.uint8)
+
+        return w, h, n, fps, frame
+    try:
+        import av  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real video decode requires PyAV/ffmpeg (not in this container); "
+            "payloads must use the FVID fake format here"
+        ) from exc
+    raise NotImplementedError("non-FVID decode path not implemented")
+
+
+class VideoFrameSampleStage:
+    """Actor-pool stage: decode video metadata and sample every
+    ``stride``-th frame (up to ``max_frames``), emitting per-frame mean
+    luma plus duration metadata — the frame-sample shape a real embedding
+    or captioning stage would consume."""
+
+    def __init__(self, payload_col: str = "payload", stride: int = 30, max_frames: int = 16):
+        self.payload_col = payload_col
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idxs, lumas, durs, status = [], [], [], []
+        for payload in batch[self.payload_col].to_pylist():
+            try:
+                w, h, n, fps, frame = decode_video_payload(bytes(payload))
+                sel = list(range(0, n, self.stride))[: self.max_frames]
+                idxs.append(sel)
+                lumas.append([float(frame(t).mean()) for t in sel])
+                durs.append(n / fps if fps else 0.0)
+                status.append("ok")
+            except (NotImplementedError, Exception) as exc:  # noqa: BLE001
+                idxs.append(None)
+                lumas.append(None)
+                durs.append(None)
+                status.append(f"error: {type(exc).__name__}")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "frame_idx": pa.array(idxs, pa.list_(pa.int32())),
+                "frame_mean_luma": pa.array(lumas, pa.list_(pa.float64())),
+                "duration_s": pa.array(durs, pa.float64()),
+                "decode_status": pa.array(status, pa.string()),
+            }
+        )

@@ -130,3 +130,31 @@ def test_feature_stage_null_pixels_degrade():
     feats = ImageFeatureStage()(ImageDecodeStage()(batch))
     assert feats["mean"][1].as_py() is None
     assert feats["mean"][0].as_py() == [9.0, 9.0, 9.0]
+
+
+def test_video_frame_sampling_matches_formula():
+    from sciscraper_ray.stages.multimodal import (
+        VideoFrameSampleStage,
+        decode_video_payload,
+        encode_fake_video,
+    )
+
+    payload = encode_fake_video(32, 18, 100, 30, seed=250)
+    w, h, n, fps, frame = decode_video_payload(payload)
+    assert (w, h, n, fps) == (32, 18, 100, 30)
+    assert frame(10).shape == (18, 32) and frame(10)[0, 0] == (250 + 10) % 256
+
+    batch = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "payload": pa.array([payload], pa.binary())}
+    )
+    out = VideoFrameSampleStage(stride=30, max_frames=2)(batch)
+    assert out["frame_idx"][0].as_py() == [0, 30]
+    assert out["frame_mean_luma"][0].as_py() == [250.0, (250 + 30) % 256]
+    assert out["duration_s"][0].as_py() == pytest.approx(100 / 30)
+
+
+def test_video_real_codec_gated():
+    from sciscraper_ray.stages.multimodal import decode_video_payload
+
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        decode_video_payload(b"\x00\x00\x00\x18ftypmp42....")
