@@ -30,22 +30,88 @@ from sciscraper_ray.stages.dedup import (
 
 
 def exact_dedup(
-    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_merge: str = "driver",
 ) -> ray.data.Dataset:
-    """Keep the lowest-id row per distinct text (hash-partitioned groupby)."""
+    """Keep the lowest-id row per distinct text.
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        return batch.append_column("__h", content_hash_batch(batch, text_col))
+    Same two-pass shape as ``keep_latest_by_url``: pass 1 reduces
+    (content-hash, min-id, count) per batch and merges the partials
+    (driver-side vectorized below ~50M keys, or the distributed groupby
+    via ``key_merge='shuffle'``); only hashes that actually collide are
+    broadcast, and pass 2 filters the full rows without any payload
+    shuffle or per-group Python. 64-bit content-hash prefix collisions are
+    the documented tradeoff (as for url dedup)."""
+    import pyarrow.compute as pc
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    def hash64(batch: pa.Table) -> np.ndarray:
+        hexes = content_hash_batch(batch, text_col).to_pylist()
+        return np.array(
+            [int(h[:16], 16) - (1 << 63) if h else 0 for h in hexes],
+            dtype=np.int64,
+        )
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("__h")
-        .map_groups(first_per_group, batch_format="pandas")
-        .drop_columns(["__h"])
+    def key_partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "h": hash64(batch),
+                "i": batch[id_col].to_numpy(zero_copy_only=False),
+            }
+        )
+        return (
+            df.groupby("h", sort=False)
+            .agg(min_id=("i", "min"), cnt=("i", "size"))
+            .reset_index()
+        )
+
+    partials = ds.select_columns([id_col, text_col]).map_batches(
+        key_partial, batch_format="pyarrow"
     )
+    if key_merge == "driver":
+        merged = partials.to_pandas()
+        g = merged.groupby("h", sort=False).agg(
+            min_id=("min_id", "min"), cnt=("cnt", "sum")
+        )
+        dups = g[g["cnt"] > 1].reset_index()
+    else:
+        from ray.data.aggregate import Min, Sum
+
+        dups = (
+            partials.groupby("h")
+            .aggregate(Min(on="min_id", alias_name="min_id"),
+                       Sum(on="cnt", alias_name="cnt"))
+            .map_batches(
+                lambda b: b.filter(pc.greater(b["cnt"], 1)),
+                batch_format="pyarrow",
+            )
+        ).to_pandas()
+
+    dup_h = np.sort(dups["h"].to_numpy().astype(np.int64))
+    winner = np.sort(
+        dups["h"].to_numpy().astype(np.int64).view(np.uint64)
+        * np.uint64(0x9E3779B97F4A7C15)
+        + dups["min_id"].to_numpy().astype(np.int64).view(np.uint64)
+    )
+    refs = ray.put((dup_h, winner))
+
+    def keep_first(batch: pa.Table) -> pa.Table:
+        dup_h_, winner_ = ray.get(refs)
+        if len(dup_h_) == 0:
+            return batch
+        h = hash64(batch)
+        in_dup = np.isin(h, dup_h_)
+        if not in_dup.any():
+            return batch
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        row_key = h.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + ids.view(
+            np.uint64
+        )
+        keep = ~in_dup | np.isin(row_key, winner_)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(keep_first, batch_format="pyarrow")
 
 
 def _candidate_pairs(

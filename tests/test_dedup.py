@@ -165,3 +165,32 @@ def test_candidate_pair_modes_agree(ray_session):
     pa_ = sorted(map(tuple, a[["a", "b"]].to_numpy().tolist()))
     pb_ = sorted(map(tuple, b[["a", "b"]].to_numpy().tolist()))
     assert pa_ == pb_ and len(pa_) > 0
+
+
+def test_exact_dedup_merge_plans_agree(ray_session):
+    """driver and shuffle plans keep the same lowest-id survivors, with
+    copies split across separate blocks (cross-batch duplicates)."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from sciscraper_ray.pipelines.dedup import exact_dedup
+
+    base = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).slice(0, 90)
+    copies = pa.table(
+        {
+            "doc_id": pa.array(
+                [int(i) + 5000 for i in base["doc_id"].to_pylist() if i % 3 == 0],
+                pa.int64(),
+            ),
+            "text": pa.array(
+                [t for i, t in zip(base["doc_id"].to_pylist(),
+                                   base["text"].to_pylist()) if i % 3 == 0],
+                pa.string(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(base).union(ray.data.from_arrow(copies))
+    for mode in ("driver", "shuffle"):
+        out = exact_dedup(ds, key_merge=mode).to_pandas().sort_values("doc_id")
+        assert out["doc_id"].tolist() == base["doc_id"].to_pylist(), mode
