@@ -46,18 +46,25 @@ def exact_dedup(
     the documented tradeoff (as for url dedup)."""
     import pyarrow.compute as pc
 
-    def hash64(batch: pa.Table) -> np.ndarray:
+    def hash64(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(hashes, valid_mask). Null-text rows are NOT duplicates of each
+        other — a shared sentinel hash would collapse every
+        failed-extraction row into one survivor — so they carry
+        valid=False and are excluded from dup detection entirely."""
         hexes = content_hash_batch(batch, text_col).to_pylist()
-        return np.array(
+        valid = np.array([h is not None for h in hexes], dtype=bool)
+        hashes = np.array(
             [int(h[:16], 16) - (1 << 63) if h else 0 for h in hexes],
             dtype=np.int64,
         )
+        return hashes, valid
 
     def key_partial(batch: pa.Table) -> pd.DataFrame:
+        h, valid = hash64(batch)
         df = pd.DataFrame(
             {
-                "h": hash64(batch),
-                "i": batch[id_col].to_numpy(zero_copy_only=False),
+                "h": h[valid],
+                "i": batch[id_col].to_numpy(zero_copy_only=False)[valid],
             }
         )
         return (
@@ -100,8 +107,8 @@ def exact_dedup(
         dup_h_, winner_ = ray.get(refs)
         if len(dup_h_) == 0:
             return batch
-        h = hash64(batch)
-        in_dup = np.isin(h, dup_h_)
+        h, valid = hash64(batch)
+        in_dup = np.isin(h, dup_h_) & valid
         if not in_dup.any():
             return batch
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -149,16 +156,20 @@ def _candidate_pairs(
     return pairs.drop_duplicates(ignore_index=True)
 
 
-def _texts_for(ds: ray.data.Dataset, ids: np.ndarray, id_col: str, text_col: str) -> dict:
-    """Fetch texts of the involved ids only (broadcast-small-side pattern)."""
-    id_set = set(ids.tolist())
+def _texts_for(
+    ds: ray.data.Dataset, ids: np.ndarray, id_col: str, value_col: str
+) -> dict:
+    """Fetch ``value_col`` of the involved ids only (broadcast-small-side
+    pattern; serves texts and embedding vectors alike). The sorted id
+    array is built ONCE and closed over — not per batch."""
+    ids_arr = np.unique(np.asarray(ids, dtype=np.int64))
 
     def keep(batch: pa.Table) -> pa.Table:
-        mask = np.isin(batch[id_col].to_numpy(zero_copy_only=False), list(id_set))
+        mask = np.isin(batch[id_col].to_numpy(zero_copy_only=False), ids_arr)
         return batch.filter(pa.array(mask))
 
     small = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
-    return dict(zip(small[id_col], small[text_col]))
+    return dict(zip(small[id_col], small[value_col]))
 
 
 def near_dup_pairs_minhash(
@@ -302,17 +313,8 @@ def near_dup_pairs_embedding(
     if pairs.empty:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
 
-    involved = np.unique(pairs[["a", "b"]].to_numpy())
-
-    def keep(batch: pa.Table) -> pa.Table:
-        mask = np.isin(batch[id_col].to_numpy(zero_copy_only=False), involved)
-        return batch.filter(pa.array(mask))
-
-    small = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
-    vec_map = {
-        i: np.asarray(v, dtype=np.float64)
-        for i, v in zip(small[id_col], small[vec_col])
-    }
+    vecs = _texts_for(ds, pairs[["a", "b"]].to_numpy().ravel(), id_col, vec_col)
+    vec_map = {i: np.asarray(v, dtype=np.float64) for i, v in vecs.items()}
     a_mat = np.stack([vec_map[a] for a in pairs["a"]])
     b_mat = np.stack([vec_map[b] for b in pairs["b"]])
     an = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)

@@ -235,8 +235,13 @@ def keep_latest_by_url(
         in_dup = np.isin(url_h, dup_hash)
         if not in_dup.any():
             return batch
-        ts = pc_.cast(
-            pc_.cast(batch[ts_col], pa.timestamp("us")), pa.int64()
+        # fill_null with int64 min BEFORE leaving Arrow: a null ts would
+        # otherwise surface as float NaN whose uint64 cast is UB — and
+        # int64 min is exactly what pandas' NaT became in the key pass,
+        # so both sides agree on null timestamps.
+        ts = pc_.fill_null(
+            pc_.cast(pc_.cast(batch[ts_col], pa.timestamp("us")), pa.int64()),
+            np.iinfo(np.int64).min,
         ).to_numpy(zero_copy_only=False)
         row_key = winner_key(url_h, ts)
         keep = ~in_dup | np.isin(row_key, winner_hash)
@@ -262,22 +267,6 @@ def _cluster_cpus(default: int = 8) -> int:
         return max(1, int(_ray.cluster_resources().get("CPU", default)))
     except Exception:  # noqa: BLE001 — uninitialised Ray in unit contexts
         return default
-
-
-def scaled_page_pipeline(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
-    """Bench workload: the flagship pipeline over a synthetic page table
-    scaled ``repeat``× (distinct urls/doc_ids per copy). repeat=1 is the
-    oracle-checked fixture; larger values amortize fixed overheads so the
-    scaling-efficiency measurement reflects compute, not ramp-up."""
-    from sciscraper_ray.sources.page_synth import synth_pages_batch
-
-    pages = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    ).map_batches(
-        lambda b: synth_pages_batch(b, pdf_mod=10, dup_mod=17, repeat=repeat),
-        batch_format="pyarrow",
-    )
-    return extraction_pipeline(pages, dedup=True, analyze=True)
 
 
 def extraction_pipeline(

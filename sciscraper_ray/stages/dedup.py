@@ -180,15 +180,22 @@ class SimHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from sciscraper_ray.kernels.tokenize import format_manuscript
 
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        sigs = np.array(
-            [simhash64(format_manuscript(t) if t else [], self.k) for t in texts],
-            dtype=np.uint64,
-        )
+        # null/shingle-less docs are SKIPPED (like MinHashBandStage): they
+        # would all land in the simhash-0 bucket, exploding candidate
+        # pairs O(n^2) and reporting unrelated empty docs as near-dups.
+        ids, sig_list = [], []
+        for i, t in zip(batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()):
+            if t is None:
+                continue
+            sig = simhash64(format_manuscript(t), self.k)
+            if sig == 0:
+                continue
+            ids.append(i)
+            sig_list.append(sig)
+        sigs = np.array(sig_list, dtype=np.uint64)
         cols = {
             "doc_id": pa.array(ids, type=pa.int64()),
-            "simhash": pa.array(sigs),
+            "simhash": pa.array(sigs, type=pa.uint64()),
         }
         for c in range(4):
             cols[f"chunk{c}"] = pa.array(

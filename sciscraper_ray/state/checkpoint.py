@@ -61,15 +61,28 @@ class CheckpointStore:
     def completed(self) -> set[str]:
         return set(self.manifest()["fragment_id"].to_pylist())
 
-    def mark_done(self, records: list[dict]) -> None:
+    @staticmethod
+    def wave_name(fragment_ids) -> str:
+        """Deterministic wave file name: blake2 digest of the sorted
+        fragment ids (builtin hash() is PYTHONHASHSEED-randomized, which
+        would make manifest names irreproducible across runs)."""
+        import hashlib
+
+        digest = hashlib.blake2b(
+            "|".join(sorted(fragment_ids)).encode(), digest_size=8
+        ).hexdigest()
+        return f"wave-{digest}"
+
+    def mark_done(self, records: list[dict]) -> str:
         """Atomic-enough commit: write to a temp name, then rename."""
         if not records:
-            return
+            return ""
         table = pa.Table.from_pylist(records, schema=LINEAGE_SCHEMA)
-        name = f"wave-{abs(hash(tuple(sorted(r['fragment_id'] for r in records)))) :016x}"
+        name = self.wave_name(r["fragment_id"] for r in records)
         tmp = os.path.join(self.manifest_dir, f".{name}.tmp")
         pq.write_table(table, tmp)
         os.replace(tmp, os.path.join(self.manifest_dir, f"{name}.parquet"))
+        return name
 
     def write_metrics(self, wave_name: str, record: dict) -> None:
         """Per-wave, per-stage metrics side table (north_rule: metrics to
@@ -163,7 +176,7 @@ def run_resumable(
         out.write_parquet(store.data_dir, partition_cols=["fragment_id"])
         wall = time.perf_counter() - t0
 
-        wave_name = f"wave-{abs(hash(tuple(sorted(fids.values())))) :016x}"
+        wave_name = CheckpointStore.wave_name(fids.values())
         try:
             stats_text = out.stats()
         except Exception:  # noqa: BLE001 — stats are best-effort telemetry

@@ -40,11 +40,18 @@ LINEAGE_SCHEMA = pa.schema(
 
 
 def fragment_id(path: str, root: str | None = None) -> str:
-    """Deterministic input-fragment id: relative path + byte size.
+    """Deterministic input-fragment id: sanitized relative path + byte
+    size + a digest of the ABSOLUTE path.
 
     Restricted to ``[A-Za-z0-9_-]`` so it is usable verbatim as a hive
     partition value (anything else gets %-encoded by the parquet writer,
-    which would break dir lookups)."""
+    which would break dir lookups). The absolute-path digest prevents
+    collisions that the readable prefix alone would allow — same-named
+    same-sized files in different directories, or names that sanitize to
+    the same string ('a.b.parquet' vs 'a-b.parquet'); a collision here
+    would make a later wave clear_fragment() an earlier wave's committed
+    output."""
+    import hashlib
     import re
 
     rel = os.path.relpath(path, root) if root else os.path.basename(path)
@@ -53,7 +60,10 @@ def fragment_id(path: str, root: str | None = None) -> str:
     except OSError:
         size = -1
     safe = re.sub(r"[^A-Za-z0-9_-]", "-", rel)
-    return f"{safe}-{size}"
+    digest = hashlib.blake2b(
+        os.path.abspath(path).encode(), digest_size=6
+    ).hexdigest()
+    return f"{safe}-{size}-{digest}"
 
 
 def row_hashes(table: pa.Table, columns: list[str] | None = None) -> np.ndarray:

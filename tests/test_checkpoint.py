@@ -89,7 +89,10 @@ def test_changed_input_fragment_gets_new_id(pages_dir):
     f0 = os.path.join(pages_dir, files[0])
     fid = fragment_id(f0, pages_dir)
     assert files[0].replace(".", "-") in fid
-    assert fid.endswith(f"-{os.path.getsize(f0)}")
+    assert f"-{os.path.getsize(f0)}-" in fid
+    # absolute-path digest: same basename+size elsewhere -> different id
+    assert fragment_id(f0, pages_dir) == fid  # deterministic
+    assert fragment_id(os.path.join("/elsewhere", files[0])) != fid
 
 
 def test_per_wave_metrics_recorded(pages_dir, tmp_path):
