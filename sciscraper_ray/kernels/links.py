@@ -37,3 +37,30 @@ def format_download_link(download_link: str | None, base_url: str = "https://sci
 
 def search_field_for(search_text: str) -> str:
     return "doi" if search_text.startswith("10.") else "text_search"
+
+
+def format_filename(
+    etag: str | None, ext: str, *, url: str = "", date_stamp: str = ""
+) -> str:
+    """M22 analog (/root/reference/src/downloaders.py:346-366): download
+    filename ``{date}_{etag}_{id}.{ext}``.
+
+    The reference draws ``id`` from ``random.randint(1, 255)``; a resumable
+    distributed engine needs idempotent names, so ``id`` is the same 1..255
+    range derived from a stable hash of the source url instead (the
+    documented deterministic replacement, SURVEY §2.2 M22). ``date_stamp``
+    (YYMMDD) is an explicit argument — the caller owns the clock, as in the
+    CSV sink. Etag handling matches the reference: ``None`` becomes
+    ``_NaN_`` and surrounding double-quotes are stripped.
+    """
+    import hashlib
+
+    etag = (etag or "_NaN_").strip('"')
+    file_id = (
+        int.from_bytes(
+            hashlib.blake2b(url.encode(), digest_size=2).digest(), "little"
+        )
+        % 255
+        + 1
+    )
+    return f"{date_stamp}_{etag}_{file_id}.{ext}"

@@ -913,7 +913,7 @@ def events_keep_latest(sf_dir: str):
     oracle="""
     SELECT event_type,
            count(*) AS cnt,
-           sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k
+           CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     """,

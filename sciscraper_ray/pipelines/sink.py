@@ -39,12 +39,12 @@ def cast_declared_schema(batch: pa.Table) -> pa.Table:
             # numpy-style WRAPPING cast, not Arrow's checked cast: the
             # reference's astype('int16') wraps silently (fetch.py:205-227),
             # and a >32767-word document must not kill the export job.
-            wrapped = (
-                col.to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-                .astype(np.int16)
-            )
-            batch = batch.set_column(i, name, pa.array(wrapped, pa.int16()))
+            # Arrow's unsafe cast wraps the same way AND keeps the validity
+            # bitmap — a null (e.g. times_cited after a join miss) stays
+            # null instead of round-tripping through float NaN to garbage.
+            if pa.types.is_floating(col.type):
+                col = pc.if_else(pc.is_nan(col), pa.nulls(len(col), col.type), col)
+            batch = batch.set_column(i, name, pc.cast(col, pa.int16(), safe=False))
         elif name in FLOAT16_COLUMNS:
             batch = batch.set_column(i, name, pc.cast(col, pa.float16()))
         elif name in DATETIME_COLUMNS and pa.types.is_string(col.type):
@@ -129,3 +129,44 @@ def export_results(
         os.path.join(run_dir, "csv")
     )
     return run_dir
+
+
+def write_artifacts(
+    ds: ray.data.Dataset,
+    export_dir: str,
+    *,
+    date_stamp: str,
+    url_col: str = "url",
+    payload_col: str = "html",
+    etag_col: str | None = None,
+    ext: str = "pdf",
+) -> str:
+    """S7 analog (downloaders.py:91-117 create_document): persist binary
+    payload rows as a ``(filename, payload)`` parquet table, one
+    deterministic filename per row via ``format_filename`` (M22).
+
+    A parquet table of (name, bytes) rather than a file-per-row directory:
+    at corpus scale millions of small files destroy object-store/file-system
+    metadata; the table layout stays streamable and resumable, and a
+    fan-out-to-files step can consume it downstream where real files are
+    required."""
+    from sciscraper_ray.kernels.links import format_filename
+
+    def name_rows(batch: pa.Table) -> pa.Table:
+        urls = batch[url_col].to_pylist()
+        etags = (
+            batch[etag_col].to_pylist() if etag_col and etag_col in batch.column_names
+            else [None] * len(urls)
+        )
+        names = pa.array(
+            [
+                format_filename(e, ext, url=u or "", date_stamp=date_stamp)
+                for u, e in zip(urls, etags)
+            ],
+            type=pa.string(),
+        )
+        return pa.table({"filename": names, "payload": batch[payload_col]})
+
+    out_dir = os.path.join(export_dir, f"{date_stamp}_artifacts")
+    ds.map_batches(name_rows, batch_format="pyarrow").write_parquet(out_dir)
+    return out_dir

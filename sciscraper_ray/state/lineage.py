@@ -41,16 +41,18 @@ LINEAGE_SCHEMA = pa.schema(
 
 def fragment_id(path: str, root: str | None = None) -> str:
     """Deterministic input-fragment id: sanitized relative path + byte
-    size + a digest of the ABSOLUTE path.
+    size + a digest of the RELATIVE path.
 
     Restricted to ``[A-Za-z0-9_-]`` so it is usable verbatim as a hive
     partition value (anything else gets %-encoded by the parquet writer,
-    which would break dir lookups). The absolute-path digest prevents
-    collisions that the readable prefix alone would allow — same-named
-    same-sized files in different directories, or names that sanitize to
-    the same string ('a.b.parquet' vs 'a-b.parquet'); a collision here
-    would make a later wave clear_fragment() an earlier wave's committed
-    output."""
+    which would break dir lookups). The digest prevents collisions that
+    the readable prefix alone would allow — same-named same-sized files in
+    different subdirectories, or names that sanitize to the same string
+    ('a.b.parquet' vs 'a-b.parquet'); a collision here would make a later
+    wave clear_fragment() an earlier wave's committed output. The digest
+    covers the ROOT-RELATIVE path (not the absolute one) so manifests stay
+    portable: moving or symlinking the input directory, or reading it via
+    a different mount, must not invalidate every completed fragment."""
     import hashlib
     import re
 
@@ -60,9 +62,7 @@ def fragment_id(path: str, root: str | None = None) -> str:
     except OSError:
         size = -1
     safe = re.sub(r"[^A-Za-z0-9_-]", "-", rel)
-    digest = hashlib.blake2b(
-        os.path.abspath(path).encode(), digest_size=6
-    ).hexdigest()
+    digest = hashlib.blake2b(rel.encode(), digest_size=6).hexdigest()
     return f"{safe}-{size}-{digest}"
 
 
@@ -104,7 +104,7 @@ def content_hash_of_dir(frag_dir: str, columns: list[str] | None = None) -> tupl
 
     import pyarrow.parquet as pq
 
-    total = np.uint64(0)
+    total = 0  # Python int accumulator, masked to uint64 wraparound
     rows = 0
     for name in sorted(os.listdir(frag_dir)):
         if not name.endswith(".parquet"):
@@ -114,8 +114,10 @@ def content_hash_of_dir(frag_dir: str, columns: list[str] | None = None) -> tupl
             t = f.read_row_group(rg)
             rows += t.num_rows
             if t.num_rows:
-                total += row_hashes(t, columns).sum(dtype=np.uint64)
-    return int(total), rows
+                total = (
+                    total + int(row_hashes(t, columns).sum(dtype=np.uint64))
+                ) & 0xFFFFFFFFFFFFFFFF
+    return total, rows
 
 
 def lineage_for_table(

@@ -119,3 +119,18 @@ def test_content_hash_sees_long_list_differences():
     b = pa.table({"v": [changed]})
     assert content_hash(a) != content_hash(b)
     assert content_hash(a) == content_hash(a)
+
+
+def test_fragment_id_portable_across_roots(tmp_path):
+    """Moving/symlinking the input tree must not invalidate the manifest:
+    the id depends on the root-RELATIVE path + size only (ADVICE r1)."""
+    import shutil
+
+    d1 = tmp_path / "a" / "pages"
+    d2 = tmp_path / "b" / "pages"
+    d1.mkdir(parents=True)
+    (d1 / "f.parquet").write_bytes(b"x" * 37)
+    shutil.copytree(d1, d2)
+    assert fragment_id(str(d1 / "f.parquet"), str(d1)) == fragment_id(
+        str(d2 / "f.parquet"), str(d2)
+    )

@@ -99,3 +99,63 @@ def test_int16_cast_wraps_instead_of_crashing():
     assert out["matching_terms"].to_pylist() == [
         int(np.int64(40_000).astype(np.int16)), 5
     ]
+
+
+def test_int16_cast_preserves_nulls():
+    """A null count column (e.g. times_cited after a join miss) must stay
+    null through the wrapping cast — not become garbage via float NaN."""
+    batch = pa.table(
+        {
+            "times_cited": pa.array([7, None, 40_000], pa.int64()),
+            "matching_terms": pa.array([1.0, float("nan"), 3.0], pa.float64()),
+        }
+    )
+    out = cast_from_sink(batch)
+    assert out["times_cited"].to_pylist() == [7, None, -25536]
+    assert out.schema.field("times_cited").type == pa.int16()
+    # float NaN (pandas-style missing) also lands as a true null
+    assert out["matching_terms"].to_pylist() == [1, None, 3]
+
+
+def cast_from_sink(batch):
+    from sciscraper_ray.pipelines.sink import cast_declared_schema
+
+    return cast_declared_schema(batch)
+
+
+def test_format_filename_deterministic():
+    """M22: reference shape {date}_{etag}_{id}.{ext} with the randint
+    replaced by a stable url-derived 1..255 id
+    (/root/reference/src/downloaders.py:346-366 minus the randomness)."""
+    from sciscraper_ray.kernels.links import format_filename
+
+    a = format_filename('"abc123"', "pdf", url="https://x/p1", date_stamp="240101")
+    b = format_filename('"abc123"', "pdf", url="https://x/p1", date_stamp="240101")
+    c = format_filename(None, "png", url="https://x/p2", date_stamp="240101")
+    assert a == b  # idempotent across calls/workers
+    assert a.startswith("240101_abc123_") and a.endswith(".pdf")
+    file_id = int(a.rsplit("_", 1)[1].split(".")[0])
+    assert 1 <= file_id <= 255
+    # None etag -> _NaN_ like the reference
+    assert c.startswith("240101__NaN__") and c.endswith(".png")
+
+
+def test_write_artifacts(ray_session, tmp_path):
+    import ray.data
+
+    from sciscraper_ray.pipelines.sink import write_artifacts
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["https://x/a", "https://x/b"]),
+                "html": pa.array([b"%PDF-1", b"%PDF-2"], pa.binary()),
+            }
+        )
+    )
+    out_dir = write_artifacts(ds, str(tmp_path), date_stamp="240101")
+    t = pq.read_table(out_dir).sort_by("filename")
+    assert t.num_rows == 2
+    assert sorted(t.column_names) == ["filename", "payload"]
+    assert all(n.startswith("240101__NaN__") for n in t["filename"].to_pylist())
+    assert set(t["payload"].to_pylist()) == {b"%PDF-1", b"%PDF-2"}
