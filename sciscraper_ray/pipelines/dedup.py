@@ -33,42 +33,57 @@ def exact_dedup(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
-    key_merge: str = "driver",
+    key_merge: str = "auto",
+    driver_merge_limit: int | None = None,
 ) -> ray.data.Dataset:
     """Keep the lowest-id row per distinct text.
 
     Same two-pass shape as ``keep_latest_by_url``: pass 1 reduces
     (content-hash, min-id, count) per batch and merges the partials
-    (driver-side vectorized below ~50M keys, or the distributed groupby
-    via ``key_merge='shuffle'``); only hashes that actually collide are
-    broadcast, and pass 2 filters the full rows without any payload
-    shuffle or per-group Python. 64-bit content-hash prefix collisions are
-    the documented tradeoff (as for url dedup)."""
+    (driver-side vectorized below the plan limit, the distributed groupby
+    above it — ``key_merge='auto'`` flips by measured key count, see
+    pipelines/plan.py); only hashes that actually collide are broadcast,
+    and pass 2 filters the full rows without any payload shuffle or
+    per-group Python. Keys are the FULL 128-bit md5, carried as (h_hi,
+    h_lo) int64 pairs — collision-safe at 10^12 rows."""
     import pyarrow.compute as pc
 
-    def hash64(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-        """(hashes, valid_mask). Null-text rows are NOT duplicates of each
-        other — a shared sentinel hash would collapse every
+    from sciscraper_ray.pipelines.plan import (
+        DRIVER_PLAN_LIMIT,
+        driver_frame,
+        resolve_plan,
+    )
+
+    limit = driver_merge_limit or DRIVER_PLAN_LIMIT
+
+    def hash128(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(h_hi, h_lo, valid_mask). Null-text rows are NOT duplicates of
+        each other — a shared sentinel hash would collapse every
         failed-extraction row into one survivor — so they carry
         valid=False and are excluded from dup detection entirely."""
         hexes = content_hash_batch(batch, text_col).to_pylist()
         valid = np.array([h is not None for h in hexes], dtype=bool)
-        hashes = np.array(
+        hi = np.array(
             [int(h[:16], 16) - (1 << 63) if h else 0 for h in hexes],
             dtype=np.int64,
         )
-        return hashes, valid
+        lo = np.array(
+            [int(h[16:], 16) - (1 << 63) if h else 0 for h in hexes],
+            dtype=np.int64,
+        )
+        return hi, lo, valid
 
     def key_partial(batch: pa.Table) -> pd.DataFrame:
-        h, valid = hash64(batch)
+        hi, lo, valid = hash128(batch)
         df = pd.DataFrame(
             {
-                "h": h[valid],
+                "h_hi": hi[valid],
+                "h_lo": lo[valid],
                 "i": batch[id_col].to_numpy(zero_copy_only=False)[valid],
             }
         )
         return (
-            df.groupby("h", sort=False)
+            df.groupby(["h_hi", "h_lo"], sort=False)
             .agg(min_id=("i", "min"), cnt=("i", "size"))
             .reset_index()
         )
@@ -76,9 +91,10 @@ def exact_dedup(
     partials = ds.select_columns([id_col, text_col]).map_batches(
         key_partial, batch_format="pyarrow"
     )
+    key_merge, partials = resolve_plan(partials, key_merge, limit=limit)
     if key_merge == "driver":
-        merged = partials.to_pandas()
-        g = merged.groupby("h", sort=False).agg(
+        merged = driver_frame(partials, limit, "exact_dedup")
+        g = merged.groupby(["h_hi", "h_lo"], sort=False).agg(
             min_id=("min_id", "min"), cnt=("cnt", "sum")
         )
         dups = g[g["cnt"] > 1].reset_index()
@@ -86,7 +102,7 @@ def exact_dedup(
         from ray.data.aggregate import Min, Sum
 
         dups = (
-            partials.groupby("h")
+            partials.groupby(["h_hi", "h_lo"])
             .aggregate(Min(on="min_id", alias_name="min_id"),
                        Sum(on="cnt", alias_name="cnt"))
             .map_batches(
@@ -95,46 +111,57 @@ def exact_dedup(
             )
         ).to_pandas()
 
-    dup_h = np.sort(dups["h"].to_numpy().astype(np.int64))
-    winner = np.sort(
-        dups["h"].to_numpy().astype(np.int64).view(np.uint64)
-        * np.uint64(0x9E3779B97F4A7C15)
-        + dups["min_id"].to_numpy().astype(np.int64).view(np.uint64)
+    # Broadcast (h_hi, h_lo) -> min_id for colliding hashes only; Int64
+    # keeps the per-batch left-merge exact (no float round-trip).
+    dups = dups[["h_hi", "h_lo", "min_id"]].astype(
+        {"h_hi": "int64", "h_lo": "int64", "min_id": "Int64"}
     )
-    refs = ray.put((dup_h, winner))
+    refs = ray.put(dups)
 
     def keep_first(batch: pa.Table) -> pa.Table:
-        dup_h_, winner_ = ray.get(refs)
-        if len(dup_h_) == 0:
+        dups_df = ray.get(refs)
+        if not len(dups_df):
             return batch
-        h, valid = hash64(batch)
-        in_dup = np.isin(h, dup_h_) & valid
-        if not in_dup.any():
+        hi, lo, valid = hash128(batch)
+        if not np.isin(hi, dups_df["h_hi"].to_numpy()).any():
             return batch
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        row_key = h.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + ids.view(
-            np.uint64
+        left = pd.DataFrame({"h_hi": hi, "h_lo": lo, "i": ids})
+        m = left.merge(dups_df, on=["h_hi", "h_lo"], how="left")
+        in_dup = m["min_id"].notna().to_numpy() & valid
+        is_winner = (
+            m["i"].astype("Int64").eq(m["min_id"]).fillna(False).to_numpy(bool)
         )
-        keep = ~in_dup | np.isin(row_key, winner_)
+        keep = ~in_dup | is_winner
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(keep_first, batch_format="pyarrow")
 
 
 def _candidate_pairs(
-    banded: ray.data.Dataset, keys: list[str], pair_mode: str = "driver"
+    banded: ray.data.Dataset, keys: list[str], pair_mode: str = "auto"
 ) -> pd.DataFrame:
     """LSH buckets -> distinct unordered candidate id pairs.
 
-    ``driver`` (default): stream the band rows (a fixed ``bands`` rows per
-    doc — tiny vs the corpus) to the driver and pair with one vectorized
-    pandas pass. Ray's ``groupby().map_groups`` pays per-GROUP Python
-    overhead, and LSH produces ~one bucket per doc, so the distributed
-    plan costs O(corpus) group dispatches to find O(dups) pairs.
+    ``driver``: stream the band rows (a fixed ``bands`` rows per doc —
+    tiny vs the corpus) to the driver and pair with one vectorized pandas
+    pass. Ray's ``groupby().map_groups`` pays per-GROUP Python overhead,
+    and LSH produces ~one bucket per doc, so the distributed plan costs
+    O(corpus) group dispatches to find O(dups) pairs.
 
     ``shuffle``: the beyond-driver-memory plan — distributed groupby on
     the uniform band key, pairs emitted per bucket.
+
+    ``auto`` (default): measured band-row count picks the plan — driver
+    below the plan limit, shuffle above it (pipelines/plan.py).
     """
+    from sciscraper_ray.pipelines.plan import (
+        DRIVER_PLAN_LIMIT,
+        driver_frame,
+        resolve_plan,
+    )
+
+    pair_mode, banded = resolve_plan(banded, pair_mode)
     if pair_mode == "shuffle":
         pairs = (
             banded.groupby(keys)
@@ -142,7 +169,7 @@ def _candidate_pairs(
             .to_pandas()
         )
     else:
-        df = banded.to_pandas()
+        df = driver_frame(banded, DRIVER_PLAN_LIMIT, "_candidate_pairs")
         sizes = df.groupby(keys, sort=False)["doc_id"].transform("size")
         df = df[sizes > 1]  # only multi-doc buckets can produce pairs
         chunks = [bucket_pairs(g) for _, g in df.groupby(keys, sort=False)]
@@ -181,7 +208,7 @@ def near_dup_pairs_minhash(
     num_perms: int = 64,
     bands: int = 16,
     k: int = 3,
-    pair_mode: str = "driver",
+    pair_mode: str = "auto",
 ) -> pa.Table:
     """MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -221,28 +248,52 @@ def near_dup_pairs_simhash(
     text_col: str = "text",
     max_hamming: int = 3,
     k: int = 3,
+    pair_mode: str = "auto",
 ) -> pa.Table:
     """SimHash near-duplicate pairs: 4×16-bit chunk blocking (pigeonhole
-    guarantees recall for hamming <= 3), exact hamming verified."""
+    guarantees recall for hamming <= 3), exact hamming verified.
+
+    Same distributed shape as the MinHash variants: the chunk columns are
+    exploded into (band_id=chunk index, band_hash=chunk value) rows and
+    routed through ``_candidate_pairs`` — candidate generation scales with
+    the shuffle plan instead of materializing every signature on the
+    driver. Signatures are materialized ONCE (24 B/doc) and reused for
+    both banding and the hamming verify."""
     sigs = ds.map_batches(
         SimHashStage(id_col=id_col, text_col=text_col, k=k),
         batch_format="pyarrow",
-    )
-    sig_df = sigs.to_pandas()  # (doc_id, simhash, chunk0..3); small: 1 row/doc
-    candidates = []
-    for c in range(4):
-        g = sig_df.groupby(f"chunk{c}")["doc_id"]
-        for _, ids in g:
-            if len(ids) > 1:
-                arr = np.sort(ids.to_numpy())
-                ia, ib = np.triu_indices(len(arr), k=1)
-                candidates.append(np.stack([arr[ia], arr[ib]], axis=1))
-    if not candidates:
+    ).materialize()
+
+    def explode_chunks(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bands = np.concatenate(
+            [np.full(n, c, dtype=np.int32) for c in range(4)]
+        )
+        hashes = np.concatenate(
+            [
+                batch[f"chunk{c}"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                for c in range(4)
+            ]
+        )
+        return pa.table(
+            {
+                "band_id": pa.array(bands),
+                "band_hash": pa.array(hashes, pa.uint64()),
+                "doc_id": pa.array(np.tile(ids, 4)),
+            }
+        )
+
+    banded = sigs.map_batches(explode_chunks, batch_format="pyarrow")
+    pairs = _candidate_pairs(banded, ["band_id", "band_hash"], pair_mode)
+    if pairs.empty:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    pairs = pd.DataFrame(
-        np.unique(np.concatenate(candidates), axis=0), columns=["a", "b"]
-    )
-    sig_map = dict(zip(sig_df[id_col], sig_df["simhash"].astype(np.uint64)))
+    sig_map = {
+        i: np.uint64(s)
+        for i, s in _texts_for(
+            sigs, pairs[["a", "b"]].to_numpy().ravel(), id_col, "simhash"
+        ).items()
+    }
     ha = np.array([sig_map[a] for a in pairs["a"]], np.uint64)
     hb = np.array([sig_map[b] for b in pairs["b"]], np.uint64)
     out = pairs[hamming64(ha, hb) <= max_hamming]
@@ -258,7 +309,7 @@ def near_dup_pairs_ngram(
     n: int = 5,
     num_perms: int = 64,
     bands: int = 16,
-    pair_mode: str = "driver",
+    pair_mode: str = "auto",
 ) -> pa.Table:
     """Char n-gram Jaccard near-dup pairs: char-shingle MinHash-LSH
     candidates, then EXACT char-n-gram Jaccard >= threshold."""
@@ -295,7 +346,7 @@ def near_dup_pairs_embedding(
     bits: int = 64,
     bands: int = 16,
     dim: int = 64,
-    pair_mode: str = "driver",
+    pair_mode: str = "auto",
 ) -> pa.Table:
     """Embedding-cosine near-dup pairs: signed-random-projection LSH
     candidates (one matmul per batch, one shuffle on the uniform band key),

@@ -94,27 +94,78 @@ class PayloadExtractor:
         )
 
 
+# Second pandas hash key (exactly 16 chars, the pandas requirement): the
+# default-key hash plus this one give two independent 64-bit hashes = one
+# 128-bit url key. 64-bit keys collide ~27k times at 10^12 rows (birthday);
+# 128-bit keys make collisions physically negligible.
+_LO_HASH_KEY = "sciscraper-lo-k1"
+
+
+def _url_hash128(batch: pa.Table, url_col: str) -> "tuple":
+    """(hi, lo) int64 views of a 128-bit url hash. Shared by BOTH passes of
+    keep_latest_by_url — they must agree bit-for-bit.
+
+    The hashes travel as INT64 (bit view), never uint64: a uint64 key
+    silently promotes to float64 inside Ray's sort-aggregate (numpy's
+    uint64+int64 rule), which rounds away the low bits and breaks every
+    equality downstream."""
+    import numpy as np
+    import pandas as pd
+
+    urls = pd.DataFrame({url_col: batch[url_col].to_pandas()})
+    hi = pd.util.hash_pandas_object(urls, index=False).to_numpy().view(np.int64)
+    lo = (
+        pd.util.hash_pandas_object(urls, index=False, hash_key=_LO_HASH_KEY)
+        .to_numpy()
+        .view(np.int64)
+    )
+    return hi, lo
+
+
+def _ts_us_i64(col) -> "object":
+    """int64 epoch-microsecond view of a timestamp-ish column; nulls become
+    int64 min. Shared by BOTH passes of keep_latest_by_url — the two passes
+    must normalize identically or winner keys never match and every
+    duplicated url is silently dropped (ADVICE r1: pass 1 used pandas
+    to_datetime, which reads int64 as NANOseconds, while pass 2 cast
+    int64 -> timestamp[us], reading the same value as MICROseconds).
+    Integer columns are taken as epoch-us verbatim; anything else goes
+    through Arrow's timestamp[us] cast (strings must parse or this raises
+    — better than two passes silently disagreeing)."""
+    import numpy as np
+    import pyarrow.compute as _pc
+
+    if pa.types.is_integer(col.type):
+        casted = _pc.cast(col, pa.int64())
+    else:
+        casted = _pc.cast(_pc.cast(col, pa.timestamp("us")), pa.int64())
+    return _pc.fill_null(casted, np.iinfo(np.int64).min).to_numpy(
+        zero_copy_only=False
+    )
+
+
 def keep_latest_by_url(
     ds: ray.data.Dataset,
     url_col: str = "url",
     ts_col: str = "warc_ts",
     keys_source: "ray.data.Dataset | None" = None,
-    key_merge: str = "driver",
-    driver_merge_limit: int = 50_000_000,
+    key_merge: str = "auto",
+    driver_merge_limit: int | None = None,
 ) -> ray.data.Dataset:
     """Exact dedup, keep-latest fetch per url (SURVEY §2.6) — WITHOUT
     moving payloads through a shuffle.
 
     Pass 1 projects only the key columns (a column-pruned parquet read at
-    scale), shuffles those tiny rows by url, and emits the LOSER keys —
-    every (url, warc_ts) except each url's latest. Pass 2 broadcasts the
-    loser key-hashes (``ray.put`` once; duplicates are assumed ≪ corpus,
-    the Common-Crawl case) and streams the full rows through a hash filter.
-    Payload bytes never enter an all-to-all exchange.
+    scale), shuffles those tiny rows by url, and finds the urls with >1
+    fetch plus each one's max warc_ts. Pass 2 broadcasts that winner table
+    (``ray.put`` once; duplicates are assumed ≪ corpus, the Common-Crawl
+    case) and streams the full rows through a key filter. Payload bytes
+    never enter an all-to-all exchange.
 
-    Assumes (url, warc_ts) uniquely identifies a fetch (WARC semantics);
-    64-bit hash collisions are the documented correctness tradeoff at
-    10^12 rows (use 128-bit keys there).
+    Keys are 128-bit url hashes carried as (h_hi, h_lo) int64 pairs —
+    collision-safe at 10^12 rows. ``key_merge='auto'`` (default) picks the
+    driver merge below ``driver_merge_limit`` keys and the distributed
+    shuffle above it (see pipelines/plan.py for the tradeoff).
 
     Every step is a vectorized aggregate — no per-group Python
     (``map_groups`` over millions of url groups is itself a serial
@@ -129,61 +180,46 @@ def keep_latest_by_url(
     import ray as _ray
     from ray.data.aggregate import Max, Sum
 
-    def key_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        """(url, ts) -> per-batch (url_hash: uint64, max_ts: int64, cnt).
+    from sciscraper_ray.pipelines.plan import (
+        DRIVER_PLAN_LIMIT,
+        driver_frame,
+        resolve_plan,
+    )
+
+    limit = driver_merge_limit or DRIVER_PLAN_LIMIT
+
+    def key_partial(batch: pa.Table) -> pd.DataFrame:
+        """(url, ts) -> per-batch (h_hi, h_lo, max_ts, cnt).
 
         Hashing the url BEFORE the shuffle matters twice at scale: the
-        sort-exchange moves 8-byte ints instead of full url strings, and
-        the range-sort itself is an integer sort (utf8 comparisons were
-        the dominant cost of this pass). The downstream filter only ever
-        needs hashes, so nothing is lost.
-
-        The hash travels as INT64 (bit view), never uint64: a uint64 key
-        silently promotes to float64 inside the sort-aggregate (numpy's
-        uint64+int64 rule), which rounds away the low bits and breaks
-        every equality downstream."""
-        h = (
-            pd.util.hash_pandas_object(batch[[url_col]], index=False)
-            .to_numpy()
-            .view(np.int64)
-        )
-        ts = (
-            pd.to_datetime(batch[ts_col])
-            .astype("datetime64[us]")
-            .astype("int64")
-            .to_numpy()
-        )
-        out = (
-            pd.DataFrame({"url_hash": h, "ts": ts})
-            .groupby("url_hash", sort=False)
+        sort-exchange moves 16-byte int pairs instead of full url strings,
+        and the range-sort itself is an integer sort (utf8 comparisons
+        were the dominant cost of this pass). The downstream filter only
+        ever needs hashes, so nothing is lost."""
+        hi, lo = _url_hash128(batch, url_col)
+        ts = _ts_us_i64(batch[ts_col])
+        return (
+            pd.DataFrame({"h_hi": hi, "h_lo": lo, "ts": ts})
+            .groupby(["h_hi", "h_lo"], sort=False)
             .agg(max_ts=("ts", "max"), cnt=("ts", "size"))
             .reset_index()
         )
-        return out
 
     keys = keys_source if keys_source is not None else ds.select_columns(
         [url_col, ts_col]
     )
-    partials = keys.map_batches(key_partial, batch_format="pandas")
+    partials = keys.map_batches(key_partial, batch_format="pyarrow")
+    key_merge, partials = resolve_plan(partials, key_merge, limit=limit)
 
-    # Merging the per-batch partials has two physical plans:
-    #   driver  — stream the (url_hash:int64, max_ts, cnt) partials to the
-    #             driver (16 B/key) and merge with one vectorized pandas
-    #             groupby. Right up to ~50M keys: Ray's sort-aggregate pays
-    #             per-GROUP Python overhead in the reduce (~100 µs x mostly
-    #             unique keys dwarfs the actual work), where the driver
-    #             merge is one C call.
-    #   shuffle — the 10^12-row plan: distributed sort-aggregate on the
-    #             int64 hash; nothing ever concentrates on one node.
     if key_merge == "driver":
-        merged = partials.to_pandas(limit=driver_merge_limit)
-        g = merged.groupby("url_hash", sort=False).agg(
+        merged = driver_frame(partials, limit, "keep_latest_by_url")
+        g = merged.groupby(["h_hi", "h_lo"], sort=False).agg(
             max_ts=("max_ts", "max"), cnt=("cnt", "sum")
         )
         dups = g[g["cnt"] > 1].reset_index()
     else:
         dups = (
-            partials.groupby("url_hash")
+            partials.groupby(["h_hi", "h_lo"])
             .aggregate(Max(on="max_ts", alias_name="max_ts"),
                        Sum(on="cnt", alias_name="cnt"))
             .map_batches(
@@ -192,26 +228,14 @@ def keep_latest_by_url(
             )  # only duplicated urls reach the driver
         ).to_pandas()
 
-    def winner_key(url_h_i64: np.ndarray, ts_i64: np.ndarray) -> np.ndarray:
-        # combines url hash and timestamp; identical arithmetic on both
-        # sides, only equality matters (uint64 wraparound is fine)
-        return (
-            url_h_i64.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-            + ts_i64.astype(np.uint64)
-        )
-
-    if len(dups):
-        dup_hash = np.sort(dups["url_hash"].to_numpy().astype(np.int64))
-        winner_hash = np.sort(
-            winner_key(
-                dups["url_hash"].to_numpy().astype(np.int64),
-                dups["max_ts"].to_numpy().astype(np.int64),
-            )
-        )
-    else:
-        dup_hash = np.empty(0, np.int64)
-        winner_hash = np.empty(0, np.uint64)
-    refs = _ray.put((dup_hash, winner_hash))
+    # Broadcast table: (h_hi, h_lo) -> max_ts for duplicated urls only.
+    # max_ts as pandas nullable Int64 so the per-batch left-merge keeps
+    # exact integer semantics (a float64 round-trip would corrupt int64
+    # timestamps beyond 2^53).
+    dups = dups[["h_hi", "h_lo", "max_ts"]].astype(
+        {"h_hi": "int64", "h_lo": "int64", "max_ts": "Int64"}
+    )
+    refs = _ray.put(dups)
 
     def keep_latest_filter(batch: pa.Table) -> pa.Table:
         """Keep a row unless its url has duplicate fetches AND this row is
@@ -219,39 +243,32 @@ def keep_latest_by_url(
         leave Arrow for hashing — the payload bytes are never converted
         to Python objects (a pandas batch here would materialize every
         payload as a bytes object just to drop a few rows). A plain TASK,
-        not an actor pool — the broadcast tables come from the object
+        not an actor pool — the broadcast table comes from the object
         store via a zero-copy local ``ray.get`` per call."""
-        import pyarrow.compute as pc_
-
-        dup_hash, winner_hash = _ray.get(refs)
-        if len(dup_hash) == 0:
+        dups_df = _ray.get(refs)
+        if not len(dups_df):
             return batch
-        urls = pd.DataFrame({url_col: batch[url_col].to_pandas()})
-        url_h = (
-            pd.util.hash_pandas_object(urls, index=False)
-            .to_numpy()
-            .view(np.int64)
+        hi, lo = _url_hash128(batch, url_col)
+        # cheap prefilter: most batches have no duplicated urls at all
+        if not np.isin(hi, dups_df["h_hi"].to_numpy()).any():
+            return batch
+        ts = _ts_us_i64(batch[ts_col])
+        left = pd.DataFrame({"h_hi": hi, "h_lo": lo, "ts": ts})
+        # dups_df is unique per (h_hi, h_lo), so the left-merge stays
+        # row-for-row aligned with the batch — a vectorized hash join.
+        m = left.merge(dups_df, on=["h_hi", "h_lo"], how="left")
+        in_dup = m["max_ts"].notna().to_numpy()
+        is_winner = (
+            m["ts"].astype("Int64").eq(m["max_ts"]).fillna(False).to_numpy(bool)
         )
-        in_dup = np.isin(url_h, dup_hash)
-        if not in_dup.any():
-            return batch
-        # fill_null with int64 min BEFORE leaving Arrow: a null ts would
-        # otherwise surface as float NaN whose uint64 cast is UB — and
-        # int64 min is exactly what pandas' NaT became in the key pass,
-        # so both sides agree on null timestamps.
-        ts = pc_.fill_null(
-            pc_.cast(pc_.cast(batch[ts_col], pa.timestamp("us")), pa.int64()),
-            np.iinfo(np.int64).min,
-        ).to_numpy(zero_copy_only=False)
-        row_key = winner_key(url_h, ts)
-        keep = ~in_dup | np.isin(row_key, winner_hash)
+        keep = ~in_dup | is_winner
         # Tie at max warc_ts: a key filter cannot pick among identical
         # (url, ts) rows, so drop within-batch repeats of a winner key
         # here (same-url fetches are adjacent in crawl files, so ties
         # almost always share a batch). Byte-identical rows split across
         # batches are the documented residual — exact content dedup is
         # the stage that owns those.
-        first_seen = ~pd.Series(row_key).duplicated().to_numpy()
+        first_seen = ~left.duplicated(["h_hi", "h_lo", "ts"]).to_numpy()
         keep &= ~in_dup | first_seen
         return batch.filter(pa.array(keep))
 
@@ -276,7 +293,7 @@ def extraction_pipeline(
     analyze: bool = True,
     batch_size: int = 256,
     concurrency: int | tuple[int, int] | None = None,
-    dedup_key_merge: str = "driver",
+    dedup_key_merge: str = "auto",
 ) -> ray.data.Dataset:
     """pages (path or Dataset) -> extracted (and optionally analyzed) docs.
 
@@ -302,7 +319,13 @@ def extraction_pipeline(
         ds = ray.data.read_parquet(source)
         keys = ray.data.read_parquet(source, columns=["url", "warc_ts"])
     else:
-        ds = source
+        # Dataset source + dedup: the two-pass dedup consumes the source
+        # twice (key pass + filter pass). For a parquet path the key pass
+        # is a cheap pruned read; for an arbitrary upstream graph it would
+        # RE-EXECUTE the whole subgraph, so pin the blocks once. At true
+        # corpus scale pass a path — materializing 100 TB trades object
+        # store/spill for the recompute, which is the wrong trade there.
+        ds = source.materialize() if dedup else source
         keys = None
     if dedup:
         ds = keep_latest_by_url(ds, keys_source=keys, key_merge=dedup_key_merge)

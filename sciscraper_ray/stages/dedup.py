@@ -204,13 +204,17 @@ class SimHashStage:
         return pa.table(cols)
 
 
+# byte-wise popcount lookup table (numpy<2 has no np.bitwise_count)
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    x = np.bitwise_xor(a, b)
-    cnt = np.zeros(x.shape, np.int64)
-    for _ in range(64):
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x = x >> np.uint64(1)
-    return cnt
+    """Vectorized 64-bit hamming distance: XOR, then byte-LUT popcount."""
+    x = np.ascontiguousarray(np.bitwise_xor(a, b))
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x).astype(np.int64)
+    by = x.view(np.uint8).reshape(x.shape + (8,))
+    return _POPCOUNT8[by].sum(axis=-1).astype(np.int64)
 
 
 def char_ngrams(text: str, n: int = 5) -> set[str]:

@@ -203,3 +203,62 @@ def test_keep_latest_drops_same_batch_ts_ties(ray_session):
     )
     out = keep_latest_by_url(ray.data.from_arrow(t)).to_pandas()
     assert sorted(out["url"]) == ["u", "v"]  # one survivor per url
+
+
+def test_keep_latest_int_epoch_ts(ray_session):
+    """ADVICE r1: an int64 epoch-us warc_ts column must dedup identically
+    to a timestamp[us] one — the two passes used to normalize ints
+    differently (ns vs us), so winner keys never matched and every
+    duplicated url was silently dropped."""
+    import pyarrow as pa
+
+    import ray.data
+    from sciscraper_ray.pipelines.extract import keep_latest_by_url
+
+    base = 1_700_000_000_000_000  # epoch-us
+    as_int = pa.table(
+        {
+            "url": ["u", "u", "v", "w"],
+            "warc_ts": pa.array([base + 1, base + 9, base, base], pa.int64()),
+            "payload": ["old", "new", "x", "y"],
+        }
+    )
+    out = (
+        keep_latest_by_url(ray.data.from_arrow(as_int))
+        .to_pandas()
+        .sort_values("url")
+    )
+    assert list(out["url"]) == ["u", "v", "w"]
+    assert out[out["url"] == "u"]["payload"].iloc[0] == "new"
+
+    as_ts = as_int.set_column(
+        1, "warc_ts", pa.compute.cast(as_int["warc_ts"], pa.timestamp("us"))
+    )
+    out_ts = (
+        keep_latest_by_url(ray.data.from_arrow(as_ts))
+        .to_pandas()
+        .sort_values("url")
+    )
+    assert list(out_ts["payload"]) == list(out["payload"])
+
+
+def test_keep_latest_auto_plan_flips(ray_session):
+    """key_merge='auto' must pick the shuffle plan above the driver limit
+    (the 10^12-row safety: scale must not depend on a caller kwarg)."""
+    import pyarrow as pa
+
+    import ray.data
+    from sciscraper_ray.pipelines.extract import keep_latest_by_url
+
+    t = pa.table(
+        {
+            "url": [f"u{i}" for i in range(10)] + ["u0"],
+            "warc_ts": pa.array(list(range(10)) + [99], pa.timestamp("us")),
+            "payload": [str(i) for i in range(11)],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    # limit below the key count -> auto resolves to shuffle; result identical
+    out = keep_latest_by_url(ds, key_merge="auto", driver_merge_limit=3).to_pandas()
+    assert len(out) == 10
+    assert "0" not in set(out[out["url"] == "u0"]["payload"])
