@@ -170,17 +170,39 @@ def _candidate_pairs(
         )
     else:
         df = driver_frame(banded, DRIVER_PLAN_LIMIT, "_candidate_pairs")
-        sizes = df.groupby(keys, sort=False)["doc_id"].transform("size")
-        df = df[sizes > 1]  # only multi-doc buckets can produce pairs
-        chunks = [bucket_pairs(g) for _, g in df.groupby(keys, sort=False)]
-        pairs = (
-            pd.concat(chunks, ignore_index=True)
-            if chunks
-            else pd.DataFrame({"a": [], "b": []}).astype("int64")
-        )
+        pairs = _pairs_vectorized(df, keys)
     if pairs.empty:
         return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
     return pairs.drop_duplicates(ignore_index=True)
+
+
+def _pairs_vectorized(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+    """All unordered within-bucket id pairs, fully vectorized.
+
+    A per-bucket Python loop (one DataFrame per bucket) was the dominant
+    driver-plan cost at ~thousands of buckets. Instead: bucket codes via
+    ngroup, one lexsort, then ONE broadcasted triu expansion per distinct
+    bucket SIZE (bucket sizes are almost all 2, so this loop runs a
+    handful of times regardless of bucket count)."""
+    if not len(df):
+        return pd.DataFrame({"a": [], "b": []}).astype("int64")
+    codes = df.groupby(keys, sort=False).ngroup().to_numpy()
+    ids = df["doc_id"].to_numpy().astype(np.int64)
+    order = np.lexsort((ids, codes))
+    codes_s, ids_s = codes[order], ids[order]
+    _, starts, sizes = np.unique(codes_s, return_index=True, return_counts=True)
+    out_a, out_b = [], []
+    for m in np.unique(sizes[sizes > 1]):
+        sel = starts[sizes == m]
+        mat = ids_s[sel[:, None] + np.arange(m)]  # (n_buckets, m), ids sorted
+        ia, ib = np.triu_indices(m, k=1)
+        out_a.append(mat[:, ia].ravel())
+        out_b.append(mat[:, ib].ravel())
+    if not out_a:
+        return pd.DataFrame({"a": [], "b": []}).astype("int64")
+    return pd.DataFrame(
+        {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+    )
 
 
 def _texts_for(

@@ -972,7 +972,11 @@ def _with_copies(sf_dir: str, mod: int, offset: int, drop_last_word: bool):
             }
         )
 
-    return ds.union(ds.map_batches(make_copies, batch_format="pyarrow"))
+    # Materialized once: every dedup consumer reads the corpus twice
+    # (key/band pass + verify/filter pass); a computed union graph would
+    # re-execute per pass. For a real corpus the input is parquet and each
+    # pass is an independent pruned read instead.
+    return ds.union(ds.map_batches(make_copies, batch_format="pyarrow")).materialize()
 
 
 @register(

@@ -41,15 +41,63 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Array:
     )
 
 
+# Position weights + murmur3 finalizer for the vectorized k-gram combine.
+# Fixed seeded odd constants — deterministic across processes, like the
+# blake2b path they replaced (the per-shingle Python blake2b over joined
+# k-gram STRINGS was the dominant cost of dedup_minhash; hashing each
+# distinct token once and mixing windows with numpy arithmetic is the
+# same LSH contract at a fraction of the cost).
+_GRAM_WEIGHTS = (
+    np.random.default_rng(0x5C15C3A9).integers(
+        1, 1 << 63, size=64, dtype=np.uint64
+    )
+    | np.uint64(1)
+)
+
+
+def _fmix64(x: np.ndarray) -> np.ndarray:
+    """MurmurHash3 64-bit finalizer, vectorized (wraparound arithmetic)."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def _window_hashes(h: np.ndarray, k: int) -> np.ndarray:
+    """Combine length-k sliding windows of element hashes into one uint64
+    per window (position-weighted sum + finalizer; order-sensitive).
+    Shorter-than-k inputs collapse to a single all-elements window, like
+    the joined-string path they replaced."""
+    n = len(h)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    k_eff = min(k, n)
+    m = n - k_eff + 1
+    s = np.zeros(m, np.uint64)
+    for j in range(k_eff):  # k is 3-5; the loop is over k, not n
+        s += h[j : j + m] * _GRAM_WEIGHTS[j]
+    return _fmix64(s)
+
+
+def _hash_tokens(tokens: list[str]) -> np.ndarray:
+    """uint64 blake2b per token — hashed once per DISTINCT token (the
+    per-doc vocabulary is much smaller than the token stream)."""
+    arr = np.asarray(tokens, dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    uh = np.fromiter(
+        (_stable_hash64(t) for t in uniq), dtype=np.uint64, count=len(uniq)
+    )
+    return uh[inv]
+
+
 def word_shingles(tokens: list[str], k: int = 3) -> np.ndarray:
     """Distinct word k-gram shingle hashes (uint64) of one document."""
-    if len(tokens) < k:
-        joined = [" ".join(tokens)] if tokens else []
-    else:
-        joined = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
-    return np.unique(np.fromiter(
-        (_stable_hash64(s) for s in joined), dtype=np.uint64, count=len(joined)
-    ))
+    if not tokens:
+        return np.empty(0, np.uint64)
+    return np.unique(_window_hashes(_hash_tokens(tokens), k))
 
 
 class MinHasher:
@@ -78,22 +126,24 @@ class MinHasher:
         return vals.min(axis=1)
 
     def band_hashes(self, sig: np.ndarray) -> np.ndarray:
-        """(bands,) uint64: one hash per band of the signature."""
-        out = np.empty(self.bands, np.uint64)
-        for bi in range(self.bands):
-            chunk = sig[bi * self.rows_per_band : (bi + 1) * self.rows_per_band]
-            out[bi] = _stable_hash64("|".join(map(str, chunk.tolist())))
-        return out
+        """(bands,) uint64: one hash per band of the signature
+        (position-weighted sum + finalizer — no per-band string building)."""
+        v = sig.reshape(self.bands, self.rows_per_band)
+        s = np.zeros(self.bands, np.uint64)
+        for j in range(self.rows_per_band):
+            s += v[:, j] * _GRAM_WEIGHTS[j]
+        return _fmix64(s)
 
 
 def char_shingles(text: str, n: int = 5) -> np.ndarray:
-    """Distinct char n-gram shingle hashes (uint64) of one document."""
-    grams = char_ngrams(text, n)
-    if not grams:
+    """Distinct char n-gram shingle hashes (uint64) of one document —
+    vectorized over the codepoint array (no per-gram Python)."""
+    if not text:
         return np.empty(0, np.uint64)
-    return np.unique(np.fromiter(
-        (_stable_hash64(g) for g in grams), dtype=np.uint64, count=len(grams)
-    ))
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+    return np.unique(_window_hashes(codes, n))
 
 
 class MinHashBandStage:
