@@ -107,6 +107,66 @@ def identifier_kind(text: str) -> str | None:
     return None
 
 
+_METADATA_PROBE_ORDER = ("doi", "pdf2doi_identifier", "arxiv")
+
+
+def find_identifier_in_metadata(
+    metadata: dict[str, str],
+) -> tuple[str, str] | None:
+    """M8 analog (/root/reference/src/doifrompdf.py:55-82): probe the
+    priority metadata keys; first present non-empty value wins, returned
+    RAW (the reference does not normalize here) with the KEY as the
+    identifier type.
+
+    The reference iterates a ``set`` of keys — nondeterministic priority
+    when several are present; this uses the fixed order (doi,
+    pdf2doi_identifier, arxiv) per SURVEY §2.2 M8 and pins it with tests.
+    """
+    for key in _METADATA_PROBE_ORDER:
+        value = metadata.get(key)
+        if value:
+            return value, key
+    return None
+
+
+def find_identifier_in_pdf_info(
+    metadata: dict[str, str],
+) -> tuple[str, str] | None:
+    """M9 analog (/root/reference/src/doifrompdf.py:85-111): scan the
+    document-information VALUES (except the '/wps-journaldoi' key) with
+    the text identifier chain.
+
+    Reference quirk replicated exactly: the loop overwrites ``result``
+    every iteration, so only the LAST value's outcome survives — a valid
+    identifier in an earlier value is discarded if a later value has none.
+    (The exclusion key keeps the reference's leading slash even though
+    pdfplumber-shaped metadata keys carry none, so it is effectively
+    vacuous — also reference-faithful.)"""
+    result: tuple[str, str] | None = None
+    for key, value in metadata.items():
+        if key == "/wps-journaldoi":
+            continue
+        ident = extract_identifier(value) if value else None
+        if ident is not None:
+            kind = identifier_kind(value)
+            result = (ident, kind) if kind else None
+        else:
+            result = None
+    return result
+
+
+def identifier_from_pdf_metadata(
+    metadata: dict[str, str],
+) -> tuple[str | None, str | None]:
+    """M7's metadata prefix of the doi_from_pdf chain
+    (/root/reference/src/doifrompdf.py:30-52): metadata probe, then
+    pdf-info value scan; (None, None) defers to the text step."""
+    found = find_identifier_in_metadata(metadata)
+    if found is None:
+        found = find_identifier_in_pdf_info(metadata)
+    return found if found is not None else (None, None)
+
+
 def extract_identifiers_array(texts) -> tuple[np.ndarray, np.ndarray]:
     """Batch form: iterable of str|None -> (identifier, kind) object arrays.
 

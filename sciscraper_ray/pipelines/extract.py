@@ -36,6 +36,7 @@ from sciscraper_ray.stages.pdf_parse import extract_pdf_pages
 EXTRACT_COLUMNS = [
     "url", "warc_ts", "lang", "doc_id",
     "extracted_text", "spans", "payload_kind", "extract_status",
+    "meta_identifier", "meta_identifier_type",
 ]
 
 SPAN_TYPE = pa.list_(pa.struct([("start", pa.int64()), ("end", pa.int64())]))
@@ -54,19 +55,27 @@ class PayloadExtractor:
         self.payload_col = payload_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from sciscraper_ray.kernels.identifiers import identifier_from_pdf_metadata
+        from sciscraper_ray.stages.pdf_parse import extract_pdf_info
+
         texts: list[str | None] = []
         spans_col: list[list[dict] | None] = []
         kinds: list[str] = []
         status: list[str] = []
+        meta_ids: list[str | None] = []
+        meta_kinds: list[str | None] = []
         for payload in batch[self.payload_col].to_pylist():
             if payload is None:
                 texts.append(None)
                 spans_col.append(None)
                 kinds.append("none")
                 status.append("error: null payload")
+                meta_ids.append(None)
+                meta_kinds.append(None)
                 continue
             kind = "pdf" if bytes(payload).startswith(b"%PDF-") else "html"
             kinds.append(kind)
+            row_text = row_spans = row_mid = row_mkind = None
             try:
                 if kind == "pdf":
                     pages = extract_pdf_pages(payload)
@@ -74,23 +83,36 @@ class PayloadExtractor:
                     for p in pages:
                         spans.append({"start": pos, "end": pos + len(p)})
                         pos += len(p) + 1
-                    texts.append(" ".join(pages))
-                    spans_col.append(spans)
+                    row_text = " ".join(pages)
+                    row_spans = spans
+                    # doi_from_pdf chain prefix (doifrompdf.py:30-52): the
+                    # payload is open RIGHT HERE, so the metadata and
+                    # pdf-info probes run in this stage (the reference
+                    # reopens the PDF for metadata — doifrompdf.py:123);
+                    # the text step runs downstream in DocAnalyzer.
+                    row_mid, row_mkind = identifier_from_pdf_metadata(
+                        extract_pdf_info(payload)
+                    )
                 else:
                     text, spans = extract_main_content(payload.decode("utf-8", errors="replace"))
-                    texts.append(text)
-                    spans_col.append([{"start": s, "end": e} for s, e in spans])
+                    row_text = text
+                    row_spans = [{"start": s, "end": e} for s, e in spans]
                 status.append("ok")
             except Exception as exc:  # noqa: BLE001 — degrade, never crash
-                texts.append(None)
-                spans_col.append(None)
+                row_text = row_spans = row_mid = row_mkind = None
                 status.append(f"error: {type(exc).__name__}")
+            texts.append(row_text)
+            spans_col.append(row_spans)
+            meta_ids.append(row_mid)
+            meta_kinds.append(row_mkind)
         return (
             batch.drop_columns([self.payload_col])
             .append_column("extracted_text", pa.array(texts, type=pa.large_string()))
             .append_column("spans", pa.array(spans_col, type=SPAN_TYPE))
             .append_column("payload_kind", pa.array(kinds, type=pa.string()))
             .append_column("extract_status", pa.array(status, type=pa.string()))
+            .append_column("meta_identifier", pa.array(meta_ids, type=pa.string()))
+            .append_column("meta_identifier_type", pa.array(meta_kinds, type=pa.string()))
         )
 
 

@@ -1998,6 +1998,63 @@ def page_extract_identifiers(sf_dir: str):
     )
 
 
+@register(
+    "page_extract_identifiers_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4
+               WHEN 0 THEN '10.5555/meta.' || doc_id
+               WHEN 1 THEN '10.4444/p2d.' || doc_id
+               WHEN 2 THEN '10.3333/info.' || doc_id
+               ELSE '10.2222/text.' || doc_id
+           END AS doi,
+           CASE doc_id % 4
+               WHEN 1 THEN 'pdf2doi_identifier'
+               ELSE 'doi'
+           END AS identifier_type
+    FROM documents
+    """,
+)
+def page_extract_identifiers_metadata(sf_dir: str):
+    """M8-M10: the doi_from_pdf metadata chain end to end
+    (/root/reference/src/doifrompdf.py:30-126). Every payload is a PDF
+    whose /Info dict exercises one branch: priority-key probe (doi /
+    pdf2doi_identifier, raw value + key as type — M8), pdf-info value scan
+    with the last-value-wins quirk (M9) via the trailer-parsed Info dict
+    (M10), and the text fallback for id-less Info. Every document ALSO
+    carries a trailing doi in its body text, so the %4 in (0,1,2) rows
+    prove metadata takes PRECEDENCE over the text step."""
+    from sciscraper_ray.pipelines.extract import extraction_pipeline
+    from sciscraper_ray.sources.page_synth import synth_pages_batch
+
+    def suffix(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = [
+            f"{t} doi:10.2222/text.{i}"
+            for i, t in zip(ids, batch["text"].to_pylist())
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+            }
+        )
+
+    pages = (
+        _docs(sf_dir, columns=("doc_id", "text"))
+        .map_batches(suffix, batch_format="pyarrow")
+        .map_batches(
+            lambda b: synth_pages_batch(
+                b, pdf_mod=1, dup_mod=0, with_pdf_info=True
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    out = extraction_pipeline(pages, dedup=False, analyze=True)
+    return out.select_columns(["doc_id", "doi", "identifier_type"])
+
+
 _WORDSCORE_WITH_TEXT_SQL = _WORDSCORE_SQL.replace(
     "SELECT d.doc_id,", "SELECT d.doc_id, d.text AS extracted_text,", 1
 )

@@ -82,8 +82,39 @@ def render_html(doc_id: int, text: str, lang: str) -> bytes:
     return doc.encode("utf-8")
 
 
+def _pdf_info_for(doc_id: int) -> dict[str, str]:
+    """Deterministic /Info fixture exercising every branch of the
+    doi_from_pdf metadata chain (doifrompdf.py:30-111):
+
+    - %4==0: priority key ``doi`` -> metadata probe hit (raw value wins)
+    - %4==1: priority key ``pdf2doi_identifier`` -> probe order case
+    - %4==2: id only INSIDE the Title value -> pdf-info value scan case
+      (the id-bearing value is LAST, surviving the last-value-wins quirk)
+    - %4==3: no identifier anywhere in Info -> falls through to the text
+      step downstream
+    """
+    m = doc_id % 4
+    if m == 0:
+        return {"Title": f"Document {doc_id}", "doi": f"10.5555/meta.{doc_id}"}
+    if m == 1:
+        return {
+            "Title": f"Document {doc_id}",
+            "pdf2doi_identifier": f"10.4444/p2d.{doc_id}",
+        }
+    if m == 2:
+        return {
+            "Producer": "synth press",
+            "Title": f"see doi:10.3333/info.{doc_id} inside",
+        }
+    return {"Title": f"Document {doc_id}"}
+
+
 def synth_pages_batch(
-    batch: pa.Table, pdf_mod: int = 10, dup_mod: int = 17, repeat: int = 1
+    batch: pa.Table,
+    pdf_mod: int = 10,
+    dup_mod: int = 17,
+    repeat: int = 1,
+    with_pdf_info: bool = False,
 ) -> pa.Table:
     """documents batch -> page-table batch.
 
@@ -94,6 +125,8 @@ def synth_pages_batch(
     - repeat > 1: each document yields ``repeat`` pages with DISTINCT urls
       and doc_ids (bench scaling knob — more extraction work, same per-row
       semantics).
+    - with_pdf_info: PDF payloads carry the deterministic /Info dict from
+      ``_pdf_info_for`` (metadata identifier chain fixture).
     """
     ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     texts = batch["text"].to_pylist()
@@ -117,7 +150,8 @@ def synth_pages_batch(
         if is_pdf:
             words = t.split(" ")
             pages = [" ".join(words[j : j + 40]) for j in range(0, len(words), 40)]
-            payloads.append(build_pdf(pages))
+            info = _pdf_info_for(i) if with_pdf_info else None
+            payloads.append(build_pdf(pages, info=info))
             out_text.append(None)  # PDF rows carry no pre-extracted text
         else:
             payloads.append(render_html(i, t, lang))

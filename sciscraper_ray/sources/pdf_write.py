@@ -49,10 +49,19 @@ def _page_stream(lines: list[str]) -> bytes:
     return zlib.compress("\n".join(ops).encode("latin-1"))
 
 
-def build_pdf(pages: list[str], lines_per_page: int = 1) -> bytes:
+def build_pdf(
+    pages: list[str],
+    lines_per_page: int = 1,
+    info: "dict[str, str] | None" = None,
+) -> bytes:
     """pages: one text string per page; each is split into
     ``lines_per_page`` lines (1 = single long line, round-trip-exact with
-    the reference's ' '.join(pages) concatenation)."""
+    the reference's ' '.join(pages) concatenation).
+
+    ``info``: optional document-information entries (e.g. Title, doi,
+    arxiv) written as a trailer-referenced /Info dict — the metadata the
+    reference's doi_from_pdf chain probes FIRST
+    (/root/reference/src/doifrompdf.py:30-52,114-126)."""
     objects: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -85,6 +94,14 @@ def build_pdf(pages: list[str], lines_per_page: int = 1) -> bytes:
             + b"\nendstream"
         )
 
+    info_ref = ""
+    if info:
+        entries = " ".join(
+            f"/{k} {_pdf_string(v)}" for k, v in info.items()
+        )
+        info_num = add(f"<< {entries} >>".encode("latin-1", errors="replace"))
+        info_ref = f" /Info {info_num} 0 R"
+
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for num, body in enumerate(objects, start=1):
@@ -96,7 +113,7 @@ def build_pdf(pages: list[str], lines_per_page: int = 1) -> bytes:
     for off in offsets[1:]:
         out += f"{off:010d} 00000 n \n".encode()
     out += (
-        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R{info_ref} >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
     return bytes(out)

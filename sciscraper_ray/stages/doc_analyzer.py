@@ -117,6 +117,20 @@ class DocAnalyzer:
             ids, kinds = extract_identifiers_array(
                 [t if t is not None else "" for t in text.to_pylist()]
             )
+            # doi_from_pdf chain order (doifrompdf.py:30-52): metadata /
+            # pdf-info results (mined upstream in PayloadExtractor, where
+            # the payload is open) take precedence over the text step; the
+            # text chain only fills rows the metadata probes left empty.
+            if "meta_identifier" in batch.column_names:
+                m_ids = batch["meta_identifier"].to_pylist()
+                m_kinds = batch["meta_identifier_type"].to_pylist()
+                for i, (mi, mk) in enumerate(zip(m_ids, m_kinds)):
+                    if mi is not None:
+                        ids[i] = mi
+                        kinds[i] = mk
+                batch = batch.drop_columns(
+                    ["meta_identifier", "meta_identifier_type"]
+                )
             batch = batch.append_column(
                 "doi", pa.array(ids, type=pa.string())
             ).append_column(

@@ -243,6 +243,66 @@ def extract_pdf_pages(payload: bytes) -> list[str]:
     return pages
 
 
+_INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
+_INFO_ENTRY_RE = re.compile(
+    # /Name followed by a literal (...) string or a <hex> string
+    rb"/([A-Za-z0-9_.\-#]+)\s*(\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]+>)"
+)
+
+
+def _decode_pdf_string(raw: bytes) -> str:
+    if raw.startswith(b"("):
+        body = raw[1:-1]
+        out = []
+        i = 0
+        while i < len(body):
+            if body[i : i + 1] == b"\\" and i + 1 < len(body):
+                out.append(body[i + 1 : i + 2])
+                i += 2
+            else:
+                out.append(body[i : i + 1])
+                i += 1
+        return b"".join(out).decode("latin-1")
+    digits = b"".join(raw[1:-1].split())
+    if len(digits) % 2:
+        digits += b"0"
+    data = bytes.fromhex(digits.decode("ascii"))
+    if data[:2] == b"\xfe\xff":
+        return data[2:].decode("utf-16-be", errors="replace")
+    return data.decode("latin-1")
+
+
+def extract_pdf_info(payload: bytes) -> dict[str, str]:
+    """M10 analog (extract_metadata, /root/reference/src/doifrompdf.py:114-126):
+    the document-information dictionary, from the trailer's /Info reference.
+
+    Keys are returned WITHOUT the leading slash and values decoded to str —
+    pdfplumber's ``pdf.metadata`` shape, which is what the reference's
+    probe functions receive. Insertion order = the dict's on-disk entry
+    order (the last-value-wins quirk of find_identifier_in_pdf_info
+    depends on it). Missing/this-parser-unreadable Info -> {}."""
+    m = None
+    for m in _INFO_REF_RE.finditer(payload):
+        pass  # last /Info reference wins (incremental updates append)
+    if m is None:
+        return {}
+    obj_num = int(m.group(1))
+    om = re.search(
+        rb"(?<![0-9])" + str(obj_num).encode() + rb"\s+0\s+obj\s*<<(.*?)>>",
+        payload,
+        re.DOTALL,
+    )
+    if om is None:
+        return {}
+    out: dict[str, str] = {}
+    for key, val in _INFO_ENTRY_RE.findall(om.group(1)):
+        try:
+            out[key.decode("latin-1")] = _decode_pdf_string(val)
+        except ValueError:
+            continue
+    return out
+
+
 def extract_pdf_text(payload: bytes) -> tuple[str, int]:
     """Full-document text (pages joined with ' ', docscraper.py:205) and
     the page count."""

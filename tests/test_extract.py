@@ -262,3 +262,55 @@ def test_keep_latest_auto_plan_flips(ray_session):
     out = keep_latest_by_url(ds, key_merge="auto", driver_merge_limit=3).to_pandas()
     assert len(out) == 10
     assert "0" not in set(out[out["url"] == "u0"]["payload"])
+
+
+def test_pdf_info_round_trip():
+    """M10: /Info dict written by the synthetic writer is recoverable,
+    pdfplumber-shaped (slash-less keys, insertion order preserved)."""
+    from sciscraper_ray.sources.pdf_write import build_pdf
+    from sciscraper_ray.stages.pdf_parse import extract_pdf_info, extract_pdf_pages
+
+    pdf = build_pdf(
+        ["hello world"],
+        info={"Title": "Doc (1)", "doi": "10.5555/meta.8", "arxiv": "2345.6789"},
+    )
+    info = extract_pdf_info(pdf)
+    assert info == {
+        "Title": "Doc (1)", "doi": "10.5555/meta.8", "arxiv": "2345.6789"
+    }
+    assert list(info) == ["Title", "doi", "arxiv"]  # on-disk order
+    assert extract_pdf_pages(pdf) == ["hello world"]  # text unharmed
+    assert extract_pdf_info(build_pdf(["x"])) == {}  # no Info -> {}
+
+
+def test_metadata_probe_order_and_raw_value():
+    """M8 (doifrompdf.py:55-82): fixed probe order doi >
+    pdf2doi_identifier > arxiv (replacing the reference's set iteration);
+    the RAW value is returned with the KEY as identifier type."""
+    from sciscraper_ray.kernels.identifiers import find_identifier_in_metadata
+
+    meta = {
+        "arxiv": "2345.1111",
+        "pdf2doi_identifier": "10.4444/p.1",
+        "doi": "RAW-VALUE-NOT-NORMALIZED",
+    }
+    assert find_identifier_in_metadata(meta) == ("RAW-VALUE-NOT-NORMALIZED", "doi")
+    del meta["doi"]
+    assert find_identifier_in_metadata(meta) == ("10.4444/p.1", "pdf2doi_identifier")
+    del meta["pdf2doi_identifier"]
+    assert find_identifier_in_metadata(meta) == ("2345.1111", "arxiv")
+    assert find_identifier_in_metadata({"Title": "x"}) is None
+    assert find_identifier_in_metadata({"doi": ""}) is None  # falsy skipped
+
+
+def test_pdf_info_scan_last_value_wins():
+    """M9 (doifrompdf.py:85-111): the loop overwrites result per value —
+    only the LAST value's outcome survives; '/wps-journaldoi' is skipped."""
+    from sciscraper_ray.kernels.identifiers import find_identifier_in_pdf_info
+
+    hit_then_miss = {"Title": "see doi:10.3333/x.1 inside", "Producer": "none"}
+    assert find_identifier_in_pdf_info(hit_then_miss) is None
+    miss_then_hit = {"Producer": "none", "Title": "see doi:10.3333/x.1 inside"}
+    assert find_identifier_in_pdf_info(miss_then_hit) == ("10.3333/x.1", "doi")
+    excluded = {"/wps-journaldoi": "doi:10.9999/skip.me"}
+    assert find_identifier_in_pdf_info(excluded) is None
