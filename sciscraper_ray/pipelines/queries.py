@@ -1215,13 +1215,16 @@ def knn_cosine(sf_dir: str):
     return merged.select_columns(["qid", "neighbor", "rank"])
 
 
-@register("ann_ivf")  # approximate -> rows-only driver check; recall vs
-# brute force is asserted in tests/test_ann.py.
+@register("ann_ivf")  # approximate -> rows-only driver check; recall AND
+# compute pruning are asserted in tests/test_ann.py.
 def ann_ivf(sf_dir: str):
-    """IVF-style ANN: deterministic centroids (seeded greedy + Lloyd),
-    corpus bucketed by nearest centroid in one streamed pass, queries probe
-    the nprobe=8 of 16 nearest buckets (recall ~0.8 vs brute force on the
-    synthetic clustered embeddings; asserted in tests/test_ann.py)."""
+    """IVF ANN with REAL pruning: deterministic centroids (seeded greedy +
+    Lloyd), corpus bucketed by nearest centroid, then SORTED by bucket —
+    the one (key-only-sized) shuffle that physically co-locates each
+    bucket so blocks hold few buckets. The search kernel multiplies ONLY
+    rows whose bucket is probed (nprobe=8 of 16) by some query
+    (stages/ann.py pruned_search_batch; round-1 version computed the full
+    cosine matrix before filtering — same compute as brute force)."""
     import ray
     import ray.data
 
@@ -1229,15 +1232,15 @@ def ann_ivf(sf_dir: str):
         CentroidAssign,
         cosine_matrix,
         pick_centroids,
+        pruned_search_batch,
         topk_reduce,
         _stack,
     )
-    import pandas as pd
 
     qids, qmat = _query_vectors(sf_dir)
-    import pyarrow.parquet as pq
+    import pyarrow.parquet as pq_
 
-    sample = pq.read_table(
+    sample = pq_.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["embedding"]
     ).slice(0, 256)
     cents = pick_centroids(_stack(sample["embedding"]), n_centroids=16)
@@ -1249,34 +1252,101 @@ def ann_ivf(sf_dir: str):
     bucketed = ds.map_batches(
         CentroidAssign(centroids_ref=cents_ref),
         batch_format="pyarrow",
-    )
-    probe = np.argsort(-cosine_matrix(qmat, cents), axis=1)[:, :8]
-
-    def search(batch: pa.Table) -> pa.Table:
-        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        buckets = batch["bucket"].to_numpy(zero_copy_only=False)
-        v = _stack(batch["embedding"])
-        sims = cosine_matrix(qmat, v)
-        rows_q, rows_n, rows_s = [], [], []
-        for qi in range(len(qids)):
-            in_probe = np.isin(buckets, probe[qi]) & (vids != qids[qi])
-            if not in_probe.any():
-                continue
-            cand = np.nonzero(in_probe)[0]
-            order = cand[np.lexsort((vids[cand], -sims[qi, cand]))][:ANN_K]
-            rows_q.extend([qids[qi]] * len(order))
-            rows_n.extend(vids[order].tolist())
-            rows_s.extend(sims[qi, order].tolist())
-        return pa.table(
-            {
-                "qid": pa.array(rows_q, type=pa.int64()),
-                "neighbor": pa.array(rows_n, type=pa.int64()),
-                "sim": pa.array(rows_s, type=pa.float64()),
-            }
-        )
+    ).sort("bucket")
+    # (nq, 16) bool: nprobe nearest centroids per query
+    order = np.argsort(-cosine_matrix(qmat, cents), axis=1)[:, :8]
+    probe = np.zeros((len(qids), 16), dtype=bool)
+    np.put_along_axis(probe, order, True, axis=1)
 
     merged = (
-        bucketed.map_batches(search, batch_format="pyarrow")
+        bucketed.map_batches(
+            lambda b: pruned_search_batch(b, qids, qmat, probe, ANN_K)[0],
+            batch_format="pyarrow",
+        )
+        .groupby("qid")
+        .map_groups(lambda g: topk_reduce(g, ANN_K), batch_format="pandas")
+    )
+    return merged.select_columns(["qid", "neighbor", "rank"])
+
+
+def _srp_bucket_sql(col: str) -> str:
+    """The SRP bucket id as a SQL expression over the SAME plane literals
+    the Ray side uses (repr round-trips float64 exactly; dot products
+    accumulate in DOUBLE on both sides)."""
+    from sciscraper_ray.stages.ann import srp_planes
+
+    terms = []
+    for j, plane in enumerate(srp_planes()):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        terms.append(
+            f"CASE WHEN list_dot_product(CAST({col} AS DOUBLE[]), [{lits}])"
+            f" >= 0 THEN {1 << j} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "ann_srp_bucketed",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding, {_srp_bucket_sql("embedding")} AS bucket FROM embeddings
+    ), q AS (
+        SELECT vec_id AS qid, embedding AS qe, bucket AS qb
+        FROM v WHERE vec_id < {N_ANN_QUERIES}
+    ), s AS (
+        SELECT qid, v.vec_id AS neighbor,
+               list_cosine_similarity(qe, v.embedding) AS sim
+        FROM q, v
+        WHERE v.vec_id <> qid AND bit_count(xor(v.bucket, qb)) <= 2
+    )
+    SELECT qid, neighbor, rank FROM (
+        SELECT qid, neighbor,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY sim DESC, neighbor ASC
+               ) AS rank
+        FROM s
+    ) WHERE rank <= {ANN_K}
+    """,
+)
+def ann_srp_bucketed(sf_dir: str):
+    """LSH-bucketed ANN with a FULL SQL oracle: seeded signed-random-
+    projection buckets (64 = 2^6, data-independent so both sides compute
+    identical bucket ids from embedded plane literals), corpus sorted by
+    bucket (the partitioning shuffle), queries multi-probe buckets within
+    hamming distance 2 of their own (22 of 64 — ~1/3 of the corpus
+    scanned, a ~3x prune; the synthetic neighbors sit at cosine ~0.3,
+    where tighter probes trade too much recall), exact cosine top-k
+    within the probed buckets. Deterministic
+    by construction, so the driver value-hash check applies — the oracle
+    coverage the centroid IVF (k-means is data-dependent) cannot have."""
+    import ray.data
+
+    from sciscraper_ray.stages.ann import (
+        ANN_SRP_BITS,
+        SrpBucketAssign,
+        hamming_probe_mask,
+        pruned_search_batch,
+        srp_bucket_of,
+        srp_planes,
+        topk_reduce,
+    )
+
+    planes = srp_planes()
+    qids, qmat = _query_vectors(sf_dir)
+    probe = hamming_probe_mask(
+        srp_bucket_of(qmat, planes), 1 << ANN_SRP_BITS, max_hamming=2
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    bucketed = ds.map_batches(
+        SrpBucketAssign(planes), batch_format="pyarrow"
+    ).sort("bucket")
+    merged = (
+        bucketed.map_batches(
+            lambda b: pruned_search_batch(b, qids, qmat, probe, ANN_K)[0],
+            batch_format="pyarrow",
+        )
         .groupby("qid")
         .map_groups(lambda g: topk_reduce(g, ANN_K), batch_format="pandas")
     )

@@ -113,3 +113,102 @@ class CentroidAssign:
         v = _stack(batch[self.vec_col])
         assign = np.argmax(cosine_matrix(self.centroids, v), axis=0)
         return batch.append_column("bucket", pa.array(assign.astype(np.int64)))
+
+
+ANN_SRP_BITS = 6  # 64 buckets
+
+
+def srp_planes(dim: int = 64, bits: int = ANN_SRP_BITS, seed: int = 7) -> np.ndarray:
+    """Seeded signed-random-projection hyperplanes, ROUNDED to 6 decimals
+    so the exact same plane values can be embedded as SQL literals (repr
+    round-trips; the oracle computes identical sign bits)."""
+    rng = np.random.default_rng(seed)
+    return np.round(rng.standard_normal((bits, dim)), 6)
+
+
+def srp_bucket_of(vectors: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, d) -> int64 bucket ids: bit j set iff dot(v, plane_j) >= 0."""
+    signs = (vectors @ planes.T) >= 0  # (n, bits)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return signs.astype(np.int64) @ weights
+
+
+class SrpBucketAssign:
+    """map_batches stage: append the SRP bucket id column."""
+
+    def __init__(self, planes: np.ndarray, vec_col: str = "embedding"):
+        self.planes = planes
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = _stack(batch[self.vec_col])
+        return batch.append_column(
+            "bucket", pa.array(srp_bucket_of(v, self.planes))
+        )
+
+
+def hamming_probe_mask(query_buckets: np.ndarray, n_buckets: int, max_hamming: int = 1) -> np.ndarray:
+    """(nq, n_buckets) bool: probe buckets within hamming distance of each
+    query's bucket (multi-probe LSH)."""
+    all_b = np.arange(n_buckets, dtype=np.int64)
+    x = np.bitwise_xor(query_buckets[:, None], all_b[None, :]).astype(np.uint64)
+    from sciscraper_ray.stages.dedup import hamming64
+
+    return hamming64(x, np.zeros_like(x)) <= max_hamming
+
+
+def pruned_search_batch(
+    batch: pa.Table,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    probe_mask: np.ndarray,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[pa.Table, int]:
+    """Bucket-pruned exact-cosine partial top-k over ONE bucketed batch.
+
+    ``probe_mask``: (nq, n_buckets) bool — which buckets each query probes.
+    Only rows whose bucket is probed by SOME query are multiplied at all
+    (the IVF contract: after the corpus is sorted/partitioned by bucket,
+    most blocks contain no probed bucket for most queries and the matmul
+    shrinks to the probed fraction). Returns (partial rows, n_scanned) —
+    the second element is the pruning evidence tests assert on.
+    """
+    empty = pa.table(
+        {
+            "qid": pa.array([], type=pa.int64()),
+            "neighbor": pa.array([], type=pa.int64()),
+            "sim": pa.array([], type=pa.float64()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty, 0
+    buckets = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    probed_any = probe_mask[:, buckets]  # (nq, n_rows)
+    row_used = probed_any.any(axis=0)
+    n_scanned = int(row_used.sum())
+    if n_scanned == 0:
+        return empty, 0
+    idx = np.nonzero(row_used)[0]
+    sub = batch.take(pa.array(idx))
+    vids = sub[id_col].to_numpy(zero_copy_only=False)
+    sims = cosine_matrix(qmat, _stack(sub[vec_col]))  # (nq, n_scanned)
+    rows_q, rows_n, rows_s = [], [], []
+    for qi in range(len(qids)):
+        mask = probed_any[qi, idx] & (vids != qids[qi])
+        cand = np.nonzero(mask)[0]
+        if not len(cand):
+            continue
+        order = cand[np.lexsort((vids[cand], -sims[qi, cand]))][:k]
+        rows_q.extend([qids[qi]] * len(order))
+        rows_n.extend(vids[order].tolist())
+        rows_s.extend(sims[qi, order].tolist())
+    out = pa.table(
+        {
+            "qid": pa.array(rows_q, type=pa.int64()),
+            "neighbor": pa.array(rows_n, type=pa.int64()),
+            "sim": pa.array(rows_s, type=pa.float64()),
+        }
+    )
+    return out, n_scanned

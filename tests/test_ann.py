@@ -45,3 +45,54 @@ def test_ivf_recall_vs_brute_force():
     a = {(r.qid, r.neighbor) for r in approx.itertuples()}
     recall = len(e & a) / len(e)
     assert recall >= 0.7, recall
+
+
+def test_pruned_search_scans_only_probed_buckets():
+    """VERDICT r1: the IVF search must NOT multiply the whole corpus —
+    only rows whose bucket is probed by some query are scanned."""
+    import pyarrow as pa
+
+    from sciscraper_ray.stages.ann import pruned_search_batch
+
+    rng = np.random.default_rng(3)
+    n, d, n_buckets = 400, 16, 8
+    vec = rng.standard_normal((n, d))
+    buckets = np.arange(n) % n_buckets
+    batch = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(vec.tolist(), pa.list_(pa.float64())),
+            "bucket": pa.array(buckets, pa.int64()),
+        }
+    )
+    qids = np.array([10_000, 10_001])
+    qmat = rng.standard_normal((2, d))
+    probe = np.zeros((2, n_buckets), dtype=bool)
+    probe[0, [0, 1]] = True  # query 0 probes buckets {0,1}
+    probe[1, [1, 2]] = True  # query 1 probes buckets {1,2}
+    out, n_scanned = pruned_search_batch(batch, qids, qmat, probe, k=5)
+    # union of probed buckets {0,1,2} = 3/8 of rows — nothing else scanned
+    assert n_scanned == n // n_buckets * 3
+    assert n_scanned < n
+    got = out.to_pandas()
+    # results only from each query's OWN probed buckets
+    for qi, allowed in ((10_000, {0, 1}), (10_001, {1, 2})):
+        nb = got[got.qid == qi]["neighbor"]
+        assert len(nb) == 5
+        assert set(buckets[nb.to_numpy()]) <= allowed
+    # empty probe -> nothing scanned
+    _, zero = pruned_search_batch(batch, qids, qmat, np.zeros_like(probe), 5)
+    assert zero == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_srp_bucketed_recall_vs_brute_force():
+    from sciscraper_ray.pipelines.queries import ann_srp_bucketed, knn_cosine
+
+    sf = "/root/testdata/sf0.01"
+    exact = knn_cosine(sf).to_pandas()
+    approx = ann_srp_bucketed(sf).to_pandas()
+    e = {(r.qid, r.neighbor) for r in exact.itertuples()}
+    a = {(r.qid, r.neighbor) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, recall  # hamming<=2 multiprobe scans ~1/3 of corpus
