@@ -49,13 +49,13 @@ _SQL_TOKENS = "string_split(lower(trim(text)), ' ')"
 
 # Per-document matched-term counts ranked like Counter.most_common:
 # count desc, first-occurrence asc (docscraper.py:83-87).
-def _sql_ranked(word_sql: str) -> str:
+def _sql_ranked(word_sql: str, table: str = "documents") -> str:
     return f"""
     WITH toks AS (
         SELECT doc_id,
                unnest({_SQL_TOKENS}) AS token,
                unnest(range(len({_SQL_TOKENS}))) AS ord
-        FROM documents
+        FROM {table}
     ), counts AS (
         SELECT doc_id, token, count(*) AS cnt, min(ord) AS first_ord
         FROM toks WHERE token IN {word_sql}
@@ -101,8 +101,14 @@ def doc_tokenize(sf_dir: str):
     return _docs(sf_dir).map_batches(count_tokens, batch_format="pyarrow")
 
 
-_WORDSCORE_SQL = f"""
-    {_sql_ranked(sql_in_list(TARGET_WORDS))},
+def _wordscore_sql(
+    tgt_sql: str, byc_sql: str, table: str = "documents"
+) -> str:
+    """The wordscore oracle body, parameterized by word-set IN-lists and
+    source relation (so the same SQL serves the synthetic vocabulary, the
+    enrichment CTE, and the reference word lists)."""
+    return f"""
+    {_sql_ranked(tgt_sql, table)},
     tgt AS (
         SELECT doc_id, SUM(cnt) AS s FROM ranked WHERE rnk <= 3 GROUP BY doc_id
     ),
@@ -110,10 +116,10 @@ _WORDSCORE_SQL = f"""
         SELECT doc_id,
                unnest({_SQL_TOKENS}) AS token,
                unnest(range(len({_SQL_TOKENS}))) AS ord
-        FROM documents
+        FROM {table}
     ), bcounts AS (
         SELECT doc_id, token, count(*) AS cnt, min(ord) AS first_ord
-        FROM btoks WHERE token IN {sql_in_list(BYCATCH_WORDS)}
+        FROM btoks WHERE token IN {byc_sql}
         GROUP BY doc_id, token
     ), branked AS (
         SELECT doc_id, cnt,
@@ -135,10 +141,15 @@ _WORDSCORE_SQL = f"""
                      + (len({_SQL_TOKENS}) - COALESCE(tgt.s, 0) - COALESCE(byc.s, 0)) * 0.5
                     ) / len({_SQL_TOKENS})))
            END AS wordscore
-    FROM documents d
+    FROM {table} d
     LEFT JOIN tgt ON d.doc_id = tgt.doc_id
     LEFT JOIN byc ON d.doc_id = byc.doc_id
     """
+
+
+_WORDSCORE_SQL = _wordscore_sql(
+    sql_in_list(TARGET_WORDS), sql_in_list(BYCATCH_WORDS)
+)
 
 
 @register("doc_wordscore", oracle=_WORDSCORE_SQL)
@@ -148,6 +159,82 @@ def doc_wordscore(sf_dir: str):
 
     ds = wordscore_pipeline(f"{sf_dir}/documents.parquet")
     return ds.select_columns(
+        ["doc_id", "matching_terms", "bycatch_terms", "total_word_count", "wordscore"]
+    )
+
+
+def _ref_word_sets() -> tuple[frozenset, frozenset, list]:
+    """The reference's PRODUCTION vocabulary (360 target + 120 bycatch
+    words, /root/reference/words/*.txt loaded with the reference's
+    strip().lower() semantics — docscraper.py:110-127) plus a deterministic
+    mapping vocabulary: every single-token word from both sets and 120
+    non-matching fillers. Multi-word entries stay in the SETS (they can
+    never match a single token — reference-identical) but are excluded
+    from the mapping vocabulary so re-tokenization stays aligned."""
+    from sciscraper_ray.words import load_word_file
+
+    tgt = load_word_file("/root/reference/words/target_words.txt")
+    byc = load_word_file("/root/reference/words/bycatch_words.txt")
+    vocab = sorted(w for w in (tgt | byc) if w and " " not in w)
+    vocab += [f"filler{i}" for i in range(120)]
+    return tgt, byc, vocab
+
+
+def _refwords_oracle() -> str:
+    tgt, byc, vocab = _ref_word_sets()
+    n = len(vocab)
+    arr = "[" + ", ".join(f"'{w}'" for w in vocab) + "]"
+    pick = f"({arr})[(length(t)*31 + ascii(t)) % {n} + 1]"
+    mapped = f"""mapped AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_transform({_SQL_TOKENS}, t -> {pick}), ' '
+               ) AS text
+        FROM documents
+    ),"""
+    body = _wordscore_sql(sql_in_list(tgt), sql_in_list(byc), table="mapped")
+    return body.replace("WITH toks AS", f"WITH {mapped}\n    toks AS", 1)
+
+
+@register("doc_wordscore_refwords", oracle=_refwords_oracle())
+def doc_wordscore_refwords(sf_dir: str):
+    """M4/M5 parity on the reference's PRODUCTION word lists (north-star
+    "against its pytest fixtures" closure): document tokens are mapped
+    deterministically into the reference vocabulary (same formula mirrored
+    in the oracle SQL), then the ordinary DocAnalyzer runs with the real
+    360/120-word sets loaded via load_word_file."""
+    from sciscraper_ray.stages.doc_analyzer import DocAnalyzer
+    from sciscraper_ray.kernels.tokenize import format_manuscript
+
+    tgt, byc, vocab = _ref_word_sets()
+    n = len(vocab)
+
+    def remap(batch: pa.Table) -> pa.Table:
+        texts = []
+        for t in batch["text"].to_pylist():
+            toks = format_manuscript(t)
+            texts.append(
+                " ".join(
+                    vocab[(len(tok) * 31 + (ord(tok[0]) if tok else 0)) % n]
+                    for tok in toks
+                )
+            )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(texts, pa.string())}
+        )
+
+    ds = _docs(sf_dir).map_batches(remap, batch_format="pyarrow")
+    out = ds.map_batches(
+        DocAnalyzer,
+        fn_constructor_kwargs={
+            "target_words": tgt,
+            "bycatch_words": byc,
+            "with_parentheticals": False,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return out.select_columns(
         ["doc_id", "matching_terms", "bycatch_terms", "total_word_count", "wordscore"]
     )
 
@@ -432,7 +519,7 @@ def orders_by_region(sf_dir: str):
         ds.map_batches(
             BroadcastLookup,
             fn_constructor_kwargs={"mapping_ref": mapping_ref, "on": "o_custkey"},
-            batch_format="pandas",
+            batch_format="pyarrow",
             concurrency=(1, 4),
         )
         .map_batches(partial, batch_format="pyarrow")
@@ -593,7 +680,7 @@ def enrich_wordscore(sf_dir: str):
     enriched = docs.map_batches(
         BroadcastLookup,
         fn_constructor_kwargs={"mapping_ref": papers_ref, "on": "doi"},
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=(1, 4),
     )
     scored = wordscore_pipeline(enriched)
@@ -724,7 +811,7 @@ def citations_enriched(sf_dir: str):
         .map_batches(
             BroadcastLookup,
             fn_constructor_kwargs={"mapping_ref": papers_ref, "on": "cited"},
-            batch_format="pandas",
+            batch_format="pyarrow",
             concurrency=(1, 4),
         )
     )

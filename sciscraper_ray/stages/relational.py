@@ -46,21 +46,43 @@ def keep_latest_batch(batch: pd.DataFrame, key: str, order: list[str]) -> pd.Dat
 class BroadcastLookup:
     """Actor-pool stage: append columns from a broadcast key→row mapping.
 
-    ``mapping_ref`` is ``ray.put(pandas.DataFrame indexed by key)`` created
-    once on the driver; each actor fetches it once in ``__init__`` (object
-    store read, zero-copy within a node) and merges per batch.
+    ``mapping_ref`` is ``ray.put`` of either a key-indexed pandas DataFrame
+    or an Arrow table with the key column, created once on the driver;
+    each actor fetches it once in ``__init__`` (object store read,
+    zero-copy within a node). Per batch the lookup is Arrow-native —
+    ``pc.index_in`` on the key column + ``take`` on the value columns
+    (misses take null rows) — so an Arrow pipeline never round-trips
+    through pandas just to join, row order is preserved exactly, and
+    payload columns stay zero-copy. Use with ``batch_format="pyarrow"``.
     """
 
     def __init__(self, mapping_ref, on: str):
         import ray
 
-        self.mapping: pd.DataFrame = ray.get(mapping_ref)
+        m = ray.get(mapping_ref)
         self.on = on
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(
-            self.mapping, left_on=self.on, right_index=True, how="left"
+        if isinstance(m, pd.DataFrame):
+            # key = the DataFrame index (the old merge's right_index=True);
+            # ``on`` names the BATCH column, which may differ (o_custkey
+            # batches against a c_custkey-indexed mapping)
+            keys = pa.Array.from_pandas(m.index)
+            values = pa.Table.from_pandas(
+                m.reset_index(drop=True), preserve_index=False
+            )
+        else:  # Arrow table: key column named ``on``
+            keys = m[on]
+            values = m.drop_columns([on])
+        self.keys = (
+            keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
         )
+        self.values = values
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch[self.on], value_set=self.keys)
+        taken = self.values.take(idx)
+        for name in taken.column_names:
+            batch = batch.append_column(name, taken[name])
+        return batch
 
 
 def salted_group_count(

@@ -194,3 +194,64 @@ def test_clean_nested_values_reorder():
     vals = ["plain1", "{'doi': '10.1/x'}", "plain2", "{'other': 1}"]
     # Plain rows first, then unwrapped nested rows (serials.py:66-86).
     assert clean_nested_values(vals, "doi") == ["plain1", "plain2", "10.1/x", ""]
+
+
+def test_reference_word_lists_parity(ray_session):
+    """M4/M5 on the PRODUCTION vocabulary: DocAnalyzer with the reference's
+    real word files (load_word_file = strip().lower per line,
+    docscraper.py:110-127) must agree with a literal transliteration of
+    the reference's Counter/most_common/wordscore logic."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    import ray.data
+    from sciscraper_ray.kernels.tokenize import format_manuscript
+    from sciscraper_ray.stages.doc_analyzer import DocAnalyzer
+    from sciscraper_ray.words import load_word_file
+
+    tgt = load_word_file("/root/reference/words/target_words.txt")
+    byc = load_word_file("/root/reference/words/bycatch_words.txt")
+    assert len(tgt) >= 300 and len(byc) >= 100  # the real lists, not stubs
+
+    vocab = sorted(w for w in (tgt | byc) if w and " " not in w)
+    texts = [
+        " ".join(vocab[(i * 7 + j * 13) % len(vocab)] for j in range(50))
+        + " some unmatched tail words"
+        for i in range(40)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(40)), "text": texts})
+    )
+    got = (
+        ds.map_batches(
+            DocAnalyzer,
+            fn_constructor_kwargs={"target_words": tgt, "bycatch_words": byc},
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # reference transliteration (docscraper.py:55-94, 208-244)
+    def match_terms(tokens, words):
+        freq = Counter(w for w in tokens if w in words)
+        top3 = freq.most_common(3)
+        return sum(c for _, c in top3), top3
+
+    for i, text in enumerate(texts):
+        tokens = format_manuscript(text)
+        t_cnt, t_top = match_terms(tokens, tgt)
+        b_cnt, _ = match_terms(tokens, byc)
+        total = len(tokens)
+        score = (t_cnt * 1.0 + b_cnt * -0.25 + (total - t_cnt - b_cnt) * 0.5) / total
+        score = max(0.0, min(1.0, score))
+        row = got.iloc[i]
+        assert row["matching_terms"] == t_cnt
+        assert row["bycatch_terms"] == b_cnt
+        assert row["total_word_count"] == total
+        assert abs(row["wordscore"] - score) < 1e-12
+        got_top = [(d["token"], d["count"]) for d in row["target_terms_top_3"]]
+        assert got_top == t_top  # Counter insertion-order tie-break
