@@ -1545,10 +1545,56 @@ def doc_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(md5_fingerprint_batch, batch_format="pyarrow")
 
 
-@register("doc_winnow")  # rolling-hash winnowing: not SQL-expressible ->
-# rows-only driver check; determinism asserted in tests/test_textstats.py.
+def _winnow_sql(k: int = 8, window: int = 4) -> str:
+    """Winnowing recomputed from first principles in SQL: Karp-Rabin
+    k-gram hashes via direct polynomial evaluation in HUGEINT (equals the
+    Python rolling form mod 2^61-1), leftmost-min-per-window selection via
+    arg_min over the (h, i) pair packed into one HUGEINT, and the
+    run-length dedup — which equals DISTINCT j, because the leftmost-min
+    rule makes the selected position sequence non-decreasing."""
+    p = (1 << 61) - 1
+    terms = " + ".join(
+        f"CAST(ascii(substr(text, i + {1 + j}, 1)) AS HUGEINT) * {257 ** (k - 1 - j)}"
+        for j in range(k)
+    )
+    return f"""
+    WITH gh AS (
+        SELECT doc_id, i, CAST(({terms}) % {p} AS BIGINT) AS h
+        FROM (
+            SELECT doc_id, text, unnest(range(length(text) - {k - 1})) AS i
+            FROM documents WHERE length(text) >= {k}
+        )
+    ), counts AS (SELECT doc_id, count(*) AS nh FROM gh GROUP BY doc_id),
+    win AS (
+        SELECT doc_id, i AS wstart,
+               arg_min(i, CAST(h AS HUGEINT) * 4294967296 + i) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING
+               ) AS j
+        FROM gh
+    ), sel AS (
+        SELECT DISTINCT w.doc_id, w.j
+        FROM win w JOIN counts c USING (doc_id)
+        WHERE w.wstart <= c.nh - {window}
+    ), fp AS (
+        SELECT s.doc_id, g.h
+        FROM sel s JOIN gh g ON g.doc_id = s.doc_id AND g.i = s.j
+    ), agg AS (
+        SELECT doc_id, count(*) AS n_fingerprints,
+               min(h) AS min_fp, max(h) AS max_fp
+        FROM fp GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_fingerprints, 0) AS n_fingerprints,
+           a.min_fp, a.max_fp
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@register("doc_winnow", oracle=_winnow_sql())
 def doc_winnow(sf_dir: str):
-    """Winnowing document fingerprints (Karp-Rabin k-grams, min-per-window)."""
+    """Winnowing document fingerprints (Karp-Rabin k-grams, min-per-window,
+    Schleimer et al. 2003) — oracle recomputes the full algorithm in SQL."""
     return _docs(sf_dir).map_batches(
         WinnowStage, batch_format="pyarrow", concurrency=(1, 8)
     )

@@ -1,0 +1,116 @@
+"""Pluggable enrichment stage with per-actor rate limiting (SURVEY §2.9).
+
+The reference's IO tier is a family of requests-based scrapers sharing one
+shape: keyed request -> parse JSON/HTML -> record or None on failure, with
+``time.sleep(sleep_val)`` before every request
+(/root/reference/src/webscrapers.py:186-417, :205-213, :252-262;
+downloaders.py:189,305). This module is the engine's contract for that
+tier: the TRANSPORT is an injected callable ``key -> dict | None`` so the
+operator is identical whether the deployment is
+
+- offline (the tested path): a broadcast fixture table turned into a
+  lookup — deterministic, and exactly what the oracle queries exercise
+  through ``BroadcastLookup``; or
+- live: an HTTP client built once per actor in ``transport_factory``
+  (session reuse = the reference's module-global ``client``,
+  webscrapers.py:24) — intentionally not shipped in this offline engine.
+
+Rate limiting is a token bucket per actor (capacity ``burst``, refill
+``rate``/s): the cluster-wide request rate is ``rate × pool size``, so the
+pool's ``concurrency`` is the knob that scales politeness limits with the
+cluster. A fixed ``time.sleep`` per row (the reference's plan) wastes the
+worker when responses are slow; a bucket only blocks when the stage is
+actually ahead of the budget.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable
+
+import pyarrow as pa
+
+
+class TokenBucket:
+    """Deterministic-capacity token bucket: ``acquire`` blocks until a
+    token is available. ``clock``/``sleep`` are injectable for tests."""
+
+    def __init__(
+        self,
+        rate: float,
+        burst: int = 1,
+        clock: Callable[[], float] = time.monotonic,
+        sleep: Callable[[float], None] = time.sleep,
+    ):
+        self.rate = float(rate)
+        self.burst = max(1, int(burst))
+        self.tokens = float(self.burst)
+        self.clock = clock
+        self.sleep = sleep
+        self.last = clock()
+
+    def acquire(self) -> None:
+        while True:
+            now = self.clock()
+            self.tokens = min(
+                self.burst, self.tokens + (now - self.last) * self.rate
+            )
+            self.last = now
+            if self.tokens >= 1.0:
+                self.tokens -= 1.0
+                return
+            self.sleep((1.0 - self.tokens) / self.rate)
+
+
+def table_transport(mapping: dict) -> Callable[[Any], dict | None]:
+    """Offline transport: key -> row dict from a fixture mapping (the
+    broadcast-join deployment of the enrichment contract); miss -> None
+    like a non-200 response (webscrapers.py:205-206)."""
+
+    def fetch(key):
+        return mapping.get(key)
+
+    return fetch
+
+
+class RateLimitedEnrich:
+    """Actor-pool map_batches stage: per-row keyed enrichment.
+
+    ``transport_factory`` runs ONCE per actor in ``__init__`` (build the
+    session/client/broadcast table here); ``out_columns`` declares the
+    emitted schema ``{column: pyarrow type}`` — missing keys and transport
+    errors degrade to null columns, never crash the task (the reference
+    drops such rows as None; the engine keeps them with nulls and lets a
+    final filter decide, SURVEY §4 error semantics).
+
+    Use with ``batch_format="pyarrow"`` and a FIXED ``concurrency`` sized
+    to the external budget: requests/sec = rate × concurrency.
+    """
+
+    def __init__(
+        self,
+        transport_factory: Callable[[], Callable[[Any], dict | None]],
+        on: str,
+        out_columns: dict[str, pa.DataType],
+        rate: float | None = None,
+        burst: int = 4,
+    ):
+        self.transport = transport_factory()
+        self.on = on
+        self.out_columns = dict(out_columns)
+        self.bucket = TokenBucket(rate, burst) if rate else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {name: [] for name in self.out_columns}
+        for key in batch[self.on].to_pylist():
+            if self.bucket is not None:
+                self.bucket.acquire()
+            try:
+                row = self.transport(key) if key is not None else None
+            except Exception:  # noqa: BLE001 — error -> None row (ref :252-262)
+                row = None
+            for name in self.out_columns:
+                cols[name].append(None if row is None else row.get(name))
+        for name, typ in self.out_columns.items():
+            batch = batch.append_column(name, pa.array(cols[name], type=typ))
+        return batch
