@@ -93,11 +93,12 @@ def exact_dedup(
     )
     key_merge, partials = resolve_plan(partials, key_merge, limit=limit)
     if key_merge == "driver":
+        # serial driver step: lexsort + reduceat, no tuple-key groupby
+        # (see extract._segment_reduce)
+        from sciscraper_ray.pipelines.extract import _segment_reduce
+
         merged = driver_frame(partials, limit, "exact_dedup")
-        g = merged.groupby(["h_hi", "h_lo"], sort=False).agg(
-            min_id=("min_id", "min"), cnt=("cnt", "sum")
-        )
-        dups = g[g["cnt"] > 1].reset_index()
+        dups = _segment_reduce(merged, value_col="min_id", reducer=np.minimum)
     else:
         from ray.data.aggregate import Min, Sum
 

@@ -116,6 +116,37 @@ class PayloadExtractor:
         )
 
 
+def _segment_reduce(merged, value_col: str, reducer) -> "object":
+    """Driver-side merge of per-batch key partials: group (h_hi, h_lo),
+    reduce ``value_col`` with ``reducer`` (np.maximum / np.minimum), sum
+    ``cnt``, and keep only keys with cnt > 1. One np.lexsort plus
+    ``reduceat`` segment reductions — all C, no per-group Python, no
+    tuple-key hashing."""
+    import numpy as np
+    import pandas as pd
+
+    if not len(merged):
+        return pd.DataFrame(
+            {"h_hi": [], "h_lo": [], value_col: []}
+        ).astype({"h_hi": "int64", "h_lo": "int64", value_col: "int64"})
+    hi = merged["h_hi"].to_numpy()
+    lo = merged["h_lo"].to_numpy()
+    val = merged[value_col].to_numpy()
+    cnt = merged["cnt"].to_numpy()
+    order = np.lexsort((lo, hi))
+    hi, lo, val, cnt = hi[order], lo[order], val[order], cnt[order]
+    new_seg = np.empty(len(hi), dtype=bool)
+    new_seg[0] = True
+    new_seg[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+    starts = np.nonzero(new_seg)[0]
+    g_val = reducer.reduceat(val, starts)
+    g_cnt = np.add.reduceat(cnt, starts)
+    keep = g_cnt > 1
+    return pd.DataFrame(
+        {"h_hi": hi[starts][keep], "h_lo": lo[starts][keep], value_col: g_val[keep]}
+    )
+
+
 # Second pandas hash key (exactly 16 chars, the pandas requirement): the
 # default-key hash plus this one give two independent 64-bit hashes = one
 # 128-bit url key. 64-bit keys collide ~27k times at 10^12 rows (birthday);
@@ -234,11 +265,15 @@ def keep_latest_by_url(
     key_merge, partials = resolve_plan(partials, key_merge, limit=limit)
 
     if key_merge == "driver":
+        # The merge runs ON THE DRIVER — it is the job's one serial step,
+        # so it must be the fastest possible reduction. A two-int64-key
+        # pandas groupby hashes tuples and measurably throttled the
+        # high-parallelism leg of the scaling bench; one lexsort + C-level
+        # segment reductions (reduceat) is ~an order faster.
         merged = driver_frame(partials, limit, "keep_latest_by_url")
-        g = merged.groupby(["h_hi", "h_lo"], sort=False).agg(
-            max_ts=("max_ts", "max"), cnt=("cnt", "sum")
+        dups = _segment_reduce(
+            merged, value_col="max_ts", reducer=np.maximum
         )
-        dups = g[g["cnt"] > 1].reset_index()
     else:
         dups = (
             partials.groupby(["h_hi", "h_lo"])

@@ -122,12 +122,14 @@ class DocAnalyzer:
             # the payload is open) take precedence over the text step; the
             # text chain only fills rows the metadata probes left empty.
             if "meta_identifier" in batch.column_names:
-                m_ids = batch["meta_identifier"].to_pylist()
-                m_kinds = batch["meta_identifier_type"].to_pylist()
-                for i, (mi, mk) in enumerate(zip(m_ids, m_kinds)):
-                    if mi is not None:
-                        ids[i] = mi
-                        kinds[i] = mk
+                meta_col = batch["meta_identifier"]
+                if meta_col.null_count < len(meta_col):  # skip all-HTML batches
+                    m_ids = meta_col.to_pylist()
+                    m_kinds = batch["meta_identifier_type"].to_pylist()
+                    for i, (mi, mk) in enumerate(zip(m_ids, m_kinds)):
+                        if mi is not None:
+                            ids[i] = mi
+                            kinds[i] = mk
                 batch = batch.drop_columns(
                     ["meta_identifier", "meta_identifier_type"]
                 )
