@@ -38,29 +38,16 @@ def exact_dedup(
 ) -> ray.data.Dataset:
     """Keep the lowest-id row per distinct text.
 
-    Same two-pass shape as ``keep_latest_by_url``: pass 1 reduces
-    (content-hash, min-id, count) per batch and merges the partials
-    (driver-side vectorized below the plan limit, the distributed groupby
-    above it — ``key_merge='auto'`` flips by measured key count, see
-    pipelines/plan.py); only hashes that actually collide are broadcast,
-    and pass 2 filters the full rows without any payload shuffle or
-    per-group Python. Keys are the FULL 128-bit md5, carried as (h_hi,
-    h_lo) int64 pairs — collision-safe at 10^12 rows."""
-    import pyarrow.compute as pc
-
-    from sciscraper_ray.pipelines.plan import (
-        DRIVER_PLAN_LIMIT,
-        driver_frame,
-        resolve_plan,
-    )
-
-    limit = driver_merge_limit or DRIVER_PLAN_LIMIT
+    A deployment of the shared ``winner_filter`` two-pass plan
+    (pipelines/winner.py): key = the FULL 128-bit md5 of the text, value
+    = doc id, winner = min. Null-text rows are NOT duplicates of each
+    other — a shared sentinel hash would collapse every failed-extraction
+    row into one survivor — so they carry valid=False and are excluded
+    from dup detection entirely. Pass 1 reads only (id, text); pass 2
+    streams full rows through the Arrow-native winner filter."""
+    from sciscraper_ray.pipelines.winner import WinnerSpec, winner_filter
 
     def hash128(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(h_hi, h_lo, valid_mask). Null-text rows are NOT duplicates of
-        each other — a shared sentinel hash would collapse every
-        failed-extraction row into one survivor — so they carry
-        valid=False and are excluded from dup detection entirely."""
         hexes = content_hash_batch(batch, text_col).to_pylist()
         valid = np.array([h is not None for h in hexes], dtype=bool)
         hi = np.array(
@@ -73,70 +60,20 @@ def exact_dedup(
         )
         return hi, lo, valid
 
-    def key_partial(batch: pa.Table) -> pd.DataFrame:
-        hi, lo, valid = hash128(batch)
-        df = pd.DataFrame(
-            {
-                "h_hi": hi[valid],
-                "h_lo": lo[valid],
-                "i": batch[id_col].to_numpy(zero_copy_only=False)[valid],
-            }
-        )
-        return (
-            df.groupby(["h_hi", "h_lo"], sort=False)
-            .agg(min_id=("i", "min"), cnt=("i", "size"))
-            .reset_index()
-        )
-
-    partials = ds.select_columns([id_col, text_col]).map_batches(
-        key_partial, batch_format="pyarrow"
+    spec = WinnerSpec(
+        keys=hash128,
+        value=lambda b: b[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+        np_reducer=np.minimum,
+        agg_name="min",
+        what="exact_dedup",
     )
-    key_merge, partials = resolve_plan(partials, key_merge, limit=limit)
-    if key_merge == "driver":
-        # serial driver step: lexsort + reduceat, no tuple-key groupby
-        # (see extract._segment_reduce)
-        from sciscraper_ray.pipelines.extract import _segment_reduce
-
-        merged = driver_frame(partials, limit, "exact_dedup")
-        dups = _segment_reduce(merged, value_col="min_id", reducer=np.minimum)
-    else:
-        from ray.data.aggregate import Min, Sum
-
-        dups = (
-            partials.groupby(["h_hi", "h_lo"])
-            .aggregate(Min(on="min_id", alias_name="min_id"),
-                       Sum(on="cnt", alias_name="cnt"))
-            .map_batches(
-                lambda b: b.filter(pc.greater(b["cnt"], 1)),
-                batch_format="pyarrow",
-            )
-        ).to_pandas()
-
-    # Broadcast (h_hi, h_lo) -> min_id for colliding hashes only; Int64
-    # keeps the per-batch left-merge exact (no float round-trip).
-    dups = dups[["h_hi", "h_lo", "min_id"]].astype(
-        {"h_hi": "int64", "h_lo": "int64", "min_id": "Int64"}
+    return winner_filter(
+        ds,
+        spec,
+        keys_source=ds.select_columns([id_col, text_col]),
+        key_merge=key_merge,
+        driver_merge_limit=driver_merge_limit,
     )
-    refs = ray.put(dups)
-
-    def keep_first(batch: pa.Table) -> pa.Table:
-        dups_df = ray.get(refs)
-        if not len(dups_df):
-            return batch
-        hi, lo, valid = hash128(batch)
-        if not np.isin(hi, dups_df["h_hi"].to_numpy()).any():
-            return batch
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        left = pd.DataFrame({"h_hi": hi, "h_lo": lo, "i": ids})
-        m = left.merge(dups_df, on=["h_hi", "h_lo"], how="left")
-        in_dup = m["min_id"].notna().to_numpy() & valid
-        is_winner = (
-            m["i"].astype("Int64").eq(m["min_id"]).fillna(False).to_numpy(bool)
-        )
-        keep = ~in_dup | is_winner
-        return batch.filter(pa.array(keep))
-
-    return ds.map_batches(keep_first, batch_format="pyarrow")
 
 
 def _candidate_pairs(

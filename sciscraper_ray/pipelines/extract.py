@@ -116,37 +116,6 @@ class PayloadExtractor:
         )
 
 
-def _segment_reduce(merged, value_col: str, reducer) -> "object":
-    """Driver-side merge of per-batch key partials: group (h_hi, h_lo),
-    reduce ``value_col`` with ``reducer`` (np.maximum / np.minimum), sum
-    ``cnt``, and keep only keys with cnt > 1. One np.lexsort plus
-    ``reduceat`` segment reductions — all C, no per-group Python, no
-    tuple-key hashing."""
-    import numpy as np
-    import pandas as pd
-
-    if not len(merged):
-        return pd.DataFrame(
-            {"h_hi": [], "h_lo": [], value_col: []}
-        ).astype({"h_hi": "int64", "h_lo": "int64", value_col: "int64"})
-    hi = merged["h_hi"].to_numpy()
-    lo = merged["h_lo"].to_numpy()
-    val = merged[value_col].to_numpy()
-    cnt = merged["cnt"].to_numpy()
-    order = np.lexsort((lo, hi))
-    hi, lo, val, cnt = hi[order], lo[order], val[order], cnt[order]
-    new_seg = np.empty(len(hi), dtype=bool)
-    new_seg[0] = True
-    new_seg[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
-    starts = np.nonzero(new_seg)[0]
-    g_val = reducer.reduceat(val, starts)
-    g_cnt = np.add.reduceat(cnt, starts)
-    keep = g_cnt > 1
-    return pd.DataFrame(
-        {"h_hi": hi[starts][keep], "h_lo": lo[starts][keep], value_col: g_val[keep]}
-    )
-
-
 # Second pandas hash key (exactly 16 chars, the pandas requirement): the
 # default-key hash plus this one give two independent 64-bit hashes = one
 # 128-bit url key. 64-bit keys collide ~27k times at 10^12 rows (birthday);
@@ -206,130 +175,38 @@ def keep_latest_by_url(
     driver_merge_limit: int | None = None,
 ) -> ray.data.Dataset:
     """Exact dedup, keep-latest fetch per url (SURVEY §2.6) — WITHOUT
-    moving payloads through a shuffle.
+    moving payloads through a shuffle. A deployment of the shared
+    ``winner_filter`` two-pass plan (pipelines/winner.py): key = 128-bit
+    url hash, value = warc_ts epoch-us, winner = max, with the
+    first-seen tie-break for identical (url, ts) fetches.
 
-    Pass 1 projects only the key columns (a column-pruned parquet read at
-    scale), shuffles those tiny rows by url, and finds the urls with >1
-    fetch plus each one's max warc_ts. Pass 2 broadcasts that winner table
-    (``ray.put`` once; duplicates are assumed ≪ corpus, the Common-Crawl
-    case) and streams the full rows through a key filter. Payload bytes
-    never enter an all-to-all exchange.
-
-    Keys are 128-bit url hashes carried as (h_hi, h_lo) int64 pairs —
-    collision-safe at 10^12 rows. ``key_merge='auto'`` (default) picks the
-    driver merge below ``driver_merge_limit`` keys and the distributed
-    shuffle above it (see pipelines/plan.py for the tradeoff).
-
-    Every step is a vectorized aggregate — no per-group Python
-    (``map_groups`` over millions of url groups is itself a serial
-    bottleneck): per-batch partials shrink the key shuffle to ≤1 row per
-    (url, batch), the global max/count runs in the C++ kernels, and only
-    urls that actually have >1 fetch reach the driver.
+    Hashing the url BEFORE the shuffle matters twice at scale: the
+    sort-exchange moves 16-byte int pairs instead of full url strings,
+    and the range-sort itself is an integer sort (utf8 comparisons were
+    the dominant cost of this pass). ``keys_source`` lets path callers
+    pass a column-pruned parquet read for pass 1.
     """
     import numpy as np
-    import pandas as pd
-    import pyarrow.compute as _pc
 
-    import ray as _ray
-    from ray.data.aggregate import Max, Sum
+    from sciscraper_ray.pipelines.winner import WinnerSpec, winner_filter
 
-    from sciscraper_ray.pipelines.plan import (
-        DRIVER_PLAN_LIMIT,
-        driver_frame,
-        resolve_plan,
+    spec = WinnerSpec(
+        keys=lambda b: (*_url_hash128(b, url_col), None),
+        value=lambda b: _ts_us_i64(b[ts_col]),
+        np_reducer=np.maximum,
+        agg_name="max",
+        first_seen_tiebreak=True,
+        what="keep_latest_by_url",
     )
-
-    limit = driver_merge_limit or DRIVER_PLAN_LIMIT
-
-    def key_partial(batch: pa.Table) -> pd.DataFrame:
-        """(url, ts) -> per-batch (h_hi, h_lo, max_ts, cnt).
-
-        Hashing the url BEFORE the shuffle matters twice at scale: the
-        sort-exchange moves 16-byte int pairs instead of full url strings,
-        and the range-sort itself is an integer sort (utf8 comparisons
-        were the dominant cost of this pass). The downstream filter only
-        ever needs hashes, so nothing is lost."""
-        hi, lo = _url_hash128(batch, url_col)
-        ts = _ts_us_i64(batch[ts_col])
-        return (
-            pd.DataFrame({"h_hi": hi, "h_lo": lo, "ts": ts})
-            .groupby(["h_hi", "h_lo"], sort=False)
-            .agg(max_ts=("ts", "max"), cnt=("ts", "size"))
-            .reset_index()
-        )
-
-    keys = keys_source if keys_source is not None else ds.select_columns(
-        [url_col, ts_col]
+    return winner_filter(
+        ds,
+        spec,
+        keys_source=keys_source
+        if keys_source is not None
+        else ds.select_columns([url_col, ts_col]),
+        key_merge=key_merge,
+        driver_merge_limit=driver_merge_limit,
     )
-    partials = keys.map_batches(key_partial, batch_format="pyarrow")
-    key_merge, partials = resolve_plan(partials, key_merge, limit=limit)
-
-    if key_merge == "driver":
-        # The merge runs ON THE DRIVER — it is the job's one serial step,
-        # so it must be the fastest possible reduction. A two-int64-key
-        # pandas groupby hashes tuples and measurably throttled the
-        # high-parallelism leg of the scaling bench; one lexsort + C-level
-        # segment reductions (reduceat) is ~an order faster.
-        merged = driver_frame(partials, limit, "keep_latest_by_url")
-        dups = _segment_reduce(
-            merged, value_col="max_ts", reducer=np.maximum
-        )
-    else:
-        dups = (
-            partials.groupby(["h_hi", "h_lo"])
-            .aggregate(Max(on="max_ts", alias_name="max_ts"),
-                       Sum(on="cnt", alias_name="cnt"))
-            .map_batches(
-                lambda b: b.filter(_pc.greater(b["cnt"], 1)),
-                batch_format="pyarrow",
-            )  # only duplicated urls reach the driver
-        ).to_pandas()
-
-    # Broadcast table: (h_hi, h_lo) -> max_ts for duplicated urls only.
-    # max_ts as pandas nullable Int64 so the per-batch left-merge keeps
-    # exact integer semantics (a float64 round-trip would corrupt int64
-    # timestamps beyond 2^53).
-    dups = dups[["h_hi", "h_lo", "max_ts"]].astype(
-        {"h_hi": "int64", "h_lo": "int64", "max_ts": "Int64"}
-    )
-    refs = _ray.put(dups)
-
-    def keep_latest_filter(batch: pa.Table) -> pa.Table:
-        """Keep a row unless its url has duplicate fetches AND this row is
-        not the (url, max_ts) winner. Arrow-native: only the key columns
-        leave Arrow for hashing — the payload bytes are never converted
-        to Python objects (a pandas batch here would materialize every
-        payload as a bytes object just to drop a few rows). A plain TASK,
-        not an actor pool — the broadcast table comes from the object
-        store via a zero-copy local ``ray.get`` per call."""
-        dups_df = _ray.get(refs)
-        if not len(dups_df):
-            return batch
-        hi, lo = _url_hash128(batch, url_col)
-        # cheap prefilter: most batches have no duplicated urls at all
-        if not np.isin(hi, dups_df["h_hi"].to_numpy()).any():
-            return batch
-        ts = _ts_us_i64(batch[ts_col])
-        left = pd.DataFrame({"h_hi": hi, "h_lo": lo, "ts": ts})
-        # dups_df is unique per (h_hi, h_lo), so the left-merge stays
-        # row-for-row aligned with the batch — a vectorized hash join.
-        m = left.merge(dups_df, on=["h_hi", "h_lo"], how="left")
-        in_dup = m["max_ts"].notna().to_numpy()
-        is_winner = (
-            m["ts"].astype("Int64").eq(m["max_ts"]).fillna(False).to_numpy(bool)
-        )
-        keep = ~in_dup | is_winner
-        # Tie at max warc_ts: a key filter cannot pick among identical
-        # (url, ts) rows, so drop within-batch repeats of a winner key
-        # here (same-url fetches are adjacent in crawl files, so ties
-        # almost always share a batch). Byte-identical rows split across
-        # batches are the documented residual — exact content dedup is
-        # the stage that owns those.
-        first_seen = ~left.duplicated(["h_hi", "h_lo", "ts"]).to_numpy()
-        keep &= ~in_dup | first_seen
-        return batch.filter(pa.array(keep))
-
-    return ds.map_batches(keep_latest_filter, batch_format="pyarrow")
 
 
 def _cluster_cpus(default: int = 8) -> int:

@@ -692,6 +692,58 @@ def enrich_wordscore(sf_dir: str):
     )
 
 
+@register("enrich_ratelimited", oracle=_ENRICH_WORDSCORE_SQL)
+def enrich_ratelimited(sf_dir: str):
+    """The SAME enrichment contract as ``enrich_wordscore``, deployed
+    through the pluggable IO-tier stage instead of the broadcast join:
+    ``RateLimitedEnrich`` with an offline ``table_transport`` built once
+    per actor (the testable deployment of the reference's
+    requests-session scrapers, webscrapers.py:186-262) and a per-actor
+    token bucket. Same oracle — the operator contract (key -> columns,
+    miss -> null) is deployment-independent, which is the §2.9 claim."""
+    import pyarrow.parquet as pq_
+
+    from sciscraper_ray.pipelines.flagship import wordscore_pipeline
+    from sciscraper_ray.stages.enrich import RateLimitedEnrich, table_transport
+
+    ids = pq_.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_pylist()
+    papers = {
+        f"10.90/d{i}": {"title": f"Paper {i}", "times_cited": i * 7 % 1000}
+        for i in ids
+    }
+
+    def add_doi(batch: pa.Table) -> pa.Table:
+        ids_np = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "doi", pa.array([f"10.90/d{i}" for i in ids_np], pa.string())
+        )
+
+    docs = _docs(sf_dir).map_batches(add_doi, batch_format="pyarrow")
+    enriched = docs.map_batches(
+        RateLimitedEnrich,
+        fn_constructor_kwargs={
+            "transport_factory": lambda: table_transport(papers),
+            "on": "doi",
+            "out_columns": {"title": pa.string(), "times_cited": pa.int16()},
+            # budget sized so rate x pool >> rows/sec needed at test scale;
+            # a live deployment would set the external API budget here
+            "rate": 100_000.0,
+            "burst": 64,
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    scored = wordscore_pipeline(enriched)
+    return scored.select_columns(
+        [
+            "doc_id", "doi", "title", "times_cited",
+            "matching_terms", "bycatch_terms", "total_word_count", "wordscore",
+        ]
+    )
+
+
 @register(
     "citation_tally",
     oracle="""
