@@ -1370,24 +1370,19 @@ def ann_ivf(sf_dir: str):
     from sciscraper_ray.stages.ann import (
         CentroidAssign,
         cosine_matrix,
-        pick_centroids,
+        kmeans_fit,
         pruned_search_batch,
         topk_reduce,
-        _stack,
     )
 
     qids, qmat = _query_vectors(sf_dir)
-    import pyarrow.parquet as pq_
-
-    sample = pq_.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
-    ).slice(0, 256)
-    cents = pick_centroids(_stack(sample["embedding"]), n_centroids=16)
-    cents_ref = ray.put(cents)
-
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
+    # distributed Lloyd fit: every vector participates via streamed
+    # (count, vector-sum) partials — not a driver-side sample-only fit
+    cents = kmeans_fit(ds, n_centroids=16, iters=3)
+    cents_ref = ray.put(cents)
     bucketed = ds.map_batches(
         CentroidAssign(centroids_ref=cents_ref),
         batch_format="pyarrow",

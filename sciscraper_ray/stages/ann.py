@@ -100,6 +100,65 @@ def pick_centroids(vectors: np.ndarray, n_centroids: int, seed: int = 42) -> np.
     return cents
 
 
+def kmeans_fit(
+    ds,
+    n_centroids: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    init_sample: int = 256,
+) -> np.ndarray:
+    """Distributed Lloyd k-means over an embedding column.
+
+    Init = seeded greedy selection on a small ``limit()`` sample (cheap,
+    deterministic); then each iteration streams the corpus ONCE through a
+    ``map_batches`` partial that emits (centroid, count, vector-sum) — a
+    k x d table per batch, so the driver reduce is O(k*d*blocks), never
+    O(rows). This replaces the sample-only fit: at 10^12 rows the
+    centroids see every vector, and the per-iteration cost is one
+    embarrassingly-parallel pass plus a tiny driver combine.
+    """
+    import ray as _ray
+    import ray.data  # noqa: F401
+
+    sample = _stack(
+        pa.Table.from_pandas(ds.limit(init_sample).to_pandas())[vec_col]
+    )
+    cents = pick_centroids(sample, n_centroids, seed=seed)
+    k, d = cents.shape
+    for _ in range(iters):
+        cref = _ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = _ray.get(cref)
+            v = _stack(batch[vec_col])
+            assign = np.argmax(cosine_matrix(c, v), axis=0)
+            sums = np.zeros((k, d), np.float64)
+            for j in range(k):  # loop over k (16), not rows
+                members = v[assign == j]
+                if len(members):
+                    sums[j] = members.sum(axis=0)
+            cnts = np.bincount(assign, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "centroid": pa.array(np.arange(k, dtype=np.int64)),
+                    "cnt": pa.array(cnts),
+                    "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        cnt_tot = np.zeros(k, np.int64)
+        sum_tot = np.zeros((k, d), np.float64)
+        for cid, cnt, vsum in zip(parts["centroid"], parts["cnt"], parts["vsum"]):
+            cnt_tot[cid] += cnt
+            sum_tot[cid] += np.asarray(vsum)
+        nonempty = cnt_tot > 0
+        cents = cents.copy()
+        cents[nonempty] = sum_tot[nonempty] / cnt_tot[nonempty, None]
+    return cents
+
+
 class CentroidAssign:
     """map_batches stage: append nearest-centroid bucket id."""
 

@@ -96,3 +96,28 @@ def test_srp_bucketed_recall_vs_brute_force():
     a = {(r.qid, r.neighbor) for r in approx.itertuples()}
     recall = len(e & a) / len(e)
     assert recall >= 0.4, recall  # hamming<=2 multiprobe scans ~1/3 of corpus
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_fit_distributed():
+    """Lloyd iterations stream the corpus via partials; centroids land on
+    the obvious clusters of a separable fixture."""
+    import pyarrow as pa
+
+    import ray.data
+    from sciscraper_ray.stages.ann import cosine_matrix, kmeans_fit
+
+    rng = np.random.default_rng(5)
+    centers = np.eye(4, 16) * 10  # 4 well-separated directions
+    vecs = np.concatenate(
+        [centers[i] + rng.standard_normal((50, 16)) * 0.1 for i in range(4)]
+    )
+    vecs = vecs[rng.permutation(len(vecs))]  # init sample must see all clusters
+    ds = ray.data.from_arrow(
+        pa.table({"embedding": pa.array(vecs.tolist(), pa.list_(pa.float64()))})
+    )
+    cents = kmeans_fit(ds, n_centroids=4, iters=3, init_sample=64)
+    assert cents.shape == (4, 16)
+    # every true center has a fitted centroid at cosine ~1
+    sims = cosine_matrix(centers, cents)
+    assert (sims.max(axis=1) > 0.99).all()
