@@ -1118,6 +1118,134 @@ def _with_copies(sf_dir: str, mod: int, offset: int, drop_last_word: bool):
     return ds.union(ds.map_batches(make_copies, batch_format="pyarrow")).materialize()
 
 
+_SESSION_GAP_MIN = 30
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL {_SESSION_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM o
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           CAST(round(sum(value), 6) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(sf_dir: str):
+    """Gap-based sessionization (§2.10 streaming-shaped): per user, a new
+    session starts when the gap to the previous event exceeds
+    {gap} minutes. Partitioning contract: ONE shuffle on user_id
+    (map_groups), each group sessionized with a vectorized diff/cumsum —
+    per-user event history must fit a worker (true for session-shaped
+    data; a mega-user would need time-bucketed pre-splitting, the
+    documented skew caveat)."""
+    import pandas as pd
+
+    import ray.data
+
+    gap_us = _SESSION_GAP_MIN * 60 * 1_000_000
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        new_s = np.ones(len(g), dtype=np.int64)
+        new_s[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sid = np.cumsum(new_s)
+        out = (
+            pd.DataFrame(
+                {
+                    "user_id": g["user_id"],
+                    "session_id": sid,
+                    "ts": g["ts"],
+                    "value": g["value"],
+                }
+            )
+            .groupby("session_id", sort=True)
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                n_events=("ts", "size"),
+                sum_value=("value", "sum"),
+            )
+            .reset_index()
+        )
+        out["sum_value"] = out["sum_value"].round(6)
+        return out[
+            ["user_id", "session_id", "session_start", "session_end",
+             "n_events", "sum_value"]
+        ]
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+def _hll_oracle() -> str:
+    """The HLL register table recomputed from first principles in SQL:
+    the same md5-derived 60-bit hash (hex parsed positionally), the same
+    bucket split, the same MSB-position rho (DuckDB's bin() has no
+    leading zeros, so length(bin(rem)) IS the bit length; rem = 0 is
+    special-cased to 55 exactly like Python's bit_length())."""
+    hexsum = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), {j + 1}, 1)) - 1) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    return f"""
+    WITH h AS (
+        SELECT ({hexsum}) AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ), r AS (
+        SELECT hv % 64 AS bucket,
+               CASE WHEN hv // 64 = 0 THEN 55
+                    ELSE 54 - length(bin(hv // 64)) + 1 END AS rho
+        FROM h
+    )
+    SELECT bucket, max(rho) AS max_rho FROM r GROUP BY bucket
+    """
+
+
+@register("hll_distinct_users", oracle=_hll_oracle())
+def hll_distinct_users(sf_dir: str):
+    """Distributed HyperLogLog over events.user_id (the custom-sketch
+    operator class): per-batch partial registers (≤64 rows/batch), one
+    tiny groupby(bucket).max merge — driver reads 64 rows regardless of
+    corpus size. The oracle recomputes the register table exactly;
+    estimate accuracy is unit-tested (tests/test_sketch.py)."""
+    import ray.data
+    from ray.data.aggregate import Max
+
+    from sciscraper_ray.stages.sketch import hll_partial_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    return (
+        ds.map_batches(
+            lambda b: hll_partial_batch(b, "user_id"), batch_format="pyarrow"
+        )
+        .groupby("bucket")
+        .aggregate(Max(on="rho", alias_name="max_rho"))
+    )
+
+
 @register(
     "dedup_exact",
     oracle="SELECT doc_id, text FROM documents",

@@ -1,0 +1,63 @@
+"""Distributed cardinality sketch: HyperLogLog (Flajolet et al. 2007).
+
+The textbook distributed-sketch shape on Ray Data: ``map_batches`` emits a
+PARTIAL register table (≤ m rows per batch — (bucket, max rho)), a tiny
+``groupby(bucket).aggregate(Max)`` merges them, and the driver reads m
+rows total regardless of corpus size. Registers are built from an
+md5-derived hash so an exact SQL oracle can recompute the IDENTICAL
+register table from first principles (the estimate itself is then a pure
+function of the registers, unit-tested for accuracy).
+
+Hash layout (mirrored in the oracle SQL): h = first 15 hex chars of
+md5(str(value)) as a 60-bit int; bucket = h % m; rho = position of the
+most significant 1-bit of the remaining 54 bits counted from the top
+(all-zero remainder -> 55).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+M_BUCKETS = 64
+_REM_BITS = 60 - 6  # 54
+
+
+def hll_partial_batch(batch: pa.Table, col: str) -> pa.Table:
+    """Per-batch partial registers: (bucket, rho) with rho already maxed
+    within the batch — at most ``M_BUCKETS`` rows leave the task."""
+    regs = np.zeros(M_BUCKETS, np.int64)
+    for v in batch[col].to_pylist():
+        if v is None:
+            continue
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        b = h % M_BUCKETS
+        rem = h >> 6
+        rho = 55 if rem == 0 else _REM_BITS - rem.bit_length() + 1
+        if rho > regs[b]:
+            regs[b] = rho
+    hit = np.nonzero(regs)[0]
+    return pa.table(
+        {
+            "bucket": pa.array(hit.astype(np.int64)),
+            "rho": pa.array(regs[hit]),
+        }
+    )
+
+
+def hll_estimate(registers: dict[int, int], m: int = M_BUCKETS) -> float:
+    """Standard HLL estimate from merged registers (missing buckets are
+    zero), with the small-range linear-counting correction."""
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)
+    )
+    regs = np.zeros(m, np.float64)
+    for b, r in registers.items():
+        regs[b] = r
+    est = alpha * m * m / np.sum(np.power(2.0, -regs))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
