@@ -1118,6 +1118,183 @@ def _with_copies(sf_dir: str, mod: int, offset: int, drop_last_word: bool):
     return ds.union(ds.map_batches(make_copies, batch_format="pyarrow")).materialize()
 
 
+def _md5_mod_sql(expr: str, mod: int) -> str:
+    """(first 15 hex chars of md5(expr) as int) % mod — the deterministic
+    hash both sides share (same positional hex parse as the HLL oracle)."""
+    hexsum = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {j + 1}, 1)) - 1) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    return f"(({hexsum}) % {mod})"
+
+
+def _md5_mod(value, mod: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16) % mod
+
+
+@register(
+    "doc_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_md5_mod_sql("CAST(doc_id AS VARCHAR)", 100)} < 90 THEN 'train'
+                WHEN {_md5_mod_sql("CAST(doc_id AS VARCHAR)", 100)} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def doc_split_assign(sf_dir: str):
+    """Deterministic train/val/test assignment (90/5/5) by content-stable
+    id hash — the split op a training-data pipeline needs to be
+    reproducible across runs, cluster sizes, and partitionings (row
+    position or RNG would not be). Pure map, no shuffle."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        splits = []
+        for i in ids:
+            h = _md5_mod(i, 100)
+            splits.append("train" if h < 90 else "val" if h < 95 else "test")
+        return pa.table(
+            {"doc_id": batch["doc_id"], "split": pa.array(splits, pa.string())}
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
+_CHUNK_TOKENS = 128
+_CHUNK_STRIDE = 64
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n, unnest(range((n + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE})) AS k
+        FROM d
+    )
+    SELECT c.doc_id, CAST(k AS BIGINT) AS chunk_id,
+           CAST(k * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(LEAST({_CHUNK_TOKENS}, c.n - k * {_CHUNK_STRIDE}) AS BIGINT) AS n_tokens,
+           array_to_string(
+               list_slice(d.toks, k * {_CHUNK_STRIDE} + 1,
+                          k * {_CHUNK_STRIDE} + LEAST({_CHUNK_TOKENS}, c.n - k * {_CHUNK_STRIDE})),
+               ' ') AS chunk_text
+    FROM c JOIN d USING (doc_id)
+    WHERE k * {_CHUNK_STRIDE} < c.n
+    """,
+)
+def doc_chunks(sf_dir: str):
+    """Context-window chunking with overlap (the sequence-prep op of a
+    training-data pipeline): reference-tokenizer tokens, windows of 128
+    tokens at stride 64 (50% overlap), emitted as exploded (doc_id,
+    chunk_id, start_tok, n_tokens, chunk_text) rows. Pure flat_map —
+    embarrassingly parallel, no shuffle."""
+    return _docs(sf_dir).map_batches(_chunk_batch, batch_format="pyarrow")
+
+
+def _chunk_batch(batch: pa.Table) -> pa.Table:
+    """Exploded overlapping context windows (mirrored in the chunk SQL)."""
+    from sciscraper_ray.kernels.tokenize import format_manuscript
+
+    out = {"doc_id": [], "chunk_id": [], "start_tok": [], "n_tokens": [], "chunk_text": []}
+    for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        toks = format_manuscript(t or "")
+        n = len(toks)
+        k = 0
+        while k * _CHUNK_STRIDE < n:
+            start = k * _CHUNK_STRIDE
+            m = min(_CHUNK_TOKENS, n - start)
+            out["doc_id"].append(i)
+            out["chunk_id"].append(k)
+            out["start_tok"].append(start)
+            out["n_tokens"].append(m)
+            out["chunk_text"].append(" ".join(toks[start : start + m]))
+            k += 1
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "chunk_id": pa.array(out["chunk_id"], pa.int64()),
+            "start_tok": pa.array(out["start_tok"], pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+            "chunk_text": pa.array(out["chunk_text"], pa.string()),
+        }
+    )
+
+
+_PREP_QUALITY_MIN = 0.65
+
+
+def _training_prep_oracle() -> str:
+    """The whole C4-style prep recomputed in SQL: union with exact copies
+    -> quality formula -> threshold filter -> keep-lowest-id exact dedup
+    -> overlapping chunk windows."""
+    from sciscraper_ray.stages.textstats import STOPWORDS_EN
+
+    quality = f"""
+        0.5 * LEAST(1.0, len({_SQL_TOKENS}) / 100.0)
+      + 0.3 * (1.0 - len(list_filter({_SQL_TOKENS},
+                   x -> x IN {sql_in_list(STOPWORDS_EN)})) * 1.0 / len({_SQL_TOKENS}))
+      + 0.2 * LEAST(1.0,
+            (list_sum(list_transform({_SQL_TOKENS}, x -> length(x))) * 1.0
+             / len({_SQL_TOKENS})) / 8.0)"""
+    return f"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+    ), kept AS (
+        SELECT doc_id, text FROM all_docs WHERE ({quality}) > {_PREP_QUALITY_MIN}
+    ), winners AS (
+        SELECT min(doc_id) AS doc_id, text FROM kept GROUP BY text
+    ), d AS (
+        SELECT doc_id, {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n
+        FROM winners
+    ), c AS (
+        SELECT doc_id, n,
+               unnest(range((n + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE})) AS k
+        FROM d
+    )
+    SELECT c.doc_id, CAST(k AS BIGINT) AS chunk_id,
+           CAST(k * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(LEAST({_CHUNK_TOKENS}, c.n - k * {_CHUNK_STRIDE}) AS BIGINT) AS n_tokens,
+           array_to_string(
+               list_slice(d.toks, k * {_CHUNK_STRIDE} + 1,
+                          k * {_CHUNK_STRIDE} + LEAST({_CHUNK_TOKENS}, c.n - k * {_CHUNK_STRIDE})),
+               ' ') AS chunk_text
+    FROM c JOIN d USING (doc_id)
+    WHERE k * {_CHUNK_STRIDE} < c.n
+    """
+
+
+@register("training_prep", oracle=_training_prep_oracle())
+def training_prep(sf_dir: str):
+    """The composed LLM training-data prep pipeline — quality filter ->
+    exact dedup -> context-window chunking, over a corpus with injected
+    exact duplicates. One streamed dataflow: the filter and chunker are
+    pure map_batches; dedup is the shared winner_filter two-pass plan.
+    The oracle recomputes every stage from first principles in SQL."""
+    from sciscraper_ray.pipelines.dedup import exact_dedup
+    from sciscraper_ray.stages.textstats import quality_batch
+
+    ds = _with_copies(sf_dir, mod=5, offset=1_000_000, drop_last_word=False)
+
+    def qfilter(batch: pa.Table) -> pa.Table:
+        metrics = quality_batch(batch)
+        mask = pc.greater(metrics["quality"], _PREP_QUALITY_MIN)
+        return batch.filter(mask)
+
+    kept = ds.map_batches(qfilter, batch_format="pyarrow")
+    deduped = exact_dedup(kept)
+    return deduped.map_batches(_chunk_batch, batch_format="pyarrow")
+
+
 _SESSION_GAP_MIN = 30
 
 
