@@ -2210,13 +2210,26 @@ def schema_cast(sf_dir: str):
 # --------------------------------------------------------------------------
 
 
-@register("resumable_extract")
+@register(
+    "resumable_extract",
+    oracle="""
+    SELECT doc_id, text AS extracted_text FROM documents
+    UNION ALL
+    SELECT doc_id, text AS extracted_text FROM documents WHERE doc_id % 17 = 0
+    """,
+)
 def resumable_extract(sf_dir: str):
-    """Checkpointed extraction: synth page table -> run interrupted (1 of 3
-    waves) -> resume -> return the per-fragment lineage manifest (fragment
-    ids, row ranges, order-independent content hashes)."""
+    """Checkpointed extraction: synth page table -> run INTERRUPTED after
+    1 of 3 waves -> resume -> read back the persisted output. The oracle
+    states the complete corpus (each doc once, plus the dup_mod=17
+    duplicate fetches — dedup off here), so a green hash proves the
+    interrupted+resumed run persisted exactly the full result with no
+    fragment lost or doubled. Manifest/lineage mechanics (fragment skip,
+    content hashes, clear-on-retry) are asserted in tests/test_checkpoint."""
     import shutil
     import tempfile
+
+    import ray.data
 
     from sciscraper_ray.pipelines.extract import extraction_pipeline
     from sciscraper_ray.sources.page_synth import synth_page_table
@@ -2232,8 +2245,12 @@ def resumable_extract(sf_dir: str):
         out = f"{work}/out"
         run_resumable(pages, out, pipeline, wave_size=3, max_waves=1)
         run_resumable(pages, out, pipeline, wave_size=3)
-        manifest = CheckpointStore(out).manifest()
-        return manifest.drop_columns(["wall_s", "path"]).sort_by("fragment_id")
+        assert len(CheckpointStore(out).completed()) == 8  # all fragments
+        persisted = ray.data.read_parquet(
+            CheckpointStore(out).data_dir, columns=["doc_id", "extracted_text"]
+        )
+        # materialize before the tempdir vanishes (finally: rmtree)
+        return persisted.to_pandas()
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
