@@ -6,7 +6,7 @@ Prints ONE JSON line:
      "num_cpus": N}
 
 ``--scaling`` runs the flagship extraction pipeline twice in FRESH
-processes (num_cpus=8 then 32) on the same input and reports throughput at
+taskset-pinned processes (num_cpus=4 then 16) on the same input and reports throughput at
 both plus scaling efficiency (north_rule: >=0.8 N->4N) — the in-sandbox
 evidence for the two-cluster-size criterion. This script OWNS its Ray
 session (ray.init/ray.shutdown); the library never does.

@@ -46,19 +46,10 @@ def exact_dedup(
     from dup detection entirely. Pass 1 reads only (id, text); pass 2
     streams full rows through the Arrow-native winner filter."""
     from sciscraper_ray.pipelines.winner import WinnerSpec, winner_filter
+    from sciscraper_ray.stages.dedup import md5_hash128_batch
 
     def hash128(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        hexes = content_hash_batch(batch, text_col).to_pylist()
-        valid = np.array([h is not None for h in hexes], dtype=bool)
-        hi = np.array(
-            [int(h[:16], 16) - (1 << 63) if h else 0 for h in hexes],
-            dtype=np.int64,
-        )
-        lo = np.array(
-            [int(h[16:], 16) - (1 << 63) if h else 0 for h in hexes],
-            dtype=np.int64,
-        )
-        return hi, lo, valid
+        return md5_hash128_batch(batch, text_col)
 
     spec = WinnerSpec(
         keys=hash128,

@@ -212,6 +212,9 @@ def doc_wordscore_refwords(sf_dir: str):
     def remap(batch: pa.Table) -> pa.Table:
         texts = []
         for t in batch["text"].to_pylist():
+            if t is None:  # propagate null (never crash the task)
+                texts.append(None)
+                continue
             toks = format_manuscript(t)
             texts.append(
                 " ".join(
@@ -1118,14 +1121,20 @@ def _with_copies(sf_dir: str, mod: int, offset: int, drop_last_word: bool):
     return ds.union(ds.map_batches(make_copies, batch_format="pyarrow")).materialize()
 
 
-def _md5_mod_sql(expr: str, mod: int) -> str:
-    """(first 15 hex chars of md5(expr) as int) % mod — the deterministic
-    hash both sides share (same positional hex parse as the HLL oracle)."""
+def _md5_hex15_sql(expr: str) -> str:
+    """First 15 hex chars of md5(expr) parsed positionally to a BIGINT —
+    THE shared deterministic-hash expression (split assignment, HLL
+    registers); must stay bit-identical to the Python _md5_mod/sketch
+    hash."""
     hexsum = " + ".join(
         f"(strpos('0123456789abcdef', substr(md5({expr}), {j + 1}, 1)) - 1) * {16 ** (14 - j)}"
         for j in range(15)
     )
-    return f"(({hexsum}) % {mod})"
+    return f"({hexsum})"
+
+
+def _md5_mod_sql(expr: str, mod: int) -> str:
+    return f"({_md5_hex15_sql(expr)} % {mod})"
 
 
 def _md5_mod(value, mod: int) -> int:
@@ -1169,12 +1178,14 @@ _CHUNK_TOKENS = 128
 _CHUNK_STRIDE = 64
 
 
-@register(
-    "doc_chunks",
-    oracle=f"""
-    WITH d AS (
+def _chunk_sql(source: str) -> str:
+    """The context-window chunking contract in SQL, over any relation with
+    (doc_id, text) — THE single definition both the standalone doc_chunks
+    oracle and the composed training_prep oracle reuse (a one-sided edit
+    must be impossible)."""
+    return f"""d AS (
         SELECT doc_id, {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n
-        FROM documents
+        FROM {source}
     ), c AS (
         SELECT doc_id, n, unnest(range((n + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE})) AS k
         FROM d
@@ -1187,9 +1198,10 @@ _CHUNK_STRIDE = 64
                           k * {_CHUNK_STRIDE} + LEAST({_CHUNK_TOKENS}, c.n - k * {_CHUNK_STRIDE})),
                ' ') AS chunk_text
     FROM c JOIN d USING (doc_id)
-    WHERE k * {_CHUNK_STRIDE} < c.n
-    """,
-)
+    WHERE k * {_CHUNK_STRIDE} < c.n"""
+
+
+@register("doc_chunks", oracle=f"WITH {_chunk_sql('documents')}")
 def doc_chunks(sf_dir: str):
     """Context-window chunking with overlap (the sequence-prep op of a
     training-data pipeline): reference-tokenizer tokens, windows of 128
@@ -1205,7 +1217,11 @@ def _chunk_batch(batch: pa.Table) -> pa.Table:
 
     out = {"doc_id": [], "chunk_id": [], "start_tok": [], "n_tokens": [], "chunk_text": []}
     for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        toks = format_manuscript(t or "")
+        if t is None:
+            # null text -> no chunks (string_split(NULL) drops the doc in
+            # the oracle too; '' still yields one ''-token chunk, matching)
+            continue
+        toks = format_manuscript(t)
         n = len(toks)
         k = 0
         while k * _CHUNK_STRIDE < n:
@@ -1253,23 +1269,7 @@ def _training_prep_oracle() -> str:
         SELECT doc_id, text FROM all_docs WHERE ({quality}) > {_PREP_QUALITY_MIN}
     ), winners AS (
         SELECT min(doc_id) AS doc_id, text FROM kept GROUP BY text
-    ), d AS (
-        SELECT doc_id, {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n
-        FROM winners
-    ), c AS (
-        SELECT doc_id, n,
-               unnest(range((n + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE})) AS k
-        FROM d
-    )
-    SELECT c.doc_id, CAST(k AS BIGINT) AS chunk_id,
-           CAST(k * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
-           CAST(LEAST({_CHUNK_TOKENS}, c.n - k * {_CHUNK_STRIDE}) AS BIGINT) AS n_tokens,
-           array_to_string(
-               list_slice(d.toks, k * {_CHUNK_STRIDE} + 1,
-                          k * {_CHUNK_STRIDE} + LEAST({_CHUNK_TOKENS}, c.n - k * {_CHUNK_STRIDE})),
-               ' ') AS chunk_text
-    FROM c JOIN d USING (doc_id)
-    WHERE k * {_CHUNK_STRIDE} < c.n
+    ), {_chunk_sql("winners")}
     """
 
 
@@ -1381,13 +1381,9 @@ def _hll_oracle() -> str:
     bucket split, the same MSB-position rho (DuckDB's bin() has no
     leading zeros, so length(bin(rem)) IS the bit length; rem = 0 is
     special-cased to 55 exactly like Python's bit_length())."""
-    hexsum = " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), {j + 1}, 1)) - 1) * {16 ** (14 - j)}"
-        for j in range(15)
-    )
     return f"""
     WITH h AS (
-        SELECT ({hexsum}) AS hv
+        SELECT {_md5_hex15_sql("CAST(user_id AS VARCHAR)")} AS hv
         FROM events WHERE user_id IS NOT NULL
     ), r AS (
         SELECT hv % 64 AS bucket,
@@ -2245,7 +2241,12 @@ def resumable_extract(sf_dir: str):
         out = f"{work}/out"
         run_resumable(pages, out, pipeline, wave_size=3, max_waves=1)
         run_resumable(pages, out, pipeline, wave_size=3)
-        assert len(CheckpointStore(out).completed()) == 8  # all fragments
+        import os as _os
+
+        n_frags = sum(
+            1 for f in _os.listdir(pages) if f.endswith(".parquet")
+        )
+        assert len(CheckpointStore(out).completed()) == n_frags
         persisted = ray.data.read_parquet(
             CheckpointStore(out).data_dir, columns=["doc_id", "extracted_text"]
         )

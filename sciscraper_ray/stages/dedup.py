@@ -41,6 +41,29 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Array:
     )
 
 
+def md5_hash128_batch(
+    batch: pa.Table, text_col: str = "text"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(h_hi, h_lo, valid): the full 128-bit md5 of each row's text as two
+    int64 bit-views (big-endian halves, offset to signed — identical to
+    int(hexdigest[:16], 16) - 2**63). One md5 per row, then a single
+    numpy byte-view conversion — no per-row hex parsing. Null rows carry
+    valid=False (they are NOT duplicates of each other)."""
+    texts = batch[text_col].to_pylist()
+    valid = np.array([t is not None for t in texts], dtype=bool)
+    digests = b"".join(
+        hashlib.md5(t.encode()).digest() if t is not None else b"\0" * 16
+        for t in texts
+    )
+    u = np.frombuffer(digests, dtype=">u8").reshape(-1, 2)
+    # flip the top bit: unsigned big-endian half -> the signed int64 whose
+    # value equals int(hex, 16) - 2**63
+    signed = (
+        (u.astype(np.uint64) ^ np.uint64(1 << 63)).view(np.int64)
+    )
+    return signed[:, 0].copy(), signed[:, 1].copy(), valid
+
+
 # Position weights + murmur3 finalizer for the vectorized k-gram combine.
 # Fixed seeded odd constants — deterministic across processes, like the
 # blake2b path they replaced (the per-shingle Python blake2b over joined

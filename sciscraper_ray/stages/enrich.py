@@ -103,10 +103,16 @@ class RateLimitedEnrich:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols: dict[str, list] = {name: [] for name in self.out_columns}
         for key in batch[self.on].to_pylist():
+            if key is None:
+                # no transport call -> no token: null keys must not burn
+                # the external request budget
+                for name in self.out_columns:
+                    cols[name].append(None)
+                continue
             if self.bucket is not None:
                 self.bucket.acquire()
             try:
-                row = self.transport(key) if key is not None else None
+                row = self.transport(key)
             except Exception:  # noqa: BLE001 — error -> None row (ref :252-262)
                 row = None
             for name in self.out_columns:
