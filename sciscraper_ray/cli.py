@@ -45,11 +45,33 @@ def _extract_only(path: str) -> ray.data.Dataset:
     return extraction_pipeline(path, analyze=False)
 
 
+def _query_mode(name: str) -> Callable[[str], "ray.data.Dataset"]:
+    """Named-pipeline mode backed by a registered query; the input path is
+    the table directory (sf-dir layout) the query family reads."""
+
+    def build(path: str):
+        from sciscraper_ray.pipelines.queries import QUERIES
+
+        return QUERIES[name](path)
+
+    return build
+
+
+# The SCISCRAPERS registry analog (factories.py:26-103): every reference
+# named pipeline has a mode here — directory/wordscore/citations/download/
+# images/fastscore/google — plus the engine's own extract/resume/query:*.
 MODES: dict[str, Callable[[str], ray.data.Dataset]] = {
-    "wordscore": _wordscore,   # EP2/fastscore analog: text rows -> DocAnalyzer
+    "wordscore": _wordscore,   # EP2 analog: text rows -> DocAnalyzer
     "extract": _extract,       # EP1 analog: page table -> dedup/route/extract/analyze
     "extract-only": _extract_only,
-    "fastscore": _wordscore,   # reference mode alias (factories.py:101)
+    "fastscore": _wordscore,   # reference alias (factories.py:101)
+    "directory": _extract,     # reference 'directory' mode: the PDF-dir walk
+                               # is the page table's binary column (SURVEY S3)
+    "citations": _query_mode("citations_enriched"),  # EP3: explode + enrich
+    "images": _query_mode("media_image_features"),   # images mode, offline decode
+    "google": _query_mode("dom_extract"),            # scholar-HTML DOM extraction
+    # 'download' is handled in main(): it needs the export dir (binary
+    # artifact sink, downloaders.py:91-117 analog).
 }
 
 
@@ -90,23 +112,35 @@ def main(argv: list[str] | None = None) -> str:
         log.info("resume run: %s", summary)
         return args.export
 
+    if args.mode == "download":
+        # reference 'download' mode analog: persist payload rows as a
+        # deterministically-named (filename, payload) artifact table
+        from sciscraper_ray.pipelines.sink import write_artifacts
+
+        ds = ray.data.read_parquet(args.file)
+        out_dir = write_artifacts(ds, args.export, date_stamp=stamp)
+        log.info("artifacts written to %s", out_dir)
+        return out_dir
+
+    def ensure_dataset(result) -> ray.data.Dataset:
+        if isinstance(result, ray.data.Dataset):
+            return result
+        import pyarrow as pa
+
+        table = (
+            pa.Table.from_pandas(result)
+            if not isinstance(result, pa.Table)
+            else result
+        )
+        return ray.data.from_arrow(table)
+
     if args.mode.startswith("query:"):
         from sciscraper_ray.pipelines.queries import QUERIES
 
         name = args.mode.split(":", 1)[1]
-        result = QUERIES[name](args.file)
-        if not isinstance(result, ray.data.Dataset):
-            import pyarrow as pa
-
-            table = (
-                pa.Table.from_pandas(result)
-                if not isinstance(result, pa.Table)
-                else result
-            )
-            result = ray.data.from_arrow(table)
-        ds = result
+        ds = ensure_dataset(QUERIES[name](args.file))
     else:
-        ds = MODES[args.mode](args.file)
+        ds = ensure_dataset(MODES[args.mode](args.file))
 
     from sciscraper_ray.pipelines.sink import export_results
 

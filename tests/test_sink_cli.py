@@ -159,3 +159,56 @@ def test_write_artifacts(ray_session, tmp_path):
     assert sorted(t.column_names) == ["filename", "payload"]
     assert all(n.startswith("240101__NaN__") for n in t["filename"].to_pylist())
     assert set(t["payload"].to_pylist()) == {b"%PDF-1", b"%PDF-2"}
+
+
+def test_cli_reference_mode_coverage():
+    """Every reference SCISCRAPERS named pipeline (factories.py:26-103)
+    has a CLI mode: directory, wordscore, citations, download, images,
+    fastscore, google."""
+    from sciscraper_ray.cli import MODES
+
+    for mode in ("directory", "wordscore", "citations", "images",
+                 "fastscore", "google"):
+        assert mode in MODES, mode
+    # 'download' is a main()-level mode (needs the export dir)
+
+
+def test_cli_citations_and_download_modes(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from sciscraper_ray.cli import main
+
+    # citations: EP3 analog over the sf-dir layout
+    run_dir = main(
+        [
+            "-m", "citations",
+            "-f", "/root/testdata/sf0.001",
+            "-e", str(tmp_path / "cit"),
+            "--date-stamp", "240101",
+        ]
+    )
+    out = pq_.read_table(os.path.join(run_dir, "parquet"))
+    assert out.num_rows == 1500  # 500 docs x 3 citations
+
+    # download: binary artifact sink over a page table
+    pages = tmp_path / "pages.parquet"
+    pq_.write_table(
+        pa.table(
+            {
+                "url": ["https://x/a", "https://x/b"],
+                "html": pa.array([b"%PDF-a", b"%PDF-b"], pa.binary()),
+            }
+        ),
+        str(pages),
+    )
+    out_dir = main(
+        [
+            "-m", "download",
+            "-f", str(pages),
+            "-e", str(tmp_path / "dl"),
+            "--date-stamp", "240101",
+        ]
+    )
+    t = pq_.read_table(out_dir)
+    assert t.num_rows == 2 and "filename" in t.column_names
