@@ -173,6 +173,7 @@ def keep_latest_by_url(
     keys_source: "ray.data.Dataset | None" = None,
     key_merge: str = "auto",
     driver_merge_limit: int | None = None,
+    est_rows: int | None = None,
 ) -> ray.data.Dataset:
     """Exact dedup, keep-latest fetch per url (SURVEY §2.6) — WITHOUT
     moving payloads through a shuffle. A deployment of the shared
@@ -206,6 +207,7 @@ def keep_latest_by_url(
         else ds.select_columns([url_col, ts_col]),
         key_merge=key_merge,
         driver_merge_limit=driver_merge_limit,
+        est_rows=est_rows,
     )
 
 
@@ -232,26 +234,34 @@ def extraction_pipeline(
     """pages (path or Dataset) -> extracted (and optionally analyzed) docs.
 
     ``batch_size`` is small because payload rows are wide (multi-KB to
-    multi-MB binary); the extract stages are the CPU-heavy pools.
+    multi-MB binary); the extract stage is the CPU-heavy pool.
 
-    Pool sizing: FIXED pools sized to measured per-stage cost —
-    PayloadExtractor ~0.33 ms/row gets 1/2 of cluster CPUs, DocAnalyzer
-    ~0.12 ms/row gets 1/4 (starving it to cpus//8 made IT the pipeline
-    ceiling). Fixed pools launch every actor in parallel up front; an
-    autoscaling (min, max) pool ramps one straggling actor at a time and
-    the ramp itself becomes the serial bottleneck on short jobs. The
-    remaining ~1/4 of slots stays free for the read/filter TASKS — actors
-    hold their CPU slot while alive, so pools summing to the whole cluster
-    starve the upstream reads and stall the pipeline. The power-of-two
-    fractions also keep pool sizes in EXACT cluster-size ratio, so a
-    4N-node cluster really fields 4x the actors of an N-node one.
+    Pool sizing (round-2 rebalance, from measured ds.stats): the fused
+    keep_winners->PayloadExtractor stage carries ~85% of the job's CPU
+    (6x DocAnalyzer since identifier mining split across both), and its
+    FIXED actor pool is the whole pipeline's wall-clock ceiling — it gets
+    3/4 of cluster CPUs (exact cluster-size ratio: 3 actors at 4 CPUs, 12
+    at 16, so a 4N cluster really fields 4x the actors). A fixed pool
+    launches every actor in parallel up front; an autoscaling (min, max)
+    pool ramps one straggler at a time and the ramp becomes the serial
+    bottleneck on short jobs. DocAnalyzer's state is tiny (frozen word
+    sets), so it runs as TASK-based map_batches (serialized instance, the
+    guide's tiny-state rule) sharing the remaining 1/4 of slots
+    dynamically with the read/filter tasks — actors hold their CPU slot
+    while alive, so pools summing to the whole cluster would starve the
+    upstream reads and stall the pipeline.
     """
     cpus = _cluster_cpus()
-    extract_conc = concurrency if concurrency is not None else max(1, cpus // 2)
-    analyze_conc = concurrency if concurrency is not None else max(1, cpus // 4)
+    extract_conc = concurrency if concurrency is not None else max(1, 3 * cpus // 4)
+    est_rows = None
     if isinstance(source, str):
+        from sciscraper_ray.pipelines.plan import parquet_row_bound
+
         ds = ray.data.read_parquet(source)
         keys = ray.data.read_parquet(source, columns=["url", "warc_ts"])
+        # free metadata row bound lets the dedup auto-plan skip its
+        # materialize barrier (distinct urls <= rows)
+        est_rows = parquet_row_bound(source)
     else:
         # Dataset source + dedup: the two-pass dedup consumes the source
         # twice (key pass + filter pass). For a parquet path the key pass
@@ -262,7 +272,9 @@ def extraction_pipeline(
         ds = source.materialize() if dedup else source
         keys = None
     if dedup:
-        ds = keep_latest_by_url(ds, keys_source=keys, key_merge=dedup_key_merge)
+        ds = keep_latest_by_url(
+            ds, keys_source=keys, key_merge=dedup_key_merge, est_rows=est_rows
+        )
 
     extracted = ds.map_batches(
         PayloadExtractor,
@@ -283,14 +295,12 @@ def extraction_pipeline(
     out = extracted.map_batches(project, batch_format="pyarrow")
     if analyze:
         out = out.map_batches(
-            DocAnalyzer,
-            fn_constructor_kwargs={
-                "text_column": "extracted_text",
-                "with_identifiers": True,  # EP1: doi_from_pdf text chain
-            },
+            DocAnalyzer(
+                text_column="extracted_text",
+                with_identifiers=True,  # EP1: doi_from_pdf text chain
+            ),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=2048,
-            concurrency=analyze_conc,
         )
     return out

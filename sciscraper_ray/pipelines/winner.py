@@ -98,9 +98,12 @@ def winner_filter(
     keys_source: "ray.data.Dataset | None" = None,
     key_merge: str = "auto",
     driver_merge_limit: int | None = None,
+    est_rows: int | None = None,
 ) -> ray.data.Dataset:
     """Keep, per distinct 128-bit key, only the row(s) winning on
-    ``spec.value`` — without moving payloads through a shuffle."""
+    ``spec.value`` — without moving payloads through a shuffle.
+    ``est_rows``: optional input-row upper bound (parquet metadata) that
+    lets 'auto' pick the plan without the materialize barrier."""
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Max, Min, Sum
@@ -124,7 +127,9 @@ def winner_filter(
 
     keys_ds = keys_source if keys_source is not None else ds
     partials = keys_ds.map_batches(key_partial, batch_format="pyarrow")
-    key_merge, partials = resolve_plan(partials, key_merge, limit=limit)
+    key_merge, partials = resolve_plan(
+        partials, key_merge, limit=limit, est_rows=est_rows
+    )
 
     if key_merge == "driver":
         merged = driver_frame(partials, limit, spec.what)
