@@ -1295,6 +1295,144 @@ def training_prep(sf_dir: str):
     return deduped.map_batches(_chunk_batch, batch_format="pyarrow")
 
 
+def _tf_table(batch: pa.Table) -> pa.Table:
+    """Exploded per-doc term counts for THIS batch: one row per
+    (row-position p, term) with its count — each input row is one whole
+    document, so tf needs no shuffle at all. Arrow-native group_by."""
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    tokens = tokenize_column(batch["text"])
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    pairs = pa.table(
+        {
+            "p": pc.list_parent_indices(tokens),
+            "term": pc.list_flatten(tokens),
+        }
+    )
+    return pairs.group_by(["p", "term"]).aggregate([("term", "count")])
+
+
+class _TfIdfRank:
+    """Actor-pool rank stage: fetch the broadcast df table once per actor,
+    then per batch recompute the in-row tf counts, attach df by vectorized
+    ``pc.index_in`` lookup, Arrow-sort, and keep the top-k per document."""
+
+    def __init__(self, df_ref, k: int):
+        import ray
+
+        m = ray.get(df_ref)  # pandas: term -> df, built once on the driver
+        self.terms = pa.array(m["term"], type=pa.string())
+        self.df = m["df"].to_numpy()
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("doc_id", batch.schema.field("doc_id").type),
+                ("term", pa.string()),
+                ("tf", pa.int64()),
+                ("df", pa.int64()),
+            ]
+        )
+        tf = _tf_table(batch)
+        if len(tf) == 0:
+            return out_schema.empty_table()
+        hit = pc.index_in(tf["term"], value_set=self.terms).to_numpy(
+            zero_copy_only=False
+        )
+        tf = tf.append_column("df", pa.array(self.df[hit], type=pa.int64()))
+        # Rank order inside each doc: tf desc, df asc (monotone in idf
+        # desc), term asc — a total order, so top-k is reproducible.
+        srt = tf.sort_by(
+            [
+                ("p", "ascending"),
+                ("term_count", "descending"),
+                ("df", "ascending"),
+                ("term", "ascending"),
+            ]
+        )
+        p = srt["p"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        counts = np.diff(np.r_[starts, len(p)])
+        rank = np.arange(len(p)) - np.repeat(starts, counts)
+        top = srt.filter(pa.array(rank < self.k))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(top["p"]),
+                "term": top["term"],
+                "tf": pc.cast(top["term_count"], pa.int64()),
+                "df": top["df"],
+            },
+            schema=out_schema,
+        )
+
+
+@register(
+    "doc_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), ranked AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, df.df ASC, tf.term ASC
+               ) AS rnk
+        FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tf, df FROM ranked WHERE rnk <= 3
+    """,
+)
+def doc_tfidf_topk(sf_dir: str, k: int = 3):
+    """TF-IDF salient-term extraction (the keyword/rare-term op of a
+    training-data pipeline): per-document top-k terms ranked by
+    (tf desc, df asc, term asc). Ranking by df ascending IS ranking by
+    idf descending — idf is strictly monotone-decreasing in df — so the
+    comparison stays integer-only and exactly reproducible (no float
+    log in the ranking or the output).
+
+    Two streaming passes over the column-pruned source, no payload
+    shuffle:
+      df pass: per-batch distinct (doc, term) partials collapse to
+        per-term doc counts inside the batch, then a groupby(term).Sum
+        moves one row per (term, batch).
+      rank pass: the df table is driver-collected and ``ray.put``
+        broadcast (vocabulary-sized — Heaps' law keeps it ~1e8 even at
+        web scale; above a worker heap, prune min_df>=2 first or join
+        term-partitioned instead), and each batch ranks its own docs
+        vectorized (tf is in-row: one document per input row).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        tf = _tf_table(batch)
+        out = tf.group_by("term").aggregate([("p", "count")])
+        return out.rename_columns(["term", "df"])
+
+    df_pd = (
+        _docs(sf_dir)
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum(on="df", alias_name="df"))
+        .to_pandas()
+    )
+    df_ref = ray.put(df_pd)
+    return _docs(sf_dir).map_batches(
+        _TfIdfRank,
+        fn_constructor_args=(df_ref, k),
+        batch_format="pyarrow",
+        # (1, 4): min 1 so the pool can make progress even when actors
+        # would otherwise hold every CPU (4-cpu driver contract).
+        concurrency=(1, 4),
+    )
+
+
 _SESSION_GAP_MIN = 30
 
 
