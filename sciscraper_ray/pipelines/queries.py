@@ -1557,6 +1557,167 @@ def hll_distinct_users(sf_dir: str):
     )
 
 
+_ASOF_BUCKETS = 32
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ), v AS (
+        SELECT user_id, ts AS view_ts, max(event_id) AS view_event_id
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           CAST(v.view_event_id AS DOUBLE) AS view_event_id, v.view_ts
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.view_ts
+    """,
+)
+def events_asof_join(sf_dir: str):
+    """AS-OF join (the custom operator class Ray Data lacks natively):
+    each purchase event is joined to the same user's most recent view at
+    or before its timestamp (left join; equal-(user,ts) views tie-break
+    to max event_id, pinned on both sides).
+
+    Partitioning contract: ONE shuffle on a user-id hash bucket (NOT per
+    user — per-group Python overhead at ~1e8 users would dominate; 32
+    buckets here, scale ∝ cluster). Within a bucket both sides are
+    merged fully vectorized: lexsort by (user, ts, side, event_id) with
+    views ordered before purchases at equal ts, then one
+    ``np.maximum.accumulate`` forward-fill of view positions — a match
+    from the previous user block is rejected by a user-equality check.
+    Per-bucket rows must fit a worker (the documented skew caveat: salt
+    a mega-user by time range first). The type filter is pushed into the
+    parquet scan, so only the two event types leave storage.
+    """
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    import ray.data
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_view = (g["event_type"] == "view").to_numpy()
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        user = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        val = g["value"].to_numpy()
+        order = np.lexsort((eid, (~is_view).view(np.int8), ts, user))
+        user_s, ts_s, eid_s = user[order], ts[order], eid[order]
+        view_s = is_view[order]
+        idx = np.where(view_s, np.arange(len(order)), -1)
+        cand = np.maximum.accumulate(idx)
+        safe = np.maximum(cand, 0)
+        valid = (cand >= 0) & (user_s[safe] == user_s)
+        left = np.flatnonzero(~view_s)
+        v = valid[left]
+        c = safe[left]
+        view_eid = np.where(v, eid_s[c].astype(np.float64), np.nan)
+        view_ts = pd.Series(ts_s[c].astype("datetime64[us]"))
+        view_ts[~v] = pd.NaT
+        return pd.DataFrame(
+            {
+                "event_id": eid_s[left],
+                "user_id": user_s[left],
+                "ts": pd.Series(ts_s[left].astype("datetime64[us]")),
+                "value": val[order][left],
+                "view_event_id": view_eid,
+                "view_ts": view_ts,
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+        filter=pads.field("event_type").isin(["purchase", "view"]),
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bucket = pc.cast(
+            pc.bit_wise_and(batch["user_id"], _ASOF_BUCKETS - 1), pa.int64()
+        )
+        return batch.append_column("bucket", bucket)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(asof_bucket, batch_format="pandas")
+    )
+
+
+_RANGE_WINDOW_DAYS = 3
+
+
+@register(
+    "events_range_join",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_id AS window_id, user_id, ts AS w_start,
+               ts + INTERVAL {_RANGE_WINDOW_DAYS} DAY AS w_end
+        FROM events WHERE event_type = 'signup'
+    )
+    SELECT w.window_id, e.user_id, e.event_id, e.ts
+    FROM events e
+    JOIN w ON e.user_id = w.user_id
+          AND e.ts >= w.w_start AND e.ts <= w.w_end
+    """,
+)
+def events_range_join(sf_dir: str):
+    """Keyed range (interval) join — the second custom-join operator
+    class: every signup opens a {days}-day window for its user; each
+    event pairs with every window of its user that contains its
+    timestamp (inner join, multiplicity > 1 allowed).
+
+    Broadcast plan: the window side (signups) is aggregated once,
+    ``ray.put`` into the object store, fetched once per actor, and each
+    event batch hash-matches on user_id then range-filters — the
+    canonical small-side pattern (no shuffle of the big side at all).
+    When the window side itself outgrows a worker heap, the scale path
+    is the same user-hash-bucket shuffle as ``events_asof_join`` with
+    the identical in-bucket vectorized pairing; the broadcast form is
+    the right default because window tables (campaigns, sessions,
+    maintenance windows) are O(users), not O(events).
+    """
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    import ray
+    import ray.data
+
+    windows = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts"],
+            filter=pads.field("event_type") == "signup",
+        )
+        .to_pandas()
+        .rename(columns={"event_id": "window_id", "ts": "w_start"})
+    )
+    windows["w_start"] = windows["w_start"].astype("datetime64[us]")
+    windows["w_end"] = windows["w_start"] + pd.Timedelta(days=_RANGE_WINDOW_DAYS)
+    w_ref = ray.put(windows)
+
+    class RangeJoin:
+        def __init__(self):
+            self.w = ray.get(w_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            e = batch.select(["event_id", "user_id", "ts"]).to_pandas()
+            e["ts"] = e["ts"].astype("datetime64[us]")
+            m = e.merge(self.w, on="user_id", how="inner")
+            m = m[(m["ts"] >= m["w_start"]) & (m["ts"] <= m["w_end"])]
+            return pa.Table.from_pandas(
+                m[["window_id", "user_id", "event_id", "ts"]],
+                preserve_index=False,
+            )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(RangeJoin, batch_format="pyarrow", concurrency=(1, 4))
+
+
 @register(
     "dedup_exact",
     oracle="SELECT doc_id, text FROM documents",
