@@ -1433,6 +1433,190 @@ def doc_tfidf_topk(sf_dir: str, k: int = 3):
     )
 
 
+_DECON_N = 8  # word n-gram size for benchmark-overlap decontamination
+_DECON_MOD = 50  # doc_id % mod == 0 -> benchmark member
+_DECON_OFFSET = 2_000_000  # injected near-dup copy id offset
+
+
+def _ngram_positions(batch: pa.Table, n: int):
+    """Vectorized word n-grams: (row-position array, n-gram string array)
+    for every length-n token window that stays inside one document. One
+    ``binary_join_element_wise`` over n shifted zero-copy slices of the
+    flattened token column — no Python per row."""
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    toks = tokenize_column(batch["text"])
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    m = len(flat) - n + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.int64), pa.array([], type=pa.string())
+    parts = [flat.slice(i, m) for i in range(n)]
+    ng = pc.binary_join_element_wise(*parts, " ")
+    inside = par[:m] == par[n - 1 :]
+    return par[:m][inside], ng.filter(pa.array(inside))
+
+
+@register(
+    "doc_decontaminate",
+    oracle=f"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_DECON_OFFSET},
+               array_to_string(
+                   list_slice(string_split(text, ' '), 1,
+                              len(string_split(text, ' ')) - 1), ' ')
+        FROM documents WHERE doc_id % {_DECON_MOD} = 0
+    ), d AS (
+        SELECT doc_id, {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n
+        FROM all_docs
+    ), w AS (
+        SELECT doc_id, unnest(range(n - {_DECON_N - 1})) AS k, toks
+        FROM d WHERE n >= {_DECON_N}
+    ), ng AS (
+        SELECT doc_id,
+               array_to_string(list_slice(toks, k + 1, k + {_DECON_N}), ' ') AS ng
+        FROM w
+    ), bench AS (
+        SELECT DISTINCT ng FROM ng
+        WHERE doc_id % {_DECON_MOD} = 0 AND doc_id < {_DECON_OFFSET}
+    ), hits AS (
+        SELECT ng.doc_id, count(DISTINCT ng.ng) AS cnt
+        FROM ng JOIN bench USING (ng)
+        WHERE ng.doc_id % {_DECON_MOD} != 0 OR ng.doc_id >= {_DECON_OFFSET}
+        GROUP BY ng.doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(hits.cnt, 0) AS BIGINT) AS n_contaminated
+    FROM d LEFT JOIN hits USING (doc_id)
+    WHERE d.doc_id % {_DECON_MOD} != 0 OR d.doc_id >= {_DECON_OFFSET}
+    """,
+)
+def doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination (the eval-leakage gate of a
+    training-data pipeline): flag every training document sharing any
+    word {n}-gram with the benchmark set, reporting the count of
+    distinct shared n-grams. Benchmark = docs with id % {mod} == 0; the
+    corpus additionally carries injected near-dup copies of those docs
+    so the detector provably fires.
+
+    Broadcast plan: the benchmark n-gram set is corpus-fraction-small
+    (here 2%; real eval suites are KBs-to-MBs against a 100 TB corpus)
+    — distinct n-grams are reduced per-batch, unioned once on the
+    driver, ``ray.put``, and every training batch does one vectorized
+    ``pc.is_in`` + per-batch Arrow ``count_distinct`` group-by. The big
+    side never shuffles: each input row is one whole document, so the
+    per-doc distinct count completes inside its batch. If the benchmark
+    set ever outgrows a worker heap, the scale path is an n-gram-hash
+    bucketed semi-join (same banded-shuffle shape as MinHash-LSH).
+    """
+    import ray
+
+    def bench_ngrams(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids % _DECON_MOD == 0))
+        return pa.table({"ng": pc.unique(_ngram_positions(b, _DECON_N)[1])})
+
+    bench_parts = (
+        _docs(sf_dir)
+        .map_batches(bench_ngrams, batch_format="pyarrow")
+        .to_pandas()
+    )
+    bench = pa.array(bench_parts["ng"].unique(), type=pa.string())
+    bench_ref = ray.put(bench)
+
+    class Decontaminate:
+        def __init__(self):
+            self.bench = ray.get(bench_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            keep = (ids % _DECON_MOD != 0) | (ids >= _DECON_OFFSET)
+            batch = batch.filter(pa.array(keep))
+            pos, ng = _ngram_positions(batch, _DECON_N)
+            hit = pc.is_in(ng, value_set=self.bench).to_numpy(
+                zero_copy_only=False
+            )
+            counts = np.zeros(len(batch), dtype=np.int64)
+            if hit.any():
+                pairs = pa.table(
+                    {"p": pa.array(pos[hit]), "ng": ng.filter(pa.array(hit))}
+                )
+                agg = pairs.group_by("p").aggregate([("ng", "count_distinct")])
+                counts[agg["p"].to_numpy()] = agg[
+                    "ng_count_distinct"
+                ].to_numpy()
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_contaminated": pa.array(counts, type=pa.int64()),
+                }
+            )
+
+    corpus = _with_copies(
+        sf_dir, mod=_DECON_MOD, offset=_DECON_OFFSET, drop_last_word=True
+    )
+    return corpus.map_batches(
+        Decontaminate, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+# PII scrubbing: an email-address pattern plus a denylist of sensitive
+# terms. Both engines run RE2 (Arrow's replace_substring_regex and
+# DuckDB's regexp_replace), so one pattern string serves both sides.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_DENY = r"\b(key|hash|secret)\b"
+
+
+@register(
+    "doc_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_DENY}', '<REDACTED>', 'g') AS clean_text,
+           len(regexp_extract_all(text, '{_PII_EMAIL}'))
+           + len(regexp_extract_all(
+                 regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_DENY}')) AS n_redacted
+    FROM documents
+    """,
+)
+def doc_pii_scrub(sf_dir: str):
+    """PII scrubbing (the redaction op of a training-data pipeline):
+    replace email addresses with ``<EMAIL>`` and denylisted sensitive
+    terms with ``<REDACTED>``, reporting the per-document redaction
+    count. Pure vectorized map — compiled RE2 kernels
+    (``pc.replace_substring_regex`` / ``pc.count_substring_regex``)
+    over zero-copy Arrow batches, no shuffle, no Python per row. The
+    denylist count runs over the post-email text so overlapping matches
+    are counted once, pinned identically in the oracle."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        after_email = pc.replace_substring_regex(
+            text, pattern=_PII_EMAIL, replacement="<EMAIL>"
+        )
+        clean = pc.replace_substring_regex(
+            after_email, pattern=_PII_DENY, replacement="<REDACTED>"
+        )
+        n = pc.add(
+            pc.count_substring_regex(text, pattern=_PII_EMAIL),
+            pc.count_substring_regex(after_email, pattern=_PII_DENY),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": clean,
+                "n_redacted": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(scrub, batch_format="pyarrow")
+
+
 _SESSION_GAP_MIN = 30
 
 
