@@ -3137,3 +3137,302 @@ def page_extract_pipeline(sf_dir: str):
             "wordscore",
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 widening: distributed exact quantiles, Gopher-style repetition,
+# anti-join, corpus bigram statistics, stratified sampling.
+
+
+@register(
+    "lineitem_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           unnest([0.25, 0.5, 0.75]) AS p,
+           unnest(quantile_disc(l_quantity, [0.25, 0.5, 0.75])) AS q_value
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_quantiles(sf_dir: str):
+    """Distributed EXACT grouped quantiles via value-histogram reduction:
+    per-batch (group, value) -> count partials compress 10^12 rows into
+    |groups| x |distinct values| histogram rows; a tiny global groupby
+    sums them, and the driver takes a cumulative sum per group to read
+    off quantile_disc (sorted-position ceil(p*n)-1). No row-level
+    shuffle ever happens and nothing large is sorted -- the all-to-all
+    moves only histogram cells. Assumption (documented): the value
+    column has bounded distinct cardinality (prices, sizes, ratings);
+    for unbounded continuous columns the scale path is the same shape
+    over a t-digest / fixed-bin sketch with bounded error."""
+    import math
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+
+    def histogram(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["l_returnflag", "l_quantity"]).aggregate(
+            [("l_quantity", "count")]
+        )
+        return agg.rename_columns(["l_returnflag", "l_quantity", "cnt"])
+
+    hist = ds.map_batches(histogram, batch_format="pyarrow").to_pandas()
+    hist = (
+        hist.groupby(["l_returnflag", "l_quantity"], as_index=False)["cnt"]
+        .sum()
+        .sort_values(["l_returnflag", "l_quantity"])
+    )
+    out = {"l_returnflag": [], "p": [], "q_value": []}
+    for flag, g in hist.groupby("l_returnflag", sort=True):
+        vals = g["l_quantity"].to_numpy()
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        for p in (0.25, 0.5, 0.75):
+            rank = max(1, math.ceil(p * n))  # 1-based sorted position
+            out["l_returnflag"].append(flag)
+            out["p"].append(p)
+            out["q_value"].append(float(vals[np.searchsorted(cum, rank)]))
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"], type=pa.string()),
+            "p": pa.array(out["p"], type=pa.float64()),
+            "q_value": pa.array(out["q_value"], type=pa.float64()),
+        }
+    )
+
+
+@register(
+    "doc_repetition",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n
+        FROM documents
+    ), w AS (
+        SELECT doc_id, unnest(range(n - 1)) AS k, toks
+        FROM d WHERE n >= 2
+    ), bg AS (
+        SELECT doc_id,
+               array_to_string(list_slice(toks, k + 1, k + 2), ' ') AS bg
+        FROM w
+    ), per AS (
+        SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg
+    ), agg AS (
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(sum(cnt) FILTER (cnt > 1), 0) AS BIGINT)
+                   AS n_repeated
+        FROM per GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(agg.n_bigrams, 0) AS n_bigrams,
+           coalesce(agg.n_repeated, 0) AS n_repeated,
+           (coalesce(agg.n_repeated, 0) * 5
+               < coalesce(agg.n_bigrams, 0)) AS keep
+    FROM d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def doc_repetition(sf_dir: str):
+    """Gopher-style within-document repetition filter: the fraction of
+    word-bigram OCCURRENCES that belong to a bigram appearing more than
+    once in the same document; docs with >= 20% repeated mass are
+    flagged (keep = False). Embarrassingly parallel -- each row is one
+    whole document, so the per-doc bigram tally completes inside its
+    batch with one Arrow group_by; no shuffle. The keep predicate is
+    integer-only (n_repeated * 5 < n_bigrams) so both engines compare
+    exact ints, never float ratios."""
+
+    def repetition(batch: pa.Table) -> pa.Table:
+        pos, bg = _ngram_positions(batch, 2)
+        total = np.zeros(len(batch), dtype=np.int64)
+        rep = np.zeros(len(batch), dtype=np.int64)
+        if len(pos):
+            pairs = pa.table({"p": pa.array(pos), "bg": bg})
+            per = pairs.group_by(["p", "bg"]).aggregate([("bg", "count")])
+            pv = per["p"].to_numpy()
+            cnt = per["bg_count"].to_numpy()
+            np.add.at(total, pv, cnt)
+            dup = cnt > 1
+            np.add.at(rep, pv[dup], cnt[dup])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bigrams": pa.array(total, type=pa.int64()),
+                "n_repeated": pa.array(rep, type=pa.int64()),
+                "keep": pa.array(rep * 5 < total),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(repetition, batch_format="pyarrow")
+
+
+@register(
+    "orders_anti_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+    """,
+)
+def orders_anti_join(sf_dir: str):
+    """Distributed ANTI-join (orders with no lineitem): the probe side's
+    key set is reduced to per-batch distinct partials (key-only columns
+    -- payload bytes never move), unioned once, and broadcast via
+    ``ray.put``; every orders batch then drops matches with one
+    vectorized ``pc.is_in``. Same broadcast-filter shape as exact dedup
+    (pipelines/dedup.py): the 10^12-row side streams untouched, only
+    distinct keys concentrate. Scale bound (documented): distinct probe
+    keys must fit a worker heap (~50M comfortably); past that the scale
+    path is the hash-bucketed co-partitioned semi-join -- bucket BOTH
+    sides by key hash and anti-join bucket-locally."""
+    import ray
+    import ray.data
+
+    keys = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+
+    def distinct_part(b: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.unique(b["l_orderkey"])})
+
+    parts = keys.map_batches(distinct_part, batch_format="pyarrow").to_pandas()
+    key_set = pa.array(parts["k"].unique(), type=pa.int64())
+    key_ref = ray.put(key_set)
+
+    class AntiFilter:
+        def __init__(self):
+            self.keys = ray.get(key_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            hit = pc.is_in(batch["o_orderkey"], value_set=self.keys)
+            return batch.filter(pc.invert(hit))
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+        .map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 4))
+    )
+
+
+@register(
+    "token_bigram_next",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n
+        FROM documents
+    ), w AS (
+        SELECT unnest(range(n - 1)) AS k, toks FROM d WHERE n >= 2
+    ), bg AS (
+        SELECT toks[k + 1] AS token, toks[k + 2] AS next_token FROM w
+    ), cnt AS (
+        SELECT token, next_token, count(*) AS cnt
+        FROM bg GROUP BY token, next_token
+    ), ranked AS (
+        SELECT token, next_token, cnt,
+               row_number() OVER (
+                   PARTITION BY token ORDER BY cnt DESC, next_token ASC
+               ) AS rn
+        FROM cnt
+    )
+    SELECT token, next_token, cnt FROM ranked WHERE rn = 1
+    """,
+)
+def token_bigram_next(sf_dir: str):
+    """Corpus bigram language-model statistics: for every token, its
+    most frequent successor (ties broken by lexicographically smallest
+    successor) and that bigram's corpus count. Two-phase: per-batch
+    Arrow group_by compresses each batch to its distinct (token, next)
+    partial counts -- the all-to-all then moves only O(vocab^2)
+    histogram rows, never token streams -- and the tiny combined table
+    reduces on the driver with one vectorized lexsort. The same shape
+    serves any n-gram LM count collection."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        _, bg = _ngram_positions(batch, 2)
+        if len(bg) == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], type=pa.string()),
+                    "next_token": pa.array([], type=pa.string()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        split = pc.split_pattern(bg, " ")
+        flat = pc.list_flatten(split)
+        tok = flat.take(np.arange(0, len(flat), 2))
+        nxt = flat.take(np.arange(1, len(flat), 2))
+        agg = (
+            pa.table({"token": tok, "next_token": nxt})
+            .group_by(["token", "next_token"])
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["token", "next_token", "cnt"])
+
+    parts = (
+        _docs(sf_dir)
+        .map_batches(partials, batch_format="pyarrow")
+        .to_pandas()
+    )
+    merged = parts.groupby(["token", "next_token"], as_index=False)["cnt"].sum()
+    order = np.lexsort(
+        (
+            merged["next_token"].to_numpy(),
+            -merged["cnt"].to_numpy(),
+            merged["token"].to_numpy(),
+        )
+    )
+    merged = merged.iloc[order]
+    first = merged.drop_duplicates("token", keep="first")
+    return pa.table(
+        {
+            "token": pa.array(first["token"], type=pa.string()),
+            "next_token": pa.array(first["next_token"], type=pa.string()),
+            "cnt": pa.array(first["cnt"].to_numpy(), type=pa.int64()),
+        }
+    )
+
+
+_STRATA_RATES = {"en": 9, "de": 5, "fr": 3}  # keep doc iff md5 % 10 < rate
+_STRATA_DEFAULT = 1
+
+
+def _strata_rate_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in _STRATA_RATES.items()
+    )
+    return f"CASE {cases} ELSE {_STRATA_DEFAULT} END"
+
+
+@register(
+    "doc_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_md5_mod_sql("CAST(doc_id AS VARCHAR)", 10)} < {_strata_rate_sql()}
+    """,
+)
+def doc_sample_stratified(sf_dir: str):
+    """Deterministic stratified sampling: each language stratum keeps a
+    different fraction (en 90%, de 50%, fr 30%, other 10%) selected by
+    content-independent md5(doc_id) -- the same hash split as
+    ``doc_split_assign``, so reruns and retries select identical rows
+    (resumable by construction, no RNG state to checkpoint). The rate
+    table is driver-constant (broadcast by closure); the filter is a
+    pure per-batch map, no shuffle. Rebalancing web-scale corpora
+    toward under-represented languages is exactly this op."""
+    ds = _docs(sf_dir, columns=("doc_id", "lang"))
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        keep = [
+            _md5_mod(i, 10) < _STRATA_RATES.get(lg, _STRATA_DEFAULT)
+            for i, lg in zip(ids, langs)
+        ]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(sample, batch_format="pyarrow")

@@ -1,0 +1,76 @@
+"""Round-2 widening ops: quantiles, repetition, anti-join, bigram LM,
+stratified sampling. Oracle parity runs in tools/check_correctness.py;
+these tests pin the kernel-level contracts and degenerate inputs."""
+
+import numpy as np
+import pyarrow as pa
+
+from sciscraper_ray.pipelines.queries import (
+    QUERIES,
+    _ngram_positions,
+    _md5_mod,
+    _STRATA_RATES,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ngram_positions_degenerates():
+    b = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([None, "", "a", "a b a b c"], pa.string()),
+        }
+    )
+    pos, ng = _ngram_positions(b, 2)
+    # only the 4-token doc (row position 3) yields bigrams; none cross rows
+    assert pos.tolist() == [3, 3, 3, 3]
+    assert ng.to_pylist() == ["a b", "b a", "a b", "b c"]
+    # n larger than any doc -> empty, not an error
+    pos5, ng5 = _ngram_positions(b, 6)
+    assert len(pos5) == 0 and len(ng5) == 0
+
+
+def test_repetition_counts_and_keep():
+    out = QUERIES["doc_repetition"](SF).to_pandas().set_index("doc_id")
+    assert (out["n_repeated"] <= out["n_bigrams"]).all()
+    # keep is the integer predicate, never a float ratio
+    assert (
+        out["keep"] == (out["n_repeated"] * 5 < out["n_bigrams"])
+    ).all()
+
+
+def test_quantiles_ordered_within_group():
+    t = QUERIES["lineitem_quantiles"](SF).to_pandas()
+    for _, g in t.groupby("l_returnflag"):
+        g = g.sort_values("p")
+        assert g["q_value"].is_monotonic_increasing or len(g) == 1
+        assert set(g["p"]) == {0.25, 0.5, 0.75}
+
+
+def test_anti_join_disjoint():
+    import ray.data
+
+    anti = QUERIES["orders_anti_join"](SF).to_pandas()
+    li_keys = set(
+        ray.data.read_parquet(
+            f"{SF}/lineitem.parquet", columns=["l_orderkey"]
+        )
+        .to_pandas()["l_orderkey"]
+    )
+    assert not (set(anti["o_orderkey"]) & li_keys)
+
+
+def test_bigram_next_is_argmax():
+    t = QUERIES["token_bigram_next"](SF).to_pandas()
+    assert t["token"].is_unique
+    assert (t["cnt"] >= 1).all()
+
+
+def test_stratified_rates_deterministic():
+    out1 = QUERIES["doc_sample_stratified"](SF).to_pandas()
+    out2 = QUERIES["doc_sample_stratified"](SF).to_pandas()
+    assert sorted(out1["doc_id"]) == sorted(out2["doc_id"])
+    for _, row in out1.iterrows():
+        rate = _STRATA_RATES.get(row["lang"], 1)
+        assert _md5_mod(row["doc_id"], 10) < rate
