@@ -3436,3 +3436,182 @@ def doc_sample_stratified(sf_dir: str):
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(sample, batch_format="pyarrow")
+
+
+@register(
+    "order_lineitem_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderpriority, l.l_linenumber, l.l_extendedprice
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def order_lineitem_join(sf_dir: str):
+    """Big x big shuffle hash join (fact ⋈ fact): orders and lineitem are
+    BOTH row streams — neither side may broadcast — so this runs the
+    bucketed co-partition plan (`stages/relational.py
+    bucketed_hash_join`): one all-to-all on a uniform bucket key, then
+    bucket-local pandas merges. Returns the raw joined rows so the
+    oracle verifies join multiplicity (every lineitem matched, no
+    fan-out errors), not just an aggregate."""
+    import ray.data
+
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    joined = bucketed_hash_join(
+        orders, lineitem, left_on="o_orderkey", right_on="l_orderkey"
+    )
+    return joined.map_batches(
+        lambda b: b.select(
+            ["o_orderkey", "o_orderpriority", "l_linenumber", "l_extendedprice"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_SLIDE_STEP_S = 900  # 15-min hop
+_SLIDE_PANES = 4  # 4 hops per 1-hour window
+
+
+@register(
+    "events_sliding",
+    oracle=f"""
+    WITH panes AS (
+        SELECT (epoch_us(ts) // {_SLIDE_STEP_S * 1_000_000} - j)
+                   * {_SLIDE_STEP_S} AS w_start,
+               value
+        FROM events, unnest(range({_SLIDE_PANES})) AS t(j)
+    )
+    SELECT w_start, count(*) AS cnt, round(sum(value), 6) AS sum_value
+    FROM panes GROUP BY w_start
+    """,
+)
+def events_sliding(sf_dir: str):
+    """Sliding-window aggregate (1-hour windows hopping every 15 min):
+    each event contributes to the {panes} windows covering it. The
+    expansion happens INSIDE the per-batch partial — repeat-take the
+    batch {panes}x, derive each pane's window start, and group_by down
+    to (window, cnt, sum) partial rows — so the shuffle moves one row
+    per (window, batch), never the 4x event stream. Window starts are
+    int64 epoch seconds (no timestamp-unit drift across the aggregate
+    round-trip)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        base = us // (_SLIDE_STEP_S * 1_000_000)
+        vals = batch["value"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            [(base - j) * _SLIDE_STEP_S for j in range(_SLIDE_PANES)]
+        )
+        t = pa.table(
+            {
+                "w_start": pa.array(starts, type=pa.int64()),
+                "value": pa.array(np.tile(vals, _SLIDE_PANES)),
+                "one": pa.array(
+                    np.ones(len(starts), np.int64)
+                ),
+            }
+        )
+        agg = t.group_by("w_start").aggregate(
+            [("one", "sum"), ("value", "sum")]
+        )
+        return agg.rename_columns(["w_start", "cnt", "sum_value"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("w_start")
+        .aggregate(
+            Sum(on="cnt", alias_name="cnt"),
+            Sum(on="sum_value", alias_name="sum_value"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("sum_value"),
+            "sum_value",
+            pc.round(batch["sum_value"], 6),
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+@register(
+    "events_topk_users",
+    oracle="""
+    WITH totals AS (
+        SELECT event_type, user_id, round(sum(value), 6) AS total_value
+        FROM events GROUP BY event_type, user_id
+    ), ranked AS (
+        SELECT event_type, user_id, total_value,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY total_value DESC, user_id ASC
+               ) AS rnk
+        FROM totals
+    )
+    SELECT event_type, user_id, total_value, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def events_topk_users(sf_dir: str):
+    """Per-group top-k (top-3 users by total event value per event
+    type): per-batch (type, user) sum partials shrink the exchange to
+    one row per (type, user, batch); the combined totals table
+    (|types| x |users| — small relative to the event stream) merges on
+    the driver with one vectorized lexsort. Ranking compares ROUNDED
+    totals (6 dp, same as the oracle) so both engines rank identical
+    keys; ties break by user_id asc."""
+    import ray.data
+
+    from sciscraper_ray.stages.relational import group_count_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+
+    parts = (
+        ds.map_batches(
+            lambda b: group_count_batch(
+                b, ["event_type", "user_id"], {"value": "total_value"}
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    totals = parts.groupby(["event_type", "user_id"], as_index=False)[
+        "total_value"
+    ].sum()
+    totals["total_value"] = totals["total_value"].round(6)
+    order = np.lexsort(
+        (
+            totals["user_id"].to_numpy(),
+            -totals["total_value"].to_numpy(),
+            totals["event_type"].to_numpy(),
+        )
+    )
+    totals = totals.iloc[order]
+    totals["rnk"] = totals.groupby("event_type", sort=False).cumcount() + 1
+    top = totals[totals["rnk"] <= 3]
+    return pa.table(
+        {
+            "event_type": pa.array(top["event_type"], type=pa.string()),
+            "user_id": pa.array(top["user_id"].to_numpy(), type=pa.int64()),
+            "total_value": pa.array(
+                top["total_value"].to_numpy(), type=pa.float64()
+            ),
+            "rnk": pa.array(top["rnk"].to_numpy(), type=pa.int64()),
+        }
+    )

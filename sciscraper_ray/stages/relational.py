@@ -135,3 +135,74 @@ def salted_group_count(
             *[Sum(on=name, alias_name=name) for name in agg_cols.values()],
         )
     )
+
+
+def bucketed_hash_join(
+    left,
+    right,
+    *,
+    left_on: str,
+    right_on: str,
+    num_buckets: int = 64,
+):
+    """Big x big co-partitioned inner join — the plan for when NEITHER side
+    fits a broadcast (fact ⋈ fact; reference J1/J2 joins outgrow
+    ``BroadcastLookup`` the moment both inputs are row streams).
+
+    Physical plan: both sides get ``bucket = mix(key) % num_buckets``
+    (driver-free, computed per batch), are null-padded to one unified
+    schema with a ``side`` tag, unioned, and hash-partitioned ONCE by
+    bucket; each group then runs an in-memory pandas merge over exactly
+    the rows that can match. One all-to-all on the bucket key — the
+    minimum any big-big join pays — and per-group Python overhead is
+    bounded by ``num_buckets`` (not key cardinality), so the ~100 µs/group
+    sort-aggregate tax stays in the noise. Size ``num_buckets`` so one
+    bucket of both sides fits a worker heap (at 100 TB that means
+    thousands of buckets; skewed keys get the salted variant of
+    ``salted_group_count`` applied to the bucket id).
+    """
+    import ray.data
+
+    _MIX = 0x9E3779B97F4A7C15
+
+    def tag(on: str, side: int, other_cols: dict[str, pa.DataType]):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch[on].to_numpy(zero_copy_only=False).astype(np.uint64)
+            bucket = ((keys * np.uint64(_MIX)) >> np.uint64(33)) % np.uint64(
+                num_buckets
+            )
+            batch = batch.append_column(
+                "__bucket", pa.array(bucket.astype(np.int64))
+            )
+            batch = batch.append_column(
+                "__side", pa.array(np.full(len(batch), side, np.int8))
+            )
+            for name, typ in other_cols.items():
+                batch = batch.append_column(name, pa.nulls(len(batch), typ))
+            return batch
+
+        return fn
+
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = dict(zip(lschema.names, lschema.types))
+    rcols = dict(zip(rschema.names, rschema.types))
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"join sides share column names: {sorted(overlap)}")
+
+    unified = (
+        left.map_batches(tag(left_on, 0, rcols), batch_format="pyarrow")
+        .union(right.map_batches(tag(right_on, 1, lcols), batch_format="pyarrow"))
+    )
+
+    lnames, rnames = list(lcols), list(rcols)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g.loc[g["__side"] == 0, lnames]
+        rf = g.loc[g["__side"] == 1, rnames]
+        return lf.merge(rf, left_on=left_on, right_on=right_on, how="inner")
+
+    return unified.groupby("__bucket").map_groups(
+        merge_bucket, batch_format="pandas"
+    )

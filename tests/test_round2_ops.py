@@ -74,3 +74,43 @@ def test_stratified_rates_deterministic():
     for _, row in out1.iterrows():
         rate = _STRATA_RATES.get(row["lang"], 1)
         assert _md5_mod(row["doc_id"], 10) < rate
+
+
+def test_bucketed_join_multiplicity():
+    import ray.data
+
+    joined = QUERIES["order_lineitem_join"](SF).to_pandas()
+    li = ray.data.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey"]
+    ).to_pandas()
+    # inner join on the FK: every lineitem row appears exactly once
+    assert len(joined) == len(li)
+    assert joined["o_orderpriority"].notna().all()
+
+
+def test_bucketed_join_rejects_name_overlap():
+    import pytest
+    import ray.data
+
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+
+    a = ray.data.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey"])
+    with pytest.raises(ValueError, match="share column names"):
+        bucketed_hash_join(a, a, left_on="o_orderkey", right_on="o_orderkey")
+
+
+def test_sliding_window_mass_conservation():
+    import ray.data
+
+    out = QUERIES["events_sliding"](SF).to_pandas()
+    n_events = ray.data.read_parquet(f"{SF}/events.parquet").count()
+    # every event lands in exactly 4 panes
+    assert out["cnt"].sum() == 4 * n_events
+
+
+def test_topk_users_rank_contract():
+    t = QUERIES["events_topk_users"](SF).to_pandas()
+    for _, g in t.groupby("event_type"):
+        g = g.sort_values("rnk")
+        assert list(g["rnk"]) == list(range(1, len(g) + 1))
+        assert (g["total_value"].diff().dropna() <= 0).all()
