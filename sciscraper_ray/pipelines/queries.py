@@ -3615,3 +3615,102 @@ def events_topk_users(sf_dir: str):
             "rnk": pa.array(top["rnk"].to_numpy(), type=pa.int64()),
         }
     )
+
+
+@register(
+    "events_user_cumsum",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ), 6) AS cum_value
+    FROM events
+    """,
+)
+def events_user_cumsum(sf_dir: str):
+    """Distributed WINDOW FUNCTION (running per-user sum ordered by
+    time): partition by user, sort within partition, cumulative sum —
+    the canonical `sum() OVER (PARTITION BY .. ORDER BY ..)`. Expressed
+    as `groupby(user).map_groups` with a vectorized sort + cumsum per
+    group; both engines accumulate in the identical (ts, event_id)
+    order, so the running floats agree exactly (rounded 6 dp like every
+    float column here). Running aggregates are order-dependent, so hot
+    keys can NOT be salted — the scale lever is range-partitioning by
+    (user, time-chunk) and carrying per-chunk opening balances, the
+    standard prefix-sum decomposition."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def cumsum(g):
+        import pandas as pd
+
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "cum_value": g["value"].cumsum().round(6).to_numpy(),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(cumsum, batch_format="pandas")
+
+
+@register(
+    "doc_length_rank",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+               AS rnk
+    FROM documents
+    """,
+)
+def doc_length_rank(sf_dir: str):
+    """GLOBAL order rank (`row_number() OVER (ORDER BY n_chars,
+    doc_id)`) without a global sort: pass 1 reduces the corpus to a
+    value histogram of n_chars (per-batch counts; only histogram cells
+    move) whose driver-side cumsum gives each value its global rank
+    OFFSET, broadcast back via closure; pass 2 ranks doc_ids WITHIN
+    each n_chars value (`groupby(n_chars).map_groups`, one argsort per
+    group) and adds the offset. The all-to-all carries one row per doc
+    grouped by a bounded-cardinality key — the histogram trick that
+    also powers `lineitem_quantiles`; unbounded continuous keys would
+    range-partition on sampled splits instead (Ray sort's own
+    strategy)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def hist(b: pa.Table) -> pa.Table:
+        agg = b.group_by("n_chars").aggregate([([], "count_all")])
+        return agg.rename_columns(["n_chars", "cnt"])
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("n_chars")["cnt"]
+        .sum()
+        .sort_index()
+    )
+    offsets = dict(zip(h.index, h.cumsum().shift(fill_value=0)))
+
+    def rank_group(g):
+        import pandas as pd
+
+        v = int(g["n_chars"].iloc[0])
+        ids = np.sort(g["doc_id"].to_numpy())
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_chars": np.full(len(ids), v, np.int64),
+                "rnk": offsets[v] + np.arange(1, len(ids) + 1, dtype=np.int64),
+            }
+        )
+
+    return ds.groupby("n_chars").map_groups(rank_group, batch_format="pandas")

@@ -114,3 +114,20 @@ def test_topk_users_rank_contract():
         g = g.sort_values("rnk")
         assert list(g["rnk"]) == list(range(1, len(g) + 1))
         assert (g["total_value"].diff().dropna() <= 0).all()
+
+
+def test_user_cumsum_final_equals_total():
+    import ray.data
+
+    out = QUERIES["events_user_cumsum"](SF).to_pandas()
+    ev = ray.data.read_parquet(f"{SF}/events.parquet").to_pandas()
+    finals = out.groupby("user_id")["cum_value"].max()
+    totals = ev.groupby("user_id")["value"].sum().round(4)
+    assert (finals.round(4) == totals).all()
+
+
+def test_length_rank_is_permutation():
+    out = QUERIES["doc_length_rank"](SF).to_pandas()
+    assert sorted(out["rnk"]) == list(range(1, len(out) + 1))
+    s = out.sort_values("rnk")
+    assert s["n_chars"].is_monotonic_increasing
