@@ -1916,7 +1916,9 @@ def dedup_exact(sf_dir: str):
     return exact_dedup(ds)
 
 
-def _jaccard_pairs_sql(copy_mod: int, copy_offset: int, mode: str, threshold: float) -> str:
+def _jaccard_pairs_parts(
+    copy_mod: int, copy_offset: int, mode: str, threshold: float
+) -> tuple[str, str]:
     """Oracle that INDEPENDENTLY computes exact-Jaccard near-dup pairs in
     SQL (distinct word-3-gram or char-5-gram shingles) over the same
     union input — the strongest check for the LSH pipelines: the synthetic
@@ -1944,8 +1946,7 @@ def _jaccard_pairs_sql(copy_mod: int, copy_offset: int, mode: str, threshold: fl
              ELSE list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))
         END"""
         prep = f"grams AS (SELECT doc_id, {shingle_list} AS shl FROM all_docs)"
-    return f"""
-    WITH {union_docs},
+    ctes = f"""{union_docs},
     {prep},
     sh AS (SELECT DISTINCT doc_id, unnest(shl) AS g FROM grams),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -1953,11 +1954,38 @@ def _jaccard_pairs_sql(copy_mod: int, copy_offset: int, mode: str, threshold: fl
         SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
         FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
         GROUP BY x.doc_id, y.doc_id
-    )
+    )"""
+    select = f"""
     SELECT a, b FROM inter
     JOIN sizes sa ON sa.doc_id = a
     JOIN sizes sb ON sb.doc_id = b
     WHERE i * 1.0 / (sa.n + sb.n - i) >= {threshold}
+    """
+    return ctes, select
+
+
+def _jaccard_pairs_sql(copy_mod: int, copy_offset: int, mode: str, threshold: float) -> str:
+    ctes, select = _jaccard_pairs_parts(copy_mod, copy_offset, mode, threshold)
+    return f"WITH {ctes}\n{select}"
+
+
+def _jaccard_cluster_sql(copy_mod: int, copy_offset: int, mode: str, threshold: float) -> str:
+    """Pair oracle + transitive closure: min-label propagation as a
+    DuckDB recursive CTE over the symmetrized exact-Jaccard pair graph —
+    an independent fixpoint computation checking the distributed
+    Large-Star/Small-Star rounds end-to-end."""
+    ctes, select = _jaccard_pairs_parts(copy_mod, copy_offset, mode, threshold)
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({select}),
+    edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+    lbl(node, l) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, lbl.l FROM lbl JOIN edges e ON e.u = lbl.node
+    )
+    SELECT node AS doc_id, CAST(min(l) AS BIGINT) AS comp_id
+    FROM lbl GROUP BY node
     """
 
 
@@ -2029,6 +2057,68 @@ def dedup_ngram_jaccard(sf_dir: str):
 
     ds = _with_copies(sf_dir, mod=13, offset=400_000, drop_last_word=True)
     return near_dup_pairs_ngram(ds, threshold=0.8, n=5)
+
+
+@register(
+    "dedup_components",
+    oracle=_jaccard_cluster_sql(copy_mod=7, copy_offset=200_000, mode="word", threshold=0.8),
+)
+def dedup_components(sf_dir: str):
+    """Duplicate-CLUSTER formation: MinHash pairs -> distributed
+    connected components (alternating Large-Star/Small-Star edge-list
+    rounds, Kiveris et al. SoCC'14 — see pipelines/graph.py). Emits
+    (doc_id, comp_id = min doc in cluster) for every node of the
+    verified >= 0.8-Jaccard pair graph; the oracle independently
+    recomputes exact-Jaccard pairs in SQL and closes them transitively
+    with a recursive min-label-propagation CTE."""
+    from sciscraper_ray.pipelines.dedup import near_dup_pairs_minhash
+    from sciscraper_ray.pipelines.graph import connected_components
+
+    ds = _with_copies(sf_dir, mod=7, offset=200_000, drop_last_word=True)
+    pairs = near_dup_pairs_minhash(ds, threshold=0.8)
+    return connected_components(pairs)
+
+
+@register(
+    "dedup_cluster_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_pairs_parts(7, 200_000, "word", 0.8)[0]},
+    pairs AS ({_jaccard_pairs_parts(7, 200_000, "word", 0.8)[1]}),
+    edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+    lbl(node, l) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, lbl.l FROM lbl JOIN edges e ON e.u = lbl.node
+    ),
+    comp AS (SELECT node, min(l) AS c FROM lbl GROUP BY node)
+    SELECT doc_id FROM all_docs
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != c)
+    """,
+)
+def dedup_cluster_survivors(sf_dir: str):
+    """End-to-end near-dup DEDUP: corpus minus every non-representative
+    cluster member (keep the min doc_id of each duplicate cluster plus
+    all singletons). The kept-id set is tiny relative to the corpus
+    (only docs in dup clusters are dropped), so the drop-list broadcasts
+    and the final pass is an Arrow-native anti-filter — no corpus
+    shuffle. Output is the kept doc_id column."""
+    import pyarrow.compute as pc
+
+    from sciscraper_ray.pipelines.dedup import near_dup_pairs_minhash
+    from sciscraper_ray.pipelines.graph import connected_components
+
+    ds = _with_copies(sf_dir, mod=7, offset=200_000, drop_last_word=True)
+    pairs = near_dup_pairs_minhash(ds, threshold=0.8)
+    comp = connected_components(pairs).to_pandas()
+    drop_arr = pa.array(
+        comp.loc[comp["doc_id"] != comp["comp_id"], "doc_id"].to_numpy(), pa.int64()
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch["doc_id"], value_set=drop_arr))
+        return batch.select(["doc_id"]).filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 @register(

@@ -1,0 +1,69 @@
+"""Connected components (pipelines/graph.py) vs a reference union-find."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sciscraper_ray.pipelines.graph import connected_components
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-label components
+    return {n: find(n) for n in parent}
+
+
+def _check(pairs):
+    tbl = pa.table(
+        {
+            "a": pa.array([p[0] for p in pairs], pa.int64()),
+            "b": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+    got = connected_components(tbl).to_pandas()
+    got_map = dict(zip(got["doc_id"], got["comp_id"]))
+    want = _union_find(pairs)
+    # union-find roots are component mins because we always parent toward min
+    assert got_map == want
+    assert len(got) == len(want)
+
+
+def test_empty():
+    out = connected_components(pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})).to_pandas()
+    assert len(out) == 0
+
+
+def test_single_pair():
+    _check([(5, 9)])
+
+
+def test_path_graph():
+    # worst case for naive label prop: a long chain
+    _check([(i, i + 1) for i in range(1, 60)])
+
+
+def test_two_cliques_and_chain():
+    pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (20, 21)]
+    _check(pairs)
+
+
+def test_random_graph_matches_union_find():
+    rng = np.random.default_rng(42)
+    n = 400
+    pairs = [tuple(sorted(p)) for p in rng.integers(0, n, size=(300, 2)) if p[0] != p[1]]
+    _check(pairs)
+
+
+def test_duplicate_and_reversed_edges():
+    _check([(1, 2), (1, 2), (2, 7), (2, 7), (3, 4)])
