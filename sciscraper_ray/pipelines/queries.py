@@ -3804,3 +3804,151 @@ def doc_length_rank(sf_dir: str):
         )
 
     return ds.groupby("n_chars").map_groups(rank_group, batch_format="pandas")
+
+
+@register(
+    "lineitem_moments",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS cnt,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(stddev_samp(l_quantity), 6) AS std_qty,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_moments(sf_dir: str):
+    """Distributed second-moment statistics (stddev / covariance /
+    correlation) from MERGEABLE sufficient statistics: each batch emits
+    per-group (n, Σx, Σy, Σx², Σy², Σxy); a tiny groupby sums them; the
+    closed forms recover the moments. Only |groups| × 6 doubles shuffle
+    — the classic one-pass parallel pattern (Chan et al. update formulas
+    are the drop-in upgrade if mean² ≫ variance makes the raw-sum form
+    cancel; here variance/mean² is O(0.3) so float64 keeps ~10 clean
+    digits, comfortably inside the 6-dp compare)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch["l_quantity"], pa.float64())
+        y = pc.cast(batch["l_extendedprice"], pa.float64())
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "sx": x,
+                "sy": y,
+                "sxx": pc.multiply(x, x),
+                "syy": pc.multiply(y, y),
+                "sxy": pc.multiply(x, y),
+            }
+        )
+        from sciscraper_ray.stages.relational import group_count_batch
+
+        return group_count_batch(
+            t,
+            ["l_returnflag"],
+            {c: c for c in ["sx", "sy", "sxx", "syy", "sxy"]},
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            *[Sum(on=c, alias_name=c) for c in ["cnt", "sx", "sy", "sxx", "syy", "sxy"]]
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b["sx"].to_numpy(zero_copy_only=False)
+        sy = b["sy"].to_numpy(zero_copy_only=False)
+        sxx = b["sxx"].to_numpy(zero_copy_only=False)
+        syy = b["syy"].to_numpy(zero_copy_only=False)
+        sxy = b["sxy"].to_numpy(zero_copy_only=False)
+        mx2 = sxx - sx * sx / n
+        my2 = syy - sy * sy / n
+        mxy = sxy - sx * sy / n
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "cnt": b["cnt"],
+                "avg_qty": pa.array(np.round(sx / n, 6), pa.float64()),
+                "std_qty": pa.array(np.round(np.sqrt(mx2 / (n - 1)), 6), pa.float64()),
+                "cov_qty_price": pa.array(np.round(mxy / (n - 1), 4), pa.float64()),
+                "corr_qty_price": pa.array(
+                    np.round(mxy / np.sqrt(mx2 * my2), 6), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+@register(
+    "orders_rollup",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(status, priority) in ONE corpus pass: the finest
+    (status, priority) aggregate is computed distributed (per-batch
+    partials → small shuffle); both coarser levels are then re-aggregated
+    from that finest result, which has |status| × |priority| ≈ 15 rows —
+    driver-side pandas on an already-reduced table, never on the input.
+    Rolled-up keys use the 'ALL' sentinel (COALESCE'd identically in the
+    oracle) so the compare never hashes NULL-vs-NaN."""
+    import pandas as pd
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import group_count_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    fine = (
+        ds.map_batches(
+            lambda b: group_count_batch(
+                b, ["o_orderstatus", "o_orderpriority"], {"o_totalprice": "total"}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum(on="cnt", alias_name="cnt"), Sum(on="total", alias_name="total"))
+        .to_pandas()
+    )
+
+    levels = [fine.rename(columns={"o_orderstatus": "status", "o_orderpriority": "priority"})]
+    by_status = fine.groupby("o_orderstatus", as_index=False)[["cnt", "total"]].sum()
+    by_status = by_status.rename(columns={"o_orderstatus": "status"})
+    by_status["priority"] = "ALL"
+    levels.append(by_status)
+    grand = pd.DataFrame(
+        {
+            "status": ["ALL"],
+            "priority": ["ALL"],
+            "cnt": [fine["cnt"].sum()],
+            "total": [fine["total"].sum()],
+        }
+    )
+    levels.append(grand)
+    out = pd.concat(levels, ignore_index=True)[["status", "priority", "cnt", "total"]]
+    out["total"] = out["total"].round(2)
+    out["cnt"] = out["cnt"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

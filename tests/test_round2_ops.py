@@ -131,3 +131,30 @@ def test_length_rank_is_permutation():
     assert sorted(out["rnk"]) == list(range(1, len(out) + 1))
     s = out.sort_values("rnk")
     assert s["n_chars"].is_monotonic_increasing
+
+
+def test_moments_match_numpy():
+    import ray.data
+
+    out = QUERIES["lineitem_moments"](SF).to_pandas().set_index("l_returnflag")
+    li = ray.data.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    ).to_pandas()
+    for flag, g in li.groupby("l_returnflag"):
+        row = out.loc[flag]
+        assert row["cnt"] == len(g)
+        assert abs(row["std_qty"] - g["l_quantity"].std(ddof=1)) < 1e-5
+        assert (
+            abs(row["corr_qty_price"] - g["l_quantity"].corr(g["l_extendedprice"]))
+            < 1e-5
+        )
+
+
+def test_rollup_levels_consistent():
+    out = QUERIES["orders_rollup"](SF).to_pandas()
+    fine = out[(out["status"] != "ALL") & (out["priority"] != "ALL")]
+    grand = out[(out["status"] == "ALL") & (out["priority"] == "ALL")]
+    assert int(grand["cnt"].iloc[0]) == int(fine["cnt"].sum())
+    mid = out[(out["status"] != "ALL") & (out["priority"] == "ALL")]
+    assert mid["cnt"].sum() == fine["cnt"].sum()
