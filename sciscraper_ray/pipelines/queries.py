@@ -3952,3 +3952,59 @@ def orders_rollup(sf_dir: str):
     out["total"] = out["total"].round(2)
     out["cnt"] = out["cnt"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _kr_pair_sql(k: int) -> str:
+    """Packed Karp-Rabin pair hash of the k-gram at 0-based offset i —
+    the exact integer the numpy kernel computes (substr.py
+    kgram_pair_hashes): two polynomial hashes with PRECOMPUTED modded
+    power weights (so every BIGINT term stays under 2^52 and no HUGEINT
+    is needed even for k=20, unlike the direct-power winnow oracle),
+    packed as h1 * 2^31 + h2."""
+    p = (1 << 31) - 1
+
+    def poly(base: int) -> str:
+        return " + ".join(
+            f"CAST(ascii(substr(text, i + {1 + j}, 1)) AS BIGINT)"
+            f" * {pow(base, k - 1 - j, p)}"
+            for j in range(k)
+        )
+
+    return (
+        f"(CAST(({poly(257)}) % {p} AS BIGINT) * 2147483648"
+        f" + CAST(({poly(263)}) % {p} AS BIGINT))"
+    )
+
+
+@register(
+    "doc_dup_substrings",
+    oracle=f"""
+    WITH gh AS (
+        SELECT doc_id, {_kr_pair_sql(20)} AS h
+        FROM (
+            SELECT doc_id, text, unnest(range(length(text) - 19)) AS i
+            FROM documents WHERE length(text) >= 20
+        )
+    ),
+    freq AS (SELECT h, count(*) AS fc FROM gh GROUP BY h),
+    agg AS (
+        SELECT g.doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN f.fc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        FROM gh g JOIN freq f USING (h) GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def doc_dup_substrings(sf_dir: str):
+    """ExactSubstr-style duplicate-substring mass (Lee et al. ACL'22):
+    per doc, how many char-20-gram positions occur >= 2 times anywhere
+    in the corpus (the corpus's natural ' dup'-suffix near-copies give
+    real cross-doc mass). Vectorized paired-Karp-Rabin kernel + two-plan
+    frequency merge — see pipelines/substr.py. The oracle evaluates the
+    identical packed polynomial hash in SQL and recounts from scratch."""
+    from sciscraper_ray.pipelines.substr import dup_substring_mass
+
+    return dup_substring_mass(_docs(sf_dir), k=20)

@@ -158,3 +158,45 @@ def test_rollup_levels_consistent():
     assert int(grand["cnt"].iloc[0]) == int(fine["cnt"].sum())
     mid = out[(out["status"] != "ALL") & (out["priority"] == "ALL")]
     assert mid["cnt"].sum() == fine["cnt"].sum()
+
+
+def test_dup_substring_plan_parity():
+    import ray.data
+
+    from sciscraper_ray.pipelines.substr import dup_substring_mass
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    d = dup_substring_mass(docs, k=20, plan="driver").to_pandas()
+    s = dup_substring_mass(docs, k=20, plan="shuffle").to_pandas()
+    d = d.sort_values("doc_id").reset_index(drop=True)
+    s = s.sort_values("doc_id").reset_index(drop=True)
+    assert d.equals(s)
+    assert (d["n_dup"] <= d["n_grams"]).all()
+    assert d["n_dup"].sum() > 0  # corpus has natural near-copies
+
+
+def test_dup_substring_kernel_semantics():
+    import ray.data
+
+    from sciscraper_ray.pipelines.substr import dup_substring_mass
+
+    base = "abcdefghijklmnopqrstuvwxyz0123456789ABCD"
+    rows = [
+        {"doc_id": 1, "text": base + " unique tail one"},
+        {"doc_id": 2, "text": base + " other ending two"},  # shares 20-grams of base
+        {"doc_id": 3, "text": "zz"},  # too short: 0 grams
+        {"doc_id": 4, "text": None},  # null text: 0 grams
+        {"doc_id": 5, "text": "q" * 50},  # within-doc repeats only
+    ]
+    out = (
+        dup_substring_mass(ray.data.from_items(rows), k=20, plan="driver")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[3, "n_grams"] == 0 and out.loc[4, "n_grams"] == 0
+    # doc 5: all 31 grams are the same 'q'*20 gram -> all duplicated
+    assert out.loc[5, "n_grams"] == 31 and out.loc[5, "n_dup"] == 31
+    # docs 1/2 share the 21 grams fully inside `base` (windows that end
+    # at or before position len(base)) -> both have dup mass, less than total
+    assert 0 < out.loc[1, "n_dup"] < out.loc[1, "n_grams"]
+    assert out.loc[1, "n_dup"] == out.loc[2, "n_dup"]
