@@ -28,8 +28,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
+
+from sciscraper_ray.pipelines.plan import resolve_plan
 
 
 def _star_round(edges: ray.data.Dataset, *, large: bool) -> ray.data.Dataset:
@@ -187,3 +190,158 @@ def connected_components(
         )
     ).map_batches(finalize, batch_format="pyarrow")
     return members.union(root_rows)
+
+
+def pagerank(
+    edges: ray.data.Dataset | pa.Table,
+    *,
+    damping: float = 0.85,
+    iters: int = 5,
+    num_buckets: int = 32,
+    plan: str = "auto",
+) -> ray.data.Dataset | pa.Table:
+    """Power-iteration PageRank over a DIRECTED (src, dst) edge list.
+
+    Requires every node to have >= 1 out-edge (callers with undirected
+    graphs symmetrize first, which guarantees it); with that invariant
+    there is no dangling-mass term and each iteration is exactly
+    r'(v) = (1-d)/N + d * sum over edges (u,v) of r(u)/outdeg(u).
+
+    Two physical plans (pipelines/plan.py resolve_plan, auto-flip at 50M
+    edge rows — same policy as every two-plan operator here):
+
+    driver — edge arrays stream to the driver once; each iteration is a
+    single vectorized ``np.bincount`` gather/scatter (pure C). Wins by a
+    huge margin while edges fit driver memory: the shuffle plan pays
+    ~2 all-to-all barriers PER ITERATION in fixed Ray overhead.
+
+    shuffle — per iteration: ONE co-partitioned ``bucketed_hash_join``
+    of the static edge list against the (node, r/deg) table on src, then
+    a groupby(dst) sum — both all-to-alls move only int64/double
+    columns. The destination's degree rides along on the edge rows
+    (attached once, up front), so no second join is needed to rebuild
+    the rank table. The rank table (N rows) is materialized per
+    iteration — the standard iterative-algorithm tradeoff; rank rows are
+    24 bytes, so even 10^10 nodes is ~240 GB spread over the object
+    store, not driver memory.
+
+    Fixed ``iters`` (not convergence-tested) keeps the result
+    deterministic and SQL-mirrorable."""
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+
+    if isinstance(edges, pa.Table):
+        edges = ray.data.from_arrow(edges)
+
+    def as_src_dst(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["a"], "dst": b["b"]})
+
+    e = edges.map_batches(as_src_dst, batch_format="pyarrow")
+    mode, e = resolve_plan(e, plan)
+
+    if mode == "driver":
+        g = e.to_pandas()
+        src = g["src"].to_numpy()
+        dst = g["dst"].to_numpy()
+        nodes, src_idx = np.unique(src, return_inverse=True)
+        dst_idx = np.searchsorted(nodes, dst)
+        if not np.array_equal(nodes[dst_idx], dst):
+            raise ValueError("pagerank requires every dst to have an out-edge")
+        deg = np.bincount(src_idx).astype(np.float64)
+        n = len(nodes)
+        r = np.full(n, 1.0 / n)
+        base = (1.0 - damping) / n
+        for _ in range(iters):
+            contrib = np.bincount(
+                dst_idx, weights=r[src_idx] / deg[src_idx], minlength=n
+            )
+            r = base + damping * contrib
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "r": pa.array(np.round(r, 10), pa.float64()),
+            }
+        )
+
+    e = e.materialize()
+    deg = (
+        e.groupby("src")
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["src"],
+                    "deg": pc.cast(b["count()"], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n = deg.count()
+
+    # attach dst's degree to each edge once (static across iterations)
+    e_aug = bucketed_hash_join(
+        e, deg, left_on="dst", right_on="node", num_buckets=num_buckets
+    ).map_batches(
+        lambda b: pa.table({"src": b["src"], "dst": b["dst"], "ddeg": b["deg"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    base = (1.0 - damping) / n
+    ranks = deg.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"],
+                "deg": b["deg"],
+                "r": pa.array(np.full(len(b), 1.0 / n), pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        rd = ranks.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "rd": pc.divide(b["r"], b["deg"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        contrib = bucketed_hash_join(
+            e_aug, rd, left_on="src", right_on="node", num_buckets=num_buckets
+        )
+        ranks = (
+            contrib.groupby(["dst", "ddeg"])
+            .aggregate(Sum(on="rd", alias_name="c"))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b["dst"],
+                        "deg": b["ddeg"],
+                        "r": pa.array(
+                            base
+                            + damping * b["c"].to_numpy(zero_copy_only=False),
+                            pa.float64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    return ranks.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"],
+                "r": pa.array(
+                    np.round(b["r"].to_numpy(zero_copy_only=False), 10), pa.float64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -4008,3 +4008,78 @@ def doc_dup_substrings(sf_dir: str):
     from sciscraper_ray.pipelines.substr import dup_substring_mass
 
     return dup_substring_mass(_docs(sf_dir), k=20)
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """PageRank unrolled to a fixed iteration count: r0..r{iters} as
+    chained CTEs (standard SQL has no aggregates in recursive terms, so
+    a deterministic fixed-K power iteration unrolls instead). Node space
+    disambiguates the bipartite ids by offsetting suppliers by 10^7;
+    edges are symmetrized, so every node has out-degree >= 1 and the
+    dangling-mass term vanishes — the same invariant the Ray operator
+    documents."""
+    ctes = [
+        "e0 AS (SELECT DISTINCT l_partkey AS a, l_suppkey + 10000000 AS b FROM lineitem)",
+        "edges AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b AS src, a AS dst FROM e0)",
+        "deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM deg)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS (
+        SELECT e.dst AS node,
+               (1.0 - 0.85) / (SELECT n FROM nn)
+                   + 0.85 * sum(p.r / dg.d) AS r
+        FROM edges e
+        JOIN r{k - 1} p ON p.node = e.src
+        JOIN deg dg ON dg.node = e.src
+        GROUP BY e.dst
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, round(r, 10) AS r FROM r{iters}"
+    )
+
+
+@register("graph_pagerank", oracle=_pagerank_sql(5))
+def graph_pagerank(sf_dir: str):
+    """Distributed PageRank (5 power iterations, d=0.85) over the
+    symmetrized part<->supplier graph from DISTINCT lineitem pairs
+    (suppliers offset by 10^7 to disambiguate the bipartite id spaces).
+    Each iteration is one co-partitioned bucketed hash join + a
+    groupby(dst) sum — see pipelines/graph.py pagerank for the physical
+    plan; the oracle unrolls the identical fixed-K iteration in SQL."""
+    import ray.data
+
+    from sciscraper_ray.pipelines.graph import _dedup_edges, pagerank
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": b["l_partkey"],
+                "b": pc.add(b["l_suppkey"], 10_000_000),
+            }
+        )
+
+    e0 = _dedup_edges(li.map_batches(to_edges, batch_format="pyarrow"))
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([a, bb]), pa.int64()),
+                "b": pa.array(np.concatenate([bb, a]), pa.int64()),
+            }
+        )
+
+    return pagerank(
+        e0.map_batches(symmetrize, batch_format="pyarrow"), damping=0.85, iters=5
+    )

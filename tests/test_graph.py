@@ -67,3 +67,30 @@ def test_random_graph_matches_union_find():
 
 def test_duplicate_and_reversed_edges():
     _check([(1, 2), (1, 2), (2, 7), (2, 7), (3, 4)])
+
+
+def test_pagerank_plan_parity_and_sum():
+    import ray.data
+
+    from sciscraper_ray.pipelines.graph import pagerank
+
+    # small symmetric graph: two triangles bridged by one edge
+    und = [(1, 2), (2, 3), (1, 3), (3, 10), (10, 11), (11, 12), (10, 12)]
+    sym = und + [(b, a) for a, b in und]
+    tbl = pa.table(
+        {
+            "a": pa.array([p[0] for p in sym], pa.int64()),
+            "b": pa.array([p[1] for p in sym], pa.int64()),
+        }
+    )
+    d = pagerank(tbl, iters=5, plan="driver").to_pandas()
+    s = pagerank(tbl, iters=5, plan="shuffle", num_buckets=4).to_pandas()
+    d = d.sort_values("node").reset_index(drop=True)
+    s = s.sort_values("node").reset_index(drop=True)
+    assert list(d["node"]) == list(s["node"])
+    assert np.allclose(d["r"], s["r"], atol=1e-9)
+    # ranks are a probability distribution (no dangling mass on symmetric graphs)
+    assert abs(d["r"].sum() - 1.0) < 1e-6
+    # bridge nodes (3, 10) have the highest degree -> highest rank
+    top2 = set(d.sort_values("r", ascending=False)["node"].head(2))
+    assert top2 == {3, 10}
