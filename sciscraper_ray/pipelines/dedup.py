@@ -324,3 +324,81 @@ def near_dup_pairs_embedding(
     sims = np.einsum("ij,ij->i", an, bn)
     out = pairs[sims >= threshold]
     return pa.table({"a": pa.array(out["a"], pa.int64()), "b": pa.array(out["b"], pa.int64())})
+
+
+def levenshtein_np(s: str, t: str) -> int:
+    """Full Levenshtein via the row-DP with the minimum-accumulate trick:
+    cur[j] = min over l<=j of c0[l] + (j-l), computed as
+    accumulate(c0 - j) + j — so each DP row is O(|t|) numpy with no
+    per-cell Python, and a 500x500 comparison is ~100 vector ops."""
+    sa = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    ta = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+    if len(sa) == 0 or len(ta) == 0:
+        return max(len(sa), len(ta))
+    m = len(ta)
+    jar = np.arange(m + 1)
+    prev = jar.copy()
+    for i in range(1, len(sa) + 1):
+        sub = prev[:-1] + (ta != sa[i - 1])
+        c0 = np.concatenate(([i], np.minimum(prev[1:] + 1, sub)))
+        prev = np.minimum.accumulate(c0 - jar) + jar
+    return int(prev[-1])
+
+
+def near_dup_pairs_editdist(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 8,
+    pair_mode: str = "auto",
+) -> pa.Table:
+    """Edit-distance similarity join: (a, b) with
+    levenshtein(text_a, text_b) <= max_dist, a < b.
+
+    Blocking is by TEXT LENGTH with zero false negatives: distance <= D
+    implies |len(a)-len(b)| <= D, and with block width D+1 the two
+    lengths land in the same or adjacent blocks — so emitting every doc
+    to blocks {len//(D+1), len//(D+1)+1} guarantees each qualifying pair
+    shares a block. Candidates then go through the shared two-plan
+    ``_candidate_pairs`` machinery and are verified with the vectorized
+    DP above (plus the |len| prefilter). Length blocks can be skewed
+    (many docs of similar length); the scale lever is composing the
+    block key with a cheap content prefix (e.g. first-k-char hash) at
+    the cost of recall for edits inside the prefix, or salting the
+    verify stage — the verify itself is an embarrassingly parallel
+    actor-pool stage at scale."""
+    width = max_dist + 1
+
+    def block(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        lens = np.array(
+            [len(t) if t is not None else -1 for t in batch[text_col].to_pylist()],
+            dtype=np.int64,
+        )
+        keep = lens >= 0
+        ids, lens = ids[keep], lens[keep]
+        blk = lens // width
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate([ids, ids]), pa.int64()),
+                "blk": pa.array(np.concatenate([blk, blk + 1]), pa.int64()),
+            }
+        )
+
+    banded = ds.map_batches(block, batch_format="pyarrow")
+    pairs = _candidate_pairs(banded, ["blk"], pair_mode)
+    if pairs.empty:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    texts = _texts_for(ds, np.unique(pairs[["a", "b"]].to_numpy()), id_col, text_col)
+    keep = []
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ta, tb = texts.get(a), texts.get(b)
+        if ta is None or tb is None or abs(len(ta) - len(tb)) > max_dist:
+            keep.append(False)
+            continue
+        keep.append(levenshtein_np(ta, tb) <= max_dist)
+    out = pairs[np.array(keep, dtype=bool)]
+    return pa.table(
+        {"a": pa.array(out["a"], pa.int64()), "b": pa.array(out["b"], pa.int64())}
+    )

@@ -4083,3 +4083,101 @@ def graph_pagerank(sf_dir: str):
     return pagerank(
         e0.map_batches(symmetrize, batch_format="pyarrow"), damping=0.85, iters=5
     )
+
+
+@register(
+    "events_decayed_value",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS t FROM events)
+    SELECT user_id,
+           round(sum(value * exp(-(CAST(date_diff('microsecond', ts, (SELECT t FROM mx)) AS DOUBLE) / 1000000.0) / 86400.0)), 6) AS decayed_value,
+           count(*) AS cnt
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_decayed_value(sf_dir: str):
+    """Time-DECAYED aggregate (exponential half-life weighting to the
+    stream's end time, tau = 1 day): the streaming-db primitive for
+    'recent activity' scores. Decayed sums are ORDER-INDEPENDENT
+    (each row's weight depends only on its own timestamp), so unlike the
+    running-sum window this distributes as a plain two-phase aggregate:
+    per-batch partial (user, Σ value·e^(−Δt/τ), n) then a tiny groupby —
+    no sort, no salting concerns. The reference time is max(ts), read
+    in a cheap pruned pre-pass (a metadata-only max at scale)."""
+    import pandas as pd
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import group_count_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    t_end = ds.max("ts")
+    t_end_us = np.int64(pd.Timestamp(t_end).value // 1000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch["ts"], pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        dt_days = (t_end_us - ts_us).astype(np.float64) / 1_000_000.0 / 86_400.0
+        w = batch["value"].to_numpy(zero_copy_only=False) * np.exp(-dt_days)
+        t = pa.table(
+            {"user_id": batch["user_id"], "wv": pa.array(w, pa.float64())}
+        )
+        return group_count_batch(t, ["user_id"], {"wv": "wv"})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum(on="wv", alias_name="wv"), Sum(on="cnt", alias_name="cnt")
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "decayed_value": pa.array(
+                    np.round(b["wv"].to_numpy(zero_copy_only=False), 6), pa.float64()
+                ),
+                "cnt": b["cnt"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+@register(
+    "dedup_editdistance",
+    oracle="""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 800000,
+               array_to_string(
+                   string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' ')
+        FROM documents WHERE doc_id % 19 = 0
+    )
+    SELECT x.doc_id AS a, y.doc_id AS b
+    FROM all_docs x JOIN all_docs y
+      ON x.doc_id < y.doc_id
+     AND abs(length(x.text) - length(y.text)) <= 8
+    WHERE levenshtein(x.text, y.text) <= 8
+    """,
+)
+def dedup_editdistance(sf_dir: str):
+    """Edit-distance similarity join (levenshtein <= 8): length-blocked
+    candidates with ZERO false negatives (width-D+1 adjacent blocks),
+    verified by a vectorized DP row kernel — see
+    pipelines/dedup.py near_dup_pairs_editdist. The oracle recomputes
+    the join exhaustively with DuckDB's native levenshtein() (quadratic
+    — gate-scale only); only copies whose dropped last word is short
+    enough survive the <= 8 bar, and the corpus's natural ' dup' copies
+    (distance 4) qualify too, so the pair set is decided by semantics,
+    not construction."""
+    from sciscraper_ray.pipelines.dedup import near_dup_pairs_editdist
+
+    ds = _with_copies(sf_dir, mod=19, offset=800_000, drop_last_word=True)
+    return near_dup_pairs_editdist(ds, max_dist=8)

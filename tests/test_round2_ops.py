@@ -200,3 +200,39 @@ def test_dup_substring_kernel_semantics():
     # at or before position len(base)) -> both have dup mass, less than total
     assert 0 < out.loc[1, "n_dup"] < out.loc[1, "n_grams"]
     assert out.loc[1, "n_dup"] == out.loc[2, "n_dup"]
+
+
+def test_levenshtein_kernel():
+    from sciscraper_ray.pipelines.dedup import levenshtein_np
+
+    assert levenshtein_np("kitten", "sitting") == 3
+    assert levenshtein_np("", "") == 0
+    assert levenshtein_np("a", "") == 1
+    assert levenshtein_np("flaw", "lawn") == 2
+    assert levenshtein_np("abcdef", "abcdef") == 0
+
+
+def test_editdist_blocking_no_false_negatives():
+    import ray.data
+
+    from sciscraper_ray.pipelines.dedup import levenshtein_np, near_dup_pairs_editdist
+
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "the quick brown fox jumps over the lazy do"},  # d=1
+        {"doc_id": 3, "text": "the quick brown fox leaps over the lazy dog"},  # d<=5
+        {"doc_id": 4, "text": "completely different content here entirely xx"},
+        {"doc_id": 5, "text": None},
+    ]
+    got = near_dup_pairs_editdist(
+        ray.data.from_items(rows), max_dist=8
+    ).to_pandas()
+    got_pairs = set(zip(got["a"], got["b"]))
+    # brute-force expectation
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            ta, tb = rows[i]["text"], rows[j]["text"]
+            if ta is not None and tb is not None and levenshtein_np(ta, tb) <= 8:
+                want.add((rows[i]["doc_id"], rows[j]["doc_id"]))
+    assert got_pairs == want and (1, 2) in want
