@@ -4181,3 +4181,278 @@ def dedup_editdistance(sf_dir: str):
 
     ds = _with_copies(sf_dir, mod=19, offset=800_000, drop_last_word=True)
     return near_dup_pairs_editdist(ds, max_dist=8)
+
+
+@register(
+    "events_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           date_diff('microsecond',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS delta_us
+    FROM events
+    """,
+)
+def events_lag_delta(sf_dir: str):
+    """LAG window function (time since the user's previous event, in
+    integer microseconds; NULL for each user's first event). Same
+    partition-sort-scan shape as the running sum: groupby(user) ->
+    in-group vectorized sort + shifted diff. Integer output sidesteps
+    the pandas/Arrow timestamp-unit round-trip entirely."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def lag_delta(g):
+        import pandas as pd
+
+        g = g.sort_values(["ts", "event_id"])
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        # float64 (exact for deltas < 2^53 us ~ 285 years): a BIGINT
+        # column with NULLs lands in pandas as float64 on the oracle
+        # side, so the engine emits the identical dtype
+        delta = np.empty(len(g), dtype=np.float64)
+        delta[0] = np.nan
+        delta[1:] = ts_us[1:] - ts_us[:-1]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "delta_us": delta,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(lag_delta, batch_format="pandas")
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_pivot_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           {", ".join(f"count(*) FILTER (event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES)}
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    """,
+)
+def events_pivot_hourly(sf_dir: str):
+    """PIVOT (long -> wide): hourly event counts, one column per event
+    type. The pivot happens INSIDE the per-batch partial (conditional
+    counts to a fixed, declared column set), so the shuffle carries one
+    row per (hour, batch) with 5 int columns — never the long stream;
+    unknown types at scale would need a first distinct-keys pass to
+    declare the columns, exactly like remove_empty_columns' pre-pass."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        et = batch["event_type"]
+        cols = {"window_start": hour}
+        for t in _EVENT_TYPES:
+            cols[f"n_{t}"] = pc.cast(pc.equal(et, t), pa.int64())
+        return (
+            pa.table(cols)
+            .group_by("window_start")
+            .aggregate([(f"n_{t}", "sum") for t in _EVENT_TYPES])
+            .rename_columns(["window_start"] + [f"n_{t}" for t in _EVENT_TYPES])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(*[Sum(on=f"n_{t}", alias_name=f"n_{t}") for t in _EVENT_TYPES])
+    )
+
+
+@register(
+    "doc_ntile",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+    FROM documents
+    """,
+)
+def doc_ntile(sf_dir: str):
+    """NTILE(10) global decile binning without a global sort: the same
+    value-histogram rank-offset trick as `doc_length_rank` (only
+    histogram cells cross the wire), then the exact NTILE fill rule —
+    the first n % k buckets take ceil(n/k) rows — applied to the global
+    rank inside each n_chars group."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def hist(b: pa.Table) -> pa.Table:
+        agg = b.group_by("n_chars").aggregate([([], "count_all")])
+        return agg.rename_columns(["n_chars", "cnt"])
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("n_chars")["cnt"]
+        .sum()
+        .sort_index()
+    )
+    n = int(h.sum())
+    offsets = dict(zip(h.index, h.cumsum().shift(fill_value=0)))
+    k = 10
+    q, r = divmod(n, k)
+
+    def rank_to_ntile(rank: np.ndarray) -> np.ndarray:
+        big = r * (q + 1)
+        lo = (rank - 1) // (q + 1) + 1
+        hi = r + (rank - 1 - big) // q + 1 if q else lo
+        return np.where(rank <= big, lo, hi).astype(np.int64)
+
+    def tile_group(g):
+        import pandas as pd
+
+        v = int(g["n_chars"].iloc[0])
+        ids = np.sort(g["doc_id"].to_numpy())
+        rank = offsets[v] + np.arange(1, len(ids) + 1, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_chars": np.full(len(ids), v, np.int64),
+                "decile": rank_to_ntile(rank),
+            }
+        )
+
+    return ds.groupby("n_chars").map_groups(tile_group, batch_format="pandas")
+
+
+@register(
+    "events_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_distinct_users(sf_dir: str):
+    """EXACT grouped count-distinct (the exact twin of the HLL sketch
+    query): per-batch dedup to (type, user, c) partials — the only
+    all-to-all moves one row per distinct pair per batch — then
+    groupby(pair) sum, then a tiny groupby(type) counting pair rows for
+    n_users and summing c for cnt."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from sciscraper_ray.stages.relational import group_count_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    pairs = (
+        ds.map_batches(
+            lambda b: group_count_batch(b, ["event_type", "user_id"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum(on="cnt", alias_name="c"))
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        t = b.group_by("event_type").aggregate([("c", "count"), ("c", "sum")])
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_users": t["c_count"],
+                "cnt": t["c_sum"],
+            }
+        )
+
+    return (
+        pairs.map_batches(fold, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum(on="n_users", alias_name="n_users"), Sum(on="cnt", alias_name="cnt")
+        )
+    )
+
+
+@register(
+    "token_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_SQL_TOKENS}) AS token FROM documents),
+    tot AS (SELECT count(*) AS n FROM toks),
+    cnts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token)
+    SELECT token, cnt FROM cnts, tot WHERE cnt * 200 > n
+    """,
+)
+def token_heavy_hitters(sf_dir: str):
+    """EXACT frequent items (share > 1/200 of all tokens) by the
+    two-pass heavy-hitter scheme (Misra-Gries/SpaceSaving candidate
+    generation): pass 1 emits each batch's LOCAL hitters (count*200 >
+    batch tokens — any global hitter must be a local hitter in >= 1
+    batch, so the union is a guaranteed superset, bounded at 200 rows
+    per batch regardless of vocabulary size); pass 2 exact-counts ONLY
+    the broadcast candidate set plus the total token count (a sentinel
+    key no real token can collide with), and the final integer-only
+    filter needs no floats. The full vocabulary never shuffles."""
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    inv_phi = 200
+    sentinel = "\x00__total__"
+
+    def local_hitters(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(tokenize_column(batch["text"]))
+        vc = flat.value_counts()
+        keep = pc.greater(pc.multiply(vc.field("counts"), inv_phi), len(flat))
+        return pa.table({"token": vc.field("values").filter(keep)})
+
+    cand = (
+        _docs(sf_dir, columns=("text",))
+        .map_batches(local_hitters, batch_format="pyarrow")
+        .groupby("token")
+        .count()
+        .to_pandas()
+    )
+    cand_arr = pa.array(cand["token"].tolist(), pa.string())
+
+    def count_candidates(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(tokenize_column(batch["text"]))
+        hits = flat.filter(pc.is_in(flat, value_set=cand_arr))
+        vc = hits.value_counts()
+        return pa.table(
+            {
+                "token": pa.concat_arrays(
+                    [vc.field("values").cast(pa.string()), pa.array([sentinel])]
+                ),
+                "cnt": pa.concat_arrays(
+                    [vc.field("counts").cast(pa.int64()), pa.array([len(flat)], pa.int64())]
+                ),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir, columns=("text",))
+        .map_batches(count_candidates, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    n = int(agg.loc[agg["token"] == sentinel, "cnt"].iloc[0])
+    out = agg[(agg["token"] != sentinel) & (agg["cnt"] * inv_phi > n)]
+    return pa.table(
+        {
+            "token": pa.array(out["token"].tolist(), pa.string()),
+            "cnt": pa.array(out["cnt"].to_numpy(), pa.int64()),
+        }
+    )

@@ -236,3 +236,57 @@ def test_editdist_blocking_no_false_negatives():
             if ta is not None and tb is not None and levenshtein_np(ta, tb) <= 8:
                 want.add((rows[i]["doc_id"], rows[j]["doc_id"]))
     assert got_pairs == want and (1, 2) in want
+
+
+def test_lag_delta_nulls_and_positive():
+    out = QUERIES["events_lag_delta"](SF).to_pandas()
+    # one NULL (first event) per user; all other deltas non-negative
+    per_user_nulls = out.groupby("user_id")["delta_us"].apply(lambda s: s.isna().sum())
+    assert (per_user_nulls == 1).all()
+    assert (out["delta_us"].dropna() >= 0).all()
+
+
+def test_pivot_columns_sum_to_total():
+    import ray.data
+
+    out = QUERIES["events_pivot_hourly"](SF).to_pandas()
+    total = ray.data.read_parquet(f"{SF}/events.parquet").count()
+    pivot_cols = [c for c in out.columns if c.startswith("n_")]
+    assert out[pivot_cols].to_numpy().sum() == total
+
+
+def test_ntile_sizes():
+    out = QUERIES["doc_ntile"](SF).to_pandas()
+    sizes = out["decile"].value_counts()
+    assert set(sizes.index) == set(range(1, 11))
+    assert sizes.max() - sizes.min() <= 1
+    # deciles ordered by n_chars
+    s = out.sort_values(["n_chars", "doc_id"])
+    assert s["decile"].is_monotonic_increasing
+
+
+def test_distinct_users_vs_pandas():
+    import ray.data
+
+    out = QUERIES["events_distinct_users"](SF).to_pandas().set_index("event_type")
+    ev = ray.data.read_parquet(f"{SF}/events.parquet").to_pandas()
+    want = ev.groupby("event_type")["user_id"].nunique()
+    for t, n in want.items():
+        assert out.loc[t, "n_users"] == n
+
+
+def test_heavy_hitters_threshold_exact():
+    import ray.data
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+    import pyarrow.compute as pc
+
+    out = QUERIES["token_heavy_hitters"](SF).to_pandas()
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    toks = pc.list_flatten(tokenize_column(pa.array(docs["text"]))).to_pandas()
+    counts = toks.value_counts()
+    n = len(toks)
+    want = counts[counts * 200 > n]
+    assert set(out["token"]) == set(want.index)
+    got = out.set_index("token")["cnt"]
+    assert all(got[t] == c for t, c in want.items())
