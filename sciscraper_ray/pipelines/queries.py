@@ -4456,3 +4456,302 @@ def token_heavy_hitters(sf_dir: str):
             "cnt": pa.array(out["cnt"].to_numpy(), pa.int64()),
         }
     )
+
+
+_EMB_DIM = 64
+
+
+@register(
+    "embedding_group_centroid",
+    oracle=f"""
+    SELECT label,
+           count(*) AS cnt,
+           {", ".join(f"round(avg(CAST(embedding[{i + 1}] AS DOUBLE)), 6) AS c{i}" for i in range(_EMB_DIM))}
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_group_centroid(sf_dir: str):
+    """Per-label embedding CENTROID (element-wise mean of the
+    list<float> column, the k-means/class-prototype primitive): each
+    batch reduces to one (label, Σvec, n) partial via a zero-copy
+    flatten-reshape + np.add.at, so the shuffle carries |labels| x d
+    doubles per batch, never the vectors. float32 inputs are widened to
+    float64 BEFORE summing on both engines."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.ann import _stack
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _stack(batch["embedding"])
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]), np.float64)
+        np.add.at(sums, inv, mat)
+        cnt = np.bincount(inv).astype(np.int64)
+        cols = {"label": pa.array(uniq, pa.int64()), "cnt": pa.array(cnt, pa.int64())}
+        for i in range(mat.shape[1]):
+            cols[f"c{i}"] = pa.array(sums[:, i], pa.float64())
+        return pa.table(cols)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Sum(on="cnt", alias_name="cnt"),
+            *[Sum(on=f"c{i}", alias_name=f"c{i}") for i in range(_EMB_DIM)],
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cols = {"label": b["label"], "cnt": b["cnt"]}
+        for i in range(_EMB_DIM):
+            cols[f"c{i}"] = pa.array(
+                np.round(b[f"c{i}"].to_numpy(zero_copy_only=False) / n, 6),
+                pa.float64(),
+            )
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+@register(
+    "events_zscore",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, avg(value) AS mu,
+               stddev_samp(value) AS sd, count(*) AS n
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - s.mu) / s.sd, 6) AS z
+    FROM events e JOIN s USING (event_type)
+    """,
+)
+def events_zscore(sf_dir: str):
+    """Per-group Z-SCORE standardization — the two-pass normalize
+    pattern every feature pipeline needs: pass 1 reduces the stream to
+    per-group sufficient statistics (n, Σx, Σx² — same mergeable-moment
+    partials as `lineitem_moments`), which broadcast back into a
+    full-stream vectorized map. No shuffle touches the event rows."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import group_count_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch["value"], pa.float64())
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "sx": x,
+                "sxx": pc.multiply(x, x),
+            }
+        )
+        return group_count_batch(t, ["event_type"], {"sx": "sx", "sxx": "sxx"})
+
+    stats = (
+        ds.map_batches(moment_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum(on="cnt", alias_name="n"),
+            Sum(on="sx", alias_name="sx"),
+            Sum(on="sxx", alias_name="sxx"),
+        )
+        .to_pandas()
+    )
+    n = stats["n"].to_numpy(np.float64)
+    mu = stats["sx"].to_numpy() / n
+    sd = np.sqrt((stats["sxx"].to_numpy() - stats["sx"].to_numpy() ** 2 / n) / (n - 1))
+    lut = {t: (m, s) for t, m, s in zip(stats["event_type"], mu, sd)}
+
+    def z(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pylist()
+        m = np.array([lut[t][0] for t in et])
+        s = np.array([lut[t][1] for t in et])
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "z": pa.array(np.round((v - m) / s, 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(z, batch_format="pyarrow")
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               min(ts) FILTER (event_type = 'view') AS t_view,
+               min(ts) FILTER (event_type = 'click') AS t_click,
+               min(ts) FILTER (event_type = 'purchase') AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) FILTER (t_view IS NOT NULL) AS BIGINT) AS n_view,
+           CAST(count(*) FILTER (t_view IS NOT NULL AND t_click > t_view)
+                AS BIGINT) AS n_click_after_view,
+           CAST(count(*) FILTER (t_view IS NOT NULL AND t_click > t_view
+                                 AND t_purchase > t_click)
+                AS BIGINT) AS n_full_funnel
+    FROM f
+    """,
+)
+def events_funnel(sf_dir: str):
+    """Ordered conversion FUNNEL (view -> click -> purchase, by each
+    user's FIRST time at each step): per-batch (user, min-ts-per-step)
+    partials with a +inf sentinel for missing steps (so the global
+    merge is a plain Min aggregate over int64 — no nullable-min
+    semantics in the shuffle), then per-user ordering flags reduced to
+    one global row. Classic product-analytics pattern; the event stream
+    itself never re-sorts."""
+    import ray.data
+    from ray.data.aggregate import Min
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    INF = np.int64(1 << 62)
+    steps = ["view", "click", "purchase"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts_us = pc.cast(batch["ts"], pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        et = np.asarray(batch["event_type"].to_pylist())
+        uniq, inv = np.unique(users, return_inverse=True)
+        cols = {"user_id": pa.array(uniq, pa.int64())}
+        for s in steps:
+            m = np.full(len(uniq), INF)
+            sel = et == s
+            np.minimum.at(m, inv[sel], ts_us[sel])
+            cols[f"t_{s}"] = pa.array(m, pa.int64())
+        return pa.table(cols)
+
+    mins = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Min(on=f"t_{s}", alias_name=f"t_{s}") for s in steps])
+    )
+
+    def flags(b: pa.Table) -> pa.Table:
+        tv = b["t_view"].to_numpy(zero_copy_only=False)
+        tc = b["t_click"].to_numpy(zero_copy_only=False)
+        tp = b["t_purchase"].to_numpy(zero_copy_only=False)
+        has_view = tv < INF
+        click_after = has_view & (tc < INF) & (tc > tv)
+        full = click_after & (tp < INF) & (tp > tc)
+        return pa.table(
+            {
+                "n_view": pa.array([int(has_view.sum())], pa.int64()),
+                "n_click_after_view": pa.array([int(click_after.sum())], pa.int64()),
+                "n_full_funnel": pa.array([int(full.sum())], pa.int64()),
+            }
+        )
+
+    import pandas as pd
+
+    parts = mins.map_batches(flags, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(
+        parts.sum().to_frame().T.astype("int64"), preserve_index=False
+    )
+
+
+@register(
+    "doc_pack_offsets",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(COALESCE(len(string_split(lower(trim(text)), ' ')), 0)
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset,
+           CAST(COALESCE(sum(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) // 2048 AS BIGINT) AS seq_id
+    FROM t
+    """,
+)
+def doc_pack_offsets(sf_dir: str):
+    """SEQUENCE PACKING offsets for LLM pretraining: concatenate the
+    corpus in doc_id order and cut fixed 2048-token sequences — each doc
+    gets its global token start_offset (an exclusive PREFIX SUM over
+    doc_id order) and the sequence it starts in. The prefix sum is the
+    textbook two-level distributed scan: pass 1 reduces each coarse
+    doc_id range (width 1024) to its token total (bounded cardinality —
+    only range cells shuffle), the driver cumsums the tiny range table
+    into base offsets, pass 2 scans WITHIN each range
+    (groupby(range).map_groups sort + cumsum) and adds the base. No
+    global sort, no corpus-sized driver state."""
+    import ray.data
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    W = 1024
+    SEQ = 2048
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def tokens_per_doc(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        n = pc.list_value_length(toks)
+        n = pc.coalesce(n, pa.scalar(0, pa.int32()))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "rng": pa.array(ids // W, pa.int64()),
+                "n_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    counted = ds.map_batches(tokens_per_doc, batch_format="pyarrow").materialize()
+
+    def range_partial(b: pa.Table) -> pa.Table:
+        t = b.group_by("rng").aggregate([("n_tokens", "sum")])
+        return t.rename_columns(["rng", "tot"])
+
+    h = (
+        counted.map_batches(range_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("rng")["tot"]
+        .sum()
+        .sort_index()
+    )
+    base = dict(zip(h.index, h.cumsum().shift(fill_value=0)))
+
+    def scan_range(g):
+        import pandas as pd
+
+        g = g.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy()
+        start = int(base[int(g["rng"].iloc[0])]) + np.concatenate(
+            ([0], np.cumsum(n[:-1]))
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": n,
+                "start_offset": start.astype(np.int64),
+                "seq_id": (start // SEQ).astype(np.int64),
+            }
+        )
+
+    return counted.groupby("rng").map_groups(scan_range, batch_format="pandas")

@@ -290,3 +290,33 @@ def test_heavy_hitters_threshold_exact():
     assert set(out["token"]) == set(want.index)
     got = out.set_index("token")["cnt"]
     assert all(got[t] == c for t, c in want.items())
+
+
+def test_centroid_norms_reasonable():
+    out = QUERIES["embedding_group_centroid"](SF).to_pandas()
+    import re
+
+    cs = [c for c in out.columns if re.fullmatch(r"c\d+", c)]
+    assert len(cs) == 64 and out["cnt"].sum() == 500
+    # centroids of unit-ish vectors have norm <= 1
+    norms = np.sqrt((out[cs].to_numpy() ** 2).sum(axis=1))
+    assert (norms <= 1.0).all()
+
+
+def test_zscore_is_standardized():
+    out = QUERIES["events_zscore"](SF).to_pandas()
+    g = out.groupby("event_type")["z"]
+    assert np.allclose(g.mean(), 0, atol=1e-4)
+    assert np.allclose(g.std(ddof=1), 1, atol=1e-3)
+
+
+def test_funnel_monotonic():
+    row = QUERIES["events_funnel"](SF).to_pandas().iloc[0]
+    assert row["n_view"] >= row["n_click_after_view"] >= row["n_full_funnel"] >= 0
+
+
+def test_pack_offsets_contiguous():
+    out = QUERIES["doc_pack_offsets"](SF).to_pandas().sort_values("doc_id")
+    expect = np.concatenate(([0], np.cumsum(out["n_tokens"].to_numpy()[:-1])))
+    assert (out["start_offset"].to_numpy() == expect).all()
+    assert (out["seq_id"] == out["start_offset"] // 2048).all()
