@@ -4755,3 +4755,68 @@ def doc_pack_offsets(sf_dir: str):
         )
 
     return counted.groupby("rng").map_groups(scan_range, batch_format="pandas")
+
+
+@register(
+    "customer_orders_leftjoin",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           round(COALESCE(o.spend, 0), 2) AS spend
+    FROM customer c LEFT JOIN (
+        SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend
+        FROM orders GROUP BY o_custkey
+    ) o ON o.o_custkey = c.c_custkey
+    """,
+)
+def customer_orders_leftjoin(sf_dir: str):
+    """Distributed LEFT OUTER join (customers keep their row with
+    zeroed aggregates when they have no orders — TPC-H leaves ~1/3 of
+    customers orderless, so the outer semantics are actually exercised):
+    the orders side is pre-reduced to per-customer partials first
+    (shrinking the shuffle to one row per customer), then
+    ``bucketed_hash_join(how="left")`` co-partitions both sides by key
+    hash — hash partitioning is key-complete per bucket, so outer
+    semantics compose bucket-by-bucket with no driver involvement."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import bucketed_hash_join, group_count_batch
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    agg = (
+        orders.map_batches(
+            lambda b: group_count_batch(b, ["o_custkey"], {"o_totalprice": "spend"}),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(
+            Sum(on="cnt", alias_name="n_orders"), Sum(on="spend", alias_name="spend")
+        )
+    )
+
+    joined = bucketed_hash_join(
+        cust, agg, left_on="c_custkey", right_on="o_custkey", how="left"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_orders"].to_numpy(zero_copy_only=False)
+        s = batch["spend"].to_numpy(zero_copy_only=False)
+        n = np.nan_to_num(n.astype(np.float64), nan=0.0).astype(np.int64)
+        s = np.round(np.nan_to_num(s.astype(np.float64), nan=0.0), 2)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "c_mktsegment": batch["c_mktsegment"],
+                "n_orders": pa.array(n, pa.int64()),
+                "spend": pa.array(s, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

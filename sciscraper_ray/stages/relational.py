@@ -144,6 +144,7 @@ def bucketed_hash_join(
     left_on: str,
     right_on: str,
     num_buckets: int = 64,
+    how: str = "inner",
 ):
     """Big x big co-partitioned inner join — the plan for when NEITHER side
     fits a broadcast (fact ⋈ fact; reference J1/J2 joins outgrow
@@ -156,7 +157,11 @@ def bucketed_hash_join(
     the rows that can match. One all-to-all on the bucket key — the
     minimum any big-big join pays — and per-group Python overhead is
     bounded by ``num_buckets`` (not key cardinality), so the ~100 µs/group
-    sort-aggregate tax stays in the noise. Size ``num_buckets`` so one
+    sort-aggregate tax stays in the noise. ``how`` supports "inner" and
+    "left": hash-partitioning is key-complete per bucket, so each
+    bucket-local merge sees every possible match and outer semantics
+    compose bucket-by-bucket (unmatched left rows take null right
+    columns). Size ``num_buckets`` so one
     bucket of both sides fits a worker heap (at 100 TB that means
     thousands of buckets; skewed keys get the salted variant of
     ``salted_group_count`` applied to the bucket id).
@@ -201,7 +206,7 @@ def bucketed_hash_join(
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lf = g.loc[g["__side"] == 0, lnames]
         rf = g.loc[g["__side"] == 1, rnames]
-        return lf.merge(rf, left_on=left_on, right_on=right_on, how="inner")
+        return lf.merge(rf, left_on=left_on, right_on=right_on, how=how)
 
     return unified.groupby("__bucket").map_groups(
         merge_bucket, batch_format="pandas"

@@ -320,3 +320,20 @@ def test_pack_offsets_contiguous():
     expect = np.concatenate(([0], np.cumsum(out["n_tokens"].to_numpy()[:-1])))
     assert (out["start_offset"].to_numpy() == expect).all()
     assert (out["seq_id"] == out["start_offset"] // 2048).all()
+
+
+def test_leftjoin_keeps_orderless_customers():
+    import ray.data
+
+    out = QUERIES["customer_orders_leftjoin"](SF).to_pandas()
+    cust = ray.data.read_parquet(f"{SF}/customer.parquet").count()
+    orders = ray.data.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_custkey"]
+    ).to_pandas()
+    assert len(out) == cust  # every customer survives the left join
+    want = orders.groupby("o_custkey").size()
+    got = out.set_index("c_custkey")["n_orders"]
+    n_zero = cust - len(want)
+    assert (got == 0).sum() == n_zero
+    assert all(got[k] == v for k, v in want.items())
+    assert ((out["n_orders"] == 0) == (out["spend"] == 0)).all()
