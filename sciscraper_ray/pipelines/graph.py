@@ -241,7 +241,9 @@ def pagerank(
     mode, e = resolve_plan(e, plan)
 
     if mode == "driver":
-        g = e.to_pandas()
+        from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+        g = driver_frame(e, DRIVER_PLAN_LIMIT, "pagerank")
         src = g["src"].to_numpy()
         dst = g["dst"].to_numpy()
         nodes, src_idx = np.unique(src, return_inverse=True)
