@@ -80,6 +80,14 @@ def _init_ray(num_cpus: int) -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # Ray Data's streaming executor warns (cosmetically) about the empty
+    # partitions its own sort/groupby creates ("RefBundle with a different
+    # schema"); keep the recorded bench tail to real signal only.
+    import logging
+
+    logging.getLogger("ray.data._internal.execution.streaming_executor_state").setLevel(
+        logging.ERROR
+    )
 
 
 def run_flagship(sf_dir: str) -> tuple[float, int]:
