@@ -4820,3 +4820,52 @@ def customer_orders_leftjoin(sf_dir: str):
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+@register(
+    "embedding_gram",
+    oracle=f"""
+    SELECT CAST(t1.i AS BIGINT) AS i, CAST(t2.j AS BIGINT) AS j,
+           round(avg(CAST(embedding[t1.i + 1] AS DOUBLE)
+                     * CAST(embedding[t2.j + 1] AS DOUBLE)), 6) AS m2
+    FROM embeddings, range({_EMB_DIM}) t1(i), range({_EMB_DIM}) t2(j)
+    GROUP BY t1.i, t2.j
+    """,
+)
+def embedding_gram(sf_dir: str):
+    """Distributed GRAM / second-moment matrix E[x_i * x_j] — the
+    covariance/PCA building block: each batch contributes ONE d x d
+    X^T X partial (a single BLAS matmul over the zero-copy
+    flatten-reshape), so the reduction moves d^2 doubles per batch
+    regardless of row count; the d x d sum finishes on the driver (a few
+    KB) and unpivots to long (i, j, m2) form for the compare. The oracle
+    recomputes every entry elementwise from the list column."""
+    import ray.data
+
+    from sciscraper_ray.stages.ann import _stack
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _stack(batch["embedding"])
+        g = mat.T @ mat
+        return pa.table(
+            {
+                "cell": pa.array(g.ravel(), pa.float64()),
+                "idx": pa.array(np.arange(g.size, dtype=np.int64)),
+                "n": pa.array(np.full(g.size, len(mat), np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    d = _EMB_DIM
+    total = parts.groupby("idx")["cell"].sum().to_numpy().reshape(d, d)
+    n = int(parts[parts["idx"] == 0]["n"].sum())
+    ii, jj = np.divmod(np.arange(d * d, dtype=np.int64), d)
+    return pa.table(
+        {
+            "i": pa.array(ii, pa.int64()),
+            "j": pa.array(jj, pa.int64()),
+            "m2": pa.array(np.round(total.ravel() / n, 6), pa.float64()),
+        }
+    )

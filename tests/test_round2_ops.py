@@ -337,3 +337,13 @@ def test_leftjoin_keeps_orderless_customers():
     assert (got == 0).sum() == n_zero
     assert all(got[k] == v for k, v in want.items())
     assert ((out["n_orders"] == 0) == (out["spend"] == 0)).all()
+
+
+def test_gram_symmetric_psd_diagonal():
+    out = QUERIES["embedding_gram"](SF).to_pandas()
+    d = int(out["i"].max()) + 1
+    m = out.sort_values(["i", "j"])["m2"].to_numpy().reshape(d, d)
+    assert np.allclose(m, m.T, atol=1e-9)
+    assert (np.diag(m) >= 0).all()
+    ev = np.linalg.eigvalsh(m)
+    assert ev.min() > -1e-8  # PSD up to rounding
