@@ -4869,3 +4869,44 @@ def embedding_gram(sf_dir: str):
             "m2": pa.array(np.round(total.ravel() / n, 6), pa.float64()),
         }
     )
+
+
+@register(
+    "doc_collect_ids",
+    oracle="""
+    SELECT source, lang,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids,
+           count(*) AS cnt
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def doc_collect_ids(sf_dir: str):
+    """COLLECT-LIST / group-concat aggregate (the materialize-a-group
+    operator behind array_agg, training-manifest building, and
+    per-partition file lists): groupby(source, lang) -> in-group sort +
+    join. Order inside the group is part of the contract (ORDER BY
+    doc_id both sides). The output value grows with group size — at
+    scale this writes per-group manifest FILES (the checkpoint store's
+    layout) rather than returning strings; the operator shape is
+    identical."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang"]
+    )
+
+    def collect(g):
+        import pandas as pd
+
+        ids = np.sort(g["doc_id"].to_numpy())
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "lang": [g["lang"].iloc[0]],
+                "ids": [",".join(map(str, ids))],
+                "cnt": np.array([len(ids)], np.int64),
+            }
+        )
+
+    return ds.groupby(["source", "lang"]).map_groups(collect, batch_format="pandas")
