@@ -1904,12 +1904,23 @@ def events_range_join(sf_dir: str):
 
 @register(
     "dedup_exact",
-    oracle="SELECT doc_id, text FROM documents",
+    oracle="""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT min(doc_id) AS doc_id, text FROM all_docs GROUP BY text
+    """,
 )
 def dedup_exact(sf_dir: str):
     """Exact dedup: content-hash partition -> keep lowest id. Input is
-    documents ∪ exact copies (+100000 for doc_id%5==0); survivors must be
-    exactly the originals."""
+    documents ∪ exact copies (+100000 for doc_id%5==0). The oracle states
+    keep-lowest-id-per-distinct-text from first principles rather than
+    assuming survivors == originals: sf0.1 contains 8 NATURALLY identical
+    text pairs among distinct doc_ids (sf0.01 has none), which the engine
+    correctly collapses — the round-1 oracle form only held at gate
+    scale."""
     from sciscraper_ray.pipelines.dedup import exact_dedup
 
     ds = _with_copies(sf_dir, mod=5, offset=100_000, drop_last_word=False)
