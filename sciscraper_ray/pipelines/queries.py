@@ -4164,12 +4164,12 @@ def events_decayed_value(sf_dir: str):
     "dedup_editdistance",
     oracle="""
     WITH all_docs AS (
-        SELECT doc_id, text FROM documents
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
         UNION ALL
         SELECT doc_id + 800000,
                array_to_string(
                    string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' ')
-        FROM documents WHERE doc_id % 19 = 0
+        FROM documents WHERE doc_id % 19 = 0 AND doc_id % 3 = 0
     )
     SELECT x.doc_id AS a, y.doc_id AS b
     FROM all_docs x JOIN all_docs y
@@ -4183,14 +4183,40 @@ def dedup_editdistance(sf_dir: str):
     candidates with ZERO false negatives (width-D+1 adjacent blocks),
     verified by a vectorized DP row kernel — see
     pipelines/dedup.py near_dup_pairs_editdist. The oracle recomputes
-    the join exhaustively with DuckDB's native levenshtein() (quadratic
-    — gate-scale only); only copies whose dropped last word is short
-    enough survive the <= 8 bar, and the corpus's natural ' dup' copies
-    (distance 4) qualify too, so the pair set is decided by semantics,
-    not construction."""
+    the join exhaustively with DuckDB's native levenshtein(), which is
+    QUADRATIC in corpus size — so the fixture is the deterministic
+    doc_id % 3 == 0 third of the corpus (plus near-copies of its
+    % 19 == 0 members), keeping re-verification tractable at sf0.1 while
+    the engine path (blocking + DP verify) is identical. Only copies
+    whose dropped last word is short enough survive the <= 8 bar, and
+    natural ' dup' copies (distance 4) qualify too, so the pair set is
+    decided by semantics, not construction."""
     from sciscraper_ray.pipelines.dedup import near_dup_pairs_editdist
 
-    ds = _with_copies(sf_dir, mod=19, offset=800_000, drop_last_word=True)
+    ds0 = _docs(sf_dir)
+
+    def third(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 3 == 0))
+
+    base = ds0.map_batches(third, batch_format="pyarrow")
+
+    def make_copies(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 19 == 0
+        texts = [
+            " ".join(t.split(" ")[:-1])
+            for t, k in zip(batch["text"].to_pylist(), keep)
+            if k
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array((ids[keep] + 800_000).tolist(), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    ds = base.union(base.map_batches(make_copies, batch_format="pyarrow")).materialize()
     return near_dup_pairs_editdist(ds, max_dist=8)
 
 
