@@ -4931,6 +4931,14 @@ def doc_collect_ids(sf_dir: str):
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang"]
+    ).map_batches(
+        # The parquet files carry pandas schema metadata (a dict), which
+        # makes pa.Schema unhashable; blocks feeding a shuffle directly
+        # must shed it or every reduce task loses Ray's schema-dedup fast
+        # path and logs "Failed to hash the schemas". Zero-copy.
+        lambda t: t.replace_schema_metadata(None),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
     def collect(g):
