@@ -4955,3 +4955,111 @@ def doc_collect_ids(sf_dir: str):
         )
 
     return ds.groupby(["source", "lang"]).map_groups(collect, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# C4-style corpus-level segment dedup (line dedup over fixed-width token
+# segments — the synthetic corpus has no newline structure, so the "line"
+# unit is an 8-token window; the operator shape is identical to C4's
+# remove-duplicate-lines pass: first global occurrence of each distinct
+# unit survives, documents are rebuilt from their surviving units, and
+# fully-duplicate documents vanish).
+
+SEGDEDUP_W = 8
+
+
+@register(
+    "doc_segment_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest({_SQL_TOKENS}) AS token,
+               unnest(range(len({_SQL_TOKENS}))) AS ord
+        FROM documents
+    ), segs AS (
+        SELECT doc_id, ord // {SEGDEDUP_W} AS seg_no,
+               string_agg(token, ' ' ORDER BY ord) AS seg
+        FROM toks GROUP BY doc_id, ord // {SEGDEDUP_W}
+    ), firsts AS (
+        SELECT doc_id, seg_no, seg,
+               row_number() OVER (
+                   PARTITION BY seg ORDER BY doc_id, seg_no
+               ) AS rn
+        FROM segs
+    )
+    SELECT doc_id,
+           string_agg(seg, ' ' ORDER BY seg_no) AS text,
+           CAST(count(*) AS BIGINT) AS n_segs
+    FROM firsts WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def doc_segment_dedup(sf_dir: str):
+    """Corpus-level first-occurrence segment dedup (C4's duplicate-line
+    removal): explode docs into 8-token segments, keep each distinct
+    segment only at its globally first (doc_id, seg_no) site, rebuild doc
+    text from the survivors. The dedup itself is the shared two-pass
+    ``winner_filter`` (key = md5-128 of the segment, winner = min
+    composite position) — only 128-bit keys enter the exchange, never
+    segment text. The segment table is materialized once because
+    winner_filter streams it twice (key pass + filter pass); at real
+    scale the segment pass writes partitioned parquet and each pass is an
+    independent pruned read instead (same contract as the flagship's
+    pre-materialized key pass)."""
+    import ray.data
+
+    from sciscraper_ray.kernels.tokenize import segment_column
+    from sciscraper_ray.pipelines.winner import WinnerSpec, winner_filter
+    from sciscraper_ray.stages.dedup import md5_hash128_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def to_segments(batch: pa.Table) -> pa.Table:
+        row, seg_no, seg = segment_column(batch["text"], SEGDEDUP_W)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)[row]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "seg_no": pa.array(seg_no),
+                "seg": seg,
+            }
+        )
+
+    segs = ds.map_batches(to_segments, batch_format="pyarrow").materialize()
+
+    def position(batch: pa.Table) -> np.ndarray:
+        """Winner value = doc_id * 2^20 + seg_no: min composite ==
+        (doc_id, seg_no) lexicographic order. Bounds: doc_id < 2^43,
+        segments-per-doc < 2^20 (a 8M-token doc would overflow; raise
+        loudly rather than mis-rank)."""
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        s = batch["seg_no"].to_numpy(zero_copy_only=False)
+        if len(s) and (s.max() >= (1 << 20) or d.max() >= (1 << 43)):
+            raise ValueError("segment position overflows the composite key")
+        return d * (1 << 20) + s
+
+    kept = winner_filter(
+        segs,
+        WinnerSpec(
+            keys=lambda b: md5_hash128_batch(b, "seg"),
+            value=position,
+            np_reducer=np.minimum,
+            agg_name="min",
+            what="segment_dedup",
+        ),
+    )
+
+    def rebuild(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        g = g.sort_values("seg_no")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].iloc[:1].to_numpy(),
+                "text": [" ".join(g["seg"])],
+                "n_segs": np.array([len(g)], np.int64),
+            }
+        )
+
+    return kept.groupby("doc_id").map_groups(rebuild, batch_format="pandas")
