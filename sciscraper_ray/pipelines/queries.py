@@ -5063,3 +5063,110 @@ def doc_segment_dedup(sf_dir: str):
         )
 
     return kept.groupby("doc_id").map_groups(rebuild, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality gate (Rae et al. 2021 §A1.1 rule shapes,
+# constants calibrated to this synthetic corpus so every rule actually
+# discriminates: token counts span 10-99, mean word length 3.7-5.3, and
+# the "stopword" analog is the corpus's highest-frequency function words).
+# All metrics are INTEGER (ratio rules are cross-multiplied) so the
+# oracle hash is float-free.
+
+_GOPHER_STOPS = ("join", "hash", "row", "batch", "scan")
+
+
+@register(
+    "doc_gopher_filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(length(token)) AS BIGINT) AS sum_chars,
+               CAST(sum(CASE WHEN token IN {_GOPHER_STOPS!r} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS stop_hits,
+               CAST(sum(CASE WHEN regexp_matches(token, '[a-z]') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS alpha_words
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, sum_chars, stop_hits, alpha_words,
+           CAST(CASE WHEN n_words BETWEEN 20 AND 80
+                      AND sum_chars BETWEEN 4 * n_words AND 5 * n_words
+                      AND 5 * alpha_words >= 4 * n_words
+                      AND stop_hits >= 2
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM m
+    """,
+)
+def doc_gopher_filter(sf_dir: str):
+    """Gopher quality rules as one vectorized Arrow pass: per doc, token
+    count bounds, mean-word-length bounds (cross-multiplied so the
+    contract stays in int64), alpha-word ratio >= 0.8, and >= 2 hits of a
+    fixed function-word set. Emits the metrics plus the keep bit — the
+    shape of every LLM-corpus quality gate (score columns + boolean),
+    embarrassingly parallel, no shuffle at all."""
+    import ray.data
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    stops = list(_GOPHER_STOPS)
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        mask = pc.is_valid(batch["text"])
+        batch = batch.filter(mask)  # SQL's unnest drops null-text docs
+        if not batch.num_rows:  # reduceat rejects an empty start list
+            empty = pa.array([], pa.int64())
+            return pa.table(
+                {
+                    "doc_id": empty,
+                    "n_words": empty,
+                    "sum_chars": empty,
+                    "stop_hits": empty,
+                    "alpha_words": empty,
+                    "keep": empty,
+                }
+            )
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets).astype(np.int64)
+        starts = offs[:-1]
+        flat = toks.values
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        alpha = pc.match_substring_regex(flat, "[a-z]").to_numpy(
+            zero_copy_only=False
+        )
+        stop = pc.is_in(flat, value_set=pa.array(stops)).to_numpy(
+            zero_copy_only=False
+        )
+        n = (offs[1:] - starts).astype(np.int64)
+        # reduceat needs non-empty slices; empty rows cannot occur here
+        # (split(" ") of any non-null string yields >= 1 token)
+        sum_chars = np.add.reduceat(lens.astype(np.int64), starts)
+        alpha_w = np.add.reduceat(alpha.astype(np.int64), starts)
+        stop_h = np.add.reduceat(stop.astype(np.int64), starts)
+        keep = (
+            (n >= 20)
+            & (n <= 80)
+            & (sum_chars >= 4 * n)
+            & (sum_chars <= 5 * n)
+            & (5 * alpha_w >= 4 * n)
+            & (stop_h >= 2)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n),
+                "sum_chars": pa.array(sum_chars),
+                "stop_hits": pa.array(stop_h),
+                "alpha_words": pa.array(alpha_w),
+                "keep": pa.array(keep),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(metrics, batch_format="pyarrow")
