@@ -5170,3 +5170,243 @@ def doc_gopher_filter(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return ds.map_batches(metrics, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-active day, counted per
+# day-offset they return — the canonical product-analytics matrix and a
+# second-order aggregate (groupby over the OUTPUT of a grouped min).
+
+_US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "events_retention",
+    oracle=f"""
+    WITH p AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // {_US_PER_DAY} AS day
+        FROM events
+    ), f AS (
+        SELECT user_id, min(day) AS cohort_day FROM p GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           p.day - f.cohort_day AS day_offset,
+           CAST(count(*) AS BIGINT) AS users
+    FROM p JOIN f USING (user_id)
+    GROUP BY f.cohort_day, day_offset
+    """,
+)
+def events_retention(sf_dir: str):
+    """Retention matrix in three shuffle-lean stages: (1) distinct
+    (user, day) pairs — per-batch np.unique pre-shrink, then one exact
+    groupby; (2) per-user cohort day = grouped Min over the PAIRS (a
+    users-sized table), broadcast back via the Arrow-native lookup (the
+    bucketed hash join is the swap-in once the user set outgrows a
+    broadcast); (3) (cohort, offset) counts via composite-int64 partials
+    + one tiny Sum groupby. Day arithmetic stays in int64 epoch-days
+    end to end. The pairs table is materialized once because stages 2
+    and 3 both consume it."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    from sciscraper_ray.stages.relational import BroadcastLookup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        day = us // _US_PER_DAY  # epoch-day; events are post-1970
+        if len(day) and (day.max() >= (1 << 20) or u.max() >= (1 << 43)):
+            raise ValueError("user/day overflows the composite key")
+        comp = np.unique(u * (1 << 20) + day)
+        return pa.table(
+            {
+                "user_id": pa.array(comp >> 20),
+                "day": pa.array(comp & ((1 << 20) - 1)),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(day_pairs, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+
+    firsts = (
+        pairs.groupby("user_id")
+        .aggregate(Min(on="day", alias_name="cohort_day"))
+        .to_pandas()
+        .set_index("user_id")
+    )
+    ref = ray.put(firsts)  # broadcast once; tasks ray.get it zero-copy
+
+    def offsets(batch: pa.Table) -> pa.Table:
+        joined = BroadcastLookup(ref, on="user_id")(batch)
+        day = joined["day"].to_numpy(zero_copy_only=False)
+        cohort = joined["cohort_day"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        comp, cnt = np.unique(
+            cohort * (1 << 20) + (day - cohort), return_counts=True
+        )
+        return pa.table(
+            {"k": pa.array(comp), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    agg = (
+        pairs.map_batches(offsets, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum(on="cnt", alias_name="users"))
+    )
+
+    def decompose(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "cohort_day": pa.array(k >> 20),
+                "day_offset": pa.array(k & ((1 << 20) - 1)),
+                "users": batch["users"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(decompose, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Session path mining: the ordered event-type sequence of each session,
+# counted globally — clickstream sequence analysis (top navigation paths).
+# Composes the sessionizer with a grouped ordered string-agg and a
+# deterministic global top-k.
+
+_TOP_PATHS_K = 20
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL {_SESSION_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM o
+    ), p AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM s GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS cnt
+    FROM p GROUP BY path
+    ORDER BY cnt DESC, path ASC LIMIT {_TOP_PATHS_K}
+    """,
+)
+def events_top_paths(sf_dir: str):
+    """Top session paths: ONE shuffle on user_id (map_groups) builds every
+    session's '>' -joined event-type path vectorized (diff/cumsum session
+    ids, grouped join) and pre-counts paths per user, so the global
+    groupby Sums tiny (path, cnt) partials instead of raw sessions; the
+    final top-k is a sort+limit over the already-aggregated path table.
+    Ties at the k boundary are impossible (path is the group key); order
+    inside a session is (ts, event_id) on both engine and oracle."""
+    import pandas as pd
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    gap_us = _SESSION_GAP_MIN * 60 * 1_000_000
+
+    def user_paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        new_s = np.ones(len(g), dtype=np.int64)
+        new_s[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sid = np.cumsum(new_s)
+        paths = pd.Series(g["event_type"].to_numpy()).groupby(sid).agg(
+            ">".join
+        )
+        vc = paths.value_counts()
+        return pd.DataFrame(
+            {
+                "path": vc.index.to_numpy(),
+                "cnt": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    counts = (
+        ds.groupby("user_id")
+        .map_groups(user_paths, batch_format="pandas")
+        .groupby("path")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+    )
+    return counts.sort(["cnt", "path"], descending=[True, False]).limit(
+        _TOP_PATHS_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic WEIGHTED Bernoulli sampling: P(keep) = min(n_chars, 1024)
+# / 1024, decided by an id-hash threshold instead of an RNG, so the sample
+# is reproducible across runs, cluster sizes, and partitionings, and the
+# inclusion test is a pure integer compare (hex15 of md5 < weight * 2^50 —
+# both sides < 2^60, no floats anywhere). The length-proportional weight
+# is the shape used for loss-weighted corpus subsampling.
+
+
+@register(
+    "doc_sample_weighted",
+    oracle=f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE {_md5_hex15_sql("CAST(doc_id AS VARCHAR)")}
+          < least(n_chars, 1024) * {1 << 50}
+    """,
+)
+def doc_sample_weighted(sf_dir: str):
+    """Length-weighted deterministic sample — pure map, no shuffle. The
+    per-row md5 matches _md5_mod's str(id) convention; the 60-bit
+    threshold parse is one numpy byte-view over the joined digests (no
+    per-row hex parsing)."""
+    import hashlib
+
+    import ray.data
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        if not ids:
+            return batch
+        digests = b"".join(
+            hashlib.md5(str(i).encode()).digest() for i in ids
+        )
+        # int(hexdigest[:15], 16) == first 60 bits == first-8-bytes >> 4
+        h = (np.frombuffer(digests, ">u8")[::2] >> np.uint64(4)).astype(
+            np.int64
+        )
+        w = np.minimum(
+            batch["n_chars"].to_numpy(zero_copy_only=False), 1024
+        ).astype(np.int64)
+        return batch.filter(pa.array(h < (w << 50)))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return ds.map_batches(pick, batch_format="pyarrow")

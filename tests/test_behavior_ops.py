@@ -1,0 +1,83 @@
+"""Retention, session-path mining, weighted sampling: from-first-principles
+pandas recomputation of each contract (oracle parity runs in
+tools/check_correctness.py)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from sciscraper_ray.pipelines.queries import (
+    QUERIES,
+    _SESSION_GAP_MIN,
+    _TOP_PATHS_K,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events():
+    return pd.read_parquet(SF + "/events.parquet")
+
+
+def test_retention_matches_pandas(ray_session):
+    out = QUERIES["events_retention"](SF).to_pandas()
+    ev = _events()
+    day = (ev["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000)
+    pairs = pd.DataFrame({"u": ev["user_id"], "d": day}).drop_duplicates()
+    first = pairs.groupby("u")["d"].min()
+    pairs["cohort"] = pairs["u"].map(first)
+    pairs["off"] = pairs["d"] - pairs["cohort"]
+    exp = (
+        pairs.groupby(["cohort", "off"]).size().reset_index(name="users")
+    )
+    got = out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+    exp = exp.sort_values(["cohort", "off"]).reset_index(drop=True)
+    assert got["cohort_day"].tolist() == exp["cohort"].tolist()
+    assert got["day_offset"].tolist() == exp["off"].tolist()
+    assert got["users"].tolist() == exp["users"].tolist()
+    # day-0 cohort sizes must equal the distinct-user count
+    assert got[got.day_offset == 0]["users"].sum() == ev["user_id"].nunique()
+
+
+def test_top_paths_matches_pandas(ray_session):
+    out = QUERIES["events_top_paths"](SF).to_pandas()
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    gap = np.timedelta64(_SESSION_GAP_MIN * 60 * 1_000_000, "us")
+    paths = []
+    for _, g in ev.groupby("user_id"):
+        ts = g["ts"].to_numpy()
+        new_s = np.ones(len(g), bool)
+        new_s[1:] = (ts[1:] - ts[:-1]) > gap
+        sid = np.cumsum(new_s)
+        for _, s in pd.Series(
+            g["event_type"].to_numpy()
+        ).groupby(sid):
+            paths.append(">".join(s))
+    vc = pd.Series(paths).value_counts()
+    exp = vc.reset_index()
+    exp.columns = ["path", "cnt"]
+    exp = exp.sort_values(["cnt", "path"], ascending=[False, True]).head(
+        _TOP_PATHS_K
+    )
+    got = out.sort_values(["cnt", "path"], ascending=[False, True])
+    assert got["path"].tolist() == exp["path"].tolist()
+    assert got["cnt"].tolist() == exp["cnt"].tolist()
+
+
+def test_weighted_sample_threshold(ray_session):
+    out = QUERIES["doc_sample_weighted"](SF).to_pandas()
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "n_chars"])
+    kept = set(out["doc_id"])
+    for doc_id, n_chars in docs.itertuples(index=False):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        assert (h < min(int(n_chars), 1024) << 50) == (doc_id in kept)
+    assert 0 < len(kept) < len(docs)
+    # longer docs are sampled at a visibly higher rate
+    med = docs["n_chars"].median()
+    lo = docs[docs.n_chars <= med]
+    hi = docs[docs.n_chars > med]
+    assert (
+        len(kept & set(hi.doc_id)) / len(hi)
+        > len(kept & set(lo.doc_id)) / len(lo)
+    )
