@@ -5410,3 +5410,104 @@ def doc_sample_weighted(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Grouped MODE (per-key most-frequent value, deterministic tiebreak) and a
+# fixed-width value histogram — two small aggregate shapes every
+# analytics layer expects.
+
+
+@register(
+    "events_user_mode",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS mode_type, cnt FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY cnt DESC, event_type ASC
+        ) AS rn FROM c
+    ) WHERE rn = 1
+    """,
+)
+def events_user_mode(sf_dir: str):
+    """Per-user modal event type: per-batch (user, type) count partials
+    (the full stream never shuffles, only <= |users| x |types| partial
+    rows), one exact groupby Sum, then an argmax within each user's
+    <= |types|-row group (ties -> lexicographically smallest type, the
+    deterministic contract). Group count equals |users| — the same
+    per-user map_groups partitioning contract as the running-sum and
+    sessionize windows."""
+    import pandas as pd
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import group_count_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    counts = (
+        ds.map_batches(
+            lambda b: group_count_batch(b, ["user_id", "event_type"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cnt", "event_type"], ascending=[False, True])
+        top = g.iloc[:1]
+        return pd.DataFrame(
+            {
+                "user_id": top["user_id"].to_numpy(),
+                "mode_type": top["event_type"].to_numpy(),
+                "cnt": top["cnt"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return counts.groupby("user_id").map_groups(pick, batch_format="pandas")
+
+
+_HIST_BIN = 16  # power of two: value / 16 is an exact double op, so
+# floor() agrees bit-for-bit between numpy and SQL
+
+
+@register(
+    "events_value_histogram",
+    oracle=f"""
+    SELECT CAST(floor(value / {_HIST_BIN}) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY bin
+    """,
+)
+def events_value_histogram(sf_dir: str):
+    """Fixed-width histogram: per-batch np.unique bin partials, one tiny
+    Sum groupby over <= |bins| rows per batch. The bin width is a power
+    of two so the double divide is exact and the floor is deterministic
+    across engines."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        bins, cnt = np.unique(
+            np.floor(v / _HIST_BIN).astype(np.int64), return_counts=True
+        )
+        return pa.table(
+            {"bin": pa.array(bins), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+    )

@@ -81,3 +81,30 @@ def test_weighted_sample_threshold(ray_session):
         len(kept & set(hi.doc_id)) / len(hi)
         > len(kept & set(lo.doc_id)) / len(lo)
     )
+
+
+def test_user_mode_matches_pandas(ray_session):
+    out = QUERIES["events_user_mode"](SF).to_pandas()
+    ev = _events()
+    c = ev.groupby(["user_id", "event_type"]).size().reset_index(name="cnt")
+    c = c.sort_values(
+        ["user_id", "cnt", "event_type"], ascending=[True, False, True]
+    )
+    exp = c.groupby("user_id").head(1)
+    got = out.sort_values("user_id")
+    assert got["user_id"].tolist() == exp["user_id"].tolist()
+    assert got["mode_type"].tolist() == exp["event_type"].tolist()
+    assert got["cnt"].tolist() == exp["cnt"].tolist()
+
+
+def test_value_histogram_sums_to_total(ray_session):
+    out = QUERIES["events_value_histogram"](SF).to_pandas()
+    ev = _events()
+    assert out["cnt"].sum() == len(ev)
+    exp = (
+        np.floor(ev["value"].to_numpy() / 16).astype(np.int64)
+    )
+    vals, cnts = np.unique(exp, return_counts=True)
+    got = out.sort_values("bin")
+    assert got["bin"].tolist() == vals.tolist()
+    assert got["cnt"].tolist() == cnts.tolist()
