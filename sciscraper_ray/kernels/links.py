@@ -64,3 +64,67 @@ def format_filename(
         + 1
     )
     return f"{date_stamp}_{etag}_{file_id}.{ext}"
+
+
+_URL_PARTS = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/:?#]+)"
+    r"(?::(?P<port>[0-9]+))?(?P<path>[^?#]*)"
+    r"(?:\?(?P<query>[^#]*))?(?:#(?P<frag>.*))?$"
+)
+
+_DEFAULT_PORTS = {"https": "443", "http": "80"}
+
+
+def canonicalize_urls(urls) -> tuple:
+    """Vectorized URL canonicalization: ``(canonical, host)`` arrays.
+
+    Rules (the standard crawl-frontier normal form): lowercase scheme and
+    host, strip one leading ``www.``, drop the scheme's default port
+    (keep any other), strip one trailing slash from a non-root path, drop
+    every ``utm_*`` query parameter (drop the ``?`` if none survive),
+    drop the fragment. Unparseable rows canonicalize to null — a filter
+    stage downstream decides their fate. One ``pc.extract_regex`` plus a
+    handful of Arrow kernels; no Python per row.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    parts = pc.extract_regex(urls, pattern=_URL_PARTS)
+    scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
+    host = pc.replace_substring_regex(
+        pc.utf8_lower(pc.struct_field(parts, "host")), r"^www\.", ""
+    )
+    port = pc.struct_field(parts, "port")
+    default_port = pc.or_(
+        pc.equal(port, ""),
+        pc.and_(
+            pc.equal(scheme, "https"), pc.equal(port, _DEFAULT_PORTS["https"])
+        ),
+    )
+    default_port = pc.or_(
+        default_port,
+        pc.and_(
+            pc.equal(scheme, "http"), pc.equal(port, _DEFAULT_PORTS["http"])
+        ),
+    )
+    port_part = pc.if_else(
+        default_port,
+        pa.scalar("", pa.string()),
+        pc.binary_join_element_wise(pa.scalar(":"), port, ""),
+    )
+    path = pc.replace_substring_regex(
+        pc.struct_field(parts, "path"), r"(.)/$", r"\1"
+    )
+    query = pc.replace_substring_regex(
+        pc.struct_field(parts, "query"), r"(^|&)utm_[A-Za-z_]+=[^&]*", ""
+    )
+    query = pc.replace_substring_regex(query, r"^&", "")
+    query_part = pc.if_else(
+        pc.equal(query, ""),
+        pa.scalar("", pa.string()),
+        pc.binary_join_element_wise(pa.scalar("?"), query, ""),
+    )
+    canonical = pc.binary_join_element_wise(
+        scheme, pa.scalar("://"), host, port_part, path, query_part, ""
+    )
+    return canonical, host

@@ -5511,3 +5511,86 @@ def events_value_histogram(sf_dir: str):
         .groupby("bin")
         .aggregate(Sum(on="cnt", alias_name="cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — the crawl-frontier normal form every web-scale
+# dedup/politeness stage keys on. Messy fixtures are synthesized
+# deterministically from doc_id (the link_routing pattern) and the oracle
+# states the EXPECTED canonical form from first principles, so a kernel
+# bug cannot hide in a mirrored transform.
+
+_CANON_HOSTS_RAW = (
+    "Example.COM", "www.Sample.ORG", "Docs.Example.COM",
+    "WWW.Data.NET", "archive.Edu",
+)
+_CANON_HOSTS = (
+    "example.com", "sample.org", "docs.example.com", "data.net",
+    "archive.edu",
+)
+
+
+@register(
+    "url_canonicalize",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN NULL ELSE
+               'https://' ||
+               CASE doc_id % 5
+                   WHEN 0 THEN '{_CANON_HOSTS[0]}' WHEN 1 THEN '{_CANON_HOSTS[1]}'
+                   WHEN 2 THEN '{_CANON_HOSTS[2]}' WHEN 3 THEN '{_CANON_HOSTS[3]}'
+                   ELSE '{_CANON_HOSTS[4]}' END
+               || '/papers/x' || doc_id
+               || CASE WHEN doc_id % 2 = 0 OR doc_id % 5 = 0
+                       THEN '?id=' || doc_id ELSE '' END
+           END AS canonical_url,
+           CASE WHEN doc_id % 11 = 0 THEN NULL ELSE
+               CASE doc_id % 5
+                   WHEN 0 THEN '{_CANON_HOSTS[0]}' WHEN 1 THEN '{_CANON_HOSTS[1]}'
+                   WHEN 2 THEN '{_CANON_HOSTS[2]}' WHEN 3 THEN '{_CANON_HOSTS[3]}'
+                   ELSE '{_CANON_HOSTS[4]}' END
+           END AS host
+    FROM documents
+    """,
+)
+def url_canonicalize(sf_dir: str):
+    """Canonical URLs + registrable host from deliberately messy inputs
+    (scheme/host case noise, www. prefixes, default :443 ports, trailing
+    slashes, utm_* tracking params, fragments, plus unparseable rows
+    that canonicalize to null). The kernel
+    (kernels/links.py canonicalize_urls) is one pc.extract_regex + Arrow
+    string kernels — no Python per row; the fixture synth is the only
+    row loop, as in link_routing."""
+    from sciscraper_ray.kernels.links import canonicalize_urls
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        raw = []
+        for i in ids:
+            if i % 11 == 0:
+                raw.append(f"not a url {i}")
+                continue
+            scheme = "HTTPS" if i % 2 == 0 else "https"
+            host = _CANON_HOSTS_RAW[i % 5]
+            port = ":443" if i % 3 == 0 else ""
+            path = f"/papers/x{i}" + ("/" if i % 4 == 0 else "")
+            if i % 2 == 0:
+                query = f"?utm_source=feed&id={i}&utm_campaign=x"
+            elif i % 5 == 0:
+                query = f"?id={i}"
+            else:
+                query = ""
+            frag = f"#sec{i % 7}" if i % 7 else ""
+            raw.append(f"{scheme}://{host}{port}{path}{query}{frag}")
+        canonical, host = canonicalize_urls(pa.array(raw, pa.string()))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "canonical_url": canonical,
+                "host": host,
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        build, batch_format="pyarrow"
+    )

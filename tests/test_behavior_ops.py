@@ -108,3 +108,35 @@ def test_value_histogram_sums_to_total(ray_session):
     got = out.sort_values("bin")
     assert got["bin"].tolist() == vals.tolist()
     assert got["cnt"].tolist() == cnts.tolist()
+
+
+def test_canonicalize_kernel_edges():
+    import pyarrow as pa
+
+    from sciscraper_ray.kernels.links import canonicalize_urls
+
+    c, h = canonicalize_urls(
+        pa.array(
+            [
+                "HTTPS://WWW.Ex.COM:443/a/?utm_s=1&id=2&utm_c=3#f",
+                "https://Ex.ORG:8080/a/b",
+                "http://a.b:80/",
+                "https://x.y/p?utm_a=1&utm_b=2",
+                "ftp://Files.NET/pub/",
+                "no scheme here",
+                None,
+            ]
+        )
+    )
+    assert c.to_pylist() == [
+        "https://ex.com/a?id=2",
+        "https://ex.org:8080/a/b",
+        "http://a.b/",
+        "https://x.y/p",
+        "ftp://files.net/pub",
+        None,
+        None,
+    ]
+    assert h.to_pylist() == [
+        "ex.com", "ex.org", "a.b", "x.y", "files.net", None, None,
+    ]
