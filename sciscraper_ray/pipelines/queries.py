@@ -5594,3 +5594,67 @@ def url_canonicalize(sf_dir: str):
     return _docs(sf_dir, columns=("doc_id",)).map_batches(
         build, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl snapshot diff: the incremental-recrawl primitive — per url,
+# compare the LATEST fetch's extracted content against the previous one
+# and classify new / unchanged / changed. Exercises the real extraction
+# stack on both snapshots (revised refetches re-render the payload), so
+# a byte-level extraction regression shows up as a wrong delta.
+
+
+@register(
+    "crawl_delta",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 17 <> 0 THEN 'new'
+                WHEN doc_id % 3 = 0 THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN 2 ELSE 1 END AS BIGINT)
+               AS n_fetches
+    FROM documents
+    """,
+)
+def crawl_delta(sf_dir: str):
+    """Snapshot diff over the page table (dup_mod=17 refetches, of which
+    the ids also divisible by 3 carry revised content): full extraction
+    (HTML strip / PDF parse actor pools, dedup off — we NEED every
+    fetch), then ONE shuffle on url; each url's tiny fetch group is
+    sorted by warc_ts and the last two extracted texts compared. Only
+    (url, warc_ts, doc_id, extracted_text) enter the shuffle — payload
+    bytes are projected away by the extraction stage itself."""
+    import pandas as pd
+
+    from sciscraper_ray.pipelines.extract import extraction_pipeline
+    from sciscraper_ray.sources.page_synth import synth_pages_batch
+
+    pages = _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+        lambda b: synth_pages_batch(
+            b, pdf_mod=10, dup_mod=17, change_mod=3
+        ),
+        batch_format="pyarrow",
+    )
+    extracted = extraction_pipeline(
+        pages, dedup=False, analyze=False
+    ).select_columns(["url", "warc_ts", "doc_id", "extracted_text"])
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("warc_ts")
+        if len(g) == 1:
+            status = "new"
+        elif g["extracted_text"].iloc[-1] == g["extracted_text"].iloc[-2]:
+            status = "unchanged"
+        else:
+            status = "changed"
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].iloc[-1:].to_numpy(),
+                "status": [status],
+                "n_fetches": np.array([len(g)], np.int64),
+            }
+        )
+
+    return extracted.groupby("url").map_groups(
+        classify, batch_format="pandas"
+    )

@@ -115,6 +115,7 @@ def synth_pages_batch(
     dup_mod: int = 17,
     repeat: int = 1,
     with_pdf_info: bool = False,
+    change_mod: int = 0,
 ) -> pa.Table:
     """documents batch -> page-table batch.
 
@@ -122,6 +123,9 @@ def synth_pages_batch(
       40 words per page) instead of HTML.
     - doc_id % dup_mod == 0: an extra exact-duplicate fetch of the same
       url at a later warc_ts is appended (dedup fixture).
+    - change_mod (with dup_mod): the extra fetch of ids also divisible by
+      ``change_mod`` carries REVISED content (text + " rev") instead of an
+      exact duplicate — the incremental-crawl / snapshot-diff fixture.
     - repeat > 1: each document yields ``repeat`` pages with DISTINCT urls
       and doc_ids (bench scaling knob — more extraction work, same per-row
       semantics).
@@ -163,7 +167,12 @@ def synth_pages_batch(
         for rep in range(max(1, repeat)):
             emit(int(i), t, lang, fetch=0, rep=rep)
             if dup_mod and i % dup_mod == 0:
-                emit(int(i), t, lang, fetch=500_000, rep=rep)  # same url, later
+                t2 = (
+                    t + " rev"
+                    if change_mod and i % change_mod == 0
+                    else t
+                )
+                emit(int(i), t2, lang, fetch=500_000, rep=rep)  # same url, later
 
     return pa.table(
         {

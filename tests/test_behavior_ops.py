@@ -140,3 +140,18 @@ def test_canonicalize_kernel_edges():
     assert h.to_pylist() == [
         "ex.com", "ex.org", "a.b", "x.y", "files.net", None, None,
     ]
+
+
+def test_crawl_delta_statuses(ray_session):
+    out = QUERIES["crawl_delta"](SF).to_pandas()
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id"])
+    assert len(out) == len(docs)
+    for doc_id, status, n in out.itertuples(index=False):
+        if doc_id % 17:
+            assert (status, n) == ("new", 1)
+        elif doc_id % 3 == 0:
+            assert (status, n) == ("changed", 2)
+        else:
+            assert (status, n) == ("unchanged", 2)
+    # every class occurs
+    assert set(out["status"]) == {"new", "unchanged", "changed"}
