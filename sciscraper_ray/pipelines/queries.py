@@ -5658,3 +5658,101 @@ def crawl_delta(sf_dir: str):
     return extracted.groupby("url").map_groups(
         classify, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join — the join-pruning primitive big engines push
+# below a shuffle: build a small bloom over the selective side's keys,
+# broadcast it, and filter the big side BEFORE any exchange. False
+# positives are part of the operator contract (they cost a little extra
+# downstream work, never correctness), so the oracle reproduces the
+# EXACT bit arithmetic — md5-salted positions recomputed independently
+# by DuckDB — and must match engine output fp-for-fp.
+
+_BLOOM_M = 4096  # small on purpose: ~18% load at sf0.01 so the fp path
+# is actually exercised (a production filter would size m >> n)
+
+
+def _bloom_positions(values: "np.ndarray", salt: str) -> "np.ndarray":
+    """md5('<salt>:' + str(v)) hex15 % m — matches _md5_hex15_sql with the
+    same salted VARCHAR expression. Vectorized digest parse."""
+    import hashlib
+
+    digests = b"".join(
+        hashlib.md5(f"{salt}:{v}".encode()).digest() for v in values
+    )
+    h = (np.frombuffer(digests, ">u8")[::2] >> np.uint64(4)).astype(np.int64)
+    return h % _BLOOM_M
+
+
+def _bloom_pos_sql(expr: str, salt: str) -> str:
+    return _md5_hex15_sql(f"'{salt}:' || CAST({expr} AS VARCHAR)") + f" % {_BLOOM_M}"
+
+
+@register(
+    "bloom_semijoin",
+    oracle=f"""
+    WITH members AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), pos AS (
+        SELECT DISTINCT p FROM (
+            SELECT {_bloom_pos_sql("c_custkey", "b1")} AS p FROM members
+            UNION ALL
+            SELECT {_bloom_pos_sql("c_custkey", "b2")} AS p FROM members
+        )
+    )
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE {_bloom_pos_sql("o_custkey", "b1")} IN (SELECT p FROM pos)
+      AND {_bloom_pos_sql("o_custkey", "b2")} IN (SELECT p FROM pos)
+    """,
+)
+def bloom_semijoin(sf_dir: str):
+    """Orders whose o_custkey passes a k=2 bloom built over BUILDING-
+    segment customers. Build side: per-batch distinct positions -> one
+    tiny groupby (<= 2n rows of int64; the key column never leaves the
+    batch); the sorted position array broadcasts via ray.put and the
+    probe is a zero-shuffle Arrow filter (np.isin against the sorted
+    set). The downstream exact join this would guard is order_lineitem_
+    join; here the filtered rows ARE the result so the fp contract is
+    checkable."""
+    import ray
+    import ray.data
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def build_positions(batch: pa.Table) -> pa.Table:
+        keys = batch.filter(
+            pc.equal(batch["c_mktsegment"], "BUILDING")
+        )["c_custkey"].to_numpy(zero_copy_only=False)
+        if not len(keys):
+            return pa.table({"pos": pa.array([], pa.int64())})
+        p = np.unique(
+            np.concatenate(
+                [_bloom_positions(keys, "b1"), _bloom_positions(keys, "b2")]
+            )
+        )
+        return pa.table({"pos": pa.array(p)})
+
+    pos = (
+        cust.map_batches(build_positions, batch_format="pyarrow")
+        .groupby("pos")
+        .count()
+        .to_pandas()["pos"]
+        .to_numpy()
+    )
+    pos_ref = ray.put(np.sort(pos.astype(np.int64)))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bits = ray.get(pos_ref)
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        hit = np.isin(_bloom_positions(keys, "b1"), bits) & np.isin(
+            _bloom_positions(keys, "b2"), bits
+        )
+        return batch.filter(pa.array(hit))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    return orders.map_batches(probe, batch_format="pyarrow")

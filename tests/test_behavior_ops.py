@@ -155,3 +155,17 @@ def test_crawl_delta_statuses(ray_session):
             assert (status, n) == ("unchanged", 2)
     # every class occurs
     assert set(out["status"]) == {"new", "unchanged", "changed"}
+
+
+def test_bloom_semijoin_superset_with_fps(ray_session):
+    out = QUERIES["bloom_semijoin"](SF).to_pandas()
+    cust = pd.read_parquet(SF + "/customer.parquet")
+    orders = pd.read_parquet(SF + "/orders.parquet")
+    members = set(cust[cust.c_mktsegment == "BUILDING"].c_custkey)
+    true_rows = orders[orders.o_custkey.isin(members)]
+    got = set(out["o_orderkey"])
+    # no false negatives, ever
+    assert set(true_rows["o_orderkey"]) <= got
+    # any extras must be bloom false positives, bounded (k=2, m=4096)
+    extras = len(got) - len(true_rows)
+    assert extras <= max(20, len(orders) // 20)
