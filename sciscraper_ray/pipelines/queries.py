@@ -5756,3 +5756,112 @@ def bloom_semijoin(sf_dir: str):
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
     return orders.map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — the mergeable frequency sketch (Cormode & Muthu
+# 2005): d=2 salted rows x w=1024 cells. Like the HLL and bloom rows,
+# the sketch's deterministic OVER-count is part of the contract, so the
+# oracle rebuilds both hash rows cell-exactly in SQL and the point
+# estimates must match collision-for-collision.
+
+_CMS_W = 1024
+_CMS_SALTS = ("c1", "c2")
+_CMS_PROBES = _GOPHER_STOPS + ("stream", "nosuchtoken",)
+
+
+def _cms_cells(tokens: list, salt: str) -> "np.ndarray":
+    import hashlib
+
+    digests = b"".join(
+        hashlib.md5(f"{salt}:{t}".encode()).digest() for t in tokens
+    )
+    h = (np.frombuffer(digests, ">u8")[::2] >> np.uint64(4)).astype(np.int64)
+    return h % _CMS_W
+
+
+def _cms_cell_sql(expr: str, salt: str) -> str:
+    return _md5_hex15_sql(f"'{salt}:' || {expr}") + f" % {_CMS_W}"
+
+
+def _cms_oracle() -> str:
+    probes = ", ".join(f"('{t}')" for t in _CMS_PROBES)
+    rows = []
+    for r, salt in enumerate(_CMS_SALTS):
+        rows.append(f"""
+        SELECT {r} AS r, {_cms_cell_sql("token", salt)} AS cell,
+               CAST(sum(cnt) AS BIGINT) AS total
+        FROM counts GROUP BY cell""")
+    cells = " UNION ALL ".join(rows)
+    ests = ", ".join(
+        f"""coalesce((SELECT total FROM cells
+             WHERE r = {r} AND cell = {_cms_cell_sql("p.token", salt)}), 0)"""
+        for r, salt in enumerate(_CMS_SALTS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT unnest({_SQL_TOKENS}) AS token FROM documents
+    ), counts AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token
+    ), cells AS ({cells})
+    SELECT p.token, CAST(least({ests}) AS BIGINT) AS est
+    FROM (VALUES {probes}) AS p(token)
+    """
+
+
+@register("token_cms_estimate", oracle=_cms_oracle())
+def token_cms_estimate(sf_dir: str):
+    """CMS point estimates for a fixed probe set: per-batch partials emit
+    at most d*w (cell, count) rows regardless of vocabulary (distinct
+    tokens are hashed once per batch via value_counts), one tiny
+    groupby Sum merges the sketch, and the driver reads <= 2048 rows to
+    answer any number of point queries. est >= true always; equality
+    collision-for-collision with the SQL rebuild."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(tokenize_column(batch["text"]))
+        vc = flat.value_counts()
+        toks = vc.field("values").to_pylist()
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        if not toks:
+            e = pa.array([], pa.int64())
+            return pa.table({"k": e, "cnt": e})
+        ks, totals = [], []
+        for r, salt in enumerate(_CMS_SALTS):
+            cells = _cms_cells(toks, salt)
+            k = r * _CMS_W + cells
+            agg_k, inv = np.unique(k, return_inverse=True)
+            agg_c = np.bincount(inv, weights=cnts).astype(np.int64)
+            ks.append(agg_k)
+            totals.append(agg_c)
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate(ks)),
+                "cnt": pa.array(np.concatenate(totals)),
+            }
+        )
+
+    sketch = (
+        _docs(sf_dir, columns=("text",))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    table = np.zeros(len(_CMS_SALTS) * _CMS_W, np.int64)
+    table[sketch["k"].to_numpy()] = sketch["cnt"].to_numpy()
+
+    import pandas as pd
+
+    probes = list(_CMS_PROBES)
+    ests = np.full(len(probes), np.iinfo(np.int64).max)
+    for r, salt in enumerate(_CMS_SALTS):
+        cells = _cms_cells(probes, salt)
+        ests = np.minimum(ests, table[r * _CMS_W + cells])
+    return pd.DataFrame(
+        {"token": probes, "est": ests.astype(np.int64)}
+    )

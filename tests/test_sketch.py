@@ -52,3 +52,27 @@ def test_hll_nulls_skipped():
 
     t = pa.table({"u": pa.array([None, None], pa.string())})
     assert hll_partial_batch(t, "u").num_rows == 0
+
+
+def test_cms_estimate_upper_bounds_truth(ray_session):
+    import pandas as pd
+
+    from sciscraper_ray.pipelines.queries import QUERIES, _CMS_PROBES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["token_cms_estimate"](sf)
+    docs = pd.read_parquet(sf + "/documents.parquet", columns=["text"])
+    from collections import Counter
+
+    truth = Counter()
+    for t in docs["text"]:
+        if t is not None:
+            truth.update(t.strip().lower().split(" "))
+    got = dict(zip(out["token"], out["est"]))
+    assert set(got) == set(_CMS_PROBES)
+    for tok in _CMS_PROBES:
+        assert got[tok] >= truth.get(tok, 0)  # CMS never undercounts
+    assert got["nosuchtoken"] < truth.most_common(1)[0][1]  # collisions bounded
+    # real tokens estimate close to truth at this scale
+    for tok in _CMS_PROBES[:5]:
+        assert got[tok] <= truth[tok] + sum(truth.values()) // 256
