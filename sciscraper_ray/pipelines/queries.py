@@ -5865,3 +5865,123 @@ def token_cms_estimate(sf_dir: str):
     return pd.DataFrame(
         {"token": probes, "est": ests.astype(np.int64)}
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus summary — the "dataset card" single-row report every corpus
+# release ships: sizes, null rate, token totals, language/source
+# cardinalities, and the exact duplicate-text rate. Integer-only.
+
+
+@register(
+    "corpus_summary",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, lang, source,
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE len({_SQL_TOKENS}) END AS n
+        FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_texts,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(min(n) AS BIGINT) AS min_tokens,
+           CAST(max(n) AS BIGINT) AS max_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS sources,
+           CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END)
+                - count(DISTINCT text) AS BIGINT) AS dup_text_rows
+    FROM t
+    """,
+)
+def corpus_summary(sf_dir: str):
+    """One streaming pass emits per-batch scalar partials (counts, token
+    sums, min/max, the batch's distinct lang/source lists — both
+    low-cardinality by contract); the driver folds a handful of rows.
+    The one genuinely global quantity — distinct text count — reuses the
+    md5-128 key partials (only hashes shuffle, texts never do):
+    dup_text_rows = non-null rows - distinct hashes."""
+    import pandas as pd
+
+    import ray.data
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+    from sciscraper_ray.stages.dedup import md5_hash128_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    ).materialize()  # consumed twice (scalars + distinct-hash pass)
+
+    def scalars(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        valid = batch["text"].is_valid().to_numpy(zero_copy_only=False)
+        nn = (
+            pc.drop_null(pc.list_value_length(toks))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "n_docs": pa.array([len(batch)], pa.int64()),
+                "null_texts": pa.array([int((~valid).sum())], pa.int64()),
+                "total_tokens": pa.array([int(nn.sum())], pa.int64()),
+                "min_tokens": pa.array(
+                    [int(nn.min()) if len(nn) else np.iinfo(np.int64).max],
+                    pa.int64(),
+                ),
+                "max_tokens": pa.array(
+                    [int(nn.max()) if len(nn) else np.iinfo(np.int64).min],
+                    pa.int64(),
+                ),
+                "langs": pa.array(
+                    [",".join(sorted(set(batch["lang"].to_pylist()) - {None}))],
+                    pa.string(),
+                ),
+                "sources": pa.array(
+                    [",".join(sorted(set(batch["source"].to_pylist()) - {None}))],
+                    pa.string(),
+                ),
+            }
+        )
+
+    parts = ds.map_batches(scalars, batch_format="pyarrow").to_pandas()
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        hi, lo, valid = md5_hash128_batch(batch, "text")
+        comp = np.unique(np.stack([hi[valid], lo[valid]], axis=1), axis=0)
+        return pa.table(
+            {"h_hi": pa.array(comp[:, 0]), "h_lo": pa.array(comp[:, 1])}
+        )
+
+    distinct_texts = (
+        ds.map_batches(hash_partial, batch_format="pyarrow")
+        .groupby(["h_hi", "h_lo"])
+        .count()
+        .count()
+    )
+
+    langs: set = set()
+    sources: set = set()
+    for ls in parts["langs"]:
+        langs.update(x for x in ls.split(",") if x)
+    for ss in parts["sources"]:
+        sources.update(x for x in ss.split(",") if x)
+    non_null = int(parts["n_docs"].sum()) - int(parts["null_texts"].sum())
+    return pd.DataFrame(
+        {
+            "n_docs": np.array([parts["n_docs"].sum()], np.int64),
+            "null_texts": np.array([parts["null_texts"].sum()], np.int64),
+            "total_tokens": np.array([parts["total_tokens"].sum()], np.int64),
+            "min_tokens": np.array([parts["min_tokens"].min()], np.int64),
+            "max_tokens": np.array([parts["max_tokens"].max()], np.int64),
+            "langs": np.array([len(langs)], np.int64),
+            "sources": np.array([len(sources)], np.int64),
+            "dup_text_rows": np.array(
+                [non_null - distinct_texts], np.int64
+            ),
+        }
+    )

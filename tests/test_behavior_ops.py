@@ -169,3 +169,19 @@ def test_bloom_semijoin_superset_with_fps(ray_session):
     # any extras must be bloom false positives, bounded (k=2, m=4096)
     extras = len(got) - len(true_rows)
     assert extras <= max(20, len(orders) // 20)
+
+
+def test_corpus_summary_single_row(ray_session):
+    out = QUERIES["corpus_summary"](SF)
+    docs = pd.read_parquet(SF + "/documents.parquet")
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r.n_docs == len(docs)
+    nn = docs["text"].dropna()
+    assert r.null_texts == len(docs) - len(nn)
+    toks = nn.map(lambda t: len(t.strip().lower().split(" ")))
+    assert r.total_tokens == toks.sum()
+    assert (r.min_tokens, r.max_tokens) == (toks.min(), toks.max())
+    assert r.langs == docs["lang"].nunique()
+    assert r.sources == docs["source"].nunique()
+    assert r.dup_text_rows == len(nn) - nn.nunique()
