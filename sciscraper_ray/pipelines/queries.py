@@ -5985,3 +5985,85 @@ def corpus_summary(sf_dir: str):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruned scan — the storage-layer scale primitive: write the
+# table CLUSTERED by the filter key, build a per-file min/max manifest
+# from parquet FOOTERS only, and answer a range predicate by opening only
+# the files whose zone overlaps. At 10^12 rows this is the difference
+# between touching 100 TB and touching one key range's worth of files.
+
+_ZONE_LO, _ZONE_HI = 100, 199
+
+
+def zonemap_manifest(out_dir: str, column: str) -> list[tuple[str, int, int]]:
+    """(path, min, max) per data file, read from footer statistics only —
+    no row data is touched to build the manifest."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    entries = []
+    for f in sorted(_glob.glob(os.path.join(out_dir, "*.parquet"))):
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index(column)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            entries.append((f, min(mins), max(maxs)))
+    return entries
+
+
+def zonemap_prune(
+    out_dir: str, column: str, lo: int, hi: int
+) -> tuple[list[str], int]:
+    """Files whose [min, max] zone overlaps [lo, hi], plus the total file
+    count (so callers can assert real pruning happened)."""
+    manifest = zonemap_manifest(out_dir, column)
+    picked = [f for f, mn, mx in manifest if mx >= lo and mn <= hi]
+    return picked, len(manifest)
+
+
+@register(
+    "zonemap_scan",
+    oracle=f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id BETWEEN {_ZONE_LO} AND {_ZONE_HI}
+    """,
+)
+def zonemap_scan(sf_dir: str):
+    """Range scan through a zone map: sort by doc_id (the clustering
+    write — one shuffle, paid once at ingest), write >= 8 parquet files,
+    manifest their footer min/max, then read ONLY overlapping files and
+    apply the residual Arrow filter. The pruning ratio is asserted in
+    tests/test_behavior_ops.py; the gate checks the rows."""
+    import tempfile
+
+    import ray.data
+
+    out_dir = tempfile.mkdtemp(prefix="zonemap_", dir="/tmp")
+    (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        .sort("doc_id")
+        .repartition(8)
+        .write_parquet(out_dir)
+    )
+    picked, _total = zonemap_prune(out_dir, "doc_id", _ZONE_LO, _ZONE_HI)
+    lo = pa.scalar(_ZONE_LO, pa.int64())
+    hi = pa.scalar(_ZONE_HI, pa.int64())
+    return ray.data.read_parquet(picked).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b["doc_id"], lo),
+                pc.less_equal(b["doc_id"], hi),
+            )
+        ),
+        batch_format="pyarrow",
+    )

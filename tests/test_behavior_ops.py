@@ -185,3 +185,35 @@ def test_corpus_summary_single_row(ray_session):
     assert r.langs == docs["lang"].nunique()
     assert r.sources == docs["source"].nunique()
     assert r.dup_text_rows == len(nn) - nn.nunique()
+
+
+def test_zonemap_actually_prunes(ray_session):
+    import glob
+    import tempfile
+
+    import ray.data
+
+    from sciscraper_ray.pipelines.queries import (
+        _ZONE_HI,
+        _ZONE_LO,
+        zonemap_prune,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="zonemap_t_", dir="/tmp")
+    (
+        ray.data.read_parquet(
+            SF + "/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        .sort("doc_id")
+        .repartition(8)
+        .write_parquet(out_dir)
+    )
+    picked, total = zonemap_prune(out_dir, "doc_id", _ZONE_LO, _ZONE_HI)
+    assert total >= 8
+    assert 0 < len(picked) < total  # the manifest skipped real files
+    # pruning loses nothing: picked files contain every in-range row
+    rows = ray.data.read_parquet(picked).to_pandas()
+    in_range = rows[(rows.doc_id >= _ZONE_LO) & (rows.doc_id <= _ZONE_HI)]
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id"])
+    want = docs[(docs.doc_id >= _ZONE_LO) & (docs.doc_id <= _ZONE_HI)]
+    assert set(in_range.doc_id) == set(want.doc_id)
