@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_minhash",          # MinHash+LSH near-dup
     "knn_cosine",             # brute-force ANN
     "doc_quality",            # text-quality scoring
+    "doc_segment_dedup",      # C4-style corpus-level segment dedup
 ]
 
 FLAGSHIP = "page_extract_pipeline"
