@@ -6067,3 +6067,159 @@ def zonemap_scan(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-hop star join (TPC-H Q5 shape): fact ⋈ fact through the bucketed
+# co-partition plan, then the dimension chain (nation -> region) as ONE
+# broadcast lookup, finished by a partial-agg groupby. Money stays exact:
+# prices convert to integer cents before any aggregation, so the oracle
+# hash has no float in it.
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def revenue_by_nation(sf_dir: str):
+    """Revenue per (region, nation): orders ⋈ customer is big x big (one
+    all-to-all on the bucket key, `bucketed_hash_join`); nation+region
+    are a few dozen rows, pre-joined on the driver and broadcast once;
+    the final aggregate ships only per-batch (region, nation) partials."""
+    import pandas as pd
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import (
+        BroadcastLookup,
+        bucketed_hash_join,
+        group_count_batch,
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "cents": pa.array(
+                    np.round(
+                        b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    joined = bucketed_hash_join(
+        orders, customer, left_on="o_custkey", right_on="c_custkey"
+    )
+
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pd.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    dim = (
+        nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+        .set_index("n_nationkey")[["n_name", "r_name"]]
+    )
+    dim_ref = ray.put(dim)
+
+    def enrich_and_count(batch: pa.Table) -> pa.Table:
+        looked = BroadcastLookup(dim_ref, on="c_nationkey")(batch)
+        return group_count_batch(
+            looked, ["r_name", "n_name"], {"cents": "revenue_cents"}
+        )
+
+    return (
+        joined.map_batches(enrich_and_count, batch_format="pyarrow")
+        .groupby(["r_name", "n_name"])
+        .aggregate(
+            Sum(on="revenue_cents", alias_name="revenue_cents"),
+            Sum(on="cnt", alias_name="n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization — the cleanup pass upstream corpora run before
+# hashing/dedup: collapse whitespace runs (which the reference's
+# single-space tokenizer surfaces as EMPTY tokens) into single spaces,
+# and report how many empties were dropped. Normalized text is what the
+# exact-dedup and segment-dedup keys would hash in a production corpus.
+
+
+@register(
+    "doc_normalize",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(
+               list_filter({_SQL_TOKENS}, x -> x <> ''), ' '
+           ) AS norm_text,
+           CAST(len({_SQL_TOKENS})
+                - len(list_filter({_SQL_TOKENS}, x -> x <> '')) AS BIGINT)
+               AS n_empty
+    FROM documents
+    """,
+)
+def doc_normalize(sf_dir: str):
+    """Vectorized: tokenize (list array), mask out empty tokens on the
+    FLAT buffer, rebuild per-row offsets with a cumsum, one binary_join.
+    No Python per row; null texts stay null (SQL's string_split(NULL)
+    row-drop is mirrored by the filter-side contract of downstream ops —
+    here nulls survive as null norm_text with n_empty null, exactly what
+    the SQL lambda yields)."""
+    import ray.data
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets).astype(np.int64)
+        flat = toks.values
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        kept_flat = flat.filter(pa.array(keep))
+        kept_cum = np.concatenate(([0], np.cumsum(keep)))
+        new_offsets = kept_cum[offs]
+        n = offs[1:] - offs[:-1]
+        n_kept = new_offsets[1:] - new_offsets[:-1]
+        valid = batch["text"].is_valid().to_numpy(zero_copy_only=False)
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_offsets.astype(np.int32), pa.int32()),
+            kept_flat,
+        )
+        norm = pc.binary_join(lst, " ")
+        n_empty = (n - n_kept).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "norm_text": pc.if_else(
+                    pa.array(valid), norm, pa.scalar(None, pa.string())
+                ),
+                "n_empty": pa.array(n_empty, pa.int64(), mask=~valid),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(normalize, batch_format="pyarrow")

@@ -217,3 +217,21 @@ def test_zonemap_actually_prunes(ray_session):
     docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id"])
     want = docs[(docs.doc_id >= _ZONE_LO) & (docs.doc_id <= _ZONE_HI)]
     assert set(in_range.doc_id) == set(want.doc_id)
+
+
+def test_normalize_collapses_empty_tokens(ray_session):
+    out = QUERIES["doc_normalize"](SF).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    import math
+
+    for doc_id, text in docs.itertuples(index=False):
+        row = out.loc[doc_id]
+        if text is None:
+            assert row.norm_text is None or (
+                isinstance(row.norm_text, float) and math.isnan(row.norm_text)
+            )
+            continue
+        toks = text.strip().lower().split(" ")
+        kept = [t for t in toks if t != ""]
+        assert row.norm_text == " ".join(kept)
+        assert row.n_empty == len(toks) - len(kept)

@@ -42,3 +42,33 @@ def test_salted_group_count_matches_plain_groupby(ray_session):
     assert out["host"].tolist() == expected["host"].tolist()
     assert out["cnt"].tolist() == expected["cnt"].tolist()
     assert out["sum_v"].tolist() == expected["sum_v"].tolist()
+
+
+def test_revenue_by_nation_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from sciscraper_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["revenue_by_nation"](sf).to_pandas()
+    orders = pd.read_parquet(sf + "/orders.parquet")
+    cust = pd.read_parquet(sf + "/customer.parquet")
+    nation = pd.read_parquet(sf + "/nation.parquet")
+    region = pd.read_parquet(sf + "/region.parquet")
+    j = (
+        orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    j["cents"] = np.round(j["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    exp = (
+        j.groupby(["r_name", "n_name"])
+        .agg(revenue_cents=("cents", "sum"), n_orders=("cents", "size"))
+        .reset_index()
+        .sort_values(["r_name", "n_name"])
+    )
+    got = out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+    assert got["revenue_cents"].tolist() == exp["revenue_cents"].tolist()
+    assert got["n_orders"].tolist() == exp["n_orders"].tolist()
+    assert got["n_name"].tolist() == exp["n_name"].tolist()
