@@ -6224,3 +6224,52 @@ def doc_normalize(sf_dir: str):
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(normalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# GROUPED HyperLogLog — the per-key form of the sketch (distinct users
+# per event type): what actually runs at 100 TB, where one register
+# table per group replaces an exact per-group distinct. The register
+# recomputation oracle generalizes the global one with the key carried.
+
+
+@register(
+    "event_type_hll_users",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type,
+               {_md5_hex15_sql("CAST(user_id AS VARCHAR)")} AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ), r AS (
+        SELECT event_type, hv % 64 AS bucket,
+               CASE WHEN hv // 64 = 0 THEN 55
+                    ELSE 54 - length(bin(hv // 64)) + 1 END AS rho
+        FROM h
+    )
+    SELECT event_type, bucket, max(rho) AS max_rho
+    FROM r GROUP BY event_type, bucket
+    """,
+)
+def event_type_hll_users(sf_dir: str):
+    """Per-group HLL registers: the vectorized grouped partial (one md5
+    digest-join parse + one np.maximum.at scatter per batch, <= |groups|
+    x 64 rows out) then a single groupby Max — per group the driver-side
+    estimate reads 64 rows no matter the cardinality. Register-exact
+    against the SQL rebuild; estimate accuracy is pinned in
+    tests/test_sketch.py."""
+    import ray.data
+    from ray.data.aggregate import Max
+
+    from sciscraper_ray.stages.sketch import hll_grouped_partial_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return (
+        ds.map_batches(
+            lambda b: hll_grouped_partial_batch(b, "event_type", "user_id"),
+            batch_format="pyarrow",
+        )
+        .groupby(["event_type", "bucket"])
+        .aggregate(Max(on="rho", alias_name="max_rho"))
+    )

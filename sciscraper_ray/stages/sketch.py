@@ -61,3 +61,63 @@ def hll_estimate(registers: dict[int, int], m: int = M_BUCKETS) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact integer bit_length, vectorized (no float round-trip — values
+    can exceed 2^53 where log2 would misround at powers of two)."""
+    r = x.astype(np.uint64).copy()
+    bl = np.zeros(len(r), np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = r >= np.uint64(1 << s)
+        bl[m] += s
+        r[m] >>= np.uint64(s)
+    return bl + (r > 0)
+
+
+def hll_grouped_partial_batch(
+    batch: pa.Table, key_col: str, col: str
+) -> pa.Table:
+    """Per-(group, bucket) partial registers, fully vectorized: one
+    joined-digest md5 parse for the batch, dictionary-coded group keys,
+    and a single np.maximum.at scatter — at most |groups| x M_BUCKETS
+    rows leave the task regardless of batch size."""
+    import pyarrow.compute as pc
+
+    keys = batch[key_col]
+    vals = batch[col]
+    valid = pc.and_(pc.is_valid(keys), pc.is_valid(vals))
+    t = batch.filter(valid)
+    if not t.num_rows:
+        return pa.table(
+            {
+                key_col: pa.array([], pa.string()),
+                "bucket": pa.array([], pa.int64()),
+                "rho": pa.array([], pa.int64()),
+            }
+        )
+    v = t[col].to_pylist()
+    digests = b"".join(hashlib.md5(str(x).encode()).digest() for x in v)
+    h = (np.frombuffer(digests, ">u8")[::2] >> np.uint64(4)).astype(np.int64)
+    bucket = h % M_BUCKETS
+    rem = h >> 6
+    rho = np.where(rem == 0, 55, _REM_BITS - _bit_length_u64(rem) + 1)
+    enc = pc.dictionary_encode(
+        t[key_col].combine_chunks()
+        if isinstance(t[key_col], pa.ChunkedArray)
+        else t[key_col]
+    )
+    codes = np.asarray(enc.indices).astype(np.int64)
+    uniques = enc.dictionary.to_pylist()
+    regs = np.zeros(len(uniques) * M_BUCKETS, np.int64)
+    np.maximum.at(regs, codes * M_BUCKETS + bucket, rho)
+    hit = np.nonzero(regs)[0]
+    return pa.table(
+        {
+            key_col: pa.array(
+                [uniques[i] for i in (hit // M_BUCKETS)], pa.string()
+            ),
+            "bucket": pa.array((hit % M_BUCKETS).astype(np.int64)),
+            "rho": pa.array(regs[hit]),
+        }
+    )

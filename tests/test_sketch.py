@@ -76,3 +76,33 @@ def test_cms_estimate_upper_bounds_truth(ray_session):
     # real tokens estimate close to truth at this scale
     for tok in _CMS_PROBES[:5]:
         assert got[tok] <= truth[tok] + sum(truth.values()) // 256
+
+
+def test_grouped_hll_estimates_per_group(ray_session):
+    import pandas as pd
+
+    from sciscraper_ray.pipelines.queries import QUERIES
+    from sciscraper_ray.stages.sketch import hll_estimate
+
+    sf = "/root/testdata/sf0.001"
+    regs = QUERIES["event_type_hll_users"](sf).to_pandas()
+    ev = pd.read_parquet(sf + "/events.parquet", columns=["event_type", "user_id"])
+    truth = ev.groupby("event_type")["user_id"].nunique()
+    for etype, g in regs.groupby("event_type"):
+        est = hll_estimate(dict(zip(g["bucket"], g["max_rho"])))
+        true = truth[etype]
+        assert abs(est - true) / true < 0.35  # m=64 -> ~13% typical error
+    assert set(regs["event_type"]) == set(truth.index)
+
+
+def test_bit_length_u64_exact():
+    import numpy as np
+
+    from sciscraper_ray.stages.sketch import _bit_length_u64
+
+    xs = np.array(
+        [0, 1, 2, 3, 2**20, 2**53, 2**53 + 1, 2**54 - 1, 2**54], np.uint64
+    )
+    assert _bit_length_u64(xs).tolist() == [
+        int(x).bit_length() for x in xs.tolist()
+    ]
