@@ -27,17 +27,21 @@ _REM_BITS = 60 - 6  # 54
 
 def hll_partial_batch(batch: pa.Table, col: str) -> pa.Table:
     """Per-batch partial registers: (bucket, rho) with rho already maxed
-    within the batch — at most ``M_BUCKETS`` rows leave the task."""
+    within the batch — at most ``M_BUCKETS`` rows leave the task. One
+    joined-digest md5 parse + one np.maximum.at scatter (the md5 calls
+    are the irreducible cost; everything after is numpy)."""
+    vals = [v for v in batch[col].to_pylist() if v is not None]
     regs = np.zeros(M_BUCKETS, np.int64)
-    for v in batch[col].to_pylist():
-        if v is None:
-            continue
-        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
-        b = h % M_BUCKETS
+    if vals:
+        digests = b"".join(
+            hashlib.md5(str(v).encode()).digest() for v in vals
+        )
+        h = (np.frombuffer(digests, ">u8")[::2] >> np.uint64(4)).astype(
+            np.int64
+        )
         rem = h >> 6
-        rho = 55 if rem == 0 else _REM_BITS - rem.bit_length() + 1
-        if rho > regs[b]:
-            regs[b] = rho
+        rho = np.where(rem == 0, 55, _REM_BITS - _bit_length_u64(rem) + 1)
+        np.maximum.at(regs, h % M_BUCKETS, rho)
     hit = np.nonzero(regs)[0]
     return pa.table(
         {
