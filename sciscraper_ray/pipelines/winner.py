@@ -153,6 +153,16 @@ def winner_filter(
             )  # only colliding keys reach the driver
         ).to_pandas()
 
+    return apply_winner_filter(ds, spec, dups)
+
+
+def apply_winner_filter(
+    ds: ray.data.Dataset, spec: WinnerSpec, dups: pd.DataFrame
+) -> ray.data.Dataset:
+    """Pass 2 alone: given the colliding-key winner table (however it was
+    produced — the groupby/driver merge above, or the stateful actor
+    index in pipelines/dedup.py), stream the full rows through the
+    Arrow-native filter."""
     # Broadcast (h_hi, h_lo) -> winning value for colliding keys only.
     # Int64 keeps the per-batch left-merge exact (no float round-trip of
     # int64 timestamps/ids).

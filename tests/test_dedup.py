@@ -242,3 +242,17 @@ def test_hamming64_vectorized():
     a = np.array([0, 0xFFFFFFFFFFFFFFFF, 0b1011], np.uint64)
     b = np.array([0, 0, 0b0010], np.uint64)
     assert hamming64(a, b).tolist() == [0, 64, 2]
+
+
+def test_stateful_plan_equals_winner_filter_plan(ray_session):
+    import pandas as pd
+
+    from sciscraper_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = QUERIES["dedup_exact"](sf).to_pandas()
+    b = QUERIES["dedup_exact_stateful"](sf).to_pandas()
+    key = ["doc_id", "text"]
+    pa_ = a.sort_values(key).reset_index(drop=True)
+    pb_ = b.sort_values(key).reset_index(drop=True)
+    assert pa_[key].equals(pb_[key])
