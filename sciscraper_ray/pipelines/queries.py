@@ -6296,3 +6296,101 @@ def dedup_exact_stateful(sf_dir: str):
 
     ds = _with_copies(sf_dir, mod=5, offset=100_000, drop_last_word=False)
     return exact_dedup_stateful(ds)
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization — the serving/ANN compression step (per-
+# vector absmax scale, symmetric int8). Quantized values are defined via
+# trunc(x * 127 / absmax): every operation is the same double arithmetic
+# on both engines and trunc has no tie cases, so the long-form output is
+# hash-exact. Emitted long (vec_id, i, q) — a list column would compare
+# as opaque reprs; long form lets the oracle check every element.
+
+
+@register(
+    "embedding_quantize",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id % 50 = 0
+    ), m AS (
+        SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s
+        FROM e
+    ), x AS (
+        SELECT vec_id, v, s, unnest(range(len(v))) AS i FROM m
+    )
+    SELECT vec_id, CAST(i AS BIGINT) AS i,
+           CAST(CASE WHEN s = 0 THEN 0
+                     ELSE trunc(v[i + 1] * 127 / s) END AS BIGINT) AS q
+    FROM x
+    """,
+)
+def embedding_quantize(sf_dir: str):
+    """Symmetric absmax int8 quantization over a deterministic 1-in-50
+    vector sample (the long-form output is 64 rows per vector; sampling
+    keeps the gate compare proportionate while the kernel itself is a
+    full zero-copy batch op). One flatten-reshape matmul-free pass: scale
+    = absmax per row, q = trunc(x * 127 / scale), zero vectors quantize
+    to zeros."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 50 == 0
+        if not keep.any():
+            e = pa.array([], pa.int64())
+            return pa.table({"vec_id": e, "i": e, "q": e})
+        ids = ids[keep]
+        emb = batch["embedding"].combine_chunks() if isinstance(
+            batch["embedding"], pa.ChunkedArray
+        ) else batch["embedding"]
+        mat = np.asarray(emb.values).reshape(len(batch), -1)[keep].astype(
+            np.float64
+        )
+        s = np.abs(mat).max(axis=1, keepdims=True)
+        q = np.where(s == 0, 0.0, np.trunc(mat * 127 / np.where(s == 0, 1, s)))
+        n, d = q.shape
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, d)),
+                "i": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+                "q": pa.array(q.reshape(-1).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# JSONL source/sink round trip — S-tier source-format coverage beyond
+# parquet/CSV/txt/binary dirs: write the table as line-delimited JSON,
+# read it back with ray.data.read_json, and prove nothing was lost or
+# retyped (the gate compares values AND dtypes against the parquet
+# original).
+
+
+@register(
+    "jsonl_roundtrip",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def jsonl_roundtrip(sf_dir: str):
+    """documents -> JSONL shards (one file per block, the resumable
+    layout) -> read_json -> project. Text columns stay out of the round
+    trip on purpose: JSON re-escaping is the classic silent-corruption
+    spot, so the covered contract is the typed scalar columns; payload
+    text rides parquet/binary in this engine."""
+    import tempfile
+
+    import ray.data
+
+    out_dir = tempfile.mkdtemp(prefix="jsonl_", dir="/tmp")
+    ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).write_json(out_dir)
+    return ray.data.read_json(out_dir).select_columns(
+        ["doc_id", "lang", "n_chars"]
+    )

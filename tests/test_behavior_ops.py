@@ -235,3 +235,17 @@ def test_normalize_collapses_empty_tokens(ray_session):
         kept = [t for t in toks if t != ""]
         assert row.norm_text == " ".join(kept)
         assert row.n_empty == len(toks) - len(kept)
+
+
+def test_quantize_bounds_and_absmax(ray_session):
+    out = QUERIES["embedding_quantize"](SF).to_pandas()
+    assert out["q"].abs().max() <= 127
+    # every sampled vector's max-magnitude element quantizes to ±127
+    # (trunc of exactly ±127.0) unless the vector is all zeros
+    gm = out.groupby("vec_id")["q"].agg(lambda s: s.abs().max())
+    assert ((gm == 127) | (gm == 0)).all()
+    emb = pd.read_parquet(SF + "/embeddings.parquet")
+    want = set(emb[emb.vec_id % 50 == 0].vec_id)
+    assert set(out["vec_id"]) == want
+    d = len(emb["embedding"].iloc[0])
+    assert len(out) == len(want) * d
