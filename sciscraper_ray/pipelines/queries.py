@@ -6394,3 +6394,57 @@ def jsonl_roundtrip(sf_dir: str):
     return ray.data.read_json(out_dir).select_columns(
         ["doc_id", "lang", "n_chars"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Event debounce — streaming retry suppression: drop an event when the
+# previous event of the SAME (user, type) lies within the debounce
+# window (events are time-ordered, so "any prior within T" reduces to
+# the adjacent gap — the lag-window form both engines share).
+
+_DEBOUNCE_S = 7200  # 2 h: the synthetic stream's same-(user,type)
+# gaps start at ~525 s, so a sub-10th-percentile window genuinely fires
+
+
+@register(
+    "events_debounce",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, ts FROM (
+        SELECT event_id, user_id, event_type, ts,
+               lag(ts) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) AS prev_ts
+        FROM events
+    ) WHERE prev_ts IS NULL
+          OR ts - prev_ts > INTERVAL {_DEBOUNCE_S} SECOND
+    """,
+)
+def events_debounce(sf_dir: str):
+    """ONE shuffle on user_id; inside each user's group a vectorized
+    per-type adjacent-gap mask (sort by (type, ts, event_id), diff,
+    keep first-of-type or gap > window). The same partitioning contract
+    as the sessionizer: per-user history fits a worker."""
+    import pandas as pd
+
+    import ray.data
+
+    gap_us = _DEBOUNCE_S * 1_000_000
+
+    def debounce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "ts", "event_id"]).reset_index(
+            drop=True
+        )
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        etype = g["event_type"].to_numpy()
+        keep = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            same = etype[1:] == etype[:-1]
+            close = (ts[1:] - ts[:-1]) <= gap_us
+            keep[1:] = ~(same & close)
+        return g.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return ds.groupby("user_id").map_groups(debounce, batch_format="pandas")

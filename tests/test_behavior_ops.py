@@ -249,3 +249,20 @@ def test_quantize_bounds_and_absmax(ray_session):
     assert set(out["vec_id"]) == want
     d = len(emb["embedding"].iloc[0])
     assert len(out) == len(want) * d
+
+
+def test_debounce_adjacent_gap_semantics(ray_session):
+    from sciscraper_ray.pipelines.queries import _DEBOUNCE_S
+
+    out = QUERIES["events_debounce"](SF).to_pandas()
+    ev = _events().sort_values(["user_id", "event_type", "ts", "event_id"])
+    keep_ids = []
+    for _, g in ev.groupby(["user_id", "event_type"]):
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        prev = None
+        for eid, t in zip(g["event_id"], ts):
+            if prev is None or t - prev > _DEBOUNCE_S * 1_000_000:
+                keep_ids.append(eid)
+            prev = t
+    assert set(out["event_id"]) == set(keep_ids)
+    assert 0 < len(out) < len(ev)  # the window actually suppresses rows
