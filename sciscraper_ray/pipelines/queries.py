@@ -6448,3 +6448,67 @@ def events_debounce(sf_dir: str):
         columns=["event_id", "user_id", "event_type", "ts"],
     )
     return ds.groupby("user_id").map_groups(debounce, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Hive-partitioned sink + pruned read-back — the "resumable output"
+# contract as an operator: write documents PARTITIONED BY lang (one
+# directory per key, the layout a failed run resumes by skipping
+# finished partitions), then answer a per-lang count by reading back
+# ONLY that partition's directory. The oracle is the plain aggregate, so
+# any row lost or misrouted by the partitioned writer breaks the hash.
+
+
+@register(
+    "lang_partitioned_write",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_partitioned_write(sf_dir: str):
+    """write_parquet(partition_cols=['lang']) -> one hive directory per
+    language; each partition is then read back independently (a pruned
+    read that never touches sibling partitions — the reader lists
+    lang=<v>/ only) and reduced to (lang, count, char sum). Partition
+    discovery comes from the directory listing, not from re-scanning
+    data."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    import ray.data
+
+    out_dir = tempfile.mkdtemp(prefix="langpart_", dir="/tmp")
+    ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).write_parquet(out_dir, partition_cols=["lang"])
+
+    rows = []
+    for entry in sorted(os.listdir(out_dir)):
+        if not entry.startswith("lang="):
+            continue
+        lang = entry.split("=", 1)[1]
+        part = ray.data.read_parquet(os.path.join(out_dir, entry))
+        agg = part.map_batches(
+            lambda b: pa.table(
+                {
+                    "n_docs": pa.array([len(b)], pa.int64()),
+                    "total_chars": pa.array(
+                        [int(b["n_chars"].to_numpy(zero_copy_only=False).sum())],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        rows.append(
+            {
+                "lang": lang,
+                "n_docs": int(agg["n_docs"].sum()),
+                "total_chars": int(agg["total_chars"].sum()),
+            }
+        )
+    return pd.DataFrame(rows)

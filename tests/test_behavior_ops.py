@@ -266,3 +266,12 @@ def test_debounce_adjacent_gap_semantics(ray_session):
             prev = t
     assert set(out["event_id"]) == set(keep_ids)
     assert 0 < len(out) < len(ev)  # the window actually suppresses rows
+
+
+def test_partitioned_write_layout(ray_session):
+    import os
+
+    out = QUERIES["lang_partitioned_write"](SF)
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["lang"])
+    assert set(out["lang"]) == set(docs["lang"].unique())
+    assert out["n_docs"].sum() == len(docs)
