@@ -72,7 +72,12 @@ def _tokenize(stream: str):
             digits = "".join(stream[i + 1 : j].split())
             if len(digits) % 2:  # PDF spec §7.3.4.3: odd final digit -> pad 0
                 digits += "0"
-            raw = bytes.fromhex(digits)
+            try:
+                raw = bytes.fromhex(digits)
+            except ValueError:
+                # real-world streams embed non-text <...> runs (inline
+                # images, font programs); draw nothing rather than die
+                raw = b""
             if raw[:2] == b"\xfe\xff":
                 s = raw[2:].decode("utf-16-be", errors="replace")
             else:
@@ -239,7 +244,12 @@ def extract_pdf_pages(payload: bytes) -> list[str]:
             continue
         if "BT" not in text:
             continue
-        pages.append(glyphs_to_text(_extract_glyphs(text)))
+        try:
+            pages.append(glyphs_to_text(_extract_glyphs(text)))
+        except (ValueError, IndexError):
+            # one exotic stream (unsupported filter chain, binary run that
+            # happened to decode) must not take down the document
+            continue
     return pages
 
 

@@ -255,3 +255,44 @@ def test_reference_word_lists_parity(ray_session):
         assert abs(row["wordscore"] - score) < 1e-12
         got_top = [(d["token"], d["count"]) for d in row["target_terms_top_3"]]
         assert got_top == t_top  # Counter insertion-order tie-break
+
+
+REFERENCE_PDF = "/root/reference/tests/test_dirs/test_pdf_1.pdf"
+
+
+def test_reference_real_pdf_fixture_end_to_end():
+    """The reference's own pytest PDF fixture (a real Adobe-produced
+    journal article, tests/conftest.py:36) through the from-scratch
+    parser: /Info parses to pdfplumber's pdf.metadata shape, the
+    metadata and pdf-info probes correctly find nothing (no doi/arxiv
+    keys; the last Info value is the Title, which carries no
+    identifier — the reference's last-value-wins quirk), and the chain
+    falls through to body text, where pattern-priority (doi:-prefixed
+    beats bare 10.x) picks the citation DOI — faithful to
+    doifrompdf.py's chain order on real-world input."""
+    from sciscraper_ray.kernels.identifiers import (
+        extract_identifier,
+        find_identifier_in_metadata,
+        find_identifier_in_pdf_info,
+    )
+    from sciscraper_ray.stages.pdf_parse import (
+        extract_pdf_info,
+        extract_pdf_text,
+    )
+
+    data = open(REFERENCE_PDF, "rb").read()
+    info = extract_pdf_info(data)
+    assert info["Title"] == (
+        "Implicit Bias Is Behavior: "
+        "A Functional-Cognitive Perspective on Implicit Bias"
+    )
+    assert info["Author"] == "Jan De Houwer"
+    assert info["Keywords"] == "implicit bias,functional psychology,racism"
+    assert find_identifier_in_metadata(info) is None
+    assert find_identifier_in_pdf_info(info) is None
+
+    text, n_streams = extract_pdf_text(data)
+    assert len(text) > 20_000  # full body text, not a fragment
+    assert "10.1177/1745691619855638" in text  # the article's own DOI
+    # pattern priority: the doi:-prefixed citation outranks bare 10.x
+    assert extract_identifier(text) == "10.1017/s0140525x17002266"
