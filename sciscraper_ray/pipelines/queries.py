@@ -2953,7 +2953,12 @@ def terms_from_txt(sf_dir: str):
             {"term": pc.utf8_lower(pc.utf8_trim_whitespace(col))}
         )
 
-    return ray.data.read_text(path).map_batches(normalize, batch_format="pyarrow")
+    # drop_empty_lines=False: serialize_from_txt keeps blank lines as ""
+    # (each raw line goes through strip().lower()) — byte-faithful parity
+    # is pinned on the reference's real multiline fixture in test_kernels.
+    return ray.data.read_text(path, drop_empty_lines=False).map_batches(
+        normalize, batch_format="pyarrow"
+    )
 
 
 @register(

@@ -296,3 +296,32 @@ def test_reference_real_pdf_fixture_end_to_end():
     assert "10.1177/1745691619855638" in text  # the article's own DOI
     # pattern priority: the doi:-prefixed citation outranks bare 10.x
     assert extract_identifier(text) == "10.1017/s0140525x17002266"
+
+
+def test_reference_txt_fixture_serializer_parity(ray_session):
+    """serialize_from_txt (serials.py:14-23) on the reference's REAL
+    multiline fixture: every raw line through strip().lower(), blank
+    lines preserved as '' — matched exactly by read_text(
+    drop_empty_lines=False) + the vectorized normalize."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    path = "/root/reference/tests/test_dirs/test_file_multiline.txt"
+    with open(path, encoding="utf-8") as f:
+        expected = [w.strip().lower() for w in f]
+
+    got = (
+        ray.data.read_text(path, drop_empty_lines=False)
+        .map_batches(
+            lambda b: pa.table(
+                {"term": pc.utf8_lower(pc.utf8_trim_whitespace(b["text"]))}
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["term"]
+        .tolist()
+    )
+    assert got == expected
+    assert "" in got  # the fixture's blank lines survive serialization
