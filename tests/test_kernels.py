@@ -325,3 +325,52 @@ def test_reference_txt_fixture_serializer_parity(ray_session):
     )
     assert got == expected
     assert "" in got  # the fixture's blank lines survive serialization
+
+
+def test_reference_csv_fixture_serializer_parity(ray_session):
+    """serialize_from_csv (serials.py:26-43) on the reference's REAL
+    example CSV: distributed read_csv parses the quoted/comma-laden
+    cells exactly, fillna('N/A') fires on the empty cells, and the M14
+    unwrap applies the plain-rows-first reorder quirk to the
+    dict-literal authors cell."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from sciscraper_ray.kernels.nested import clean_nested_values, fill_na
+
+    path = "/root/reference/tests/test_dirs/test_example_file_1.csv"
+    rows = ray.data.read_csv(path).to_pandas()
+
+    doi = clean_nested_values(
+        fill_na(pa.array(rows["doi"].tolist(), pa.string())).to_pylist(),
+        "doi",
+    )
+    assert doi == [
+        "10.1000/12345", "10.1000/23456", "10.1000/34567", "pub.12345",
+    ]
+
+    authors = clean_nested_values(
+        fill_na(pa.array(rows["authors"].tolist(), pa.string())).to_pylist(),
+        "authors",
+    )
+    # plain rows first (reference reorder quirk), then the dict-literal
+    # cell unwrapped to its ['authors'] value
+    assert authors == [
+        "Darius Lettsgetham", "Anne Elon-Ux", "Jujubee", "I. Ron Butterfly",
+    ]
+
+    # the quoted title with embedded commas survives CSV parsing intact
+    assert (
+        rows["title"].iloc[3]
+        == "Memoirs of a Gaysha, Jujubee's Journey, I'm Still Here"
+    )
+
+    # empty numeric cells arrive null and fillna replaces them
+    import pandas as pd
+
+    tc = pa.array(
+        [None if pd.isna(v) else str(v) for v in rows["times_cited"]],
+        pa.string(),
+    )
+    assert fill_na(tc).to_pylist().count("N/A") == 2
