@@ -374,3 +374,15 @@ def test_reference_csv_fixture_serializer_parity(ray_session):
         pa.string(),
     )
     assert fill_na(tc).to_pylist().count("N/A") == 2
+
+
+def test_reference_blank_txt_fixture(ray_session):
+    """serialize_from_txt of the reference's zero-byte fixture is [] —
+    the distributed reader must agree (no phantom empty row)."""
+    import ray.data
+
+    path = "/root/reference/tests/test_dirs/test_file_blank.txt"
+    with open(path, encoding="utf-8") as f:
+        assert [w.strip().lower() for w in f] == []
+    got = ray.data.read_text(path, drop_empty_lines=False).take_all()
+    assert got == []
