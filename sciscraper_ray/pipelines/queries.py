@@ -6517,3 +6517,115 @@ def lang_partitioned_write(sf_dir: str):
             }
         )
     return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Storage-bucketed shuffle-free join — the warehouse bucketing pattern
+# (Hive bucketed tables / Iceberg bucket transforms): both sides are
+# written ONCE partitioned by the same key-hash bucket, and every later
+# join reads matching bucket directories pairwise with ZERO exchange.
+# At 100 TB you pay the bucketing write once and join forever without an
+# all-to-all; here the whole cycle (bucketed write -> per-bucket joins
+# -> aggregate) runs inside one query so the oracle checks it end to end.
+
+_STORAGE_BUCKETS = 8
+
+
+@register(
+    "bucketed_storage_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'MACHINERY'
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_storage_join(sf_dir: str):
+    """orders ⋈ customer with no runtime shuffle: both sides get bucket =
+    md5_mod(custkey, {_STORAGE_BUCKETS}) and are written hive-partitioned
+    by it; one Ray task per bucket then joins exactly its two directories
+    (hash partitioning is key-complete per bucket) and emits aggregate
+    partials; ray.data.from_arrow_refs turns the per-bucket results back
+    into a Dataset for the final tiny groupby. Money in integer cents."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def add_bucket(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch[col].to_pylist()
+            import hashlib
+
+            digests = b"".join(
+                hashlib.md5(str(k).encode()).digest() for k in keys
+            )
+            h = (
+                np.frombuffer(digests, ">u8")[::2] >> np.uint64(4)
+            ).astype(np.int64)
+            return batch.append_column(
+                "bucket", pa.array(h % _STORAGE_BUCKETS)
+            )
+
+        return fn
+
+    base = tempfile.mkdtemp(prefix="bucketjoin_", dir="/tmp")
+    o_dir, c_dir = os.path.join(base, "orders"), os.path.join(base, "cust")
+    ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+    ).map_batches(add_bucket("o_custkey"), batch_format="pyarrow").write_parquet(
+        o_dir, partition_cols=["bucket"]
+    )
+    ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(add_bucket("c_custkey"), batch_format="pyarrow").write_parquet(
+        c_dir, partition_cols=["bucket"]
+    )
+
+    @ray.remote
+    def join_bucket(b: int):
+        import pyarrow.parquet as pq
+
+        op = os.path.join(o_dir, f"bucket={b}")
+        cp = os.path.join(c_dir, f"bucket={b}")
+        if not os.path.isdir(op) or not os.path.isdir(cp):
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        orders = pq.read_table(op).to_pandas()
+        cust = pq.read_table(cp).to_pandas()
+        cust = cust[cust["c_mktsegment"] == "MACHINERY"]
+        j = orders.merge(
+            cust, left_on="o_custkey", right_on="c_custkey", how="inner"
+        )
+        j["cents"] = np.round(j["o_totalprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        agg = (
+            j.groupby("o_orderpriority")
+            .agg(n_orders=("cents", "size"), revenue_cents=("cents", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(
+            agg.astype({"n_orders": "int64", "revenue_cents": "int64"}),
+            preserve_index=False,
+        )
+
+    refs = [join_bucket.remote(b) for b in range(_STORAGE_BUCKETS)]
+    parts = ray.data.from_arrow_refs(refs)
+    return parts.groupby("o_orderpriority").aggregate(
+        Sum(on="n_orders", alias_name="n_orders"),
+        Sum(on="revenue_cents", alias_name="revenue_cents"),
+    )

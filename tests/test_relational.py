@@ -72,3 +72,31 @@ def test_revenue_by_nation_matches_pandas(ray_session):
     assert got["revenue_cents"].tolist() == exp["revenue_cents"].tolist()
     assert got["n_orders"].tolist() == exp["n_orders"].tolist()
     assert got["n_name"].tolist() == exp["n_name"].tolist()
+
+
+def test_bucketed_storage_join_matches_plain_join(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from sciscraper_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["bucketed_storage_join"](sf).to_pandas()
+    orders = pd.read_parquet(sf + "/orders.parquet")
+    cust = pd.read_parquet(sf + "/customer.parquet")
+    j = orders.merge(
+        cust[cust.c_mktsegment == "MACHINERY"],
+        left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    j["cents"] = np.round(j["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    exp = (
+        j.groupby("o_orderpriority")
+        .agg(n_orders=("cents", "size"), revenue_cents=("cents", "sum"))
+        .reset_index()
+        .sort_values("o_orderpriority")
+    )
+    got = out.sort_values("o_orderpriority").reset_index(drop=True)
+    assert got["o_orderpriority"].tolist() == exp["o_orderpriority"].tolist()
+    assert got["n_orders"].tolist() == exp["n_orders"].tolist()
+    assert got["revenue_cents"].tolist() == exp["revenue_cents"].tolist()
