@@ -6629,3 +6629,90 @@ def bucketed_storage_join(sf_dir: str):
         Sum(on="n_orders", alias_name="n_orders"),
         Sum(on="revenue_cents", alias_name="revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC merge (MERGE INTO): apply a change batch — updates + tombstone
+# deletes — onto a base table, keeping the highest version per key and
+# dropping deleted keys. The lakehouse upsert primitive, expressed as
+# the shared winner filter (key = doc_id, winner = max version) so the
+# change stream never forces a payload shuffle.
+
+
+@register(
+    "cdc_merge",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS version,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM documents
+    WHERE doc_id % 21 <> 0
+    """,
+)
+def cdc_merge(sf_dir: str):
+    """Base = documents at version 0; delta = every 7th doc updated to
+    version 1 (text + ' v2'), every 21st additionally tombstoned. Merge =
+    union -> winner_filter on (doc_id, max version) -> drop tombstones.
+    Only (key, version) pairs enter the key pass; the text payload
+    streams through the Arrow filter untouched."""
+    import ray.data
+
+    from sciscraper_ray.pipelines.winner import WinnerSpec, winner_filter
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: b.append_column(
+            "version", pa.array(np.zeros(len(b), np.int64))
+        ).append_column("deleted", pa.array(np.zeros(len(b), bool))),
+        batch_format="pyarrow",
+    )
+
+    def make_delta(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        upd = ids % 7 == 0
+        t = batch.filter(pa.array(upd))
+        uids = t["doc_id"].to_numpy(zero_copy_only=False)
+        new_text = pc.binary_join_element_wise(
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"],
+            pa.scalar(" v2"),
+            "",
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": new_text,
+                "version": pa.array(np.ones(len(t), np.int64)),
+                "deleted": pa.array(uids % 21 == 0),
+            }
+        )
+
+    delta = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(make_delta, batch_format="pyarrow")
+
+    merged = winner_filter(
+        base.union(delta).materialize(),  # winner_filter streams twice
+        WinnerSpec(
+            keys=lambda b: (
+                b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                np.zeros(b.num_rows, np.int64),
+                None,
+            ),
+            value=lambda b: b["version"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            np_reducer=np.maximum,
+            agg_name="max",
+            what="cdc_merge",
+        ),
+    )
+    return merged.map_batches(
+        lambda b: b.filter(pc.equal(b["deleted"], False)).select(
+            ["doc_id", "version", "text"]
+        ),
+        batch_format="pyarrow",
+    )

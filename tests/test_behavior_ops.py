@@ -275,3 +275,18 @@ def test_partitioned_write_layout(ray_session):
     docs = pd.read_parquet(SF + "/documents.parquet", columns=["lang"])
     assert set(out["lang"]) == set(docs["lang"].unique())
     assert out["n_docs"].sum() == len(docs)
+
+
+def test_cdc_merge_upserts_and_tombstones(ray_session):
+    out = QUERIES["cdc_merge"](SF).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    for doc_id, text in docs.itertuples(index=False):
+        if doc_id % 21 == 0:
+            assert doc_id not in out.index  # tombstoned
+        elif doc_id % 7 == 0:
+            row = out.loc[doc_id]
+            assert row.version == 1 and row.text == text + " v2"
+        else:
+            row = out.loc[doc_id]
+            assert row.version == 0 and row.text == text
+    assert len(out) == (docs.doc_id % 21 != 0).sum()
