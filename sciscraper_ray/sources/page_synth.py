@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import html as html_mod
 
-import numpy as np
 import pyarrow as pa
 
 from sciscraper_ray.sources.pdf_write import build_pdf

@@ -17,7 +17,6 @@ from __future__ import annotations
 import re
 import zlib
 
-import numpy as np
 import pyarrow as pa
 
 _STREAM_KW_RE = re.compile(rb"(?<!end)stream\r?\n")

@@ -188,7 +188,6 @@ def test_corpus_summary_single_row(ray_session):
 
 
 def test_zonemap_actually_prunes(ray_session):
-    import glob
     import tempfile
 
     import ray.data
@@ -269,7 +268,6 @@ def test_debounce_adjacent_gap_semantics(ray_session):
 
 
 def test_partitioned_write_layout(ray_session):
-    import os
 
     out = QUERIES["lang_partitioned_write"](SF)
     docs = pd.read_parquet(SF + "/documents.parquet", columns=["lang"])

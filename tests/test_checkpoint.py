@@ -109,7 +109,6 @@ def test_per_wave_metrics_recorded(pages_dir, tmp_path):
 
 def test_content_hash_sees_long_list_differences():
     """repr() of numpy arrays truncates >1000 elements; the hash must not."""
-    import numpy as np
     import pyarrow as pa
 
     from sciscraper_ray.state.lineage import content_hash

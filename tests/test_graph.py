@@ -1,7 +1,6 @@
 """Connected components (pipelines/graph.py) vs a reference union-find."""
 import numpy as np
 import pyarrow as pa
-import pytest
 
 from sciscraper_ray.pipelines.graph import connected_components
 
@@ -70,7 +69,6 @@ def test_duplicate_and_reversed_edges():
 
 
 def test_pagerank_plan_parity_and_sum():
-    import ray.data
 
     from sciscraper_ray.pipelines.graph import pagerank
 

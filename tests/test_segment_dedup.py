@@ -2,7 +2,6 @@
 from-first-principles pandas recomputation of the keep-first-occurrence
 contract (oracle parity runs in tools/check_correctness.py)."""
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 
