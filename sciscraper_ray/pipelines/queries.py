@@ -6716,3 +6716,73 @@ def cdc_merge(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark accounting — the streaming-completeness primitive: with the
+# watermark at max(event time) - 1 h, every hourly window whose end is
+# at or before the watermark is FINAL (safe to emit downstream); later
+# windows are still provisional. Batch-emulated here, but the emitted
+# (window, count, is_final) contract is exactly what an incremental
+# consumer checkpoints on.
+
+_WATERMARK_LAG_US = 3_600_000_000  # 1 h
+
+
+@register(
+    "events_watermark",
+    oracle=f"""
+    WITH w AS (
+        SELECT max(epoch_us(ts)) - {_WATERMARK_LAG_US} AS mark FROM events
+    )
+    SELECT epoch_us(ts) // 3600000000 AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(CASE WHEN (epoch_us(ts) // 3600000000 + 1) * 3600000000
+                          <= (SELECT mark FROM w)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_final
+    FROM events GROUP BY hour
+    """,
+)
+def events_watermark(sf_dir: str):
+    """Hourly counts tagged final/provisional against the stream's
+    watermark: one tiny Max aggregate fixes the mark, then the usual
+    composite-int64 partial counts; the final tag is pure arithmetic on
+    the window boundary. Integer microseconds end to end."""
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    us_hour = 3_600_000_000
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table({"us": batch["ts"].cast(pa.int64())})
+
+    us_ds = ds.map_batches(to_us, batch_format="pyarrow").materialize()
+    mark = (
+        us_ds.aggregate(Max(on="us", alias_name="m"))["m"]
+        - _WATERMARK_LAG_US
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["us"].to_numpy(zero_copy_only=False)
+        hours, cnt = np.unique(us // us_hour, return_counts=True)
+        return pa.table(
+            {
+                "hour": pa.array(hours.astype(np.int64)),
+                "n_events": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        us_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum(on="n_events", alias_name="n_events"))
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = batch["hour"].to_numpy(zero_copy_only=False)
+        final = ((h + 1) * us_hour <= mark).astype(np.int64)
+        return batch.append_column("is_final", pa.array(final))
+
+    return agg.map_batches(tag, batch_format="pyarrow")

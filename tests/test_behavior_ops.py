@@ -288,3 +288,18 @@ def test_cdc_merge_upserts_and_tombstones(ray_session):
             row = out.loc[doc_id]
             assert row.version == 0 and row.text == text
     assert len(out) == (docs.doc_id % 21 != 0).sum()
+
+
+def test_watermark_final_windows(ray_session):
+    out = QUERIES["events_watermark"](SF).to_pandas()
+    ev = _events()
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    mark = us.max() - 3_600_000_000
+    hours = us // 3_600_000_000
+    exp = hours.value_counts().sort_index()
+    got = out.sort_values("hour").reset_index(drop=True)
+    assert got["hour"].tolist() == exp.index.tolist()
+    assert got["n_events"].tolist() == exp.tolist()
+    for h, f in zip(got["hour"], got["is_final"]):
+        assert f == int((h + 1) * 3_600_000_000 <= mark)
+    assert 0 < got["is_final"].sum() < len(got)  # both classes occur
