@@ -1649,53 +1649,26 @@ _SESSION_GAP_MIN = 30
 def events_sessionize(sf_dir: str):
     """Gap-based sessionization (§2.10 streaming-shaped): per user, a new
     session starts when the gap to the previous event exceeds
-    {gap} minutes. Partitioning contract: ONE shuffle on user_id
-    (map_groups), each group sessionized with a vectorized diff/cumsum —
-    per-user event history must fit a worker (true for session-shaped
-    data; a mega-user would need time-bucketed pre-splitting, the
-    documented skew caveat)."""
-    import pandas as pd
-
+    {gap} minutes — on the shared BUCKETED window plan
+    (stages/window.py): ONE shuffle on ``user_id % 32``, in-bucket
+    lexsort, session boundaries via np.diff over (user-change | gap),
+    session aggregates via np.add.reduceat on session segments. Group
+    count is O(buckets), never O(users); one bucket must fit a worker
+    (a mega-user would be time-bucket pre-split, the documented skew
+    caveat)."""
     import ray.data
 
+    from sciscraper_ray.stages.window import (
+        bucketed_window,
+        make_bucket_sessionize,
+    )
+
     gap_us = _SESSION_GAP_MIN * 60 * 1_000_000
-
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        new_s = np.ones(len(g), dtype=np.int64)
-        new_s[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        sid = np.cumsum(new_s)
-        out = (
-            pd.DataFrame(
-                {
-                    "user_id": g["user_id"],
-                    "session_id": sid,
-                    "ts": g["ts"],
-                    "value": g["value"],
-                }
-            )
-            .groupby("session_id", sort=True)
-            .agg(
-                user_id=("user_id", "first"),
-                session_start=("ts", "min"),
-                session_end=("ts", "max"),
-                n_events=("ts", "size"),
-                sum_value=("value", "sum"),
-            )
-            .reset_index()
-        )
-        out["sum_value"] = out["sum_value"].round(6)
-        return out[
-            ["user_id", "session_id", "session_start", "session_end",
-             "n_events", "sum_value"]
-        ]
-
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "event_id", "ts", "value"],
     )
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return bucketed_window(ds, make_bucket_sessionize(gap_us))
 
 
 def _hll_oracle() -> str:
@@ -3736,35 +3709,25 @@ def events_topk_users(sf_dir: str):
 )
 def events_user_cumsum(sf_dir: str):
     """Distributed WINDOW FUNCTION (running per-user sum ordered by
-    time): partition by user, sort within partition, cumulative sum —
-    the canonical `sum() OVER (PARTITION BY .. ORDER BY ..)`. Expressed
-    as `groupby(user).map_groups` with a vectorized sort + cumsum per
-    group; both engines accumulate in the identical (ts, event_id)
-    order, so the running floats agree exactly (rounded 6 dp like every
-    float column here). Running aggregates are order-dependent, so hot
-    keys can NOT be salted — the scale lever is range-partitioning by
-    (user, time-chunk) and carrying per-chunk opening balances, the
-    standard prefix-sum decomposition."""
+    time) — the canonical `sum() OVER (PARTITION BY .. ORDER BY ..)`,
+    on the BUCKETED plan (stages/window.py): ONE shuffle on
+    ``user_id % B`` (B = 32 fixed buckets, not per-user groups — group
+    count is O(B), so the ~100 µs/group dispatch tax never scales with
+    users), then a fully vectorized in-bucket sort + Cython group-cumsum.
+    Both engines accumulate per user sequentially in (ts, event_id)
+    order, so the running floats agree exactly (rounded 6 dp). Running
+    aggregates are order-dependent, so hot keys can NOT be salted — a
+    mega-user would be pre-split by time chunk with carried opening
+    balances, the standard prefix-sum decomposition."""
     import ray.data
+
+    from sciscraper_ray.stages.window import bucket_cumsum, bucketed_window
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "value"],
     )
-
-    def cumsum(g):
-        import pandas as pd
-
-        g = g.sort_values(["ts", "event_id"])
-        return pd.DataFrame(
-            {
-                "event_id": g["event_id"].to_numpy(),
-                "user_id": g["user_id"].to_numpy(),
-                "cum_value": g["value"].cumsum().round(6).to_numpy(),
-            }
-        )
-
-    return ds.groupby("user_id").map_groups(cumsum, batch_format="pandas")
+    return bucketed_window(ds, bucket_cumsum)
 
 
 @register(
@@ -4238,36 +4201,21 @@ def dedup_editdistance(sf_dir: str):
 )
 def events_lag_delta(sf_dir: str):
     """LAG window function (time since the user's previous event, in
-    integer microseconds; NULL for each user's first event). Same
-    partition-sort-scan shape as the running sum: groupby(user) ->
-    in-group vectorized sort + shifted diff. Integer output sidesteps
-    the pandas/Arrow timestamp-unit round-trip entirely."""
+    integer microseconds; NULL for each user's first event), on the
+    shared BUCKETED window plan (stages/window.py): one shuffle on
+    ``user_id % 32``, in-bucket lexsort by (user, ts, event_id), one
+    shifted diff with NaN reset at user boundaries — group count is
+    O(buckets), never O(users). float64 output because a nullable
+    BIGINT oracle column lands in pandas as float64 (exact for deltas
+    < 2^53 µs ≈ 285 years)."""
     import ray.data
+
+    from sciscraper_ray.stages.window import bucket_lag_delta, bucketed_window
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
-
-    def lag_delta(g):
-        import pandas as pd
-
-        g = g.sort_values(["ts", "event_id"])
-        ts_us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        # float64 (exact for deltas < 2^53 us ~ 285 years): a BIGINT
-        # column with NULLs lands in pandas as float64 on the oracle
-        # side, so the engine emits the identical dtype
-        delta = np.empty(len(g), dtype=np.float64)
-        delta[0] = np.nan
-        delta[1:] = ts_us[1:] - ts_us[:-1]
-        return pd.DataFrame(
-            {
-                "event_id": g["event_id"].to_numpy(),
-                "user_id": g["user_id"].to_numpy(),
-                "delta_us": delta,
-            }
-        )
-
-    return ds.groupby("user_id").map_groups(lag_delta, batch_format="pandas")
+    return bucketed_window(ds, bucket_lag_delta)
 
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -5324,47 +5272,32 @@ _TOP_PATHS_K = 20
     """,
 )
 def events_top_paths(sf_dir: str):
-    """Top session paths: ONE shuffle on user_id (map_groups) builds every
-    session's '>' -joined event-type path vectorized (diff/cumsum session
-    ids, grouped join) and pre-counts paths per user, so the global
-    groupby Sums tiny (path, cnt) partials instead of raw sessions; the
-    final top-k is a sort+limit over the already-aggregated path table.
-    Ties at the k boundary are impossible (path is the group key); order
-    inside a session is (ts, event_id) on both engine and oracle."""
-    import pandas as pd
-
+    """Top session paths, on the shared BUCKETED window plan
+    (stages/window.py): ONE shuffle on ``user_id % 32`` builds every
+    session's '>'-joined event-type path with two C-level string ops
+    (vectorized prefix concat + sentinel join/split — no per-session
+    Python) and pre-counts paths per bucket, so the global groupby Sums
+    tiny (path, cnt) partials instead of raw sessions; the final top-k
+    is a sort+limit over the already-aggregated path table. Group count
+    is O(buckets), never O(users). Ties at the k boundary are impossible
+    (path is the group key); order inside a session is (ts, event_id)
+    on both engine and oracle."""
     import ray.data
     from ray.data.aggregate import Sum
 
+    from sciscraper_ray.stages.window import (
+        bucketed_window,
+        make_bucket_session_paths,
+    )
+
     gap_us = _SESSION_GAP_MIN * 60 * 1_000_000
-
-    def user_paths(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        new_s = np.ones(len(g), dtype=np.int64)
-        new_s[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        sid = np.cumsum(new_s)
-        paths = pd.Series(g["event_type"].to_numpy()).groupby(sid).agg(
-            ">".join
-        )
-        vc = paths.value_counts()
-        return pd.DataFrame(
-            {
-                "path": vc.index.to_numpy(),
-                "cnt": vc.to_numpy().astype(np.int64),
-            }
-        )
-
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "event_id", "ts", "event_type"],
     )
-    counts = (
-        ds.groupby("user_id")
-        .map_groups(user_paths, batch_format="pandas")
-        .groupby("path")
-        .aggregate(Sum(on="cnt", alias_name="cnt"))
-    )
+    counts = bucketed_window(
+        ds, make_bucket_session_paths(gap_us)
+    ).groupby("path").aggregate(Sum(on="cnt", alias_name="cnt"))
     return counts.sort(["cnt", "path"], descending=[True, False]).limit(
         _TOP_PATHS_K
     )
