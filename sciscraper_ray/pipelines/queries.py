@@ -1828,52 +1828,58 @@ def events_range_join(sf_dir: str):
     event pairs with every window of its user that contains its
     timestamp (inner join, multiplicity > 1 allowed).
 
-    Broadcast plan: the window side (signups) is aggregated once,
-    ``ray.put`` into the object store, fetched once per actor, and each
-    event batch hash-matches on user_id then range-filters — the
-    canonical small-side pattern (no shuffle of the big side at all).
-    When the window side itself outgrows a worker heap, the scale path
-    is the same user-hash-bucket shuffle as ``events_asof_join`` with
-    the identical in-bucket vectorized pairing; the broadcast form is
-    the right default because window tables (campaigns, sessions,
-    maintenance windows) are O(users), not O(events).
+    Distributed plan: BOTH sides are co-partitioned on a user-id hash
+    bucket through ``bucketed_hash_join`` — the window side is never
+    driver-materialized or broadcast whole (at 100 TB signups are ~one
+    row per user, a driver-memory scale-killer as a broadcast). Each
+    bucket-local merge equi-joins on user then range-filters to the
+    containing windows. Partitioning assumption: one bucket of events
+    PLUS its user-matched window pairs fits a worker heap (windows per
+    user are small constants; a mega-user would be salted by time range
+    exactly like ``events_asof_join``'s documented caveat).
     """
-    import pandas as pd
     import pyarrow.dataset as pads
 
-    import ray
     import ray.data
 
-    windows = (
-        ray.data.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["event_id", "user_id", "ts"],
-            filter=pads.field("event_type") == "signup",
-        )
-        .to_pandas()
-        .rename(columns={"event_id": "window_id", "ts": "w_start"})
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+
+    windows = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+        filter=pads.field("event_type") == "signup",
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "window_id": b["event_id"],
+                "w_user": b["user_id"],
+                "w_start": pc.cast(b["ts"], pa.timestamp("us")),
+                "w_end": pc.add(
+                    pc.cast(b["ts"], pa.timestamp("us")),
+                    pa.scalar(_RANGE_WINDOW_DAYS * 86_400_000_000, pa.duration("us")),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
     )
-    windows["w_start"] = windows["w_start"].astype("datetime64[us]")
-    windows["w_end"] = windows["w_start"] + pd.Timedelta(days=_RANGE_WINDOW_DAYS)
-    w_ref = ray.put(windows)
-
-    class RangeJoin:
-        def __init__(self):
-            self.w = ray.get(w_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            e = batch.select(["event_id", "user_id", "ts"]).to_pandas()
-            e["ts"] = e["ts"].astype("datetime64[us]")
-            m = e.merge(self.w, on="user_id", how="inner")
-            m = m[(m["ts"] >= m["w_start"]) & (m["ts"] <= m["w_end"])]
-            return pa.Table.from_pandas(
-                m[["window_id", "user_id", "event_id", "ts"]],
-                preserve_index=False,
-            )
-
-    return ray.data.read_parquet(
+    events = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
-    ).map_batches(RangeJoin, batch_format="pyarrow", concurrency=(1, 4))
+    )
+    joined = bucketed_hash_join(
+        events, windows, left_on="user_id", right_on="w_user", num_buckets=32
+    )
+
+    def range_filter(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.timestamp("us"))
+        keep = pc.and_(
+            pc.greater_equal(ts, batch["w_start"]),
+            pc.less_equal(ts, batch["w_end"]),
+        )
+        return batch.filter(keep).select(
+            ["window_id", "user_id", "event_id", "ts"]
+        )
+
+    return joined.map_batches(range_filter, batch_format="pyarrow")
 
 
 @register(
@@ -2213,9 +2219,7 @@ def knn_cosine(sf_dir: str):
     return merged.select_columns(["qid", "neighbor", "rank"])
 
 
-@register("ann_ivf")  # approximate -> rows-only driver check; recall AND
-# compute pruning are asserted in tests/test_ann.py.
-def ann_ivf(sf_dir: str):
+def _ivf_neighbors(sf_dir: str):
     """IVF ANN with REAL pruning: deterministic centroids (seeded greedy +
     Lloyd), corpus bucketed by nearest centroid, then SORTED by bucket —
     the one (key-only-sized) shuffle that physically co-locates each
@@ -2260,6 +2264,44 @@ def ann_ivf(sf_dir: str):
         .map_groups(lambda g: topk_reduce(g, ANN_K), batch_format="pandas")
     )
     return merged.select_columns(["qid", "neighbor", "rank"])
+
+
+@register(
+    "ann_ivf",
+    oracle=f"""
+    SELECT DISTINCT vec_id AS qid, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {N_ANN_QUERIES}
+    """,
+)
+def ann_ivf(sf_dir: str):
+    """IVF ANN, driver-value-checked through a per-query RECALL gate
+    (closing round 2's one rows-only registry entry): the IVF top-k runs
+    against the exact brute-force top-k (the ``knn_cosine`` plan) and
+    each query id emits ``recall_ok = recall@k >= 0.4``. The oracle
+    states the expected table — every query passes — from first
+    principles. An exact neighbor-hash oracle is impossible (k-means
+    centroids are data-dependent floats), so the contract checked here
+    is the approximate-index contract itself: the index finds the true
+    neighbors. 0.4 is a deliberately conservative floor (measured
+    per-query recalls: min 0.6, mean 0.84-0.9 across sf0.001/0.01/0.1)
+    so borderline centroid-assignment jitter between block layouts
+    cannot flip the gate; the strong assertions (mean recall, compute
+    pruning) live in tests/test_ann.py. Both top-k tables are
+    O(queries x k) — the driver-side compare reads ~50 rows, never the
+    corpus."""
+    ivf = _ivf_neighbors(sf_dir).to_pandas()
+    bf = knn_cosine(sf_dir).to_pandas()
+    rows = []
+    for qid, g in bf.groupby("qid"):
+        truth = set(g["neighbor"])
+        got = set(ivf.loc[ivf["qid"] == qid, "neighbor"])
+        rows.append((int(qid), len(truth & got) / len(truth) >= 0.4))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "recall_ok": pa.array([r[1] for r in rows], pa.bool_()),
+        }
+    )
 
 
 def _srp_bucket_sql(col: str) -> str:

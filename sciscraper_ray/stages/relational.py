@@ -172,7 +172,12 @@ def bucketed_hash_join(
 
     def tag(on: str, side: int, other_cols: dict[str, pa.DataType]):
         def fn(batch: pa.Table) -> pa.Table:
-            keys = batch[on].to_numpy(zero_copy_only=False).astype(np.uint64)
+            # null keys first: a NaN from to_numpy() has undefined uint64
+            # cast (platform-dependent bucket). Pin them all to one fixed
+            # sentinel bucket so left-outer placement is deterministic;
+            # inner-join null keys never match either way.
+            key_col = pc.fill_null(batch[on], 0)
+            keys = key_col.to_numpy(zero_copy_only=False).astype(np.uint64)
             bucket = ((keys * np.uint64(_MIX)) >> np.uint64(33)) % np.uint64(
                 num_buckets
             )

@@ -36,15 +36,26 @@ def test_brute_force_matches_numpy():
 
 @pytest.mark.usefixtures("ray_session")
 def test_ivf_recall_vs_brute_force():
-    from sciscraper_ray.pipelines.queries import ann_ivf, knn_cosine
+    from sciscraper_ray.pipelines.queries import _ivf_neighbors, knn_cosine
 
     sf = "/root/testdata/sf0.001"
     exact = knn_cosine(sf).to_pandas()
-    approx = ann_ivf(sf).to_pandas()
+    approx = _ivf_neighbors(sf).to_pandas()
     e = {(r.qid, r.neighbor) for r in exact.itertuples()}
     a = {(r.qid, r.neighbor) for r in approx.itertuples()}
     recall = len(e & a) / len(e)
     assert recall >= 0.7, recall
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_ivf_recall_gate_all_true():
+    """The registered ann_ivf query (the driver-checked recall gate) must
+    emit recall_ok=True for every query id, matching its SQL oracle."""
+    from sciscraper_ray.pipelines.queries import ann_ivf
+
+    got = ann_ivf("/root/testdata/sf0.001").to_pandas()
+    assert len(got) == 10
+    assert got["recall_ok"].all()
 
 
 def test_pruned_search_scans_only_probed_buckets():
