@@ -206,6 +206,11 @@ def pagerank(
     graphs symmetrize first, which guarantees it); with that invariant
     there is no dangling-mass term and each iteration is exactly
     r'(v) = (1-d)/N + d * sum over edges (u,v) of r(u)/outdeg(u).
+    Nodes with out-edges but NO in-edges are valid under that contract;
+    both plans keep them at their analytically constant rank (1-d)/N and
+    keep their out-contributions flowing every iteration (ADVICE r2: the
+    shuffle plan used to drop them after iteration 1 because the rank
+    table was rebuilt from groupby(dst) alone).
 
     Two physical plans (pipelines/plan.py resolve_plan, auto-flip at 50M
     edge rows — same policy as every two-plan operator here):
@@ -303,6 +308,38 @@ def pagerank(
         batch_format="pyarrow",
     ).materialize()
 
+    # Nodes with out-edges but NO in-edges never appear as a groupby(dst)
+    # key, so rebuilding ranks from the contribution aggregate alone would
+    # silently drop them after iteration 1 (they'd stop contributing AND
+    # vanish from the output, diverging from the driver plan on the same
+    # valid input). Their rank is analytically constant — (1-d)/N every
+    # iteration — so they're computed once up front (one extra co-
+    # partitioned join against the distinct-dst table) and unioned back
+    # into the rank table each round.
+    indeg_nodes = e.groupby("dst").count().map_batches(
+        lambda b: pa.table(
+            {"in_node": b["dst"], "has_in": pa.array(np.ones(len(b), np.int8))}
+        ),
+        batch_format="pyarrow",
+    )
+    no_in = (
+        bucketed_hash_join(
+            deg, indeg_nodes, left_on="node", right_on="in_node",
+            num_buckets=num_buckets, how="left",
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "deg": b["deg"],
+                    "r": pa.array(np.full(len(b), base), pa.float64()),
+                }
+            ).filter(pc.is_null(b["has_in"])),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
     for _ in range(iters):
         rd = ranks.map_batches(
             lambda b: pa.table(
@@ -333,6 +370,7 @@ def pagerank(
                 ),
                 batch_format="pyarrow",
             )
+            .union(no_in)  # constant-rank source-only nodes ride along
             .materialize()
         )
 

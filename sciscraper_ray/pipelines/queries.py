@@ -5046,19 +5046,41 @@ def doc_segment_dedup(sf_dir: str):
         ),
     )
 
-    def rebuild(g: "pd.DataFrame") -> "pd.DataFrame":
-        import pandas as pd
-
-        g = g.sort_values("seg_no")
-        return pd.DataFrame(
+    def rebuild_bucket(tbl: pa.Table) -> pa.Table:
+        """Vectorized MANY-docs-per-group rebuild (round-2 debt closed:
+        no per-doc map_groups): lexsort the bucket by (doc, seg_no),
+        doc-boundary offsets via np.diff, one zero-copy pc.binary_join
+        over a re-offset ListArray — segment_column's construction run
+        in reverse."""
+        d = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        s = tbl["seg_no"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, d))
+        d_s = d[order]
+        seg = tbl["seg"].take(pa.array(order)).combine_chunks()
+        n = len(d_s)
+        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        offsets = np.append(starts, n).astype(np.int32)
+        seg_list = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), seg)
+        return pa.table(
             {
-                "doc_id": g["doc_id"].iloc[:1].to_numpy(),
-                "text": [" ".join(g["seg"])],
-                "n_segs": np.array([len(g)], np.int64),
+                "doc_id": pa.array(d_s[starts]),
+                "text": pc.binary_join(seg_list, " "),
+                "n_segs": pa.array(np.diff(offsets).astype(np.int64)),
             }
         )
 
-    return kept.groupby("doc_id").map_groups(rebuild, batch_format="pandas")
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        bucket = pc.cast(pc.bit_wise_and(batch["doc_id"], 31), pa.int64())
+        return batch.append_column("bucket", bucket)
+
+    return (
+        kept.map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda t: rebuild_bucket(t.drop_columns(["bucket"])),
+            batch_format="pyarrow",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -48,6 +48,14 @@ class WinnerSpec:
     ``agg_name``: 'max' / 'min' (distributed merge).
     ``first_seen_tiebreak``: True when several rows can share the winning
     (key, value) — keep only the first within a batch (keep-latest ties).
+    CONTRACT (ADVICE r2): this dedupes ties within a batch only; ties
+    split across batch boundaries all survive, so the survivor set
+    depends on partitioning. Exact keep-ONE semantics would need a
+    content-deterministic secondary key folded into ``value`` — which
+    requires the payload in pass 1 and would forfeit the column-pruned
+    key read. Callers that need exact keep-one compose with the
+    downstream exact-dedup stage (as the flagship does); crawl ties are
+    byte-identical refetches, so any survivor is equivalent there.
     """
 
     keys: Callable[[pa.Table], tuple]

@@ -259,6 +259,12 @@ _INFO_ENTRY_RE = re.compile(
 )
 
 
+_PDF_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
 def _decode_pdf_string(raw: bytes) -> str:
     if raw.startswith(b"("):
         body = raw[1:-1]
@@ -266,8 +272,27 @@ def _decode_pdf_string(raw: bytes) -> str:
         i = 0
         while i < len(body):
             if body[i : i + 1] == b"\\" and i + 1 < len(body):
-                out.append(body[i + 1 : i + 2])
-                i += 2
+                # PDF spec §7.3.4.2 literal-string escapes: named escapes,
+                # octal \ddd (1-3 digits), line continuations (\<EOL>
+                # disappears); any other escaped byte falls through as the
+                # literal byte (ADVICE r2: \n used to decode to 'n').
+                nxt = body[i + 1 : i + 2]
+                if nxt in _PDF_ESCAPES:
+                    out.append(_PDF_ESCAPES[nxt])
+                    i += 2
+                elif nxt.isdigit() and nxt < b"8":
+                    j = i + 1
+                    while j < len(body) and j < i + 4 and body[j : j + 1].isdigit() and body[j : j + 1] < b"8":
+                        j += 1
+                    out.append(bytes([int(body[i + 1 : j], 8) & 0xFF]))
+                    i = j
+                elif nxt in (b"\r", b"\n"):
+                    i += 2
+                    if nxt == b"\r" and body[i : i + 1] == b"\n":
+                        i += 1
+                else:
+                    out.append(nxt)
+                    i += 2
             else:
                 out.append(body[i : i + 1])
                 i += 1

@@ -62,7 +62,14 @@ def fragment_id(path: str, root: str | None = None) -> str:
     except OSError:
         size = -1
     safe = re.sub(r"[^A-Za-z0-9_-]", "-", rel)
-    digest = hashlib.blake2b(rel.encode(), digest_size=6).hexdigest()
+    # Digest the root-relative path when a root is given (portable
+    # manifests), but the ABSOLUTE path when it is not: with root=None the
+    # readable prefix is just the basename, so a basename-only digest
+    # would let same-named same-sized files in different directories
+    # collide — exactly the clear_fragment() hazard the digest exists to
+    # prevent (ADVICE r2).
+    digested = rel if root else os.path.abspath(path)
+    digest = hashlib.blake2b(digested.encode(), digest_size=6).hexdigest()
     return f"{safe}-{size}-{digest}"
 
 

@@ -283,6 +283,23 @@ def test_pdf_info_round_trip():
     assert extract_pdf_info(build_pdf(["x"])) == {}  # no Info -> {}
 
 
+def test_pdf_string_escapes_per_spec():
+    """ADVICE r2: PDF literal-string escapes decode per spec §7.3.4.2 —
+    \\n/\\t/\\r are control chars (not the letters n/t/r), octal \\ddd
+    decodes, \\<EOL> is a line continuation, unknown escapes fall through
+    to the literal byte."""
+    from sciscraper_ray.stages.pdf_parse import _decode_pdf_string
+
+    assert _decode_pdf_string(rb"(a\nb\tc\rd)") == "a\nb\tc\rd"
+    assert _decode_pdf_string(rb"(\101\102\1038)") == "ABC8"  # 3-digit octal + literal 8
+    assert _decode_pdf_string(rb"(\53)") == "+"  # 2-digit octal
+    assert _decode_pdf_string(b"(one \\\ntwo)") == "one two"  # continuation
+    assert _decode_pdf_string(b"(one \\\r\ntwo)") == "one two"  # CRLF continuation
+    assert _decode_pdf_string(rb"(par\(en\))") == "par(en)"
+    assert _decode_pdf_string(rb"(back\\slash)") == "back\\slash"
+    assert _decode_pdf_string(rb"(unk\zq)") == "unkzq"  # unknown escape
+
+
 def test_metadata_probe_order_and_raw_value():
     """M8 (doifrompdf.py:55-82): fixed probe order doi >
     pdf2doi_identifier > arxiv (replacing the reference's set iteration);

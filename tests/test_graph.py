@@ -92,3 +92,29 @@ def test_pagerank_plan_parity_and_sum():
     # bridge nodes (3, 10) have the highest degree -> highest rank
     top2 = set(d.sort_values("r", ascending=False)["node"].head(2))
     assert top2 == {3, 10}
+
+
+def test_pagerank_source_only_nodes_plan_parity():
+    """ADVICE r2: a DIRECTED graph where some nodes have out-edges but no
+    in-edges (valid under the >=1-out-edge contract) must produce the
+    same node set and ranks on both plans — the shuffle plan used to drop
+    source-only nodes after iteration 1."""
+    from sciscraper_ray.pipelines.graph import pagerank
+
+    # 20 and 21 are pure sources; every node has >= 1 out-edge
+    edges = [(20, 1), (21, 1), (1, 2), (2, 3), (3, 1)]
+    tbl = pa.table(
+        {
+            "a": pa.array([p[0] for p in edges], pa.int64()),
+            "b": pa.array([p[1] for p in edges], pa.int64()),
+        }
+    )
+    d = pagerank(tbl, iters=4, plan="driver").to_pandas()
+    s = pagerank(tbl, iters=4, plan="shuffle", num_buckets=4).to_pandas()
+    d = d.sort_values("node").reset_index(drop=True)
+    s = s.sort_values("node").reset_index(drop=True)
+    assert list(d["node"]) == list(s["node"]) == [1, 2, 3, 20, 21]
+    assert np.allclose(d["r"], s["r"], atol=1e-9)
+    # source-only nodes sit at the analytic floor (1-d)/N
+    floor = (1 - 0.85) / 5
+    assert np.allclose(d[d["node"] >= 20]["r"], floor, atol=1e-12)
