@@ -157,6 +157,37 @@ class MinHasher:
             s += v[:, j] * _GRAM_WEIGHTS[j]
         return _fmix64(s)
 
+    def signatures(self, flat_sh: np.ndarray, ptr: np.ndarray) -> np.ndarray:
+        """(num_perms, n_docs) signatures for a WHOLE batch of per-doc
+        distinct shingle sets (flat + ptr offsets): one (perms x shingles)
+        universal-hash matrix, per-doc mins via ``np.minimum.reduceat``.
+        Empty docs get the all-max signature, exactly like
+        ``signature(empty)``."""
+        n_docs = len(ptr) - 1
+        sig = np.full(
+            (self.num_perms, n_docs), np.iinfo(np.uint64).max, np.uint64
+        )
+        nonempty = np.diff(ptr) > 0
+        if flat_sh.size and nonempty.any():
+            h = (flat_sh % np.uint64(_PRIME)).astype(np.uint64)
+            vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(
+                _PRIME
+            )
+            # consecutive nonempty starts delimit exactly the right
+            # segments (empty docs occupy zero width in the flat array)
+            sig[:, nonempty] = np.minimum.reduceat(
+                vals, ptr[:-1][nonempty], axis=1
+            )
+        return sig
+
+    def band_hashes_many(self, sig: np.ndarray) -> np.ndarray:
+        """(bands, n_docs) band hashes for a batch of signatures."""
+        v = sig.reshape(self.bands, self.rows_per_band, -1)
+        s = np.zeros((self.bands, sig.shape[1]), np.uint64)
+        for j in range(self.rows_per_band):
+            s += v[:, j, :] * _GRAM_WEIGHTS[j]
+        return _fmix64(s)
+
 
 def char_shingles(text: str, n: int = 5) -> np.ndarray:
     """Distinct char n-gram shingle hashes (uint64) of one document —
@@ -167,6 +198,102 @@ def char_shingles(text: str, n: int = 5) -> np.ndarray:
         np.uint64
     )
     return np.unique(_window_hashes(codes, n))
+
+
+# --------------------------------------------------------------------------
+# Whole-batch shingling (VERDICT r2 #7): one numpy pass over the WHOLE
+# batch's elements concatenated with per-doc offsets (the segment_column
+# offset trick) — removes the per-document Python dispatch that was the
+# remaining constant in dedup_minhash. Produces bit-identical per-doc
+# shingle SETS to the scalar word_shingles/char_shingles path (parity-
+# tested in tests/test_dedup.py).
+# --------------------------------------------------------------------------
+
+
+def _flat_word_elements(texts_arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(flat token hashes, per-kept-doc offsets) for NON-NULL docs, batch-
+    vocabulary hashing: each distinct token across the batch is blake2b'd
+    once (per-doc vocab hashing did redundant work on repeated tokens)."""
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    toks = tokenize_column(texts_arr)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = np.asarray(toks.offsets, dtype=np.int64)
+    valid = ~texts_arr.is_null().to_numpy(zero_copy_only=False)
+    lens = np.diff(offs)
+    kept_offs = np.concatenate(([0], np.cumsum(lens[valid])))
+    flat = np.asarray(toks.values.to_pandas(), dtype=object)
+    if flat.size == 0:
+        return np.empty(0, np.uint64), kept_offs
+    uniq, inv = np.unique(flat, return_inverse=True)
+    uh = np.fromiter(
+        (_stable_hash64(t) for t in uniq), dtype=np.uint64, count=len(uniq)
+    )
+    return uh[inv], kept_offs
+
+
+def _flat_char_elements(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """(flat codepoints, per-kept-doc offsets) for non-None docs: ONE
+    utf-32 encode of the batch-concatenated text."""
+    kept = [t for t in texts if t is not None]
+    lens = np.fromiter((len(t) for t in kept), np.int64, len(kept))
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    blob = "".join(kept).encode("utf-32-le")
+    return np.frombuffer(blob, dtype=np.uint32).astype(np.uint64), offs
+
+
+def _flat_window_hashes(
+    h: np.ndarray, offs: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Window-combine the whole batch at once, respecting doc boundaries:
+    per doc the windows (and their position weights) are exactly
+    ``_window_hashes``' — shorter-than-k docs collapse to one all-elements
+    window; empty docs yield none. Returns (doc_idx, window hashes)."""
+    lens = np.diff(offs)
+    n_win = np.where(lens >= k, lens - k + 1, (lens > 0).astype(np.int64))
+    total = int(n_win.sum())
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), n_win)
+    win_no = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_win)[:-1])), n_win
+    )
+    starts = offs[:-1][doc_idx] + win_no
+    eff = np.minimum(lens[doc_idx], k)
+    s = np.zeros(total, np.uint64)
+    for j in range(k):  # loop over k (3-5), each step one gather
+        m = eff > j
+        s[m] += h[starts[m] + j] * _GRAM_WEIGHTS[j]
+    return doc_idx, _fmix64(s)
+
+
+def _distinct_per_doc(
+    doc_idx: np.ndarray, wh: np.ndarray, n_docs: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT shingles from flat (doc, hash) pairs: one lexsort +
+    boundary mask. Returns (flat distinct hashes, per-doc ptr offsets)."""
+    order = np.lexsort((wh, doc_idx))
+    d, w = doc_idx[order], wh[order]
+    keep = np.ones(len(d), dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (w[1:] != w[:-1])
+    d, w = d[keep], w[keep]
+    ptr = np.concatenate(([0], np.cumsum(np.bincount(d, minlength=n_docs))))
+    return w, ptr.astype(np.int64)
+
+
+def batch_shingle_sets(
+    texts_arr: pa.Array, mode: str, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct shingle sets for every non-null doc of a batch in one
+    vectorized pass: (flat sorted-distinct-per-doc hashes, ptr)."""
+    if mode == "char":
+        h, offs = _flat_char_elements(texts_arr.to_pylist())
+    else:
+        h, offs = _flat_word_elements(texts_arr)
+    n_docs = len(offs) - 1
+    if h.size == 0:
+        return np.empty(0, np.uint64), np.zeros(n_docs + 1, np.int64)
+    doc_idx, wh = _flat_window_hashes(h, offs, k)
+    return _distinct_per_doc(doc_idx, wh, n_docs)
 
 
 class MinHashBandStage:
@@ -196,22 +323,28 @@ class MinHashBandStage:
         return word_shingles(format_manuscript(text), self.mh.k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        out_band, out_hash, out_id = [], [], []
-        for i, t in zip(ids, texts):
-            if t is None:
-                continue
-            sig = self.mh.signature(self._shingles(t))
-            bh = self.mh.band_hashes(sig)
-            out_band.extend(range(self.mh.bands))
-            out_hash.extend(bh.tolist())
-            out_id.extend([i] * self.mh.bands)
+        """Whole-batch vectorized path (VERDICT r2 #7): shingle sets,
+        signatures and band hashes for every doc in one numpy pass —
+        bit-identical output to the per-doc ``signature``/``band_hashes``
+        loop (parity-tested)."""
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        kept_ids = ids[~col.is_null().to_numpy(zero_copy_only=False)]
+        flat_sh, ptr = batch_shingle_sets(col, self.shingle_mode, self.mh.k)
+        sig = self.mh.signatures(flat_sh, ptr)
+        bh = self.mh.band_hashes_many(sig)  # (bands, n_docs)
+        n = len(kept_ids)
         return pa.table(
             {
-                "band_id": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(np.array(out_hash, np.uint64)),
-                "doc_id": pa.array(out_id, type=pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(self.mh.bands, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(bh.T.ravel()),
+                "doc_id": pa.array(
+                    np.repeat(kept_ids.astype(np.int64), self.mh.bands)
+                ),
             }
         )
 
@@ -223,6 +356,26 @@ def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
     ia, ib = np.triu_indices(len(ids), k=1)
     return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
+
+
+def _simhash_many(flat_sh: np.ndarray, ptr: np.ndarray) -> np.ndarray:
+    """Whole-batch simhash64: per-doc ±1 bit votes via ONE
+    ``np.add.reduceat`` over the flat distinct-shingle bit matrix.
+    Empty docs -> 0, exactly like ``simhash64([])``."""
+    n_docs = len(ptr) - 1
+    out = np.zeros(n_docs, np.uint64)
+    nonempty = np.diff(ptr) > 0
+    if flat_sh.size == 0 or not nonempty.any():
+        return out
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((flat_sh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+        np.int32
+    )
+    acc = np.add.reduceat(2 * bits - 1, ptr[:-1][nonempty], axis=0)
+    out[nonempty] = (
+        (acc > 0).astype(np.uint64) << shifts[None, :]
+    ).sum(axis=1, dtype=np.uint64)
+    return out
 
 
 def simhash64(tokens: list[str], k: int = 3) -> np.uint64:
@@ -251,21 +404,21 @@ class SimHashStage:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from sciscraper_ray.kernels.tokenize import format_manuscript
-
-        # null/shingle-less docs are SKIPPED (like MinHashBandStage): they
-        # would all land in the simhash-0 bucket, exploding candidate
-        # pairs O(n^2) and reporting unrelated empty docs as near-dups.
-        ids, sig_list = [], []
-        for i, t in zip(batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()):
-            if t is None:
-                continue
-            sig = simhash64(format_manuscript(t), self.k)
-            if sig == 0:
-                continue
-            ids.append(i)
-            sig_list.append(sig)
-        sigs = np.array(sig_list, dtype=np.uint64)
+        # null/shingle-less docs are SKIPPED (they would all land in the
+        # simhash-0 bucket, exploding candidate pairs O(n^2) and reporting
+        # unrelated empty docs as near-dups). Whole-batch vectorized
+        # (VERDICT r2 #7): one shingle pass, one bit-matrix reduceat —
+        # bit-identical to the per-doc simhash64 loop (parity-tested).
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        all_ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        kept_ids = all_ids[~col.is_null().to_numpy(zero_copy_only=False)]
+        flat_sh, ptr = batch_shingle_sets(col, "word", self.k)
+        sigs_all = _simhash_many(flat_sh, ptr)
+        nz = sigs_all != 0
+        ids = kept_ids[nz].astype(np.int64)
+        sigs = sigs_all[nz]
         cols = {
             "doc_id": pa.array(ids, type=pa.int64()),
             "simhash": pa.array(sigs, type=pa.uint64()),

@@ -256,3 +256,77 @@ def test_stateful_plan_equals_winner_filter_plan(ray_session):
     pa_ = a.sort_values(key).reset_index(drop=True)
     pb_ = b.sort_values(key).reset_index(drop=True)
     assert pa_[key].equals(pb_[key])
+
+
+def test_batched_minhash_stage_matches_scalar_loop():
+    """VERDICT r2 #7: the whole-batch vectorized MinHashBandStage must be
+    bit-identical to the per-document signature/band_hashes loop, across
+    nulls, empty strings, unicode, and shorter-than-k docs."""
+    import pyarrow as pa
+
+    from sciscraper_ray.kernels.tokenize import format_manuscript
+    from sciscraper_ray.stages.dedup import (
+        MinHashBandStage,
+        MinHasher,
+        char_shingles,
+        word_shingles,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        None,
+        "",
+        "one",
+        "naïve café δοκιμή unicode μ",
+        "a b",
+        "the quick brown fox jumps over the lazy dog",  # exact dup
+        "  leading and trailing   whitespace  ",
+    ]
+    ids = list(range(len(texts)))
+    batch = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    for mode in ("word", "char"):
+        stage = MinHashBandStage(shingle_mode=mode)
+        got = stage(batch).to_pandas().sort_values(
+            ["doc_id", "band_id"]).reset_index(drop=True)
+        mh = MinHasher()
+        rows = []
+        for i, t in zip(ids, texts):
+            if t is None:
+                continue
+            sh = char_shingles(t, mh.k) if mode == "char" else word_shingles(
+                format_manuscript(t), mh.k)
+            bh = mh.band_hashes(mh.signature(sh))
+            rows += [(b, h, i) for b, h in enumerate(bh)]
+        import pandas as pd
+
+        ref = pd.DataFrame(rows, columns=["band_id", "band_hash", "doc_id"]
+                           ).sort_values(["doc_id", "band_id"]).reset_index(drop=True)
+        assert got["band_hash"].astype("uint64").tolist() == ref["band_hash"].tolist(), mode
+        assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+
+
+def test_batched_simhash_stage_matches_scalar_loop():
+    import pyarrow as pa
+
+    from sciscraper_ray.kernels.tokenize import format_manuscript
+    from sciscraper_ray.stages.dedup import SimHashStage, simhash64
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta", None, "", "x",
+        "alpha beta gamma delta epsilon zeta eta",
+        "οι καλύτερες unicode λέξεις εδώ",
+    ]
+    ids = list(range(len(texts)))
+    batch = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    got = SimHashStage()(batch).to_pandas().sort_values("doc_id")
+    ref = {}
+    for i, t in zip(ids, texts):
+        if t is None:
+            continue
+        s = simhash64(format_manuscript(t), 3)
+        if s != 0:
+            ref[i] = int(s)
+    assert got["doc_id"].tolist() == sorted(ref)
+    assert [int(v) for v in got["simhash"]] == [ref[i] for i in sorted(ref)]
