@@ -191,7 +191,15 @@ def run_scaling(sf_dir: str) -> dict:
     real N-core node would, understating the measured efficiency. Both
     levels stay at or below half the machine so neither leg is distorted
     by whole-box saturation."""
-    low, high = 4, 16
+    # Three pinned levels (VERDICT r2 item 10): the 4->16 pair carries the
+    # north_rule N->4N criterion; the mid level makes the efficiency a
+    # curve rather than a single pairing under the documented ±25% host
+    # noise. Override with BENCH_SCALING_LEVELS="4,16" for a quick pair.
+    levels = tuple(
+        int(x)
+        for x in os.environ.get("BENCH_SCALING_LEVELS", "4,8,16").split(",")
+    )
+    low, high = levels[0], levels[-1]
     passes = int(os.environ.get("BENCH_SCALING_PASSES", "2"))
 
     def child(cpus: int) -> dict:
@@ -213,23 +221,35 @@ def run_scaling(sf_dir: str) -> dict:
     # standard defense; all raw runs are reported for honesty.
     all_runs: list[dict] = []
     for _ in range(passes):
-        for cpus in (low, high):
+        for cpus in levels:
             all_runs.append(child(cpus))
     best = {
         cpus: max(
             (r for r in all_runs if r["num_cpus"] == cpus),
             key=lambda r: r["docs_per_sec"],
         )
-        for cpus in (low, high)
+        for cpus in levels
     }
     speedup = best[high]["docs_per_sec"] / best[low]["docs_per_sec"]
     efficiency = speedup / (high / low)
+    # per-adjacent-level efficiencies: the full curve, not one pairing
+    curve = [
+        {
+            "from_cpus": a,
+            "to_cpus": b,
+            "efficiency": round(
+                (best[b]["docs_per_sec"] / best[a]["docs_per_sec"]) / (b / a), 3
+            ),
+        }
+        for a, b in zip(levels, levels[1:])
+    ]
     return {
         "metric": "scaling_efficiency",
         "value": round(efficiency, 3),
         "unit": "ratio",
         "speedup": round(speedup, 3),
-        "runs": [best[low], best[high]],
+        "runs": [best[c] for c in levels],
+        "curve": curve,
         "all_runs": all_runs,
         "flagship": FLAGSHIP,
         "sf": _sf_of(sf_dir),

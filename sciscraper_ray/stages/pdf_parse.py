@@ -2,14 +2,21 @@
 pdfplumber text path (/root/reference/src/docscraper.py:188-205): per page
 ``extract_text(x_tolerance=1, y_tolerance=3)``, pages joined with ``" "``.
 
-From-scratch implementation (pdfplumber is not a dependency): scans body
-objects, inflates Flate streams, interprets the content-stream text
-operators (BT/ET, Tf, Tm, Td, TD, T*, TL, Tj, TJ, '), places glyphs with a
-fixed 0.6em advance (the metric the synthetic writer uses — a font-metrics
-table would replace it for real fonts), then clusters glyphs
-pdfplumber-style: lines by y within ``y_tolerance``, words split on
-horizontal gaps > ``x_tolerance``, words joined with single spaces, lines
-with newlines, pages with a single space.
+From-scratch implementation (pdfplumber is not a dependency). The document
+model (stages/pdf_doc.py) resolves the page tree, per-page content streams
+and font tables; this module interprets the content-stream text operators
+(BT/ET, Tf, Tm, Td, TD, T*, TL, Tc, Tw, Tz, Tj, TJ, ', ", with q/Q/cm
+graphics state) placing glyphs with the font's /Widths (or /W CID)
+advances — char/word spacing and horizontal scaling applied per spec
+§9.4.4 — then clusters glyphs pdfplumber-style: lines by y within
+``y_tolerance``, words split on whitespace glyphs or horizontal gaps >
+``x_tolerance``, words joined with single spaces, lines with newlines,
+pages with a single space.
+
+Fonts that declare no metric for a code (and payloads with no page tree,
+e.g. raw fragments) fall back to the fixed 0.6 em advance the synthetic
+writer uses (sources/pdf_write.py) — documented there as the shared
+metric, which keeps synthetic round-trips byte-exact.
 """
 
 from __future__ import annotations
@@ -19,9 +26,16 @@ import zlib
 
 import pyarrow as pa
 
+from sciscraper_ray.stages.pdf_doc import (
+    FontInfo,
+    PdfDocument,
+    decode_text_string,
+    unescape_literal,
+)
+
 _STREAM_KW_RE = re.compile(rb"(?<!end)stream\r?\n")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
-_NUM_RE = re.compile(r"[-+]?\d*\.?\d+")
+_NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
 
 X_TOLERANCE = 1.0
 Y_TOLERANCE = 3.0
@@ -29,97 +43,147 @@ DEFAULT_CHAR_EM = 0.6
 
 
 class _TextState:
-    __slots__ = ("tm", "lm", "size", "leading")
+    __slots__ = ("tm", "lm", "size", "leading", "tc", "tw", "hscale", "font")
 
     def __init__(self):
         self.tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]  # a b c d e f
         self.lm = list(self.tm)
         self.size = 12.0
         self.leading = 0.0
+        self.tc = 0.0  # char spacing (Tc)
+        self.tw = 0.0  # word spacing (Tw)
+        self.hscale = 1.0  # horizontal scaling (Tz / 100)
+        self.font: FontInfo | None = None
+
+    def translate_line(self, tx: float, ty: float) -> None:
+        """Td semantics: new line matrix = translate(tx, ty) x lm."""
+        self.lm = [
+            self.lm[0], self.lm[1], self.lm[2], self.lm[3],
+            self.lm[4] + tx * self.lm[0] + ty * self.lm[2],
+            self.lm[5] + tx * self.lm[1] + ty * self.lm[3],
+        ]
+        self.tm = list(self.lm)
 
 
-def _tokenize(stream: str):
-    """Content-stream tokens: numbers, names, (strings), [arrays], operators."""
+def _tokenize(stream: bytes):
+    """Content-stream tokens: numbers, names, (strings)/<hex> as raw BYTES
+    (codes, not text — the font maps codes to unicode), [arrays],
+    operators."""
     i, n = 0, len(stream)
     while i < n:
         c = stream[i]
-        if c.isspace():
+        if c in b"\x00\t\n\x0c\r ":
             i += 1
             continue
-        if c == "(":
-            depth, j, out = 1, i + 1, []
+        if c == 0x25:  # % comment
+            j = stream.find(b"\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c == 0x28:  # (literal string)
+            depth, j = 1, i + 1
             while j < n and depth:
                 ch = stream[j]
-                if ch == "\\" and j + 1 < n:
-                    out.append(stream[j + 1])
+                if ch == 0x5C:
                     j += 2
                     continue
-                if ch == "(":
+                if ch == 0x28:
                     depth += 1
-                elif ch == ")":
+                elif ch == 0x29:
                     depth -= 1
                     if depth == 0:
                         break
-                out.append(ch)
                 j += 1
-            yield ("str", "".join(out))
+            yield ("str", unescape_literal(stream[i + 1 : j]))
             i = j + 1
-        elif c == "<" and not (i + 1 < n and stream[i + 1] == "<"):
-            j = stream.find(">", i + 1)
+        elif c == 0x3C and not (i + 1 < n and stream[i + 1] == 0x3C):
+            j = stream.find(b">", i + 1)
             if j == -1:
                 break
-            digits = "".join(stream[i + 1 : j].split())
+            digits = b"".join(stream[i + 1 : j].split())
             if len(digits) % 2:  # PDF spec §7.3.4.3: odd final digit -> pad 0
-                digits += "0"
+                digits += b"0"
             try:
-                raw = bytes.fromhex(digits)
-            except ValueError:
+                raw = bytes.fromhex(digits.decode("ascii"))
+            except (ValueError, UnicodeDecodeError):
                 # real-world streams embed non-text <...> runs (inline
                 # images, font programs); draw nothing rather than die
                 raw = b""
-            if raw[:2] == b"\xfe\xff":
-                s = raw[2:].decode("utf-16-be", errors="replace")
-            else:
-                s = raw.decode("latin-1")
-            yield ("str", s)
+            yield ("str", raw)
             i = j + 1
-        elif c == "[":
+        elif c == 0x5B:
             yield ("arr_open", None)
             i += 1
-        elif c == "]":
+        elif c == 0x5D:
             yield ("arr_close", None)
             i += 1
-        elif c == "/":
+        elif c == 0x2F:
             j = i + 1
-            while j < n and not stream[j].isspace() and stream[j] not in "()[]<>/":
+            while j < n and stream[j] not in b"\x00\t\n\x0c\r ()[]<>/%":
                 j += 1
-            yield ("name", stream[i + 1 : j])
+            yield ("name", stream[i + 1 : j].decode("latin-1"))
             i = j
         else:
             j = i
-            while j < n and not stream[j].isspace() and stream[j] not in "()[]<>/":
+            while j < n and stream[j] not in b"\x00\t\n\x0c\r ()[]<>/%":
                 j += 1
             tok = stream[i:j]
             if _NUM_RE.fullmatch(tok):
                 yield ("num", float(tok))
             else:
-                yield ("op", tok)
+                yield ("op", tok.decode("latin-1"))
             i = j if j > i else i + 1
 
 
-def _extract_glyphs(stream: str) -> list[tuple[str, float, float]]:
-    """(char, x, y) glyph placements from one content stream."""
+def _default_decode(raw: bytes) -> list[tuple[int, str]]:
+    """Code decode when no font table is known: UTF-16BE with BOM (the
+    synthetic writer's non-Latin path), else byte-identity latin-1."""
+    if raw[:2] == b"\xfe\xff":
+        return [(ord(ch), ch) for ch in raw[2:].decode("utf-16-be", "replace")]
+    return [(b, chr(b)) for b in raw]
+
+
+def _extract_glyphs(
+    stream: bytes, fonts: dict[str, FontInfo] | None = None
+) -> list[tuple[str, float, float, float]]:
+    """(char, x, y, advance) glyph placements from one content stream.
+
+    x/y are device coordinates (text matrix composed with the q/Q/cm
+    graphics state); advance is the full device-space displacement
+    (glyph width + Tc/Tw, scaled) — what the line assembler needs to
+    detect word gaps."""
     st = _TextState()
-    glyphs: list[tuple[str, float, float]] = []
+    ctm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+    ctm_stack: list[list[float]] = []
+    glyphs: list[tuple[str, float, float, float]] = []
     stack: list = []
 
-    def draw(s: str) -> None:
-        x, y = st.tm[4], st.tm[5]
-        w = DEFAULT_CHAR_EM * st.size * st.tm[0]
-        for ch in s:
-            glyphs.append((ch, x, y))
-            x += w
-        st.tm[4] = x
+    def draw(raw: bytes) -> None:
+        f = st.font
+        # UTF-16BE BOM: the synthetic writer's non-Latin string convention
+        # (sources/pdf_write.py) — not a font code sequence; a real 1-byte
+        # code run can't start 0xFE 0xFF under any standard encoding
+        if f is None or raw[:2] == b"\xfe\xff":
+            units = _default_decode(raw)
+        else:
+            units = f.decode(raw)
+        for code, text in units:
+            w1000 = f.width(code) if f is not None else None
+            gw = (w1000 / 1000.0) if w1000 is not None else DEFAULT_CHAR_EM
+            # §9.4.4 glyph displacement in text space
+            adv = (gw * st.size + st.tc + (st.tw if code == 32 else 0.0)) * st.hscale
+            x = st.tm[4] * ctm[0] + st.tm[5] * ctm[2] + ctm[4]
+            y = st.tm[4] * ctm[1] + st.tm[5] * ctm[3] + ctm[5]
+            dev_adv = adv * st.tm[0] * ctm[0]
+            for k, ch in enumerate(text):
+                # ligature/multi-char mappings share one advance: the first
+                # char carries it, the rest sit at the pen end with zero
+                # width so word logic sees them adjacent
+                if k == 0:
+                    glyphs.append((ch, x, y, dev_adv))
+                else:
+                    glyphs.append((ch, x + dev_adv, y, 0.0))
+            st.tm[4] += adv * st.tm[0]
+            st.tm[5] += adv * st.tm[1]
 
     for kind, val in _tokenize(stream):
         if kind in ("num", "str", "name"):
@@ -140,8 +204,31 @@ def _extract_glyphs(stream: str) -> list[tuple[str, float, float]]:
         if op == "BT":
             st.tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
             st.lm = list(st.tm)
+        elif op == "q":
+            ctm_stack.append(list(ctm))
+        elif op == "Q":
+            if ctm_stack:
+                ctm = ctm_stack.pop()
+        elif op == "cm" and len(stack) >= 6:
+            a, b, c, d, e, f_ = (s[1] for s in stack[-6:])
+            ctm = [
+                a * ctm[0] + b * ctm[2],
+                a * ctm[1] + b * ctm[3],
+                c * ctm[0] + d * ctm[2],
+                c * ctm[1] + d * ctm[3],
+                e * ctm[0] + f_ * ctm[2] + ctm[4],
+                e * ctm[1] + f_ * ctm[3] + ctm[5],
+            ]
         elif op == "Tf" and len(stack) >= 2:
+            if fonts and stack[-2][0] == "name":
+                st.font = fonts.get(stack[-2][1])
             st.size = stack[-1][1]
+        elif op == "Tc" and stack:
+            st.tc = stack[-1][1]
+        elif op == "Tw" and stack:
+            st.tw = stack[-1][1]
+        elif op == "Tz" and stack:
+            st.hscale = stack[-1][1] / 100.0
         elif op == "Tm" and len(stack) >= 6:
             vals = [s[1] for s in stack[-6:]]
             st.tm = list(vals)
@@ -150,47 +237,45 @@ def _extract_glyphs(stream: str) -> list[tuple[str, float, float]]:
             tx, ty = stack[-2][1], stack[-1][1]
             if op == "TD":
                 st.leading = -ty
-            st.lm = [
-                st.lm[0], st.lm[1], st.lm[2], st.lm[3],
-                st.lm[4] + tx * st.lm[0] + ty * st.lm[2],
-                st.lm[5] + tx * st.lm[1] + ty * st.lm[3],
-            ]
-            st.tm = list(st.lm)
+            st.translate_line(tx, ty)
         elif op == "TL" and stack:
             st.leading = stack[-1][1]
         elif op == "T*":
-            st.lm[4] -= 0.0
-            st.lm[5] -= st.leading
-            st.tm = list(st.lm)
+            st.translate_line(0.0, -st.leading)
         elif op == "Tj" and stack and stack[-1][0] == "str":
             draw(stack[-1][1])
         elif op == "'" and stack and stack[-1][0] == "str":
-            st.lm[5] -= st.leading
-            st.tm = list(st.lm)
+            st.translate_line(0.0, -st.leading)
+            draw(stack[-1][1])
+        elif op == '"' and len(stack) >= 3 and stack[-1][0] == "str":
+            st.tw = stack[-3][1]
+            st.tc = stack[-2][1]
+            st.translate_line(0.0, -st.leading)
             draw(stack[-1][1])
         elif op == "TJ" and stack and stack[-1][0] == "arr":
             for k, v in stack[-1][1]:
                 if k == "str":
                     draw(v)
                 elif k == "num":
-                    st.tm[4] -= v / 1000.0 * st.size * st.tm[0]
+                    tx = -v / 1000.0 * st.size * st.hscale
+                    st.tm[4] += tx * st.tm[0]
+                    st.tm[5] += tx * st.tm[1]
         stack = []  # operands are consumed by their operator
     return glyphs
 
 
 def glyphs_to_text(
-    glyphs: list[tuple[str, float, float]],
+    glyphs: list[tuple[str, float, float, float]],
     x_tolerance: float = X_TOLERANCE,
     y_tolerance: float = Y_TOLERANCE,
-    char_w_of=lambda ch, size: DEFAULT_CHAR_EM * size,
 ) -> str:
     """pdfplumber-style assembly: cluster lines by y (within y_tolerance),
-    words by x-gap (> x_tolerance splits), single-space words, newline
-    lines."""
+    split words on whitespace glyphs or x-gaps > x_tolerance (using each
+    glyph's own advance), single-space words, newline lines."""
     if not glyphs:
         return ""
     arr = sorted(glyphs, key=lambda g: (-g[2], g[1]))
-    lines: list[list[tuple[str, float, float]]] = []
+    lines: list[list[tuple[str, float, float, float]]] = []
     for g in arr:
         if lines and abs(lines[-1][0][2] - g[2]) <= y_tolerance:
             lines[-1].append(g)
@@ -199,27 +284,33 @@ def glyphs_to_text(
     out_lines = []
     for line in lines:
         line.sort(key=lambda g: g[1])
-        parts = [line[0][0]]
-        prev_ch, prev_x = line[0][0], line[0][1]
-        w = DEFAULT_CHAR_EM * 10.0  # glyph advance (matches writer metric)
-        for ch, x, _ in line[1:]:
-            gap = x - (prev_x + w)
-            if gap > x_tolerance:
-                parts.append(" ")
-            parts.append(ch)
-            prev_x = x
-        out_lines.append("".join(parts))
+        words: list[str] = []
+        cur: list[str] = []
+        prev_end: float | None = None
+        for ch, x, _, w in line:
+            gap_break = prev_end is not None and (x - prev_end) > x_tolerance
+            if ch.isspace() or gap_break:
+                if cur:
+                    words.append("".join(cur))
+                    cur = []
+            if not ch.isspace():
+                cur.append(ch)
+            prev_end = x + w
+        if cur:
+            words.append("".join(cur))
+        out_lines.append(" ".join(words))
     return "\n".join(out_lines)
 
 
-def extract_pdf_pages(payload: bytes) -> list[str]:
-    """Per-page extracted text (pdfplumber extract_text analog per page).
+def _scan_pages(payload: bytes) -> list[str]:
+    """Legacy fallback for payloads with no parseable page tree (raw
+    fragments, exotic writers): every Flate stream containing a BT block
+    is treated as one page, glyphs placed with the default 0.6 em metric.
 
     Streams are sliced by the dict's /Length (never by scanning for
     ``endstream`` — compressed bytes can contain CR/LF sequences that a
     delimiter scan would truncate); /Length-less streams fall back to the
-    next ``endstream`` with EOL trim.
-    """
+    next ``endstream`` with EOL trim."""
     pages: list[str] = []
     for m in _STREAM_KW_RE.finditer(payload):
         header = payload[max(0, m.start() - 256) : m.start()]
@@ -237,19 +328,45 @@ def extract_pdf_pages(payload: bytes) -> list[str]:
                 data = zlib.decompress(data)
             except zlib.error:
                 continue
-        try:
-            text = data.decode("latin-1")
-        except UnicodeDecodeError:
-            continue
-        if "BT" not in text:
+        if b"BT" not in data:
             continue
         try:
-            pages.append(glyphs_to_text(_extract_glyphs(text)))
+            pages.append(glyphs_to_text(_extract_glyphs(data)))
         except (ValueError, IndexError):
             # one exotic stream (unsupported filter chain, binary run that
             # happened to decode) must not take down the document
             continue
     return pages
+
+
+def extract_pdf_pages(payload: bytes) -> list[str]:
+    """Per-page extracted text (pdfplumber extract_text analog per page).
+
+    Primary path: the document model (pdf_doc.PdfDocument) resolves the
+    page tree, joins each page's content-stream array, and supplies the
+    page's font tables so glyph advances use real /Widths metrics. A
+    payload with no parseable page tree degrades to the legacy
+    stream-scan path."""
+    try:
+        doc = PdfDocument(payload)
+        page_nodes = doc.pages()
+    except Exception:  # noqa: BLE001 — damaged file: fall back to scan
+        page_nodes = []
+        doc = None
+    if doc is not None and page_nodes:
+        pages = []
+        for node in page_nodes:
+            try:
+                content = doc.page_content(node)
+                if not content:
+                    pages.append("")
+                    continue
+                fonts = doc.page_fonts(node)
+                pages.append(glyphs_to_text(_extract_glyphs(content, fonts)))
+            except Exception:  # noqa: BLE001 — degrade per page, never die
+                pages.append("")
+        return pages
+    return _scan_pages(payload)
 
 
 _INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
@@ -259,51 +376,13 @@ _INFO_ENTRY_RE = re.compile(
 )
 
 
-_PDF_ESCAPES = {
-    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
-    b"(": b"(", b")": b")", b"\\": b"\\",
-}
-
-
 def _decode_pdf_string(raw: bytes) -> str:
     if raw.startswith(b"("):
-        body = raw[1:-1]
-        out = []
-        i = 0
-        while i < len(body):
-            if body[i : i + 1] == b"\\" and i + 1 < len(body):
-                # PDF spec §7.3.4.2 literal-string escapes: named escapes,
-                # octal \ddd (1-3 digits), line continuations (\<EOL>
-                # disappears); any other escaped byte falls through as the
-                # literal byte (ADVICE r2: \n used to decode to 'n').
-                nxt = body[i + 1 : i + 2]
-                if nxt in _PDF_ESCAPES:
-                    out.append(_PDF_ESCAPES[nxt])
-                    i += 2
-                elif nxt.isdigit() and nxt < b"8":
-                    j = i + 1
-                    while j < len(body) and j < i + 4 and body[j : j + 1].isdigit() and body[j : j + 1] < b"8":
-                        j += 1
-                    out.append(bytes([int(body[i + 1 : j], 8) & 0xFF]))
-                    i = j
-                elif nxt in (b"\r", b"\n"):
-                    i += 2
-                    if nxt == b"\r" and body[i : i + 1] == b"\n":
-                        i += 1
-                else:
-                    out.append(nxt)
-                    i += 2
-            else:
-                out.append(body[i : i + 1])
-                i += 1
-        return b"".join(out).decode("latin-1")
+        return decode_text_string(unescape_literal(raw[1:-1]))
     digits = b"".join(raw[1:-1].split())
     if len(digits) % 2:
         digits += b"0"
-    data = bytes.fromhex(digits.decode("ascii"))
-    if data[:2] == b"\xfe\xff":
-        return data[2:].decode("utf-16-be", errors="replace")
-    return data.decode("latin-1")
+    return decode_text_string(bytes.fromhex(digits.decode("ascii")))
 
 
 def extract_pdf_info(payload: bytes) -> dict[str, str]:

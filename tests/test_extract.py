@@ -184,8 +184,8 @@ def test_pdf_odd_length_hex_string_pads():
     """PDF spec 7.3.4.3: odd final hex digit is padded with 0."""
     from sciscraper_ray.stages.pdf_parse import _tokenize
 
-    toks = list(_tokenize("<48656C6C6F2> Tj"))
-    assert toks[0] == ("str", "Hello "), toks
+    toks = list(_tokenize(b"<48656C6C6F2> Tj"))
+    assert toks[0] == ("str", b"Hello "), toks
 
 
 def test_keep_latest_drops_same_batch_ts_ties(ray_session):
