@@ -56,6 +56,8 @@ def unescape_literal(body: bytes) -> bytes:
     """PDF §7.3.4.2 literal-string escapes: named escapes, octal \\ddd
     (1-3 digits), line continuations (backslash-EOL disappears); any other
     escaped byte falls through as the literal byte."""
+    if b"\\" not in body:  # fast path: nothing to unescape
+        return body
     out = []
     i = 0
     n = len(body)
@@ -392,7 +394,14 @@ class FontInfo:
     None when the font declares no metric for the code (the interpreter
     falls back to its documented default em)."""
 
-    __slots__ = ("widths", "default_width", "code_bytes", "to_unicode", "encoding")
+    __slots__ = (
+        "widths",
+        "default_width",
+        "code_bytes",
+        "to_unicode",
+        "encoding",
+        "trivial",
+    )
 
     def __init__(
         self,
@@ -407,6 +416,16 @@ class FontInfo:
         self.code_bytes = code_bytes
         self.to_unicode = to_unicode
         self.encoding = encoding
+        # trivial = no declared metric and byte-identity text (the
+        # widths-less standard-font shape the synthetic writer emits):
+        # the interpreter can skip per-code lookups entirely
+        self.trivial = (
+            not widths
+            and default_width is None
+            and not to_unicode
+            and not encoding
+            and code_bytes == 1
+        )
 
     def width(self, code: int) -> float | None:
         w = self.widths.get(code)

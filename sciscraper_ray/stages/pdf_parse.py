@@ -65,21 +65,39 @@ class _TextState:
         self.tm = list(self.lm)
 
 
+_WS_RUN_RE = re.compile(rb"[\x00\t\n\x0c\r ]+")
+_REG_TOK_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
+
+
 def _tokenize(stream: bytes):
     """Content-stream tokens: numbers, names, (strings)/<hex> as raw BYTES
     (codes, not text — the font maps codes to unicode), [arrays],
-    operators."""
+    operators. Whitespace runs and regular-token spans scan via compiled
+    regex (C), not per-char Python."""
     i, n = 0, len(stream)
+    ws_match = _WS_RUN_RE.match
+    tok_match = _REG_TOK_RE.match
     while i < n:
+        m = ws_match(stream, i)
+        if m is not None:
+            i = m.end()
+            if i >= n:
+                break
         c = stream[i]
-        if c in b"\x00\t\n\x0c\r ":
-            i += 1
-            continue
         if c == 0x25:  # % comment
             j = stream.find(b"\n", i)
             i = n if j < 0 else j + 1
             continue
         if c == 0x28:  # (literal string)
+            # fast path: next ')' with no escapes/nesting in between
+            j = stream.find(b")", i + 1)
+            if j < 0:
+                break
+            seg = stream[i + 1 : j]
+            if b"\\" not in seg and b"(" not in seg:
+                yield ("str", seg)
+                i = j + 1
+                continue
             depth, j = 1, i + 1
             while j < n and depth:
                 ch = stream[j]
@@ -117,18 +135,21 @@ def _tokenize(stream: bytes):
             yield ("arr_close", None)
             i += 1
         elif c == 0x2F:
-            j = i + 1
-            while j < n and stream[j] not in b"\x00\t\n\x0c\r ()[]<>/%":
-                j += 1
+            m = tok_match(stream, i + 1)
+            j = m.end() if m is not None else i + 1
             yield ("name", stream[i + 1 : j].decode("latin-1"))
             i = j
         else:
-            j = i
-            while j < n and stream[j] not in b"\x00\t\n\x0c\r ()[]<>/%":
-                j += 1
+            m = tok_match(stream, i)
+            j = m.end() if m is not None else i
             tok = stream[i:j]
-            if _NUM_RE.fullmatch(tok):
-                yield ("num", float(tok))
+            # numbers vastly outnumber operators in content streams;
+            # a first-byte gate + float() beats a regex fullmatch
+            if tok and tok[0] in b"+-.0123456789":
+                try:
+                    yield ("num", float(tok))
+                except ValueError:
+                    yield ("op", tok.decode("latin-1"))
             else:
                 yield ("op", tok.decode("latin-1"))
             i = j if j > i else i + 1
@@ -162,28 +183,55 @@ def _extract_glyphs(
         # UTF-16BE BOM: the synthetic writer's non-Latin string convention
         # (sources/pdf_write.py) — not a font code sequence; a real 1-byte
         # code run can't start 0xFE 0xFF under any standard encoding
-        if f is None or raw[:2] == b"\xfe\xff":
+        trivial = f is None or f.trivial
+        if trivial or raw[:2] == b"\xfe\xff":
             units = _default_decode(raw)
+            trivial = True
         else:
             units = f.decode(raw)
+        size, tc, tw, hscale = st.size, st.tc, st.tw, st.hscale
+        tm = st.tm
+        a, b, tx, ty = tm[0], tm[1], tm[4], tm[5]
+        c0, c1, c2, c3, c4, c5 = ctm
+        em = DEFAULT_CHAR_EM * size
+        append = glyphs.append
+        if trivial and tc == 0.0 and tw == 0.0 and b == 0.0 and c1 == 0.0:
+            # batch fast path (the synthetic writer's shape: fixed metric,
+            # no spacing params, unrotated matrices): constant advance,
+            # positions by arithmetic progression
+            adv = em * hscale
+            dev = adv * a * c0
+            x0 = tx * c0 + ty * c2 + c4
+            y0 = tx * c1 + ty * c3 + c5
+            glyphs.extend(
+                (ch, x0 + k * dev, y0, dev)
+                for k, (_, ch) in enumerate(units)
+            )
+            n_units = len(units)
+            tm[4] = tx + adv * n_units * a
+            tm[5] = ty + adv * n_units * b
+            return
+        width = f.width if (f is not None and not trivial) else None
         for code, text in units:
-            w1000 = f.width(code) if f is not None else None
-            gw = (w1000 / 1000.0) if w1000 is not None else DEFAULT_CHAR_EM
+            if width is None:
+                gw = em
+            else:
+                w1000 = width(code)
+                gw = em if w1000 is None else w1000 * 0.001 * size
             # §9.4.4 glyph displacement in text space
-            adv = (gw * st.size + st.tc + (st.tw if code == 32 else 0.0)) * st.hscale
-            x = st.tm[4] * ctm[0] + st.tm[5] * ctm[2] + ctm[4]
-            y = st.tm[4] * ctm[1] + st.tm[5] * ctm[3] + ctm[5]
-            dev_adv = adv * st.tm[0] * ctm[0]
+            adv = (gw + tc + (tw if code == 32 else 0.0)) * hscale
+            x = tx * c0 + ty * c2 + c4
+            y = tx * c1 + ty * c3 + c5
+            dev_adv = adv * a * c0
             for k, ch in enumerate(text):
                 # ligature/multi-char mappings share one advance: the first
                 # char carries it, the rest sit at the pen end with zero
                 # width so word logic sees them adjacent
-                if k == 0:
-                    glyphs.append((ch, x, y, dev_adv))
-                else:
-                    glyphs.append((ch, x + dev_adv, y, 0.0))
-            st.tm[4] += adv * st.tm[0]
-            st.tm[5] += adv * st.tm[1]
+                append((ch, x if k == 0 else x + dev_adv, y, dev_adv if k == 0 else 0.0))
+            tx += adv * a
+            ty += adv * b
+        tm[4] = tx
+        tm[5] = ty
 
     for kind, val in _tokenize(stream):
         if kind in ("num", "str", "name"):
@@ -405,14 +453,27 @@ def extract_pdf_info(payload: bytes) -> dict[str, str]:
         payload,
         re.DOTALL,
     )
-    if om is None:
-        return {}
     out: dict[str, str] = {}
-    for key, val in _INFO_ENTRY_RE.findall(om.group(1)):
-        try:
-            out[key.decode("latin-1")] = _decode_pdf_string(val)
-        except ValueError:
-            continue
+    if om is not None:
+        for key, val in _INFO_ENTRY_RE.findall(om.group(1)):
+            try:
+                out[key.decode("latin-1")] = _decode_pdf_string(val)
+            except ValueError:
+                continue
+    if out:
+        return out
+    # Fallback: the Info object lives inside an /ObjStm or carries nested
+    # dict values the flat regex can't slice — resolve it through the
+    # document model (dict insertion order = on-disk entry order there too)
+    try:
+        doc = PdfDocument(payload)
+        d = doc.values.get(obj_num)
+        if isinstance(d, dict):
+            for key, val in d.items():
+                if isinstance(val, bytes):
+                    out[key] = decode_text_string(val)
+    except Exception:  # noqa: BLE001 — metadata probe must never crash
+        return out
     return out
 
 

@@ -216,3 +216,24 @@ def test_reference_fixture_text_fidelity_goldens():
     assert n == 6
     assert "10.1177/1745691619855638" in text  # the article's own DOI
     assert len(text) > 25_000
+
+
+def test_info_inside_objstm_resolves_via_document_model():
+    """extract_pdf_info's flat-regex path can't see an /Info object living
+    inside a compressed /ObjStm; the document-model fallback resolves it
+    with on-disk entry order preserved."""
+    from sciscraper_ray.stages.pdf_parse import extract_pdf_info
+
+    inner = b"<< /Title (Deep) /doi (10.1/x) >>"
+    hdr = b"5 0 "
+    stream = zlib.compress(hdr + inner)
+    payload = (
+        b"%PDF-1.5\n1 0 obj\n<< /Type /ObjStm /N 1 /First "
+        + str(len(hdr)).encode()
+        + b" /Length "
+        + str(len(stream)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + stream
+        + b"\nendstream\nendobj\ntrailer << /Root 2 0 R /Info 5 0 R >>\n%%EOF"
+    )
+    assert extract_pdf_info(payload) == {"Title": "Deep", "doi": "10.1/x"}
