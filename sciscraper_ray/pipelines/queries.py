@@ -6824,6 +6824,409 @@ def events_watermark(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Retrieval / model-inference / index-build tier (round 3)
+# --------------------------------------------------------------------------
+
+_BM25_QUERIES = (
+    (0, ("join", "hash", "scan")),
+    (1, ("filter", "merge", "vector")),
+    (2, ("customer", "order", "line")),
+    (3, ("batch", "row", "column")),
+    (4, ("small", "slow", "data")),
+)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+_BM25_TERMS = tuple(sorted({t for _, ts in _BM25_QUERIES for t in ts}))
+
+
+def _bm25_oracle() -> str:
+    terms_sql = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+    qvals = ", ".join(
+        f"({qid}, '{t1}', '{t2}', '{t3}')" for qid, (t1, t2, t3) in _BM25_QUERIES
+    )
+    # the score expression mirrors the Ray kernel OPERATION FOR OPERATION
+    # (same literals, same association) so IEEE doubles match bit-exactly:
+    # idf = ln(1 + (n - df + 0.5)/(df + 0.5));
+    # s = idf * (tf*2.2) / (tf + 1.2*(0.25 + 0.75*(dl/(total/n))))
+    return f"""
+    WITH dl AS (
+        SELECT doc_id, CAST(len({_SQL_TOKENS}) AS DOUBLE) AS dl FROM documents
+    ), corpus AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS total FROM dl
+    ), toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), tf AS (
+        SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        FROM toks WHERE token IN {terms_sql} GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM toks WHERE token IN {terms_sql} GROUP BY token
+    ), ts AS (
+        SELECT tf.doc_id, tf.token,
+               ln(1 + (g.n - f.df + 0.5) / (f.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + {_BM25_K1} * ((1 - {_BM25_B}) + {_BM25_B} * (d.dl / (g.total / g.n)))) AS s
+        FROM tf
+        JOIN df f ON f.token = tf.token
+        JOIN dl d ON d.doc_id = tf.doc_id
+        CROSS JOIN corpus g
+    ), scored AS (
+        SELECT q.query_id, d.doc_id,
+               COALESCE(s1.s, 0) + COALESCE(s2.s, 0) + COALESCE(s3.s, 0) AS score
+        FROM dl d
+        CROSS JOIN (VALUES {qvals}) q(query_id, t1, t2, t3)
+        LEFT JOIN ts s1 ON s1.doc_id = d.doc_id AND s1.token = q.t1
+        LEFT JOIN ts s2 ON s2.doc_id = d.doc_id AND s2.token = q.t2
+        LEFT JOIN ts s3 ON s3.doc_id = d.doc_id AND s3.token = q.t3
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+        ) AS rn FROM scored
+    ) WHERE rn <= {_BM25_TOPK}
+    """
+
+
+@register("doc_bm25_topk", oracle=_bm25_oracle())
+def doc_bm25_topk(sf_dir: str):
+    """BM25 retrieval scoring (Robertson/Sparck-Jones; the lexical-search
+    op of a retrieval pipeline): score every document against a fixed
+    query set, emit global top-10 per query.
+
+    Scale shape: pass 1 streams corpus stats — (N, total_len) plus df for
+    the 15 query terms only (per-batch partials, a 15-row exchange).
+    Pass 2 broadcasts those constants and scores each batch vectorized
+    (one token-mask + bincount per term), keeping only a per-batch top-k
+    partial per query; the driver merge sees <= batches * Q * k candidate
+    rows, never the corpus. Per-batch top-k is lossless under the global
+    (score desc, doc_id asc) order: every kept candidate within a batch
+    precedes its dropped batch-mates in the same order.
+
+    Float exactness: idf/length-norm expressions are evaluated in the
+    same literal association as the SQL oracle, and the 3-term sum is a
+    fixed left-to-right add, so scores are IEEE-bit-identical (no
+    rounding on either side)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        rows = [("", len(batch), int(len(flat)))]  # "": (n_docs, total_len)
+        for t in _BM25_TERMS:
+            mask = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            df_t = len(np.unique(par[mask]))
+            rows.append((t, df_t, 0))
+        term, a, b = zip(*rows)
+        return pa.table(
+            {
+                "term": pa.array(term),
+                "a": pa.array(np.array(a, np.int64)),
+                "b": pa.array(np.array(b, np.int64)),
+            }
+        )
+
+    stats = (
+        _docs(sf_dir)
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum(on="a", alias_name="a"), Sum(on="b", alias_name="b"))
+        .to_pandas()
+    )
+    srow = stats[stats["term"] == ""].iloc[0]
+    n_docs, total_len = float(srow["a"]), float(srow["b"])
+    df = {r["term"]: float(r["a"]) for _, r in stats.iterrows() if r["term"]}
+    avgdl = total_len / n_docs
+    idf = {
+        t: np.log(1 + (n_docs - df.get(t, 0.0) + 0.5) / (df.get(t, 0.0) + 0.5))
+        for t in _BM25_TERMS
+    }
+    consts = ray.put((idf, avgdl))
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        idf_, avgdl_ = ray.get(consts)
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nrows = len(batch)
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.float64)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        denom_norm = _BM25_K1 * ((1 - _BM25_B) + _BM25_B * (dl / avgdl_))
+        s_term = {}
+        for t in _BM25_TERMS:
+            mask = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tf = np.bincount(par[mask], minlength=nrows).astype(np.float64)
+            s = np.zeros(nrows)
+            nz = tf > 0
+            s[nz] = idf_[t] * (tf[nz] * 2.2) / (tf[nz] + denom_norm[nz])
+            s_term[t] = s
+        out_q, out_d, out_s = [], [], []
+        for qid, (t1, t2, t3) in _BM25_QUERIES:
+            score = s_term[t1] + s_term[t2] + s_term[t3]
+            k = min(_BM25_TOPK, nrows)
+            order = np.lexsort((doc_ids, -score))[:k]
+            out_q.append(np.full(k, qid, np.int64))
+            out_d.append(doc_ids[order])
+            out_s.append(score[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "doc_id": pa.array(np.concatenate(out_d)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    cand = (
+        _docs(sf_dir)
+        .map_batches(score_partial, batch_format="pyarrow")
+        .to_pandas()  # bounded: batches x Q x k candidate rows
+    )
+    cand = cand.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True]
+    )
+    top = cand.groupby("query_id", sort=True).head(_BM25_TOPK).reset_index(drop=True)
+    return pa.table(
+        {
+            "query_id": pa.array(top["query_id"].to_numpy(np.int64)),
+            "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
+            "score": pa.array(top["score"].to_numpy(np.float64)),
+        }
+    )
+
+
+# logistic quality scorer: fixed weights over integer document features —
+# the broadcast-weights batched-inference pattern (weights load once per
+# actor, scoring is one vectorized pass; swap the linear model for any
+# batched model and the Ray shape is unchanged)
+_LR_STOPS = ("join", "hash", "row", "batch", "scan")
+_LR_W = (0.08, -0.004, 0.3, -0.05, 0.01)  # n_tokens, n_chars, stops, digits, distinct
+_LR_B = -6.5
+
+
+class _LrScorer:
+    """Actor-pool inference stage: 'model' (weight vector) built once in
+    __init__, __call__ scores whole Arrow batches vectorized."""
+
+    def __init__(self):
+        self.w = np.array(_LR_W, np.float64)
+        self.b = float(_LR_B)
+        self.stops = _LR_STOPS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from sciscraper_ray.kernels.tokenize import tokenize_column
+
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nrows = len(batch)
+        x0 = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.float64)
+        x1 = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False).astype(np.float64)
+        stop_mask = pc.is_in(flat, value_set=pa.array(self.stops)).to_numpy(
+            zero_copy_only=False
+        )
+        x2 = np.bincount(par[stop_mask], minlength=nrows).astype(np.float64)
+        digits = pc.count_substring_regex(batch["text"], "[0-9]").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        # distinct tokens per doc: one C-level unique over (doc, token)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        tok_codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = par.astype(np.int64) * (tok_codes.max() + 1 if len(tok_codes) else 1) + tok_codes
+        uniq_docs = par[np.unique(pairs, return_index=True)[1]]
+        x4 = np.bincount(uniq_docs, minlength=nrows).astype(np.float64)
+        w = self.w
+        # fixed left-to-right association, mirrored in the SQL oracle
+        z = self.b + w[0] * x0 + w[1] * x1 + w[2] * x2 + w[3] * digits + w[4] * x4
+        prob = 1.0 / (1.0 + np.exp(-z))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "score": pa.array(z),
+                "prob": pa.array(prob),
+                "label": pa.array((z > 0).astype(np.int64)),
+            }
+        )
+
+
+@register(
+    "doc_lr_score",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(len({_SQL_TOKENS}) AS DOUBLE) AS x0,
+               CAST(length(text) AS DOUBLE) AS x1,
+               CAST((SELECT count(*) FROM unnest({_SQL_TOKENS}) AS u(t)
+                     WHERE t IN {sql_in_list(_LR_STOPS)}) AS DOUBLE) AS x2,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                    AS DOUBLE) AS x3,
+               CAST((SELECT count(DISTINCT t) FROM unnest({_SQL_TOKENS}) AS u(t))
+                    AS DOUBLE) AS x4
+        FROM documents
+    ), z AS (
+        SELECT doc_id,
+               {_LR_B} + {_LR_W[0]} * x0 + {_LR_W[1]} * x1 + {_LR_W[2]} * x2
+                       + {_LR_W[3]} * x3 + {_LR_W[4]} * x4 AS score
+        FROM feats
+    )
+    SELECT doc_id, score, 1 / (1 + exp(-score)) AS prob,
+           CAST(score > 0 AS BIGINT) AS label
+    FROM z
+    """,
+)
+def doc_lr_score(sf_dir: str):
+    """Model-scoring inference over the corpus: a logistic quality model
+    with broadcast weights, run as an actor-pool map_batches stage
+    (weights materialize once per actor in __init__ — the shape a real
+    learned quality classifier or reward model runs in at 100 TB; the
+    features here are integer-exact so the oracle reproduces the scores
+    bit-identically, same left-to-right accumulation).
+
+    Zero shuffle: one streaming pass, output is one row per document."""
+    return _docs(sf_dir).map_batches(
+        _LrScorer,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+@register(
+    "token_inverted_index",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM pairs GROUP BY token
+    """,
+)
+def token_inverted_index(sf_dir: str):
+    """Inverted-index build (the search-index op): token -> document
+    frequency + sorted posting list.
+
+    Scale shape: per-batch DISTINCT (token, doc) partials (an Arrow
+    group_by inside the batch — the exchange moves one row per distinct
+    pair, never repeated occurrences), then a token-partitioned
+    ``map_groups`` merge. Group count = vocabulary size (Heaps' law:
+    sublinear in corpus size), so per-group dispatch stays bounded; at
+    real scale each group writes a posting FILE (hive-partitioned by
+    token hash) instead of returning a joined string — the operator
+    shape is identical."""
+    import ray.data
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        doc = batch["doc_id"].take(par)
+        t = pa.table({"token": flat, "doc_id": doc})
+        return t.group_by(["token", "doc_id"]).aggregate([])
+
+    def merge_group(tbl: pa.Table) -> pa.Table:
+        ids = np.unique(tbl["doc_id"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "token": pa.array([tbl["token"][0].as_py()]),
+                "df": pa.array(np.array([len(ids)], np.int64)),
+                "postings": pa.array([",".join(map(str, ids))]),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(merge_group, batch_format="pyarrow")
+    )
+
+
+@register(
+    "warc_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           'https://warc.example/doc-' || CAST(doc_id AS VARCHAR) AS uri,
+           text
+    FROM documents
+    """,
+)
+def warc_roundtrip(sf_dir: str):
+    """WARC segment source (sources/warc.py): documents serialized into
+    Content-Length-delimited WARC/1.0 segments (8 shard files — the
+    warc.paths fan-out shape), then streamed back through
+    ``read_binary_files`` -> per-file record parse -> columns.
+
+    Parallelism = segment files (WARC has no intra-file random access
+    without a CDX index — the constraint real Common-Crawl readers have);
+    the parse is per-fragment and shuffle-free. Segment synthesis is
+    fixture generation (driver-side, cached per sf under /tmp)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from sciscraper_ray.sources.warc import build_warc, parse_warc
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_shards = 8
+    out_dir = f"/tmp/warc_src_{os.path.basename(sf_dir.rstrip('/'))}_{len(docs)}"
+    marker = os.path.join(out_dir, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(out_dir, exist_ok=True)
+        ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+        texts = docs["text"].to_pylist()
+        shards: list[list[tuple[int, str, bytes]]] = [[] for _ in range(n_shards)]
+        for i, t in zip(ids, texts):
+            shards[int(i) % n_shards].append(
+                (int(i), f"https://warc.example/doc-{int(i)}", t.encode("utf-8"))
+            )
+        for s, recs in enumerate(shards):
+            with open(os.path.join(out_dir, f"shard-{s:04d}.warc"), "wb") as f:
+                f.write(build_warc(recs))
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    def parse_batch(batch: pa.Table) -> pa.Table:
+        ids_, uris, texts_ = [], [], []
+        for blob in batch["bytes"].to_pylist():
+            for rec in parse_warc(blob):
+                ids_.append(rec["record_id"])
+                uris.append(rec["uri"])
+                texts_.append(rec["payload"].decode("utf-8"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_, pa.int64()),
+                "uri": pa.array(uris),
+                "text": pa.array(texts_),
+            }
+        )
+
+    return ray.data.read_binary_files(
+        [os.path.join(out_dir, f"shard-{s:04d}.warc") for s in range(n_shards)]
+    ).map_batches(parse_batch, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
 # Registry ordering: least-recently-driver-checked first
 # --------------------------------------------------------------------------
 

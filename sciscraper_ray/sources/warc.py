@@ -1,0 +1,80 @@
+"""WARC-style record container: deterministic writer + streaming parser.
+
+Common-Crawl-shaped input (BASELINE.json input_hint) arrives as WARC
+segments before it is columnarized; this module carries the source-format
+contract offline: ``build_warc`` serializes records into the standard
+WARC/1.0 envelope (named headers, Content-Length-delimited payload,
+CRLF CRLF record separator) and ``parse_warc`` slices records back by
+Content-Length — never by scanning for a separator, since payloads are
+arbitrary bytes that may embed one.
+
+Scale shape: one WARC file is one input fragment; ``read_binary_files``
+hands each to a task whole (WARC has no intra-file random access without
+an index — the same constraint real CC segment readers have), so
+parallelism = number of segment files, exactly how warc.paths fan out.
+"""
+
+from __future__ import annotations
+
+_CRLF = b"\r\n"
+
+
+def build_warc(records: list[tuple[int, str, bytes]]) -> bytes:
+    """records: (record_id, target_uri, payload) -> one WARC segment."""
+    out = bytearray()
+    for rec_id, uri, payload in records:
+        out += b"WARC/1.0" + _CRLF
+        out += b"WARC-Type: response" + _CRLF
+        out += f"WARC-Record-ID: <urn:doc:{rec_id}>".encode() + _CRLF
+        out += f"WARC-Target-URI: {uri}".encode() + _CRLF
+        out += f"Content-Length: {len(payload)}".encode() + _CRLF
+        out += _CRLF
+        out += payload
+        out += _CRLF + _CRLF
+    return bytes(out)
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Parse one WARC segment -> [{record_id, uri, payload}, ...].
+
+    Payloads are sliced by Content-Length; a record with a damaged header
+    block is skipped by resyncing on the next ``WARC/1.0`` magic (crawl
+    segments routinely contain truncated tail records)."""
+    out: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/1.0", pos)
+        if start < 0:
+            break
+        hdr_end = data.find(_CRLF + _CRLF, start)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in data[start:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            if v:
+                headers[k.decode("latin-1").strip()] = v.decode("latin-1").strip()
+        try:
+            length = int(headers["Content-Length"])
+        except (KeyError, ValueError):
+            pos = start + len(b"WARC/1.0")
+            continue
+        body_start = hdr_end + 4
+        payload = data[body_start : body_start + length]
+        rec_id = headers.get("WARC-Record-ID", "")
+        num = None
+        if rec_id.startswith("<urn:doc:") and rec_id.endswith(">"):
+            try:
+                num = int(rec_id[len("<urn:doc:") : -1])
+            except ValueError:
+                num = None
+        out.append(
+            {
+                "record_id": num,
+                "uri": headers.get("WARC-Target-URI", ""),
+                "payload": payload,
+            }
+        )
+        pos = body_start + length
+    return out
