@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import datetime
 import logging
+import os
 from collections.abc import Callable
 
 import ray
@@ -95,7 +96,12 @@ def main(argv: list[str] | None = None) -> str:
     logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
 
     if not ray.is_initialized():  # external drivers init Ray themselves
-        ray.init(address="local", include_dashboard=False)
+        # under `ray job submit` the ambient RAY_ADDRESS points at the
+        # cluster; only a bare invocation starts a local instance
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+        )
 
     stamp = args.date_stamp or datetime.date.today().strftime("%y%m%d")
 

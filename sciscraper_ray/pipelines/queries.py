@@ -7226,6 +7226,67 @@ def warc_roundtrip(sf_dir: str):
     ).map_batches(parse_batch, batch_format="pyarrow")
 
 
+# robots.txt-style URL blocklist: deterministic per-host path-prefix rules
+# (host index -> disallowed prefix), the crawl-politeness filter shape
+_ROBOTS_RULES = (
+    ("web-00.example.org", "/pdf/"),
+    ("web-03.example.org", "/html/doc-1"),
+    ("web-05.example.org", "/"),
+)
+
+
+@register(
+    "url_robots_filter",
+    oracle="""
+    WITH pages AS (
+        SELECT doc_id,
+               'web-0' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example.org' AS host,
+               '/' || (CASE WHEN doc_id % 4 = 0 THEN 'pdf' ELSE 'html' END)
+                   || '/doc-' || CAST(doc_id AS VARCHAR) AS path
+        FROM documents
+    )
+    SELECT doc_id, 'https://' || host || path AS url FROM pages
+    WHERE NOT (host = 'web-00.example.org' AND path LIKE '/pdf/%')
+      AND NOT (host = 'web-03.example.org' AND path LIKE '/html/doc-1%')
+      AND NOT (host = 'web-05.example.org')
+    """,
+)
+def url_robots_filter(sf_dir: str):
+    """robots.txt-style disallow filtering (the crawl-politeness gate a
+    page pipeline runs before fetch/extract): a tiny per-host
+    path-prefix rule table is broadcast, every batch evaluates its rules
+    vectorized (one ``starts_with`` mask per rule — rule count is small
+    by construction; a real exclusion list is grouped per host and only
+    the batch's hosts' rules run). Zero shuffle, one streaming pass.
+
+    URLs are derived deterministically from doc_id (a fixed host/path
+    scheme, same flavor as the synthetic page table's) so the oracle
+    reproduces them exactly."""
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        host_idx = ids % 7
+        kind = np.where(ids % 4 == 0, "pdf", "html")
+        hosts = pa.array([f"web-0{h}.example.org" for h in host_idx])
+        paths = pa.array([f"/{k}/doc-{i}" for k, i in zip(kind, ids)])
+        keep = np.ones(len(ids), bool)
+        for rule_host, prefix in _ROBOTS_RULES:
+            hmask = pc.equal(hosts, rule_host).to_numpy(zero_copy_only=False)
+            pmask = pc.starts_with(paths, prefix).to_numpy(zero_copy_only=False)
+            keep &= ~(hmask & pmask)
+        url = pc.binary_join_element_wise(
+            pa.array(["https://"] * len(ids)), hosts, paths, ""
+        )
+        return pa.table({"doc_id": batch["doc_id"], "url": url}).filter(
+            pa.array(keep)
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        filt, batch_format="pyarrow"
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: least-recently-driver-checked first
 # --------------------------------------------------------------------------
