@@ -7287,6 +7287,312 @@ def url_robots_filter(sf_dir: str):
     )
 
 
+@register(
+    "token_pair_counts",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest({_SQL_TOKENS}) AS token,
+               unnest(range(len({_SQL_TOKENS}))) AS ord
+        FROM documents
+    )
+    SELECT a.token || ' ' || b.token AS pair, count(*) AS cnt
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+    GROUP BY pair
+    ORDER BY cnt DESC, pair ASC
+    LIMIT 50
+    """,
+)
+def token_pair_counts(sf_dir: str):
+    """BPE merge-step statistics: corpus-wide adjacent-token-pair
+    frequencies, top-50 — the counting pass a distributed tokenizer
+    trainer runs once per merge round. Pairs are built vectorized from
+    the flattened token buffer (adjacency = equal parent indices, no
+    per-doc loop); each batch value-counts locally so the shuffle moves
+    (pair, cnt) partials bounded by the batch's pair vocabulary, then
+    groupby-Sum -> sort(cnt desc, pair asc) -> limit. Pair key joins
+    with a single space, unambiguous because the reference tokenizer
+    splits on exactly that byte (docscraper.py:176-186)."""
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens = tokenize_column(batch["text"])
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        flat = pc.list_flatten(tokens)
+        n = len(flat)
+        if n < 2:
+            return pa.table(
+                {"pair": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        parents = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+        same_doc = pa.array(parents[:-1] == parents[1:])
+        left = flat.slice(0, n - 1).filter(same_doc)
+        right = flat.slice(1, n - 1).filter(same_doc)
+        pairs = pc.binary_join_element_wise(left, right, " ")
+        vc = pairs.value_counts()
+        return pa.table({"pair": vc.field("values"), "cnt": vc.field("counts")})
+
+    return (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .sort(key=["cnt", "pair"], descending=[True, False])
+        .limit(50)
+    )
+
+
+_MIXTURE_QUOTA = 15
+
+
+def _md5_hex15_np(ids) -> np.ndarray:
+    """Vector of the 60-bit md5 prefix ints matching _md5_mod / the
+    _md5_hex15_sql oracle fragment (str(id) convention)."""
+    import hashlib
+
+    return np.array(
+        [int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) for i in ids],
+        dtype=np.int64,
+    )
+
+
+@register(
+    "doc_mixture_quota",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_md5_hex15_sql("CAST(doc_id AS VARCHAR)")} ASC,
+                            doc_id ASC
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= {_MIXTURE_QUOTA}
+    """,
+)
+def doc_mixture_quota(sf_dir: str):
+    """Domain-balanced mixture downsampling: keep at most K documents per
+    source, chosen as the K smallest content-stable id hashes — the
+    deterministic quota sampler that balances a training mixture across
+    domains without RNG state (reproducible across runs, cluster sizes,
+    partitionings). Pass 1 streams (source, h, doc_id) candidates,
+    pre-pruned per batch to its local K smallest per source, so the
+    driver merge sees <= sources x K rows per batch, never the corpus;
+    the per-source K-th smallest (h, doc_id) cutoff is broadcast and
+    pass 2 is a zero-shuffle stream filter (payloads never move). The
+    (h, doc_id) lexicographic cutoff keeps exactly K even under 60-bit
+    hash collisions."""
+    import pandas as pd
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pandas(),
+                "h": _md5_hex15_np(ids),
+                "doc_id": ids,
+            }
+        )
+        pruned = (
+            df.sort_values(["source", "h", "doc_id"])
+            .groupby("source", sort=False)
+            .head(_MIXTURE_QUOTA)
+        )
+        return pa.Table.from_pandas(pruned, preserve_index=False)
+
+    cand = (
+        _docs(sf_dir, columns=("doc_id", "source"))
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    kept = (
+        cand.sort_values(["source", "h", "doc_id"])
+        .groupby("source", sort=False)
+        .head(_MIXTURE_QUOTA)
+    )
+    # the cutoff row is the lexicographic max (h, doc_id) of the kept set
+    cut = (
+        kept.sort_values(["source", "h", "doc_id"])
+        .groupby("source", sort=False)
+        .tail(1)
+        .set_index("source")
+    )
+    cut_ref = ray.put(cut)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        c = ray.get(cut_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = _md5_hex15_np(ids)
+        src = batch["source"].to_pandas()
+        lim_h = src.map(c["h"]).to_numpy(np.int64)
+        lim_id = src.map(c["doc_id"]).to_numpy(np.int64)
+        keep = (h < lim_h) | ((h == lim_h) & (ids <= lim_id))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "source": batch["source"]}
+        ).filter(pa.array(keep))
+
+    return _docs(sf_dir, columns=("doc_id", "source")).map_batches(
+        filt, batch_format="pyarrow"
+    )
+
+
+@register(
+    "doc_unigram_freq_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), vocab AS (
+        SELECT token, count(*) AS gcnt FROM toks GROUP BY token
+    )
+    SELECT t.doc_id,
+           CAST(SUM(v.gcnt) AS BIGINT) AS freq_sum,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM toks t JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def doc_unigram_freq_score(sf_dir: str):
+    """Unigram language-model quality scoring (the CCNet/KenLM shape):
+    score every document by how typical its tokens are of the corpus.
+    Pass 1 builds the global unigram table (per-batch value-count
+    partials -> vocabulary-sized groupby, Heaps'-law small); the table is
+    broadcast once and pass 2 maps each doc's tokens through it, emitting
+    the integer-exact sufficient statistics (sum of global frequencies,
+    token count) whose ratio is the mean-frequency score — integers
+    instead of a float mean so the oracle comparison is exact; a real
+    LM swaps the broadcast table for model weights (doc_lr_score is the
+    learned-weights twin). Zero shuffle in pass 2."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens = tokenize_column(batch["text"])
+        flat = pc.list_flatten(tokens)
+        vc = flat.value_counts()
+        return pa.table({"token": vc.field("values"), "cnt": vc.field("counts")})
+
+    counts = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    lut_ref = ray.put(
+        pd.Series(counts["cnt"].to_numpy(np.int64), index=counts["token"])
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        tokens = tokenize_column(batch["text"])
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        flat = pc.list_flatten(tokens)
+        parents = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+        freqs = pd.Series(flat.to_pandas()).map(lut).to_numpy(np.int64)
+        sums = np.zeros(len(batch), np.int64)
+        np.add.at(sums, parents, freqs)
+        lens = pc.list_value_length(tokens).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "freq_sum": pa.array(sums, pa.int64()),
+                "n_tokens": pa.array(lens.astype(np.int64)),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+_LATEST_K = 20
+
+
+@register(
+    "events_latest_k",
+    oracle=f"""
+    SELECT event_id, user_id, ts FROM (
+        SELECT event_id, user_id, ts,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn <= {_LATEST_K}
+    """,
+)
+def events_latest_k(sf_dir: str):
+    """Per-key latest-K row retention (the TTL/compaction policy shape:
+    keep each user's K most recent events, drop the tail) — the
+    grouped-top-K-ROWS generalization of keep-latest(1). Same two-phase
+    plan as doc_mixture_quota: per-batch candidates pre-pruned to the
+    local K latest per user (merge sees <= users x K rows per batch),
+    the per-user K-th latest (ts, event_id) cutoff broadcast, then a
+    zero-shuffle stream filter — full event payloads never shuffle.
+    Timestamps compare as epoch-microsecond int64 end to end (the
+    pandas-unit round-trip gotcha)."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def to_us(batch: pa.Table) -> np.ndarray:
+        return (
+            pc.cast(batch["ts"], pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "ts_us": to_us(batch),
+                "event_id": batch["event_id"].to_numpy(zero_copy_only=False),
+            }
+        )
+        pruned = (
+            df.sort_values(["user_id", "ts_us", "event_id"], ascending=[True, False, False])
+            .groupby("user_id", sort=False)
+            .head(_LATEST_K)
+        )
+        return pa.Table.from_pandas(pruned, preserve_index=False)
+
+    cand = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    kept = (
+        cand.sort_values(["user_id", "ts_us", "event_id"], ascending=[True, False, False])
+        .groupby("user_id", sort=False)
+        .head(_LATEST_K)
+    )
+    cut = (
+        kept.sort_values(["user_id", "ts_us", "event_id"], ascending=[True, False, False])
+        .groupby("user_id", sort=False)
+        .tail(1)
+        .set_index("user_id")
+    )
+    cut_ref = ray.put(cut)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        c = ray.get(cut_ref)
+        users = pd.Series(batch["user_id"].to_numpy(zero_copy_only=False))
+        ts_us = to_us(batch)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lim_ts = users.map(c["ts_us"]).to_numpy(np.int64)
+        lim_eid = users.map(c["event_id"]).to_numpy(np.int64)
+        keep = (ts_us > lim_ts) | ((ts_us == lim_ts) & (eid >= lim_eid))
+        return batch.filter(pa.array(keep))
+
+    return ev.map_batches(filt, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: least-recently-driver-checked first
 # --------------------------------------------------------------------------
