@@ -556,13 +556,22 @@ def orders_by_region(sf_dir: str):
     LIMIT 100
     """,
 )
-def top_tokens_global(sf_dir: str):
+def top_tokens_global(sf_dir: str, plan: str = "auto"):
     """Corpus-wide token frequency top-k (A1 at corpus scale): per-batch
-    partial counts -> groupby Sum -> sort(count desc, token asc) -> limit.
-    The partials defuse hot-token skew (SURVEY §4: salted two-phase)."""
+    partial counts, then the shared two-plan merge (pipelines/plan.py).
+    The partials defuse hot-token skew (SURVEY §4: salted two-phase) and
+    their row count is vocabulary x batches (Heaps'-law small), so the
+    driver plan — one pandas hash groupby + partial sort — wins until the
+    partial table nears the 50M-row bound, where the distributed
+    sort-aggregate takes over automatically."""
     from ray.data.aggregate import Sum
 
     from sciscraper_ray.kernels.tokenize import tokenize_column
+    from sciscraper_ray.pipelines.plan import (
+        DRIVER_PLAN_LIMIT,
+        driver_frame,
+        resolve_plan,
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         tokens = tokenize_column(batch["text"])
@@ -572,10 +581,18 @@ def top_tokens_global(sf_dir: str):
             {"token": vc.field("values"), "cnt": vc.field("counts")}
         )
 
+    partials = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    mode, partials = resolve_plan(partials, plan)
+    if mode == "driver":
+        df = driver_frame(partials, DRIVER_PLAN_LIMIT, "top_tokens_global")
+        agg = df.groupby("token", as_index=False)["cnt"].sum()
+        return (
+            agg.sort_values(["cnt", "token"], ascending=[False, True])
+            .head(100)
+            .reset_index(drop=True)
+        )
     return (
-        _docs(sf_dir)
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
+        partials.groupby("token")
         .aggregate(Sum(on="cnt", alias_name="cnt"))
         .sort(key=["cnt", "token"], descending=[True, False])
         .limit(100)
@@ -5084,12 +5101,18 @@ def doc_segment_dedup(sf_dir: str):
         ),
     )
 
+    return _rebuild_docs_from_segments(kept)
+
+
+def _rebuild_docs_from_segments(kept):
+    """Bucketed vectorized doc rebuild shared by the segment-level ops
+    (doc_segment_dedup, doc_boilerplate_strip): 32 doc-hash buckets, and
+    within each bucket a MANY-docs-per-group rebuild (no per-doc
+    map_groups) — lexsort by (doc, seg_no), doc-boundary offsets via
+    np.diff, one zero-copy pc.binary_join over a re-offset ListArray —
+    segment_column's construction run in reverse."""
+
     def rebuild_bucket(tbl: pa.Table) -> pa.Table:
-        """Vectorized MANY-docs-per-group rebuild (round-2 debt closed:
-        no per-doc map_groups): lexsort the bucket by (doc, seg_no),
-        doc-boundary offsets via np.diff, one zero-copy pc.binary_join
-        over a re-offset ListArray — segment_column's construction run
-        in reverse."""
         d = tbl["doc_id"].to_numpy(zero_copy_only=False)
         s = tbl["seg_no"].to_numpy(zero_copy_only=False)
         order = np.lexsort((s, d))
@@ -5119,6 +5142,119 @@ def doc_segment_dedup(sf_dir: str):
             batch_format="pyarrow",
         )
     )
+
+
+_BOILER_DF_MIN = 3
+
+
+@register(
+    "doc_boilerplate_strip",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest({_SQL_TOKENS}) AS token,
+               unnest(range(len({_SQL_TOKENS}))) AS ord
+        FROM documents
+    ), segs AS (
+        SELECT doc_id, ord // {SEGDEDUP_W} AS seg_no,
+               string_agg(token, ' ' ORDER BY ord) AS seg
+        FROM toks GROUP BY doc_id, ord // {SEGDEDUP_W}
+    ), freq AS (
+        SELECT seg FROM (
+            SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+        ) WHERE df >= {_BOILER_DF_MIN}
+    )
+    SELECT doc_id,
+           string_agg(seg, ' ' ORDER BY seg_no) AS text,
+           CAST(count(*) AS BIGINT) AS n_segs
+    FROM segs WHERE seg NOT IN (SELECT seg FROM freq)
+    GROUP BY doc_id
+    """,
+)
+def doc_boilerplate_strip(sf_dir: str, plan: str = "auto"):
+    """CCNet-style FREQUENCY-based boilerplate removal: a segment whose
+    corpus document-frequency reaches the threshold is chrome/navigation
+    by construction and is stripped from EVERY document (the complement
+    of doc_segment_dedup, which keeps first occurrences). DF counting is
+    exact and shuffle-light: a document's segments never span batches, so
+    per-batch-distinct (key, doc) pairs are globally distinct and their
+    counts are plain mergeable partials — 128-bit segment keys enter the
+    exchange, never segment text; the frequent-key set (rare by
+    construction: high-DF segments have low distinct count) is broadcast
+    into a zero-shuffle strip filter, and the doc rebuild is the shared
+    bucketed vectorized pass. Two-plan via pipelines/plan.py."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from sciscraper_ray.kernels.tokenize import segment_column
+    from sciscraper_ray.pipelines.plan import (
+        DRIVER_PLAN_LIMIT,
+        driver_frame,
+        resolve_plan,
+    )
+    from sciscraper_ray.stages.dedup import md5_hash128_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def to_segments(batch: pa.Table) -> pa.Table:
+        row, seg_no, seg = segment_column(batch["text"], SEGDEDUP_W)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)[row]
+        return pa.table(
+            {"doc_id": pa.array(doc), "seg_no": pa.array(seg_no), "seg": seg}
+        )
+
+    segs = ds.map_batches(to_segments, batch_format="pyarrow").materialize()
+
+    def key_pairs(batch: pa.Table) -> pa.Table:
+        hi, lo, _valid = md5_hash128_batch(batch, "seg")
+        df = pd.DataFrame(
+            {
+                "h_hi": hi,
+                "h_lo": lo,
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df[["h_hi", "h_lo"]], preserve_index=False)
+
+    pairs = segs.map_batches(key_pairs, batch_format="pyarrow")
+    mode, pairs = resolve_plan(pairs, plan)
+    if mode == "driver":
+        pdf = driver_frame(pairs, DRIVER_PLAN_LIMIT, "doc_boilerplate_strip")
+        vc = pdf.groupby(["h_hi", "h_lo"]).size()
+        freq = vc[vc >= _BOILER_DF_MIN].reset_index()[["h_hi", "h_lo"]]
+    else:
+        from ray.data.aggregate import Count
+
+        counted = pairs.groupby(["h_hi", "h_lo"]).aggregate(
+            Count(alias_name="df")
+        )
+
+        def over_threshold(b: pa.Table) -> pa.Table:
+            return b.filter(
+                pc.greater_equal(b["df"], _BOILER_DF_MIN)
+            ).select(["h_hi", "h_lo"])
+
+        freq = counted.map_batches(
+            over_threshold, batch_format="pyarrow"
+        ).to_pandas()
+
+    freq_ref = ray.put(freq.assign(_boiler=True))
+
+    def strip(batch: pa.Table) -> pa.Table:
+        f = ray.get(freq_ref)
+        if not len(f):
+            return batch
+        hi, lo, _valid = md5_hash128_batch(batch, "seg")
+        m = pd.DataFrame({"h_hi": hi, "h_lo": lo}).merge(
+            f, on=["h_hi", "h_lo"], how="left"
+        )
+        return batch.filter(pa.array(m["_boiler"].isna().to_numpy()))
+
+    kept = segs.map_batches(strip, batch_format="pyarrow")
+    return _rebuild_docs_from_segments(kept)
 
 
 # ---------------------------------------------------------------------------
@@ -7591,6 +7727,403 @@ def events_latest_k(sf_dir: str):
         return batch.filter(pa.array(keep))
 
     return ev.map_batches(filt, batch_format="pyarrow")
+
+
+def _host_sql(x: str) -> str:
+    """page_synth.host_for in SQL (HOSTS table + mega-host skew)."""
+    return (
+        f"CASE WHEN ({x}) % 10 < 3 THEN 'mega.example.org' "
+        f"ELSE CASE ({x}) % 5 WHEN 0 THEN 'alpha.example.com' "
+        f"WHEN 1 THEN 'beta.example.net' WHEN 2 THEN 'gamma.example.io' "
+        f"WHEN 3 THEN 'delta.example.edu' ELSE 'epsilon.example.dev' END END"
+    )
+
+
+_REF_TARGETS_SQL = "[(doc_id * 17 + 13) % 997, (doc_id * 29 + 7) % 997]"
+
+
+@register(
+    "page_link_graph",
+    oracle=f"""
+    WITH links AS (
+        SELECT doc_id, unnest({_REF_TARGETS_SQL}) AS t FROM documents
+    )
+    SELECT {_host_sql("doc_id")} AS src_host,
+           {_host_sql("t")} AS dst_host,
+           count(*) AS cnt
+    FROM links
+    GROUP BY src_host, dst_host
+    """,
+)
+def page_link_graph(sf_dir: str):
+    """Web-graph construction: harvest the references-section outlinks of
+    every synthesized page (DOM parse, CSS-scoped to ``section.refs a``)
+    and tally host-level edges — the stage that builds the input for
+    graph_pagerank / dedup_components from raw pages. Per-batch edge
+    counts are pre-aggregated (the shuffle moves (src, dst, cnt) partials
+    bounded by hosts², never per-link rows), then a tiny groupby-Sum.
+    Link targets are the synthesizer's deterministic ``ref_targets`` so
+    the oracle rebuilds the edge list from pure arithmetic."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.sources.page_synth import host_for, render_html
+    from sciscraper_ray.stages.dom_select import select_links
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        src: list[str] = []
+        dst: list[str] = []
+        for i, t, lg in zip(ids, texts, langs):
+            page = render_html(int(i), t, lg, with_links=True).decode()
+            s = host_for(int(i))
+            for href, _anchor in select_links(page, "section.refs a"):
+                src.append(s)
+                dst.append(href.split("/")[2])
+        vc = (
+            pd.DataFrame({"src_host": src, "dst_host": dst})
+            .value_counts()
+            .rename("cnt")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    return (
+        _docs(sf_dir, columns=("doc_id", "text", "lang"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+    )
+
+
+@register(
+    "page_anchor_texts",
+    oracle=f"""
+    WITH links AS (
+        SELECT doc_id, unnest({_REF_TARGETS_SQL}) AS t FROM documents
+    )
+    SELECT doc_id,
+           'https://' || {_host_sql("t")} || '/html/doc-' || CAST(t AS VARCHAR)
+               AS dst_url,
+           'ref ' || CAST(t AS VARCHAR) AS anchor
+    FROM links
+    """,
+)
+def page_anchor_texts(sf_dir: str):
+    """Anchor-text corpus extraction: (source doc, destination url, anchor
+    text) triples from every page's reference links — the web-scale
+    query/title training-pair source (anchor text is the classic weak
+    label for the linked page). Same DOM harvest as page_link_graph but
+    exploded with provenance instead of aggregated; zero shuffle."""
+    from sciscraper_ray.sources.page_synth import render_html
+    from sciscraper_ray.stages.dom_select import select_links
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        out_id: list[int] = []
+        out_url: list[str] = []
+        out_anchor: list[str] = []
+        for i, t, lg in zip(ids, texts, langs):
+            page = render_html(int(i), t, lg, with_links=True).decode()
+            for href, anchor in select_links(page, "section.refs a"):
+                out_id.append(int(i))
+                out_url.append(href)
+                out_anchor.append(anchor)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "dst_url": pa.array(out_url, pa.string()),
+                "anchor": pa.array(out_anchor, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+_BOOL_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, ("join", "hash")),
+    (1, ("scan", "filter", "merge")),
+    (2, ("vector", "window")),
+)
+
+
+@register(
+    "doc_boolean_retrieval",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), qt(query_id, token) AS (VALUES {", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BOOL_QUERIES for t in terms
+    )}),
+    hits AS (
+        SELECT q.query_id, t.doc_id, count(DISTINCT t.token) AS k
+        FROM qt q JOIN toks t USING (token)
+        GROUP BY q.query_id, t.doc_id
+    ), need AS (
+        SELECT query_id, count(*) AS n FROM qt GROUP BY query_id
+    )
+    SELECT h.query_id, h.doc_id
+    FROM hits h JOIN need USING (query_id) WHERE h.k = need.n
+    """,
+)
+def doc_boolean_retrieval(sf_dir: str):
+    """Boolean AND retrieval (conjunctive posting intersection, the query
+    side of token_inverted_index): for a broadcast query set, emit every
+    (query, doc) where the doc contains ALL the query's terms. Per batch:
+    one vectorized is_in + parent-index scatter per DISTINCT query term
+    (terms, not docs, drive the loop), then a boolean AND across each
+    query's term-presence vectors — zero shuffle, documents stream once
+    for all queries together."""
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    terms = sorted({t for _, ts in _BOOL_QUERIES for t in ts})
+
+    def probe(batch: pa.Table) -> pa.Table:
+        tokens = tokenize_column(batch["text"])
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        flat = pc.list_flatten(tokens)
+        parents = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+        nb = len(batch)
+        present: dict[str, np.ndarray] = {}
+        for t in terms:
+            mask = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            hit = np.zeros(nb, bool)
+            hit[parents[mask]] = True
+            present[t] = hit
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_q: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        for qid, qterms in _BOOL_QUERIES:
+            keep = np.ones(nb, bool)
+            for t in qterms:
+                keep &= present[t]
+            out_q.append(np.full(int(keep.sum()), qid, np.int64))
+            out_d.append(ids[keep])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(probe, batch_format="pyarrow")
+
+
+@register(
+    "doc_iqr_filter",
+    oracle="""
+    WITH hist AS (
+        SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY n_chars
+    ), cum AS (
+        SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+               (SELECT SUM(c) FROM hist) AS n
+        FROM hist
+    ), q AS (
+        SELECT
+            (SELECT min(v) FROM cum WHERE cum >= CAST(ceil(n * 0.25) AS BIGINT)) AS q1,
+            (SELECT min(v) FROM cum WHERE cum >= CAST(ceil(n * 0.75) AS BIGINT)) AS q3
+        FROM cum LIMIT 1
+    )
+    SELECT d.doc_id, d.n_chars
+    FROM documents d, q
+    WHERE d.n_chars >= q.q1 - (3 * (q.q3 - q.q1)) // 2
+      AND d.n_chars <= q.q3 + (3 * (q.q3 - q.q1)) // 2
+    """,
+)
+def doc_iqr_filter(sf_dir: str):
+    """Tukey-fence outlier gate on document length (the robust
+    length-filter a corpus pipeline runs before training): exact Q1/Q3
+    from a value histogram — per-batch (value, count) partials, merged on
+    the driver (distinct lengths ≪ corpus), cumulative scan reads off the
+    smallest value with cum ≥ ceil(q·n) — then the integer Tukey fences
+    [Q1 - 3·IQR/2, Q3 + 3·IQR/2] broadcast into a zero-shuffle stream
+    filter. All-integer arithmetic end to end, so the oracle is exact."""
+    import pandas as pd
+    import ray
+
+    src = _docs(sf_dir, columns=("doc_id", "n_chars"))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        vc = batch["n_chars"].value_counts()
+        return pa.table({"v": vc.field("values"), "c": vc.field("counts")})
+
+    h = (
+        src.map_batches(hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("v", as_index=False)["c"]
+        .sum()
+        .sort_values("v")
+    )
+    n = int(h["c"].sum())
+    cum = h["c"].cumsum().to_numpy()
+    vals = h["v"].to_numpy()
+    q1 = int(vals[np.searchsorted(cum, -(-n // 4))])  # ceil(n/4)
+    q3 = int(vals[np.searchsorted(cum, -(-(3 * n) // 4))])
+    iqr = q3 - q1
+    lo, hi = q1 - (3 * iqr) // 2, q3 + (3 * iqr) // 2
+
+    def filt(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((v >= lo) & (v <= hi)))
+
+    return src.map_batches(filt, batch_format="pyarrow")
+
+
+_CHARSETS = ("utf-8", "latin-1", "utf-16")
+
+
+@register(
+    "page_charset_decode",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'latin-1'
+                ELSE 'utf-16' END AS charset,
+           text AS extracted_text
+    FROM documents
+    """,
+)
+def page_charset_decode(sf_dir: str):
+    """Charset-sniffing decode in front of main-content extraction — the
+    real-crawl concern the fixed-utf-8 page table hides: payload bytes
+    arrive in mixed encodings (here utf-8 / latin-1 / utf-16-LE-with-BOM,
+    declared by ``<meta charset>``; the footer's © makes the encodings
+    byte-distinct). The decode stage sniffs the BOM, else regex-scans the
+    first KB ASCII-compatibly for the meta declaration, decodes, then the
+    usual text-density extractor reproduces the ground-truth main content
+    byte-identically. One streaming pass, zero shuffle."""
+    import re as _re
+
+    from sciscraper_ray.sources.page_synth import render_html
+    from sciscraper_ray.stages.html_extract import extract_main_content
+
+    _meta_re = _re.compile(rb'<meta charset="([a-zA-Z0-9_-]+)"')
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        payloads: list[bytes] = []
+        for i, t, lg in zip(ids, texts, langs):
+            cs = _CHARSETS[int(i) % 3]
+            page = render_html(int(i), t, lg).decode("utf-8")
+            page = page.replace(
+                "<head>", f'<head><meta charset="{cs}">', 1
+            )
+            payloads.append(page.encode(cs))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def sniff_decode_extract(batch: pa.Table) -> pa.Table:
+        charsets: list[str] = []
+        texts: list[str] = []
+        for payload in batch["payload"].to_pylist():
+            if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
+                cs = "utf-16"
+            else:
+                m = _meta_re.search(payload[:1024])
+                cs = m.group(1).decode("ascii") if m else "utf-8"
+            charsets.append(cs)
+            text, _spans = extract_main_content(payload.decode(cs))
+            texts.append(text)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "charset": pa.array(charsets, pa.string()),
+                "extracted_text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=("doc_id", "text", "lang"))
+        .map_batches(build, batch_format="pyarrow")
+        .map_batches(sniff_decode_extract, batch_format="pyarrow")
+    )
+
+
+@register(
+    "sitemap_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           {_host_sql("doc_id")} AS host,
+           'https://' || {_host_sql("doc_id")} || '/html/doc-'
+               || CAST(doc_id AS VARCHAR) AS url,
+           strftime(DATE '2023-11-14' + CAST(doc_id % 30 AS INTEGER),
+                    '%Y-%m-%d') AS lastmod
+    FROM documents
+    """,
+)
+def sitemap_roundtrip(sf_dir: str):
+    """Sitemap XML write -> streaming parse round trip (the crawl-frontier
+    seed format; S-tier source coverage beyond parquet/CSV/txt/JSONL/WARC/
+    binary). The writer emits one ``<urlset>`` segment per (host, batch) —
+    real sitemap indexes chunk at 50k urls per file, so segments, not
+    hosts, are the parallelism unit (the warc.paths shape); the parser
+    fans out per segment. Lastmod dates derive from doc_id so the oracle
+    rebuilds every row arithmetically."""
+    import xml.etree.ElementTree as ET
+    from datetime import date, timedelta
+
+    from sciscraper_ray.sources.page_synth import host_for
+
+    _epoch = date(2023, 11, 14)
+
+    def write_segments(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        by_host: dict[str, list[int]] = {}
+        for i in ids:
+            by_host.setdefault(host_for(int(i)), []).append(int(i))
+        hosts: list[str] = []
+        xmls: list[str] = []
+        for h, members in sorted(by_host.items()):
+            entries = "".join(
+                f"<url><loc>https://{h}/html/doc-{i}</loc>"
+                f"<lastmod>{(_epoch + timedelta(days=i % 30)).isoformat()}</lastmod></url>"
+                for i in members
+            )
+            hosts.append(h)
+            xmls.append(
+                '<?xml version="1.0" encoding="UTF-8"?>'
+                f"<urlset>{entries}</urlset>"
+            )
+        return pa.table(
+            {"host": pa.array(hosts, pa.string()), "xml": pa.array(xmls, pa.string())}
+        )
+
+    def parse_segments(batch: pa.Table) -> pa.Table:
+        out_id: list[int] = []
+        out_host: list[str] = []
+        out_url: list[str] = []
+        out_mod: list[str] = []
+        for h, xml in zip(batch["host"].to_pylist(), batch["xml"].to_pylist()):
+            root = ET.fromstring(xml)
+            for u in root.findall("url"):
+                loc = u.findtext("loc")
+                out_id.append(int(loc.rsplit("-", 1)[1]))
+                out_host.append(h)
+                out_url.append(loc)
+                out_mod.append(u.findtext("lastmod"))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "host": pa.array(out_host, pa.string()),
+                "url": pa.array(out_url, pa.string()),
+                "lastmod": pa.array(out_mod, pa.string()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=("doc_id",))
+        .map_batches(write_segments, batch_format="pyarrow")
+        .map_batches(parse_segments, batch_format="pyarrow")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -52,17 +52,45 @@ def host_for(doc_id: int) -> str:
     return HOSTS[1 + doc_id % 5]
 
 
-def render_html(doc_id: int, text: str, lang: str) -> bytes:
+_LINK_MOD = 997  # cross-host outlink target space (dangling targets are
+# normal on the web; the modulus keeps targets derivable from doc_id alone)
+
+
+def ref_targets(doc_id: int) -> tuple[int, int]:
+    """The two deterministic cross-host outlink targets of a page
+    (with_links=True). Pure arithmetic on doc_id so link-graph oracles
+    reproduce the edge list from first principles."""
+    return (doc_id * 17 + 13) % _LINK_MOD, (doc_id * 29 + 7) % _LINK_MOD
+
+
+def render_html(
+    doc_id: int, text: str, lang: str, with_links: bool = False
+) -> bytes:
     """Known main-content text inside realistic boilerplate chrome.
 
     Content paragraphs are ~40-word chunks; the extractor's contract is to
     reproduce ``" ".join(chunks) == text`` byte-identically.
+
+    ``with_links`` (off by default — payload bytes of every existing
+    fixture are unchanged) appends a references section of deterministic
+    cross-host outlinks (``ref_targets``) before the footer: boilerplate
+    to the main-content extractor, ground truth for the link-graph /
+    anchor-text queries.
     """
     words = text.split(" ")
     paras = [
         "<p>" + html_mod.escape(" ".join(words[i : i + 40])) + "</p>"
         for i in range(0, len(words), 40)
     ]
+    refs = ""
+    if with_links:
+        t1, t2 = ref_targets(doc_id)
+        refs = (
+            '<section class="refs"><h3>references</h3>'
+            f'<a href="https://{host_for(t1)}/html/doc-{t1}">ref {t1}</a> '
+            f'<a href="https://{host_for(t2)}/html/doc-{t2}">ref {t2}</a>'
+            "</section>"
+        )
     doc = (
         "<!DOCTYPE html>"
         f'<html lang="{lang}"><head><title>Document {doc_id}</title>'
@@ -75,6 +103,7 @@ def render_html(doc_id: int, text: str, lang: str) -> bytes:
         + '<article id="main">'
         + "".join(paras)
         + "</article>"
+        + refs
         + _BOILER_FOOTER
         + "</body></html>"
     )

@@ -143,6 +143,19 @@ def select_attr(html: str, selector: str, attr: str) -> str | None:
     return nodes[0].attrs.get(attr) if nodes else None
 
 
+def select_links(html: str, selector: str = "a") -> list[tuple[str | None, str]]:
+    """(href, anchor text) for EVERY node matched by ``selector`` in
+    document order — the multi-match sibling of select_text/select_attr
+    (link harvesting for outlink graphs / anchor-text corpora); one parse
+    per document."""
+    builder = _TreeBuilder()
+    builder.feed(html)
+    return [
+        (n.attrs.get("href"), n.text())
+        for n in _select(builder.root, _parse_selector(selector))
+    ]
+
+
 def find_download_link(html: str) -> str | None:
     """BulkPDFScraper's button probe: ``#buttons button:nth-child(1)`` ->
     onclick (downloaders.py:215-230)."""
