@@ -1135,8 +1135,23 @@ def _with_copies(sf_dir: str, mod: int, offset: int, drop_last_word: bool):
     # Materialized once: every dedup consumer reads the corpus twice
     # (key/band pass + verify/filter pass); a computed union graph would
     # re-execute per pass. For a real corpus the input is parquet and each
-    # pass is an independent pruned read instead.
-    return ds.union(ds.map_batches(make_copies, batch_format="pyarrow")).materialize()
+    # pass is an independent pruned read instead. The repartition compacts
+    # the union's pathological block layout (Ray splits the small fixture
+    # file for parallelism, then union doubles it: ~45-row blocks, so every
+    # downstream pass paid ~128 task dispatches of overhead for microseconds
+    # of work each) — fixture-shape-only concern; real parquet reads block
+    # at row-group granularity. Block count sized off the free parquet
+    # metadata row bound (~500 rows/block, capped at 64).
+    from sciscraper_ray.pipelines.plan import parquet_row_bound
+
+    base = parquet_row_bound(f"{sf_dir}/documents.parquet") or 0
+    total = base + base // mod + 1
+    nblocks = max(1, min(64, total // 500))
+    return (
+        ds.union(ds.map_batches(make_copies, batch_format="pyarrow"))
+        .repartition(nblocks)
+        .materialize()
+    )
 
 
 def _md5_hex15_sql(expr: str) -> str:
@@ -8123,6 +8138,78 @@ def sitemap_roundtrip(sf_dir: str):
         _docs(sf_dir, columns=("doc_id",))
         .map_batches(write_segments, batch_format="pyarrow")
         .map_batches(parse_segments, batch_format="pyarrow")
+    )
+
+
+@register(
+    "redirect_resolve",
+    oracle="""
+    WITH RECURSIVE chase(src, cur, d) AS (
+        SELECT doc_id, doc_id, 0 FROM documents
+        UNION ALL
+        SELECT src, cur - 1, d + 1 FROM chase WHERE cur % 4 <> 0
+    )
+    SELECT src AS doc_id, CAST(cur AS BIGINT) AS terminal_id,
+           CAST(d AS BIGINT) AS hops
+    FROM chase WHERE cur % 4 = 0
+    """,
+)
+def redirect_resolve(sf_dir: str):
+    """Redirect-chain resolution to the terminal URL — the crawl-graph
+    normalization every frontier needs before dedup (3xx hops, URL
+    shorteners, www/apex canonical moves). The redirect map here is one
+    row per URL (corpus-sized: NEITHER side broadcasts), so resolution is
+    POINTER DOUBLING: start from the one-hop map f(u) (terminals map to
+    themselves with 0 hops) and iterate f <- f∘f via the co-partitioned
+    ``bucketed_hash_join`` — each round squares the resolved distance and
+    sums hop counts, so ceil(log2(max_chain)) all-to-all rounds replace a
+    max_chain-step sequential chase. Chains here are <= 3 hops
+    (synthesized: url with doc_id % 4 != 0 redirects to doc_id - 1), so
+    TWO rounds reach the fixpoint; the oracle chases the same map with a
+    recursive CTE, so transitivity itself is value-checked. Partitioning
+    assumption: the hop key is near-uniform (hash-mixed in the join), so
+    no bucket concentrates; one straggler chain costs rounds, not skew."""
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+
+    def one_hop(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        redirects = ids % 4 != 0
+        return pa.table(
+            {
+                "src": pa.array(ids),
+                "cur": pa.array(np.where(redirects, ids - 1, ids)),
+                "hops": pa.array(redirects.astype(np.int64)),
+            }
+        )
+
+    f = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        one_hop, batch_format="pyarrow"
+    )
+    for _round in range(2):  # ceil(log2(3 hops)) = 2 doubling rounds
+        # f is total (terminals self-map), so the inner equi-join on
+        # cur = src2 matches every row and composes hop counts exactly.
+        right = f.map_batches(
+            lambda b: b.rename_columns(["src2", "cur2", "hops2"]),
+            batch_format="pyarrow",
+        )
+        joined = bucketed_hash_join(
+            f, right, left_on="cur", right_on="src2", num_buckets=32
+        )
+
+        def compose(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src": batch["src"],
+                    "cur": batch["cur2"],
+                    "hops": pc.add(batch["hops"], batch["hops2"]),
+                }
+            )
+
+        f = joined.map_batches(compose, batch_format="pyarrow")
+
+    return f.map_batches(
+        lambda b: b.rename_columns(["doc_id", "terminal_id", "hops"]),
+        batch_format="pyarrow",
     )
 
 
