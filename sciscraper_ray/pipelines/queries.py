@@ -8213,6 +8213,378 @@ def redirect_resolve(sf_dir: str):
     )
 
 
+_TEASER_MOD = 9
+_TEASER_OFFSET = 500_000
+_TEASER_FRAC = 0.4
+_TEASER_CONTAIN = 0.9
+
+
+@register(
+    "dedup_teaser_prefix",
+    oracle=f"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_TEASER_OFFSET},
+               array_to_string(list_slice(
+                   string_split(text, ' '), 1,
+                   CAST(ceil({_TEASER_FRAC} * len(string_split(text, ' ')))
+                        AS BIGINT)), ' ')
+        FROM documents WHERE doc_id % {_TEASER_MOD} = 0
+    ),
+    toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS lst
+        FROM all_docs
+    ),
+    heads AS (
+        SELECT doc_id, array_to_string(list_slice(lst, 1, 3), ' ') AS head
+        FROM toks
+    ),
+    grams AS (
+        SELECT doc_id,
+        CASE WHEN len(lst) < 3 THEN [array_to_string(lst, ' ')]
+             ELSE list_transform(range(1, len(lst) - 1),
+                                 i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2])
+        END AS shl
+        FROM toks
+    ),
+    sh AS (SELECT DISTINCT doc_id, unnest(shl) AS g FROM grams),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (
+        SELECT x.doc_id AS p, y.doc_id AS q
+        FROM heads x JOIN heads y ON x.head = y.head AND x.doc_id < y.doc_id
+    ),
+    oriented AS (
+        SELECT CASE WHEN sp.n < sq.n OR (sp.n = sq.n AND p < q)
+                    THEN p ELSE q END AS a,
+               CASE WHEN sp.n < sq.n OR (sp.n = sq.n AND p < q)
+                    THEN q ELSE p END AS b
+        FROM cand
+        JOIN sizes sp ON sp.doc_id = p
+        JOIN sizes sq ON sq.doc_id = q
+    ),
+    inter AS (
+        SELECT o.a, o.b, count(*) AS i
+        FROM oriented o
+        JOIN sh x ON x.doc_id = o.a
+        JOIN sh y ON y.doc_id = o.b AND y.g = x.g
+        GROUP BY o.a, o.b
+    )
+    SELECT a, b FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    WHERE i * 1.0 / sa.n >= {_TEASER_CONTAIN}
+    """,
+)
+def dedup_teaser_prefix(sf_dir: str):
+    """Prefix-teaser containment dedup — the AMP/mobile/teaser-page case
+    near-dup Jaccard misses: an excerpt sharing only ~40% of its source's
+    shingles has Jaccard ~0.4 (invisible at the 0.8 LSH threshold) but
+    shingle CONTAINMENT ~1.0. Candidates block on the document HEAD
+    fingerprint (128-bit hash of the first 3 tokens) — deterministic and
+    complete for prefix excerpts, the declared contract (general
+    substring containment is doc_dup_substrings' job) — through the same
+    two-plan ``_candidate_pairs`` machinery as MinHash; each candidate
+    pair is exact-verified |S(a)∩S(b)|/|S(a)| >= 0.9 with a = the
+    smaller-shingle-set side, texts fetched broadcast-small-side.
+    Emits oriented (a=contained, b=container) pairs; the oracle
+    recomputes head-blocked containment from first principles."""
+    import math
+
+    from sciscraper_ray.kernels.tokenize import format_manuscript
+    from sciscraper_ray.pipelines.dedup import _candidate_pairs, _texts_for
+    from sciscraper_ray.pipelines.plan import parquet_row_bound
+    from sciscraper_ray.stages.dedup import md5_hash128_batch, word_shingles
+
+    ds = _docs(sf_dir)
+
+    def make_teasers(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % _TEASER_MOD == 0
+        texts = []
+        for t, k in zip(batch["text"].to_pylist(), keep):
+            if k:
+                words = t.split(" ")
+                texts.append(
+                    " ".join(words[: math.ceil(_TEASER_FRAC * len(words))])
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    (ids[keep] + _TEASER_OFFSET).tolist(), pa.int64()
+                ),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    corpus = (
+        ds.union(ds.map_batches(make_teasers, batch_format="pyarrow"))
+        .repartition(
+            max(
+                1,
+                min(
+                    64,
+                    ((parquet_row_bound(f"{sf_dir}/documents.parquet") or 0))
+                    // 500,
+                ),
+            )
+        )
+        .materialize()
+    )
+
+    def head_rows(batch: pa.Table) -> pa.Table:
+        heads = [
+            " ".join(format_manuscript(t)[:3]) for t in batch["text"].to_pylist()
+        ]
+        tbl = pa.table(
+            {"doc_id": batch["doc_id"], "head": pa.array(heads, pa.string())}
+        )
+        hi, lo, _valid = md5_hash128_batch(tbl, "head")
+        return pa.table(
+            {"doc_id": tbl["doc_id"], "h_hi": pa.array(hi), "h_lo": pa.array(lo)}
+        )
+
+    banded = corpus.map_batches(head_rows, batch_format="pyarrow")
+    pairs = _candidate_pairs(banded, ["h_hi", "h_lo"])
+    if pairs.empty:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    texts = _texts_for(
+        corpus, np.unique(pairs[["a", "b"]].to_numpy()), "doc_id", "text"
+    )
+    shingles = {
+        i: set(word_shingles(format_manuscript(t), 3).tolist())
+        for i, t in texts.items()
+    }
+    out_a: list[int] = []
+    out_b: list[int] = []
+    for p, q in zip(pairs["a"], pairs["b"]):
+        sp, sq = shingles[p], shingles[q]
+        a, b = (p, q) if (len(sp), p) < (len(sq), q) else (q, p)
+        sa, sb = shingles[a], shingles[b]
+        if len(sa & sb) / len(sa) >= _TEASER_CONTAIN:
+            out_a.append(int(a))
+            out_b.append(int(b))
+    return pa.table(
+        {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())}
+    )
+
+
+@register(
+    "host_topk_docs",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, n_chars, {_host_sql("doc_id")} AS host,
+               row_number() OVER (
+                   PARTITION BY {_host_sql("doc_id")}
+                   ORDER BY n_chars DESC, doc_id
+               ) AS r
+        FROM documents
+    )
+    SELECT host, doc_id, n_chars, CAST(r AS BIGINT) AS rank
+    FROM ranked WHERE r <= 3
+    """,
+)
+def host_topk_docs(sf_dir: str, plan: str = "auto"):
+    """Per-host top-3 documents by length — grouped top-k WITHOUT a
+    global sort or per-host map_groups: each batch keeps at most 3 rows
+    per host (vectorized lexsort + segment-boundary take), so the merge
+    input is bounded by 3 x hosts x blocks regardless of corpus size and
+    hot hosts (mega.example.org holds 30% of rows) are defused before
+    any exchange. The merge itself is two-plan: driver pandas under the
+    row limit, else one groupby-free repeat of the same partial pass
+    after a hash repartition on host."""
+    import pandas as pd
+
+    from sciscraper_ray.pipelines.plan import (
+        DRIVER_PLAN_LIMIT,
+        driver_frame,
+        resolve_plan,
+    )
+    from sciscraper_ray.sources.page_synth import host_for
+
+    K = 3
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch["n_chars"].to_numpy(zero_copy_only=False)
+        hosts = np.array([host_for(int(i)) for i in ids])
+        order = np.lexsort((ids, -n, hosts))
+        h_s = hosts[order]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        pos = np.arange(len(h_s)) - np.repeat(starts, np.diff(np.r_[starts, len(h_s)]))
+        keep = order[pos < K]
+        return pa.table(
+            {
+                "host": pa.array(hosts[keep]),
+                "doc_id": pa.array(ids[keep]),
+                "n_chars": pa.array(n[keep]),
+            }
+        )
+
+    partials = _docs(sf_dir, columns=("doc_id", "n_chars")).map_batches(
+        partial_topk, batch_format="pyarrow"
+    )
+    mode, partials = resolve_plan(partials, plan)
+    if mode == "driver":
+        df = driver_frame(partials, DRIVER_PLAN_LIMIT, "host_topk_docs")
+    else:
+        # beyond driver memory: ONE bounded-cardinality exchange — hosts
+        # hash into 32 buckets (the window family's bucket-then-vectorize
+        # shape: group count is O(buckets), not O(hosts)), each bucket's
+        # partial rows merge with the identical vectorized take
+        def tag_bucket(b: pa.Table) -> pa.Table:
+            import zlib
+
+            # process-independent hash: Python's hash() is salted per
+            # worker, which would split one host across buckets
+            h = np.array(
+                [zlib.crc32(x.encode()) for x in b["host"].to_pylist()],
+                np.int64,
+            )
+            return b.append_column("__bucket", pa.array(h % 32))
+
+        reduced = (
+            partials.map_batches(tag_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(
+                lambda t: partial_topk_merge(t.drop_columns(["__bucket"])),
+                batch_format="pyarrow",
+            )
+        )
+        df = reduced.to_pandas()
+    df = df.sort_values(
+        ["host", "n_chars", "doc_id"], ascending=[True, False, True]
+    )
+    df["rank"] = df.groupby("host").cumcount() + 1
+    out = df[df["rank"] <= K].reset_index(drop=True)
+    return out[["host", "doc_id", "n_chars", "rank"]]
+
+
+def partial_topk_merge(batch: pa.Table) -> pa.Table:
+    """host_topk_docs' shuffle-plan reducer: same vectorized per-host
+    take over co-located partial rows (host column already present)."""
+    hosts = batch["host"].to_numpy(zero_copy_only=False)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    n = batch["n_chars"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -n, hosts))
+    h_s = hosts[order]
+    starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+    pos = np.arange(len(h_s)) - np.repeat(starts, np.diff(np.r_[starts, len(h_s)]))
+    keep = order[pos < 3]
+    return pa.table(
+        {
+            "host": pa.array(hosts[keep]),
+            "doc_id": pa.array(ids[keep]),
+            "n_chars": pa.array(n[keep]),
+        }
+    )
+
+
+@register(
+    "page_meta_extract",
+    oracle="""
+    SELECT doc_id,
+           'Document ' || CAST(doc_id AS VARCHAR) AS title,
+           lang AS html_lang
+    FROM documents
+    """,
+)
+def page_meta_extract(sf_dir: str):
+    """Page-metadata harvest through the DOM engine (the trafilatura-shaped
+    metadata pull that runs beside main-content extraction): <title> text
+    and the <html lang> attribute, one parse per page, zero shuffle. The
+    fixture pages carry both deterministically so the oracle rebuilds the
+    table arithmetically."""
+    from sciscraper_ray.sources.page_synth import render_html
+    from sciscraper_ray.stages.dom_select import select_attr, select_text
+
+    def harvest(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        titles: list[str] = []
+        langs: list[str] = []
+        for i, t, lg in zip(
+            ids, batch["text"].to_pylist(), batch["lang"].to_pylist()
+        ):
+            page = render_html(int(i), t, lg).decode()
+            titles.append(select_text(page, "title") or "")
+            langs.append(select_attr(page, "html", "lang") or "")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "title": pa.array(titles, pa.string()),
+                "html_lang": pa.array(langs, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+        harvest, batch_format="pyarrow"
+    )
+
+
+@register(
+    "doc_length_median_by_lang",
+    oracle="""
+    WITH hist AS (
+        SELECT lang, n_chars AS v, count(*) AS c
+        FROM documents GROUP BY lang, n_chars
+    ),
+    cum AS (
+        SELECT lang, v,
+               SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+               SUM(c) OVER (PARTITION BY lang) AS n
+        FROM hist
+    ),
+    med AS (
+        SELECT lang, min(v) AS m FROM cum
+        WHERE cum >= CAST(ceil(n * 0.5) AS BIGINT)
+        GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN med USING (lang)
+    WHERE d.n_chars >= med.m
+    """,
+)
+def doc_length_median_by_lang(sf_dir: str):
+    """GROUP-RELATIVE quality gate: keep documents at or above their own
+    language's exact median length — the per-language thresholding a
+    multilingual corpus needs (a global cut silently drops whole
+    languages whose documents run short). Exact grouped medians from
+    (lang, length, count) histogram partials — distinct (lang, length)
+    pairs ≪ corpus, merged driver-side like doc_iqr_filter — then the
+    per-lang thresholds broadcast into one zero-shuffle stream filter."""
+    src = _docs(sf_dir, columns=("doc_id", "lang", "n_chars"))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        df = (
+            batch.select(["lang", "n_chars"])
+            .to_pandas()
+            .value_counts()
+            .rename("c")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    h = (
+        src.map_batches(hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["lang", "n_chars"], as_index=False)["c"]
+        .sum()
+        .sort_values(["lang", "n_chars"])
+    )
+    thresholds: dict[str, int] = {}
+    for lang, grp in h.groupby("lang"):
+        n = int(grp["c"].sum())
+        cum = grp["c"].cumsum().to_numpy()
+        vals = grp["n_chars"].to_numpy()
+        thresholds[lang] = int(vals[np.searchsorted(cum, -(-n // 2))])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy(zero_copy_only=False)
+        m = np.array([thresholds[lg] for lg in batch["lang"].to_pylist()])
+        return batch.filter(pa.array(v >= m))
+
+    return src.map_batches(filt, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: least-recently-driver-checked first
 # --------------------------------------------------------------------------

@@ -205,3 +205,47 @@ def test_link_graph_edges_match_arithmetic(ray_session):
     }
     assert got == edges
     assert int(out["cnt"].sum()) == 2 * len(docs)
+
+def test_redirect_resolve_pointer_doubling(ray_session):
+    out = QUERIES["redirect_resolve"](SF).to_pandas()
+    docs = _docs()
+    assert len(out) == len(docs)
+    # terminal = doc_id - (doc_id % 4), hops = doc_id % 4 — but computed
+    # via two co-partitioned join rounds, which this checks transitively
+    assert (out["terminal_id"] == out["doc_id"] - out["doc_id"] % 4).all()
+    assert (out["hops"] == out["doc_id"] % 4).all()
+    assert (out["terminal_id"] % 4 == 0).all()
+
+
+def test_teaser_prefix_finds_every_injected_excerpt(ray_session):
+    from sciscraper_ray.pipelines.queries import (
+        _TEASER_MOD,
+        _TEASER_OFFSET,
+    )
+
+    out = QUERIES["dedup_teaser_prefix"](SF).to_pandas()
+    docs = _docs()
+    sources = docs["doc_id"][docs["doc_id"] % _TEASER_MOD == 0]
+    got = set(zip(out["a"], out["b"]))
+    for s in sources:
+        assert (s + _TEASER_OFFSET, s) in got  # excerpt oriented as contained
+    # orientation invariant: contained side never has MORE shingles
+    assert (out["a"] != out["b"]).all()
+
+
+def test_host_topk_plan_parity(ray_session):
+    drv = QUERIES["host_topk_docs"](SF, plan="driver")
+    shf = QUERIES["host_topk_docs"](SF, plan="shuffle")
+    assert drv.reset_index(drop=True).equals(shf.reset_index(drop=True))
+    assert drv.groupby("host").size().max() <= 3
+
+
+def test_length_median_by_lang_matches_pandas(ray_session):
+    out = QUERIES["doc_length_median_by_lang"](SF).to_pandas()
+    docs = _docs()
+    keep = []
+    for lang, grp in docs.groupby("lang"):
+        v = np.sort(grp["n_chars"].to_numpy())
+        med = int(v[-(-len(v) // 2) - 1])  # smallest value with cum >= ceil(n/2)
+        keep.extend(grp["doc_id"][grp["n_chars"] >= med])
+    assert sorted(out["doc_id"]) == sorted(keep)
