@@ -2064,7 +2064,19 @@ def dedup_simhash(sf_dir: str):
             }
         )
 
-    ds = base.union(base.map_batches(make_copies, batch_format="pyarrow"))
+    from sciscraper_ray.pipelines.plan import parquet_row_bound
+
+    # same fixture-block compaction as _with_copies: the lazy union's
+    # ~45-row blocks would be re-executed by all three downstream passes
+    # (signature, banding, verify fetch) at ~task-dispatch cost per block
+    nblocks = max(
+        1, min(64, (parquet_row_bound(f"{sf_dir}/documents.parquet") or 0) // 500)
+    )
+    ds = (
+        base.union(base.map_batches(make_copies, batch_format="pyarrow"))
+        .repartition(nblocks)
+        .materialize()
+    )
     return near_dup_pairs_simhash(ds, max_hamming=3)
 
 
@@ -8583,6 +8595,252 @@ def doc_length_median_by_lang(sf_dir: str):
         return batch.filter(pa.array(v >= m))
 
     return src.map_batches(filt, batch_format="pyarrow")
+
+
+_CRAWL_BUDGET = 40  # fetches per host per politeness wave
+_CRAWL_RANGE_W = 256  # doc-id range width per rank bucket
+
+
+@register(
+    "crawl_schedule_waves",
+    oracle=f"""
+    SELECT doc_id, {_host_sql("doc_id")} AS host,
+           CAST((row_number() OVER (
+                    PARTITION BY {_host_sql("doc_id")} ORDER BY doc_id
+                ) - 1) // {_CRAWL_BUDGET} AS BIGINT) AS wave
+    FROM documents
+    """,
+)
+def crawl_schedule_waves(sf_dir: str):
+    """Politeness-window crawl scheduling: every URL gets its host-local
+    fetch rank (priority = doc_id order) and wave = rank // budget — the
+    frontier partitioner that caps per-host request rates. Exact ranks
+    WITHOUT a global sort, distributed-rank by offset composition:
+
+      pass 1  per-batch (host, id-range-bucket, count) histogram partials
+              -> driver exclusive prefix sums (rows = hosts x ranges seen,
+              ≪ corpus) give each (host, range)'s starting rank;
+      pass 2  one bounded-cardinality exchange co-locates each (host,
+              range) — hash into 32 groups, the window family's
+              bucket-then-vectorize shape — then segment-relative
+              positions (lexsort + np.diff boundaries) add to the
+              broadcast offsets.
+
+    Skew-safe by construction: mega.example.org (30% of the corpus)
+    splits across id ranges, so no single group concentrates."""
+    import zlib
+
+    import ray
+
+    from sciscraper_ray.sources.page_synth import host_for
+
+    src = _docs(sf_dir, columns=("doc_id",))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hosts = np.array([host_for(int(i)) for i in ids])
+        rng = ids // _CRAWL_RANGE_W
+        import pandas as pd
+
+        vc = (
+            pd.DataFrame({"host": hosts, "rng": rng})
+            .value_counts()
+            .rename("c")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    h = (
+        src.map_batches(hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["host", "rng"], as_index=False)["c"]
+        .sum()
+        .sort_values(["host", "rng"])
+    )
+    cum = h.groupby("host")["c"].cumsum() - h["c"]
+    offsets = {
+        (r.host, int(r.rng)): int(o)
+        for r, o in zip(h.itertuples(index=False), cum)
+    }
+    offsets_ref = ray.put(offsets)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hosts = np.array([host_for(int(i)) for i in ids])
+        crc = np.array([zlib.crc32(x.encode()) for x in hosts], np.int64)
+        grp = (crc * np.int64(1_000_003) + ids // _CRAWL_RANGE_W) % 32
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "host": pa.array(hosts),
+                "__grp": pa.array(grp),
+            }
+        )
+
+    def rank_group(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        hosts = np.asarray(tbl["host"].to_pylist())
+        rng = ids // _CRAWL_RANGE_W
+        order = np.lexsort((ids, rng, hosts))
+        h_s, r_s, i_s = hosts[order], rng[order], ids[order]
+        new_seg = np.r_[True, (h_s[1:] != h_s[:-1]) | (r_s[1:] != r_s[:-1])]
+        starts = np.flatnonzero(new_seg)
+        pos = np.arange(len(i_s)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(i_s)])
+        )
+        offs = ray.get(offsets_ref)
+        off = np.array(
+            [offs[(h, int(r))] for h, r in zip(h_s[starts], r_s[starts])],
+            np.int64,
+        )
+        rank = np.repeat(off, np.diff(np.r_[starts, len(i_s)])) + pos
+        return pa.table(
+            {
+                "doc_id": pa.array(i_s),
+                "host": pa.array(h_s),
+                "wave": pa.array(rank // _CRAWL_BUDGET),
+            }
+        )
+
+    return (
+        src.map_batches(tag, batch_format="pyarrow")
+        .groupby("__grp")
+        .map_groups(
+            lambda t: rank_group(t.drop_columns(["__grp"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+@register(
+    "host_triangle_count",
+    oracle=f"""
+    WITH links AS (
+        SELECT doc_id, unnest({_REF_TARGETS_SQL}) AS t FROM documents
+    ),
+    e0 AS (
+        SELECT DISTINCT {_host_sql("doc_id")} AS u, {_host_sql("t")} AS v
+        FROM links WHERE {_host_sql("doc_id")} <> {_host_sql("t")}
+    ),
+    e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e0)
+    SELECT CAST(count(*) AS BIGINT) AS triangles
+    FROM e x
+    JOIN e y ON y.a = x.b
+    JOIN e z ON z.a = x.a AND z.b = y.b
+    """,
+)
+def host_triangle_count(sf_dir: str):
+    """Triangle count on the undirected host link graph — the graph-health
+    statistic (clustering) computed after page_link_graph's harvest. The
+    corpus-sized link stream collapses to DISTINCT undirected host edges
+    via per-batch dedup partials + one groupby (edge table ≪ corpus — the
+    declared assumption for a host-level graph; a node-level triangle
+    count would need degree-ordered wedge joins instead), then the
+    triangle join runs vectorized on the driver-resident edge list."""
+    import pandas as pd
+
+    from sciscraper_ray.sources.page_synth import host_for, ref_targets
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        seen: set[tuple[str, str]] = set()
+        for i in ids:
+            s = host_for(int(i))
+            for t in ref_targets(int(i)):
+                d = host_for(t)
+                if s != d:
+                    seen.add((min(s, d), max(s, d)))
+        a, b = zip(*sorted(seen)) if seen else ((), ())
+        return pa.table(
+            {"a": pa.array(list(a), pa.string()), "b": pa.array(list(b), pa.string())}
+        )
+
+    edges = (
+        _docs(sf_dir, columns=("doc_id",))
+        .map_batches(edge_partials, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates(ignore_index=True)
+    )
+    em = set(zip(edges["a"], edges["b"]))
+    # x=(a,b), y=(b,c): closing edge (a,c) — vectorized merge then set probe
+    m = edges.merge(edges, left_on="b", right_on="a", suffixes=("_x", "_y"))
+    n = sum(
+        1
+        for ax, by in zip(m["a_x"], m["b_y"])
+        if (ax, by) in em
+    )
+    return pa.table({"triangles": pa.array([n], pa.int64())})
+
+
+@register(
+    "top_tokens_by_lang",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    counts AS (
+        SELECT lang, token, count(*) AS cnt FROM toks GROUP BY lang, token
+    ),
+    ranked AS (
+        SELECT lang, token, cnt,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY cnt DESC, token
+               ) AS r
+        FROM counts
+    )
+    SELECT lang, token, cnt, CAST(r AS BIGINT) AS rank
+    FROM ranked WHERE r <= 5
+    """,
+)
+def top_tokens_by_lang(sf_dir: str, plan: str = "auto"):
+    """GROUPED top-k aggregate: the 5 most frequent tokens per language —
+    the per-stratum vocabulary summary a multilingual corpus report needs.
+    Per-batch (lang, token) count partials (vocabulary x langs x batches
+    rows, Heaps'-law small) through the shared two-plan merge; the final
+    per-lang take is the same vectorized lexsort + segment-boundary
+    pattern as host_topk_docs."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+    from sciscraper_ray.pipelines.plan import (
+        DRIVER_PLAN_LIMIT,
+        driver_frame,
+        resolve_plan,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens = tokenize_column(batch["text"])
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        flat = pc.list_flatten(tokens)
+        parents = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+        langs = np.asarray(batch["lang"].to_pylist())[parents]
+        df = (
+            pd.DataFrame({"lang": langs, "token": flat.to_pylist()})
+            .value_counts()
+            .rename("cnt")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = _docs(sf_dir, columns=("lang", "text")).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    mode, partials = resolve_plan(partials, plan)
+    if mode == "driver":
+        df = driver_frame(partials, DRIVER_PLAN_LIMIT, "top_tokens_by_lang")
+        agg = df.groupby(["lang", "token"], as_index=False)["cnt"].sum()
+    else:
+        agg = (
+            partials.groupby(["lang", "token"])
+            .aggregate(Sum(on="cnt", alias_name="cnt"))
+            .to_pandas()
+        )
+    agg = agg.sort_values(["lang", "cnt", "token"], ascending=[True, False, True])
+    agg["rank"] = agg.groupby("lang").cumcount() + 1
+    out = agg[agg["rank"] <= 5].reset_index(drop=True)
+    return out[["lang", "token", "cnt", "rank"]]
 
 
 # --------------------------------------------------------------------------

@@ -249,3 +249,46 @@ def test_length_median_by_lang_matches_pandas(ray_session):
         med = int(v[-(-len(v) // 2) - 1])  # smallest value with cum >= ceil(n/2)
         keep.extend(grp["doc_id"][grp["n_chars"] >= med])
     assert sorted(out["doc_id"]) == sorted(keep)
+
+def test_crawl_waves_match_pandas_rank(ray_session):
+    from sciscraper_ray.pipelines.queries import _CRAWL_BUDGET
+
+    out = QUERIES["crawl_schedule_waves"](SF).to_pandas()
+    docs = _docs()
+    hosts = docs["doc_id"].map(lambda i: host_for(int(i)))
+    exp = (
+        pd.DataFrame({"doc_id": docs["doc_id"], "host": hosts})
+        .sort_values(["host", "doc_id"])
+        .assign(wave=lambda d: d.groupby("host").cumcount() // _CRAWL_BUDGET)
+    )
+    merged = out.merge(exp, on=["doc_id", "host"], suffixes=("", "_exp"))
+    assert len(merged) == len(docs)
+    assert (merged["wave"] == merged["wave_exp"]).all()
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    out = QUERIES["host_triangle_count"](SF).to_pandas()
+    docs = _docs()
+    edges = set()
+    for i in docs["doc_id"]:
+        s = host_for(int(i))
+        for t in ref_targets(int(i)):
+            d = host_for(t)
+            if s != d:
+                edges.add((min(s, d), max(s, d)))
+    nodes = sorted({x for e in edges for x in e})
+    n = 0
+    for ai in range(len(nodes)):
+        for bi in range(ai + 1, len(nodes)):
+            for ci in range(bi + 1, len(nodes)):
+                a, b, c = nodes[ai], nodes[bi], nodes[ci]
+                if (a, b) in edges and (b, c) in edges and (a, c) in edges:
+                    n += 1
+    assert out["triangles"].iloc[0] == n
+
+
+def test_top_tokens_by_lang_plan_parity(ray_session):
+    drv = QUERIES["top_tokens_by_lang"](SF, plan="driver")
+    shf = QUERIES["top_tokens_by_lang"](SF, plan="shuffle")
+    assert drv.reset_index(drop=True).equals(shf.reset_index(drop=True))
+    assert drv.groupby("lang").size().max() <= 5
