@@ -8873,12 +8873,37 @@ _DRIVER_CHECKED_R02 = (
 )
 
 
+# Round-3 additions: never checked by ANY driver run (the 62 round-2
+# entries outside the r02 sample were at least re-verified by the judge
+# with the same gate), so they go to the very front of the prefix.
+_ROUND3_NEW = (
+    "redirect_resolve", "dedup_teaser_prefix", "host_topk_docs",
+    "page_meta_extract", "doc_length_median_by_lang",
+    "crawl_schedule_waves", "host_triangle_count", "top_tokens_by_lang",
+    "doc_boilerplate_strip", "page_link_graph", "page_anchor_texts",
+    "doc_boolean_retrieval", "doc_iqr_filter", "page_charset_decode",
+    "sitemap_roundtrip", "scholar_paginate", "doc_bm25_topk",
+    "doc_lr_score", "token_inverted_index", "warc_roundtrip",
+    "url_robots_filter", "token_pair_counts", "doc_mixture_quota",
+    "doc_unigram_freq_score", "events_latest_k",
+)
+
+
 def _rotate_registry() -> None:
-    for name in _DRIVER_CHECKED_R02:
-        if name in QUERIES:
-            QUERIES[name] = QUERIES.pop(name)
-        if name in ORACLE:
-            ORACLE[name] = ORACLE.pop(name)
+    """Rebuild both registries in the order: round-3-new, then
+    round-2-unchecked (registration order), then r02-driver-checked."""
+    def reorder(d: dict) -> dict:
+        front = [n for n in _ROUND3_NEW if n in d]
+        back = [n for n in _DRIVER_CHECKED_R02 if n in d]
+        mid = [n for n in d if n not in set(front) | set(back)]
+        return {n: d[n] for n in front + mid + back}
+
+    qs = reorder(QUERIES)
+    QUERIES.clear()
+    QUERIES.update(qs)
+    osq = reorder(ORACLE)
+    ORACLE.clear()
+    ORACLE.update(osq)
 
 
 _rotate_registry()
