@@ -68,7 +68,10 @@ def exact_dedup(
 
 
 def _candidate_pairs(
-    banded: ray.data.Dataset, keys: list[str], pair_mode: str = "auto"
+    banded: ray.data.Dataset,
+    keys: list[str],
+    pair_mode: str = "auto",
+    est_rows: int | None = None,
 ) -> pd.DataFrame:
     """LSH buckets -> distinct unordered candidate id pairs.
 
@@ -90,7 +93,7 @@ def _candidate_pairs(
         resolve_plan,
     )
 
-    pair_mode, banded = resolve_plan(banded, pair_mode)
+    pair_mode, banded = resolve_plan(banded, pair_mode, est_rows=est_rows)
     if pair_mode == "shuffle":
         pairs = (
             banded.groupby(keys)
@@ -160,8 +163,13 @@ def near_dup_pairs_minhash(
     bands: int = 16,
     k: int = 3,
     pair_mode: str = "auto",
+    est_input_rows: int | None = None,
 ) -> pa.Table:
     """MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
+
+    ``est_input_rows``: free UPPER BOUND on input rows (parquet metadata);
+    band rows = rows x bands exactly, so the plan flip needs no
+    materialize barrier when the caller can bound the read.
 
     Returns (a, b) with word-k-gram-shingle Jaccard >= threshold, a < b.
     """
@@ -174,7 +182,12 @@ def near_dup_pairs_minhash(
         ),
         batch_format="pyarrow",
     )
-    pairs = _candidate_pairs(banded, ["band_id", "band_hash"], pair_mode)
+    pairs = _candidate_pairs(
+        banded,
+        ["band_id", "band_hash"],
+        pair_mode,
+        est_rows=None if est_input_rows is None else est_input_rows * bands,
+    )
     if pairs.empty:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     texts = _texts_for(ds, np.unique(pairs[["a", "b"]].to_numpy()), id_col, text_col)
@@ -236,7 +249,10 @@ def near_dup_pairs_simhash(
         )
 
     banded = sigs.map_batches(explode_chunks, batch_format="pyarrow")
-    pairs = _candidate_pairs(banded, ["band_id", "band_hash"], pair_mode)
+    # sigs is materialized: count() is free metadata; band rows = 4 x sigs
+    pairs = _candidate_pairs(
+        banded, ["band_id", "band_hash"], pair_mode, est_rows=4 * sigs.count()
+    )
     if pairs.empty:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     sig_map = {
@@ -261,6 +277,7 @@ def near_dup_pairs_ngram(
     num_perms: int = 64,
     bands: int = 16,
     pair_mode: str = "auto",
+    est_input_rows: int | None = None,
 ) -> pa.Table:
     """Char n-gram Jaccard near-dup pairs: char-shingle MinHash-LSH
     candidates, then EXACT char-n-gram Jaccard >= threshold."""
@@ -275,7 +292,12 @@ def near_dup_pairs_ngram(
         ),
         batch_format="pyarrow",
     )
-    pairs = _candidate_pairs(banded, ["band_id", "band_hash"], pair_mode)
+    pairs = _candidate_pairs(
+        banded,
+        ["band_id", "band_hash"],
+        pair_mode,
+        est_rows=None if est_input_rows is None else est_input_rows * bands,
+    )
     if pairs.empty:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     texts = _texts_for(ds, np.unique(pairs[["a", "b"]].to_numpy()), id_col, text_col)

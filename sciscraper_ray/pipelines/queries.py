@@ -2023,7 +2023,9 @@ def dedup_minhash(sf_dir: str):
     from sciscraper_ray.pipelines.dedup import near_dup_pairs_minhash
 
     ds = _with_copies(sf_dir, mod=7, offset=200_000, drop_last_word=True)
-    return near_dup_pairs_minhash(ds, threshold=0.8)
+    # _with_copies materializes, so count() is free metadata; the bound
+    # lets the plan flip skip its materialize barrier on the band rows.
+    return near_dup_pairs_minhash(ds, threshold=0.8, est_input_rows=ds.count())
 
 
 @register(
@@ -2091,7 +2093,8 @@ def dedup_ngram_jaccard(sf_dir: str):
     from sciscraper_ray.pipelines.dedup import near_dup_pairs_ngram
 
     ds = _with_copies(sf_dir, mod=13, offset=400_000, drop_last_word=True)
-    return near_dup_pairs_ngram(ds, threshold=0.8, n=5)
+    # free metadata bound (materialized input) — skips the plan barrier
+    return near_dup_pairs_ngram(ds, threshold=0.8, n=5, est_input_rows=ds.count())
 
 
 @register(
@@ -2110,7 +2113,7 @@ def dedup_components(sf_dir: str):
     from sciscraper_ray.pipelines.graph import connected_components
 
     ds = _with_copies(sf_dir, mod=7, offset=200_000, drop_last_word=True)
-    pairs = near_dup_pairs_minhash(ds, threshold=0.8)
+    pairs = near_dup_pairs_minhash(ds, threshold=0.8, est_input_rows=ds.count())
     return connected_components(pairs)
 
 
@@ -2143,7 +2146,7 @@ def dedup_cluster_survivors(sf_dir: str):
     from sciscraper_ray.pipelines.graph import connected_components
 
     ds = _with_copies(sf_dir, mod=7, offset=200_000, drop_last_word=True)
-    pairs = near_dup_pairs_minhash(ds, threshold=0.8)
+    pairs = near_dup_pairs_minhash(ds, threshold=0.8, est_input_rows=ds.count())
     comp = connected_components(pairs).to_pandas()
     drop_arr = pa.array(
         comp.loc[comp["doc_id"] != comp["comp_id"], "doc_id"].to_numpy(), pa.int64()
@@ -8843,6 +8846,31 @@ def top_tokens_by_lang(sf_dir: str, plan: str = "auto"):
     return out[["lang", "token", "cnt", "rank"]]
 
 
+@register(
+    "doc_lang_mismatch",
+    oracle=f"""
+    SELECT p.doc_id, d.lang, p.lang_pred
+    FROM ({_lang_sql()}) p JOIN documents d USING (doc_id)
+    WHERE p.lang_pred <> d.lang
+    """,
+)
+def doc_lang_mismatch(sf_dir: str):
+    """Crawl-QA mismatch report: documents whose content-based language ID
+    disagrees with the page's DECLARED lang attribute — the wrong-langtag
+    detector every multilingual crawl runs before per-lang routing (declared
+    tags are wrong or missing on a large fraction of the real web). One
+    vectorized pass over (doc_id, text, lang); the declared column rides
+    along and the filter is an Arrow kernel — zero shuffle."""
+    def mismatch(batch: pa.Table) -> pa.Table:
+        out = lang_id_batch(batch)
+        keep = pc.invert(pc.equal(out["lang_pred"], out["lang"]))
+        return out.filter(keep).select(["doc_id", "lang", "lang_pred"])
+
+    return _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+        mismatch, batch_format="pyarrow"
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: least-recently-driver-checked first
 # --------------------------------------------------------------------------
@@ -8877,6 +8905,7 @@ _DRIVER_CHECKED_R02 = (
 # entries outside the r02 sample were at least re-verified by the judge
 # with the same gate), so they go to the very front of the prefix.
 _ROUND3_NEW = (
+    "doc_lang_mismatch",
     "redirect_resolve", "dedup_teaser_prefix", "host_topk_docs",
     "page_meta_extract", "doc_length_median_by_lang",
     "crawl_schedule_waves", "host_triangle_count", "top_tokens_by_lang",
