@@ -385,3 +385,64 @@ def pagerank(
         ),
         batch_format="pyarrow",
     )
+
+
+def bfs_distances(
+    edges: ray.data.Dataset,
+    seeds: "np.ndarray | list[int]",
+    max_rounds: int = 12,
+) -> pa.Table:
+    """Multi-source BFS hop distances over a directed (src, dst) int64
+    edge list — crawl-depth assignment from a seed set.
+
+    Frontier-broadcast semi-join plan: each round ships only the CURRENT
+    frontier (nodes first reached last round) to every edge block via
+    ``ray.put`` and stream-filters the edge list with one Arrow ``is_in``
+    kernel — no shuffle, and the edge list never lands on the driver.
+    The edge list is materialized ONCE (two int64 columns; callers must
+    project payloads away first) so the per-round scans reuse
+    object-store blocks instead of re-executing upstream lineage — at
+    crawl scale that upstream is the full DOM harvest.
+
+    Driver memory holds only the visited set, bounded by the seeds'
+    ``max_rounds``-hop REACHABLE set — the crawl-frontier contract
+    (politeness-bounded neighborhoods), NOT O(|edges|). Full-graph
+    closure belongs to connected_components' star rounds instead.
+
+    Returns (node, dist) for every node within ``max_rounds`` hops,
+    dist = exact minimum hop count (seeds at 0).
+    """
+    edges = edges.materialize()
+    frontier = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    visited = frontier
+    out_nodes = [frontier]
+    out_dist = [np.zeros(frontier.size, np.int64)]
+    for d in range(1, max_rounds + 1):
+        if frontier.size == 0:
+            break
+        ref = ray.put(pa.array(frontier, pa.int64()))
+
+        def hop(batch: pa.Table, _ref=ref) -> pa.Table:
+            fr = ray.get(_ref)
+            hit = batch.filter(pc.is_in(batch["src"], value_set=fr))
+            return pa.table({"dst": pc.unique(hit["dst"])})
+
+        cand = (
+            edges.map_batches(hop, batch_format="pyarrow")
+            .to_pandas()["dst"]
+            .to_numpy()
+        )
+        new = np.unique(cand)
+        new = new[~np.isin(new, visited)]
+        if new.size == 0:
+            break
+        visited = np.union1d(visited, new)
+        out_nodes.append(new)
+        out_dist.append(np.full(new.size, d, np.int64))
+        frontier = new
+    return pa.table(
+        {
+            "node": pa.array(np.concatenate(out_nodes), pa.int64()),
+            "dist": pa.array(np.concatenate(out_dist), pa.int64()),
+        }
+    )

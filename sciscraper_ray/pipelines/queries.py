@@ -3603,6 +3603,82 @@ def token_bigram_next(sf_dir: str):
     )
 
 
+_PMI_MIN_CNT = 5
+
+
+@register(
+    "token_pmi_collocations",
+    oracle=f"""
+    WITH d AS (
+        SELECT {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n FROM documents
+    ), w AS (
+        SELECT unnest(range(n - 1)) AS k, toks FROM d WHERE n >= 2
+    ), bg AS (
+        SELECT toks[k + 1] AS token, toks[k + 2] AS next_token FROM w
+    ), cnt AS (
+        SELECT token, next_token, count(*) AS cnt
+        FROM bg GROUP BY token, next_token
+    ), tot AS (SELECT sum(cnt) AS total FROM cnt),
+    lft AS (SELECT token, sum(cnt) AS lc FROM cnt GROUP BY token),
+    rgt AS (SELECT next_token, sum(cnt) AS rc FROM cnt GROUP BY next_token)
+    SELECT c.token, c.next_token, c.cnt,
+           ln((CAST(c.cnt AS DOUBLE) * t.total) / (l.lc * r.rc)) AS pmi
+    FROM cnt c
+    CROSS JOIN tot t
+    JOIN lft l ON l.token = c.token
+    JOIN rgt r ON r.next_token = c.next_token
+    WHERE c.cnt >= {_PMI_MIN_CNT}
+    """,
+)
+def token_pmi_collocations(sf_dir: str):
+    """Collocation mining: pointwise mutual information of every adjacent
+    word bigram seen >= _PMI_MIN_CNT times, over bigram-event marginals
+    (pmi = ln(cnt*total / (left_cnt*right_cnt))) — the classic phrase
+    detector run before tokenizer training (Mikolov et al.'s word2vec
+    phrase pass uses exactly this score). Same two-phase shape as
+    token_bigram_next: per-batch Arrow group_by partials, the exchange
+    bounded by distinct-bigram vocabulary; marginals + the PMI kernel are
+    one vectorized pandas/numpy pass over the vocab-sized merge."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        _, bg = _ngram_positions(batch, 2)
+        if len(bg) == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], type=pa.string()),
+                    "next_token": pa.array([], type=pa.string()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        split = pc.split_pattern(bg, " ")
+        flat = pc.list_flatten(split)
+        tok = flat.take(np.arange(0, len(flat), 2))
+        nxt = flat.take(np.arange(1, len(flat), 2))
+        agg = (
+            pa.table({"token": tok, "next_token": nxt})
+            .group_by(["token", "next_token"])
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["token", "next_token", "cnt"])
+
+    parts = _docs(sf_dir).map_batches(partials, batch_format="pyarrow").to_pandas()
+    merged = parts.groupby(["token", "next_token"], as_index=False)["cnt"].sum()
+    total = float(merged["cnt"].sum())
+    lc = merged.groupby("token")["cnt"].transform("sum").to_numpy(np.float64)
+    rc = merged.groupby("next_token")["cnt"].transform("sum").to_numpy(np.float64)
+    cnt = merged["cnt"].to_numpy()
+    keep = cnt >= _PMI_MIN_CNT
+    pmi = np.log((cnt[keep].astype(np.float64) * total) / (lc[keep] * rc[keep]))
+    return pa.table(
+        {
+            "token": pa.array(merged["token"].to_numpy()[keep], pa.string()),
+            "next_token": pa.array(merged["next_token"].to_numpy()[keep], pa.string()),
+            "cnt": pa.array(cnt[keep], pa.int64()),
+            "pmi": pa.array(pmi, pa.float64()),
+        }
+    )
+
+
 _STRATA_RATES = {"en": 9, "de": 5, "fr": 3}  # keep doc iff md5 % 10 < rate
 _STRATA_DEFAULT = 1
 
@@ -7876,6 +7952,124 @@ def page_anchor_texts(sf_dir: str):
     )
 
 
+def _doc_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Doc-level (src, dst) edge list harvested from every page's
+    reference links through the DOM engine (same parse as
+    page_link_graph, kept at document granularity: dst = trailing id of
+    the href path). The harvest streams; consumers that scan repeatedly
+    (BFS rounds) materialize the two-int64-column result themselves."""
+    from sciscraper_ray.sources.page_synth import render_html
+    from sciscraper_ray.stages.dom_select import select_links
+
+    def harvest(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        src: list[int] = []
+        dst: list[int] = []
+        for i, t, lg in zip(ids, texts, langs):
+            page = render_html(int(i), t, lg, with_links=True).decode()
+            for href, _anchor in select_links(page, "section.refs a"):
+                src.append(int(i))
+                dst.append(int(href.rsplit("-", 1)[1]))
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    return _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+        harvest, batch_format="pyarrow"
+    )
+
+
+_BFS_ROUNDS = 12  # shared cap: engine rounds == oracle recursion depth
+
+
+@register(
+    "crawl_depth_from_seeds",
+    oracle=f"""
+    WITH RECURSIVE links AS (
+        SELECT doc_id AS src, unnest({_REF_TARGETS_SQL}) AS dst FROM documents
+    ),
+    bfs(node, d) AS (
+        SELECT doc_id, 0 FROM documents WHERE doc_id % 100 = 0
+        UNION
+        SELECT l.dst, b.d + 1
+        FROM bfs b JOIN links l ON l.src = b.node
+        WHERE b.d < {_BFS_ROUNDS}
+    )
+    SELECT node, CAST(min(d) AS BIGINT) AS dist FROM bfs GROUP BY node
+    """,
+)
+def crawl_depth_from_seeds(sf_dir: str):
+    """Crawl-depth assignment: exact minimum hop distance of every page
+    from the seed set (doc_id % 100 == 0) over the harvested doc-level
+    outlink graph, capped at _BFS_ROUNDS hops — the frontier-depth
+    label every BFS-ordered crawler stamps on its queue. The edge list is
+    DOM-harvested once and materialized (int64 pairs only); each BFS
+    round is a frontier-broadcast ``is_in`` semi-join over the edge
+    blocks (see graph.bfs_distances) — no shuffle, driver holds only the
+    bounded reachable set. The oracle recomputes the same closure with a
+    recursive CTE over the synthesizer's arithmetic link targets."""
+    from sciscraper_ray.pipelines.graph import bfs_distances
+
+    def seed_filter(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 100 == 0))
+
+    seeds = (
+        _docs(sf_dir, columns=("doc_id",))
+        .map_batches(seed_filter, batch_format="pyarrow")
+        .to_pandas()["doc_id"]
+        .to_numpy()
+    )
+    return bfs_distances(_doc_edges(sf_dir), seeds, max_rounds=_BFS_ROUNDS)
+
+
+@register(
+    "link_indegree_histogram",
+    oracle=f"""
+    WITH links AS (
+        SELECT doc_id, unnest({_REF_TARGETS_SQL}) AS t FROM documents
+    ),
+    deg AS (SELECT t, count(*) AS indegree FROM links GROUP BY t)
+    SELECT indegree, count(*) AS n_pages FROM deg GROUP BY indegree
+    """,
+)
+def link_indegree_histogram(sf_dir: str):
+    """Web-graph in-degree distribution (the power-law plot every crawl
+    QA report opens with): number of link targets at each in-link count,
+    multi-edges counted. Per-batch Arrow group_by compresses each edge
+    block to (dst, cnt) partials, one groupby-Sum reduces per target
+    (exchange bounded by distinct targets, never per-link rows), then
+    per-block histogram partials over the degree column merge on the
+    driver (rows = distinct degree VALUES — tiny by construction)."""
+    from ray.data.aggregate import Sum
+
+    def dst_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["dst"]).group_by("dst").aggregate([([], "count_all")])
+        return agg.rename_columns(["dst", "cnt"])
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["cnt"]).group_by("cnt").aggregate([([], "count_all")])
+        return agg.rename_columns(["indegree", "n_pages"])
+
+    parts = (
+        _doc_edges(sf_dir)
+        .map_batches(dst_partial, batch_format="pyarrow")
+        .groupby("dst")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .map_batches(deg_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.groupby("indegree", as_index=False)["n_pages"].sum()
+    return pa.table(
+        {
+            "indegree": pa.array(out["indegree"].to_numpy(), pa.int64()),
+            "n_pages": pa.array(out["n_pages"].to_numpy(), pa.int64()),
+        }
+    )
+
+
 _BOOL_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
     (0, ("join", "hash")),
     (1, ("scan", "filter", "merge")),
@@ -8905,6 +9099,8 @@ _DRIVER_CHECKED_R02 = (
 # entries outside the r02 sample were at least re-verified by the judge
 # with the same gate), so they go to the very front of the prefix.
 _ROUND3_NEW = (
+    "crawl_depth_from_seeds", "link_indegree_histogram",
+    "token_pmi_collocations",
     "doc_lang_mismatch",
     "redirect_resolve", "dedup_teaser_prefix", "host_topk_docs",
     "page_meta_extract", "doc_length_median_by_lang",

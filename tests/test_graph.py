@@ -118,3 +118,72 @@ def test_pagerank_source_only_nodes_plan_parity():
     # source-only nodes sit at the analytic floor (1-d)/N
     floor = (1 - 0.85) / 5
     assert np.allclose(d[d["node"] >= 20]["r"], floor, atol=1e-12)
+
+
+def _bfs_ref(edges, seeds, max_rounds):
+    """Reference BFS: plain dict/queue."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    dist = {s: 0 for s in seeds}
+    frontier = list(dict.fromkeys(seeds))
+    for depth in range(1, max_rounds + 1):
+        nxt = []
+        for n in frontier:
+            for m in adj.get(n, []):
+                if m not in dist:
+                    dist[m] = depth
+                    nxt.append(m)
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+def _bfs_run(edges, seeds, max_rounds=12):
+    import ray.data
+
+    from sciscraper_ray.pipelines.graph import bfs_distances
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+    out = bfs_distances(ds, seeds, max_rounds=max_rounds).to_pandas()
+    return dict(zip(out["node"], out["dist"]))
+
+
+def test_bfs_cycle_and_unreachable():
+    # cycle 1->2->3->1, island 9->10 unreachable from seed 1
+    edges = [(1, 2), (2, 3), (3, 1), (9, 10)]
+    got = _bfs_run(edges, [1])
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_multi_seed_min_distance():
+    # node 4 reachable at dist 3 from seed 1 but dist 1 from seed 3
+    edges = [(1, 2), (2, 3), (3, 4)]
+    got = _bfs_run(edges, [1, 3])
+    assert got == {1: 0, 3: 0, 2: 1, 4: 1}
+
+
+def test_bfs_round_cap():
+    edges = [(i, i + 1) for i in range(10)]
+    got = _bfs_run(edges, [0], max_rounds=3)
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_matches_reference_random():
+    rng = np.random.default_rng(7)
+    edges = [tuple(map(int, e)) for e in rng.integers(0, 40, size=(120, 2))]
+    seeds = [0, 5, 11]
+    assert _bfs_run(edges, seeds) == _bfs_ref(edges, seeds, 12)
+
+
+def test_bfs_seed_only_graph():
+    got = _bfs_run([(7, 7)], [7])  # self-loop: no new nodes
+    assert got == {7: 0}
