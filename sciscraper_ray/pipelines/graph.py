@@ -446,3 +446,164 @@ def bfs_distances(
             "dist": pa.array(np.concatenate(out_dist), pa.int64()),
         }
     )
+
+
+def hits(
+    edges: ray.data.Dataset | pa.Table,
+    *,
+    iters: int = 3,
+    num_buckets: int = 32,
+    plan: str = "auto",
+) -> ray.data.Dataset | pa.Table:
+    """HITS hub/authority scores (Kleinberg, JACM 1999) over a DISTINCT
+    directed (src, dst) edge list — the link-analysis twin of pagerank
+    for web graphs where endorsement is asymmetric (pages that LINK well
+    vs pages that ARE linked well).
+
+    Fixed-K mutual-reinforcement iteration, L2-normalized each half-step:
+        a(j) = sum over (i,j) of h(i), then a /= ||a||
+        h(i) = sum over (i,j) of a(j), then h /= ||h||
+    with h0 = 1 on every source node. Fixed ``iters`` keeps the result
+    deterministic and SQL-mirrorable (the oracle unrolls the identical
+    chain of CTEs).
+
+    Two physical plans (resolve_plan, same 50M-row auto-flip policy):
+    driver — edge arrays stream to the driver once, each half-step is a
+    vectorized np.bincount gather/scatter; shuffle — per half-step ONE
+    co-partitioned bucketed_hash_join of the static edge list against
+    the node-score table plus a groupby sum (int64/double columns only),
+    and the L2 norm is a per-block partial sum-of-squares reduced on the
+    driver (a scalar). Score tables are node-sized, never edge-sized.
+
+    Returns (node, kind in {'auth','hub'}, score rounded to 10 dp).
+    """
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+
+    if isinstance(edges, pa.Table):
+        edges = ray.data.from_arrow(edges)
+    mode, e = resolve_plan(edges, plan)
+
+    if mode == "driver":
+        from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+        g = driver_frame(e, DRIVER_PLAN_LIMIT, "hits")
+        src = g["src"].to_numpy()
+        dst = g["dst"].to_numpy()
+        hub_nodes, src_idx = np.unique(src, return_inverse=True)
+        auth_nodes, dst_idx = np.unique(dst, return_inverse=True)
+        h = np.ones(len(hub_nodes), np.float64)
+        a = np.zeros(len(auth_nodes), np.float64)
+        for _ in range(iters):
+            au = np.bincount(dst_idx, weights=h[src_idx], minlength=len(auth_nodes))
+            a = au / np.sqrt(np.sum(au * au))
+            hu = np.bincount(src_idx, weights=a[dst_idx], minlength=len(hub_nodes))
+            h = hu / np.sqrt(np.sum(hu * hu))
+        return pa.table(
+            {
+                "node": pa.array(
+                    np.concatenate([auth_nodes, hub_nodes]), pa.int64()
+                ),
+                "kind": pa.array(
+                    ["auth"] * len(auth_nodes) + ["hub"] * len(hub_nodes),
+                    pa.string(),
+                ),
+                "score": pa.array(
+                    np.round(np.concatenate([a, h]), 10), pa.float64()
+                ),
+            }
+        )
+
+    e = e.materialize()
+
+    def init_h(b: pa.Table) -> pa.Table:
+        agg = b.select(["src"]).group_by("src").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "node": agg["src"],
+                "s": pa.array(np.ones(len(agg)), pa.float64()),
+            }
+        )
+
+    # per-block distinct srcs -> one tiny groupby to the true hub set
+    h_ds = (
+        e.map_batches(init_h, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum(on="s", alias_name="s"))
+        .map_batches(
+            lambda b: pa.table(
+                {"node": b["node"], "s": pa.array(np.ones(len(b)), pa.float64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def _l2_scale(ds: ray.data.Dataset) -> ray.data.Dataset:
+        parts = ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "ss": pa.array(
+                        [
+                            float(
+                                np.dot(
+                                    b["s"].to_numpy(zero_copy_only=False),
+                                    b["s"].to_numpy(zero_copy_only=False),
+                                )
+                            )
+                        ],
+                        pa.float64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        norm = float(np.sqrt(parts["ss"].sum()))
+        return ds.map_batches(
+            lambda b, _n=norm: pa.table(
+                {
+                    "node": b["node"],
+                    "s": pc.divide(b["s"], pa.scalar(_n, pa.float64())),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    def _half_step(scores: ray.data.Dataset, join_on: str, out: str):
+        joined = bucketed_hash_join(
+            e, scores, left_on=join_on, right_on="node", num_buckets=num_buckets
+        )
+        summed = (
+            joined.groupby(out)
+            .aggregate(Sum(on="s", alias_name="s"))
+            .map_batches(
+                lambda b, _o=out: pa.table({"node": b[_o], "s": b["s"]}),
+                batch_format="pyarrow",
+            )
+        )
+        return _l2_scale(summed)
+
+    a_ds = None
+    for _ in range(iters):
+        a_ds = _half_step(h_ds, "src", "dst")
+        h_ds = _half_step(a_ds, "dst", "src")
+
+    def tag(kind: str):
+        def inner(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b["node"],
+                    "kind": pa.array([kind] * len(b), pa.string()),
+                    "score": pa.array(
+                        np.round(b["s"].to_numpy(zero_copy_only=False), 10),
+                        pa.float64(),
+                    ),
+                }
+            )
+
+        return inner
+
+    return a_ds.map_batches(tag("auth"), batch_format="pyarrow").union(
+        h_ds.map_batches(tag("hub"), batch_format="pyarrow")
+    )

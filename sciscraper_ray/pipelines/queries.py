@@ -3603,6 +3603,62 @@ def token_bigram_next(sf_dir: str):
     )
 
 
+@register(
+    "token_zipf_slope",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_SQL_TOKENS}) AS token FROM documents),
+    cnt AS (SELECT token, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY token),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, token ASC) AS rnk FROM cnt
+    ),
+    xy AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(c) AS y FROM ranked),
+    s AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM xy
+    )
+    SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
+           CAST(n AS BIGINT) AS n_types
+    FROM s
+    """,
+)
+def token_zipf_slope(sf_dir: str):
+    """Corpus-QA Zipf fit: least-squares slope of ln(frequency) against
+    ln(rank) over the full token frequency table (natural text sits near
+    -1; a flat or cliffed slope flags boilerplate floods or dedup
+    failures — a standard crawl-health dashboard stat). Per-batch Arrow
+    group_by partials bound the exchange by vocabulary; the rank +
+    closed-form regression is one vectorized pass over the vocab-sized
+    merge, mirrored term-for-term in the oracle so the rounded double
+    matches."""
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        agg = pa.table({"token": flat}).group_by("token").aggregate([([], "count_all")])
+        return agg.rename_columns(["token", "cnt"])
+
+    parts = _docs(sf_dir).map_batches(partials, batch_format="pyarrow").to_pandas()
+    merged = parts.groupby("token", as_index=False)["cnt"].sum()
+    order = np.lexsort((merged["token"].to_numpy(), -merged["cnt"].to_numpy()))
+    c = merged["cnt"].to_numpy()[order].astype(np.float64)
+    n = len(c)
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(c)
+    slope = (n * np.sum(x * y) - np.sum(x) * np.sum(y)) / (
+        n * np.sum(x * x) - np.sum(x) ** 2
+    )
+    return pa.table(
+        {
+            "slope": pa.array([round(float(slope), 8)], pa.float64()),
+            "n_types": pa.array([n], pa.int64()),
+        }
+    )
+
+
 _PMI_MIN_CNT = 5
 
 
@@ -4419,6 +4475,42 @@ def events_lag_delta(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
     return bucketed_window(ds, bucket_lag_delta)
+
+
+@register(
+    "events_type_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    )
+    SELECT prev AS from_type, event_type AS to_type, count(*) AS cnt
+    FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+    """,
+)
+def events_type_transitions(sf_dir: str):
+    """Behavior Markov-chain statistics: corpus-wide counts of adjacent
+    per-user event-type transitions in (ts, event_id) order — the
+    session-modeling / next-action-prediction training table. Runs on
+    the shared BUCKETED window plan (one shuffle on user_id % 32,
+    in-bucket lexsort, shifted compare with user-boundary reset), and
+    each bucket emits partials bounded by the type vocabulary squared,
+    so the final groupby-Sum exchange is constant-size."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.window import bucket_type_transitions, bucketed_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return bucketed_window(ds, bucket_type_transitions).groupby(
+        ["from_type", "to_type"]
+    ).aggregate(Sum(on="cnt", alias_name="cnt"))
 
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -8070,6 +8162,67 @@ def link_indegree_histogram(sf_dir: str):
     )
 
 
+def _hits_sql(iters: int = 3) -> str:
+    """HITS unrolled to fixed-K chained CTEs (same rationale as
+    _pagerank_sql: deterministic, no aggregates in recursive terms),
+    L2-normalized per half-step, over the DISTINCT synthesizer link
+    targets."""
+    ctes = [
+        f"e0 AS (SELECT doc_id AS src, unnest({_REF_TARGETS_SQL}) AS dst FROM documents)",
+        "e AS (SELECT DISTINCT src, dst FROM e0)",
+        "h0 AS (SELECT DISTINCT src AS node, 1.0 AS s FROM e)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""a{k}u AS (
+        SELECT e.dst AS node, sum(p.s) AS s
+        FROM e JOIN h{k - 1} p ON p.node = e.src GROUP BY e.dst
+    )"""
+        )
+        ctes.append(
+            f"a{k} AS (SELECT node, s / sqrt((SELECT sum(s*s) FROM a{k}u)) AS s FROM a{k}u)"
+        )
+        ctes.append(
+            f"""h{k}u AS (
+        SELECT e.src AS node, sum(p.s) AS s
+        FROM e JOIN a{k} p ON p.node = e.dst GROUP BY e.src
+    )"""
+        )
+        ctes.append(
+            f"h{k} AS (SELECT node, s / sqrt((SELECT sum(s*s) FROM h{k}u)) AS s FROM h{k}u)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, 'auth' AS kind, round(s, 10) AS score FROM a{iters}
+    UNION ALL
+    SELECT node, 'hub' AS kind, round(s, 10) AS score FROM h{iters}
+    """
+    )
+
+
+@register("graph_hits", oracle=_hits_sql(3))
+def graph_hits(sf_dir: str):
+    """HITS hub/authority link analysis (3 mutual-reinforcement
+    iterations, L2-normalized per half-step) over the DISTINCT harvested
+    doc-level outlink graph — pagerank's asymmetric twin: reference
+    sections are hubs, cited targets are authorities. See
+    pipelines/graph.py hits for the two physical plans; the oracle
+    unrolls the identical fixed-K chain in SQL."""
+    from sciscraper_ray.pipelines.graph import _dedup_edges, hits
+
+    e = _dedup_edges(
+        _doc_edges(sf_dir).map_batches(
+            lambda b: pa.table({"a": b["src"], "b": b["dst"]}),
+            batch_format="pyarrow",
+        )
+    ).map_batches(
+        lambda b: pa.table({"src": b["a"], "dst": b["b"]}), batch_format="pyarrow"
+    )
+    return hits(e, iters=3)
+
+
 _BOOL_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
     (0, ("join", "hash")),
     (1, ("scan", "filter", "merge")),
@@ -9099,6 +9252,7 @@ _DRIVER_CHECKED_R02 = (
 # entries outside the r02 sample were at least re-verified by the judge
 # with the same gate), so they go to the very front of the prefix.
 _ROUND3_NEW = (
+    "graph_hits", "events_type_transitions", "token_zipf_slope",
     "crawl_depth_from_seeds", "link_indegree_histogram",
     "token_pmi_collocations",
     "doc_lang_mismatch",

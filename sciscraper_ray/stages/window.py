@@ -169,3 +169,21 @@ def make_bucket_session_paths(gap_us: int):
         return pd.DataFrame({"path": uniq, "cnt": cnt.astype(np.int64)})
 
     return kernel
+
+
+def bucket_type_transitions(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-bucket adjacent (from_type, to_type) transition partial counts
+    in per-user (ts, event_id) order — the behavior-Markov-chain partial.
+    One lexsort + shifted compare; output rows are bounded by the
+    event-type vocabulary squared, never by events, so the downstream
+    merge exchange is constant-size."""
+    order, user_s, _ts_s, _eid_s, new_user = _sorted_bucket(g)
+    et = g["event_type"].to_numpy()[order]
+    idx = np.flatnonzero(~new_user)  # rows preceded by the same user's event
+    vc = (
+        pd.DataFrame({"from_type": et[idx - 1], "to_type": et[idx]})
+        .value_counts()
+        .rename("cnt")
+        .reset_index()
+    )
+    return vc

@@ -187,3 +187,67 @@ def test_bfs_matches_reference_random():
 def test_bfs_seed_only_graph():
     got = _bfs_run([(7, 7)], [7])  # self-loop: no new nodes
     assert got == {7: 0}
+
+
+def _hits_ref(edges, iters=3):
+    """Plain-numpy HITS reference."""
+    src = np.array([e[0] for e in edges]); dst = np.array([e[1] for e in edges])
+    hub_nodes, si = np.unique(src, return_inverse=True)
+    auth_nodes, di = np.unique(dst, return_inverse=True)
+    h = np.ones(len(hub_nodes))
+    for _ in range(iters):
+        a = np.bincount(di, weights=h[si], minlength=len(auth_nodes))
+        a = a / np.sqrt((a * a).sum())
+        h = np.bincount(si, weights=a[di], minlength=len(hub_nodes))
+        h = h / np.sqrt((h * h).sum())
+    out = {}
+    for n, s in zip(auth_nodes, a):
+        out[("auth", int(n))] = round(float(s), 10)
+    for n, s in zip(hub_nodes, h):
+        out[("hub", int(n))] = round(float(s), 10)
+    return out
+
+
+def _hits_run(edges, plan, iters=3):
+    import ray.data
+
+    from sciscraper_ray.pipelines.graph import hits
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+    out = hits(ds, iters=iters, plan=plan, num_buckets=4)
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    if not isinstance(df, type(pa.table({}).to_pandas())):
+        df = df.to_pandas()
+    return {
+        (k, int(n)): round(float(s), 9)
+        for k, n, s in zip(df["kind"], df["node"], df["score"])
+    }
+
+
+def test_hits_plan_parity_and_reference():
+    rng = np.random.default_rng(3)
+    edges = sorted({tuple(map(int, e)) for e in rng.integers(0, 25, size=(80, 2))})
+    ref = {k: round(v, 9) for k, v in _hits_ref(edges).items()}
+    drv = _hits_run(edges, "driver")
+    shf = _hits_run(edges, "shuffle")
+    assert drv == ref
+    # shuffle plan sums in a different order; compare at 1e-9 after rounding
+    assert set(shf) == set(ref)
+    for k in ref:
+        assert abs(shf[k] - ref[k]) < 1e-8, (k, shf[k], ref[k])
+
+
+def test_hits_bipartite_star():
+    # one hub pointing at 3 authorities: hub score 1, auths equal at 1/sqrt(3)
+    edges = [(1, 10), (1, 11), (1, 12)]
+    got = _hits_run(edges, "driver")
+    assert got[("hub", 1)] == 1.0
+    for a in (10, 11, 12):
+        assert abs(got[("auth", a)] - 1 / np.sqrt(3)) < 1e-9

@@ -188,3 +188,34 @@ def test_bucket_paths_match_per_user(ray_session, window_data):
         .to_dict()
     )
     assert got == ref_paths
+
+
+def test_bucket_type_transitions_matches_per_user(ray_session):
+    import ray.data
+
+    from sciscraper_ray.stages.window import bucket_type_transitions
+
+    tbl = _events()
+    df = tbl.to_pandas()
+    # reference: per-user lag over (ts, event_id) order
+    s = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    prev = s.groupby("user_id", sort=False)["event_type"].shift(1)
+    ref = (
+        pd.DataFrame({"from_type": prev, "to_type": s["event_type"]})
+        .dropna()
+        .value_counts()
+        .rename("cnt")
+        .reset_index()
+    )
+    ds = ray.data.from_arrow(tbl)
+    got = (
+        bucketed_window(ds, bucket_type_transitions, buckets=8)
+        .to_pandas()
+        .groupby(["from_type", "to_type"], as_index=False)["cnt"]
+        .sum()
+    )
+    key = lambda d: d.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    a, b = key(got), key(ref[["from_type", "to_type", "cnt"]])
+    assert a["from_type"].tolist() == b["from_type"].tolist()
+    assert a["to_type"].tolist() == b["to_type"].tolist()
+    assert a["cnt"].astype(int).tolist() == b["cnt"].astype(int).tolist()
