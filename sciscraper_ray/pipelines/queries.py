@@ -3659,6 +3659,110 @@ def token_zipf_slope(sf_dir: str):
     )
 
 
+@register(
+    "doc_ngram_novelty",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n
+        FROM documents
+    ), w AS (
+        SELECT doc_id, unnest(range(n - 2)) AS k, toks FROM d WHERE n >= 3
+    ), g AS (
+        SELECT DISTINCT doc_id,
+               toks[k + 1] || ' ' || toks[k + 2] || ' ' || toks[k + 3] AS gram
+        FROM w
+    ),
+    first AS (SELECT gram, min(doc_id) AS fdoc FROM g GROUP BY gram),
+    t AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+    nv AS (SELECT fdoc AS doc_id, count(*) AS n_new FROM first GROUP BY fdoc)
+    SELECT t.doc_id,
+           CAST(COALESCE(nv.n_new, 0) AS DOUBLE) / t.n_grams AS novelty,
+           CAST(t.n_grams AS BIGINT) AS n_grams
+    FROM t LEFT JOIN nv USING (doc_id)
+    """,
+)
+def doc_ngram_novelty(sf_dir: str):
+    """Curation novelty score: the fraction of each document's DISTINCT
+    word 3-grams whose corpus-wide first occurrence (min doc_id) is this
+    document — near-0 marks template/boilerplate floods, near-1 marks
+    fresh content (the ordering-based cousin of the CCNet frequency
+    strip). The key insight keeps it join-free: after min-doc-per-gram,
+    a doc's novel-gram count is just the SIZE of its segment in that
+    winner table (group the winners BY WINNER), so the whole op is two
+    vocabulary-bounded aggregates — no gram-level join back to the
+    corpus. Grams never materialize as strings: the batch kernel reuses
+    the vectorized token-hash + position-weighted window mix from the
+    MinHash stage (stages/dedup.py), emitting per-doc-distinct
+    (gram_hash, doc_id) pairs. This plan merges pairs on the driver
+    (lexsort + segment heads, all C) — the same <=50M-key policy as
+    dedup_exact; beyond it, the identical partials feed groupby-Min on a
+    widened two-int64 128-bit key plus a groupby-count by winner."""
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+    from sciscraper_ray.stages.dedup import _window_hashes
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "h": pa.array([], pa.int64()),
+            }
+        )
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if len(flat) < 3:
+            return empty
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        from sciscraper_ray.stages.dedup import _hash_tokens
+
+        th = _hash_tokens(flat.to_pylist())
+        win = _window_hashes(th, 3)  # all length-3 windows of the flat stream
+        m = len(win)
+        same_doc = par[0:m] == par[2 : m + 2]  # window stays inside one doc
+        if not same_doc.any():
+            return empty
+        docs = batch["doc_id"].to_numpy(zero_copy_only=False)[par[0:m][same_doc]]
+        h = win[same_doc].view(np.int64)
+        order = np.lexsort((h, docs))
+        docs, h = docs[order], h[order]
+        keep = np.empty(len(h), dtype=bool)  # per-doc distinct grams
+        keep[0] = True
+        keep[1:] = (docs[1:] != docs[:-1]) | (h[1:] != h[:-1])
+        return pa.table(
+            {
+                "doc_id": pa.array(docs[keep], pa.int64()),
+                "h": pa.array(h[keep], pa.int64()),
+            }
+        )
+
+    pairs = (
+        _docs(sf_dir)
+        .map_batches(pairs_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    doc = pairs["doc_id"].to_numpy()
+    h = pairs["h"].to_numpy()
+    order = np.lexsort((doc, h))  # by gram, min doc first within each segment
+    doc_s, h_s = doc[order], h[order]
+    starts = np.empty(len(h_s), dtype=bool)
+    starts[0] = True
+    starts[1:] = h_s[1:] != h_s[:-1]
+    fdoc = doc_s[starts]  # winner (= first) doc of every distinct gram
+    import pandas as pd
+
+    uniq_docs, t_cnt = np.unique(doc, return_counts=True)  # per-doc distinct grams
+    n_new = pd.Series(fdoc).value_counts()
+    n_new_arr = n_new.reindex(uniq_docs, fill_value=0).to_numpy(np.float64)
+    return pa.table(
+        {
+            "doc_id": pa.array(uniq_docs, pa.int64()),
+            "novelty": pa.array(n_new_arr / t_cnt.astype(np.float64), pa.float64()),
+            "n_grams": pa.array(t_cnt, pa.int64()),
+        }
+    )
+
+
 _PMI_MIN_CNT = 5
 
 
@@ -9252,6 +9356,7 @@ _DRIVER_CHECKED_R02 = (
 # entries outside the r02 sample were at least re-verified by the judge
 # with the same gate), so they go to the very front of the prefix.
 _ROUND3_NEW = (
+    "doc_ngram_novelty",
     "graph_hits", "events_type_transitions", "token_zipf_slope",
     "crawl_depth_from_seeds", "link_indegree_histogram",
     "token_pmi_collocations",
