@@ -36,6 +36,7 @@ HEADLINE = [
     "knn_cosine",             # brute-force ANN
     "doc_quality",            # text-quality scoring
     "doc_segment_dedup",      # C4-style corpus-level segment dedup
+    "doc_ngram_novelty",      # round-3 curation tier: join-free novelty scoring
 ]
 
 FLAGSHIP = "page_extract_pipeline"
