@@ -3763,6 +3763,55 @@ def doc_ngram_novelty(sf_dir: str):
     )
 
 
+@register(
+    "token_type_stats",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_SQL_TOKENS}) AS token FROM documents),
+    cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token)
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (c = 1) AS BIGINT) AS n_hapax,
+           CAST(count(*) AS DOUBLE) / sum(c) AS type_token_ratio,
+           CAST(count(*) FILTER (c = 1) AS DOUBLE) / count(*) AS hapax_ratio
+    FROM cnt
+    """,
+)
+def token_type_stats(sf_dir: str):
+    """Corpus lexical-diversity dashboard row: vocabulary size, token
+    mass, hapax-legomenon count, type-token ratio, and hapax share —
+    the companion stats to token_zipf_slope (a hapax share far from
+    ~0.4-0.6 flags OCR noise or template floods in a natural-language
+    crawl). Same vocab-bounded partial shape; the reduction is four
+    scalars off one vectorized pass over the merged frequency table."""
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        agg = pa.table({"token": flat}).group_by("token").aggregate([([], "count_all")])
+        return agg.rename_columns(["token", "cnt"])
+
+    parts = _docs(sf_dir).map_batches(partials, batch_format="pyarrow").to_pandas()
+    merged = parts.groupby("token", as_index=False)["cnt"].sum()
+    c = merged["cnt"].to_numpy()
+    n_types = len(c)
+    n_tokens = int(c.sum())
+    n_hapax = int((c == 1).sum())
+    return pa.table(
+        {
+            "n_types": pa.array([n_types], pa.int64()),
+            "n_tokens": pa.array([n_tokens], pa.int64()),
+            "n_hapax": pa.array([n_hapax], pa.int64()),
+            "type_token_ratio": pa.array(
+                [float(n_types) / n_tokens], pa.float64()
+            ),
+            "hapax_ratio": pa.array([float(n_hapax) / n_types], pa.float64()),
+        }
+    )
+
+
 _PMI_MIN_CNT = 5
 
 
@@ -9356,6 +9405,7 @@ _DRIVER_CHECKED_R02 = (
 # entries outside the r02 sample were at least re-verified by the judge
 # with the same gate), so they go to the very front of the prefix.
 _ROUND3_NEW = (
+    "token_type_stats",
     "doc_ngram_novelty",
     "graph_hits", "events_type_transitions", "token_zipf_slope",
     "crawl_depth_from_seeds", "link_indegree_histogram",
