@@ -3681,7 +3681,7 @@ def token_zipf_slope(sf_dir: str):
     FROM t LEFT JOIN nv USING (doc_id)
     """,
 )
-def doc_ngram_novelty(sf_dir: str):
+def doc_ngram_novelty(sf_dir: str, mode: str = "auto"):
     """Curation novelty score: the fraction of each document's DISTINCT
     word 3-grams whose corpus-wide first occurrence (min doc_id) is this
     document — near-0 marks template/boilerplate floods, near-1 marks
@@ -3689,22 +3689,42 @@ def doc_ngram_novelty(sf_dir: str):
     strip). The key insight keeps it join-free: after min-doc-per-gram,
     a doc's novel-gram count is just the SIZE of its segment in that
     winner table (group the winners BY WINNER), so the whole op is two
-    vocabulary-bounded aggregates — no gram-level join back to the
+    corpus-token-bounded aggregates — no gram-level join back to the
     corpus. Grams never materialize as strings: the batch kernel reuses
     the vectorized token-hash + position-weighted window mix from the
-    MinHash stage (stages/dedup.py), emitting per-doc-distinct
-    (gram_hash, doc_id) pairs. This plan merges pairs on the driver
-    (lexsort + segment heads, all C) — the same <=50M-key policy as
-    dedup_exact; beyond it, the identical partials feed groupby-Min on a
-    widened two-int64 128-bit key plus a groupby-count by winner."""
+    MinHash stage (stages/dedup.py), widened to a 128-bit two-int64 key
+    (``_window_hashes128``) so a gram-hash collision — which would merge
+    two grams' first-occurrence attribution and diverge from the
+    string-keyed oracle — needs both independent channels to collide
+    (the same key width the exact-dedup path standardizes on; ADVICE r3).
+
+    Physical plan via ``resolve_plan`` (the same <=50M-row policy as
+    dedup_exact): below the limit, the per-doc-distinct (doc_id, h_hi,
+    h_lo) pairs merge on the driver (one lexsort + segment heads, all C);
+    above it, the SAME materialized pairs feed two distributed
+    aggregates — groupby(gram).Min(doc_id) then count-by-winner, plus
+    groupby(doc_id).count for the denominators — and only doc-bounded
+    rows ever reach the driver. ``auto`` materializes the pair table
+    once (object-store blocks, spillable; reused by both aggregates) and
+    counts it for free."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Min
+
     from sciscraper_ray.kernels.tokenize import tokenize_column
-    from sciscraper_ray.stages.dedup import _window_hashes
+    from sciscraper_ray.pipelines.plan import (
+        DRIVER_PLAN_LIMIT,
+        driver_frame,
+        resolve_plan,
+    )
+    from sciscraper_ray.stages.dedup import _hash_tokens128, _window_hashes128
 
     def pairs_partial(batch: pa.Table) -> pa.Table:
         empty = pa.table(
             {
                 "doc_id": pa.array([], pa.int64()),
-                "h": pa.array([], pa.int64()),
+                "h_hi": pa.array([], pa.int64()),
+                "h_lo": pa.array([], pa.int64()),
             }
         )
         toks = tokenize_column(batch["text"])
@@ -3714,53 +3734,91 @@ def doc_ngram_novelty(sf_dir: str):
         if len(flat) < 3:
             return empty
         par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        from sciscraper_ray.stages.dedup import _hash_tokens
-
-        th = _hash_tokens(flat.to_pylist())
-        win = _window_hashes(th, 3)  # all length-3 windows of the flat stream
-        m = len(win)
+        t_hi, t_lo = _hash_tokens128(flat.to_pylist())
+        w_hi, w_lo = _window_hashes128(t_hi, t_lo, 3)  # all length-3 windows
+        m = len(w_lo)
         same_doc = par[0:m] == par[2 : m + 2]  # window stays inside one doc
         if not same_doc.any():
             return empty
         docs = batch["doc_id"].to_numpy(zero_copy_only=False)[par[0:m][same_doc]]
-        h = win[same_doc].view(np.int64)
-        order = np.lexsort((h, docs))
-        docs, h = docs[order], h[order]
-        keep = np.empty(len(h), dtype=bool)  # per-doc distinct grams
+        hi = w_hi[same_doc].view(np.int64)
+        lo = w_lo[same_doc].view(np.int64)
+        order = np.lexsort((lo, hi, docs))
+        docs, hi, lo = docs[order], hi[order], lo[order]
+        keep = np.empty(len(lo), dtype=bool)  # per-doc distinct grams
         keep[0] = True
-        keep[1:] = (docs[1:] != docs[:-1]) | (h[1:] != h[:-1])
+        keep[1:] = (
+            (docs[1:] != docs[:-1]) | (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+        )
         return pa.table(
             {
                 "doc_id": pa.array(docs[keep], pa.int64()),
-                "h": pa.array(h[keep], pa.int64()),
+                "h_hi": pa.array(hi[keep], pa.int64()),
+                "h_lo": pa.array(lo[keep], pa.int64()),
             }
         )
 
-    pairs = (
-        _docs(sf_dir)
-        .map_batches(pairs_partial, batch_format="pyarrow")
-        .to_pandas()
-    )
-    doc = pairs["doc_id"].to_numpy()
-    h = pairs["h"].to_numpy()
-    order = np.lexsort((doc, h))  # by gram, min doc first within each segment
-    doc_s, h_s = doc[order], h[order]
-    starts = np.empty(len(h_s), dtype=bool)
-    starts[0] = True
-    starts[1:] = h_s[1:] != h_s[:-1]
-    fdoc = doc_s[starts]  # winner (= first) doc of every distinct gram
-    import pandas as pd
+    def result_table(uniq_docs, n_new_arr, t_cnt) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(uniq_docs, np.int64), pa.int64()),
+                "novelty": pa.array(
+                    np.asarray(n_new_arr, np.float64)
+                    / np.asarray(t_cnt, np.float64),
+                    pa.float64(),
+                ),
+                "n_grams": pa.array(np.asarray(t_cnt, np.int64), pa.int64()),
+            }
+        )
 
-    uniq_docs, t_cnt = np.unique(doc, return_counts=True)  # per-doc distinct grams
+    pairs_ds = _docs(sf_dir).map_batches(pairs_partial, batch_format="pyarrow")
+    mode, pairs_ds = resolve_plan(pairs_ds, mode)
+
+    if mode == "shuffle":
+        # Both aggregates consume the same pair rows; materialize once so
+        # the tokenize/hash pass runs once (auto already did this — the
+        # blocks live in the object store and spill, never on the driver).
+        pairs_ds = pairs_ds.materialize()
+        winners = pairs_ds.groupby(["h_hi", "h_lo"]).aggregate(
+            Min(on="doc_id", alias_name="fdoc")
+        )
+        n_new_df = (
+            winners.groupby("fdoc")
+            .aggregate(Count(alias_name="n_new"))
+            .to_pandas()  # doc-bounded
+        )
+        totals_df = (
+            pairs_ds.groupby("doc_id")
+            .aggregate(Count(alias_name="n_grams"))
+            .to_pandas()  # doc-bounded
+        )
+        if totals_df.empty:
+            return result_table([], [], [])
+        merged = totals_df.merge(
+            n_new_df.rename(columns={"fdoc": "doc_id"}), on="doc_id", how="left"
+        ).sort_values("doc_id")
+        return result_table(
+            merged["doc_id"].to_numpy(),
+            merged["n_new"].fillna(0).to_numpy(np.float64),
+            merged["n_grams"].to_numpy(),
+        )
+
+    pairs = driver_frame(pairs_ds, DRIVER_PLAN_LIMIT, "doc_ngram_novelty")
+    if pairs.empty:  # corpus with no 3-token docs (ADVICE r3)
+        return result_table([], [], [])
+    doc = pairs["doc_id"].to_numpy()
+    hi = pairs["h_hi"].to_numpy()
+    lo = pairs["h_lo"].to_numpy()
+    order = np.lexsort((doc, lo, hi))  # by gram, min doc first per segment
+    doc_s, hi_s, lo_s = doc[order], hi[order], lo[order]
+    starts = np.empty(len(lo_s), dtype=bool)
+    starts[0] = True
+    starts[1:] = (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])
+    fdoc = doc_s[starts]  # winner (= first) doc of every distinct gram
+    uniq_docs, t_cnt = np.unique(doc, return_counts=True)  # per-doc distinct
     n_new = pd.Series(fdoc).value_counts()
     n_new_arr = n_new.reindex(uniq_docs, fill_value=0).to_numpy(np.float64)
-    return pa.table(
-        {
-            "doc_id": pa.array(uniq_docs, pa.int64()),
-            "novelty": pa.array(n_new_arr / t_cnt.astype(np.float64), pa.float64()),
-            "n_grams": pa.array(t_cnt, pa.int64()),
-        }
-    )
+    return result_table(uniq_docs, n_new_arr, t_cnt)
 
 
 @register(

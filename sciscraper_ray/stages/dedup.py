@@ -105,6 +105,49 @@ def _window_hashes(h: np.ndarray, k: int) -> np.ndarray:
     return _fmix64(s)
 
 
+_GRAM_WEIGHTS2 = (
+    np.random.default_rng(0x2B7E1516).integers(
+        1, 1 << 63, size=64, dtype=np.uint64
+    )
+    | np.uint64(1)
+)
+
+
+def _window_hashes128(
+    h_hi: np.ndarray, h_lo: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit sliding-window combine: two independent 64-bit channels
+    (independent weight vectors over independent per-token hash halves),
+    so two distinct k-grams collide only if both channels collide — the
+    collision-safe key width the exact-dedup path already standardizes on
+    at 10^12-row scale. Inputs are the (hi, lo) halves from
+    ``_hash_tokens128``; same short-input collapse rule as
+    ``_window_hashes``."""
+    n = len(h_lo)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    k_eff = min(k, n)
+    m = n - k_eff + 1
+    s1 = np.zeros(m, np.uint64)
+    s2 = np.zeros(m, np.uint64)
+    for j in range(k_eff):  # k is 3-5; the loop is over k, not n
+        s1 += h_lo[j : j + m] * _GRAM_WEIGHTS[j]
+        s2 += h_hi[j : j + m] * _GRAM_WEIGHTS2[j]
+    return _fmix64(s2), _fmix64(s1)
+
+
+def _hash_tokens128(tokens: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(hi, lo) uint64 halves of a 128-bit blake2b per token — hashed once
+    per DISTINCT token, like ``_hash_tokens``."""
+    arr = np.asarray(tokens, dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    digests = b"".join(
+        hashlib.blake2b(t.encode(), digest_size=16).digest() for t in uniq
+    )
+    u = np.frombuffer(digests, dtype="<u8").reshape(-1, 2)
+    return u[:, 1][inv].copy(), u[:, 0][inv].copy()
+
+
 def _hash_tokens(tokens: list[str]) -> np.ndarray:
     """uint64 blake2b per token — hashed once per DISTINCT token (the
     per-doc vocabulary is much smaller than the token stream)."""

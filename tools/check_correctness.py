@@ -5,12 +5,18 @@ Runs every ``queries()`` entry and its ``oracle_sql()`` twin over an sf dir
 order-insensitive value hash (columns sorted by name, rows sorted by all
 columns, values canonicalized). Exit 1 on any mismatch.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json OUT.json] [sf_dir] [query ...]
+
+With ``--json`` the per-query verdicts are also written to OUT.json in the
+driver's CORRECTNESS_r{N}.json format ({name: {rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err}}), so a full local sweep can be
+committed as an auditable artifact.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 
@@ -55,8 +61,13 @@ def to_pandas(result) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import ray
 
@@ -84,25 +95,43 @@ def main() -> int:
     queries = e.queries()
     oracles = e.oracle_sql()
     failures = []
+    records: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        rec = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        records[name] = rec
         try:
             got = to_pandas(fn(sf_dir))
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            rec["err"] = f"ray: {type(exc).__name__}: {exc}"
             print(f"FAIL {name}: ray side raised {type(exc).__name__}: {exc}")
             continue
+        rec["spark_rows"] = len(got)
         sql = oracles.get(name)
         if sql is None:
+            rec["rows_match"] = len(got) >= 0
+            rec["err"] = "no_oracle"
             print(f"ok   {name}: rows-only ({len(got)} rows)")
             continue
         try:
             want = con.execute(sql).fetchdf()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            rec["err"] = f"oracle: {type(exc).__name__}: {exc}"
             print(f"FAIL {name}: oracle raised {type(exc).__name__}: {exc}")
             continue
+        rec["oracle_rows"] = len(want)
+        rec["rows_match"] = len(got) == len(want)
+        rec["schema_match"] = sorted(got.columns) == sorted(want.columns)
         problems = []
         if len(got) != len(want):
             problems.append(f"rows {len(got)} != {len(want)}")
@@ -110,6 +139,8 @@ def main() -> int:
             problems.append(f"cols {sorted(got.columns)} != {sorted(want.columns)}")
         elif canonical(got) != canonical(want):
             problems.append("value hash mismatch")
+        else:
+            rec["hash_match"] = True
         if problems:
             failures.append(name)
             print(f"FAIL {name}: {'; '.join(problems)}")
@@ -127,6 +158,10 @@ def main() -> int:
             print(f"ok   {name}: {len(got)} rows match")
 
     ray.shutdown()
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {json_out} ({len(records)} queries)")
     if failures:
         print(f"\n{len(failures)} FAILED: {failures}")
         return 1
