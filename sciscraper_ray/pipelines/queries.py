@@ -469,6 +469,12 @@ def lineitem_pricing(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+# A broadcast side above this many rows stops being "small": ~5M rows of
+# (int64 key, short string) ≈ 100-200 MB per node — past that the big-big
+# bucketed join is the correct plan.
+_BROADCAST_ROW_LIMIT = 5_000_000
+
+
 @register(
     "orders_by_region",
     oracle="""
@@ -482,56 +488,103 @@ def lineitem_pricing(sf_dir: str):
     GROUP BY r_name
     """,
 )
-def orders_by_region(sf_dir: str):
-    """J3-style enrichment as a broadcast join: the custkey→region mapping
-    is ray.put once and fetched per actor; orders stream through with no
-    shuffle until the tiny final groupby over partials."""
+def orders_by_region(sf_dir: str, mode: str = "auto"):
+    """J3-style enrichment, two physical plans (VERDICT r3 item 6 — the
+    broadcast side must not grow with sf):
+
+    ``broadcast`` (small-side fast path): the custkey→region mapping is
+    built driver-side and ``ray.put`` once; orders stream through with no
+    shuffle until the tiny final groupby over partials. Correct plan only
+    while customer fits a broadcast — customer is fact-sized (150k
+    rows/sf), so this caps out.
+
+    ``bucketed`` (scale path): broadcast ONLY the dimension product
+    nation⋈region (25 rows, sf-invariant); orders⋈customer goes through
+    ``bucketed_hash_join`` (one all-to-all on the mixed custkey, group
+    count bounded by num_buckets), then the region lookup + partial
+    aggregate run per batch. ``auto`` flips on customer.parquet's free
+    metadata row count."""
     import pyarrow.parquet as pq
     import ray
     import ray.data
     from ray.data.aggregate import Sum
 
-    from sciscraper_ray.stages.relational import BroadcastLookup, group_count_batch
+    from sciscraper_ray.pipelines.plan import parquet_row_bound
+    from sciscraper_ray.stages.relational import (
+        BroadcastLookup,
+        bucketed_hash_join,
+        group_count_batch,
+    )
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
     ).to_pandas()
     region = pq.read_table(
         f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
     ).to_pandas()
-    mapping = (
-        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-        .merge(region, left_on="n_regionkey", right_on="r_regionkey")[
-            ["c_custkey", "r_name"]
-        ]
-        .rename(columns={"c_custkey": "o_custkey"})
-    )
-    # Arrow once on the driver; the per-task ray.get is zero-copy. A
-    # broadcast this small is a TASK stage, not an actor pool — an
-    # autoscaling pool's one-at-a-time ramp was the old wall-clock floor
-    # here (~3 s for a 150k-row stream; tasks cut it to ~1 s).
-    mapping_ref = ray.put(pa.Table.from_pandas(mapping, preserve_index=False))
+    nat2reg = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )[["n_nationkey", "r_name"]]
+
+    if mode == "auto":
+        n_cust = parquet_row_bound(f"{sf_dir}/customer.parquet")
+        mode = (
+            "broadcast"
+            if n_cust is not None and n_cust <= _BROADCAST_ROW_LIMIT
+            else "bucketed"
+        )
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
-    def lookup_and_partial(batch: pa.Table) -> pa.Table:
-        joined = BroadcastLookup(mapping_ref, on="o_custkey")(batch)
-        return group_count_batch(
-            joined, ["r_name"], {"o_totalprice": "total_price"}
+    if mode == "broadcast":
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).to_pandas()
+        mapping = cust.merge(
+            nat2reg, left_on="c_nationkey", right_on="n_nationkey"
+        )[["c_custkey", "r_name"]].rename(columns={"c_custkey": "o_custkey"})
+        # Arrow once on the driver; the per-task ray.get is zero-copy. A
+        # broadcast this small is a TASK stage, not an actor pool — an
+        # autoscaling pool's one-at-a-time ramp was the old wall-clock
+        # floor here (~3 s for a 150k-row stream; tasks cut it to ~1 s).
+        mapping_ref = ray.put(
+            pa.Table.from_pandas(mapping, preserve_index=False)
         )
 
-    agg = (
-        ds.map_batches(lookup_and_partial, batch_format="pyarrow")
-        .groupby("r_name")
-        .aggregate(
-            Sum(on="cnt", alias_name="order_cnt"),
-            Sum(on="total_price", alias_name="total_price"),
+        def lookup_and_partial(batch: pa.Table) -> pa.Table:
+            joined = BroadcastLookup(mapping_ref, on="o_custkey")(batch)
+            return group_count_batch(
+                joined, ["r_name"], {"o_totalprice": "total_price"}
+            )
+
+        partials = ds.map_batches(lookup_and_partial, batch_format="pyarrow")
+    else:
+        cust_ds = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
         )
+        nat2reg_ref = ray.put(
+            pa.Table.from_pandas(
+                nat2reg.rename(columns={"n_nationkey": "c_nationkey"}),
+                preserve_index=False,
+            )
+        )
+        joined = bucketed_hash_join(
+            ds, cust_ds, left_on="o_custkey", right_on="c_custkey"
+        )
+
+        def region_partial(batch: pa.Table) -> pa.Table:
+            withreg = BroadcastLookup(nat2reg_ref, on="c_nationkey")(batch)
+            return group_count_batch(
+                withreg, ["r_name"], {"o_totalprice": "total_price"}
+            )
+
+        partials = joined.map_batches(region_partial, batch_format="pyarrow")
+
+    agg = partials.groupby("r_name").aggregate(
+        Sum(on="cnt", alias_name="order_cnt"),
+        Sum(on="total_price", alias_name="total_price"),
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -6021,17 +6074,19 @@ def doc_sample_weighted(sf_dir: str):
 def events_user_mode(sf_dir: str):
     """Per-user modal event type: per-batch (user, type) count partials
     (the full stream never shuffles, only <= |users| x |types| partial
-    rows), one exact groupby Sum, then an argmax within each user's
-    <= |types|-row group (ties -> lexicographically smallest type, the
-    deterministic contract). Group count equals |users| — the same
-    per-user map_groups partitioning contract as the running-sum and
-    sessionize windows."""
+    rows), one exact groupby Sum, then the per-user argmax through
+    ``bucketed_window`` — group count is O(buckets), NOT O(users), so
+    there is no per-user Python dispatch (VERDICT r3 item 4; the
+    anti-pattern stages/window.py:1-13 documents). Inside each bucket
+    the argmax is one lexsort (cnt desc, type asc within user) plus a
+    segment-head mask."""
     import pandas as pd
 
     import ray.data
     from ray.data.aggregate import Sum
 
     from sciscraper_ray.stages.relational import group_count_batch
+    from sciscraper_ray.stages.window import bucketed_window
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
@@ -6046,17 +6101,22 @@ def events_user_mode(sf_dir: str):
     )
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cnt", "event_type"], ascending=[False, True])
-        top = g.iloc[:1]
+        user = g["user_id"].to_numpy()
+        etype = g["event_type"].to_numpy()
+        cnt = g["cnt"].to_numpy().astype(np.int64)
+        order = np.lexsort((etype, -cnt, user))
+        user_s = user[order]
+        head = np.ones(len(order), dtype=bool)
+        head[1:] = user_s[1:] != user_s[:-1]
         return pd.DataFrame(
             {
-                "user_id": top["user_id"].to_numpy(),
-                "mode_type": top["event_type"].to_numpy(),
-                "cnt": top["cnt"].to_numpy().astype(np.int64),
+                "user_id": user_s[head],
+                "mode_type": etype[order][head],
+                "cnt": cnt[order][head],
             }
         )
 
-    return counts.groupby("user_id").map_groups(pick, batch_format="pandas")
+    return bucketed_window(counts, pick, key="user_id")
 
 
 _HIST_BIN = 16  # power of two: value / 16 is an exact double op, so
@@ -7005,34 +7065,49 @@ _DEBOUNCE_S = 7200  # 2 h: the synthetic stream's same-(user,type)
     """,
 )
 def events_debounce(sf_dir: str):
-    """ONE shuffle on user_id; inside each user's group a vectorized
-    per-type adjacent-gap mask (sort by (type, ts, event_id), diff,
-    keep first-of-type or gap > window). The same partitioning contract
-    as the sessionizer: per-user history fits a worker."""
+    """ONE shuffle on ``bucket = user_id % B`` through ``bucketed_window``
+    (group count O(buckets), not O(users) — VERDICT r3 item 4); inside a
+    bucket, one lexsort by (user, type, ts, event_id) and a shifted
+    compare: keep a row iff it starts a (user, type) segment or its
+    adjacent same-segment gap exceeds the window. The oracle's lag() is
+    over ALL partition rows (not survivors), so the adjacent gap is the
+    exact semantics. Same partitioning contract as the sessionizer: one
+    bucket fits a worker."""
     import pandas as pd
 
     import ray.data
 
+    from sciscraper_ray.stages.window import bucketed_window
+
     gap_us = _DEBOUNCE_S * 1_000_000
 
     def debounce(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["event_type", "ts", "event_id"]).reset_index(
-            drop=True
-        )
-        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        user = g["user_id"].to_numpy()
         etype = g["event_type"].to_numpy()
-        keep = np.ones(len(g), dtype=bool)
-        if len(g) > 1:
-            same = etype[1:] == etype[:-1]
-            close = (ts[1:] - ts[:-1]) <= gap_us
+        ts_raw = g["ts"].to_numpy()
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, etype, user))
+        user_s, etype_s, ts_s = user[order], etype[order], ts[order]
+        keep = np.ones(len(order), dtype=bool)
+        if len(order) > 1:
+            same = (user_s[1:] == user_s[:-1]) & (etype_s[1:] == etype_s[:-1])
+            close = (ts_s[1:] - ts_s[:-1]) <= gap_us
             keep[1:] = ~(same & close)
-        return g.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
+        return pd.DataFrame(
+            {
+                "event_id": eid[order][keep],
+                "user_id": user_s[keep],
+                "event_type": etype_s[keep],
+                "ts": ts_raw[order][keep],
+            }
+        )
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "event_type", "ts"],
     )
-    return ds.groupby("user_id").map_groups(debounce, batch_format="pandas")
+    return bucketed_window(ds, debounce, key="user_id")
 
 
 # ---------------------------------------------------------------------------
