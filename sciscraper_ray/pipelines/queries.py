@@ -2722,6 +2722,59 @@ def media_image_features(sf_dir: str):
 
 
 @register(
+    "media_png_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + doc_id % 57 AS INTEGER) AS width,
+           CAST(4 + doc_id % 60 AS INTEGER) AS height,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+                AS INTEGER) AS channels,
+           CAST(doc_id % 100
+                + (7 + doc_id % 57) / 2.0
+                + (3 + doc_id % 60) / 2.0 AS DOUBLE) AS mean_c0
+    FROM documents
+    """,
+)
+def media_png_features(sf_dir: str):
+    """REAL-format image decode: deterministic PNG payloads (gradient
+    pixels, per-scanline filter type cycling through all five PNG
+    filters) decoded by the from-scratch codec (stages/png.py — chunk
+    CRCs, inflate, defilter), then per-channel features. The gradient's
+    channel-0 mean is exact doc_id arithmetic, so the oracle checks that
+    the full decode path (not a header peek) ran: any filter/defilter
+    bug shifts pixel values and breaks the mean. Honest-multimodal item
+    from VERDICT r3 (#7); reference handles real image bytes in
+    downloaders.py:283-366."""
+    from sciscraper_ray.stages.multimodal import ImageDecodeStage, ImageFeatureStage
+
+    decoded = _media(sf_dir, "png").map_batches(
+        ImageDecodeStage,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 8),
+    )
+    feats = decoded.map_batches(
+        ImageFeatureStage, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        means = batch["mean"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": batch["width"],
+                "height": batch["height"],
+                "channels": batch["channels"],
+                "mean_c0": pa.array(
+                    [m[0] if m else np.nan for m in means], pa.float64()
+                ),
+            }
+        )
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
+
+
+@register(
     "media_audio_frames",
     oracle="""
     SELECT d.doc_id,

@@ -58,8 +58,13 @@ def encode_fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
 
 
 def decode_image_payload(payload: bytes) -> tuple[np.ndarray, str]:
-    """binary -> (h, w, c) uint8 array. Real formats require a codec the
-    environment lacks — the dependency boundary is explicit."""
+    """binary -> (h, w, c) uint8 array. PNG decodes for real (from-scratch
+    codec, stages/png.py); formats requiring out-of-container codecs
+    (JPEG) keep the explicit dependency boundary."""
+    from sciscraper_ray.stages.png import PNG_SIGNATURE, decode_png
+
+    if payload[:8] == PNG_SIGNATURE:
+        return decode_png(payload), "ok"
     if payload[:4] == IMAGE_MAGIC:
         w, h, c = struct.unpack("<HHB", payload[4:9])
         fills = np.frombuffer(payload[9 : 9 + c], np.uint8)
@@ -241,6 +246,11 @@ def synth_media_batch(batch: pa.Table, kind: str = "image") -> pa.Table:
 
     image: width = 16 + doc_id % 48, height = 8 + doc_id % 24, 3 channels
            filled with (doc_id % 256, (doc_id*3) % 256, (doc_id*7) % 256)
+    png:   REAL PNG bytes (stages/png.py encoder): w = 8 + doc_id % 57,
+           h = 4 + doc_id % 60, channels 1/3/4 by doc_id % 3, pixel
+           value[k][y][x] = doc_id % 100 + x + y + 10*k (never wraps),
+           scanline y filtered with type (doc_id + y) % 5 so every
+           decode exercises all five PNG filters
     audio: sample_rate 16000, n = 1600 + (doc_id % 100) * 16, seed doc_id % 97
     video: 32x18, n_frames = 60 + doc_id % 240, fps 30, seed doc_id % 251
     """
@@ -254,6 +264,8 @@ def synth_media_batch(batch: pa.Table, kind: str = "image") -> pa.Table:
                     16 + i % 48, 8 + i % 24, [i % 256, (i * 3) % 256, (i * 7) % 256]
                 )
             )
+        elif kind == "png":
+            payloads.append(synth_png_payload(i))
         elif kind == "audio":
             payloads.append(encode_fake_audio(16_000, 1600 + (i % 100) * 16, i % 97))
         else:
@@ -267,6 +279,26 @@ def synth_media_batch(batch: pa.Table, kind: str = "image") -> pa.Table:
             "media_type": pa.array([kind] * len(ids), pa.string()),
         }
     )
+
+
+def synth_png_payload(doc_id: int) -> bytes:
+    """Deterministic REAL PNG for ``doc_id`` (formula documented on
+    synth_media_batch). Channel-k mean is exactly
+    doc_id % 100 + (w-1)/2 + (h-1)/2 + 10*k — oracle-expressible."""
+    from sciscraper_ray.stages.png import encode_png
+
+    w = 8 + doc_id % 57
+    h = 4 + doc_id % 60
+    c = (1, 3, 4)[doc_id % 3]
+    base = doc_id % 100
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (
+        base
+        + xx[:, :, None]
+        + yy[:, :, None]
+        + 10 * np.arange(c)[None, None, :]
+    ).astype(np.uint8)
+    return encode_png(img, filter_type=[(doc_id + y) % 5 for y in range(h)])
 
 
 VIDEO_MAGIC = b"FVID"

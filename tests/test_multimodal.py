@@ -32,8 +32,9 @@ def test_image_gradient_payload():
 
 
 def test_real_codec_paths_are_gated():
+    # PNG decodes for real now (stages/png.py); JPEG remains import-gated.
     with pytest.raises(NotImplementedError, match="Pillow"):
-        decode_image_payload(b"\x89PNG\r\n\x1a\n....")
+        decode_image_payload(b"\xff\xd8\xff\xe0JFIF....")
     with pytest.raises(NotImplementedError, match="libsndfile"):
         decode_audio_payload(b"RIFFxxxxWAVE")
 
