@@ -7849,8 +7849,14 @@ def warc_roundtrip(sf_dir: str):
     Parallelism = segment files (WARC has no intra-file random access
     without a CDX index — the constraint real Common-Crawl readers have);
     the parse is per-fragment and shuffle-free. Segment synthesis is
-    fixture generation (driver-side, cached per sf under /tmp)."""
+    fixture generation (driver-side, cached per sf under /tmp — keyed by
+    the source parquet's identity (path, mtime_ns, size) so a regenerated
+    fixture never reuses stale shards, and built in a temp dir with an
+    atomic rename so a concurrent run can never observe a half-written
+    cache)."""
+    import hashlib
     import os
+    import shutil
 
     import pyarrow.parquet as pq
 
@@ -7858,14 +7864,17 @@ def warc_roundtrip(sf_dir: str):
 
     from sciscraper_ray.sources.warc import build_warc, parse_warc
 
-    docs = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    cache_key = hashlib.sha256(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    docs = pq.read_table(src, columns=["doc_id", "text"])
     n_shards = 8
-    out_dir = f"/tmp/warc_src_{os.path.basename(sf_dir.rstrip('/'))}_{len(docs)}"
-    marker = os.path.join(out_dir, "_done")
-    if not os.path.exists(marker):
-        os.makedirs(out_dir, exist_ok=True)
+    out_dir = f"/tmp/warc_src_{cache_key}"
+    if not os.path.isdir(out_dir):
+        tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
+        os.makedirs(tmp_dir, exist_ok=True)
         ids = docs["doc_id"].to_numpy(zero_copy_only=False)
         texts = docs["text"].to_pylist()
         shards: list[list[tuple[int, str, bytes]]] = [[] for _ in range(n_shards)]
@@ -7874,10 +7883,12 @@ def warc_roundtrip(sf_dir: str):
                 (int(i), f"https://warc.example/doc-{int(i)}", t.encode("utf-8"))
             )
         for s, recs in enumerate(shards):
-            with open(os.path.join(out_dir, f"shard-{s:04d}.warc"), "wb") as f:
+            with open(os.path.join(tmp_dir, f"shard-{s:04d}.warc"), "wb") as f:
                 f.write(build_warc(recs))
-        with open(marker, "w") as f:
-            f.write("ok")
+        try:
+            os.rename(tmp_dir, out_dir)  # atomic publish
+        except OSError:  # lost the race to a concurrent builder — use theirs
+            shutil.rmtree(tmp_dir, ignore_errors=True)
 
     def parse_batch(batch: pa.Table) -> pa.Table:
         ids_, uris, texts_ = [], [], []

@@ -62,6 +62,80 @@ class TokenBucket:
             self.sleep((1.0 - self.tokens) / self.rate)
 
 
+def http_transport(
+    url: str,
+    params_for: Callable[[Any], dict[str, str]],
+    parse: Callable[[bytes], dict | None],
+    timeout: float = 10.0,
+    opener: Callable[[str, float], Any] | None = None,
+) -> Callable[[Any], dict | None]:
+    """Live transport matching the reference's request contract
+    (webscrapers.py:195-262): build a querystring from the key, GET,
+    return None on non-200, else parse the body into a row dict.
+
+    OFFLINE BY DEFAULT: with no injected ``opener`` the real network path
+    is gated behind ``SCISCRAPER_ALLOW_NETWORK=1`` — this engine ships and
+    tests offline; the flag is the deployment opt-in. Build one transport
+    per actor (inside ``transport_factory``) so the opener/session is
+    reused across that actor's rows, the analog of the reference's
+    module-global ``client`` (webscrapers.py:24).
+
+    ``opener(full_url, timeout) -> (status: int, body: bytes)`` is
+    injectable for tests and for custom clients; the default uses stdlib
+    ``urllib.request`` (no third-party HTTP dependency).
+    """
+    import os
+    import urllib.parse
+
+    if opener is None:
+        if os.environ.get("SCISCRAPER_ALLOW_NETWORK") != "1":
+            raise RuntimeError(
+                "http_transport is offline-gated: set "
+                "SCISCRAPER_ALLOW_NETWORK=1 to enable live requests, or "
+                "inject an opener"
+            )
+        import urllib.error
+        import urllib.request
+
+        def opener(full_url: str, t: float):
+            try:
+                with urllib.request.urlopen(full_url, timeout=t) as resp:
+                    return resp.status, resp.read()
+            except urllib.error.HTTPError as exc:  # non-200 with a body
+                return exc.code, b""
+
+    def fetch(key):
+        qs = urllib.parse.urlencode(params_for(key))
+        status, body = opener(f"{url}?{qs}", timeout)
+        if status != 200:  # reference: non-200 -> None (webscrapers.py:205)
+            return None
+        return parse(body)
+
+    return fetch
+
+
+def json_docs_parse(
+    fields: dict[str, str], list_key: str = "docs"
+) -> Callable[[bytes], dict | None]:
+    """Body parser for the reference's response shape
+    (webscrapers.py:73-74 get_items_from_response): take the FIRST
+    element of ``body[list_key]`` and project ``{out_col: item[src_key]}``
+    (the ``item.get(value)`` projection at webscrapers.py:229-230);
+    empty/missing list -> None rather than the reference's IndexError —
+    the stage's degrade-to-null contract."""
+    import json
+
+    def parse(body: bytes) -> dict | None:
+        data = json.loads(body)
+        items = data.get(list_key) or []
+        if not items:
+            return None
+        item = items[0]
+        return {out: item.get(src) for out, src in fields.items()}
+
+    return parse
+
+
 def table_transport(mapping: dict) -> Callable[[Any], dict | None]:
     """Offline transport: key -> row dict from a fixture mapping (the
     broadcast-join deployment of the enrichment contract); miss -> None

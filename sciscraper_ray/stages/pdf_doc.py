@@ -257,19 +257,33 @@ def load_objects(payload: bytes) -> tuple[dict[int, object], dict[int, bytes]]:
             continue
         data_start = sm.end()
         length = val.get("Length") if isinstance(val, dict) else None
+        candidates: list[int] = []
         if isinstance(length, Ref):
-            lm = re.search(
-                rb"(?<![0-9])" + str(length.num).encode() + rb"\s+\d+\s+obj\s*(\d+)",
-                payload,
-            )
-            length = int(lm.group(1)) if lm else None
+            # Indirect /Length: probe every 'N g obj <int>' definition,
+            # NEWEST FIRST (incremental updates append — later definitions
+            # override, same policy as the object map below). Each
+            # candidate must still pass the endstream-window check, which
+            # also rejects probe hits that landed inside another stream's
+            # compressed payload.
+            candidates = [
+                int(lm.group(1))
+                for lm in re.finditer(
+                    rb"(?<![0-9])"
+                    + str(length.num).encode()
+                    + rb"\s+\d+\s+obj\s*(\d+)",
+                    payload,
+                )
+            ][::-1]
+        elif isinstance(length, (int, float)) and length >= 0:
+            candidates = [int(length)]
         raw = None
-        if isinstance(length, (int, float)) and length >= 0:
-            end = data_start + int(length)
+        for cand in candidates:
+            end = data_start + cand
             # sanity: `endstream` must follow within a short EOL window,
             # else the declared length is broken and we rescan
             if payload.find(b"endstream", end, end + 32) >= 0:
                 raw = payload[data_start:end]
+                break
         if raw is None:
             end = payload.find(b"endstream", data_start)
             if end < 0:

@@ -212,6 +212,9 @@ def _extract_glyphs(
             tm[5] = ty + adv * n_units * b
             return
         width = f.width if (f is not None and not trivial) else None
+        # §9.3.3: word spacing applies only to SINGLE-BYTE code 32 —
+        # 2-byte Type0/CID code 32 must not pick up Tw
+        tw_applies = trivial or (f is not None and f.code_bytes == 1)
         for code, text in units:
             if width is None:
                 gw = em
@@ -219,15 +222,26 @@ def _extract_glyphs(
                 w1000 = width(code)
                 gw = em if w1000 is None else w1000 * 0.001 * size
             # §9.4.4 glyph displacement in text space
-            adv = (gw + tc + (tw if code == 32 else 0.0)) * hscale
+            adv = (gw + tc + (tw if (code == 32 and tw_applies) else 0.0)) * hscale
             x = tx * c0 + ty * c2 + c4
             y = tx * c1 + ty * c3 + c5
-            dev_adv = adv * a * c0
+            # full device-space advance: text-space (adv*a, adv*b) through
+            # the CTM — both cross terms, plus the y component for rotated
+            # or skewed Tm x CTM compositions
+            dev_adv = adv * (a * c0 + b * c2)
+            dev_adv_y = adv * (a * c1 + b * c3)
             for k, ch in enumerate(text):
                 # ligature/multi-char mappings share one advance: the first
                 # char carries it, the rest sit at the pen end with zero
                 # width so word logic sees them adjacent
-                append((ch, x if k == 0 else x + dev_adv, y, dev_adv if k == 0 else 0.0))
+                append(
+                    (
+                        ch,
+                        x if k == 0 else x + dev_adv,
+                        y if k == 0 else y + dev_adv_y,
+                        dev_adv if k == 0 else 0.0,
+                    )
+                )
             tx += adv * a
             ty += adv * b
         tm[4] = tx

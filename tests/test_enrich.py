@@ -85,3 +85,100 @@ def test_rate_limited_enrich_offline_transport(ray_session):
     assert out.loc["10.1/a", "title"] == "A"
     assert out.loc["10.1/b", "times_cited"] == 7
     assert out["title"].isna().sum() == 3  # miss + raise + null key
+
+
+def test_http_transport_contract():
+    """Reference request contract (webscrapers.py:195-262): querystring
+    from key, non-200 -> None, 200 -> parsed row; opener built once and
+    reused (session analog)."""
+    import json
+    from urllib.parse import parse_qs, urlparse
+
+    from sciscraper_ray.stages.enrich import http_transport, json_docs_parse
+
+    calls = []
+
+    def fake_opener(full_url, timeout):
+        calls.append(full_url)
+        q = parse_qs(urlparse(full_url).query)
+        text = q["search_text"][0]
+        if text == "10.404/x":
+            return 404, b""
+        if text == "10.1/empty":
+            return 200, json.dumps({"docs": []}).encode()
+        return 200, json.dumps(
+            {"docs": [{"title": f"T:{text}", "times_cited": len(text)}]}
+        ).encode()
+
+    fetch = http_transport(
+        "https://api.example.org/search",
+        params_for=lambda k: {"search_mode": "content", "search_text": k},
+        parse=json_docs_parse({"title": "title", "cited": "times_cited"}),
+        opener=fake_opener,
+    )
+    assert fetch("10.1/a") == {"title": "T:10.1/a", "cited": 6}
+    assert fetch("10.404/x") is None  # non-200 -> None
+    assert fetch("10.1/empty") is None  # no docs -> None
+    assert len(calls) == 3
+    assert "search_mode=content" in calls[0]
+
+
+def test_http_transport_offline_gated(monkeypatch):
+    import pytest
+
+    from sciscraper_ray.stages.enrich import http_transport
+
+    monkeypatch.delenv("SCISCRAPER_ALLOW_NETWORK", raising=False)
+    with pytest.raises(RuntimeError, match="offline-gated"):
+        http_transport(
+            "https://api.example.org", lambda k: {}, lambda b: None
+        )
+
+
+def test_http_transport_in_rate_limited_stage(ray_session):
+    """Injected HTTP opener through the full actor-pool stage: errors and
+    non-200s degrade to null columns, hits enrich."""
+    import json
+
+    import ray.data
+
+    from sciscraper_ray.stages.enrich import (
+        RateLimitedEnrich,
+        http_transport,
+        json_docs_parse,
+    )
+
+    def factory():
+        def fake_opener(full_url, timeout):
+            if "boom" in full_url:
+                raise OSError("connection reset")
+            if "miss" in full_url:
+                return 500, b""
+            return 200, json.dumps({"docs": [{"title": "ok"}]}).encode()
+
+        return http_transport(
+            "https://api.example.org/s",
+            params_for=lambda k: {"search_text": k},
+            parse=json_docs_parse({"title": "title"}),
+            opener=fake_opener,
+        )
+
+    ds = ray.data.from_arrow(pa.table({"doi": ["a", "miss", "boom", "b"]}))
+    out = (
+        ds.map_batches(
+            RateLimitedEnrich,
+            fn_constructor_kwargs={
+                "transport_factory": factory,
+                "on": "doi",
+                "out_columns": {"title": pa.string()},
+                "rate": 10_000.0,
+            },
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+        .set_index("doi")
+    )
+    assert out.loc["a", "title"] == "ok"
+    assert out.loc["b", "title"] == "ok"
+    assert out["title"].isna().sum() == 2  # 500 + exception
