@@ -111,7 +111,10 @@ def run_flagship(sf_dir: str) -> tuple[float, int]:
     return round(time.perf_counter() - t0, 3), n
 
 
-HEADLINE_PASSES = int(os.environ.get("BENCH_PASSES", "2"))
+# 3 passes: the documented host-noise windows span minutes, so two
+# adjacent passes can both land inside one; a third materially raises the
+# chance every query sees at least one clean window.
+HEADLINE_PASSES = int(os.environ.get("BENCH_PASSES", "3"))
 
 
 def run_bench(sf_dir: str, num_cpus: int) -> dict:

@@ -76,13 +76,29 @@ MODES: dict[str, Callable[[str], ray.data.Dataset]] = {
 }
 
 
+def read_mode(input_fn: Callable[[str], str] = input) -> str:
+    """Interactive mode selection — the reference's prompt loop
+    (factories.py:106-125 read_factory, argsbuilder.py:66-76 mode=None
+    contract): prompt until the entry names a known mode; unknown entries
+    log an error and re-prompt. ``input_fn`` is injectable for tests."""
+    choices = sorted(MODES) + ["resume", "download"]
+    while True:
+        mode = input_fn(
+            f"Enter desired data scraping process ({', '.join(choices)}): "
+        ).strip()
+        if mode in choices or mode.startswith("query:"):
+            return mode
+        log.error("Unknown data scraping process option: %s.", mode)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="sciscraper_ray",
         description="Ray-Data-native sciscraper engine",
     )
-    p.add_argument("-m", "--mode", required=True,
-                   help=f"one of {sorted(MODES)}, 'resume', or 'query:<name>'")
+    p.add_argument("-m", "--mode", default=None,
+                   help=f"one of {sorted(MODES)}, 'resume', or 'query:<name>'; "
+                        "omitted -> interactive prompt (reference parity)")
     p.add_argument("-f", "--file", required=True, help="input parquet file/dir (or sf dir for query:)")
     p.add_argument("-e", "--export", required=True, help="export directory")
     p.add_argument("--date-stamp", default=None, help="YYMMDD run-dir stamp (default: today)")
@@ -94,6 +110,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> str:
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
+
+    if args.mode is None:
+        args.mode = read_mode()
 
     if not ray.is_initialized():  # external drivers init Ray themselves
         # under `ray job submit` the ambient RAY_ADDRESS points at the

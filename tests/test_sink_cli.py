@@ -212,3 +212,21 @@ def test_cli_citations_and_download_modes(ray_session, tmp_path):
     )
     t = pq_.read_table(out_dir)
     assert t.num_rows == 2 and "filename" in t.column_names
+
+
+def test_read_mode_prompt_loop():
+    """Reference read_factory contract (factories.py:106-125): re-prompt
+    on unknown modes, accept registry names / resume / query:*."""
+    from sciscraper_ray.cli import read_mode
+
+    prompts = []
+
+    def fake_input(prompt):
+        prompts.append(prompt)
+        return ["bogus", "  wordscore "][len(prompts) - 1]
+
+    assert read_mode(fake_input) == "wordscore"
+    assert len(prompts) == 2
+    assert "wordscore" in prompts[0] and "resume" in prompts[0]
+    assert read_mode(lambda p: "query:top_tokens_global") == "query:top_tokens_global"
+    assert read_mode(lambda p: "download") == "download"
