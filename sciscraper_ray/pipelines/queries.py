@@ -3424,6 +3424,82 @@ def page_extract_identifiers_metadata(sf_dir: str):
     return out.select_columns(["doc_id", "doi", "identifier_type"])
 
 
+@register(
+    "page_validate_identifiers",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                        THEN '10.' || (1000 + doc_id % 9000) || '/ax.' || doc_id
+                    WHEN doc_id % 3 = 1 THEN '2345.' || (20000 + doc_id)
+               END AS doi,
+               CASE WHEN doc_id % 3 = 0 THEN 'doi'
+                    WHEN doc_id % 3 = 1 THEN 'arxiv'
+               END AS identifier_type
+        FROM documents
+    )
+    SELECT doc_id, doi, identifier_type,
+           CASE WHEN doc_id % 2 = 0 AND identifier_type = 'doi'
+                    THEN '{"DOI": "' || doi || '"}'
+                WHEN doc_id % 2 = 0 AND identifier_type = 'arxiv'
+                    THEN 'entry(id=http://arxiv.org/abs/' || doi
+                         || ', title=Title ' || doi || ')'
+           END AS validation_info
+    FROM ids
+    """,
+)
+def page_validate_identifiers(sf_dir: str):
+    """M12 — network identifier validation end to end
+    (/root/reference/src/doifrompdf.py:166-190): the extracted-identifier
+    stream from page_extract_identifiers flows through
+    ``IdentifierValidationStage``. The LIVE dx.doi.org / export.arxiv.org
+    path is offline-gated (SCISCRAPER_ALLOW_NETWORK); this query injects a
+    deterministic registry opener — a DOI resolves (200 + citeproc body)
+    iff its registrant is even, an arXiv query returns a one-entry Atom
+    feed iff its number is even — so the full request/parse/None-on-miss
+    chain runs for real and the oracle can state the result from doc_id
+    parity. Null identifiers (doc_id % 3 = 2) make no request.
+
+    Note the reference validates the RAW regex match before DOI
+    canonicalization; these fixtures are already canonical, so raw ==
+    canonical here."""
+    import json
+
+    from sciscraper_ray.stages.enrich import (
+        IdentifierValidationStage,
+        validation_transport,
+    )
+
+    def registry_opener(full_url: str, timeout: float):
+        if "dx.doi.org/" in full_url:
+            ident = full_url.split("dx.doi.org/", 1)[1]
+            registrant = int(ident.split("/", 1)[0].split(".", 1)[1])
+            if registrant % 2 == 0:
+                return 200, json.dumps({"DOI": ident}).encode()
+            return 404, b""
+        ident = full_url.split("id:", 1)[1]
+        atom = "http://www.w3.org/2005/Atom"
+        if int(ident.split(".", 1)[1]) % 2 == 0:
+            body = (
+                f'<feed xmlns="{atom}"><entry>'
+                f"<id>http://arxiv.org/abs/{ident}</id>"
+                f"<title>Title {ident}</title>"
+                f"</entry></feed>"
+            )
+            return 200, body.encode()
+        return 200, f'<feed xmlns="{atom}"></feed>'.encode()
+
+    ids = page_extract_identifiers(sf_dir).drop_columns(["extracted_text"])
+    return ids.map_batches(
+        IdentifierValidationStage,
+        fn_constructor_kwargs={
+            "transport_factory": lambda: validation_transport(registry_opener),
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
 _WORDSCORE_WITH_TEXT_SQL = _WORDSCORE_SQL.replace(
     "SELECT d.doc_id,", "SELECT d.doc_id, d.text AS extracted_text,", 1
 )

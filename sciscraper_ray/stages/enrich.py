@@ -136,6 +136,115 @@ def json_docs_parse(
     return parse
 
 
+def validation_transport(
+    opener: Callable[[str, float], tuple[int, bytes]] | None = None,
+    timeout: float = 10.0,
+) -> Callable[[str, str], str | None]:
+    """M12 — network identifier validation, the reference's
+    ``validate_identifier`` contract (doifrompdf.py:166-190):
+
+    - doi: GET ``http://dx.doi.org/{id}`` (Accept: application/citeproc+json);
+      non-2xx or any exception -> None, else the response body text.
+    - arxiv: GET the export.arxiv.org Atom query; the string form of the
+      first ``<entry>`` (stdlib ElementTree stands in for feedparser,
+      which is not in this container), or None when the feed is empty.
+
+    Offline-gated exactly like ``http_transport``: the live path needs
+    ``SCISCRAPER_ALLOW_NETWORK=1``; tests and offline deployments inject
+    ``opener(full_url, timeout) -> (status, body)``.
+    """
+    import os
+    import xml.etree.ElementTree as ET
+
+    if opener is None:
+        if os.environ.get("SCISCRAPER_ALLOW_NETWORK") != "1":
+            raise RuntimeError(
+                "validation_transport is offline-gated: set "
+                "SCISCRAPER_ALLOW_NETWORK=1 or inject an opener"
+            )
+        import urllib.error
+        import urllib.request
+
+        def opener(full_url: str, t: float):
+            req = urllib.request.Request(
+                full_url, headers={"accept": "application/citeproc+json"}
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=t) as resp:
+                    return resp.status, resp.read()
+            except urllib.error.HTTPError as exc:
+                return exc.code, b""
+
+    _ATOM = "{http://www.w3.org/2005/Atom}"
+
+    def validate(identifier: str, id_type: str) -> str | None:
+        try:
+            if id_type == "arxiv":
+                status, body = opener(
+                    "http://export.arxiv.org/api/query?search_query="
+                    f"id:{identifier}",
+                    timeout,
+                )
+                if status != 200:
+                    return None
+                root = ET.fromstring(body)
+                entries = root.findall(f"{_ATOM}entry")
+                if not entries:
+                    return None
+                e = entries[0]
+                eid = (e.findtext(f"{_ATOM}id") or "").strip()
+                title = (e.findtext(f"{_ATOM}title") or "").strip()
+                return f"entry(id={eid}, title={title})"
+            if id_type in ("doi", "pdf2doi_identifier"):
+                status, body = opener(
+                    f"http://dx.doi.org/{identifier}", timeout
+                )
+                if not (200 <= status < 300):  # raise_for_status analog
+                    return None
+                return body.decode("utf-8", errors="replace")
+            return None
+        except Exception:  # noqa: BLE001 — reference: any error -> None
+            return None
+
+    return validate
+
+
+class IdentifierValidationStage:
+    """Actor-pool map_batches stage filling ``validation_info`` (M12):
+    per-row ``validate(identifier, identifier_type)`` through an injected
+    transport factory, token-bucket rate limited like every IO-tier stage.
+    Null identifiers make no request and burn no tokens."""
+
+    def __init__(
+        self,
+        transport_factory: Callable[[], Callable[[str, str], str | None]],
+        identifier_col: str = "doi",
+        type_col: str = "identifier_type",
+        rate: float | None = None,
+        burst: int = 4,
+    ):
+        self.validate = transport_factory()
+        self.identifier_col = identifier_col
+        self.type_col = type_col
+        self.bucket = TokenBucket(rate, burst) if rate else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list[str | None] = []
+        for ident, kind in zip(
+            batch[self.identifier_col].to_pylist(),
+            batch[self.type_col].to_pylist(),
+        ):
+            if ident is None or kind is None:
+                out.append(None)
+                continue
+            if self.bucket is not None:
+                self.bucket.acquire()
+            out.append(self.validate(ident, kind))
+        return batch.append_column(
+            "validation_info", pa.array(out, pa.string())
+        )
+
+
 def table_transport(mapping: dict) -> Callable[[Any], dict | None]:
     """Offline transport: key -> row dict from a fixture mapping (the
     broadcast-join deployment of the enrichment contract); miss -> None

@@ -182,3 +182,47 @@ def test_http_transport_in_rate_limited_stage(ray_session):
     assert out.loc["a", "title"] == "ok"
     assert out.loc["b", "title"] == "ok"
     assert out["title"].isna().sum() == 2  # 500 + exception
+
+
+def test_validation_transport_contract():
+    """M12 reference contract (doifrompdf.py:166-190): doi -> body text on
+    2xx / None otherwise; arxiv -> first Atom entry string / None on empty
+    feed; exceptions -> None."""
+    from sciscraper_ray.stages.enrich import validation_transport
+
+    atom = "http://www.w3.org/2005/Atom"
+
+    def opener(url, timeout):
+        if "dx.doi.org/10.1000/good" in url:
+            return 200, b'{"DOI": "10.1000/good"}'
+        if "dx.doi.org/" in url:
+            return 404, b""
+        if "id:1234.5678" in url:
+            return 200, (
+                f'<feed xmlns="{atom}"><entry>'
+                f"<id>http://arxiv.org/abs/1234.5678</id>"
+                f"<title>A Paper</title></entry></feed>"
+            ).encode()
+        if "id:boom" in url:
+            raise OSError("reset")
+        return 200, f'<feed xmlns="{atom}"></feed>'.encode()
+
+    v = validation_transport(opener)
+    assert v("10.1000/good", "doi") == '{"DOI": "10.1000/good"}'
+    assert v("10.1000/bad", "doi") is None  # non-2xx -> None
+    assert v("1234.5678", "arxiv") == (
+        "entry(id=http://arxiv.org/abs/1234.5678, title=A Paper)"
+    )
+    assert v("9999.0000", "arxiv") is None  # empty feed -> None
+    assert v("boom", "arxiv") is None  # exception -> None
+    assert v("x", "unknown_type") is None
+
+
+def test_validation_transport_offline_gated(monkeypatch):
+    import pytest
+
+    from sciscraper_ray.stages.enrich import validation_transport
+
+    monkeypatch.delenv("SCISCRAPER_ALLOW_NETWORK", raising=False)
+    with pytest.raises(RuntimeError, match="offline-gated"):
+        validation_transport()
