@@ -1,0 +1,1996 @@
+"""Corpus-level ops: segment dedup, quality gates, sessions, sketches, CDC, sinks.
+
+Split from pipelines/queries.py (round 4); registration side effects
+only — import order is fixed by the package __init__.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sciscraper_ray.pipelines.queries._shared import (
+    _SQL_TOKENS,
+    _docs,
+    register,
+)
+from sciscraper_ray.pipelines.queries.dedup import (
+    _SESSION_GAP_MIN,
+    _md5_hex15_sql,
+    _with_copies,
+)
+
+
+# ---------------------------------------------------------------------------
+# C4-style corpus-level segment dedup (line dedup over fixed-width token
+# segments — the synthetic corpus has no newline structure, so the "line"
+# unit is an 8-token window; the operator shape is identical to C4's
+# remove-duplicate-lines pass: first global occurrence of each distinct
+# unit survives, documents are rebuilt from their surviving units, and
+# fully-duplicate documents vanish).
+
+SEGDEDUP_W = 8
+
+
+@register(
+    "doc_segment_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest({_SQL_TOKENS}) AS token,
+               unnest(range(len({_SQL_TOKENS}))) AS ord
+        FROM documents
+    ), segs AS (
+        SELECT doc_id, ord // {SEGDEDUP_W} AS seg_no,
+               string_agg(token, ' ' ORDER BY ord) AS seg
+        FROM toks GROUP BY doc_id, ord // {SEGDEDUP_W}
+    ), firsts AS (
+        SELECT doc_id, seg_no, seg,
+               row_number() OVER (
+                   PARTITION BY seg ORDER BY doc_id, seg_no
+               ) AS rn
+        FROM segs
+    )
+    SELECT doc_id,
+           string_agg(seg, ' ' ORDER BY seg_no) AS text,
+           CAST(count(*) AS BIGINT) AS n_segs
+    FROM firsts WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def doc_segment_dedup(sf_dir: str):
+    """Corpus-level first-occurrence segment dedup (C4's duplicate-line
+    removal): explode docs into 8-token segments, keep each distinct
+    segment only at its globally first (doc_id, seg_no) site, rebuild doc
+    text from the survivors. The dedup itself is the shared two-pass
+    ``winner_filter`` (key = md5-128 of the segment, winner = min
+    composite position) — only 128-bit keys enter the exchange, never
+    segment text. The segment table is materialized once because
+    winner_filter streams it twice (key pass + filter pass); at real
+    scale the segment pass writes partitioned parquet and each pass is an
+    independent pruned read instead (same contract as the flagship's
+    pre-materialized key pass)."""
+    import ray.data
+
+    from sciscraper_ray.kernels.tokenize import segment_column
+    from sciscraper_ray.pipelines.winner import WinnerSpec, winner_filter
+    from sciscraper_ray.stages.dedup import md5_hash128_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def to_segments(batch: pa.Table) -> pa.Table:
+        row, seg_no, seg = segment_column(batch["text"], SEGDEDUP_W)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)[row]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "seg_no": pa.array(seg_no),
+                "seg": seg,
+            }
+        )
+
+    segs = ds.map_batches(to_segments, batch_format="pyarrow").materialize()
+
+    def position(batch: pa.Table) -> np.ndarray:
+        """Winner value = doc_id * 2^20 + seg_no: min composite ==
+        (doc_id, seg_no) lexicographic order. Bounds: doc_id < 2^43,
+        segments-per-doc < 2^20 (a 8M-token doc would overflow; raise
+        loudly rather than mis-rank)."""
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        s = batch["seg_no"].to_numpy(zero_copy_only=False)
+        if len(s) and (s.max() >= (1 << 20) or d.max() >= (1 << 43)):
+            raise ValueError("segment position overflows the composite key")
+        return d * (1 << 20) + s
+
+    kept = winner_filter(
+        segs,
+        WinnerSpec(
+            keys=lambda b: md5_hash128_batch(b, "seg"),
+            value=position,
+            np_reducer=np.minimum,
+            agg_name="min",
+            what="segment_dedup",
+        ),
+    )
+
+    return _rebuild_docs_from_segments(kept)
+
+
+def _rebuild_docs_from_segments(kept):
+    """Bucketed vectorized doc rebuild shared by the segment-level ops
+    (doc_segment_dedup, doc_boilerplate_strip): 32 doc-hash buckets, and
+    within each bucket a MANY-docs-per-group rebuild (no per-doc
+    map_groups) — lexsort by (doc, seg_no), doc-boundary offsets via
+    np.diff, one zero-copy pc.binary_join over a re-offset ListArray —
+    segment_column's construction run in reverse."""
+
+    def rebuild_bucket(tbl: pa.Table) -> pa.Table:
+        d = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        s = tbl["seg_no"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, d))
+        d_s = d[order]
+        seg = tbl["seg"].take(pa.array(order)).combine_chunks()
+        n = len(d_s)
+        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        offsets = np.append(starts, n).astype(np.int32)
+        seg_list = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), seg)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_s[starts]),
+                "text": pc.binary_join(seg_list, " "),
+                "n_segs": pa.array(np.diff(offsets).astype(np.int64)),
+            }
+        )
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        bucket = pc.cast(pc.bit_wise_and(batch["doc_id"], 31), pa.int64())
+        return batch.append_column("bucket", bucket)
+
+    return (
+        kept.map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda t: rebuild_bucket(t.drop_columns(["bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+_BOILER_DF_MIN = 3
+
+
+@register(
+    "doc_boilerplate_strip",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest({_SQL_TOKENS}) AS token,
+               unnest(range(len({_SQL_TOKENS}))) AS ord
+        FROM documents
+    ), segs AS (
+        SELECT doc_id, ord // {SEGDEDUP_W} AS seg_no,
+               string_agg(token, ' ' ORDER BY ord) AS seg
+        FROM toks GROUP BY doc_id, ord // {SEGDEDUP_W}
+    ), freq AS (
+        SELECT seg FROM (
+            SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+        ) WHERE df >= {_BOILER_DF_MIN}
+    )
+    SELECT doc_id,
+           string_agg(seg, ' ' ORDER BY seg_no) AS text,
+           CAST(count(*) AS BIGINT) AS n_segs
+    FROM segs WHERE seg NOT IN (SELECT seg FROM freq)
+    GROUP BY doc_id
+    """,
+)
+def doc_boilerplate_strip(sf_dir: str, plan: str = "auto"):
+    """CCNet-style FREQUENCY-based boilerplate removal: a segment whose
+    corpus document-frequency reaches the threshold is chrome/navigation
+    by construction and is stripped from EVERY document (the complement
+    of doc_segment_dedup, which keeps first occurrences). DF counting is
+    exact and shuffle-light: a document's segments never span batches, so
+    per-batch-distinct (key, doc) pairs are globally distinct and their
+    counts are plain mergeable partials — 128-bit segment keys enter the
+    exchange, never segment text; the frequent-key set (rare by
+    construction: high-DF segments have low distinct count) is broadcast
+    into a zero-shuffle strip filter, and the doc rebuild is the shared
+    bucketed vectorized pass. Two-plan via pipelines/plan.py."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from sciscraper_ray.kernels.tokenize import segment_column
+    from sciscraper_ray.pipelines.plan import (
+        DRIVER_PLAN_LIMIT,
+        driver_frame,
+        resolve_plan,
+    )
+    from sciscraper_ray.stages.dedup import md5_hash128_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def to_segments(batch: pa.Table) -> pa.Table:
+        row, seg_no, seg = segment_column(batch["text"], SEGDEDUP_W)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)[row]
+        return pa.table(
+            {"doc_id": pa.array(doc), "seg_no": pa.array(seg_no), "seg": seg}
+        )
+
+    segs = ds.map_batches(to_segments, batch_format="pyarrow").materialize()
+
+    def key_pairs(batch: pa.Table) -> pa.Table:
+        hi, lo, _valid = md5_hash128_batch(batch, "seg")
+        df = pd.DataFrame(
+            {
+                "h_hi": hi,
+                "h_lo": lo,
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df[["h_hi", "h_lo"]], preserve_index=False)
+
+    pairs = segs.map_batches(key_pairs, batch_format="pyarrow")
+    mode, pairs = resolve_plan(pairs, plan)
+    if mode == "driver":
+        pdf = driver_frame(pairs, DRIVER_PLAN_LIMIT, "doc_boilerplate_strip")
+        vc = pdf.groupby(["h_hi", "h_lo"]).size()
+        freq = vc[vc >= _BOILER_DF_MIN].reset_index()[["h_hi", "h_lo"]]
+    else:
+        from ray.data.aggregate import Count
+
+        counted = pairs.groupby(["h_hi", "h_lo"]).aggregate(
+            Count(alias_name="df")
+        )
+
+        def over_threshold(b: pa.Table) -> pa.Table:
+            return b.filter(
+                pc.greater_equal(b["df"], _BOILER_DF_MIN)
+            ).select(["h_hi", "h_lo"])
+
+        freq = counted.map_batches(
+            over_threshold, batch_format="pyarrow"
+        ).to_pandas()
+
+    freq_ref = ray.put(freq.assign(_boiler=True))
+
+    def strip(batch: pa.Table) -> pa.Table:
+        f = ray.get(freq_ref)
+        if not len(f):
+            return batch
+        hi, lo, _valid = md5_hash128_batch(batch, "seg")
+        m = pd.DataFrame({"h_hi": hi, "h_lo": lo}).merge(
+            f, on=["h_hi", "h_lo"], how="left"
+        )
+        return batch.filter(pa.array(m["_boiler"].isna().to_numpy()))
+
+    kept = segs.map_batches(strip, batch_format="pyarrow")
+    return _rebuild_docs_from_segments(kept)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality gate (Rae et al. 2021 §A1.1 rule shapes,
+# constants calibrated to this synthetic corpus so every rule actually
+# discriminates: token counts span 10-99, mean word length 3.7-5.3, and
+# the "stopword" analog is the corpus's highest-frequency function words).
+# All metrics are INTEGER (ratio rules are cross-multiplied) so the
+# oracle hash is float-free.
+
+_GOPHER_STOPS = ("join", "hash", "row", "batch", "scan")
+
+
+@register(
+    "doc_gopher_filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(length(token)) AS BIGINT) AS sum_chars,
+               CAST(sum(CASE WHEN token IN {_GOPHER_STOPS!r} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS stop_hits,
+               CAST(sum(CASE WHEN regexp_matches(token, '[a-z]') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS alpha_words
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, sum_chars, stop_hits, alpha_words,
+           CAST(CASE WHEN n_words BETWEEN 20 AND 80
+                      AND sum_chars BETWEEN 4 * n_words AND 5 * n_words
+                      AND 5 * alpha_words >= 4 * n_words
+                      AND stop_hits >= 2
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM m
+    """,
+)
+def doc_gopher_filter(sf_dir: str):
+    """Gopher quality rules as one vectorized Arrow pass: per doc, token
+    count bounds, mean-word-length bounds (cross-multiplied so the
+    contract stays in int64), alpha-word ratio >= 0.8, and >= 2 hits of a
+    fixed function-word set. Emits the metrics plus the keep bit — the
+    shape of every LLM-corpus quality gate (score columns + boolean),
+    embarrassingly parallel, no shuffle at all."""
+    import ray.data
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    stops = list(_GOPHER_STOPS)
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        mask = pc.is_valid(batch["text"])
+        batch = batch.filter(mask)  # SQL's unnest drops null-text docs
+        if not batch.num_rows:  # reduceat rejects an empty start list
+            empty = pa.array([], pa.int64())
+            return pa.table(
+                {
+                    "doc_id": empty,
+                    "n_words": empty,
+                    "sum_chars": empty,
+                    "stop_hits": empty,
+                    "alpha_words": empty,
+                    "keep": empty,
+                }
+            )
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets).astype(np.int64)
+        starts = offs[:-1]
+        flat = toks.values
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        alpha = pc.match_substring_regex(flat, "[a-z]").to_numpy(
+            zero_copy_only=False
+        )
+        stop = pc.is_in(flat, value_set=pa.array(stops)).to_numpy(
+            zero_copy_only=False
+        )
+        n = (offs[1:] - starts).astype(np.int64)
+        # reduceat needs non-empty slices; empty rows cannot occur here
+        # (split(" ") of any non-null string yields >= 1 token)
+        sum_chars = np.add.reduceat(lens.astype(np.int64), starts)
+        alpha_w = np.add.reduceat(alpha.astype(np.int64), starts)
+        stop_h = np.add.reduceat(stop.astype(np.int64), starts)
+        keep = (
+            (n >= 20)
+            & (n <= 80)
+            & (sum_chars >= 4 * n)
+            & (sum_chars <= 5 * n)
+            & (5 * alpha_w >= 4 * n)
+            & (stop_h >= 2)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n),
+                "sum_chars": pa.array(sum_chars),
+                "stop_hits": pa.array(stop_h),
+                "alpha_words": pa.array(alpha_w),
+                "keep": pa.array(keep),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(metrics, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-active day, counted per
+# day-offset they return — the canonical product-analytics matrix and a
+# second-order aggregate (groupby over the OUTPUT of a grouped min).
+
+_US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "events_retention",
+    oracle=f"""
+    WITH p AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // {_US_PER_DAY} AS day
+        FROM events
+    ), f AS (
+        SELECT user_id, min(day) AS cohort_day FROM p GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           p.day - f.cohort_day AS day_offset,
+           CAST(count(*) AS BIGINT) AS users
+    FROM p JOIN f USING (user_id)
+    GROUP BY f.cohort_day, day_offset
+    """,
+)
+def events_retention(sf_dir: str):
+    """Retention matrix in three shuffle-lean stages: (1) distinct
+    (user, day) pairs — per-batch np.unique pre-shrink, then one exact
+    groupby; (2) per-user cohort day = grouped Min over the PAIRS (a
+    users-sized table), broadcast back via the Arrow-native lookup (the
+    bucketed hash join is the swap-in once the user set outgrows a
+    broadcast); (3) (cohort, offset) counts via composite-int64 partials
+    + one tiny Sum groupby. Day arithmetic stays in int64 epoch-days
+    end to end. The pairs table is materialized once because stages 2
+    and 3 both consume it."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    from sciscraper_ray.stages.relational import BroadcastLookup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        day = us // _US_PER_DAY  # epoch-day; events are post-1970
+        if len(day) and (day.max() >= (1 << 20) or u.max() >= (1 << 43)):
+            raise ValueError("user/day overflows the composite key")
+        comp = np.unique(u * (1 << 20) + day)
+        return pa.table(
+            {
+                "user_id": pa.array(comp >> 20),
+                "day": pa.array(comp & ((1 << 20) - 1)),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(day_pairs, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+
+    firsts = (
+        pairs.groupby("user_id")
+        .aggregate(Min(on="day", alias_name="cohort_day"))
+        .to_pandas()
+        .set_index("user_id")
+    )
+    ref = ray.put(firsts)  # broadcast once; tasks ray.get it zero-copy
+
+    def offsets(batch: pa.Table) -> pa.Table:
+        joined = BroadcastLookup(ref, on="user_id")(batch)
+        day = joined["day"].to_numpy(zero_copy_only=False)
+        cohort = joined["cohort_day"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        comp, cnt = np.unique(
+            cohort * (1 << 20) + (day - cohort), return_counts=True
+        )
+        return pa.table(
+            {"k": pa.array(comp), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    agg = (
+        pairs.map_batches(offsets, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum(on="cnt", alias_name="users"))
+    )
+
+    def decompose(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "cohort_day": pa.array(k >> 20),
+                "day_offset": pa.array(k & ((1 << 20) - 1)),
+                "users": batch["users"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(decompose, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Session path mining: the ordered event-type sequence of each session,
+# counted globally — clickstream sequence analysis (top navigation paths).
+# Composes the sessionizer with a grouped ordered string-agg and a
+# deterministic global top-k.
+
+_TOP_PATHS_K = 20
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL {_SESSION_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM o
+    ), p AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM s GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS cnt
+    FROM p GROUP BY path
+    ORDER BY cnt DESC, path ASC LIMIT {_TOP_PATHS_K}
+    """,
+)
+def events_top_paths(sf_dir: str):
+    """Top session paths, on the shared BUCKETED window plan
+    (stages/window.py): ONE shuffle on ``user_id % 32`` builds every
+    session's '>'-joined event-type path with two C-level string ops
+    (vectorized prefix concat + sentinel join/split — no per-session
+    Python) and pre-counts paths per bucket, so the global groupby Sums
+    tiny (path, cnt) partials instead of raw sessions; the final top-k
+    is a sort+limit over the already-aggregated path table. Group count
+    is O(buckets), never O(users). Ties at the k boundary are impossible
+    (path is the group key); order inside a session is (ts, event_id)
+    on both engine and oracle."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.window import (
+        bucketed_window,
+        make_bucket_session_paths,
+    )
+
+    gap_us = _SESSION_GAP_MIN * 60 * 1_000_000
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    counts = bucketed_window(
+        ds, make_bucket_session_paths(gap_us)
+    ).groupby("path").aggregate(Sum(on="cnt", alias_name="cnt"))
+    return counts.sort(["cnt", "path"], descending=[True, False]).limit(
+        _TOP_PATHS_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic WEIGHTED Bernoulli sampling: P(keep) = min(n_chars, 1024)
+# / 1024, decided by an id-hash threshold instead of an RNG, so the sample
+# is reproducible across runs, cluster sizes, and partitionings, and the
+# inclusion test is a pure integer compare (hex15 of md5 < weight * 2^50 —
+# both sides < 2^60, no floats anywhere). The length-proportional weight
+# is the shape used for loss-weighted corpus subsampling.
+
+
+@register(
+    "doc_sample_weighted",
+    oracle=f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE {_md5_hex15_sql("CAST(doc_id AS VARCHAR)")}
+          < least(n_chars, 1024) * {1 << 50}
+    """,
+)
+def doc_sample_weighted(sf_dir: str):
+    """Length-weighted deterministic sample — pure map, no shuffle. The
+    per-row md5 matches _md5_mod's str(id) convention; the 60-bit
+    threshold parse is one numpy byte-view over the joined digests (no
+    per-row hex parsing)."""
+    import hashlib
+
+    import ray.data
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        if not ids:
+            return batch
+        digests = b"".join(
+            hashlib.md5(str(i).encode()).digest() for i in ids
+        )
+        # int(hexdigest[:15], 16) == first 60 bits == first-8-bytes >> 4
+        h = (np.frombuffer(digests, ">u8")[::2] >> np.uint64(4)).astype(
+            np.int64
+        )
+        w = np.minimum(
+            batch["n_chars"].to_numpy(zero_copy_only=False), 1024
+        ).astype(np.int64)
+        return batch.filter(pa.array(h < (w << 50)))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Grouped MODE (per-key most-frequent value, deterministic tiebreak) and a
+# fixed-width value histogram — two small aggregate shapes every
+# analytics layer expects.
+
+
+@register(
+    "events_user_mode",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS mode_type, cnt FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY cnt DESC, event_type ASC
+        ) AS rn FROM c
+    ) WHERE rn = 1
+    """,
+)
+def events_user_mode(sf_dir: str):
+    """Per-user modal event type: per-batch (user, type) count partials
+    (the full stream never shuffles, only <= |users| x |types| partial
+    rows), one exact groupby Sum, then the per-user argmax through
+    ``bucketed_window`` — group count is O(buckets), NOT O(users), so
+    there is no per-user Python dispatch (VERDICT r3 item 4; the
+    anti-pattern stages/window.py:1-13 documents). Inside each bucket
+    the argmax is one lexsort (cnt desc, type asc within user) plus a
+    segment-head mask."""
+    import pandas as pd
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import group_count_batch
+    from sciscraper_ray.stages.window import bucketed_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    counts = (
+        ds.map_batches(
+            lambda b: group_count_batch(b, ["user_id", "event_type"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        user = g["user_id"].to_numpy()
+        etype = g["event_type"].to_numpy()
+        cnt = g["cnt"].to_numpy().astype(np.int64)
+        order = np.lexsort((etype, -cnt, user))
+        user_s = user[order]
+        head = np.ones(len(order), dtype=bool)
+        head[1:] = user_s[1:] != user_s[:-1]
+        return pd.DataFrame(
+            {
+                "user_id": user_s[head],
+                "mode_type": etype[order][head],
+                "cnt": cnt[order][head],
+            }
+        )
+
+    return bucketed_window(counts, pick, key="user_id")
+
+
+_HIST_BIN = 16  # power of two: value / 16 is an exact double op, so
+# floor() agrees bit-for-bit between numpy and SQL
+
+
+@register(
+    "events_value_histogram",
+    oracle=f"""
+    SELECT CAST(floor(value / {_HIST_BIN}) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY bin
+    """,
+)
+def events_value_histogram(sf_dir: str):
+    """Fixed-width histogram: per-batch np.unique bin partials, one tiny
+    Sum groupby over <= |bins| rows per batch. The bin width is a power
+    of two so the double divide is exact and the floor is deterministic
+    across engines."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        bins, cnt = np.unique(
+            np.floor(v / _HIST_BIN).astype(np.int64), return_counts=True
+        )
+        return pa.table(
+            {"bin": pa.array(bins), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — the crawl-frontier normal form every web-scale
+# dedup/politeness stage keys on. Messy fixtures are synthesized
+# deterministically from doc_id (the link_routing pattern) and the oracle
+# states the EXPECTED canonical form from first principles, so a kernel
+# bug cannot hide in a mirrored transform.
+
+_CANON_HOSTS_RAW = (
+    "Example.COM", "www.Sample.ORG", "Docs.Example.COM",
+    "WWW.Data.NET", "archive.Edu",
+)
+_CANON_HOSTS = (
+    "example.com", "sample.org", "docs.example.com", "data.net",
+    "archive.edu",
+)
+
+
+@register(
+    "url_canonicalize",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN NULL ELSE
+               'https://' ||
+               CASE doc_id % 5
+                   WHEN 0 THEN '{_CANON_HOSTS[0]}' WHEN 1 THEN '{_CANON_HOSTS[1]}'
+                   WHEN 2 THEN '{_CANON_HOSTS[2]}' WHEN 3 THEN '{_CANON_HOSTS[3]}'
+                   ELSE '{_CANON_HOSTS[4]}' END
+               || '/papers/x' || doc_id
+               || CASE WHEN doc_id % 2 = 0 OR doc_id % 5 = 0
+                       THEN '?id=' || doc_id ELSE '' END
+           END AS canonical_url,
+           CASE WHEN doc_id % 11 = 0 THEN NULL ELSE
+               CASE doc_id % 5
+                   WHEN 0 THEN '{_CANON_HOSTS[0]}' WHEN 1 THEN '{_CANON_HOSTS[1]}'
+                   WHEN 2 THEN '{_CANON_HOSTS[2]}' WHEN 3 THEN '{_CANON_HOSTS[3]}'
+                   ELSE '{_CANON_HOSTS[4]}' END
+           END AS host
+    FROM documents
+    """,
+)
+def url_canonicalize(sf_dir: str):
+    """Canonical URLs + registrable host from deliberately messy inputs
+    (scheme/host case noise, www. prefixes, default :443 ports, trailing
+    slashes, utm_* tracking params, fragments, plus unparseable rows
+    that canonicalize to null). The kernel
+    (kernels/links.py canonicalize_urls) is one pc.extract_regex + Arrow
+    string kernels — no Python per row; the fixture synth is the only
+    row loop, as in link_routing."""
+    from sciscraper_ray.kernels.links import canonicalize_urls
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        raw = []
+        for i in ids:
+            if i % 11 == 0:
+                raw.append(f"not a url {i}")
+                continue
+            scheme = "HTTPS" if i % 2 == 0 else "https"
+            host = _CANON_HOSTS_RAW[i % 5]
+            port = ":443" if i % 3 == 0 else ""
+            path = f"/papers/x{i}" + ("/" if i % 4 == 0 else "")
+            if i % 2 == 0:
+                query = f"?utm_source=feed&id={i}&utm_campaign=x"
+            elif i % 5 == 0:
+                query = f"?id={i}"
+            else:
+                query = ""
+            frag = f"#sec{i % 7}" if i % 7 else ""
+            raw.append(f"{scheme}://{host}{port}{path}{query}{frag}")
+        canonical, host = canonicalize_urls(pa.array(raw, pa.string()))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "canonical_url": canonical,
+                "host": host,
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        build, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawl snapshot diff: the incremental-recrawl primitive — per url,
+# compare the LATEST fetch's extracted content against the previous one
+# and classify new / unchanged / changed. Exercises the real extraction
+# stack on both snapshots (revised refetches re-render the payload), so
+# a byte-level extraction regression shows up as a wrong delta.
+
+
+@register(
+    "crawl_delta",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 17 <> 0 THEN 'new'
+                WHEN doc_id % 3 = 0 THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN 2 ELSE 1 END AS BIGINT)
+               AS n_fetches
+    FROM documents
+    """,
+)
+def crawl_delta(sf_dir: str):
+    """Snapshot diff over the page table (dup_mod=17 refetches, of which
+    the ids also divisible by 3 carry revised content): full extraction
+    (HTML strip / PDF parse actor pools, dedup off — we NEED every
+    fetch), then ONE shuffle on url; each url's tiny fetch group is
+    sorted by warc_ts and the last two extracted texts compared. Only
+    (url, warc_ts, doc_id, extracted_text) enter the shuffle — payload
+    bytes are projected away by the extraction stage itself."""
+    import pandas as pd
+
+    from sciscraper_ray.pipelines.extract import extraction_pipeline
+    from sciscraper_ray.sources.page_synth import synth_pages_batch
+
+    pages = _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+        lambda b: synth_pages_batch(
+            b, pdf_mod=10, dup_mod=17, change_mod=3
+        ),
+        batch_format="pyarrow",
+    )
+    extracted = extraction_pipeline(
+        pages, dedup=False, analyze=False
+    ).select_columns(["url", "warc_ts", "doc_id", "extracted_text"])
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("warc_ts")
+        if len(g) == 1:
+            status = "new"
+        elif g["extracted_text"].iloc[-1] == g["extracted_text"].iloc[-2]:
+            status = "unchanged"
+        else:
+            status = "changed"
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].iloc[-1:].to_numpy(),
+                "status": [status],
+                "n_fetches": np.array([len(g)], np.int64),
+            }
+        )
+
+    return extracted.groupby("url").map_groups(
+        classify, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join — the join-pruning primitive big engines push
+# below a shuffle: build a small bloom over the selective side's keys,
+# broadcast it, and filter the big side BEFORE any exchange. False
+# positives are part of the operator contract (they cost a little extra
+# downstream work, never correctness), so the oracle reproduces the
+# EXACT bit arithmetic — md5-salted positions recomputed independently
+# by DuckDB — and must match engine output fp-for-fp.
+
+_BLOOM_M = 4096  # small on purpose: ~18% load at sf0.01 so the fp path
+# is actually exercised (a production filter would size m >> n)
+
+
+def _bloom_positions(values: "np.ndarray", salt: str) -> "np.ndarray":
+    """md5('<salt>:' + str(v)) hex15 % m — matches _md5_hex15_sql with the
+    same salted VARCHAR expression. Vectorized digest parse."""
+    import hashlib
+
+    digests = b"".join(
+        hashlib.md5(f"{salt}:{v}".encode()).digest() for v in values
+    )
+    h = (np.frombuffer(digests, ">u8")[::2] >> np.uint64(4)).astype(np.int64)
+    return h % _BLOOM_M
+
+
+def _bloom_pos_sql(expr: str, salt: str) -> str:
+    return _md5_hex15_sql(f"'{salt}:' || CAST({expr} AS VARCHAR)") + f" % {_BLOOM_M}"
+
+
+@register(
+    "bloom_semijoin",
+    oracle=f"""
+    WITH members AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), pos AS (
+        SELECT DISTINCT p FROM (
+            SELECT {_bloom_pos_sql("c_custkey", "b1")} AS p FROM members
+            UNION ALL
+            SELECT {_bloom_pos_sql("c_custkey", "b2")} AS p FROM members
+        )
+    )
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE {_bloom_pos_sql("o_custkey", "b1")} IN (SELECT p FROM pos)
+      AND {_bloom_pos_sql("o_custkey", "b2")} IN (SELECT p FROM pos)
+    """,
+)
+def bloom_semijoin(sf_dir: str):
+    """Orders whose o_custkey passes a k=2 bloom built over BUILDING-
+    segment customers. Build side: per-batch distinct positions -> one
+    tiny groupby (<= 2n rows of int64; the key column never leaves the
+    batch); the sorted position array broadcasts via ray.put and the
+    probe is a zero-shuffle Arrow filter (np.isin against the sorted
+    set). The downstream exact join this would guard is order_lineitem_
+    join; here the filtered rows ARE the result so the fp contract is
+    checkable."""
+    import ray
+    import ray.data
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def build_positions(batch: pa.Table) -> pa.Table:
+        keys = batch.filter(
+            pc.equal(batch["c_mktsegment"], "BUILDING")
+        )["c_custkey"].to_numpy(zero_copy_only=False)
+        if not len(keys):
+            return pa.table({"pos": pa.array([], pa.int64())})
+        p = np.unique(
+            np.concatenate(
+                [_bloom_positions(keys, "b1"), _bloom_positions(keys, "b2")]
+            )
+        )
+        return pa.table({"pos": pa.array(p)})
+
+    pos = (
+        cust.map_batches(build_positions, batch_format="pyarrow")
+        .groupby("pos")
+        .count()
+        .to_pandas()["pos"]
+        .to_numpy()
+    )
+    pos_ref = ray.put(np.sort(pos.astype(np.int64)))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bits = ray.get(pos_ref)
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        hit = np.isin(_bloom_positions(keys, "b1"), bits) & np.isin(
+            _bloom_positions(keys, "b2"), bits
+        )
+        return batch.filter(pa.array(hit))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    return orders.map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — the mergeable frequency sketch (Cormode & Muthu
+# 2005): d=2 salted rows x w=1024 cells. Like the HLL and bloom rows,
+# the sketch's deterministic OVER-count is part of the contract, so the
+# oracle rebuilds both hash rows cell-exactly in SQL and the point
+# estimates must match collision-for-collision.
+
+_CMS_W = 1024
+_CMS_SALTS = ("c1", "c2")
+_CMS_PROBES = _GOPHER_STOPS + ("stream", "nosuchtoken",)
+
+
+def _cms_cells(tokens: list, salt: str) -> "np.ndarray":
+    import hashlib
+
+    digests = b"".join(
+        hashlib.md5(f"{salt}:{t}".encode()).digest() for t in tokens
+    )
+    h = (np.frombuffer(digests, ">u8")[::2] >> np.uint64(4)).astype(np.int64)
+    return h % _CMS_W
+
+
+def _cms_cell_sql(expr: str, salt: str) -> str:
+    return _md5_hex15_sql(f"'{salt}:' || {expr}") + f" % {_CMS_W}"
+
+
+def _cms_oracle() -> str:
+    probes = ", ".join(f"('{t}')" for t in _CMS_PROBES)
+    rows = []
+    for r, salt in enumerate(_CMS_SALTS):
+        rows.append(f"""
+        SELECT {r} AS r, {_cms_cell_sql("token", salt)} AS cell,
+               CAST(sum(cnt) AS BIGINT) AS total
+        FROM counts GROUP BY cell""")
+    cells = " UNION ALL ".join(rows)
+    ests = ", ".join(
+        f"""coalesce((SELECT total FROM cells
+             WHERE r = {r} AND cell = {_cms_cell_sql("p.token", salt)}), 0)"""
+        for r, salt in enumerate(_CMS_SALTS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT unnest({_SQL_TOKENS}) AS token FROM documents
+    ), counts AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token
+    ), cells AS ({cells})
+    SELECT p.token, CAST(least({ests}) AS BIGINT) AS est
+    FROM (VALUES {probes}) AS p(token)
+    """
+
+
+@register("token_cms_estimate", oracle=_cms_oracle())
+def token_cms_estimate(sf_dir: str):
+    """CMS point estimates for a fixed probe set: per-batch partials emit
+    at most d*w (cell, count) rows regardless of vocabulary (distinct
+    tokens are hashed once per batch via value_counts), one tiny
+    groupby Sum merges the sketch, and the driver reads <= 2048 rows to
+    answer any number of point queries. est >= true always; equality
+    collision-for-collision with the SQL rebuild."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(tokenize_column(batch["text"]))
+        vc = flat.value_counts()
+        toks = vc.field("values").to_pylist()
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        if not toks:
+            e = pa.array([], pa.int64())
+            return pa.table({"k": e, "cnt": e})
+        ks, totals = [], []
+        for r, salt in enumerate(_CMS_SALTS):
+            cells = _cms_cells(toks, salt)
+            k = r * _CMS_W + cells
+            agg_k, inv = np.unique(k, return_inverse=True)
+            agg_c = np.bincount(inv, weights=cnts).astype(np.int64)
+            ks.append(agg_k)
+            totals.append(agg_c)
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate(ks)),
+                "cnt": pa.array(np.concatenate(totals)),
+            }
+        )
+
+    sketch = (
+        _docs(sf_dir, columns=("text",))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    table = np.zeros(len(_CMS_SALTS) * _CMS_W, np.int64)
+    table[sketch["k"].to_numpy()] = sketch["cnt"].to_numpy()
+
+    import pandas as pd
+
+    probes = list(_CMS_PROBES)
+    ests = np.full(len(probes), np.iinfo(np.int64).max)
+    for r, salt in enumerate(_CMS_SALTS):
+        cells = _cms_cells(probes, salt)
+        ests = np.minimum(ests, table[r * _CMS_W + cells])
+    return pd.DataFrame(
+        {"token": probes, "est": ests.astype(np.int64)}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus summary — the "dataset card" single-row report every corpus
+# release ships: sizes, null rate, token totals, language/source
+# cardinalities, and the exact duplicate-text rate. Integer-only.
+
+
+@register(
+    "corpus_summary",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, lang, source,
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE len({_SQL_TOKENS}) END AS n
+        FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_texts,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(min(n) AS BIGINT) AS min_tokens,
+           CAST(max(n) AS BIGINT) AS max_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS sources,
+           CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END)
+                - count(DISTINCT text) AS BIGINT) AS dup_text_rows
+    FROM t
+    """,
+)
+def corpus_summary(sf_dir: str):
+    """One streaming pass emits per-batch scalar partials (counts, token
+    sums, min/max, the batch's distinct lang/source lists — both
+    low-cardinality by contract); the driver folds a handful of rows.
+    The one genuinely global quantity — distinct text count — reuses the
+    md5-128 key partials (only hashes shuffle, texts never do):
+    dup_text_rows = non-null rows - distinct hashes."""
+    import pandas as pd
+
+    import ray.data
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+    from sciscraper_ray.stages.dedup import md5_hash128_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    ).materialize()  # consumed twice (scalars + distinct-hash pass)
+
+    def scalars(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        valid = batch["text"].is_valid().to_numpy(zero_copy_only=False)
+        nn = (
+            pc.drop_null(pc.list_value_length(toks))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "n_docs": pa.array([len(batch)], pa.int64()),
+                "null_texts": pa.array([int((~valid).sum())], pa.int64()),
+                "total_tokens": pa.array([int(nn.sum())], pa.int64()),
+                "min_tokens": pa.array(
+                    [int(nn.min()) if len(nn) else np.iinfo(np.int64).max],
+                    pa.int64(),
+                ),
+                "max_tokens": pa.array(
+                    [int(nn.max()) if len(nn) else np.iinfo(np.int64).min],
+                    pa.int64(),
+                ),
+                "langs": pa.array(
+                    [",".join(sorted(set(batch["lang"].to_pylist()) - {None}))],
+                    pa.string(),
+                ),
+                "sources": pa.array(
+                    [",".join(sorted(set(batch["source"].to_pylist()) - {None}))],
+                    pa.string(),
+                ),
+            }
+        )
+
+    parts = ds.map_batches(scalars, batch_format="pyarrow").to_pandas()
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        hi, lo, valid = md5_hash128_batch(batch, "text")
+        comp = np.unique(np.stack([hi[valid], lo[valid]], axis=1), axis=0)
+        return pa.table(
+            {"h_hi": pa.array(comp[:, 0]), "h_lo": pa.array(comp[:, 1])}
+        )
+
+    distinct_texts = (
+        ds.map_batches(hash_partial, batch_format="pyarrow")
+        .groupby(["h_hi", "h_lo"])
+        .count()
+        .count()
+    )
+
+    langs: set = set()
+    sources: set = set()
+    for ls in parts["langs"]:
+        langs.update(x for x in ls.split(",") if x)
+    for ss in parts["sources"]:
+        sources.update(x for x in ss.split(",") if x)
+    non_null = int(parts["n_docs"].sum()) - int(parts["null_texts"].sum())
+    return pd.DataFrame(
+        {
+            "n_docs": np.array([parts["n_docs"].sum()], np.int64),
+            "null_texts": np.array([parts["null_texts"].sum()], np.int64),
+            "total_tokens": np.array([parts["total_tokens"].sum()], np.int64),
+            "min_tokens": np.array([parts["min_tokens"].min()], np.int64),
+            "max_tokens": np.array([parts["max_tokens"].max()], np.int64),
+            "langs": np.array([len(langs)], np.int64),
+            "sources": np.array([len(sources)], np.int64),
+            "dup_text_rows": np.array(
+                [non_null - distinct_texts], np.int64
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruned scan — the storage-layer scale primitive: write the
+# table CLUSTERED by the filter key, build a per-file min/max manifest
+# from parquet FOOTERS only, and answer a range predicate by opening only
+# the files whose zone overlaps. At 10^12 rows this is the difference
+# between touching 100 TB and touching one key range's worth of files.
+
+_ZONE_LO, _ZONE_HI = 100, 199
+
+
+def zonemap_manifest(out_dir: str, column: str) -> list[tuple[str, int, int]]:
+    """(path, min, max) per data file, read from footer statistics only —
+    no row data is touched to build the manifest."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    entries = []
+    for f in sorted(_glob.glob(os.path.join(out_dir, "*.parquet"))):
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index(column)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            entries.append((f, min(mins), max(maxs)))
+    return entries
+
+
+def zonemap_prune(
+    out_dir: str, column: str, lo: int, hi: int
+) -> tuple[list[str], int]:
+    """Files whose [min, max] zone overlaps [lo, hi], plus the total file
+    count (so callers can assert real pruning happened)."""
+    manifest = zonemap_manifest(out_dir, column)
+    picked = [f for f, mn, mx in manifest if mx >= lo and mn <= hi]
+    return picked, len(manifest)
+
+
+@register(
+    "zonemap_scan",
+    oracle=f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id BETWEEN {_ZONE_LO} AND {_ZONE_HI}
+    """,
+)
+def zonemap_scan(sf_dir: str):
+    """Range scan through a zone map: sort by doc_id (the clustering
+    write — one shuffle, paid once at ingest), write >= 8 parquet files,
+    manifest their footer min/max, then read ONLY overlapping files and
+    apply the residual Arrow filter. The pruning ratio is asserted in
+    tests/test_behavior_ops.py; the gate checks the rows."""
+    import tempfile
+
+    import ray.data
+
+    out_dir = tempfile.mkdtemp(prefix="zonemap_", dir="/tmp")
+    (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        .sort("doc_id")
+        .repartition(8)
+        .write_parquet(out_dir)
+    )
+    picked, _total = zonemap_prune(out_dir, "doc_id", _ZONE_LO, _ZONE_HI)
+    lo = pa.scalar(_ZONE_LO, pa.int64())
+    hi = pa.scalar(_ZONE_HI, pa.int64())
+    return ray.data.read_parquet(picked).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b["doc_id"], lo),
+                pc.less_equal(b["doc_id"], hi),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-hop star join (TPC-H Q5 shape): fact ⋈ fact through the bucketed
+# co-partition plan, then the dimension chain (nation -> region) as ONE
+# broadcast lookup, finished by a partial-agg groupby. Money stays exact:
+# prices convert to integer cents before any aggregation, so the oracle
+# hash has no float in it.
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def revenue_by_nation(sf_dir: str):
+    """Revenue per (region, nation): orders ⋈ customer is big x big (one
+    all-to-all on the bucket key, `bucketed_hash_join`); nation+region
+    are a few dozen rows, pre-joined on the driver and broadcast once;
+    the final aggregate ships only per-batch (region, nation) partials."""
+    import pandas as pd
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import (
+        BroadcastLookup,
+        bucketed_hash_join,
+        group_count_batch,
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "cents": pa.array(
+                    np.round(
+                        b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    joined = bucketed_hash_join(
+        orders, customer, left_on="o_custkey", right_on="c_custkey"
+    )
+
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pd.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    dim = (
+        nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+        .set_index("n_nationkey")[["n_name", "r_name"]]
+    )
+    dim_ref = ray.put(dim)
+
+    def enrich_and_count(batch: pa.Table) -> pa.Table:
+        looked = BroadcastLookup(dim_ref, on="c_nationkey")(batch)
+        return group_count_batch(
+            looked, ["r_name", "n_name"], {"cents": "revenue_cents"}
+        )
+
+    return (
+        joined.map_batches(enrich_and_count, batch_format="pyarrow")
+        .groupby(["r_name", "n_name"])
+        .aggregate(
+            Sum(on="revenue_cents", alias_name="revenue_cents"),
+            Sum(on="cnt", alias_name="n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization — the cleanup pass upstream corpora run before
+# hashing/dedup: collapse whitespace runs (which the reference's
+# single-space tokenizer surfaces as EMPTY tokens) into single spaces,
+# and report how many empties were dropped. Normalized text is what the
+# exact-dedup and segment-dedup keys would hash in a production corpus.
+
+
+@register(
+    "doc_normalize",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(
+               list_filter({_SQL_TOKENS}, x -> x <> ''), ' '
+           ) AS norm_text,
+           CAST(len({_SQL_TOKENS})
+                - len(list_filter({_SQL_TOKENS}, x -> x <> '')) AS BIGINT)
+               AS n_empty
+    FROM documents
+    """,
+)
+def doc_normalize(sf_dir: str):
+    """Vectorized: tokenize (list array), mask out empty tokens on the
+    FLAT buffer, rebuild per-row offsets with a cumsum, one binary_join.
+    No Python per row; null texts stay null (SQL's string_split(NULL)
+    row-drop is mirrored by the filter-side contract of downstream ops —
+    here nulls survive as null norm_text with n_empty null, exactly what
+    the SQL lambda yields)."""
+    import ray.data
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets).astype(np.int64)
+        flat = toks.values
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        kept_flat = flat.filter(pa.array(keep))
+        kept_cum = np.concatenate(([0], np.cumsum(keep)))
+        new_offsets = kept_cum[offs]
+        n = offs[1:] - offs[:-1]
+        n_kept = new_offsets[1:] - new_offsets[:-1]
+        valid = batch["text"].is_valid().to_numpy(zero_copy_only=False)
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_offsets.astype(np.int32), pa.int32()),
+            kept_flat,
+        )
+        norm = pc.binary_join(lst, " ")
+        n_empty = (n - n_kept).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "norm_text": pc.if_else(
+                    pa.array(valid), norm, pa.scalar(None, pa.string())
+                ),
+                "n_empty": pa.array(n_empty, pa.int64(), mask=~valid),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(normalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# GROUPED HyperLogLog — the per-key form of the sketch (distinct users
+# per event type): what actually runs at 100 TB, where one register
+# table per group replaces an exact per-group distinct. The register
+# recomputation oracle generalizes the global one with the key carried.
+
+
+@register(
+    "event_type_hll_users",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type,
+               {_md5_hex15_sql("CAST(user_id AS VARCHAR)")} AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ), r AS (
+        SELECT event_type, hv % 64 AS bucket,
+               CASE WHEN hv // 64 = 0 THEN 55
+                    ELSE 54 - length(bin(hv // 64)) + 1 END AS rho
+        FROM h
+    )
+    SELECT event_type, bucket, max(rho) AS max_rho
+    FROM r GROUP BY event_type, bucket
+    """,
+)
+def event_type_hll_users(sf_dir: str):
+    """Per-group HLL registers: the vectorized grouped partial (one md5
+    digest-join parse + one np.maximum.at scatter per batch, <= |groups|
+    x 64 rows out) then a single groupby Max — per group the driver-side
+    estimate reads 64 rows no matter the cardinality. Register-exact
+    against the SQL rebuild; estimate accuracy is pinned in
+    tests/test_sketch.py."""
+    import ray.data
+    from ray.data.aggregate import Max
+
+    from sciscraper_ray.stages.sketch import hll_grouped_partial_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return (
+        ds.map_batches(
+            lambda b: hll_grouped_partial_batch(b, "event_type", "user_id"),
+            batch_format="pyarrow",
+        )
+        .groupby(["event_type", "bucket"])
+        .aggregate(Max(on="rho", alias_name="max_rho"))
+    )
+
+
+@register(
+    "dedup_exact_stateful",
+    oracle="""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT min(doc_id) AS doc_id, text FROM all_docs GROUP BY text
+    """,
+)
+def dedup_exact_stateful(sf_dir: str):
+    """The SAME keep-lowest-id contract as dedup_exact, through the
+    sharded stateful-actor key index (pipelines/dedup.py
+    exact_dedup_stateful) — the raw-actor plan for a shared mutable
+    index, which the Dataset API cannot express. Same oracle as
+    dedup_exact; plan equivalence is also pinned in tests/test_dedup.py."""
+    from sciscraper_ray.pipelines.dedup import exact_dedup_stateful
+
+    ds = _with_copies(sf_dir, mod=5, offset=100_000, drop_last_word=False)
+    return exact_dedup_stateful(ds)
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization — the serving/ANN compression step (per-
+# vector absmax scale, symmetric int8). Quantized values are defined via
+# trunc(x * 127 / absmax): every operation is the same double arithmetic
+# on both engines and trunc has no tie cases, so the long-form output is
+# hash-exact. Emitted long (vec_id, i, q) — a list column would compare
+# as opaque reprs; long form lets the oracle check every element.
+
+
+@register(
+    "embedding_quantize",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id % 50 = 0
+    ), m AS (
+        SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s
+        FROM e
+    ), x AS (
+        SELECT vec_id, v, s, unnest(range(len(v))) AS i FROM m
+    )
+    SELECT vec_id, CAST(i AS BIGINT) AS i,
+           CAST(CASE WHEN s = 0 THEN 0
+                     ELSE trunc(v[i + 1] * 127 / s) END AS BIGINT) AS q
+    FROM x
+    """,
+)
+def embedding_quantize(sf_dir: str):
+    """Symmetric absmax int8 quantization over a deterministic 1-in-50
+    vector sample (the long-form output is 64 rows per vector; sampling
+    keeps the gate compare proportionate while the kernel itself is a
+    full zero-copy batch op). One flatten-reshape matmul-free pass: scale
+    = absmax per row, q = trunc(x * 127 / scale), zero vectors quantize
+    to zeros."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 50 == 0
+        if not keep.any():
+            e = pa.array([], pa.int64())
+            return pa.table({"vec_id": e, "i": e, "q": e})
+        ids = ids[keep]
+        emb = batch["embedding"].combine_chunks() if isinstance(
+            batch["embedding"], pa.ChunkedArray
+        ) else batch["embedding"]
+        mat = np.asarray(emb.values).reshape(len(batch), -1)[keep].astype(
+            np.float64
+        )
+        s = np.abs(mat).max(axis=1, keepdims=True)
+        q = np.where(s == 0, 0.0, np.trunc(mat * 127 / np.where(s == 0, 1, s)))
+        n, d = q.shape
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, d)),
+                "i": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+                "q": pa.array(q.reshape(-1).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# JSONL source/sink round trip — S-tier source-format coverage beyond
+# parquet/CSV/txt/binary dirs: write the table as line-delimited JSON,
+# read it back with ray.data.read_json, and prove nothing was lost or
+# retyped (the gate compares values AND dtypes against the parquet
+# original).
+
+
+@register(
+    "jsonl_roundtrip",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def jsonl_roundtrip(sf_dir: str):
+    """documents -> JSONL shards (one file per block, the resumable
+    layout) -> read_json -> project. Text columns stay out of the round
+    trip on purpose: JSON re-escaping is the classic silent-corruption
+    spot, so the covered contract is the typed scalar columns; payload
+    text rides parquet/binary in this engine."""
+    import tempfile
+
+    import ray.data
+
+    out_dir = tempfile.mkdtemp(prefix="jsonl_", dir="/tmp")
+    ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).write_json(out_dir)
+    return ray.data.read_json(out_dir).select_columns(
+        ["doc_id", "lang", "n_chars"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event debounce — streaming retry suppression: drop an event when the
+# previous event of the SAME (user, type) lies within the debounce
+# window (events are time-ordered, so "any prior within T" reduces to
+# the adjacent gap — the lag-window form both engines share).
+
+_DEBOUNCE_S = 7200  # 2 h: the synthetic stream's same-(user,type)
+# gaps start at ~525 s, so a sub-10th-percentile window genuinely fires
+
+
+@register(
+    "events_debounce",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, ts FROM (
+        SELECT event_id, user_id, event_type, ts,
+               lag(ts) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) AS prev_ts
+        FROM events
+    ) WHERE prev_ts IS NULL
+          OR ts - prev_ts > INTERVAL {_DEBOUNCE_S} SECOND
+    """,
+)
+def events_debounce(sf_dir: str):
+    """ONE shuffle on ``bucket = user_id % B`` through ``bucketed_window``
+    (group count O(buckets), not O(users) — VERDICT r3 item 4); inside a
+    bucket, one lexsort by (user, type, ts, event_id) and a shifted
+    compare: keep a row iff it starts a (user, type) segment or its
+    adjacent same-segment gap exceeds the window. The oracle's lag() is
+    over ALL partition rows (not survivors), so the adjacent gap is the
+    exact semantics. Same partitioning contract as the sessionizer: one
+    bucket fits a worker."""
+    import pandas as pd
+
+    import ray.data
+
+    from sciscraper_ray.stages.window import bucketed_window
+
+    gap_us = _DEBOUNCE_S * 1_000_000
+
+    def debounce(g: pd.DataFrame) -> pd.DataFrame:
+        user = g["user_id"].to_numpy()
+        etype = g["event_type"].to_numpy()
+        ts_raw = g["ts"].to_numpy()
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, etype, user))
+        user_s, etype_s, ts_s = user[order], etype[order], ts[order]
+        keep = np.ones(len(order), dtype=bool)
+        if len(order) > 1:
+            same = (user_s[1:] == user_s[:-1]) & (etype_s[1:] == etype_s[:-1])
+            close = (ts_s[1:] - ts_s[:-1]) <= gap_us
+            keep[1:] = ~(same & close)
+        return pd.DataFrame(
+            {
+                "event_id": eid[order][keep],
+                "user_id": user_s[keep],
+                "event_type": etype_s[keep],
+                "ts": ts_raw[order][keep],
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return bucketed_window(ds, debounce, key="user_id")
+
+
+# ---------------------------------------------------------------------------
+# Hive-partitioned sink + pruned read-back — the "resumable output"
+# contract as an operator: write documents PARTITIONED BY lang (one
+# directory per key, the layout a failed run resumes by skipping
+# finished partitions), then answer a per-lang count by reading back
+# ONLY that partition's directory. The oracle is the plain aggregate, so
+# any row lost or misrouted by the partitioned writer breaks the hash.
+
+
+@register(
+    "lang_partitioned_write",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_partitioned_write(sf_dir: str):
+    """write_parquet(partition_cols=['lang']) -> one hive directory per
+    language; each partition is then read back independently (a pruned
+    read that never touches sibling partitions — the reader lists
+    lang=<v>/ only) and reduced to (lang, count, char sum). Partition
+    discovery comes from the directory listing, not from re-scanning
+    data."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    import ray.data
+
+    out_dir = tempfile.mkdtemp(prefix="langpart_", dir="/tmp")
+    ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).write_parquet(out_dir, partition_cols=["lang"])
+
+    rows = []
+    for entry in sorted(os.listdir(out_dir)):
+        if not entry.startswith("lang="):
+            continue
+        lang = entry.split("=", 1)[1]
+        part = ray.data.read_parquet(os.path.join(out_dir, entry))
+        agg = part.map_batches(
+            lambda b: pa.table(
+                {
+                    "n_docs": pa.array([len(b)], pa.int64()),
+                    "total_chars": pa.array(
+                        [int(b["n_chars"].to_numpy(zero_copy_only=False).sum())],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        rows.append(
+            {
+                "lang": lang,
+                "n_docs": int(agg["n_docs"].sum()),
+                "total_chars": int(agg["total_chars"].sum()),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Storage-bucketed shuffle-free join — the warehouse bucketing pattern
+# (Hive bucketed tables / Iceberg bucket transforms): both sides are
+# written ONCE partitioned by the same key-hash bucket, and every later
+# join reads matching bucket directories pairwise with ZERO exchange.
+# At 100 TB you pay the bucketing write once and join forever without an
+# all-to-all; here the whole cycle (bucketed write -> per-bucket joins
+# -> aggregate) runs inside one query so the oracle checks it end to end.
+
+_STORAGE_BUCKETS = 8
+
+
+@register(
+    "bucketed_storage_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'MACHINERY'
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_storage_join(sf_dir: str):
+    """orders ⋈ customer with no runtime shuffle: both sides get bucket =
+    md5_mod(custkey, {_STORAGE_BUCKETS}) and are written hive-partitioned
+    by it; one Ray task per bucket then joins exactly its two directories
+    (hash partitioning is key-complete per bucket) and emits aggregate
+    partials; ray.data.from_arrow_refs turns the per-bucket results back
+    into a Dataset for the final tiny groupby. Money in integer cents."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def add_bucket(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch[col].to_pylist()
+            import hashlib
+
+            digests = b"".join(
+                hashlib.md5(str(k).encode()).digest() for k in keys
+            )
+            h = (
+                np.frombuffer(digests, ">u8")[::2] >> np.uint64(4)
+            ).astype(np.int64)
+            return batch.append_column(
+                "bucket", pa.array(h % _STORAGE_BUCKETS)
+            )
+
+        return fn
+
+    base = tempfile.mkdtemp(prefix="bucketjoin_", dir="/tmp")
+    o_dir, c_dir = os.path.join(base, "orders"), os.path.join(base, "cust")
+    ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+    ).map_batches(add_bucket("o_custkey"), batch_format="pyarrow").write_parquet(
+        o_dir, partition_cols=["bucket"]
+    )
+    ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(add_bucket("c_custkey"), batch_format="pyarrow").write_parquet(
+        c_dir, partition_cols=["bucket"]
+    )
+
+    @ray.remote
+    def join_bucket(b: int):
+        import pyarrow.parquet as pq
+
+        op = os.path.join(o_dir, f"bucket={b}")
+        cp = os.path.join(c_dir, f"bucket={b}")
+        if not os.path.isdir(op) or not os.path.isdir(cp):
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        orders = pq.read_table(op).to_pandas()
+        cust = pq.read_table(cp).to_pandas()
+        cust = cust[cust["c_mktsegment"] == "MACHINERY"]
+        j = orders.merge(
+            cust, left_on="o_custkey", right_on="c_custkey", how="inner"
+        )
+        j["cents"] = np.round(j["o_totalprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        agg = (
+            j.groupby("o_orderpriority")
+            .agg(n_orders=("cents", "size"), revenue_cents=("cents", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(
+            agg.astype({"n_orders": "int64", "revenue_cents": "int64"}),
+            preserve_index=False,
+        )
+
+    refs = [join_bucket.remote(b) for b in range(_STORAGE_BUCKETS)]
+    parts = ray.data.from_arrow_refs(refs)
+    return parts.groupby("o_orderpriority").aggregate(
+        Sum(on="n_orders", alias_name="n_orders"),
+        Sum(on="revenue_cents", alias_name="revenue_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC merge (MERGE INTO): apply a change batch — updates + tombstone
+# deletes — onto a base table, keeping the highest version per key and
+# dropping deleted keys. The lakehouse upsert primitive, expressed as
+# the shared winner filter (key = doc_id, winner = max version) so the
+# change stream never forces a payload shuffle.
+
+
+@register(
+    "cdc_merge",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS version,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM documents
+    WHERE doc_id % 21 <> 0
+    """,
+)
+def cdc_merge(sf_dir: str):
+    """Base = documents at version 0; delta = every 7th doc updated to
+    version 1 (text + ' v2'), every 21st additionally tombstoned. Merge =
+    union -> winner_filter on (doc_id, max version) -> drop tombstones.
+    Only (key, version) pairs enter the key pass; the text payload
+    streams through the Arrow filter untouched."""
+    import ray.data
+
+    from sciscraper_ray.pipelines.winner import WinnerSpec, winner_filter
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: b.append_column(
+            "version", pa.array(np.zeros(len(b), np.int64))
+        ).append_column("deleted", pa.array(np.zeros(len(b), bool))),
+        batch_format="pyarrow",
+    )
+
+    def make_delta(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        upd = ids % 7 == 0
+        t = batch.filter(pa.array(upd))
+        uids = t["doc_id"].to_numpy(zero_copy_only=False)
+        new_text = pc.binary_join_element_wise(
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"],
+            pa.scalar(" v2"),
+            "",
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": new_text,
+                "version": pa.array(np.ones(len(t), np.int64)),
+                "deleted": pa.array(uids % 21 == 0),
+            }
+        )
+
+    delta = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(make_delta, batch_format="pyarrow")
+
+    merged = winner_filter(
+        base.union(delta).materialize(),  # winner_filter streams twice
+        WinnerSpec(
+            keys=lambda b: (
+                b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                np.zeros(b.num_rows, np.int64),
+                None,
+            ),
+            value=lambda b: b["version"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            np_reducer=np.maximum,
+            agg_name="max",
+            what="cdc_merge",
+        ),
+    )
+    return merged.map_batches(
+        lambda b: b.filter(pc.equal(b["deleted"], False)).select(
+            ["doc_id", "version", "text"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark accounting — the streaming-completeness primitive: with the
+# watermark at max(event time) - 1 h, every hourly window whose end is
+# at or before the watermark is FINAL (safe to emit downstream); later
+# windows are still provisional. Batch-emulated here, but the emitted
+# (window, count, is_final) contract is exactly what an incremental
+# consumer checkpoints on.
+
+_WATERMARK_LAG_US = 3_600_000_000  # 1 h
+
+
+@register(
+    "events_watermark",
+    oracle=f"""
+    WITH w AS (
+        SELECT max(epoch_us(ts)) - {_WATERMARK_LAG_US} AS mark FROM events
+    )
+    SELECT epoch_us(ts) // 3600000000 AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(CASE WHEN (epoch_us(ts) // 3600000000 + 1) * 3600000000
+                          <= (SELECT mark FROM w)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_final
+    FROM events GROUP BY hour
+    """,
+)
+def events_watermark(sf_dir: str):
+    """Hourly counts tagged final/provisional against the stream's
+    watermark: one tiny Max aggregate fixes the mark, then the usual
+    composite-int64 partial counts; the final tag is pure arithmetic on
+    the window boundary. Integer microseconds end to end."""
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    us_hour = 3_600_000_000
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table({"us": batch["ts"].cast(pa.int64())})
+
+    us_ds = ds.map_batches(to_us, batch_format="pyarrow").materialize()
+    mark = (
+        us_ds.aggregate(Max(on="us", alias_name="m"))["m"]
+        - _WATERMARK_LAG_US
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["us"].to_numpy(zero_copy_only=False)
+        hours, cnt = np.unique(us // us_hour, return_counts=True)
+        return pa.table(
+            {
+                "hour": pa.array(hours.astype(np.int64)),
+                "n_events": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        us_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum(on="n_events", alias_name="n_events"))
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = batch["hour"].to_numpy(zero_copy_only=False)
+        final = ((h + 1) * us_hour <= mark).astype(np.int64)
+        return batch.append_column("is_final", pa.array(final))
+
+    return agg.map_batches(tag, batch_format="pyarrow")
+
+

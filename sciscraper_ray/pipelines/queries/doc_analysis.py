@@ -1,0 +1,338 @@
+"""Document analysis + identifier mining (DocScraper semantics, M3-M13).
+
+Split from pipelines/queries.py (round 4); registration side effects
+only — import order is fixed by the package __init__.
+"""
+from __future__ import annotations
+
+from sciscraper_ray.words import BYCATCH_WORDS
+from sciscraper_ray.words import TARGET_WORDS
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from sciscraper_ray.words import sql_in_list
+
+from sciscraper_ray.pipelines.queries._shared import (
+    _SQL_TOKENS,
+    _docs,
+    _sql_ranked,
+    register,
+)
+
+
+# --------------------------------------------------------------------------
+# Document analysis family (reference DocScraper semantics, SURVEY §2.2/2.5)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_tokenize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKENS}) AS INTEGER) AS total_word_count
+    FROM documents
+    """,
+)
+def doc_tokenize(sf_dir: str):
+    """M3+A2: single-space tokenizer + total_word_count."""
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        tokens = tokenize_column(batch["text"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "total_word_count": pc.cast(
+                    pc.list_value_length(tokens), pa.int32()
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(count_tokens, batch_format="pyarrow")
+
+
+def _wordscore_sql(
+    tgt_sql: str, byc_sql: str, table: str = "documents"
+) -> str:
+    """The wordscore oracle body, parameterized by word-set IN-lists and
+    source relation (so the same SQL serves the synthetic vocabulary, the
+    enrichment CTE, and the reference word lists)."""
+    return f"""
+    {_sql_ranked(tgt_sql, table)},
+    tgt AS (
+        SELECT doc_id, SUM(cnt) AS s FROM ranked WHERE rnk <= 3 GROUP BY doc_id
+    ),
+    btoks AS (
+        SELECT doc_id,
+               unnest({_SQL_TOKENS}) AS token,
+               unnest(range(len({_SQL_TOKENS}))) AS ord
+        FROM {table}
+    ), bcounts AS (
+        SELECT doc_id, token, count(*) AS cnt, min(ord) AS first_ord
+        FROM btoks WHERE token IN {byc_sql}
+        GROUP BY doc_id, token
+    ), branked AS (
+        SELECT doc_id, cnt,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY cnt DESC, first_ord ASC
+               ) AS rnk
+        FROM bcounts
+    ), byc AS (
+        SELECT doc_id, SUM(cnt) AS s FROM branked WHERE rnk <= 3 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(tgt.s, 0) AS INTEGER) AS matching_terms,
+           CAST(COALESCE(byc.s, 0) AS INTEGER) AS bycatch_terms,
+           CAST(len({_SQL_TOKENS}) AS INTEGER) AS total_word_count,
+           CASE WHEN len({_SQL_TOKENS}) <= 0 THEN 0.0
+                ELSE GREATEST(0.0, LEAST(1.0,
+                    (COALESCE(tgt.s, 0) * 1.0
+                     + COALESCE(byc.s, 0) * -0.25
+                     + (len({_SQL_TOKENS}) - COALESCE(tgt.s, 0) - COALESCE(byc.s, 0)) * 0.5
+                    ) / len({_SQL_TOKENS})))
+           END AS wordscore
+    FROM {table} d
+    LEFT JOIN tgt ON d.doc_id = tgt.doc_id
+    LEFT JOIN byc ON d.doc_id = byc.doc_id
+    """
+
+
+_WORDSCORE_SQL = _wordscore_sql(
+    sql_in_list(TARGET_WORDS), sql_in_list(BYCATCH_WORDS)
+)
+
+
+@register("doc_wordscore", oracle=_WORDSCORE_SQL)
+def doc_wordscore(sf_dir: str):
+    """M1 text path: the flagship fused DocAnalyzer stage (fastscore mode)."""
+    from sciscraper_ray.pipelines.flagship import wordscore_pipeline
+
+    ds = wordscore_pipeline(f"{sf_dir}/documents.parquet")
+    return ds.select_columns(
+        ["doc_id", "matching_terms", "bycatch_terms", "total_word_count", "wordscore"]
+    )
+
+
+def _ref_word_sets() -> tuple[frozenset, frozenset, list]:
+    """The reference's PRODUCTION vocabulary (360 target + 120 bycatch
+    words, /root/reference/words/*.txt loaded with the reference's
+    strip().lower() semantics — docscraper.py:110-127) plus a deterministic
+    mapping vocabulary: every single-token word from both sets and 120
+    non-matching fillers. Multi-word entries stay in the SETS (they can
+    never match a single token — reference-identical) but are excluded
+    from the mapping vocabulary so re-tokenization stays aligned."""
+    from sciscraper_ray.words import load_word_file
+
+    tgt = load_word_file("/root/reference/words/target_words.txt")
+    byc = load_word_file("/root/reference/words/bycatch_words.txt")
+    vocab = sorted(w for w in (tgt | byc) if w and " " not in w)
+    vocab += [f"filler{i}" for i in range(120)]
+    return tgt, byc, vocab
+
+
+def _refwords_oracle() -> str:
+    tgt, byc, vocab = _ref_word_sets()
+    n = len(vocab)
+    arr = "[" + ", ".join(f"'{w}'" for w in vocab) + "]"
+    pick = f"({arr})[(length(t)*31 + ascii(t)) % {n} + 1]"
+    mapped = f"""mapped AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_transform({_SQL_TOKENS}, t -> {pick}), ' '
+               ) AS text
+        FROM documents
+    ),"""
+    body = _wordscore_sql(sql_in_list(tgt), sql_in_list(byc), table="mapped")
+    return body.replace("WITH toks AS", f"WITH {mapped}\n    toks AS", 1)
+
+
+@register("doc_wordscore_refwords", oracle=_refwords_oracle())
+def doc_wordscore_refwords(sf_dir: str):
+    """M4/M5 parity on the reference's PRODUCTION word lists (north-star
+    "against its pytest fixtures" closure): document tokens are mapped
+    deterministically into the reference vocabulary (same formula mirrored
+    in the oracle SQL), then the ordinary DocAnalyzer runs with the real
+    360/120-word sets loaded via load_word_file."""
+    from sciscraper_ray.stages.doc_analyzer import DocAnalyzer
+    from sciscraper_ray.kernels.tokenize import format_manuscript
+
+    tgt, byc, vocab = _ref_word_sets()
+    n = len(vocab)
+
+    def remap(batch: pa.Table) -> pa.Table:
+        texts = []
+        for t in batch["text"].to_pylist():
+            if t is None:  # propagate null (never crash the task)
+                texts.append(None)
+                continue
+            toks = format_manuscript(t)
+            texts.append(
+                " ".join(
+                    vocab[(len(tok) * 31 + (ord(tok[0]) if tok else 0)) % n]
+                    for tok in toks
+                )
+            )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(texts, pa.string())}
+        )
+
+    ds = _docs(sf_dir).map_batches(remap, batch_format="pyarrow")
+    out = ds.map_batches(
+        DocAnalyzer,
+        fn_constructor_kwargs={
+            "target_words": tgt,
+            "bycatch_words": byc,
+            "with_parentheticals": False,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return out.select_columns(
+        ["doc_id", "matching_terms", "bycatch_terms", "total_word_count", "wordscore"]
+    )
+
+
+def _top3_exploded(sf_dir: str, word_set: frozenset[str]):
+    """M4 as an exploded relation: (doc_id, token, cnt, rnk), rnk<=3."""
+    from sciscraper_ray.kernels.terms import top_terms_exploded
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def explode(batch: pa.Table) -> pa.Table:
+        tokens = tokenize_column(batch["text"])
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        out = top_terms_exploded(tokens, word_set)
+        doc_ids = batch["doc_id"].take(pa.array(out["parent"], type=pa.int64()))
+        return pa.table(
+            {
+                "doc_id": doc_ids,
+                "token": pa.array(out["token"], type=pa.string()),
+                "cnt": pa.array(out["count"], type=pa.int64()),
+                "rnk": pa.array(out["rank"], type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+
+
+@register(
+    "doc_top3_target",
+    oracle=f"""
+    {_sql_ranked(sql_in_list(TARGET_WORDS))}
+    SELECT doc_id, token, cnt, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def doc_top3_target(sf_dir: str):
+    return _top3_exploded(sf_dir, TARGET_WORDS)
+
+
+@register(
+    "doc_top3_bycatch",
+    oracle=f"""
+    {_sql_ranked(sql_in_list(BYCATCH_WORDS))}
+    SELECT doc_id, token, cnt, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def doc_top3_bycatch(sf_dir: str):
+    return _top3_exploded(sf_dir, BYCATCH_WORDS)
+
+
+# --------------------------------------------------------------------------
+# Identifier mining (M7-M13). The synthetic documents table carries no
+# DOIs, so both sides append a deterministic identifier suffix to some rows
+# (keyed on doc_id); the oracle states the expected canonical form directly.
+# --------------------------------------------------------------------------
+
+_IDENT_SUFFIX_SQL = """
+    CASE WHEN doc_id % 3 = 0
+             THEN text || ' doi:10.' || (1000 + doc_id % 9000) || '/ax.' || doc_id
+         WHEN doc_id % 3 = 1
+             THEN text || ' see arxiv:2345.' || (20000 + doc_id) || 'v2'
+         ELSE text
+    END
+"""
+# NOTE: the arXiv id must sit at end-of-text — the reference's ARXIV_REGEX
+# canonicalizer is $-anchored (doi_regex.py:36-44), so "arxiv:1234.5678 more
+# words" standardizes to None. That quirk is part of the pinned contract.
+
+
+def _ident_suffix_ray(batch: pa.Table) -> pa.Table:
+    doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+    text = batch["text"].to_pylist()
+    mod = doc_id % 3
+    out = np.empty(len(text), dtype=object)
+    for i, t in enumerate(text):
+        if mod[i] == 0:
+            out[i] = f"{t} doi:10.{1000 + doc_id[i] % 9000}/ax.{doc_id[i]}"
+        elif mod[i] == 1:
+            out[i] = f"{t} see arxiv:2345.{20000 + doc_id[i]}v2"
+        else:
+            out[i] = t
+    return pa.table({"doc_id": batch["doc_id"], "text": pa.array(out, type=pa.string())})
+
+
+@register(
+    "doc_identifiers",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                    THEN '10.' || (1000 + doc_id % 9000) || '/ax.' || doc_id
+                WHEN doc_id % 3 = 1 THEN '2345.' || (20000 + doc_id)
+           END AS identifier,
+           CASE WHEN doc_id % 3 = 0 THEN 'doi'
+                WHEN doc_id % 3 = 1 THEN 'arxiv'
+           END AS identifier_type
+    FROM documents
+    """,
+)
+def doc_identifiers(sf_dir: str):
+    """M13 extract+standardize over the full pattern chains."""
+    from sciscraper_ray.kernels.identifiers import extract_identifiers_array
+
+    def extract(batch: pa.Table) -> pa.Table:
+        batch = _ident_suffix_ray(batch)
+        ids, kinds = extract_identifiers_array(batch["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "identifier": pa.array(ids, type=pa.string()),
+                "identifier_type": pa.array(kinds, type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(extract, batch_format="pyarrow")
+
+
+@register(
+    "doc_parentheticals",
+    oracle="""
+    SELECT doc_id,
+           '(p = .0' || (doc_id % 9) || ', n = ' || (10 + doc_id % 90) || ')' AS stat
+    FROM documents WHERE doc_id % 4 = 0
+    """,
+)
+def doc_parentheticals(sf_dir: str):
+    """M6: greedy parenthetical-statistic findall, exploded to rows."""
+    from sciscraper_ray.kernels.parentheticals import PAPER_STATISTIC
+
+    def extract(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        text = batch["text"].to_pylist()
+        out_ids: list[int] = []
+        out_stats: list[str] = []
+        for i, t in enumerate(text):
+            if doc_id[i] % 4 == 0:
+                t = f"{t} (p = .0{doc_id[i] % 9}, n = {10 + doc_id[i] % 90})"
+            for m in PAPER_STATISTIC.findall(t):
+                out_ids.append(int(doc_id[i]))
+                out_stats.append(m)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "stat": pa.array(out_stats, type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(extract, batch_format="pyarrow")
+
+

@@ -1,0 +1,541 @@
+"""Page-table extraction: the north-star HTML/PDF pipeline family.
+
+Split from pipelines/queries.py (round 4); registration side effects
+only — import order is fixed by the package __init__.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sciscraper_ray.pipelines.queries._shared import (
+    _docs,
+    register,
+)
+from sciscraper_ray.pipelines.queries.doc_analysis import (
+    _IDENT_SUFFIX_SQL,
+    _WORDSCORE_SQL,
+    _ident_suffix_ray,
+)
+
+
+# --------------------------------------------------------------------------
+# Page-table extraction (the north-star pipeline): HTML boilerplate strip,
+# PDF layout parse, payload routing, url dedup. Pages are synthesized
+# deterministically from the documents table (sources/page_synth.py), so
+# the oracle for byte-identical extraction is the identity on text.
+# --------------------------------------------------------------------------
+
+
+def _pages(sf_dir: str, pdf_mod: int | None, dup_mod: int | None):
+    from sciscraper_ray.sources.page_synth import synth_pages_batch
+
+    return _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+        lambda b: synth_pages_batch(b, pdf_mod=pdf_mod or 0, dup_mod=dup_mod or 0),
+        batch_format="pyarrow",
+    )
+
+
+@register(
+    "dom_extract",
+    oracle="""
+    SELECT doc_id,
+           'Title ' || doc_id AS title,
+           CAST(doc_id % 500 AS VARCHAR) AS cited_by,
+           CAST(1990 + doc_id % 35 AS VARCHAR) AS year,
+           'https://sci-hub.se/downloads/x' || doc_id || '.pdf' AS link
+    FROM documents
+    """,
+)
+def dom_extract(sf_dir: str):
+    """M19/M20: CSS-select text extraction with regex refinement
+    (find_element_text, webscrapers.py:163-183) and the #buttons
+    button:nth-child(1) onclick probe + M21 rewrite (downloaders.py:198-280)
+    over synthesized scholar-result HTML."""
+    from sciscraper_ray.kernels.links import format_download_link
+    from sciscraper_ray.stages.dom_select import DomSelectStage
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        htmls = [
+            (
+                f'<html><body><div id="gs_res"><div class="gs_ri">'
+                f'<h3 class="gs_rt">Title {i}</h3>'
+                f'<div class="gs_fl">Cited by {i % 500} - year {1990 + i % 35}</div>'
+                f"</div></div>"
+                f'<div id="buttons"><button onclick="location.href=\'/downloads/x{i}.pdf">dl</button>'
+                f"<button>other</button></div></body></html>"
+            )
+            for i in ids
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "html": pa.array(htmls, pa.string())}
+        )
+
+    pages = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        build, batch_format="pyarrow"
+    )
+    selected = pages.map_batches(
+        DomSelectStage,
+        fn_constructor_kwargs={
+            "extractions": [
+                ("title", "h3.gs_rt", None),
+                ("cited_by", "div.gs_fl", r"\d+"),
+                ("year", "div.gs_fl", r"\d{4}"),
+            ],
+            # M20's onclick probe runs on the SAME parse as the text
+            # extractions
+            "attr_extractions": [
+                ("onclick", "#buttons button:nth-child(1)", "onclick"),
+            ],
+            "html_col": "html",
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def rewrite_link(batch: pa.Table) -> pa.Table:
+        links = [
+            format_download_link(v)
+            for v in batch["onclick"].to_pylist()
+        ]
+        return batch.drop_columns(["onclick"]).append_column(
+            "link", pa.array(links, pa.string())
+        )
+
+    return selected.map_batches(rewrite_link, batch_format="pyarrow")
+
+
+@register(
+    "scholar_paginate",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id AS qid, (doc_id * 7 + 3) % 37 + 1 AS n FROM documents
+    ), r AS (
+        SELECT qid, unnest(range(n)) AS rank FROM q
+    )
+    SELECT qid, rank,
+           'Deterministic result ' || rank || ' for query ' || qid AS title,
+           'Abstract snippet ' || ((qid + rank * 13) % 101) AS abstract,
+           CAST(1980 + (qid + rank) % 45 AS BIGINT) AS pub_year,
+           CAST((qid * (rank + 1)) % 997 AS BIGINT) AS times_cited
+    FROM r
+    """,
+)
+def scholar_paginate(sf_dir: str):
+    """The reference's GoogleScholar 10-per-page pagination loop
+    (webscrapers.py:94-161) as an offline generator stage (VERDICT r2
+    #8): one flat_map-shaped expansion emits (query, page) rows until
+    each query's deterministic result count is exhausted, a fixture
+    transport renders Scholar-shaped HTML per page, and the shared
+    CSS-select engine parses every div.gs_ri entry back out (title /
+    abstract / year via \\d{{4}} / cited via \\d+, int-coerced — exactly
+    find_element_text's refinement chain). The oracle restates the
+    fixture ground truth from first principles. Scale shape: pure maps
+    (1 -> pages -> results), no shuffle; one tree parse per page serves
+    all fields."""
+    from sciscraper_ray.stages.scholar import ScholarResultsStage, expand_pages
+
+    pages = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        expand_pages, batch_format="pyarrow"
+    )
+    return pages.map_batches(
+        ScholarResultsStage, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+
+@register(
+    "terms_from_txt",
+    oracle="SELECT 'src-' || CAST(x AS VARCHAR) AS term FROM range(20) t(x)",
+)
+def terms_from_txt(sf_dir: str):
+    """S1 serialize_from_txt (serials.py:14-23): a txt term file (one term
+    per line, messy case/whitespace) -> read_text -> strip().lower() per
+    line, vectorized with pyarrow compute."""
+    import os
+    import tempfile
+
+    import ray.data
+
+    d = tempfile.mkdtemp(prefix="sciscraper_terms_")
+    path = os.path.join(d, "terms.txt")
+    with open(path, "w") as f:
+        for k in range(20):
+            f.write(f"  SRC-{k}\t \n")
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        return pa.table(
+            {"term": pc.utf8_lower(pc.utf8_trim_whitespace(col))}
+        )
+
+    # drop_empty_lines=False: serialize_from_txt keeps blank lines as ""
+    # (each raw line goes through strip().lower()) — byte-faithful parity
+    # is pinned on the reference's real multiline fixture in test_kernels.
+    return ray.data.read_text(path, drop_empty_lines=False).map_batches(
+        normalize, batch_format="pyarrow"
+    )
+
+
+@register(
+    "extract_spans",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS word,
+               unnest(range(len(string_split(text, ' ')))) AS ord
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, word, ord, ord // 40 AS blk,
+               sum(length(word) + 1) OVER (
+                   PARTITION BY doc_id ORDER BY ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prefix
+        FROM w
+    ), blocks AS (
+        SELECT doc_id, blk,
+               min(COALESCE(prefix, 0)) AS s,
+               sum(length(word)) + count(*) - 1 AS blen
+        FROM pos GROUP BY doc_id, blk
+    )
+    SELECT doc_id, CAST(blk AS BIGINT) AS block_idx,
+           CAST(s AS BIGINT) AS span_start,
+           CAST(s + blen AS BIGINT) AS span_end
+    FROM blocks
+    """,
+)
+def extract_spans(sf_dir: str):
+    """North-star span check: per-block [start, end) offsets into the
+    extracted text (HTML paragraphs / PDF pages, both 40-word blocks in
+    the fixture), recomputed by the oracle from pure string arithmetic
+    over the ground-truth text."""
+    from sciscraper_ray.pipelines.extract import extraction_pipeline
+
+    out = extraction_pipeline(
+        _pages(sf_dir, pdf_mod=10, dup_mod=None), dedup=False, analyze=False
+    )
+
+    def explode_spans(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parents = pc.list_parent_indices(spans)
+        flat = pc.list_flatten(spans)
+        n = len(spans)
+        # block index within each document
+        lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+        block_idx = np.concatenate(
+            [np.arange(k, dtype=np.int64) for k in lengths]
+        ) if n else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(parents),
+                "block_idx": pa.array(block_idx),
+                "span_start": pc.struct_field(flat, "start"),
+                "span_end": pc.struct_field(flat, "end"),
+            }
+        )
+
+    return out.map_batches(explode_spans, batch_format="pyarrow")
+
+
+@register(
+    "terms_from_csv",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN '10.55/x' || doc_id
+                WHEN doc_id % 4 = 1 THEN 'N/A'
+                ELSE 'doi-' || doc_id END AS doi
+    FROM documents
+    """,
+)
+def terms_from_csv(sf_dir: str):
+    """S2 serialize_from_csv (serials.py:26-43): read a CSV whose doi
+    column mixes plain values, dict-literal cells, and empties ->
+    fillna('N/A') + M14 nested unwrap."""
+    import csv
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from sciscraper_ray.kernels.nested import clean_nested_values, fill_na
+
+    ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    d = tempfile.mkdtemp(prefix="sciscraper_csv_")
+    path = os.path.join(d, "input.csv")
+    with open(path, "w", newline="") as f:
+        wcsv = csv.writer(f)
+        wcsv.writerow(["doc_id", "doi", "other"])
+        for i in ids:
+            if i % 4 == 0:
+                doi = "{'doi': '10.55/x%d'}" % i  # dict-literal cell
+            elif i % 4 == 1:
+                doi = ""  # empty -> N/A
+            else:
+                doi = f"doi-{i}"
+            wcsv.writerow([i, doi, "x"])
+
+    def unwrap(batch: pa.Table) -> pa.Table:
+        # empty/missing -> null -> fillna('N/A'), then M14 nested unwrap
+        raw = pa.array(
+            [v if v else None for v in batch["doi"].to_pylist()],
+            type=pa.string(),
+        )
+        na_filled = fill_na(raw, "N/A").to_pylist()
+        unwrapped = [clean_nested_values([v], "doi")[0] for v in na_filled]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "doi": pa.array(unwrapped, type=pa.string()),
+            }
+        )
+
+    return (
+        ray.data.read_csv(path)
+        .select_columns(["doc_id", "doi"])
+        .map_batches(unwrap, batch_format="pyarrow")
+    )
+
+
+@register(
+    "html_extract",
+    oracle="SELECT doc_id, text AS extracted_text FROM documents",
+)
+def html_extract(sf_dir: str):
+    """Readability/text-density boilerplate strip (HtmlMainContent actor
+    pool): byte-identical main content per url vs the known ground truth."""
+    from sciscraper_ray.pipelines.extract import extraction_pipeline
+
+    out = extraction_pipeline(
+        _pages(sf_dir, pdf_mod=None, dup_mod=None), dedup=False, analyze=False
+    )
+    return out.select_columns(["doc_id", "extracted_text"])
+
+
+@register(
+    "pdf_extract",
+    oracle="SELECT doc_id, text AS extracted_text FROM documents",
+)
+def pdf_extract(sf_dir: str):
+    """PDF layout parse (PdfParser actor pool: content-stream interpret,
+    glyph clustering with x_tol=1/y_tol=3, pages joined ' ' —
+    docscraper.py:188-205): byte-identical text per url."""
+    from sciscraper_ray.pipelines.extract import extraction_pipeline
+
+    out = extraction_pipeline(
+        _pages(sf_dir, pdf_mod=1, dup_mod=None), dedup=False, analyze=False
+    )
+    return out.select_columns(["doc_id", "extracted_text"])
+
+
+@register(
+    "page_extract_identifiers",
+    oracle=f"""
+    WITH pages AS (SELECT doc_id, {_IDENT_SUFFIX_SQL} AS text FROM documents)
+    SELECT doc_id, text AS extracted_text,
+           CASE WHEN doc_id % 3 = 0
+                    THEN '10.' || (1000 + doc_id % 9000) || '/ax.' || doc_id
+                WHEN doc_id % 3 = 1 THEN '2345.' || (20000 + doc_id)
+           END AS doi,
+           CASE WHEN doc_id % 3 = 0 THEN 'doi'
+                WHEN doc_id % 3 = 1 THEN 'arxiv'
+           END AS identifier_type
+    FROM pages
+    """,
+)
+def page_extract_identifiers(sf_dir: str):
+    """EP1 identifier parity end to end: page texts carry known DOI/arXiv
+    ids -> render HTML/PDF -> extract -> identifier chain over the
+    EXTRACTED text. Byte-identical extraction is a precondition — the
+    $-anchored arXiv canonicalizer only matches if the id survives at
+    end-of-text through render + strip."""
+    from sciscraper_ray.pipelines.extract import extraction_pipeline
+
+    docs = _docs(sf_dir, columns=("doc_id", "text")).map_batches(
+        _ident_suffix_ray, batch_format="pyarrow"
+    )
+
+    def add_lang(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "lang", pa.array(["en"] * len(batch), pa.string())
+        )
+
+    from sciscraper_ray.sources.page_synth import synth_pages_batch
+
+    pages = docs.map_batches(add_lang, batch_format="pyarrow").map_batches(
+        lambda b: synth_pages_batch(b, pdf_mod=10, dup_mod=0),
+        batch_format="pyarrow",
+    )
+    out = extraction_pipeline(pages, dedup=False, analyze=True)
+    return out.select_columns(
+        ["doc_id", "extracted_text", "doi", "identifier_type"]
+    )
+
+
+@register(
+    "page_extract_identifiers_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4
+               WHEN 0 THEN '10.5555/meta.' || doc_id
+               WHEN 1 THEN '10.4444/p2d.' || doc_id
+               WHEN 2 THEN '10.3333/info.' || doc_id
+               ELSE '10.2222/text.' || doc_id
+           END AS doi,
+           CASE doc_id % 4
+               WHEN 1 THEN 'pdf2doi_identifier'
+               ELSE 'doi'
+           END AS identifier_type
+    FROM documents
+    """,
+)
+def page_extract_identifiers_metadata(sf_dir: str):
+    """M8-M10: the doi_from_pdf metadata chain end to end
+    (/root/reference/src/doifrompdf.py:30-126). Every payload is a PDF
+    whose /Info dict exercises one branch: priority-key probe (doi /
+    pdf2doi_identifier, raw value + key as type — M8), pdf-info value scan
+    with the last-value-wins quirk (M9) via the trailer-parsed Info dict
+    (M10), and the text fallback for id-less Info. Every document ALSO
+    carries a trailing doi in its body text, so the %4 in (0,1,2) rows
+    prove metadata takes PRECEDENCE over the text step."""
+    from sciscraper_ray.pipelines.extract import extraction_pipeline
+    from sciscraper_ray.sources.page_synth import synth_pages_batch
+
+    def suffix(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = [
+            f"{t} doi:10.2222/text.{i}"
+            for i, t in zip(ids, batch["text"].to_pylist())
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+            }
+        )
+
+    pages = (
+        _docs(sf_dir, columns=("doc_id", "text"))
+        .map_batches(suffix, batch_format="pyarrow")
+        .map_batches(
+            lambda b: synth_pages_batch(
+                b, pdf_mod=1, dup_mod=0, with_pdf_info=True
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    out = extraction_pipeline(pages, dedup=False, analyze=True)
+    return out.select_columns(["doc_id", "doi", "identifier_type"])
+
+
+@register(
+    "page_validate_identifiers",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                        THEN '10.' || (1000 + doc_id % 9000) || '/ax.' || doc_id
+                    WHEN doc_id % 3 = 1 THEN '2345.' || (20000 + doc_id)
+               END AS doi,
+               CASE WHEN doc_id % 3 = 0 THEN 'doi'
+                    WHEN doc_id % 3 = 1 THEN 'arxiv'
+               END AS identifier_type
+        FROM documents
+    )
+    SELECT doc_id, doi, identifier_type,
+           CASE WHEN doc_id % 2 = 0 AND identifier_type = 'doi'
+                    THEN '{"DOI": "' || doi || '"}'
+                WHEN doc_id % 2 = 0 AND identifier_type = 'arxiv'
+                    THEN 'entry(id=http://arxiv.org/abs/' || doi
+                         || ', title=Title ' || doi || ')'
+           END AS validation_info
+    FROM ids
+    """,
+)
+def page_validate_identifiers(sf_dir: str):
+    """M12 — network identifier validation end to end
+    (/root/reference/src/doifrompdf.py:166-190): the extracted-identifier
+    stream from page_extract_identifiers flows through
+    ``IdentifierValidationStage``. The LIVE dx.doi.org / export.arxiv.org
+    path is offline-gated (SCISCRAPER_ALLOW_NETWORK); this query injects a
+    deterministic registry opener — a DOI resolves (200 + citeproc body)
+    iff its registrant is even, an arXiv query returns a one-entry Atom
+    feed iff its number is even — so the full request/parse/None-on-miss
+    chain runs for real and the oracle can state the result from doc_id
+    parity. Null identifiers (doc_id % 3 = 2) make no request.
+
+    Note the reference validates the RAW regex match before DOI
+    canonicalization; these fixtures are already canonical, so raw ==
+    canonical here."""
+    import json
+
+    from sciscraper_ray.stages.enrich import (
+        IdentifierValidationStage,
+        validation_transport,
+    )
+
+    def registry_opener(full_url: str, timeout: float):
+        if "dx.doi.org/" in full_url:
+            ident = full_url.split("dx.doi.org/", 1)[1]
+            registrant = int(ident.split("/", 1)[0].split(".", 1)[1])
+            if registrant % 2 == 0:
+                return 200, json.dumps({"DOI": ident}).encode()
+            return 404, b""
+        ident = full_url.split("id:", 1)[1]
+        atom = "http://www.w3.org/2005/Atom"
+        if int(ident.split(".", 1)[1]) % 2 == 0:
+            body = (
+                f'<feed xmlns="{atom}"><entry>'
+                f"<id>http://arxiv.org/abs/{ident}</id>"
+                f"<title>Title {ident}</title>"
+                f"</entry></feed>"
+            )
+            return 200, body.encode()
+        return 200, f'<feed xmlns="{atom}"></feed>'.encode()
+
+    ids = page_extract_identifiers(sf_dir).drop_columns(["extracted_text"])
+    return ids.map_batches(
+        IdentifierValidationStage,
+        fn_constructor_kwargs={
+            "transport_factory": lambda: validation_transport(registry_opener),
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+_WORDSCORE_WITH_TEXT_SQL = _WORDSCORE_SQL.replace(
+    "SELECT d.doc_id,", "SELECT d.doc_id, d.text AS extracted_text,", 1
+)
+
+
+@register("page_extract_pipeline", oracle=_WORDSCORE_WITH_TEXT_SQL)
+def page_extract_pipeline(sf_dir: str):
+    """EP1-analog end to end: mixed HTML/PDF page table with duplicate
+    fetches -> keep-latest url dedup -> payload routing -> extraction ->
+    DocAnalyzer. Verifies byte-identical extracted text AND the full
+    downstream analysis in one pipeline."""
+    from sciscraper_ray.pipelines.extract import extraction_pipeline
+
+    out = extraction_pipeline(
+        _pages(sf_dir, pdf_mod=10, dup_mod=17), dedup=True, analyze=True
+    )
+    return out.select_columns(
+        [
+            "doc_id",
+            "extracted_text",
+            "matching_terms",
+            "bycatch_terms",
+            "total_word_count",
+            "wordscore",
+        ]
+    )
+
+

@@ -1,0 +1,235 @@
+"""Multimodal binary payload stages (image/PNG/audio/video).
+
+Split from pipelines/queries.py (round 4); registration side effects
+only — import order is fixed by the package __init__.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sciscraper_ray.pipelines.queries._shared import (
+    _docs,
+    register,
+)
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns: opaque binary payloads + typed metadata, decoded by
+# actor-pool stages. Real codecs are absent in this container — the decode
+# stubs are import-gated (stages/multimodal.py) and the fixture uses the
+# deterministic FIMG/FAUD fake formats, so the oracle can state the decoded
+# metrics from doc_id arithmetic.
+# --------------------------------------------------------------------------
+
+
+def _media(sf_dir: str, kind: str):
+    from sciscraper_ray.stages.multimodal import synth_media_batch
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        lambda b: synth_media_batch(b, kind=kind), batch_format="pyarrow"
+    )
+
+
+@register(
+    "media_image_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + doc_id % 48 AS INTEGER) AS width,
+           CAST(8 + doc_id % 24 AS INTEGER) AS height,
+           3 AS channels,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_c0,
+           CAST((doc_id * 3) % 256 AS DOUBLE) AS mean_c1,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_c2
+    FROM documents
+    """,
+)
+def media_image_features(sf_dir: str):
+    """Image decode -> per-channel features, actor pools with small batches
+    (payload rows are wide). Constant-fill fakes make the channel means
+    exact doc_id arithmetic; gradient/resize behavior is covered in
+    tests/test_multimodal.py."""
+    from sciscraper_ray.stages.multimodal import ImageDecodeStage, ImageFeatureStage
+
+    decoded = _media(sf_dir, "image").map_batches(
+        ImageDecodeStage,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 8),
+    )
+    feats = decoded.map_batches(
+        ImageFeatureStage, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        # null-safe: a decode-error row has mean=None (the stages degrade,
+        # never crash) — Arrow's flatten() drops nulls and would break a
+        # row-count reshape, so substitute NaN triples per row instead.
+        m = np.array(
+            [
+                v if v is not None else [np.nan, np.nan, np.nan]
+                for v in batch["mean"].to_pylist()
+            ],
+            dtype=np.float64,
+        ).reshape(len(batch), 3)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": batch["width"],
+                "height": batch["height"],
+                "channels": batch["channels"],
+                "mean_c0": pa.array(m[:, 0]),
+                "mean_c1": pa.array(m[:, 1]),
+                "mean_c2": pa.array(m[:, 2]),
+            }
+        )
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
+
+
+@register(
+    "media_png_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + doc_id % 57 AS INTEGER) AS width,
+           CAST(4 + doc_id % 60 AS INTEGER) AS height,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+                AS INTEGER) AS channels,
+           CAST(doc_id % 100
+                + (7 + doc_id % 57) / 2.0
+                + (3 + doc_id % 60) / 2.0 AS DOUBLE) AS mean_c0
+    FROM documents
+    """,
+)
+def media_png_features(sf_dir: str):
+    """REAL-format image decode: deterministic PNG payloads (gradient
+    pixels, per-scanline filter type cycling through all five PNG
+    filters) decoded by the from-scratch codec (stages/png.py — chunk
+    CRCs, inflate, defilter), then per-channel features. The gradient's
+    channel-0 mean is exact doc_id arithmetic, so the oracle checks that
+    the full decode path (not a header peek) ran: any filter/defilter
+    bug shifts pixel values and breaks the mean. Honest-multimodal item
+    from VERDICT r3 (#7); reference handles real image bytes in
+    downloaders.py:283-366."""
+    from sciscraper_ray.stages.multimodal import ImageDecodeStage, ImageFeatureStage
+
+    decoded = _media(sf_dir, "png").map_batches(
+        ImageDecodeStage,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 8),
+    )
+    feats = decoded.map_batches(
+        ImageFeatureStage, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        means = batch["mean"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": batch["width"],
+                "height": batch["height"],
+                "channels": batch["channels"],
+                "mean_c0": pa.array(
+                    [m[0] if m else np.nan for m in means], pa.float64()
+                ),
+            }
+        )
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
+
+
+@register(
+    "media_audio_frames",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(1600 + (d.doc_id % 100) * 16 AS BIGINT) AS n_samples,
+           round(1.0 * (1600 + (d.doc_id % 100) * 16) / 16000, 6) AS duration_s,
+           round(sqrt(avg(power(((d.doc_id % 97) + g.x) % 251 - 125, 2))), 6)
+               AS rms
+    FROM documents d,
+         LATERAL unnest(range(1600 + (d.doc_id % 100) * 16)) AS g(x)
+    GROUP BY d.doc_id
+    """,
+)
+def media_audio_frames(sf_dir: str):
+    """Audio decode + fixed-hop frame sampling; rms/duration recomputed by
+    the oracle from the FAUD generator formula."""
+    from sciscraper_ray.stages.multimodal import AudioFrameSampleStage
+
+    sampled = _media(sf_dir, "audio").map_batches(
+        AudioFrameSampleStage,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 8),
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        dur = batch["duration_s"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_samples": pa.array(
+                    np.round(dur * 16_000).astype(np.int64)
+                ),
+                "duration_s": pc.round(batch["duration_s"], 6),
+                "rms": pc.round(batch["rms"], 6),
+            }
+        )
+
+    return sampled.map_batches(project, batch_format="pyarrow")
+
+
+@register(
+    "media_video_frames",
+    oracle="""
+    WITH v AS (
+        SELECT doc_id, 60 + doc_id % 240 AS n, doc_id % 251 AS seed
+        FROM documents
+    ), f AS (
+        SELECT doc_id, n, seed, unnest(range(0, n, 30)) AS frame_idx FROM v
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST((seed + frame_idx) % 256 AS DOUBLE) AS mean_luma,
+           round(n / 30.0, 6) AS duration_s
+    FROM f
+    """,
+)
+def media_video_frames(sf_dir: str):
+    """Video frame sampling (every 30th frame) with per-frame mean luma,
+    exploded to one row per sampled frame; the FVID generator makes each
+    frame's luma pure doc_id arithmetic for the oracle."""
+    from sciscraper_ray.stages.multimodal import VideoFrameSampleStage
+
+    sampled = _media(sf_dir, "video").map_batches(
+        VideoFrameSampleStage,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 8),
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        idx = batch["frame_idx"]
+        if isinstance(idx, pa.ChunkedArray):
+            idx = idx.combine_chunks()
+        luma = batch["frame_mean_luma"]
+        if isinstance(luma, pa.ChunkedArray):
+            luma = luma.combine_chunks()
+        parents = pc.list_parent_indices(idx)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(parents),
+                "frame_idx": pc.list_flatten(idx),
+                "mean_luma": pc.list_flatten(luma),
+                "duration_s": pc.round(
+                    batch["duration_s"].take(parents), 6
+                ),
+            }
+        )
+
+    return sampled.map_batches(explode, batch_format="pyarrow")
+
+

@@ -1,0 +1,2098 @@
+"""Retrieval / model-inference / index-build tier (BM25, LR, inverted index, LM stats).
+
+Split from pipelines/queries.py (round 4); registration side effects
+only — import order is fixed by the package __init__.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from sciscraper_ray.words import sql_in_list
+
+from sciscraper_ray.pipelines.queries._shared import (
+    _SQL_TOKENS,
+    _docs,
+    register,
+)
+from sciscraper_ray.pipelines.queries.dedup import (
+    _md5_hex15_sql,
+)
+from sciscraper_ray.pipelines.queries.text_analysis import (
+    _lang_sql,
+    lang_id_batch,
+)
+
+
+# --------------------------------------------------------------------------
+# Retrieval / model-inference / index-build tier (round 3)
+# --------------------------------------------------------------------------
+
+_BM25_QUERIES = (
+    (0, ("join", "hash", "scan")),
+    (1, ("filter", "merge", "vector")),
+    (2, ("customer", "order", "line")),
+    (3, ("batch", "row", "column")),
+    (4, ("small", "slow", "data")),
+)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+_BM25_TERMS = tuple(sorted({t for _, ts in _BM25_QUERIES for t in ts}))
+
+
+def _bm25_oracle() -> str:
+    terms_sql = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+    qvals = ", ".join(
+        f"({qid}, '{t1}', '{t2}', '{t3}')" for qid, (t1, t2, t3) in _BM25_QUERIES
+    )
+    # the score expression mirrors the Ray kernel OPERATION FOR OPERATION
+    # (same literals, same association) so IEEE doubles match bit-exactly:
+    # idf = ln(1 + (n - df + 0.5)/(df + 0.5));
+    # s = idf * (tf*2.2) / (tf + 1.2*(0.25 + 0.75*(dl/(total/n))))
+    return f"""
+    WITH dl AS (
+        SELECT doc_id, CAST(len({_SQL_TOKENS}) AS DOUBLE) AS dl FROM documents
+    ), corpus AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS total FROM dl
+    ), toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), tf AS (
+        SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        FROM toks WHERE token IN {terms_sql} GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM toks WHERE token IN {terms_sql} GROUP BY token
+    ), ts AS (
+        SELECT tf.doc_id, tf.token,
+               ln(1 + (g.n - f.df + 0.5) / (f.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + {_BM25_K1} * ((1 - {_BM25_B}) + {_BM25_B} * (d.dl / (g.total / g.n)))) AS s
+        FROM tf
+        JOIN df f ON f.token = tf.token
+        JOIN dl d ON d.doc_id = tf.doc_id
+        CROSS JOIN corpus g
+    ), scored AS (
+        SELECT q.query_id, d.doc_id,
+               COALESCE(s1.s, 0) + COALESCE(s2.s, 0) + COALESCE(s3.s, 0) AS score
+        FROM dl d
+        CROSS JOIN (VALUES {qvals}) q(query_id, t1, t2, t3)
+        LEFT JOIN ts s1 ON s1.doc_id = d.doc_id AND s1.token = q.t1
+        LEFT JOIN ts s2 ON s2.doc_id = d.doc_id AND s2.token = q.t2
+        LEFT JOIN ts s3 ON s3.doc_id = d.doc_id AND s3.token = q.t3
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+        ) AS rn FROM scored
+    ) WHERE rn <= {_BM25_TOPK}
+    """
+
+
+@register("doc_bm25_topk", oracle=_bm25_oracle())
+def doc_bm25_topk(sf_dir: str):
+    """BM25 retrieval scoring (Robertson/Sparck-Jones; the lexical-search
+    op of a retrieval pipeline): score every document against a fixed
+    query set, emit global top-10 per query.
+
+    Scale shape: pass 1 streams corpus stats — (N, total_len) plus df for
+    the 15 query terms only (per-batch partials, a 15-row exchange).
+    Pass 2 broadcasts those constants and scores each batch vectorized
+    (one token-mask + bincount per term), keeping only a per-batch top-k
+    partial per query; the driver merge sees <= batches * Q * k candidate
+    rows, never the corpus. Per-batch top-k is lossless under the global
+    (score desc, doc_id asc) order: every kept candidate within a batch
+    precedes its dropped batch-mates in the same order.
+
+    Float exactness: idf/length-norm expressions are evaluated in the
+    same literal association as the SQL oracle, and the 3-term sum is a
+    fixed left-to-right add, so scores are IEEE-bit-identical (no
+    rounding on either side)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        rows = [("", len(batch), int(len(flat)))]  # "": (n_docs, total_len)
+        for t in _BM25_TERMS:
+            mask = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            df_t = len(np.unique(par[mask]))
+            rows.append((t, df_t, 0))
+        term, a, b = zip(*rows)
+        return pa.table(
+            {
+                "term": pa.array(term),
+                "a": pa.array(np.array(a, np.int64)),
+                "b": pa.array(np.array(b, np.int64)),
+            }
+        )
+
+    stats = (
+        _docs(sf_dir)
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum(on="a", alias_name="a"), Sum(on="b", alias_name="b"))
+        .to_pandas()
+    )
+    srow = stats[stats["term"] == ""].iloc[0]
+    n_docs, total_len = float(srow["a"]), float(srow["b"])
+    df = {r["term"]: float(r["a"]) for _, r in stats.iterrows() if r["term"]}
+    avgdl = total_len / n_docs
+    idf = {
+        t: np.log(1 + (n_docs - df.get(t, 0.0) + 0.5) / (df.get(t, 0.0) + 0.5))
+        for t in _BM25_TERMS
+    }
+    consts = ray.put((idf, avgdl))
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        idf_, avgdl_ = ray.get(consts)
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nrows = len(batch)
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.float64)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        denom_norm = _BM25_K1 * ((1 - _BM25_B) + _BM25_B * (dl / avgdl_))
+        s_term = {}
+        for t in _BM25_TERMS:
+            mask = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tf = np.bincount(par[mask], minlength=nrows).astype(np.float64)
+            s = np.zeros(nrows)
+            nz = tf > 0
+            s[nz] = idf_[t] * (tf[nz] * 2.2) / (tf[nz] + denom_norm[nz])
+            s_term[t] = s
+        out_q, out_d, out_s = [], [], []
+        for qid, (t1, t2, t3) in _BM25_QUERIES:
+            score = s_term[t1] + s_term[t2] + s_term[t3]
+            k = min(_BM25_TOPK, nrows)
+            order = np.lexsort((doc_ids, -score))[:k]
+            out_q.append(np.full(k, qid, np.int64))
+            out_d.append(doc_ids[order])
+            out_s.append(score[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "doc_id": pa.array(np.concatenate(out_d)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    cand = (
+        _docs(sf_dir)
+        .map_batches(score_partial, batch_format="pyarrow")
+        .to_pandas()  # bounded: batches x Q x k candidate rows
+    )
+    cand = cand.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True]
+    )
+    top = cand.groupby("query_id", sort=True).head(_BM25_TOPK).reset_index(drop=True)
+    return pa.table(
+        {
+            "query_id": pa.array(top["query_id"].to_numpy(np.int64)),
+            "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
+            "score": pa.array(top["score"].to_numpy(np.float64)),
+        }
+    )
+
+
+# logistic quality scorer: fixed weights over integer document features —
+# the broadcast-weights batched-inference pattern (weights load once per
+# actor, scoring is one vectorized pass; swap the linear model for any
+# batched model and the Ray shape is unchanged)
+_LR_STOPS = ("join", "hash", "row", "batch", "scan")
+_LR_W = (0.08, -0.004, 0.3, -0.05, 0.01)  # n_tokens, n_chars, stops, digits, distinct
+_LR_B = -6.5
+
+
+class _LrScorer:
+    """Actor-pool inference stage: 'model' (weight vector) built once in
+    __init__, __call__ scores whole Arrow batches vectorized."""
+
+    def __init__(self):
+        self.w = np.array(_LR_W, np.float64)
+        self.b = float(_LR_B)
+        self.stops = _LR_STOPS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from sciscraper_ray.kernels.tokenize import tokenize_column
+
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nrows = len(batch)
+        x0 = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.float64)
+        x1 = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False).astype(np.float64)
+        stop_mask = pc.is_in(flat, value_set=pa.array(self.stops)).to_numpy(
+            zero_copy_only=False
+        )
+        x2 = np.bincount(par[stop_mask], minlength=nrows).astype(np.float64)
+        digits = pc.count_substring_regex(batch["text"], "[0-9]").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        # distinct tokens per doc: one C-level unique over (doc, token)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        tok_codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = par.astype(np.int64) * (tok_codes.max() + 1 if len(tok_codes) else 1) + tok_codes
+        uniq_docs = par[np.unique(pairs, return_index=True)[1]]
+        x4 = np.bincount(uniq_docs, minlength=nrows).astype(np.float64)
+        w = self.w
+        # fixed left-to-right association, mirrored in the SQL oracle
+        z = self.b + w[0] * x0 + w[1] * x1 + w[2] * x2 + w[3] * digits + w[4] * x4
+        prob = 1.0 / (1.0 + np.exp(-z))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "score": pa.array(z),
+                "prob": pa.array(prob),
+                "label": pa.array((z > 0).astype(np.int64)),
+            }
+        )
+
+
+@register(
+    "doc_lr_score",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(len({_SQL_TOKENS}) AS DOUBLE) AS x0,
+               CAST(length(text) AS DOUBLE) AS x1,
+               CAST((SELECT count(*) FROM unnest({_SQL_TOKENS}) AS u(t)
+                     WHERE t IN {sql_in_list(_LR_STOPS)}) AS DOUBLE) AS x2,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                    AS DOUBLE) AS x3,
+               CAST((SELECT count(DISTINCT t) FROM unnest({_SQL_TOKENS}) AS u(t))
+                    AS DOUBLE) AS x4
+        FROM documents
+    ), z AS (
+        SELECT doc_id,
+               {_LR_B} + {_LR_W[0]} * x0 + {_LR_W[1]} * x1 + {_LR_W[2]} * x2
+                       + {_LR_W[3]} * x3 + {_LR_W[4]} * x4 AS score
+        FROM feats
+    )
+    SELECT doc_id, score, 1 / (1 + exp(-score)) AS prob,
+           CAST(score > 0 AS BIGINT) AS label
+    FROM z
+    """,
+)
+def doc_lr_score(sf_dir: str):
+    """Model-scoring inference over the corpus: a logistic quality model
+    with broadcast weights, run as an actor-pool map_batches stage
+    (weights materialize once per actor in __init__ — the shape a real
+    learned quality classifier or reward model runs in at 100 TB; the
+    features here are integer-exact so the oracle reproduces the scores
+    bit-identically, same left-to-right accumulation).
+
+    Zero shuffle: one streaming pass, output is one row per document."""
+    return _docs(sf_dir).map_batches(
+        _LrScorer,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+@register(
+    "token_inverted_index",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM pairs GROUP BY token
+    """,
+)
+def token_inverted_index(sf_dir: str):
+    """Inverted-index build (the search-index op): token -> document
+    frequency + sorted posting list.
+
+    Scale shape: per-batch DISTINCT (token, doc) partials (an Arrow
+    group_by inside the batch — the exchange moves one row per distinct
+    pair, never repeated occurrences), then a token-partitioned
+    ``map_groups`` merge. Group count = vocabulary size (Heaps' law:
+    sublinear in corpus size), so per-group dispatch stays bounded; at
+    real scale each group writes a posting FILE (hive-partitioned by
+    token hash) instead of returning a joined string — the operator
+    shape is identical."""
+    import ray.data
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        doc = batch["doc_id"].take(par)
+        t = pa.table({"token": flat, "doc_id": doc})
+        return t.group_by(["token", "doc_id"]).aggregate([])
+
+    def merge_group(tbl: pa.Table) -> pa.Table:
+        ids = np.unique(tbl["doc_id"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "token": pa.array([tbl["token"][0].as_py()]),
+                "df": pa.array(np.array([len(ids)], np.int64)),
+                "postings": pa.array([",".join(map(str, ids))]),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(merge_group, batch_format="pyarrow")
+    )
+
+
+@register(
+    "warc_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           'https://warc.example/doc-' || CAST(doc_id AS VARCHAR) AS uri,
+           text
+    FROM documents
+    """,
+)
+def warc_roundtrip(sf_dir: str):
+    """WARC segment source (sources/warc.py): documents serialized into
+    Content-Length-delimited WARC/1.0 segments (8 shard files — the
+    warc.paths fan-out shape), then streamed back through
+    ``read_binary_files`` -> per-file record parse -> columns.
+
+    Parallelism = segment files (WARC has no intra-file random access
+    without a CDX index — the constraint real Common-Crawl readers have);
+    the parse is per-fragment and shuffle-free. Segment synthesis is
+    fixture generation (driver-side, cached per sf under /tmp — keyed by
+    the source parquet's identity (path, mtime_ns, size) so a regenerated
+    fixture never reuses stale shards, and built in a temp dir with an
+    atomic rename so a concurrent run can never observe a half-written
+    cache)."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from sciscraper_ray.sources.warc import build_warc, parse_warc
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    cache_key = hashlib.sha256(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    docs = pq.read_table(src, columns=["doc_id", "text"])
+    n_shards = 8
+    out_dir = f"/tmp/warc_src_{cache_key}"
+    if not os.path.isdir(out_dir):
+        tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
+        os.makedirs(tmp_dir, exist_ok=True)
+        ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+        texts = docs["text"].to_pylist()
+        shards: list[list[tuple[int, str, bytes]]] = [[] for _ in range(n_shards)]
+        for i, t in zip(ids, texts):
+            shards[int(i) % n_shards].append(
+                (int(i), f"https://warc.example/doc-{int(i)}", t.encode("utf-8"))
+            )
+        for s, recs in enumerate(shards):
+            with open(os.path.join(tmp_dir, f"shard-{s:04d}.warc"), "wb") as f:
+                f.write(build_warc(recs))
+        try:
+            os.rename(tmp_dir, out_dir)  # atomic publish
+        except OSError:  # lost the race to a concurrent builder — use theirs
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    def parse_batch(batch: pa.Table) -> pa.Table:
+        ids_, uris, texts_ = [], [], []
+        for blob in batch["bytes"].to_pylist():
+            for rec in parse_warc(blob):
+                ids_.append(rec["record_id"])
+                uris.append(rec["uri"])
+                texts_.append(rec["payload"].decode("utf-8"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_, pa.int64()),
+                "uri": pa.array(uris),
+                "text": pa.array(texts_),
+            }
+        )
+
+    return ray.data.read_binary_files(
+        [os.path.join(out_dir, f"shard-{s:04d}.warc") for s in range(n_shards)]
+    ).map_batches(parse_batch, batch_format="pyarrow")
+
+
+# robots.txt-style URL blocklist: deterministic per-host path-prefix rules
+# (host index -> disallowed prefix), the crawl-politeness filter shape
+_ROBOTS_RULES = (
+    ("web-00.example.org", "/pdf/"),
+    ("web-03.example.org", "/html/doc-1"),
+    ("web-05.example.org", "/"),
+)
+
+
+@register(
+    "url_robots_filter",
+    oracle="""
+    WITH pages AS (
+        SELECT doc_id,
+               'web-0' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example.org' AS host,
+               '/' || (CASE WHEN doc_id % 4 = 0 THEN 'pdf' ELSE 'html' END)
+                   || '/doc-' || CAST(doc_id AS VARCHAR) AS path
+        FROM documents
+    )
+    SELECT doc_id, 'https://' || host || path AS url FROM pages
+    WHERE NOT (host = 'web-00.example.org' AND path LIKE '/pdf/%')
+      AND NOT (host = 'web-03.example.org' AND path LIKE '/html/doc-1%')
+      AND NOT (host = 'web-05.example.org')
+    """,
+)
+def url_robots_filter(sf_dir: str):
+    """robots.txt-style disallow filtering (the crawl-politeness gate a
+    page pipeline runs before fetch/extract): a tiny per-host
+    path-prefix rule table is broadcast, every batch evaluates its rules
+    vectorized (one ``starts_with`` mask per rule — rule count is small
+    by construction; a real exclusion list is grouped per host and only
+    the batch's hosts' rules run). Zero shuffle, one streaming pass.
+
+    URLs are derived deterministically from doc_id (a fixed host/path
+    scheme, same flavor as the synthetic page table's) so the oracle
+    reproduces them exactly."""
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        host_idx = ids % 7
+        kind = np.where(ids % 4 == 0, "pdf", "html")
+        hosts = pa.array([f"web-0{h}.example.org" for h in host_idx])
+        paths = pa.array([f"/{k}/doc-{i}" for k, i in zip(kind, ids)])
+        keep = np.ones(len(ids), bool)
+        for rule_host, prefix in _ROBOTS_RULES:
+            hmask = pc.equal(hosts, rule_host).to_numpy(zero_copy_only=False)
+            pmask = pc.starts_with(paths, prefix).to_numpy(zero_copy_only=False)
+            keep &= ~(hmask & pmask)
+        url = pc.binary_join_element_wise(
+            pa.array(["https://"] * len(ids)), hosts, paths, ""
+        )
+        return pa.table({"doc_id": batch["doc_id"], "url": url}).filter(
+            pa.array(keep)
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        filt, batch_format="pyarrow"
+    )
+
+
+@register(
+    "token_pair_counts",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest({_SQL_TOKENS}) AS token,
+               unnest(range(len({_SQL_TOKENS}))) AS ord
+        FROM documents
+    )
+    SELECT a.token || ' ' || b.token AS pair, count(*) AS cnt
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+    GROUP BY pair
+    ORDER BY cnt DESC, pair ASC
+    LIMIT 50
+    """,
+)
+def token_pair_counts(sf_dir: str):
+    """BPE merge-step statistics: corpus-wide adjacent-token-pair
+    frequencies, top-50 — the counting pass a distributed tokenizer
+    trainer runs once per merge round. Pairs are built vectorized from
+    the flattened token buffer (adjacency = equal parent indices, no
+    per-doc loop); each batch value-counts locally so the shuffle moves
+    (pair, cnt) partials bounded by the batch's pair vocabulary, then
+    groupby-Sum -> sort(cnt desc, pair asc) -> limit. Pair key joins
+    with a single space, unambiguous because the reference tokenizer
+    splits on exactly that byte (docscraper.py:176-186)."""
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens = tokenize_column(batch["text"])
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        flat = pc.list_flatten(tokens)
+        n = len(flat)
+        if n < 2:
+            return pa.table(
+                {"pair": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        parents = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+        same_doc = pa.array(parents[:-1] == parents[1:])
+        left = flat.slice(0, n - 1).filter(same_doc)
+        right = flat.slice(1, n - 1).filter(same_doc)
+        pairs = pc.binary_join_element_wise(left, right, " ")
+        vc = pairs.value_counts()
+        return pa.table({"pair": vc.field("values"), "cnt": vc.field("counts")})
+
+    return (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .sort(key=["cnt", "pair"], descending=[True, False])
+        .limit(50)
+    )
+
+
+_MIXTURE_QUOTA = 15
+
+
+def _md5_hex15_np(ids) -> np.ndarray:
+    """Vector of the 60-bit md5 prefix ints matching _md5_mod / the
+    _md5_hex15_sql oracle fragment (str(id) convention)."""
+    import hashlib
+
+    return np.array(
+        [int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) for i in ids],
+        dtype=np.int64,
+    )
+
+
+@register(
+    "doc_mixture_quota",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_md5_hex15_sql("CAST(doc_id AS VARCHAR)")} ASC,
+                            doc_id ASC
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= {_MIXTURE_QUOTA}
+    """,
+)
+def doc_mixture_quota(sf_dir: str):
+    """Domain-balanced mixture downsampling: keep at most K documents per
+    source, chosen as the K smallest content-stable id hashes — the
+    deterministic quota sampler that balances a training mixture across
+    domains without RNG state (reproducible across runs, cluster sizes,
+    partitionings). Pass 1 streams (source, h, doc_id) candidates,
+    pre-pruned per batch to its local K smallest per source, so the
+    driver merge sees <= sources x K rows per batch, never the corpus;
+    the per-source K-th smallest (h, doc_id) cutoff is broadcast and
+    pass 2 is a zero-shuffle stream filter (payloads never move). The
+    (h, doc_id) lexicographic cutoff keeps exactly K even under 60-bit
+    hash collisions."""
+    import pandas as pd
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pandas(),
+                "h": _md5_hex15_np(ids),
+                "doc_id": ids,
+            }
+        )
+        pruned = (
+            df.sort_values(["source", "h", "doc_id"])
+            .groupby("source", sort=False)
+            .head(_MIXTURE_QUOTA)
+        )
+        return pa.Table.from_pandas(pruned, preserve_index=False)
+
+    cand = (
+        _docs(sf_dir, columns=("doc_id", "source"))
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    kept = (
+        cand.sort_values(["source", "h", "doc_id"])
+        .groupby("source", sort=False)
+        .head(_MIXTURE_QUOTA)
+    )
+    # the cutoff row is the lexicographic max (h, doc_id) of the kept set
+    cut = (
+        kept.sort_values(["source", "h", "doc_id"])
+        .groupby("source", sort=False)
+        .tail(1)
+        .set_index("source")
+    )
+    cut_ref = ray.put(cut)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        c = ray.get(cut_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = _md5_hex15_np(ids)
+        src = batch["source"].to_pandas()
+        lim_h = src.map(c["h"]).to_numpy(np.int64)
+        lim_id = src.map(c["doc_id"]).to_numpy(np.int64)
+        keep = (h < lim_h) | ((h == lim_h) & (ids <= lim_id))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "source": batch["source"]}
+        ).filter(pa.array(keep))
+
+    return _docs(sf_dir, columns=("doc_id", "source")).map_batches(
+        filt, batch_format="pyarrow"
+    )
+
+
+@register(
+    "doc_unigram_freq_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), vocab AS (
+        SELECT token, count(*) AS gcnt FROM toks GROUP BY token
+    )
+    SELECT t.doc_id,
+           CAST(SUM(v.gcnt) AS BIGINT) AS freq_sum,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM toks t JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def doc_unigram_freq_score(sf_dir: str):
+    """Unigram language-model quality scoring (the CCNet/KenLM shape):
+    score every document by how typical its tokens are of the corpus.
+    Pass 1 builds the global unigram table (per-batch value-count
+    partials -> vocabulary-sized groupby, Heaps'-law small); the table is
+    broadcast once and pass 2 maps each doc's tokens through it, emitting
+    the integer-exact sufficient statistics (sum of global frequencies,
+    token count) whose ratio is the mean-frequency score — integers
+    instead of a float mean so the oracle comparison is exact; a real
+    LM swaps the broadcast table for model weights (doc_lr_score is the
+    learned-weights twin). Zero shuffle in pass 2."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens = tokenize_column(batch["text"])
+        flat = pc.list_flatten(tokens)
+        vc = flat.value_counts()
+        return pa.table({"token": vc.field("values"), "cnt": vc.field("counts")})
+
+    counts = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    lut_ref = ray.put(
+        pd.Series(counts["cnt"].to_numpy(np.int64), index=counts["token"])
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        tokens = tokenize_column(batch["text"])
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        flat = pc.list_flatten(tokens)
+        parents = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+        freqs = pd.Series(flat.to_pandas()).map(lut).to_numpy(np.int64)
+        sums = np.zeros(len(batch), np.int64)
+        np.add.at(sums, parents, freqs)
+        lens = pc.list_value_length(tokens).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "freq_sum": pa.array(sums, pa.int64()),
+                "n_tokens": pa.array(lens.astype(np.int64)),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+_LATEST_K = 20
+
+
+@register(
+    "events_latest_k",
+    oracle=f"""
+    SELECT event_id, user_id, ts FROM (
+        SELECT event_id, user_id, ts,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn <= {_LATEST_K}
+    """,
+)
+def events_latest_k(sf_dir: str):
+    """Per-key latest-K row retention (the TTL/compaction policy shape:
+    keep each user's K most recent events, drop the tail) — the
+    grouped-top-K-ROWS generalization of keep-latest(1). Same two-phase
+    plan as doc_mixture_quota: per-batch candidates pre-pruned to the
+    local K latest per user (merge sees <= users x K rows per batch),
+    the per-user K-th latest (ts, event_id) cutoff broadcast, then a
+    zero-shuffle stream filter — full event payloads never shuffle.
+    Timestamps compare as epoch-microsecond int64 end to end (the
+    pandas-unit round-trip gotcha)."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def to_us(batch: pa.Table) -> np.ndarray:
+        return (
+            pc.cast(batch["ts"], pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "ts_us": to_us(batch),
+                "event_id": batch["event_id"].to_numpy(zero_copy_only=False),
+            }
+        )
+        pruned = (
+            df.sort_values(["user_id", "ts_us", "event_id"], ascending=[True, False, False])
+            .groupby("user_id", sort=False)
+            .head(_LATEST_K)
+        )
+        return pa.Table.from_pandas(pruned, preserve_index=False)
+
+    cand = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    kept = (
+        cand.sort_values(["user_id", "ts_us", "event_id"], ascending=[True, False, False])
+        .groupby("user_id", sort=False)
+        .head(_LATEST_K)
+    )
+    cut = (
+        kept.sort_values(["user_id", "ts_us", "event_id"], ascending=[True, False, False])
+        .groupby("user_id", sort=False)
+        .tail(1)
+        .set_index("user_id")
+    )
+    cut_ref = ray.put(cut)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        c = ray.get(cut_ref)
+        users = pd.Series(batch["user_id"].to_numpy(zero_copy_only=False))
+        ts_us = to_us(batch)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lim_ts = users.map(c["ts_us"]).to_numpy(np.int64)
+        lim_eid = users.map(c["event_id"]).to_numpy(np.int64)
+        keep = (ts_us > lim_ts) | ((ts_us == lim_ts) & (eid >= lim_eid))
+        return batch.filter(pa.array(keep))
+
+    return ev.map_batches(filt, batch_format="pyarrow")
+
+
+def _host_sql(x: str) -> str:
+    """page_synth.host_for in SQL (HOSTS table + mega-host skew)."""
+    return (
+        f"CASE WHEN ({x}) % 10 < 3 THEN 'mega.example.org' "
+        f"ELSE CASE ({x}) % 5 WHEN 0 THEN 'alpha.example.com' "
+        f"WHEN 1 THEN 'beta.example.net' WHEN 2 THEN 'gamma.example.io' "
+        f"WHEN 3 THEN 'delta.example.edu' ELSE 'epsilon.example.dev' END END"
+    )
+
+
+_REF_TARGETS_SQL = "[(doc_id * 17 + 13) % 997, (doc_id * 29 + 7) % 997]"
+
+
+@register(
+    "page_link_graph",
+    oracle=f"""
+    WITH links AS (
+        SELECT doc_id, unnest({_REF_TARGETS_SQL}) AS t FROM documents
+    )
+    SELECT {_host_sql("doc_id")} AS src_host,
+           {_host_sql("t")} AS dst_host,
+           count(*) AS cnt
+    FROM links
+    GROUP BY src_host, dst_host
+    """,
+)
+def page_link_graph(sf_dir: str):
+    """Web-graph construction: harvest the references-section outlinks of
+    every synthesized page (DOM parse, CSS-scoped to ``section.refs a``)
+    and tally host-level edges — the stage that builds the input for
+    graph_pagerank / dedup_components from raw pages. Per-batch edge
+    counts are pre-aggregated (the shuffle moves (src, dst, cnt) partials
+    bounded by hosts², never per-link rows), then a tiny groupby-Sum.
+    Link targets are the synthesizer's deterministic ``ref_targets`` so
+    the oracle rebuilds the edge list from pure arithmetic."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.sources.page_synth import host_for, render_html
+    from sciscraper_ray.stages.dom_select import select_links
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        src: list[str] = []
+        dst: list[str] = []
+        for i, t, lg in zip(ids, texts, langs):
+            page = render_html(int(i), t, lg, with_links=True).decode()
+            s = host_for(int(i))
+            for href, _anchor in select_links(page, "section.refs a"):
+                src.append(s)
+                dst.append(href.split("/")[2])
+        vc = (
+            pd.DataFrame({"src_host": src, "dst_host": dst})
+            .value_counts()
+            .rename("cnt")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    return (
+        _docs(sf_dir, columns=("doc_id", "text", "lang"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+    )
+
+
+@register(
+    "page_anchor_texts",
+    oracle=f"""
+    WITH links AS (
+        SELECT doc_id, unnest({_REF_TARGETS_SQL}) AS t FROM documents
+    )
+    SELECT doc_id,
+           'https://' || {_host_sql("t")} || '/html/doc-' || CAST(t AS VARCHAR)
+               AS dst_url,
+           'ref ' || CAST(t AS VARCHAR) AS anchor
+    FROM links
+    """,
+)
+def page_anchor_texts(sf_dir: str):
+    """Anchor-text corpus extraction: (source doc, destination url, anchor
+    text) triples from every page's reference links — the web-scale
+    query/title training-pair source (anchor text is the classic weak
+    label for the linked page). Same DOM harvest as page_link_graph but
+    exploded with provenance instead of aggregated; zero shuffle."""
+    from sciscraper_ray.sources.page_synth import render_html
+    from sciscraper_ray.stages.dom_select import select_links
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        out_id: list[int] = []
+        out_url: list[str] = []
+        out_anchor: list[str] = []
+        for i, t, lg in zip(ids, texts, langs):
+            page = render_html(int(i), t, lg, with_links=True).decode()
+            for href, anchor in select_links(page, "section.refs a"):
+                out_id.append(int(i))
+                out_url.append(href)
+                out_anchor.append(anchor)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "dst_url": pa.array(out_url, pa.string()),
+                "anchor": pa.array(out_anchor, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def _doc_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Doc-level (src, dst) edge list harvested from every page's
+    reference links through the DOM engine (same parse as
+    page_link_graph, kept at document granularity: dst = trailing id of
+    the href path). The harvest streams; consumers that scan repeatedly
+    (BFS rounds) materialize the two-int64-column result themselves."""
+    from sciscraper_ray.sources.page_synth import render_html
+    from sciscraper_ray.stages.dom_select import select_links
+
+    def harvest(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        src: list[int] = []
+        dst: list[int] = []
+        for i, t, lg in zip(ids, texts, langs):
+            page = render_html(int(i), t, lg, with_links=True).decode()
+            for href, _anchor in select_links(page, "section.refs a"):
+                src.append(int(i))
+                dst.append(int(href.rsplit("-", 1)[1]))
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    return _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+        harvest, batch_format="pyarrow"
+    )
+
+
+_BFS_ROUNDS = 12  # shared cap: engine rounds == oracle recursion depth
+
+
+@register(
+    "crawl_depth_from_seeds",
+    oracle=f"""
+    WITH RECURSIVE links AS (
+        SELECT doc_id AS src, unnest({_REF_TARGETS_SQL}) AS dst FROM documents
+    ),
+    bfs(node, d) AS (
+        SELECT doc_id, 0 FROM documents WHERE doc_id % 100 = 0
+        UNION
+        SELECT l.dst, b.d + 1
+        FROM bfs b JOIN links l ON l.src = b.node
+        WHERE b.d < {_BFS_ROUNDS}
+    )
+    SELECT node, CAST(min(d) AS BIGINT) AS dist FROM bfs GROUP BY node
+    """,
+)
+def crawl_depth_from_seeds(sf_dir: str):
+    """Crawl-depth assignment: exact minimum hop distance of every page
+    from the seed set (doc_id % 100 == 0) over the harvested doc-level
+    outlink graph, capped at _BFS_ROUNDS hops — the frontier-depth
+    label every BFS-ordered crawler stamps on its queue. The edge list is
+    DOM-harvested once and materialized (int64 pairs only); each BFS
+    round is a frontier-broadcast ``is_in`` semi-join over the edge
+    blocks (see graph.bfs_distances) — no shuffle, driver holds only the
+    bounded reachable set. The oracle recomputes the same closure with a
+    recursive CTE over the synthesizer's arithmetic link targets."""
+    from sciscraper_ray.pipelines.graph import bfs_distances
+
+    def seed_filter(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 100 == 0))
+
+    seeds = (
+        _docs(sf_dir, columns=("doc_id",))
+        .map_batches(seed_filter, batch_format="pyarrow")
+        .to_pandas()["doc_id"]
+        .to_numpy()
+    )
+    return bfs_distances(_doc_edges(sf_dir), seeds, max_rounds=_BFS_ROUNDS)
+
+
+@register(
+    "link_indegree_histogram",
+    oracle=f"""
+    WITH links AS (
+        SELECT doc_id, unnest({_REF_TARGETS_SQL}) AS t FROM documents
+    ),
+    deg AS (SELECT t, count(*) AS indegree FROM links GROUP BY t)
+    SELECT indegree, count(*) AS n_pages FROM deg GROUP BY indegree
+    """,
+)
+def link_indegree_histogram(sf_dir: str):
+    """Web-graph in-degree distribution (the power-law plot every crawl
+    QA report opens with): number of link targets at each in-link count,
+    multi-edges counted. Per-batch Arrow group_by compresses each edge
+    block to (dst, cnt) partials, one groupby-Sum reduces per target
+    (exchange bounded by distinct targets, never per-link rows), then
+    per-block histogram partials over the degree column merge on the
+    driver (rows = distinct degree VALUES — tiny by construction)."""
+    from ray.data.aggregate import Sum
+
+    def dst_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["dst"]).group_by("dst").aggregate([([], "count_all")])
+        return agg.rename_columns(["dst", "cnt"])
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["cnt"]).group_by("cnt").aggregate([([], "count_all")])
+        return agg.rename_columns(["indegree", "n_pages"])
+
+    parts = (
+        _doc_edges(sf_dir)
+        .map_batches(dst_partial, batch_format="pyarrow")
+        .groupby("dst")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .map_batches(deg_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.groupby("indegree", as_index=False)["n_pages"].sum()
+    return pa.table(
+        {
+            "indegree": pa.array(out["indegree"].to_numpy(), pa.int64()),
+            "n_pages": pa.array(out["n_pages"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def _hits_sql(iters: int = 3) -> str:
+    """HITS unrolled to fixed-K chained CTEs (same rationale as
+    _pagerank_sql: deterministic, no aggregates in recursive terms),
+    L2-normalized per half-step, over the DISTINCT synthesizer link
+    targets."""
+    ctes = [
+        f"e0 AS (SELECT doc_id AS src, unnest({_REF_TARGETS_SQL}) AS dst FROM documents)",
+        "e AS (SELECT DISTINCT src, dst FROM e0)",
+        "h0 AS (SELECT DISTINCT src AS node, 1.0 AS s FROM e)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""a{k}u AS (
+        SELECT e.dst AS node, sum(p.s) AS s
+        FROM e JOIN h{k - 1} p ON p.node = e.src GROUP BY e.dst
+    )"""
+        )
+        ctes.append(
+            f"a{k} AS (SELECT node, s / sqrt((SELECT sum(s*s) FROM a{k}u)) AS s FROM a{k}u)"
+        )
+        ctes.append(
+            f"""h{k}u AS (
+        SELECT e.src AS node, sum(p.s) AS s
+        FROM e JOIN a{k} p ON p.node = e.dst GROUP BY e.src
+    )"""
+        )
+        ctes.append(
+            f"h{k} AS (SELECT node, s / sqrt((SELECT sum(s*s) FROM h{k}u)) AS s FROM h{k}u)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, 'auth' AS kind, round(s, 10) AS score FROM a{iters}
+    UNION ALL
+    SELECT node, 'hub' AS kind, round(s, 10) AS score FROM h{iters}
+    """
+    )
+
+
+@register("graph_hits", oracle=_hits_sql(3))
+def graph_hits(sf_dir: str):
+    """HITS hub/authority link analysis (3 mutual-reinforcement
+    iterations, L2-normalized per half-step) over the DISTINCT harvested
+    doc-level outlink graph — pagerank's asymmetric twin: reference
+    sections are hubs, cited targets are authorities. See
+    pipelines/graph.py hits for the two physical plans; the oracle
+    unrolls the identical fixed-K chain in SQL."""
+    from sciscraper_ray.pipelines.graph import _dedup_edges, hits
+
+    e = _dedup_edges(
+        _doc_edges(sf_dir).map_batches(
+            lambda b: pa.table({"a": b["src"], "b": b["dst"]}),
+            batch_format="pyarrow",
+        )
+    ).map_batches(
+        lambda b: pa.table({"src": b["a"], "dst": b["b"]}), batch_format="pyarrow"
+    )
+    return hits(e, iters=3)
+
+
+_BOOL_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, ("join", "hash")),
+    (1, ("scan", "filter", "merge")),
+    (2, ("vector", "window")),
+)
+
+
+@register(
+    "doc_boolean_retrieval",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), qt(query_id, token) AS (VALUES {", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BOOL_QUERIES for t in terms
+    )}),
+    hits AS (
+        SELECT q.query_id, t.doc_id, count(DISTINCT t.token) AS k
+        FROM qt q JOIN toks t USING (token)
+        GROUP BY q.query_id, t.doc_id
+    ), need AS (
+        SELECT query_id, count(*) AS n FROM qt GROUP BY query_id
+    )
+    SELECT h.query_id, h.doc_id
+    FROM hits h JOIN need USING (query_id) WHERE h.k = need.n
+    """,
+)
+def doc_boolean_retrieval(sf_dir: str):
+    """Boolean AND retrieval (conjunctive posting intersection, the query
+    side of token_inverted_index): for a broadcast query set, emit every
+    (query, doc) where the doc contains ALL the query's terms. Per batch:
+    one vectorized is_in + parent-index scatter per DISTINCT query term
+    (terms, not docs, drive the loop), then a boolean AND across each
+    query's term-presence vectors — zero shuffle, documents stream once
+    for all queries together."""
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    terms = sorted({t for _, ts in _BOOL_QUERIES for t in ts})
+
+    def probe(batch: pa.Table) -> pa.Table:
+        tokens = tokenize_column(batch["text"])
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        flat = pc.list_flatten(tokens)
+        parents = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+        nb = len(batch)
+        present: dict[str, np.ndarray] = {}
+        for t in terms:
+            mask = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            hit = np.zeros(nb, bool)
+            hit[parents[mask]] = True
+            present[t] = hit
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_q: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        for qid, qterms in _BOOL_QUERIES:
+            keep = np.ones(nb, bool)
+            for t in qterms:
+                keep &= present[t]
+            out_q.append(np.full(int(keep.sum()), qid, np.int64))
+            out_d.append(ids[keep])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(probe, batch_format="pyarrow")
+
+
+@register(
+    "doc_iqr_filter",
+    oracle="""
+    WITH hist AS (
+        SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY n_chars
+    ), cum AS (
+        SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+               (SELECT SUM(c) FROM hist) AS n
+        FROM hist
+    ), q AS (
+        SELECT
+            (SELECT min(v) FROM cum WHERE cum >= CAST(ceil(n * 0.25) AS BIGINT)) AS q1,
+            (SELECT min(v) FROM cum WHERE cum >= CAST(ceil(n * 0.75) AS BIGINT)) AS q3
+        FROM cum LIMIT 1
+    )
+    SELECT d.doc_id, d.n_chars
+    FROM documents d, q
+    WHERE d.n_chars >= q.q1 - (3 * (q.q3 - q.q1)) // 2
+      AND d.n_chars <= q.q3 + (3 * (q.q3 - q.q1)) // 2
+    """,
+)
+def doc_iqr_filter(sf_dir: str):
+    """Tukey-fence outlier gate on document length (the robust
+    length-filter a corpus pipeline runs before training): exact Q1/Q3
+    from a value histogram — per-batch (value, count) partials, merged on
+    the driver (distinct lengths ≪ corpus), cumulative scan reads off the
+    smallest value with cum ≥ ceil(q·n) — then the integer Tukey fences
+    [Q1 - 3·IQR/2, Q3 + 3·IQR/2] broadcast into a zero-shuffle stream
+    filter. All-integer arithmetic end to end, so the oracle is exact."""
+    import pandas as pd
+    import ray
+
+    src = _docs(sf_dir, columns=("doc_id", "n_chars"))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        vc = batch["n_chars"].value_counts()
+        return pa.table({"v": vc.field("values"), "c": vc.field("counts")})
+
+    h = (
+        src.map_batches(hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("v", as_index=False)["c"]
+        .sum()
+        .sort_values("v")
+    )
+    n = int(h["c"].sum())
+    cum = h["c"].cumsum().to_numpy()
+    vals = h["v"].to_numpy()
+    q1 = int(vals[np.searchsorted(cum, -(-n // 4))])  # ceil(n/4)
+    q3 = int(vals[np.searchsorted(cum, -(-(3 * n) // 4))])
+    iqr = q3 - q1
+    lo, hi = q1 - (3 * iqr) // 2, q3 + (3 * iqr) // 2
+
+    def filt(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((v >= lo) & (v <= hi)))
+
+    return src.map_batches(filt, batch_format="pyarrow")
+
+
+_CHARSETS = ("utf-8", "latin-1", "utf-16")
+
+
+@register(
+    "page_charset_decode",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'latin-1'
+                ELSE 'utf-16' END AS charset,
+           text AS extracted_text
+    FROM documents
+    """,
+)
+def page_charset_decode(sf_dir: str):
+    """Charset-sniffing decode in front of main-content extraction — the
+    real-crawl concern the fixed-utf-8 page table hides: payload bytes
+    arrive in mixed encodings (here utf-8 / latin-1 / utf-16-LE-with-BOM,
+    declared by ``<meta charset>``; the footer's © makes the encodings
+    byte-distinct). The decode stage sniffs the BOM, else regex-scans the
+    first KB ASCII-compatibly for the meta declaration, decodes, then the
+    usual text-density extractor reproduces the ground-truth main content
+    byte-identically. One streaming pass, zero shuffle."""
+    import re as _re
+
+    from sciscraper_ray.sources.page_synth import render_html
+    from sciscraper_ray.stages.html_extract import extract_main_content
+
+    _meta_re = _re.compile(rb'<meta charset="([a-zA-Z0-9_-]+)"')
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        payloads: list[bytes] = []
+        for i, t, lg in zip(ids, texts, langs):
+            cs = _CHARSETS[int(i) % 3]
+            page = render_html(int(i), t, lg).decode("utf-8")
+            page = page.replace(
+                "<head>", f'<head><meta charset="{cs}">', 1
+            )
+            payloads.append(page.encode(cs))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def sniff_decode_extract(batch: pa.Table) -> pa.Table:
+        charsets: list[str] = []
+        texts: list[str] = []
+        for payload in batch["payload"].to_pylist():
+            if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
+                cs = "utf-16"
+            else:
+                m = _meta_re.search(payload[:1024])
+                cs = m.group(1).decode("ascii") if m else "utf-8"
+            charsets.append(cs)
+            text, _spans = extract_main_content(payload.decode(cs))
+            texts.append(text)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "charset": pa.array(charsets, pa.string()),
+                "extracted_text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=("doc_id", "text", "lang"))
+        .map_batches(build, batch_format="pyarrow")
+        .map_batches(sniff_decode_extract, batch_format="pyarrow")
+    )
+
+
+@register(
+    "sitemap_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           {_host_sql("doc_id")} AS host,
+           'https://' || {_host_sql("doc_id")} || '/html/doc-'
+               || CAST(doc_id AS VARCHAR) AS url,
+           strftime(DATE '2023-11-14' + CAST(doc_id % 30 AS INTEGER),
+                    '%Y-%m-%d') AS lastmod
+    FROM documents
+    """,
+)
+def sitemap_roundtrip(sf_dir: str):
+    """Sitemap XML write -> streaming parse round trip (the crawl-frontier
+    seed format; S-tier source coverage beyond parquet/CSV/txt/JSONL/WARC/
+    binary). The writer emits one ``<urlset>`` segment per (host, batch) —
+    real sitemap indexes chunk at 50k urls per file, so segments, not
+    hosts, are the parallelism unit (the warc.paths shape); the parser
+    fans out per segment. Lastmod dates derive from doc_id so the oracle
+    rebuilds every row arithmetically."""
+    import xml.etree.ElementTree as ET
+    from datetime import date, timedelta
+
+    from sciscraper_ray.sources.page_synth import host_for
+
+    _epoch = date(2023, 11, 14)
+
+    def write_segments(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        by_host: dict[str, list[int]] = {}
+        for i in ids:
+            by_host.setdefault(host_for(int(i)), []).append(int(i))
+        hosts: list[str] = []
+        xmls: list[str] = []
+        for h, members in sorted(by_host.items()):
+            entries = "".join(
+                f"<url><loc>https://{h}/html/doc-{i}</loc>"
+                f"<lastmod>{(_epoch + timedelta(days=i % 30)).isoformat()}</lastmod></url>"
+                for i in members
+            )
+            hosts.append(h)
+            xmls.append(
+                '<?xml version="1.0" encoding="UTF-8"?>'
+                f"<urlset>{entries}</urlset>"
+            )
+        return pa.table(
+            {"host": pa.array(hosts, pa.string()), "xml": pa.array(xmls, pa.string())}
+        )
+
+    def parse_segments(batch: pa.Table) -> pa.Table:
+        out_id: list[int] = []
+        out_host: list[str] = []
+        out_url: list[str] = []
+        out_mod: list[str] = []
+        for h, xml in zip(batch["host"].to_pylist(), batch["xml"].to_pylist()):
+            root = ET.fromstring(xml)
+            for u in root.findall("url"):
+                loc = u.findtext("loc")
+                out_id.append(int(loc.rsplit("-", 1)[1]))
+                out_host.append(h)
+                out_url.append(loc)
+                out_mod.append(u.findtext("lastmod"))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "host": pa.array(out_host, pa.string()),
+                "url": pa.array(out_url, pa.string()),
+                "lastmod": pa.array(out_mod, pa.string()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=("doc_id",))
+        .map_batches(write_segments, batch_format="pyarrow")
+        .map_batches(parse_segments, batch_format="pyarrow")
+    )
+
+
+@register(
+    "redirect_resolve",
+    oracle="""
+    WITH RECURSIVE chase(src, cur, d) AS (
+        SELECT doc_id, doc_id, 0 FROM documents
+        UNION ALL
+        SELECT src, cur - 1, d + 1 FROM chase WHERE cur % 4 <> 0
+    )
+    SELECT src AS doc_id, CAST(cur AS BIGINT) AS terminal_id,
+           CAST(d AS BIGINT) AS hops
+    FROM chase WHERE cur % 4 = 0
+    """,
+)
+def redirect_resolve(sf_dir: str):
+    """Redirect-chain resolution to the terminal URL — the crawl-graph
+    normalization every frontier needs before dedup (3xx hops, URL
+    shorteners, www/apex canonical moves). The redirect map here is one
+    row per URL (corpus-sized: NEITHER side broadcasts), so resolution is
+    POINTER DOUBLING: start from the one-hop map f(u) (terminals map to
+    themselves with 0 hops) and iterate f <- f∘f via the co-partitioned
+    ``bucketed_hash_join`` — each round squares the resolved distance and
+    sums hop counts, so ceil(log2(max_chain)) all-to-all rounds replace a
+    max_chain-step sequential chase. Chains here are <= 3 hops
+    (synthesized: url with doc_id % 4 != 0 redirects to doc_id - 1), so
+    TWO rounds reach the fixpoint; the oracle chases the same map with a
+    recursive CTE, so transitivity itself is value-checked. Partitioning
+    assumption: the hop key is near-uniform (hash-mixed in the join), so
+    no bucket concentrates; one straggler chain costs rounds, not skew."""
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+
+    def one_hop(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        redirects = ids % 4 != 0
+        return pa.table(
+            {
+                "src": pa.array(ids),
+                "cur": pa.array(np.where(redirects, ids - 1, ids)),
+                "hops": pa.array(redirects.astype(np.int64)),
+            }
+        )
+
+    f = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        one_hop, batch_format="pyarrow"
+    )
+    for _round in range(2):  # ceil(log2(3 hops)) = 2 doubling rounds
+        # f is total (terminals self-map), so the inner equi-join on
+        # cur = src2 matches every row and composes hop counts exactly.
+        right = f.map_batches(
+            lambda b: b.rename_columns(["src2", "cur2", "hops2"]),
+            batch_format="pyarrow",
+        )
+        joined = bucketed_hash_join(
+            f, right, left_on="cur", right_on="src2", num_buckets=32
+        )
+
+        def compose(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src": batch["src"],
+                    "cur": batch["cur2"],
+                    "hops": pc.add(batch["hops"], batch["hops2"]),
+                }
+            )
+
+        f = joined.map_batches(compose, batch_format="pyarrow")
+
+    return f.map_batches(
+        lambda b: b.rename_columns(["doc_id", "terminal_id", "hops"]),
+        batch_format="pyarrow",
+    )
+
+
+_TEASER_MOD = 9
+_TEASER_OFFSET = 500_000
+_TEASER_FRAC = 0.4
+_TEASER_CONTAIN = 0.9
+
+
+@register(
+    "dedup_teaser_prefix",
+    oracle=f"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_TEASER_OFFSET},
+               array_to_string(list_slice(
+                   string_split(text, ' '), 1,
+                   CAST(ceil({_TEASER_FRAC} * len(string_split(text, ' ')))
+                        AS BIGINT)), ' ')
+        FROM documents WHERE doc_id % {_TEASER_MOD} = 0
+    ),
+    toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS lst
+        FROM all_docs
+    ),
+    heads AS (
+        SELECT doc_id, array_to_string(list_slice(lst, 1, 3), ' ') AS head
+        FROM toks
+    ),
+    grams AS (
+        SELECT doc_id,
+        CASE WHEN len(lst) < 3 THEN [array_to_string(lst, ' ')]
+             ELSE list_transform(range(1, len(lst) - 1),
+                                 i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2])
+        END AS shl
+        FROM toks
+    ),
+    sh AS (SELECT DISTINCT doc_id, unnest(shl) AS g FROM grams),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (
+        SELECT x.doc_id AS p, y.doc_id AS q
+        FROM heads x JOIN heads y ON x.head = y.head AND x.doc_id < y.doc_id
+    ),
+    oriented AS (
+        SELECT CASE WHEN sp.n < sq.n OR (sp.n = sq.n AND p < q)
+                    THEN p ELSE q END AS a,
+               CASE WHEN sp.n < sq.n OR (sp.n = sq.n AND p < q)
+                    THEN q ELSE p END AS b
+        FROM cand
+        JOIN sizes sp ON sp.doc_id = p
+        JOIN sizes sq ON sq.doc_id = q
+    ),
+    inter AS (
+        SELECT o.a, o.b, count(*) AS i
+        FROM oriented o
+        JOIN sh x ON x.doc_id = o.a
+        JOIN sh y ON y.doc_id = o.b AND y.g = x.g
+        GROUP BY o.a, o.b
+    )
+    SELECT a, b FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    WHERE i * 1.0 / sa.n >= {_TEASER_CONTAIN}
+    """,
+)
+def dedup_teaser_prefix(sf_dir: str):
+    """Prefix-teaser containment dedup — the AMP/mobile/teaser-page case
+    near-dup Jaccard misses: an excerpt sharing only ~40% of its source's
+    shingles has Jaccard ~0.4 (invisible at the 0.8 LSH threshold) but
+    shingle CONTAINMENT ~1.0. Candidates block on the document HEAD
+    fingerprint (128-bit hash of the first 3 tokens) — deterministic and
+    complete for prefix excerpts, the declared contract (general
+    substring containment is doc_dup_substrings' job) — through the same
+    two-plan ``_candidate_pairs`` machinery as MinHash; each candidate
+    pair is exact-verified |S(a)∩S(b)|/|S(a)| >= 0.9 with a = the
+    smaller-shingle-set side, texts fetched broadcast-small-side.
+    Emits oriented (a=contained, b=container) pairs; the oracle
+    recomputes head-blocked containment from first principles."""
+    import math
+
+    from sciscraper_ray.kernels.tokenize import format_manuscript
+    from sciscraper_ray.pipelines.dedup import _candidate_pairs, _texts_for
+    from sciscraper_ray.pipelines.plan import parquet_row_bound
+    from sciscraper_ray.stages.dedup import md5_hash128_batch, word_shingles
+
+    ds = _docs(sf_dir)
+
+    def make_teasers(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % _TEASER_MOD == 0
+        texts = []
+        for t, k in zip(batch["text"].to_pylist(), keep):
+            if k:
+                words = t.split(" ")
+                texts.append(
+                    " ".join(words[: math.ceil(_TEASER_FRAC * len(words))])
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    (ids[keep] + _TEASER_OFFSET).tolist(), pa.int64()
+                ),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    corpus = (
+        ds.union(ds.map_batches(make_teasers, batch_format="pyarrow"))
+        .repartition(
+            max(
+                1,
+                min(
+                    64,
+                    ((parquet_row_bound(f"{sf_dir}/documents.parquet") or 0))
+                    // 500,
+                ),
+            )
+        )
+        .materialize()
+    )
+
+    def head_rows(batch: pa.Table) -> pa.Table:
+        heads = [
+            " ".join(format_manuscript(t)[:3]) for t in batch["text"].to_pylist()
+        ]
+        tbl = pa.table(
+            {"doc_id": batch["doc_id"], "head": pa.array(heads, pa.string())}
+        )
+        hi, lo, _valid = md5_hash128_batch(tbl, "head")
+        return pa.table(
+            {"doc_id": tbl["doc_id"], "h_hi": pa.array(hi), "h_lo": pa.array(lo)}
+        )
+
+    banded = corpus.map_batches(head_rows, batch_format="pyarrow")
+    pairs = _candidate_pairs(banded, ["h_hi", "h_lo"])
+    if pairs.empty:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    texts = _texts_for(
+        corpus, np.unique(pairs[["a", "b"]].to_numpy()), "doc_id", "text"
+    )
+    shingles = {
+        i: set(word_shingles(format_manuscript(t), 3).tolist())
+        for i, t in texts.items()
+    }
+    out_a: list[int] = []
+    out_b: list[int] = []
+    for p, q in zip(pairs["a"], pairs["b"]):
+        sp, sq = shingles[p], shingles[q]
+        a, b = (p, q) if (len(sp), p) < (len(sq), q) else (q, p)
+        sa, sb = shingles[a], shingles[b]
+        if len(sa & sb) / len(sa) >= _TEASER_CONTAIN:
+            out_a.append(int(a))
+            out_b.append(int(b))
+    return pa.table(
+        {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())}
+    )
+
+
+@register(
+    "host_topk_docs",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, n_chars, {_host_sql("doc_id")} AS host,
+               row_number() OVER (
+                   PARTITION BY {_host_sql("doc_id")}
+                   ORDER BY n_chars DESC, doc_id
+               ) AS r
+        FROM documents
+    )
+    SELECT host, doc_id, n_chars, CAST(r AS BIGINT) AS rank
+    FROM ranked WHERE r <= 3
+    """,
+)
+def host_topk_docs(sf_dir: str, plan: str = "auto"):
+    """Per-host top-3 documents by length — grouped top-k WITHOUT a
+    global sort or per-host map_groups: each batch keeps at most 3 rows
+    per host (vectorized lexsort + segment-boundary take), so the merge
+    input is bounded by 3 x hosts x blocks regardless of corpus size and
+    hot hosts (mega.example.org holds 30% of rows) are defused before
+    any exchange. The merge itself is two-plan: driver pandas under the
+    row limit, else one groupby-free repeat of the same partial pass
+    after a hash repartition on host."""
+    import pandas as pd
+
+    from sciscraper_ray.pipelines.plan import (
+        DRIVER_PLAN_LIMIT,
+        driver_frame,
+        resolve_plan,
+    )
+    from sciscraper_ray.sources.page_synth import host_for
+
+    K = 3
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch["n_chars"].to_numpy(zero_copy_only=False)
+        hosts = np.array([host_for(int(i)) for i in ids])
+        order = np.lexsort((ids, -n, hosts))
+        h_s = hosts[order]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        pos = np.arange(len(h_s)) - np.repeat(starts, np.diff(np.r_[starts, len(h_s)]))
+        keep = order[pos < K]
+        return pa.table(
+            {
+                "host": pa.array(hosts[keep]),
+                "doc_id": pa.array(ids[keep]),
+                "n_chars": pa.array(n[keep]),
+            }
+        )
+
+    partials = _docs(sf_dir, columns=("doc_id", "n_chars")).map_batches(
+        partial_topk, batch_format="pyarrow"
+    )
+    mode, partials = resolve_plan(partials, plan)
+    if mode == "driver":
+        df = driver_frame(partials, DRIVER_PLAN_LIMIT, "host_topk_docs")
+    else:
+        # beyond driver memory: ONE bounded-cardinality exchange — hosts
+        # hash into 32 buckets (the window family's bucket-then-vectorize
+        # shape: group count is O(buckets), not O(hosts)), each bucket's
+        # partial rows merge with the identical vectorized take
+        def tag_bucket(b: pa.Table) -> pa.Table:
+            import zlib
+
+            # process-independent hash: Python's hash() is salted per
+            # worker, which would split one host across buckets
+            h = np.array(
+                [zlib.crc32(x.encode()) for x in b["host"].to_pylist()],
+                np.int64,
+            )
+            return b.append_column("__bucket", pa.array(h % 32))
+
+        reduced = (
+            partials.map_batches(tag_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(
+                lambda t: partial_topk_merge(t.drop_columns(["__bucket"])),
+                batch_format="pyarrow",
+            )
+        )
+        df = reduced.to_pandas()
+    df = df.sort_values(
+        ["host", "n_chars", "doc_id"], ascending=[True, False, True]
+    )
+    df["rank"] = df.groupby("host").cumcount() + 1
+    out = df[df["rank"] <= K].reset_index(drop=True)
+    return out[["host", "doc_id", "n_chars", "rank"]]
+
+
+def partial_topk_merge(batch: pa.Table) -> pa.Table:
+    """host_topk_docs' shuffle-plan reducer: same vectorized per-host
+    take over co-located partial rows (host column already present)."""
+    hosts = batch["host"].to_numpy(zero_copy_only=False)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    n = batch["n_chars"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -n, hosts))
+    h_s = hosts[order]
+    starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+    pos = np.arange(len(h_s)) - np.repeat(starts, np.diff(np.r_[starts, len(h_s)]))
+    keep = order[pos < 3]
+    return pa.table(
+        {
+            "host": pa.array(hosts[keep]),
+            "doc_id": pa.array(ids[keep]),
+            "n_chars": pa.array(n[keep]),
+        }
+    )
+
+
+@register(
+    "page_meta_extract",
+    oracle="""
+    SELECT doc_id,
+           'Document ' || CAST(doc_id AS VARCHAR) AS title,
+           lang AS html_lang
+    FROM documents
+    """,
+)
+def page_meta_extract(sf_dir: str):
+    """Page-metadata harvest through the DOM engine (the trafilatura-shaped
+    metadata pull that runs beside main-content extraction): <title> text
+    and the <html lang> attribute, one parse per page, zero shuffle. The
+    fixture pages carry both deterministically so the oracle rebuilds the
+    table arithmetically."""
+    from sciscraper_ray.sources.page_synth import render_html
+    from sciscraper_ray.stages.dom_select import select_attr, select_text
+
+    def harvest(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        titles: list[str] = []
+        langs: list[str] = []
+        for i, t, lg in zip(
+            ids, batch["text"].to_pylist(), batch["lang"].to_pylist()
+        ):
+            page = render_html(int(i), t, lg).decode()
+            titles.append(select_text(page, "title") or "")
+            langs.append(select_attr(page, "html", "lang") or "")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "title": pa.array(titles, pa.string()),
+                "html_lang": pa.array(langs, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+        harvest, batch_format="pyarrow"
+    )
+
+
+@register(
+    "doc_length_median_by_lang",
+    oracle="""
+    WITH hist AS (
+        SELECT lang, n_chars AS v, count(*) AS c
+        FROM documents GROUP BY lang, n_chars
+    ),
+    cum AS (
+        SELECT lang, v,
+               SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+               SUM(c) OVER (PARTITION BY lang) AS n
+        FROM hist
+    ),
+    med AS (
+        SELECT lang, min(v) AS m FROM cum
+        WHERE cum >= CAST(ceil(n * 0.5) AS BIGINT)
+        GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN med USING (lang)
+    WHERE d.n_chars >= med.m
+    """,
+)
+def doc_length_median_by_lang(sf_dir: str):
+    """GROUP-RELATIVE quality gate: keep documents at or above their own
+    language's exact median length — the per-language thresholding a
+    multilingual corpus needs (a global cut silently drops whole
+    languages whose documents run short). Exact grouped medians from
+    (lang, length, count) histogram partials — distinct (lang, length)
+    pairs ≪ corpus, merged driver-side like doc_iqr_filter — then the
+    per-lang thresholds broadcast into one zero-shuffle stream filter."""
+    src = _docs(sf_dir, columns=("doc_id", "lang", "n_chars"))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        df = (
+            batch.select(["lang", "n_chars"])
+            .to_pandas()
+            .value_counts()
+            .rename("c")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    h = (
+        src.map_batches(hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["lang", "n_chars"], as_index=False)["c"]
+        .sum()
+        .sort_values(["lang", "n_chars"])
+    )
+    thresholds: dict[str, int] = {}
+    for lang, grp in h.groupby("lang"):
+        n = int(grp["c"].sum())
+        cum = grp["c"].cumsum().to_numpy()
+        vals = grp["n_chars"].to_numpy()
+        thresholds[lang] = int(vals[np.searchsorted(cum, -(-n // 2))])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy(zero_copy_only=False)
+        m = np.array([thresholds[lg] for lg in batch["lang"].to_pylist()])
+        return batch.filter(pa.array(v >= m))
+
+    return src.map_batches(filt, batch_format="pyarrow")
+
+
+_CRAWL_BUDGET = 40  # fetches per host per politeness wave
+_CRAWL_RANGE_W = 256  # doc-id range width per rank bucket
+
+
+@register(
+    "crawl_schedule_waves",
+    oracle=f"""
+    SELECT doc_id, {_host_sql("doc_id")} AS host,
+           CAST((row_number() OVER (
+                    PARTITION BY {_host_sql("doc_id")} ORDER BY doc_id
+                ) - 1) // {_CRAWL_BUDGET} AS BIGINT) AS wave
+    FROM documents
+    """,
+)
+def crawl_schedule_waves(sf_dir: str):
+    """Politeness-window crawl scheduling: every URL gets its host-local
+    fetch rank (priority = doc_id order) and wave = rank // budget — the
+    frontier partitioner that caps per-host request rates. Exact ranks
+    WITHOUT a global sort, distributed-rank by offset composition:
+
+      pass 1  per-batch (host, id-range-bucket, count) histogram partials
+              -> driver exclusive prefix sums (rows = hosts x ranges seen,
+              ≪ corpus) give each (host, range)'s starting rank;
+      pass 2  one bounded-cardinality exchange co-locates each (host,
+              range) — hash into 32 groups, the window family's
+              bucket-then-vectorize shape — then segment-relative
+              positions (lexsort + np.diff boundaries) add to the
+              broadcast offsets.
+
+    Skew-safe by construction: mega.example.org (30% of the corpus)
+    splits across id ranges, so no single group concentrates."""
+    import zlib
+
+    import ray
+
+    from sciscraper_ray.sources.page_synth import host_for
+
+    src = _docs(sf_dir, columns=("doc_id",))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hosts = np.array([host_for(int(i)) for i in ids])
+        rng = ids // _CRAWL_RANGE_W
+        import pandas as pd
+
+        vc = (
+            pd.DataFrame({"host": hosts, "rng": rng})
+            .value_counts()
+            .rename("c")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    h = (
+        src.map_batches(hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["host", "rng"], as_index=False)["c"]
+        .sum()
+        .sort_values(["host", "rng"])
+    )
+    cum = h.groupby("host")["c"].cumsum() - h["c"]
+    offsets = {
+        (r.host, int(r.rng)): int(o)
+        for r, o in zip(h.itertuples(index=False), cum)
+    }
+    offsets_ref = ray.put(offsets)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hosts = np.array([host_for(int(i)) for i in ids])
+        crc = np.array([zlib.crc32(x.encode()) for x in hosts], np.int64)
+        grp = (crc * np.int64(1_000_003) + ids // _CRAWL_RANGE_W) % 32
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "host": pa.array(hosts),
+                "__grp": pa.array(grp),
+            }
+        )
+
+    def rank_group(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        hosts = np.asarray(tbl["host"].to_pylist())
+        rng = ids // _CRAWL_RANGE_W
+        order = np.lexsort((ids, rng, hosts))
+        h_s, r_s, i_s = hosts[order], rng[order], ids[order]
+        new_seg = np.r_[True, (h_s[1:] != h_s[:-1]) | (r_s[1:] != r_s[:-1])]
+        starts = np.flatnonzero(new_seg)
+        pos = np.arange(len(i_s)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(i_s)])
+        )
+        offs = ray.get(offsets_ref)
+        off = np.array(
+            [offs[(h, int(r))] for h, r in zip(h_s[starts], r_s[starts])],
+            np.int64,
+        )
+        rank = np.repeat(off, np.diff(np.r_[starts, len(i_s)])) + pos
+        return pa.table(
+            {
+                "doc_id": pa.array(i_s),
+                "host": pa.array(h_s),
+                "wave": pa.array(rank // _CRAWL_BUDGET),
+            }
+        )
+
+    return (
+        src.map_batches(tag, batch_format="pyarrow")
+        .groupby("__grp")
+        .map_groups(
+            lambda t: rank_group(t.drop_columns(["__grp"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+@register(
+    "host_triangle_count",
+    oracle=f"""
+    WITH links AS (
+        SELECT doc_id, unnest({_REF_TARGETS_SQL}) AS t FROM documents
+    ),
+    e0 AS (
+        SELECT DISTINCT {_host_sql("doc_id")} AS u, {_host_sql("t")} AS v
+        FROM links WHERE {_host_sql("doc_id")} <> {_host_sql("t")}
+    ),
+    e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e0)
+    SELECT CAST(count(*) AS BIGINT) AS triangles
+    FROM e x
+    JOIN e y ON y.a = x.b
+    JOIN e z ON z.a = x.a AND z.b = y.b
+    """,
+)
+def host_triangle_count(sf_dir: str):
+    """Triangle count on the undirected host link graph — the graph-health
+    statistic (clustering) computed after page_link_graph's harvest. The
+    corpus-sized link stream collapses to DISTINCT undirected host edges
+    via per-batch dedup partials + one groupby (edge table ≪ corpus — the
+    declared assumption for a host-level graph; a node-level triangle
+    count would need degree-ordered wedge joins instead), then the
+    triangle join runs vectorized on the driver-resident edge list."""
+    import pandas as pd
+
+    from sciscraper_ray.sources.page_synth import host_for, ref_targets
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        seen: set[tuple[str, str]] = set()
+        for i in ids:
+            s = host_for(int(i))
+            for t in ref_targets(int(i)):
+                d = host_for(t)
+                if s != d:
+                    seen.add((min(s, d), max(s, d)))
+        a, b = zip(*sorted(seen)) if seen else ((), ())
+        return pa.table(
+            {"a": pa.array(list(a), pa.string()), "b": pa.array(list(b), pa.string())}
+        )
+
+    edges = (
+        _docs(sf_dir, columns=("doc_id",))
+        .map_batches(edge_partials, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates(ignore_index=True)
+    )
+    em = set(zip(edges["a"], edges["b"]))
+    # x=(a,b), y=(b,c): closing edge (a,c) — vectorized merge then set probe
+    m = edges.merge(edges, left_on="b", right_on="a", suffixes=("_x", "_y"))
+    n = sum(
+        1
+        for ax, by in zip(m["a_x"], m["b_y"])
+        if (ax, by) in em
+    )
+    return pa.table({"triangles": pa.array([n], pa.int64())})
+
+
+@register(
+    "top_tokens_by_lang",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    counts AS (
+        SELECT lang, token, count(*) AS cnt FROM toks GROUP BY lang, token
+    ),
+    ranked AS (
+        SELECT lang, token, cnt,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY cnt DESC, token
+               ) AS r
+        FROM counts
+    )
+    SELECT lang, token, cnt, CAST(r AS BIGINT) AS rank
+    FROM ranked WHERE r <= 5
+    """,
+)
+def top_tokens_by_lang(sf_dir: str, plan: str = "auto"):
+    """GROUPED top-k aggregate: the 5 most frequent tokens per language —
+    the per-stratum vocabulary summary a multilingual corpus report needs.
+    Per-batch (lang, token) count partials (vocabulary x langs x batches
+    rows, Heaps'-law small) through the shared two-plan merge; the final
+    per-lang take is the same vectorized lexsort + segment-boundary
+    pattern as host_topk_docs."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+    from sciscraper_ray.pipelines.plan import (
+        DRIVER_PLAN_LIMIT,
+        driver_frame,
+        resolve_plan,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens = tokenize_column(batch["text"])
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        flat = pc.list_flatten(tokens)
+        parents = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+        langs = np.asarray(batch["lang"].to_pylist())[parents]
+        df = (
+            pd.DataFrame({"lang": langs, "token": flat.to_pylist()})
+            .value_counts()
+            .rename("cnt")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = _docs(sf_dir, columns=("lang", "text")).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    mode, partials = resolve_plan(partials, plan)
+    if mode == "driver":
+        df = driver_frame(partials, DRIVER_PLAN_LIMIT, "top_tokens_by_lang")
+        agg = df.groupby(["lang", "token"], as_index=False)["cnt"].sum()
+    else:
+        agg = (
+            partials.groupby(["lang", "token"])
+            .aggregate(Sum(on="cnt", alias_name="cnt"))
+            .to_pandas()
+        )
+    agg = agg.sort_values(["lang", "cnt", "token"], ascending=[True, False, True])
+    agg["rank"] = agg.groupby("lang").cumcount() + 1
+    out = agg[agg["rank"] <= 5].reset_index(drop=True)
+    return out[["lang", "token", "cnt", "rank"]]
+
+
+@register(
+    "doc_lang_mismatch",
+    oracle=f"""
+    SELECT p.doc_id, d.lang, p.lang_pred
+    FROM ({_lang_sql()}) p JOIN documents d USING (doc_id)
+    WHERE p.lang_pred <> d.lang
+    """,
+)
+def doc_lang_mismatch(sf_dir: str):
+    """Crawl-QA mismatch report: documents whose content-based language ID
+    disagrees with the page's DECLARED lang attribute — the wrong-langtag
+    detector every multilingual crawl runs before per-lang routing (declared
+    tags are wrong or missing on a large fraction of the real web). One
+    vectorized pass over (doc_id, text, lang); the declared column rides
+    along and the filter is an Arrow kernel — zero shuffle."""
+    def mismatch(batch: pa.Table) -> pa.Table:
+        out = lang_id_batch(batch)
+        keep = pc.invert(pc.equal(out["lang_pred"], out["lang"]))
+        return out.filter(keep).select(["doc_id", "lang", "lang_pred"])
+
+    return _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+        mismatch, batch_format="pyarrow"
+    )
+
+

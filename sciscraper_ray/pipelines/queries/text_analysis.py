@@ -1,0 +1,180 @@
+"""Text analysis: lang-ID, quality, BPE counting, fingerprints, winnowing.
+
+Split from pipelines/queries.py (round 4); registration side effects
+only — import order is fixed by the package __init__.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sciscraper_ray.words import sql_in_list
+
+from sciscraper_ray.pipelines.queries._shared import (
+    _SQL_TOKENS,
+    _docs,
+    register,
+)
+
+
+# --------------------------------------------------------------------------
+# Text analysis (lang-ID, quality, token counting, fingerprinting) — each
+# formula is mirrored verbatim in the oracle SQL.
+# --------------------------------------------------------------------------
+
+from sciscraper_ray.stages.textstats import (  # noqa: E402
+    BPE_SPLIT_PATTERN,
+    LANG_PROFILES,
+    STOPWORDS_EN,
+    WinnowStage,
+    bpe_token_count_batch,
+    lang_id_batch,
+    md5_fingerprint_batch,
+    quality_batch,
+)
+
+
+def _lang_sql() -> str:
+    langs = sorted(LANG_PROFILES)
+    counts = ",\n".join(
+        f"sum(CASE WHEN token IN {sql_in_list(LANG_PROFILES[lang])} THEN 1 ELSE 0 END) AS c_{lang}"
+        for lang in langs
+    )
+    # argmax with alphabetical tie-break == first strict max in lang order
+    pick = "CASE "
+    for lang in langs:
+        others = [f"c_{o}" for o in langs if o < lang]
+        cond = f"c_{lang} > 0"
+        for o in others:
+            cond += f" AND c_{lang} > {o}"
+        for o in [f"c_{o}" for o in langs if o > lang]:
+            cond += f" AND c_{lang} >= {o}"
+        pick += f"WHEN {cond} THEN '{lang}' "
+    pick += "ELSE 'und' END"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), scores AS (
+        SELECT doc_id, {counts} FROM toks GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE({pick}, 'und') AS lang_pred
+    FROM documents d LEFT JOIN scores USING (doc_id)
+    """
+
+
+@register("doc_lang_id", oracle=_lang_sql())
+def doc_lang_id(sf_dir: str):
+    """Stopword-profile language heuristic (argmax hit count, alphabetical
+    tie-break, 'und' when nothing matches)."""
+    return _docs(sf_dir).map_batches(
+        lambda b: lang_id_batch(b).drop_columns(["text"]), batch_format="pyarrow"
+    )
+
+
+@register(
+    "doc_quality",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len({_SQL_TOKENS}) AS n_words,
+               list_sum(list_transform({_SQL_TOKENS}, x -> length(x))) AS sum_len,
+               len(list_filter({_SQL_TOKENS},
+                   x -> x IN {sql_in_list(STOPWORDS_EN)})) AS stop_cnt
+        FROM documents
+    )
+    SELECT doc_id,
+           n_chars,
+           CAST(n_words AS BIGINT) AS n_words,
+           sum_len * 1.0 / n_words AS mean_word_len,
+           stop_cnt * 1.0 / n_words AS stopword_ratio,
+           0.5 * LEAST(1.0, n_words / 100.0)
+             + 0.3 * (1.0 - stop_cnt * 1.0 / n_words)
+             + 0.2 * LEAST(1.0, (sum_len * 1.0 / n_words) / 8.0) AS quality
+    FROM base
+    """,
+)
+def doc_quality(sf_dir: str):
+    """Quality scoring: length/stopword/word-length metrics + composite."""
+    return _docs(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
+
+
+@register(
+    "doc_bpe_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}')) AS BIGINT)
+               AS bpe_tokens
+    FROM documents
+    """,
+)
+def doc_bpe_tokens(sf_dir: str):
+    """BPE-ish pre-tokenizer count (compiled regex, RE2-compatible)."""
+    return _docs(sf_dir).map_batches(bpe_token_count_batch, batch_format="pyarrow")
+
+
+@register(
+    "doc_fingerprint",
+    oracle="SELECT doc_id, md5(text) AS fingerprint FROM documents",
+)
+def doc_fingerprint(sf_dir: str):
+    """Content fingerprint (md5; DuckDB-compatible)."""
+    return _docs(sf_dir).map_batches(md5_fingerprint_batch, batch_format="pyarrow")
+
+
+def _winnow_sql(k: int = 8, window: int = 4) -> str:
+    """Winnowing recomputed from first principles in SQL: Karp-Rabin
+    k-gram hashes via direct polynomial evaluation in HUGEINT (equals the
+    Python rolling form mod 2^61-1), leftmost-min-per-window selection via
+    arg_min over the (h, i) pair packed into one HUGEINT, and the
+    run-length dedup — which equals DISTINCT j, because the leftmost-min
+    rule makes the selected position sequence non-decreasing."""
+    p = (1 << 61) - 1
+    terms = " + ".join(
+        f"CAST(ascii(substr(text, i + {1 + j}, 1)) AS HUGEINT) * {257 ** (k - 1 - j)}"
+        for j in range(k)
+    )
+    return f"""
+    WITH gh AS (
+        SELECT doc_id, i, CAST(({terms}) % {p} AS BIGINT) AS h
+        FROM (
+            SELECT doc_id, text, unnest(range(length(text) - {k - 1})) AS i
+            FROM documents WHERE length(text) >= {k}
+        )
+    ), counts AS (SELECT doc_id, count(*) AS nh FROM gh GROUP BY doc_id),
+    win AS (
+        SELECT doc_id, i AS wstart,
+               arg_min(i, CAST(h AS HUGEINT) * 4294967296 + i) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING
+               ) AS j
+        FROM gh
+    ), sel AS (
+        SELECT DISTINCT w.doc_id, w.j
+        FROM win w JOIN counts c USING (doc_id)
+        WHERE w.wstart <= c.nh - {window}
+    ), fp AS (
+        SELECT s.doc_id, g.h
+        FROM sel s JOIN gh g ON g.doc_id = s.doc_id AND g.i = s.j
+    ), agg AS (
+        SELECT doc_id, count(*) AS n_fingerprints,
+               min(h) AS min_fp, max(h) AS max_fp
+        FROM fp GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_fingerprints, 0) AS n_fingerprints,
+           a.min_fp, a.max_fp
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@register("doc_winnow", oracle=_winnow_sql())
+def doc_winnow(sf_dir: str):
+    """Winnowing document fingerprints (Karp-Rabin k-grams, min-per-window,
+    Schleimer et al. 2003) — oracle recomputes the full algorithm in SQL."""
+    return _docs(sf_dir).map_batches(
+        WinnowStage, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+
