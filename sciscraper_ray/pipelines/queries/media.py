@@ -233,3 +233,60 @@ def media_video_frames(sf_dir: str):
     return sampled.map_batches(explode, batch_format="pyarrow")
 
 
+
+
+@register(
+    "media_wav_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 8) * 500 AS INTEGER) AS sample_rate,
+           CAST(40 + doc_id % 80 AS INTEGER) AS n_frames,
+           2 AS channels,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INTEGER)
+               AS bits,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 20 + doc_id % 100
+                     ELSE 100 + doc_id % 900 END AS DOUBLE) AS mean_abs_c0,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 10 + (doc_id * 3) % 90
+                     ELSE 50 + (doc_id * 3) % 400 END AS DOUBLE) AS mean_abs_c1
+    FROM documents
+    """,
+)
+def media_wav_features(sf_dir: str):
+    """REAL-format audio decode: deterministic stereo RIFF/WAVE payloads
+    (8- and 16-bit PCM, odd-length junk LIST chunk forcing a word-aligned
+    chunk walk) decoded by the from-scratch codec (stages/wav.py), then
+    per-channel mean-absolute amplitude. The alternating-sign square wave
+    makes mean(|x|) exact doc_id arithmetic, so the oracle verifies the
+    full container parse + PCM decode + 8-bit re-centering ran — a header
+    peek cannot fake it. Honest-multimodal companion to media_png_features
+    (reference handles real payload bytes in downloaders.py:283-366)."""
+    from sciscraper_ray.stages.multimodal import WavFeatureStage
+
+    feats = _media(sf_dir, "wav").map_batches(
+        WavFeatureStage,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 8),
+    )
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        m = np.array(
+            [
+                v if v is not None else [np.nan, np.nan]
+                for v in batch["mean_abs"].to_pylist()
+            ],
+            dtype=np.float64,
+        ).reshape(len(batch), 2)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sample_rate": batch["sample_rate"],
+                "n_frames": batch["n_frames"],
+                "channels": batch["channels"],
+                "bits": batch["bits"],
+                "mean_abs_c0": pa.array(m[:, 0]),
+                "mean_abs_c1": pa.array(m[:, 1]),
+            }
+        )
+
+    return feats.map_batches(flatten, batch_format="pyarrow")

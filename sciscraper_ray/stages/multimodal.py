@@ -268,6 +268,8 @@ def synth_media_batch(batch: pa.Table, kind: str = "image") -> pa.Table:
             payloads.append(synth_png_payload(i))
         elif kind == "audio":
             payloads.append(encode_fake_audio(16_000, 1600 + (i % 100) * 16, i % 97))
+        elif kind == "wav":
+            payloads.append(synth_wav_payload(i))
         else:
             payloads.append(
                 encode_fake_video(32, 18, 60 + i % 240, 30, i % 251)
@@ -299,6 +301,78 @@ def synth_png_payload(doc_id: int) -> bytes:
         + 10 * np.arange(c)[None, None, :]
     ).astype(np.uint8)
     return encode_png(img, filter_type=[(doc_id + y) % 5 for y in range(h)])
+
+
+def synth_wav_payload(doc_id: int) -> bytes:
+    """Deterministic REAL-format stereo WAV for ``doc_id`` (stages/wav.py
+    writer, odd-length junk LIST chunk included so decode must chunk-walk):
+
+        bits     = 8 if doc_id % 3 == 0 else 16
+        rate     = 8000 + (doc_id % 8) * 500
+        frames   = 40 + doc_id % 80
+        amp_c0   = 20 + doc_id % 100   (8-bit)  | 100 + doc_id % 900 (16-bit)
+        amp_c1   = 10 + 3*doc_id % 90  (8-bit)  | 50 + 3*doc_id % 400 (16-bit)
+        sample[c][t] = +amp_c if t even else -amp_c
+
+    The alternating-sign square wave makes per-channel mean(|x|) exactly
+    amp_c — oracle-expressible from doc_id arithmetic, and any chunk-walk
+    / alignment / re-centering bug in the decoder shifts it."""
+    from sciscraper_ray.stages.wav import encode_wav
+
+    bits = 8 if doc_id % 3 == 0 else 16
+    rate = 8000 + (doc_id % 8) * 500
+    frames = 40 + doc_id % 80
+    if bits == 8:
+        a0, a1 = 20 + doc_id % 100, 10 + (doc_id * 3) % 90
+    else:
+        a0, a1 = 100 + doc_id % 900, 50 + (doc_id * 3) % 400
+    sign = np.where(np.arange(frames) % 2 == 0, 1, -1)
+    samples = np.stack([sign * a0, sign * a1], axis=1)
+    return encode_wav(samples, rate, bits=bits, junk_chunks=True)
+
+
+class WavFeatureStage:
+    """Actor-pool stage: REAL RIFF/WAVE decode (stages/wav.py) ->
+    per-channel mean-absolute amplitude + container metadata. Decode
+    errors degrade to null features + status (PayloadExtractor error
+    contract), never crash the task."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from sciscraper_ray.stages.wav import WavError, decode_wav
+
+        rate, frames, chans, bits_out, mean_abs, status = [], [], [], [], [], []
+        for payload in batch[self.payload_col].to_pylist():
+            try:
+                samples, sr, bits = decode_wav(bytes(payload))
+                rate.append(sr)
+                frames.append(samples.shape[0])
+                chans.append(samples.shape[1])
+                bits_out.append(bits)
+                mean_abs.append(
+                    np.abs(samples.astype(np.float64)).mean(axis=0).tolist()
+                )
+                status.append("ok")
+            except (WavError, ValueError, struct.error) as exc:
+                rate.append(None)
+                frames.append(None)
+                chans.append(None)
+                bits_out.append(None)
+                mean_abs.append(None)
+                status.append(f"error: {type(exc).__name__}")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sample_rate": pa.array(rate, pa.int32()),
+                "n_frames": pa.array(frames, pa.int32()),
+                "channels": pa.array(chans, pa.int32()),
+                "bits": pa.array(bits_out, pa.int32()),
+                "mean_abs": pa.array(mean_abs, pa.list_(pa.float64())),
+                "decode_status": pa.array(status, pa.string()),
+            }
+        )
 
 
 VIDEO_MAGIC = b"FVID"

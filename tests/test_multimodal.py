@@ -159,3 +159,72 @@ def test_video_real_codec_gated():
 
     with pytest.raises(NotImplementedError, match="PyAV"):
         decode_video_payload(b"\x00\x00\x00\x18ftypmp42....")
+
+
+# ---------------------------------------------------------------------------
+# RIFF/WAVE codec (stages/wav.py — real-format audio path)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_16bit_stereo():
+    import numpy as np
+    from sciscraper_ray.stages.wav import decode_wav, encode_wav
+
+    rng = np.random.default_rng(7)
+    samples = rng.integers(-32768, 32767, size=(333, 2), dtype=np.int64)
+    out, rate, bits = decode_wav(encode_wav(samples, 44_100, bits=16))
+    assert (rate, bits) == (44_100, 16)
+    assert out.shape == (333, 2)
+    assert (out == samples).all()
+
+
+def test_wav_roundtrip_8bit_mono_odd_data():
+    # odd-length 8-bit mono data chunk exercises the pad byte
+    import numpy as np
+    from sciscraper_ray.stages.wav import decode_wav, encode_wav
+
+    samples = np.array([-128, -1, 0, 1, 127], dtype=np.int64)[:, None]
+    out, rate, bits = decode_wav(encode_wav(samples, 8000, bits=8))
+    assert (rate, bits) == (8000, 8)
+    assert out[:, 0].tolist() == [-128, -1, 0, 1, 127]
+
+
+def test_wav_junk_chunk_walk_and_errors():
+    import numpy as np
+    import pytest
+    from sciscraper_ray.stages.wav import WavError, decode_wav, encode_wav
+
+    samples = np.ones((10, 2), dtype=np.int64) * 5
+    payload = encode_wav(samples, 16_000, bits=16, junk_chunks=True)
+    out, rate, _ = decode_wav(payload)
+    assert out.shape == (10, 2) and (out == 5).all()
+
+    with pytest.raises(WavError, match="RIFF"):
+        decode_wav(b"OggS" + payload[4:])
+    with pytest.raises(WavError, match="overruns"):
+        decode_wav(payload[:-6])
+    # non-PCM format code rejected
+    bad = bytearray(encode_wav(samples, 16_000))
+    bad[20] = 3  # fmt.audio_format = IEEE float
+    with pytest.raises(WavError, match="non-PCM"):
+        decode_wav(bytes(bad))
+
+
+def test_wav_feature_stage_degrades_on_garbage():
+    import pyarrow as pa
+    from sciscraper_ray.stages.multimodal import WavFeatureStage, synth_wav_payload
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([3, 4], pa.int64()),
+            "payload": pa.array(
+                [synth_wav_payload(3), b"RIFF\x00\x00\x00\x00JUNK"], pa.binary()
+            ),
+        }
+    )
+    out = WavFeatureStage()(batch)
+    assert out["decode_status"][0].as_py() == "ok"
+    # doc 3: 8-bit, amp_c0 = 20 + 3 = 23, amp_c1 = 10 + 9 = 19
+    assert out["mean_abs"][0].as_py() == [23.0, 19.0]
+    assert out["decode_status"][1].as_py().startswith("error:")
+    assert out["mean_abs"][1].as_py() is None
