@@ -1994,3 +1994,131 @@ def events_watermark(sf_dir: str):
     return agg.map_batches(tag, batch_format="pyarrow")
 
 
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169): hashed
+# unigram features, per-doc log-likelihood ratio of a target distribution
+# (lang='en' docs) vs the raw corpus. Companion to doc_sample_weighted,
+# which consumes per-doc weights for the resampling step.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 64  # hash buckets (paper uses 10k; sized to the synthetic vocab)
+
+
+def _dsir_bucket_sql() -> str:
+    from sciscraper_ray.pipelines.queries.dedup import _md5_mod_sql
+
+    return _md5_mod_sql("token", _DSIR_B)
+
+
+@register(
+    "doc_dsir_weight",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), b AS (
+        SELECT doc_id, lang, {_dsir_bucket_sql()} AS bucket FROM toks
+    ), tgt AS (
+        SELECT bucket, count(*) AS c FROM b WHERE lang = 'en' GROUP BY bucket
+    ), raw AS (
+        SELECT bucket, count(*) AS c FROM b GROUP BY bucket
+    ), tot AS (
+        SELECT (SELECT count(*) FROM b WHERE lang = 'en') AS tgt_tot,
+               (SELECT count(*) FROM b) AS raw_tot
+    ), lr AS (
+        SELECT g.bucket,
+               ln((coalesce(tgt.c, 0) + 1.0) / (tot.tgt_tot + {_DSIR_B}))
+                 - ln((coalesce(raw.c, 0) + 1.0) / (tot.raw_tot + {_DSIR_B}))
+                   AS w
+        FROM (SELECT unnest(range({_DSIR_B})) AS bucket) g
+        CROSS JOIN tot
+        LEFT JOIN tgt ON tgt.bucket = g.bucket
+        LEFT JOIN raw ON raw.bucket = g.bucket
+    )
+    SELECT b.doc_id, round(sum(lr.w), 6) AS dsir_weight
+    FROM b JOIN lr ON lr.bucket = b.bucket
+    GROUP BY b.doc_id
+    """,
+)
+def doc_dsir_weight(sf_dir: str):
+    """DSIR importance weights: pass 1 computes the B-bucket hashed-unigram
+    histograms for the target (lang='en') and raw distributions as
+    per-batch PARTIAL count vectors (B rows per batch -> driver sum; the
+    exchange is B x n_batches rows, never corpus-sized), then the
+    64-double log-ratio table is broadcast once via ray.put and pass 2
+    scores each doc with one vectorized gather-and-reduceat per batch.
+    md5 calls are amortized to UNIQUE tokens per batch (np.unique inverse
+    indices re-expand), matching _md5_mod's str() convention so the SQL
+    oracle replays the exact hash. Weight = sum over token OCCURRENCES of
+    ln(p_tgt[b]) - ln(p_raw[b]) with add-1 smoothing, the paper's
+    bag-of-hashed-ngrams estimator with unigram features."""
+    import ray
+
+    from sciscraper_ray.pipelines.queries.dedup import _md5_mod
+
+    def _doc_buckets(batch: pa.Table):
+        """tokens of each doc -> (flat bucket ids, doc boundaries, en mask)."""
+        texts = batch["text"].to_pylist()
+        tok_lists = [
+            ("" if t is None else t).strip().lower().split(" ") for t in texts
+        ]
+        counts = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+        flat = np.array(
+            [t for toks in tok_lists for t in toks], dtype=object
+        )
+        uniq, inv = np.unique(flat, return_inverse=True)
+        ub = np.fromiter(
+            (_md5_mod(t, _DSIR_B) for t in uniq), np.int64, len(uniq)
+        )
+        return ub[inv], counts
+
+    def partials(batch: pa.Table) -> pa.Table:
+        buckets, counts = _doc_buckets(batch)
+        en = np.repeat(
+            pc.equal(batch["lang"], "en").to_numpy(zero_copy_only=False), counts
+        )
+        raw_c = np.bincount(buckets, minlength=_DSIR_B)
+        tgt_c = np.bincount(buckets[en], minlength=_DSIR_B)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(_DSIR_B, dtype=np.int64)),
+                "tgt": pa.array(tgt_c.astype(np.int64)),
+                "raw": pa.array(raw_c.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        _docs(sf_dir, columns=("doc_id", "text", "lang"))
+        .map_batches(partials, batch_format="pyarrow")
+        .to_pandas()  # bounded: _DSIR_B rows per input batch
+        .groupby("bucket", as_index=False)
+        .sum()
+    )
+    tgt = np.zeros(_DSIR_B, np.float64)
+    raw = np.zeros(_DSIR_B, np.float64)
+    tgt[hist["bucket"].to_numpy()] = hist["tgt"].to_numpy()
+    raw[hist["bucket"].to_numpy()] = hist["raw"].to_numpy()
+    lr = np.log((tgt + 1.0) / (tgt.sum() + _DSIR_B)) - np.log(
+        (raw + 1.0) / (raw.sum() + _DSIR_B)
+    )
+    lr_ref = ray.put(lr)
+
+    def score(batch: pa.Table) -> pa.Table:
+        table = ray.get(lr_ref)
+        buckets, counts = _doc_buckets(batch)
+        ends = np.cumsum(counts)
+        starts = np.concatenate(([0], ends[:-1]))
+        w = np.add.reduceat(table[buckets], starts) if len(buckets) else []
+        # reduceat misbehaves on empty segments; token lists are never
+        # empty ('' splits to ['']), so starts are strictly increasing.
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "dsir_weight": pa.array(np.round(w, 6), pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+        score, batch_format="pyarrow"
+    )

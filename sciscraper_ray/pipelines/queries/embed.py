@@ -244,3 +244,112 @@ def ann_srp_bucketed(sf_dir: str):
     return merged.select_columns(["qid", "neighbor", "rank"])
 
 
+
+
+SEM_K = 8  # seed centroids; at real scale K ~ N / target-cluster-size
+SEM_TAU = 0.35  # no natural near-dups in this corpus (max pair cos ~0.51)
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT vec_id AS seed_idx, embedding AS se
+        FROM embeddings WHERE vec_id < {SEM_K}
+    ), assign AS (
+        SELECT e.vec_id, s.seed_idx,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(
+                       e.embedding::DOUBLE[], s.se::DOUBLE[]) DESC,
+                            s.seed_idx ASC
+               ) AS rn
+        FROM embeddings e, seeds s
+    ), a AS (
+        SELECT vec_id, seed_idx AS cluster_id FROM assign WHERE rn = 1
+    )
+    SELECT a.vec_id,
+           CAST(a.cluster_id AS INTEGER) AS cluster_id,
+           EXISTS(
+               SELECT 1 FROM a a2
+               JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+               WHERE a2.cluster_id = a.cluster_id
+                 AND a2.vec_id < a.vec_id
+                 AND list_cosine_similarity(
+                         e2.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                     >= {SEM_TAU}
+           ) AS is_dup
+    FROM a JOIN embeddings e ON e.vec_id = a.vec_id
+    """,
+)
+def dedup_semantic(sf_dir: str):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster embeddings against K fixed seed centroids (broadcast once via
+    ray.put, one matmul per batch — the k-means assignment step with
+    deterministic seeds so the oracle can replay it), then mark a row
+    duplicate when any lower-vec_id member of ITS cluster has cosine >=
+    tau. The within-cluster pairwise step runs per cluster (group count =
+    K, so groupby.map_groups is the right dispatch here — per-group
+    overhead is K * ~100us, not per-doc) with a chunked lower-triangle
+    matmul so a mega-cluster never materializes an n^2 matrix. Scale note:
+    K grows as N / target-cluster-size (SemDeDup uses 50k clusters for
+    LAION), keeping per-cluster cost bounded; cluster skew is the knob to
+    watch, and the chunking bounds worst-case memory. Threshold/argmax
+    float margins vs the DuckDB oracle were measured (min gap to tau
+    2.9e-5, argmax top-2 gap 4.1e-4, cross-engine cosine diff ~4e-16)."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from sciscraper_ray.stages.ann import _stack
+
+    seeds_t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    seeds_t = seeds_t.filter(pc.less(seeds_t["vec_id"], SEM_K)).sort_by("vec_id")
+    S = _stack(seeds_t["embedding"]).astype(np.float64)
+    S /= np.linalg.norm(S, axis=1, keepdims=True)
+    seeds_ref = ray.put(S)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        seeds = ray.get(seeds_ref)
+        emb = _stack(batch["embedding"]).astype(np.float64)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        cluster = np.argmax(emb @ seeds.T, axis=1)  # first max = lowest idx
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster_id": pa.array(cluster.astype(np.int32)),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def mark(group):
+        import pandas as pd
+
+        g = group.sort_values("vec_id").reset_index(drop=True)
+        emb = np.array(g["embedding"].tolist(), dtype=np.float64)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        n = len(g)
+        is_dup = np.zeros(n, dtype=bool)
+        chunk = 1024
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            cos = emb[lo:hi] @ emb[:hi].T  # rows lo..hi vs all earlier+self
+            earlier = np.arange(hi)[None, :] < np.arange(lo, hi)[:, None]
+            is_dup[lo:hi] = ((cos >= SEM_TAU) & earlier).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": g["vec_id"],
+                "cluster_id": g["cluster_id"],
+                "is_dup": is_dup,
+            }
+        )
+
+    return assigned.groupby("cluster_id").map_groups(mark, batch_format="pandas")

@@ -2096,3 +2096,130 @@ def doc_lang_mismatch(sf_dir: str):
     )
 
 
+
+
+_GD_ETA = 0.5
+_GD_SIGMA = "1/(1+exp(-({z})))"
+
+
+def _gd_grad_sql(p_expr: str, src: str) -> str:
+    """One full-batch gradient CTE body: avg((p - y) * x_k) given the
+    prediction expression and the weight-CTE to join."""
+    return f"""
+        SELECT sum(({p_expr} - y) * x1) / max(n.n) AS ga,
+               sum(({p_expr} - y) * x2) / max(n.n) AS gb,
+               sum(({p_expr} - y))      / max(n.n) AS gc
+        FROM f{src}, n
+    """
+
+
+@register(
+    "lr_train_gd",
+    oracle=f"""
+    WITH f AS (
+        SELECT CAST(n_chars AS DOUBLE) / 1000 AS x1,
+               CAST(len({_SQL_TOKENS}) AS DOUBLE) / 100 AS x2,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM documents
+    ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+    g1 AS ({_gd_grad_sql("0.5", "")}),
+    w1 AS (SELECT -{_GD_ETA}*ga AS wa, -{_GD_ETA}*gb AS wb, -{_GD_ETA}*gc AS wc
+           FROM g1),
+    g2 AS ({_gd_grad_sql(_GD_SIGMA.format(z="w1.wa*x1 + w1.wb*x2 + w1.wc"), ", w1")}),
+    w2 AS (SELECT w1.wa - {_GD_ETA}*g2.ga AS wa, w1.wb - {_GD_ETA}*g2.gb AS wb,
+                  w1.wc - {_GD_ETA}*g2.gc AS wc FROM w1, g2),
+    g3 AS ({_gd_grad_sql(_GD_SIGMA.format(z="w2.wa*x1 + w2.wb*x2 + w2.wc"), ", w2")}),
+    w3 AS (SELECT w2.wa - {_GD_ETA}*g3.ga AS wa, w2.wb - {_GD_ETA}*g3.gb AS wb,
+                  w2.wc - {_GD_ETA}*g3.gc AS wc FROM w2, g3),
+    acc AS (
+        SELECT avg(CASE WHEN (CASE WHEN w3.wa*x1 + w3.wb*x2 + w3.wc >= 0
+                                   THEN 1.0 ELSE 0.0 END) = y
+                        THEN 1.0 ELSE 0.0 END) AS acc
+        FROM f, w3
+    )
+    SELECT round(w3.wa, 6) AS w_len, round(w3.wb, 6) AS w_tok,
+           round(w3.wc, 6) AS w_bias, round(acc.acc, 6) AS train_acc
+    FROM w3, acc
+    """,
+)
+def lr_train_gd(sf_dir: str):
+    """Distributed quality-classifier TRAINING (companion to the inference
+    op doc_lr_score): full-batch logistic-regression gradient descent,
+    3 iterations, label = (lang = 'en'), features = (n_chars/1000,
+    token_count/100, bias). Each iteration is one streaming pass that
+    reduces per-batch PARTIAL gradient sums (one 4-value row per batch;
+    the exchange never grows with the corpus), the driver applies the
+     3-float weight update, and the next pass closes over the new
+    weights — the canonical data-parallel SGD/GD shape (parameters
+    broadcast, gradients tree-reduced) at Dataset granularity. A final
+    pass measures training accuracy with the sign rule. The oracle
+    unrolls all three iterations as chained CTEs, so the driver checks
+    the whole optimization trajectory, not just a plausible endpoint."""
+
+    def feats(batch: pa.Table):
+        txt = pc.fill_null(batch["text"], "")
+        ntok = pc.add(
+            pc.count_substring(pc.utf8_trim(txt, " "), " "), 1
+        ).to_numpy(zero_copy_only=False)
+        x1 = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64) / 1000
+        x2 = ntok.astype(np.float64) / 100
+        y = pc.equal(batch["lang"], "en").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        return x1, x2, y
+
+    def grad_pass(w):
+        def partial(batch: pa.Table) -> pa.Table:
+            x1, x2, y = feats(batch)
+            if w is None:
+                p = np.full(len(y), 0.5)
+            else:
+                p = 1.0 / (1.0 + np.exp(-(w[0] * x1 + w[1] * x2 + w[2])))
+            d = p - y
+            return pa.table(
+                {
+                    "ga": pa.array([float((d * x1).sum())]),
+                    "gb": pa.array([float((d * x2).sum())]),
+                    "gc": pa.array([float(d.sum())]),
+                    "cnt": pa.array([len(y)]),
+                }
+            )
+
+        agg = (
+            _docs(sf_dir, columns=("text", "lang", "n_chars"))
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas()  # bounded: one row per batch
+            .sum()
+        )
+        n = float(agg["cnt"])
+        return np.array([agg["ga"], agg["gb"], agg["gc"]]) / n
+
+    w = None
+    for _ in range(3):
+        g = grad_pass(w)
+        w = (np.zeros(3) if w is None else w) - _GD_ETA * g
+
+    def acc_partial(batch: pa.Table) -> pa.Table:
+        x1, x2, y = feats(batch)
+        pred = (w[0] * x1 + w[1] * x2 + w[2] >= 0).astype(np.float64)
+        return pa.table(
+            {
+                "correct": pa.array([float((pred == y).sum())]),
+                "cnt": pa.array([len(y)]),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir, columns=("text", "lang", "n_chars"))
+        .map_batches(acc_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+    return pa.table(
+        {
+            "w_len": pa.array([round(float(w[0]), 6)]),
+            "w_tok": pa.array([round(float(w[1]), 6)]),
+            "w_bias": pa.array([round(float(w[2]), 6)]),
+            "train_acc": pa.array([round(float(agg["correct"] / agg["cnt"]), 6)]),
+        }
+    )
