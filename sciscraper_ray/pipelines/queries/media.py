@@ -290,3 +290,55 @@ def media_wav_features(sf_dir: str):
         )
 
     return feats.map_batches(flatten, batch_format="pyarrow")
+
+
+@register(
+    "media_jpeg_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 * (1 + doc_id % 6) AS INTEGER) AS width,
+           CAST(8 * (1 + doc_id % 4) AS INTEGER) AS height,
+           1 AS channels,
+           CAST(least(255, greatest(0,
+                2 * round((doc_id % 256 - 128) / 2.0) + 128))
+                AS DOUBLE) AS mean_c0
+    FROM documents
+    """,
+)
+def media_jpeg_features(sf_dir: str):
+    """REAL-format image decode #2: deterministic baseline JPEGs decoded
+    by the from-scratch codec (stages/jpeg.py — marker parse, canonical
+    Huffman, DC prediction, dequant, vectorized IDCT). Constant-gray
+    fixtures make the lossy DC round trip EXACTLY predictable (formula on
+    synth_jpeg_payload; DuckDB round() is half-away-from-zero, matching
+    the codec's quantizer), so the oracle checks the full entropy-decode
+    path — a header peek or an IDCT bug shifts the mean. Completes the
+    honest-multimodal set: PNG (lossless), WAV (PCM), JPEG (lossy DCT).
+    Gradient/color/4:2:0/restart coverage lives in tests/test_jpeg.py."""
+    from sciscraper_ray.stages.multimodal import ImageDecodeStage, ImageFeatureStage
+
+    decoded = _media(sf_dir, "jpeg").map_batches(
+        ImageDecodeStage,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 8),
+    )
+    feats = decoded.map_batches(
+        ImageFeatureStage, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        means = batch["mean"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": batch["width"],
+                "height": batch["height"],
+                "channels": batch["channels"],
+                "mean_c0": pa.array(
+                    [m[0] if m else np.nan for m in means], pa.float64()
+                ),
+            }
+        )
+
+    return feats.map_batches(flatten, batch_format="pyarrow")

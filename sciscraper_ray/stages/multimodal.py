@@ -58,13 +58,19 @@ def encode_fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
 
 
 def decode_image_payload(payload: bytes) -> tuple[np.ndarray, str]:
-    """binary -> (h, w, c) uint8 array. PNG decodes for real (from-scratch
-    codec, stages/png.py); formats requiring out-of-container codecs
-    (JPEG) keep the explicit dependency boundary."""
+    """binary -> (h, w, c) uint8 array. PNG and baseline JPEG decode for
+    real (from-scratch codecs, stages/png.py and stages/jpeg.py)."""
     from sciscraper_ray.stages.png import PNG_SIGNATURE, decode_png
 
     if payload[:8] == PNG_SIGNATURE:
         return decode_png(payload), "ok"
+    if payload[:2] == b"\xff\xd8":
+        from sciscraper_ray.stages.jpeg import decode_jpeg
+
+        img = decode_jpeg(payload)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        return img, "ok"
     if payload[:4] == IMAGE_MAGIC:
         w, h, c = struct.unpack("<HHB", payload[4:9])
         fills = np.frombuffer(payload[9 : 9 + c], np.uint8)
@@ -88,7 +94,14 @@ def decode_image_payload(payload: bytes) -> tuple[np.ndarray, str]:
 
 
 def decode_audio_payload(payload: bytes) -> tuple[np.ndarray, int]:
-    """binary -> (samples: int16 ndarray, sample_rate)."""
+    """binary -> (samples: int16 ndarray, sample_rate). RIFF/WAVE decodes
+    for real (stages/wav.py); multi-channel payloads yield channel 0 (the
+    frame-sampling stage is mono — WavFeatureStage keeps all channels)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from sciscraper_ray.stages.wav import decode_wav
+
+        samples, sr, _bits = decode_wav(payload)
+        return samples[:, 0], sr
     if payload[:4] == AUDIO_MAGIC:
         sr, n, seed = struct.unpack("<IIh", payload[4:14])
         t = np.arange(n, dtype=np.int64)
@@ -270,6 +283,8 @@ def synth_media_batch(batch: pa.Table, kind: str = "image") -> pa.Table:
             payloads.append(encode_fake_audio(16_000, 1600 + (i % 100) * 16, i % 97))
         elif kind == "wav":
             payloads.append(synth_wav_payload(i))
+        elif kind == "jpeg":
+            payloads.append(synth_jpeg_payload(i))
         else:
             payloads.append(
                 encode_fake_video(32, 18, 60 + i % 240, 30, i % 251)
@@ -301,6 +316,24 @@ def synth_png_payload(doc_id: int) -> bytes:
         + 10 * np.arange(c)[None, None, :]
     ).astype(np.uint8)
     return encode_png(img, filter_type=[(doc_id + y) % 5 for y in range(h)])
+
+
+def synth_jpeg_payload(doc_id: int) -> bytes:
+    """Deterministic REAL baseline JPEG for ``doc_id`` (stages/jpeg.py
+    encoder): constant-gray image, value v = doc_id % 256,
+    w = 8*(1 + doc_id % 6), h = 8*(1 + doc_id % 4). A constant image is
+    DC-only, so the lossy round trip is exactly predictable: with the
+    Annex-K luma table (q00 = 16), decoded value =
+    clamp(2 * round_half_away((v - 128) / 2) + 128) — the oracle states
+    it in SQL, and the value only comes out right if the whole pipeline
+    (marker parse, Huffman decode, DC prediction, dequant, IDCT,
+    reconstruction rounding) ran correctly."""
+    from sciscraper_ray.stages.jpeg import encode_jpeg
+
+    v = doc_id % 256
+    w = 8 * (1 + doc_id % 6)
+    h = 8 * (1 + doc_id % 4)
+    return encode_jpeg(np.full((h, w), v, np.uint8))
 
 
 def synth_wav_payload(doc_id: int) -> bytes:

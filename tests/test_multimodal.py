@@ -32,11 +32,13 @@ def test_image_gradient_payload():
 
 
 def test_real_codec_paths_are_gated():
-    # PNG decodes for real now (stages/png.py); JPEG remains import-gated.
+    # PNG, baseline JPEG, and RIFF/WAVE decode for real now (stages/png.py,
+    # stages/jpeg.py, stages/wav.py); formats still needing out-of-container
+    # codecs (GIF, OGG) keep the explicit dependency gate.
     with pytest.raises(NotImplementedError, match="Pillow"):
-        decode_image_payload(b"\xff\xd8\xff\xe0JFIF....")
+        decode_image_payload(b"GIF89a......")
     with pytest.raises(NotImplementedError, match="libsndfile"):
-        decode_audio_payload(b"RIFFxxxxWAVE")
+        decode_audio_payload(b"OggS........")
 
 
 def test_decode_stage_degrades_on_garbage():
