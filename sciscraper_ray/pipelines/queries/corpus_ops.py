@@ -2122,3 +2122,68 @@ def doc_dsir_weight(sf_dir: str):
     return _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+_SHUF_SHARDS = 8
+
+
+@register(
+    "doc_shuffle_deterministic",
+    oracle=f"""
+    WITH k AS (
+        SELECT doc_id,
+               {_md5_hex15_sql("CAST(doc_id AS VARCHAR)")} AS hkey
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(hkey % {_SHUF_SHARDS} AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY hkey % {_SHUF_SHARDS}
+               ORDER BY hkey, doc_id
+           ) - 1 AS BIGINT) AS pos
+    FROM k
+    """,
+)
+def doc_shuffle_deterministic(sf_dir: str):
+    """Reproducible global shuffle for training order: every doc gets a
+    content-stable 60-bit md5 key, a shard (key % S — the file a packer
+    would write), and its position within the shard (rank by key). Unlike
+    random_shuffle this is identical across runs, cluster sizes, and
+    partitionings — the property epoch-reshuffle + checkpoint-resume
+    pipelines actually need. No global sort: ranking happens inside the
+    S shard groups (group count = shard count, bounded; within a shard
+    one vectorized argsort), so the only exchange is the S-way groupby.
+    At real scale S ~ total/target-file-size and the per-shard sort is
+    the per-output-file sort the writer does anyway."""
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        hk = np.fromiter((_md5_mod(i, 1 << 60) for i in ids), np.int64, len(ids))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "hkey": pa.array(hk),
+                "shard": pa.array((hk % _SHUF_SHARDS).astype(np.int32)),
+            }
+        )
+
+    def rank(group):
+        import pandas as pd
+
+        g = group.sort_values(["hkey", "doc_id"]).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "shard": g["shard"],
+                "pos": np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    from sciscraper_ray.pipelines.queries.dedup import _md5_mod
+
+    return (
+        _docs(sf_dir, columns=("doc_id",))
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(rank, batch_format="pandas")
+    )

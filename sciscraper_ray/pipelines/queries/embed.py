@@ -353,3 +353,87 @@ def dedup_semantic(sf_dir: str):
         )
 
     return assigned.groupby("cluster_id").map_groups(mark, batch_format="pandas")
+
+
+_PQ_M = 8  # subspaces (64-dim / 8)
+_PQ_K = 4  # centroids per subspace (seeds: vec_id < 4, deterministic)
+
+
+def _pq_d2_sql(m: str) -> str:
+    """L2^2 between 8-dim subvectors of e.embedding and s.se at subspace
+    ``m`` (1-based list indexing; explicit terms, no pow())."""
+    terms = [
+        f"(CAST(e.embedding[{m}*8+{j}] AS DOUBLE) - CAST(s.se[{m}*8+{j}] AS DOUBLE))"
+        f" * (CAST(e.embedding[{m}*8+{j}] AS DOUBLE) - CAST(s.se[{m}*8+{j}] AS DOUBLE))"
+        for j in range(1, 9)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "embedding_pq_encode",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT vec_id AS k, embedding AS se FROM embeddings
+        WHERE vec_id < {_PQ_K}
+    ), sub AS (
+        SELECT e.vec_id, s.k, g.m, {_pq_d2_sql("g.m")} AS d2
+        FROM embeddings e, seeds s, (SELECT unnest(range({_PQ_M})) AS m) g
+    ), best AS (
+        SELECT vec_id, m, k, d2,
+               row_number() OVER (
+                   PARTITION BY vec_id, m ORDER BY d2 ASC, k ASC
+               ) AS rn
+        FROM sub
+    )
+    SELECT vec_id,
+           {", ".join(f"CAST(max(CASE WHEN m = {m} THEN k END) AS INTEGER) AS code_{m}" for m in range(8))},
+           round(sum(d2), 6) AS distortion
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def embedding_pq_encode(sf_dir: str):
+    """Product-quantization encoding (Jegou et al. TPAMI'11 — the ANN
+    compression standard): split each 64-dim embedding into M=8 8-dim
+    subspaces and assign each to its nearest of K=4 per-subspace
+    centroids (deterministic seeds = the first K embeddings, so the
+    oracle can replay the codebook). The codebook is broadcast once via
+    ray.put (M*K*8 doubles); per batch the assignment is one vectorized
+    distance tensor (n, M, K) with argmin ties going to the lowest k on
+    both engines. Emits the M code columns plus total quantization
+    distortion — at real scale the codes (M bytes/vector) are what an
+    IVF-PQ index stores in place of the raw vectors."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from sciscraper_ray.stages.ann import _stack
+
+    seeds_t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    seeds_t = seeds_t.filter(pc.less(seeds_t["vec_id"], _PQ_K)).sort_by("vec_id")
+    codebook = (
+        _stack(seeds_t["embedding"]).astype(np.float64).reshape(_PQ_K, _PQ_M, -1)
+    )
+    cb_ref = ray.put(np.ascontiguousarray(codebook.transpose(1, 0, 2)))  # (M,K,8)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cb = ray.get(cb_ref)
+        emb = _stack(batch["embedding"]).astype(np.float64)
+        sub = emb.reshape(len(emb), _PQ_M, -1)  # (n, M, 8)
+        diff = sub[:, :, None, :] - cb[None, :, :, :]  # (n, M, K, 8)
+        d2 = np.einsum("nmkj,nmkj->nmk", diff, diff)
+        codes = np.argmin(d2, axis=2)  # first min = lowest k
+        dist = np.take_along_axis(d2, codes[:, :, None], axis=2)[:, :, 0].sum(1)
+        cols = {"vec_id": batch["vec_id"]}
+        for m in range(_PQ_M):
+            cols[f"code_{m}"] = pa.array(codes[:, m].astype(np.int32))
+        cols["distortion"] = pa.array(np.round(dist, 6), pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(encode, batch_format="pyarrow")
