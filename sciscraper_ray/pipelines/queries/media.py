@@ -342,3 +342,36 @@ def media_jpeg_features(sf_dir: str):
         )
 
     return feats.map_batches(flatten, batch_format="pyarrow")
+
+
+@register(
+    "media_mp4_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+           CAST(1000 * (1 + doc_id % 60) AS DOUBLE)
+               / (CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 1000 END)
+               AS duration_s,
+           CAST(160 * (1 + doc_id % 8) AS INTEGER) AS width,
+           CAST(120 * (1 + doc_id % 6) AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def media_mp4_metadata(sf_dir: str):
+    """REAL-format video CONTAINER parse: deterministic ISO BMFF payloads
+    walked by the from-scratch box parser (stages/mp4.py — nested
+    containers, largesize, mvhd timescale/duration, tkhd 16.16 fixed
+    dimensions), the crawl-wide video-inventory pass. Frame decode stays
+    honestly gated (H.264 entropy+transform needs a real codec); this
+    covers the half a metadata harvest runs everywhere. Oracle states
+    brand/duration/dims from doc_id arithmetic — a box-walk bug (size
+    accounting, fixed-point shift, version offsets) breaks the hash."""
+    from sciscraper_ray.stages.multimodal import Mp4MetadataStage
+
+    meta = _media(sf_dir, "mp4").map_batches(
+        Mp4MetadataStage,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 8),
+    )
+    return meta.select_columns(["doc_id", "brand", "duration_s", "width", "height"])

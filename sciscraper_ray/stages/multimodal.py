@@ -285,6 +285,8 @@ def synth_media_batch(batch: pa.Table, kind: str = "image") -> pa.Table:
             payloads.append(synth_wav_payload(i))
         elif kind == "jpeg":
             payloads.append(synth_jpeg_payload(i))
+        elif kind == "mp4":
+            payloads.append(synth_mp4_payload(i))
         else:
             payloads.append(
                 encode_fake_video(32, 18, 60 + i % 240, 30, i % 251)
@@ -316,6 +318,67 @@ def synth_png_payload(doc_id: int) -> bytes:
         + 10 * np.arange(c)[None, None, :]
     ).astype(np.uint8)
     return encode_png(img, filter_type=[(doc_id + y) % 5 for y in range(h)])
+
+
+def synth_mp4_payload(doc_id: int) -> bytes:
+    """Deterministic REAL ISO BMFF container for ``doc_id``
+    (stages/mp4.py writer):
+
+        brand     = isom / mp42 by doc_id % 2
+        timescale = 600 (even doc_id) | 1000 (odd)
+        duration  = 1000 * (1 + doc_id % 60) ticks
+        width     = 160 * (1 + doc_id % 8), height = 120 * (1 + doc_id % 6)
+        mdat      = (doc_id % 50) zero bytes (never parsed)
+    """
+    from sciscraper_ray.stages.mp4 import encode_mp4_stub
+
+    return encode_mp4_stub(
+        timescale=600 if doc_id % 2 == 0 else 1000,
+        duration=1000 * (1 + doc_id % 60),
+        width=160 * (1 + doc_id % 8),
+        height=120 * (1 + doc_id % 6),
+        brand=b"isom" if doc_id % 2 == 0 else b"mp42",
+        mdat_size=doc_id % 50,
+    )
+
+
+class Mp4MetadataStage:
+    """Actor-pool stage: REAL MP4 box-walk (stages/mp4.py) -> container
+    metadata rows. Frame decode stays import-gated (H.264 needs a real
+    codec); the container harvest is what a crawl-wide video inventory
+    pass runs. Errors degrade to null metadata + status."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from sciscraper_ray.stages.mp4 import Mp4Error, parse_mp4
+
+        brand, dur_s, ws, hs, status = [], [], [], [], []
+        for payload in batch[self.payload_col].to_pylist():
+            try:
+                meta = parse_mp4(bytes(payload))
+                brand.append(meta["brand"])
+                dur_s.append(meta["duration_s"])
+                ws.append(meta["width"])
+                hs.append(meta["height"])
+                status.append("ok")
+            except (Mp4Error, struct.error) as exc:
+                brand.append(None)
+                dur_s.append(None)
+                ws.append(None)
+                hs.append(None)
+                status.append(f"error: {type(exc).__name__}")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "brand": pa.array(brand, pa.string()),
+                "duration_s": pa.array(dur_s, pa.float64()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "decode_status": pa.array(status, pa.string()),
+            }
+        )
 
 
 def synth_jpeg_payload(doc_id: int) -> bytes:

@@ -230,3 +230,61 @@ def test_wav_feature_stage_degrades_on_garbage():
     assert out["mean_abs"][0].as_py() == [23.0, 19.0]
     assert out["decode_status"][1].as_py().startswith("error:")
     assert out["mean_abs"][1].as_py() is None
+
+
+# ---------------------------------------------------------------------------
+# ISO BMFF (MP4) container parser (stages/mp4.py — video metadata tier)
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_roundtrip_and_box_walk():
+    from sciscraper_ray.stages.mp4 import encode_mp4_stub, parse_mp4
+
+    payload = encode_mp4_stub(600, 9000, 1280, 720, brand=b"mp42", mdat_size=33)
+    meta = parse_mp4(payload)
+    assert meta["brand"] == "mp42"
+    assert meta["timescale"] == 600 and meta["duration"] == 9000
+    assert meta["duration_s"] == 15.0
+    assert (meta["width"], meta["height"]) == (1280, 720)
+
+
+def test_mp4_largesize_and_unknown_boxes():
+    import struct as _s
+    from sciscraper_ray.stages.mp4 import encode_mp4_stub, parse_mp4
+
+    base = encode_mp4_stub(1000, 5000, 320, 240)
+    # prepend an unknown box after ftyp and wrap free data in a largesize box
+    ftyp_len = _s.unpack(">I", base[:4])[0]
+    junk = _s.pack(">I", 16) + b"skip" + b"\x00" * 8
+    big = _s.pack(">I", 1) + b"free" + _s.pack(">Q", 24) + b"\x00" * 8
+    payload = base[:ftyp_len] + junk + big + base[ftyp_len:]
+    meta = parse_mp4(payload)
+    assert meta["duration_s"] == 5.0 and meta["width"] == 320
+
+
+def test_mp4_errors():
+    import pytest
+    from sciscraper_ray.stages.mp4 import Mp4Error, encode_mp4_stub, parse_mp4
+
+    with pytest.raises(Mp4Error, match="ftyp"):
+        parse_mp4(b"RIFF....WAVE")
+    good = encode_mp4_stub(600, 600, 64, 64)
+    with pytest.raises(Mp4Error, match="overruns"):
+        parse_mp4(good[:-10])
+
+
+def test_mp4_stage_degrades():
+    import pyarrow as pa
+    from sciscraper_ray.stages.multimodal import Mp4MetadataStage, synth_mp4_payload
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([4, 5], pa.int64()),
+            "payload": pa.array([synth_mp4_payload(4), b"JUNKJUNKJUNK"], pa.binary()),
+        }
+    )
+    out = Mp4MetadataStage()(batch)
+    assert out["decode_status"][0].as_py() == "ok"
+    assert out["brand"][0].as_py() == "isom"
+    assert out["width"][0].as_py() == 160 * 5
+    assert out["decode_status"][1].as_py().startswith("error:")
