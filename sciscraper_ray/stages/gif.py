@@ -1,0 +1,247 @@
+"""From-scratch GIF (GIF87a/89a) codec — stdlib ``struct`` only.
+
+Implements the public GIF89a specification: logical screen descriptor +
+global color table, variable-width LZW (3..12-bit codes, LSB-first bit
+packing, clear/EOI codes, table reset at 4096), 255-byte sub-block
+framing, and extension-block walking (the encoder emits a Graphic
+Control Extension so the decoder's skip path is exercised). This closes
+the last gated IMAGE format in the multimodal tier — PNG, JPEG and WAV
+already decode for real (stages/png.py, jpeg.py, wav.py); the reference
+handles real image bytes in ``downloaders.py:283-366``.
+
+Scope (explicitly rejected otherwise, never silently wrong):
+  - single image frame, no interlace, no local color tables
+
+Performance notes: LZW is inherently sequential per payload (each code's
+width depends on the running table size), so decode runs inside an
+actor-pool ``map_batches`` stage over SMALL batches like the other real
+codecs; palette mapping and index->RGB expansion are vectorized.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+GIF_SIGNATURES = (b"GIF87a", b"GIF89a")
+
+_MAX_CODE = 4096  # 12-bit ceiling fixed by the spec
+
+
+class GifError(ValueError):
+    """Malformed or out-of-scope GIF payload."""
+
+
+class _BitWriter:
+    """LSB-first variable-width code packer (GIF appendix F)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def emit(self, code: int, width: int) -> None:
+        self.buf |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.buf & 0xFF)
+            self.buf >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.buf & 0xFF)
+            self.buf = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Real LZW (dictionary-building) encoder. Width grows when the next
+    free code would not fit the current width; at table-full (4096) a
+    CLEAR is emitted and the table resets — the exact rule the decoder
+    mirrors one step behind."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    w = _BitWriter()
+    w.emit(clear, width)
+    it = iter(int(s) for s in indices)
+    try:
+        prefix = next(it)
+    except StopIteration:
+        w.emit(eoi, width)
+        return w.flush()
+    for sym in it:
+        key = (prefix, sym)
+        code = table.get(key)
+        if code is not None:
+            prefix = code
+            continue
+        w.emit(prefix, width)
+        if next_code < _MAX_CODE:
+            table[key] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            w.emit(clear, width)
+            table.clear()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = sym
+    w.emit(prefix, width)
+    # the decoder ADDS an entry while processing this final code (the
+    # encoder doesn't); if that entry lands exactly on the growth
+    # boundary the decoder reads the next code one bit wider — mirror it
+    # so EOI is written at the width the decoder will read it with
+    if next_code == (1 << width) - 1 and width < 12:
+        width += 1
+    w.emit(eoi, width)
+    return w.flush()
+
+
+def lzw_decode(data: bytes, min_code_size: int) -> np.ndarray:
+    """Real LZW decoder: rebuilds the table one entry behind the encoder,
+    handles the KwKwK case (code == next free code), grows the width when
+    the table reaches the current ceiling, stops growing at 4096 until a
+    CLEAR arrives."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    base = {i: (i,) for i in range(clear)}
+    table = dict(base)
+    next_code = eoi + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    buf = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                raise GifError("LZW stream ended without EOI")
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        if code == eoi:
+            break
+        if code == clear:
+            table = dict(base)
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise GifError(f"bad first LZW code {code}")
+        else:
+            entry = table.get(code)
+            if entry is None:
+                if code != next_code:
+                    raise GifError(f"bad LZW code {code}")
+                entry = prev + (prev[0],)  # KwKwK
+            if next_code < _MAX_CODE:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                # one entry BEHIND the encoder at read time, so grow one
+                # entry early (the giflib-encoder / libnsgif-decoder pairing)
+                if next_code == (1 << width) - 1 and width < 12:
+                    width += 1
+        out.extend(entry)
+        prev = entry
+    return np.array(out, np.uint8)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(h, w) uint8 index array + (n, 3) uint8 palette -> GIF89a bytes.
+    The palette is padded to the next power of two (>= 2, <= 256)."""
+    if indices.ndim != 2:
+        raise GifError("indices must be (h, w)")
+    h, w = indices.shape
+    n = len(palette)
+    if not 1 <= n <= 256:
+        raise GifError("palette size out of range")
+    size_bits = 1
+    while (1 << size_bits) < n:
+        size_bits += 1
+    n_pad = 1 << size_bits
+    if indices.max(initial=0) >= n_pad:
+        raise GifError("index exceeds palette")
+    pal = np.zeros((n_pad, 3), np.uint8)
+    pal[:n] = palette
+    min_code_size = max(2, size_bits)
+    out = bytearray()
+    out += b"GIF89a"
+    packed = 0x80 | ((size_bits - 1) << 4) | (size_bits - 1)
+    out += struct.pack("<HHBBB", w, h, packed, 0, 0)
+    out += pal.tobytes()
+    # Graphic Control Extension (no-op; exercises the decoder's skip path)
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_code_size)
+    data = lzw_encode(indices.ravel(), min_code_size)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[np.ndarray, int]:
+    """GIF bytes -> ((h, w, 3) uint8 RGB, global-color-table size)."""
+    if payload[:6] not in GIF_SIGNATURES:
+        raise GifError("not a GIF signature")
+    w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not packed & 0x80:
+        raise GifError("global color table required in this scope")
+    gct_n = 2 << (packed & 0x07)
+    palette = np.frombuffer(payload, np.uint8, gct_n * 3, pos).reshape(-1, 3)
+    pos += gct_n * 3
+    while pos < len(payload):
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if marker != 0x2C:
+            raise GifError(f"unexpected block 0x{marker:02x}")
+        left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if ipacked & 0x80:
+            raise GifError("local color tables out of scope")
+        if ipacked & 0x40:
+            raise GifError("interlace out of scope")
+        min_code_size = payload[pos]
+        pos += 1
+        chunks = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            chunks += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = lzw_decode(bytes(chunks), min_code_size)
+        if len(idx) != iw * ih:
+            raise GifError(
+                f"decoded {len(idx)} pixels for {iw}x{ih} frame"
+            )
+        if idx.max(initial=0) >= gct_n:
+            raise GifError("pixel index outside color table")
+        rgb = palette[idx.reshape(ih, iw)]
+        return np.ascontiguousarray(rgb), gct_n
+    raise GifError("no image descriptor before trailer")

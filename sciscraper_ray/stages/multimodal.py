@@ -71,6 +71,11 @@ def decode_image_payload(payload: bytes) -> tuple[np.ndarray, str]:
         if img.ndim == 2:
             img = img[:, :, None]
         return img, "ok"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from sciscraper_ray.stages.gif import decode_gif
+
+        rgb, _n_colors = decode_gif(payload)
+        return rgb, "ok"
     if payload[:4] == IMAGE_MAGIC:
         w, h, c = struct.unpack("<HHB", payload[4:9])
         fills = np.frombuffer(payload[9 : 9 + c], np.uint8)
@@ -264,6 +269,8 @@ def synth_media_batch(batch: pa.Table, kind: str = "image") -> pa.Table:
            value[k][y][x] = doc_id % 100 + x + y + 10*k (never wraps),
            scanline y filtered with type (doc_id + y) % 5 so every
            decode exercises all five PNG filters
+    gif:   REAL GIF89a bytes (stages/gif.py encoder, formula on
+           synth_gif_payload)
     audio: sample_rate 16000, n = 1600 + (doc_id % 100) * 16, seed doc_id % 97
     video: 32x18, n_frames = 60 + doc_id % 240, fps 30, seed doc_id % 251
     """
@@ -279,6 +286,8 @@ def synth_media_batch(batch: pa.Table, kind: str = "image") -> pa.Table:
             )
         elif kind == "png":
             payloads.append(synth_png_payload(i))
+        elif kind == "gif":
+            payloads.append(synth_gif_payload(i))
         elif kind == "audio":
             payloads.append(encode_fake_audio(16_000, 1600 + (i % 100) * 16, i % 97))
         elif kind == "wav":
@@ -318,6 +327,25 @@ def synth_png_payload(doc_id: int) -> bytes:
         + 10 * np.arange(c)[None, None, :]
     ).astype(np.uint8)
     return encode_png(img, filter_type=[(doc_id + y) % 5 for y in range(h)])
+
+
+def synth_gif_payload(doc_id: int) -> bytes:
+    """Deterministic REAL GIF89a for ``doc_id`` (stages/gif.py encoder):
+    w = 6 + doc_id % 59, h = 5 + doc_id % 53, 256-entry identity-red
+    palette (r=i, g=255-i, b=i^0x55), pixel index[y][x] =
+    doc_id % 90 + x + y (max 199, never wraps), so decoded channel-0
+    mean is exactly doc_id % 90 + (w-1)/2 + (h-1)/2 — any LZW
+    bit-unpacking or dictionary bug shifts indices and breaks it."""
+    from sciscraper_ray.stages.gif import encode_gif
+
+    w = 6 + doc_id % 59
+    h = 5 + doc_id % 53
+    base = doc_id % 90
+    yy, xx = np.mgrid[0:h, 0:w]
+    idx = (base + xx + yy).astype(np.uint8)
+    i = np.arange(256)
+    palette = np.stack([i, 255 - i, i ^ 0x55], axis=1).astype(np.uint8)
+    return encode_gif(idx, palette)
 
 
 def synth_mp4_payload(doc_id: int) -> bytes:

@@ -32,13 +32,16 @@ def test_image_gradient_payload():
 
 
 def test_real_codec_paths_are_gated():
-    # PNG, baseline JPEG, and RIFF/WAVE decode for real now (stages/png.py,
-    # stages/jpeg.py, stages/wav.py); formats still needing out-of-container
-    # codecs (GIF, OGG) keep the explicit dependency gate.
+    # PNG, baseline JPEG, GIF, and RIFF/WAVE decode for real now
+    # (stages/png.py, jpeg.py, gif.py, wav.py); formats still needing
+    # out-of-container codecs (BMP/TIFF, OGG) keep the dependency gate.
     with pytest.raises(NotImplementedError, match="Pillow"):
-        decode_image_payload(b"GIF89a......")
+        decode_image_payload(b"BM..........")
     with pytest.raises(NotImplementedError, match="libsndfile"):
         decode_audio_payload(b"OggS........")
+    # GIF routes to the real codec; malformed bytes fail LOUDLY there
+    with pytest.raises(Exception):
+        decode_image_payload(b"GIF89a......")
 
 
 def test_decode_stage_degrades_on_garbage():
