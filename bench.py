@@ -37,6 +37,7 @@ HEADLINE = [
     "doc_quality",            # text-quality scoring
     "doc_segment_dedup",      # C4-style corpus-level segment dedup
     "doc_ngram_novelty",      # round-3 curation tier: join-free novelty scoring
+    "doc_filter_chain",       # round-4: fused 5-gate quality filter, one pass
 ]
 
 FLAGSHIP = "page_extract_pipeline"

@@ -2187,3 +2187,367 @@ def doc_shuffle_deterministic(sf_dir: str):
         .groupby("shard")
         .map_groups(rank, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused quality-filter chain (FineWeb / RefinedWeb pipeline shape): the
+# production corpus gates — lang-ID, Gopher token-count / word-length /
+# alpha-ratio / stopword rules, bigram-repetition mass — computed in ONE
+# map_batches pass over the text (one tokenize, shared flat-token arrays)
+# instead of five separate full-corpus passes, with first-failing-reason
+# attribution per document. Each signal reuses the exact contract its
+# standalone query pins (doc_lang_id, doc_gopher_filter, doc_repetition),
+# so the chain is verifiable against their composition.
+
+
+def _filter_chain_reason_sql() -> str:
+    from sciscraper_ray.stages.textstats import LANG_PROFILES
+
+    from sciscraper_ray.words import sql_in_list
+
+    langs = sorted(LANG_PROFILES)
+    counts = ",\n".join(
+        f"sum(CASE WHEN token IN {sql_in_list(LANG_PROFILES[lang])} "
+        f"THEN 1 ELSE 0 END) AS c_{lang}"
+        for lang in langs
+    )
+    pick = "CASE "
+    for lang in langs:
+        cond = f"c_{lang} > 0"
+        for o in langs:
+            if o < lang:
+                cond += f" AND c_{lang} > c_{o}"
+            elif o > lang:
+                cond += f" AND c_{lang} >= c_{o}"
+        pick += f"WHEN {cond} THEN '{lang}' "
+    pick += "ELSE 'und' END"
+    return counts, pick
+
+
+_FC_COUNTS, _FC_PICK = _filter_chain_reason_sql()
+
+
+@register(
+    "doc_filter_chain",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(length(token)) AS BIGINT) AS sum_chars,
+               CAST(sum(CASE WHEN token IN {_GOPHER_STOPS!r} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS stop_hits,
+               CAST(sum(CASE WHEN regexp_matches(token, '[a-z]') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS alpha_words,
+               {_FC_COUNTS}
+        FROM toks GROUP BY doc_id
+    ), d AS (
+        SELECT doc_id, {_SQL_TOKENS} AS tl, len({_SQL_TOKENS}) AS n
+        FROM documents
+    ), w AS (
+        SELECT doc_id, unnest(range(n - 1)) AS k, tl FROM d WHERE n >= 2
+    ), bg AS (
+        SELECT doc_id, array_to_string(list_slice(tl, k + 1, k + 2), ' ') AS b
+        FROM w
+    ), per AS (
+        SELECT doc_id, b, count(*) AS cnt FROM bg GROUP BY doc_id, b
+    ), rep AS (
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(sum(cnt) FILTER (cnt > 1), 0) AS BIGINT)
+                   AS n_repeated
+        FROM per GROUP BY doc_id
+    )
+    SELECT m.doc_id,
+           CASE
+               WHEN ({_FC_PICK}) = 'und' THEN 'lang'
+               WHEN m.n_words < 20 OR m.n_words > 80 THEN 'n_words'
+               WHEN m.sum_chars < 4 * m.n_words
+                 OR m.sum_chars > 5 * m.n_words THEN 'mean_word_len'
+               WHEN 5 * m.alpha_words < 4 * m.n_words THEN 'alpha_ratio'
+               WHEN m.stop_hits < 2 THEN 'stopwords'
+               WHEN coalesce(rep.n_repeated, 0) * 5
+                    >= coalesce(rep.n_bigrams, 0) THEN 'repetition'
+               ELSE 'pass'
+           END AS reason,
+           CASE
+               WHEN ({_FC_PICK}) <> 'und'
+                AND m.n_words BETWEEN 20 AND 80
+                AND m.sum_chars BETWEEN 4 * m.n_words AND 5 * m.n_words
+                AND 5 * m.alpha_words >= 4 * m.n_words
+                AND m.stop_hits >= 2
+                AND coalesce(rep.n_repeated, 0) * 5 < coalesce(rep.n_bigrams, 0)
+               THEN TRUE ELSE FALSE
+           END AS keep
+    FROM m LEFT JOIN rep USING (doc_id)
+    """,
+)
+def doc_filter_chain(sf_dir: str):
+    """One fused pass, five production gates: at 100 TB the difference
+    between this and running doc_lang_id + doc_gopher_filter +
+    doc_repetition separately is 3x the read + 3x the tokenize — here the
+    text is read once, tokenized once, and every signal (lang-profile
+    hits, Gopher integer rules, bigram repetition mass) is computed from
+    the same flattened token arrays. Emits first-failing-reason
+    attribution ('lang' -> 'n_words' -> 'mean_word_len' -> 'alpha_ratio'
+    -> 'stopwords' -> 'repetition' -> 'pass'), the per-stage audit
+    column every corpus-curation run reports. Embarrassingly parallel,
+    zero shuffle; integer-only predicates so the oracle hash is
+    float-free."""
+    import ray.data
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+    from sciscraper_ray.stages.textstats import LANG_PROFILES
+
+    from sciscraper_ray.pipelines.queries.dedup import _ngram_positions
+
+    stops = list(_GOPHER_STOPS)
+    langs = sorted(LANG_PROFILES)
+
+    def chain(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["text"]))
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "reason": pa.array([], pa.string()),
+                    "keep": pa.array([], pa.bool_()),
+                }
+            )
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets).astype(np.int64)
+        starts = offs[:-1]
+        flat = toks.values
+        n = (offs[1:] - starts).astype(np.int64)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        alpha = (
+            pc.match_substring_regex(flat, "[a-z]")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        stop = (
+            pc.is_in(flat, value_set=pa.array(stops))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        sum_chars = np.add.reduceat(lens, starts)
+        alpha_w = np.add.reduceat(alpha, starts)
+        stop_h = np.add.reduceat(stop, starts)
+        # lang profile hits over the SAME flat token array
+        nrows = batch.num_rows
+        scores = np.zeros((len(langs), nrows), np.int64)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        for li, lang in enumerate(langs):
+            vocab = pa.array(sorted(LANG_PROFILES[lang]), type=pa.string())
+            hit = pc.is_in(flat, value_set=vocab).to_numpy(zero_copy_only=False)
+            np.add.at(scores[li], par[hit], 1)
+        lang_und = scores.max(axis=0) == 0
+        # bigram repetition mass (doc_repetition contract)
+        total = np.zeros(nrows, dtype=np.int64)
+        rep = np.zeros(nrows, dtype=np.int64)
+        pos, bg = _ngram_positions(batch, 2)
+        if len(pos):
+            pairs = pa.table({"p": pa.array(pos), "bg": bg})
+            per = pairs.group_by(["p", "bg"]).aggregate([("bg", "count")])
+            pv = per["p"].to_numpy()
+            cnt = per["bg_count"].to_numpy()
+            np.add.at(total, pv, cnt)
+            dup = cnt > 1
+            np.add.at(rep, pv[dup], cnt[dup])
+        conds = [
+            lang_und,
+            (n < 20) | (n > 80),
+            (sum_chars < 4 * n) | (sum_chars > 5 * n),
+            5 * alpha_w < 4 * n,
+            stop_h < 2,
+            rep * 5 >= total,
+        ]
+        names = [
+            "lang",
+            "n_words",
+            "mean_word_len",
+            "alpha_ratio",
+            "stopwords",
+            "repetition",
+        ]
+        reason = np.select(conds, names, default="pass")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "reason": pa.array(reason.astype(object), pa.string()),
+                "keep": pa.array(reason == "pass"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(chain, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build — slowly-changing-dimension type 2 from a change
+# stream: per user, consecutive runs of the same event_type collapse into
+# one validity interval [valid_from, valid_to), the current state's
+# valid_to is NULL, and version_seq numbers the intervals. The warehouse
+# primitive that turns an event log into a point-in-time-joinable
+# dimension table.
+
+
+@register(
+    "events_scd2",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ), ch AS (
+        SELECT user_id, event_type, ts, event_id FROM e
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS valid_to,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS version_seq
+    FROM ch
+    """,
+)
+def events_scd2(sf_dir: str):
+    """SCD2 intervals on the shared ``bucketed_window`` plan: ONE shuffle
+    on ``bucket = user_id % B`` (group count O(buckets), never O(users));
+    inside a bucket one lexsort by (user, ts, event_id), change points
+    via a shifted compare (segment start OR type != previous), valid_to
+    via a forward shift of the surviving change timestamps within each
+    user segment, version_seq via cumcount reset at user boundaries — all
+    vectorized, zero per-user dispatch. NaT/NULL marks the open (current)
+    interval on both engines."""
+    import pandas as pd
+
+    import ray.data
+
+    from sciscraper_ray.stages.window import bucketed_window
+
+    def scd2(g: pd.DataFrame) -> pd.DataFrame:
+        user = g["user_id"].to_numpy()
+        etype = g["event_type"].to_numpy()
+        ts_raw = g["ts"].astype("datetime64[us]").to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts_raw.astype("int64"), user))
+        user_s, etype_s, ts_s = user[order], etype[order], ts_raw[order]
+        n = len(order)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            same_user = user_s[1:] == user_s[:-1]
+            first[1:] = ~same_user
+            change = first.copy()
+            change[1:] |= etype_s[1:] != etype_s[:-1]
+        else:
+            change = first
+        cu, ce, cts = user_s[change], etype_s[change], ts_s[change]
+        m = len(cu)
+        valid_to = np.full(m, np.datetime64("NaT", "us"))
+        if m > 1:
+            nxt_same = cu[1:] == cu[:-1]
+            valid_to[:-1][nxt_same] = cts[1:][nxt_same]
+        # version_seq: cumcount within user over the change rows
+        seg_start = np.ones(m, dtype=bool)
+        if m > 1:
+            seg_start[1:] = cu[1:] != cu[:-1]
+        idx = np.arange(m, dtype=np.int64)
+        version_seq = idx - np.maximum.accumulate(np.where(seg_start, idx, 0)) + 1
+        return pd.DataFrame(
+            {
+                "user_id": cu,
+                "state": ce,
+                "valid_from": cts,
+                "valid_to": valid_to,
+                "version_seq": version_seq,
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return bucketed_window(ds, scd2, key="user_id")
+
+
+# ---------------------------------------------------------------------------
+# Proportional budget allocation (largest-remainder / Hamilton method):
+# given a global sampling budget, allocate per-source integer quotas
+# proportional to source sizes, exactly summing to the budget. The crawl
+# -scheduling / mixture-design primitive that feeds quota samplers like
+# doc_mixture_quota.
+
+_ALLOC_BUDGET = 100
+
+
+@register(
+    "source_budget_allocation",
+    oracle=f"""
+    WITH c AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT sum(n_docs) AS t FROM c
+    ), base AS (
+        SELECT source, n_docs,
+               (n_docs * {_ALLOC_BUDGET}) // t AS fl,
+               (n_docs * {_ALLOC_BUDGET}) % t AS rem
+        FROM c, tot
+    ), ranked AS (
+        SELECT source, n_docs, fl,
+               row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+               {_ALLOC_BUDGET} - sum(fl) OVER () AS leftover
+        FROM base
+    )
+    SELECT source, n_docs,
+           CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS quota
+    FROM ranked
+    """,
+)
+def source_budget_allocation(sf_dir: str):
+    """Integer-exact proportional quotas: one count-by-source aggregate
+    (pre-aggregated per batch by Ray's Count, exchange is O(sources)),
+    then the Hamilton largest-remainder rounding — floor shares, leftover
+    seats to the largest remainders (ties to source name) — computed
+    vectorized on the O(sources) allocation table, which is the correct
+    place for a global argsort: quotas must sum EXACTLY to the budget, a
+    property per-partition rounding cannot give. At 10^7 hosts the
+    allocation table is still driver-trivial next to the corpus."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    counts = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    n = counts["n_docs"].to_numpy(np.int64)
+    t = int(n.sum())
+    fl = n * _ALLOC_BUDGET // t
+    rem = n * _ALLOC_BUDGET % t
+    leftover = _ALLOC_BUDGET - int(fl.sum())
+    # rank by (rem desc, source asc); counts is source-sorted already
+    rk = np.empty(len(n), np.int64)
+    rk[np.lexsort((np.arange(len(n)), -rem))] = np.arange(1, len(n) + 1)
+    quota = fl + (rk <= leftover)
+    return pa.table(
+        {
+            "source": pa.array(counts["source"], pa.string()),
+            "n_docs": pa.array(n, pa.int64()),
+            "quota": pa.array(quota.astype(np.int64), pa.int64()),
+        }
+    )

@@ -359,6 +359,28 @@ _PQ_M = 8  # subspaces (64-dim / 8)
 _PQ_K = 4  # centroids per subspace (seeds: vec_id < 4, deterministic)
 
 
+def _seq_sum(parts) -> "np.ndarray":
+    """Strict left-to-right float accumulation (parts: iterable of equal-
+    shape arrays). Mirrors SQL's left-associative ``t1 + t2 + ... + tn`` so
+    both engines produce BIT-IDENTICAL doubles — the property the ann_ivf_pq
+    oracle's exact rank compare rests on (einsum/np.sum use pairwise or
+    SIMD-reordered accumulation, which can differ in the last ulp)."""
+    it = iter(parts)
+    acc = next(it).copy()
+    for p in it:
+        acc += p
+    return acc
+
+
+def _l2sq_seq(x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":
+    """(n, d) x (c, d) -> (n, c) squared-L2 with per-coordinate terms added
+    strictly left-to-right over d (see _seq_sum)."""
+    d = x.shape[1]
+    diff = x[:, None, :] - y[None, :, :]
+    sq = diff * diff
+    return _seq_sum(sq[:, :, j] for j in range(d))
+
+
 def _pq_d2_sql(m: str) -> str:
     """L2^2 between 8-dim subvectors of e.embedding and s.se at subspace
     ``m`` (1-based list indexing; explicit terms, no pow())."""
@@ -437,3 +459,248 @@ def embedding_pq_encode(sf_dir: str):
         return pa.table(cols)
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ asymmetric-distance search (IVFADC) — the billion-scale ANN layout.
+# --------------------------------------------------------------------------
+
+_IVFPQ_C = 16  # coarse centroids (deterministic seeds: vec_id < 16)
+_IVFPQ_NPROBE = 4
+
+
+def _l2_full_sql(a: str, b: str, dim: int = 64) -> str:
+    """Squared L2 between two full list<float> columns as explicit
+    left-associative terms (1-based list indexing) — bit-identical to the
+    Ray side's _l2sq_seq accumulation."""
+    return " + ".join(
+        f"(CAST({a}[{j}] AS DOUBLE) - CAST({b}[{j}] AS DOUBLE))"
+        f" * (CAST({a}[{j}] AS DOUBLE) - CAST({b}[{j}] AS DOUBLE))"
+        for j in range(1, dim + 1)
+    )
+
+
+def _sub_d2_lit_sql(a: str, b: str, m: int) -> str:
+    """Squared L2 between 8-dim subvectors at LITERAL subspace m."""
+    return " + ".join(
+        f"(CAST({a}[{m * 8 + j}] AS DOUBLE) - CAST({b}[{m * 8 + j}] AS DOUBLE))"
+        f" * (CAST({a}[{m * 8 + j}] AS DOUBLE) - CAST({b}[{m * 8 + j}] AS DOUBLE))"
+        for j in range(1, 9)
+    )
+
+
+@register(
+    "ann_ivf_pq",
+    oracle=f"""
+    WITH coarse AS (
+        SELECT vec_id AS c, embedding AS ce FROM embeddings
+        WHERE vec_id < {_IVFPQ_C}
+    ), pqseeds AS (
+        SELECT vec_id AS k, embedding AS se FROM embeddings
+        WHERE vec_id < {_PQ_K}
+    ), q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id < {N_ANN_QUERIES}
+    ), assign_rn AS (
+        SELECT e.vec_id, co.c,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_l2_full_sql("e.embedding", "co.ce")} ASC, co.c ASC
+               ) AS rn
+        FROM embeddings e, coarse co
+    ), buckets AS (
+        SELECT vec_id, c AS bucket FROM assign_rn WHERE rn = 1
+    ), subd AS (
+        SELECT e.vec_id, s.k, g.m, {_pq_d2_sql("g.m")} AS d2
+        FROM embeddings e, pqseeds s, (SELECT unnest(range({_PQ_M})) AS m) g
+    ), code_rn AS (
+        SELECT vec_id, m, k,
+               row_number() OVER (
+                   PARTITION BY vec_id, m ORDER BY d2 ASC, k ASC
+               ) AS rn
+        FROM subd
+    ), codes AS (
+        SELECT vec_id,
+               {", ".join(f"max(CASE WHEN m = {m} THEN k END) AS code_{m}" for m in range(8))}
+        FROM code_rn WHERE rn = 1 GROUP BY vec_id
+    ), probe_rn AS (
+        SELECT q.qid, co.c,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY {_l2_full_sql("q.qe", "co.ce")} ASC, co.c ASC
+               ) AS rn
+        FROM q, coarse co
+    ), probe AS (
+        SELECT qid, c FROM probe_rn WHERE rn <= {_IVFPQ_NPROBE}
+    ), lut AS (
+        SELECT q.qid, s.k,
+               {", ".join(f'{_sub_d2_lit_sql("q.qe", "s.se", m)} AS l{m}' for m in range(8))}
+        FROM q, pqseeds s
+    ), cand AS (
+        SELECT p.qid, b.vec_id AS neighbor,
+               {", ".join(f"cd.code_{m}" for m in range(8))}
+        FROM probe p
+        JOIN buckets b ON b.bucket = p.c
+        JOIN codes cd ON cd.vec_id = b.vec_id
+        WHERE b.vec_id <> p.qid
+    ), adc AS (
+        SELECT c.qid, c.neighbor,
+               {" + ".join(f"t{m}.l{m}" for m in range(8))} AS d
+        FROM cand c
+        {" ".join(f"JOIN lut t{m} ON t{m}.qid = c.qid AND t{m}.k = c.code_{m}" for m in range(8))}
+    ), ranked AS (
+        SELECT qid, neighbor,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY d ASC, neighbor ASC
+               ) AS rank
+        FROM adc
+    )
+    SELECT qid, neighbor, rank FROM ranked WHERE rank <= {ANN_K}
+    """,
+)
+def ann_ivf_pq(sf_dir: str):
+    """IVF-PQ asymmetric-distance search (Jegou, Douze, Schmid, TPAMI'11 —
+    the FAISS IVFADC layout, here without residual encoding so the oracle
+    stays closed-form): ONE fused encode pass turns each 64-dim vector into
+    a coarse bucket id plus M=8 one-byte PQ codes and DROPS the raw
+    embedding — the index that enters the bucket sort is ~10 bytes/vector
+    vs 256 raw, the 25x compression that makes a RAM-resident
+    billion-vector index possible. Queries probe their nprobe=4 nearest of
+    C=16 coarse cells; per probed batch the distance is a pure table
+    lookup: an (nq, M, K) ADC lookup table is built ONCE on the driver
+    from the broadcast codebook, and each candidate's distance is M
+    gather-adds — no floating-point vector math per candidate at all.
+
+    Determinism contract: every distance on both engines is a
+    left-associative sum of identical IEEE-double terms (_seq_sum /
+    _l2sq_seq mirror the SQL's explicit ``t1 + t2 + ...``), so coarse
+    assignment, codes, probe sets, and final ADC ranks compare BIT-EXACTLY
+    against the oracle — ties broken by id on both sides. Codebooks are
+    deterministic seeds (first C / first K embeddings); at real scale they
+    come from kmeans_fit (stages/ann.py) and the oracle property becomes a
+    recall gate like ann_ivf's.
+
+    Scale shape: encode is embarrassingly parallel; the one shuffle
+    (sort by bucket) moves only the 10-byte code rows, never embeddings;
+    search scans just the probed fraction (nprobe/C) and ships O(q x k)
+    partials to a tiny grouped merge."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from sciscraper_ray.stages.ann import _stack
+
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    head = head.filter(
+        pc.less(head["vec_id"], max(_IVFPQ_C, _PQ_K, N_ANN_QUERIES))
+    ).sort_by("vec_id")
+    mat = _stack(head["embedding"]).astype(np.float64)
+    hvids = head["vec_id"].to_numpy(zero_copy_only=False)
+    coarse = mat[hvids < _IVFPQ_C]
+    cb = np.ascontiguousarray(
+        mat[hvids < _PQ_K].reshape(_PQ_K, _PQ_M, -1).transpose(1, 0, 2)
+    )  # (M, K, 8)
+    qsel = hvids < N_ANN_QUERIES
+    qids, qmat = hvids[qsel].astype(np.int64), mat[qsel]
+
+    # driver-built, broadcast once: probe sets + the ADC lookup table
+    pd2 = _l2sq_seq(qmat, coarse)  # (nq, C)
+    order = np.lexsort(
+        (np.tile(np.arange(_IVFPQ_C), (len(qids), 1)), pd2), axis=1
+    )[:, :_IVFPQ_NPROBE]
+    probe = np.zeros((len(qids), _IVFPQ_C), dtype=bool)
+    np.put_along_axis(probe, order, True, axis=1)
+    qsub = qmat.reshape(len(qids), _PQ_M, -1)
+    qdiff = qsub[:, :, None, :] - cb[None, :, :, :]  # (nq, M, K, 8)
+    qsq = qdiff * qdiff
+    lut = _seq_sum(qsq[:, :, :, j] for j in range(8))  # (nq, M, K)
+
+    enc_ref = ray.put((coarse, cb))
+    search_ref = ray.put((qids, lut, probe))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def encode(batch: pa.Table) -> pa.Table:
+        co, cbk = ray.get(enc_ref)
+        emb = _stack(batch["embedding"]).astype(np.float64)
+        bucket = np.argmin(_l2sq_seq(emb, co), axis=1)  # first min = low c
+        sub = emb.reshape(len(emb), _PQ_M, -1)
+        diff = sub[:, :, None, :] - cbk[None, :, :, :]
+        sq = diff * diff
+        d2 = _seq_sum(sq[:, :, :, j] for j in range(8))  # (n, M, K)
+        codes = np.argmin(d2, axis=2)
+        cols = {
+            "vec_id": batch["vec_id"],
+            "bucket": pa.array(bucket.astype(np.int64)),
+        }
+        for m in range(_PQ_M):
+            cols[f"code_{m}"] = pa.array(codes[:, m].astype(np.int8))
+        return pa.table(cols)  # raw embedding dropped here
+
+    index = ds.map_batches(encode, batch_format="pyarrow").sort("bucket")
+
+    def search(batch: pa.Table) -> pa.Table:
+        qids_, lut_, probe_ = ray.get(search_ref)
+        empty = pa.table(
+            {
+                "qid": pa.array([], pa.int64()),
+                "neighbor": pa.array([], pa.int64()),
+                "d": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = batch["bucket"].to_numpy(zero_copy_only=False)
+        codes = np.stack(
+            [
+                batch[f"code_{m}"].to_numpy(zero_copy_only=False)
+                for m in range(_PQ_M)
+            ],
+            axis=1,
+        ).astype(np.int64)
+        cand = probe_[:, bk]  # (nq, n)
+        cand &= vids[None, :] != qids_[:, None]
+        if not cand.any():
+            return empty
+        adc = _seq_sum(lut_[:, m, :][:, codes[:, m]] for m in range(_PQ_M))
+        rows_q, rows_n, rows_d = [], [], []
+        for qi in range(len(qids_)):
+            idx = np.nonzero(cand[qi])[0]
+            if not len(idx):
+                continue
+            sel = idx[np.lexsort((vids[idx], adc[qi, idx]))][:ANN_K]
+            rows_q.extend([qids_[qi]] * len(sel))
+            rows_n.extend(vids[sel].tolist())
+            rows_d.extend(adc[qi, sel].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(rows_q, pa.int64()),
+                "neighbor": pa.array(rows_n, pa.int64()),
+                "d": pa.array(rows_d, pa.float64()),
+            }
+        )
+
+    def reduce_asc(g):
+        import pandas as pd
+
+        g = g.sort_values(["d", "neighbor"], ascending=True).head(ANN_K)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "qid": g["qid"],
+                "neighbor": g["neighbor"],
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    merged = (
+        index.map_batches(search, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(reduce_asc, batch_format="pandas")
+    )
+    return merged.select_columns(["qid", "neighbor", "rank"])

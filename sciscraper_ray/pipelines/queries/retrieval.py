@@ -2223,3 +2223,120 @@ def lr_train_gd(sf_dir: str):
             "train_acc": pa.array([round(float(agg["correct"] / agg["cnt"]), 6)]),
         }
     )
+
+
+@register(
+    "doc_bigram_lm_ppl",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest({_SQL_TOKENS}) AS token,
+               unnest(range(len({_SQL_TOKENS}))) AS ord
+        FROM documents
+    ), uni AS (
+        SELECT token, count(*) AS c1 FROM toks GROUP BY token
+    ), vsz AS (
+        SELECT count(*) AS v FROM uni
+    ), bg AS (
+        SELECT a.doc_id, a.token AS w1, b.token AS w2
+        FROM toks a JOIN toks b
+          ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+    ), bgc AS (
+        SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+    ), terms AS (
+        SELECT bg.doc_id,
+               ln((bgc.c2 + 1.0) / (uni.c1 + vsz.v)) AS t
+        FROM bg
+        JOIN bgc USING (w1, w2)
+        JOIN uni ON uni.token = bg.w1
+        CROSS JOIN vsz
+    ), agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(sum(t) / count(*), 6) AS avg_logprob
+        FROM terms GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(agg.n_bigrams, 0) AS n_bigrams,
+           agg.avg_logprob
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def doc_bigram_lm_ppl(sf_dir: str):
+    """Bigram-LM log-likelihood scoring — the CCNet/KenLM perplexity
+    filter shape one order up from doc_unigram_freq_score: train pass
+    counts global unigrams and bigrams (per-batch value-count partials ->
+    vocabulary-sized groupby — Heaps'-law bounded; in production the
+    trained LM is the broadcast artifact, exactly as KenLM's binary is),
+    the two count tables broadcast once via ray.put; score pass maps each
+    document's adjacent token pairs through add-one smoothing
+    P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) and emits the per-token average
+    log-probability (the log-domain perplexity equivalent CCNet buckets
+    on). Term sums accumulate per doc over <=100 terms; both engines
+    round to 6 decimals, burying the <=1e-13 libm/associativity spread.
+    Zero shuffle in the score pass."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+    from sciscraper_ray.pipelines.queries.dedup import _ngram_positions
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(tokenize_column(batch["text"]))
+        vc = flat.value_counts()
+        return pa.table({"token": vc.field("values"), "cnt": vc.field("counts")})
+
+    def bg_partial(batch: pa.Table) -> pa.Table:
+        _, bgs = _ngram_positions(batch, 2)
+        vc = bgs.value_counts()
+        return pa.table({"bg": vc.field("values"), "cnt": vc.field("counts")})
+
+    uni = (
+        _docs(sf_dir)
+        .map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    bgc = (
+        _docs(sf_dir)
+        .map_batches(bg_partial, batch_format="pyarrow")
+        .groupby("bg")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    vocab_size = len(uni)
+    lm_ref = ray.put(
+        (
+            pd.Series(uni["cnt"].to_numpy(np.int64), index=uni["token"]),
+            pd.Series(bgc["cnt"].to_numpy(np.int64), index=bgc["bg"]),
+            vocab_size,
+        )
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        uni_lut, bg_lut, v = ray.get(lm_ref)
+        pos, bgs = _ngram_positions(batch, 2)
+        n = batch.num_rows
+        n_bg = np.zeros(n, np.int64)
+        tsum = np.zeros(n, np.float64)
+        if len(pos):
+            bgs_pd = pd.Series(bgs.to_pandas())
+            c2 = bgs_pd.map(bg_lut).to_numpy(np.int64)
+            w1 = bgs_pd.str.split(" ").str[0]
+            c1 = w1.map(uni_lut).to_numpy(np.int64)
+            terms = np.log((c2 + 1.0) / (c1 + v))
+            np.add.at(n_bg, pos, 1)
+            np.add.at(tsum, pos, terms)
+        avg = np.full(n, np.nan)
+        nz = n_bg > 0
+        avg[nz] = np.round(tsum[nz] / n_bg[nz], 6)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bigrams": pa.array(n_bg, pa.int64()),
+                "avg_logprob": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")

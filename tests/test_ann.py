@@ -132,3 +132,62 @@ def test_kmeans_fit_distributed():
     # every true center has a fitted centroid at cosine ~1
     sims = cosine_matrix(centers, cents)
     assert (sims.max(axis=1) > 0.99).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_pq_adc_search():
+    """IVF-PQ: deterministic shape (10 queries x 5 ranks), no self-matches,
+    bit-exact rerun, and the ADC ranking agrees with a driver-side numpy
+    replay of the same codebook math (the oracle equivalence itself is the
+    correctness tool's job)."""
+    from sciscraper_ray.pipelines.queries import (
+        _IVFPQ_C,
+        _IVFPQ_NPROBE,
+        _PQ_K,
+        _PQ_M,
+        _l2sq_seq,
+        _seq_sum,
+        ann_ivf_pq,
+    )
+    from sciscraper_ray.stages.ann import _stack
+
+    sf = "/root/testdata/sf0.001"
+    got = ann_ivf_pq(sf).to_pandas().sort_values(["qid", "rank"])
+    assert got.qid.nunique() == 10
+    assert all(
+        list(g) == [1, 2, 3, 4, 5] for _, g in got.groupby("qid")["rank"]
+    )
+    assert (got.qid != got.neighbor).all()
+
+    # bit-exact rerun (the determinism contract the oracle compare rests on)
+    again = ann_ivf_pq(sf).to_pandas().sort_values(["qid", "rank"])
+    assert got.reset_index(drop=True).equals(again.reset_index(drop=True))
+
+    # full numpy replay: same seeds, same left-to-right accumulation
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _stack(t["embedding"]).astype(np.float64)
+    order = np.argsort(vids)
+    vids, mat = vids[order], mat[order]
+    coarse, cb = mat[:_IVFPQ_C], mat[:_PQ_K].reshape(_PQ_K, _PQ_M, -1).transpose(1, 0, 2)
+    bucket = np.argmin(_l2sq_seq(mat, coarse), axis=1)
+    sub = mat.reshape(len(mat), _PQ_M, -1)
+    sq = (sub[:, :, None, :] - cb[None]) ** 2
+    codes = np.argmin(_seq_sum(sq[:, :, :, j] for j in range(8)), axis=2)
+    qmat, qids = mat[:10], vids[:10]
+    pd2 = _l2sq_seq(qmat, coarse)
+    qsq = (qmat.reshape(10, _PQ_M, -1)[:, :, None, :] - cb[None]) ** 2
+    lut = _seq_sum(qsq[:, :, :, j] for j in range(8))
+    for qi in range(10):
+        probed = set(
+            np.lexsort((np.arange(_IVFPQ_C), pd2[qi]))[:_IVFPQ_NPROBE].tolist()
+        )
+        cand = np.array(
+            [i for i in range(len(vids)) if bucket[i] in probed and vids[i] != qids[qi]]
+        )
+        adc = _seq_sum(lut[qi, m, codes[cand, m]] for m in range(_PQ_M))
+        exp = vids[cand[np.lexsort((vids[cand], adc))][:5]].tolist()
+        mine = got[got.qid == qids[qi]].sort_values("rank")["neighbor"].tolist()
+        assert mine == exp, (qids[qi], mine, exp)
