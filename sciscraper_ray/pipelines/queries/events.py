@@ -187,3 +187,197 @@ def events_json_props(sf_dir: str):
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# Mergeable histogram-quantile sketch — the single-pass scale path for
+# percentiles. The exact quantile (lineitem_quantiles) sorts the column;
+# this sketch streams ONE integer-count pass over fixed unit-width
+# buckets and answers any quantile from the O(range/width) histogram —
+# the mergeable-summary contract (t-digest/KLL shape) with deterministic
+# integer state, so the oracle is exact rather than approximate-gated.
+
+_QSKETCH_PCTS = (50, 90, 95, 99)
+
+
+@register(
+    "events_value_quantile_sketch",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(floor(value) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY bucket
+    ), tot AS (
+        SELECT sum(cnt) AS n FROM b
+    ), c AS (
+        SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM b
+    ), qs AS (
+        SELECT unnest({list(_QSKETCH_PCTS)}) AS q_pct
+    )
+    SELECT q_pct,
+           CAST(ceil(q_pct * n / 100.0) AS BIGINT) AS rank_threshold,
+           CAST(min(bucket) AS BIGINT) AS bucket
+    FROM qs, c, tot
+    WHERE c.cum >= ceil(q_pct * n / 100.0)
+    GROUP BY q_pct, n
+    """,
+)
+def events_value_quantile_sketch(sf_dir: str):
+    """One streamed pass: per-batch integer bucket counts (unit-width
+    floor buckets — exact floats floor identically on both engines), a
+    bucket-cardinality-bounded groupby-Sum merge (the sketch state, NOT
+    the rows, is what shuffles — O(value_range/width) integers per
+    block), then every requested percentile answered from the cumulative
+    histogram on the driver. At 10^12 events the pass is the same size;
+    only the histogram merge grows with bucket count. Integer counts and
+    thresholds end to end, so the check is exact."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        buckets = np.floor(v).astype(np.int64)
+        uniq, cnt = np.unique(buckets, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(uniq, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    cum = hist["cnt"].to_numpy(np.int64).cumsum()
+    buckets = hist["bucket"].to_numpy(np.int64)
+    n = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for q in _QSKETCH_PCTS:
+        thr = int(np.ceil(q * n / 100.0))
+        idx = int(np.searchsorted(cum, thr))
+        rows.append((q, thr, int(buckets[idx])))
+    return pa.table(
+        {
+            "q_pct": pa.array([r[0] for r in rows], pa.int64()),
+            "rank_threshold": pa.array([r[1] for r in rows], pa.int64()),
+            "bucket": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window DISTINCT count — the non-additive window aggregate:
+# distinct users over each trailing 3-hour window. Sums slide by pane
+# addition (events_sliding); distincts cannot, so the plan reduces the
+# stream to distinct (hour, user) pairs FIRST (the only full-data
+# exchange, bounded by distinct pairs, not events), fans each pair out
+# to the <=3 windows it can serve, re-distincts on (window, user) — a
+# user active in two source hours of one window must count once — and
+# counts per window.
+
+_DISTINCT_WIN_H = 3
+_US_PER_HOUR = 3_600_000_000
+
+
+@register(
+    "events_distinct_sliding",
+    oracle=f"""
+    WITH p AS (
+        SELECT DISTINCT epoch_us(ts) // {_US_PER_HOUR} AS hour, user_id
+        FROM events
+    ), w AS (
+        SELECT DISTINCT hour FROM p
+    )
+    SELECT w.hour,
+           CAST(count(DISTINCT p.user_id) AS BIGINT) AS distinct_users_3h
+    FROM w JOIN p ON p.hour BETWEEN w.hour - {_DISTINCT_WIN_H - 1} AND w.hour
+    GROUP BY w.hour
+    """,
+)
+def events_distinct_sliding(sf_dir: str):
+    """Three bounded exchanges, none event-sized: (1) per-batch
+    np.unique partials -> groupby count gives globally-distinct
+    (hour, user) pairs; (2) each pair repeats into the {win} trailing
+    windows it serves (vectorized), filtered to OBSERVED windows via a
+    broadcast hour set (tiny), then re-distincted on (window, user);
+    (3) integer count per window. Exchange sizes are distinct-pair
+    bounded — at 10^12 events with 10^8 users x 10^3 hours the pair
+    table is the 10^4x-smaller object that shuffles."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        hour = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // _US_PER_HOUR
+        )
+        user = batch["user_id"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([hour, user], axis=1), axis=0)
+        return pa.table(
+            {
+                "hour": pa.array(uniq[:, 0], pa.int64()),
+                "user_id": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["hour", "user_id"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    # observed windows: tiny hour set, computed from the pair table and
+    # broadcast (hours are bounded by the stream's time span)
+    hours = pairs.groupby("hour").aggregate(Count(alias_name="n")).to_pandas()
+    observed_ref = ray.put(np.sort(hours["hour"].to_numpy(np.int64)))
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        observed = ray.get(observed_ref)
+        h = batch["hour"].to_numpy(zero_copy_only=False)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        win = (h[:, None] + np.arange(_DISTINCT_WIN_H)[None, :]).ravel()
+        usr = np.repeat(u, _DISTINCT_WIN_H)
+        keep = np.isin(win, observed)
+        win, usr = win[keep], usr[keep]
+        uniq = np.unique(np.stack([win, usr], axis=1), axis=0)
+        return pa.table(
+            {
+                "hour": pa.array(uniq[:, 0], pa.int64()),
+                "user_id": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
+
+    wu = (
+        pairs.map_batches(fanout, batch_format="pyarrow")
+        .groupby(["hour", "user_id"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        h = batch["hour"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "hour": pa.array(uniq, pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        wu.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum(on="c", alias_name="distinct_users_3h"))
+    )
+    return out
