@@ -2551,3 +2551,120 @@ def source_budget_allocation(sf_dir: str):
             "quota": pa.array(quota.astype(np.int64), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction — the table-maintenance job every lakehouse runs:
+# a fragmented dataset (many tiny files, the natural debris of streaming
+# ingestion / per-wave resumable writes) is rewritten into few
+# near-target-size files. The oracle is the content aggregate, so any
+# row lost or duplicated by the rewrite breaks the hash; the file-count
+# reduction is asserted in-code (the oracle cannot see the filesystem).
+
+
+@register(
+    "small_files_compaction",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def small_files_compaction(sf_dir: str):
+    """Fragment documents into 64 shard files (repartition + write — the
+    ingestion-debris fixture), compact by reading the fragment directory
+    and rewriting at 4 blocks, then aggregate the compacted copy. The
+    compaction itself is the streaming read -> repartition -> write: no
+    driver materialization, and at warehouse scale the same job runs per
+    partition directory so each compaction unit is bounded. Fresh temp
+    dirs per call (no cross-run cache to go stale)."""
+    import tempfile
+
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    frag_dir = tempfile.mkdtemp(prefix="compact_in_", dir="/tmp")
+    out_dir = tempfile.mkdtemp(prefix="compact_out_", dir="/tmp")
+    ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).repartition(64).write_parquet(frag_dir)
+
+    import os
+
+    n_frag = len([f for f in os.listdir(frag_dir) if f.endswith(".parquet")])
+    ray.data.read_parquet(frag_dir).repartition(4).write_parquet(out_dir)
+    n_out = len([f for f in os.listdir(out_dir) if f.endswith(".parquet")])
+    if not (n_out < n_frag):
+        raise RuntimeError(f"compaction did not reduce files: {n_frag}->{n_out}")
+
+    return (
+        ray.data.read_parquet(out_dir, columns=["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum(on="n_chars", alias_name="total_chars"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust per-user anomaly flags (median absolute deviation): an event is
+# an outlier when |value - user_median| > 3 * user_MAD. Means/stds are
+# skew-fragile on web-scale telemetry; MAD is the robust-stats standard.
+# Both medians interpolate even counts as (a+b)/2 — identical float ops
+# on both engines, so the strict-> comparison needs no rounding.
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, median(value) AS med FROM events GROUP BY user_id
+    ), a AS (
+        SELECT e.user_id, median(abs(e.value - m.med)) AS mad
+        FROM events e JOIN m USING (user_id) GROUP BY e.user_id
+    )
+    SELECT e.event_id, e.user_id,
+           (abs(e.value - m.med) > 3 * a.mad) AS is_outlier
+    FROM events e JOIN m USING (user_id) JOIN a ON a.user_id = e.user_id
+    """,
+)
+def events_anomaly_mad(sf_dir: str):
+    """Two order statistics per user WITHOUT per-user dispatch: the
+    shared bucketed_window plan (one shuffle on user_id % B), then inside
+    a bucket one lexsort by (user, value) gives every user's median via
+    segment-offset arithmetic, a second stable lexsort on the deviations
+    gives the MAD, and the flags map back through the sort permutation —
+    all vectorized across the bucket's users."""
+    import pandas as pd
+
+    import ray.data
+
+    from sciscraper_ray.stages.window import bucketed_window
+
+    def mad_flags(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(np.float64)
+        u = g["user_id"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((v, u))
+        us, vs = u[order], v[order]
+        new_seg = np.r_[True, us[1:] != us[:-1]]
+        starts = np.nonzero(new_seg)[0]
+        counts = np.diff(np.r_[starts, len(us)])
+        lo = starts + (counts - 1) // 2
+        hi = starts + counts // 2
+        med_seg = (vs[lo] + vs[hi]) / 2
+        segid = np.cumsum(new_seg) - 1
+        dev = np.abs(vs - med_seg[segid])
+        order2 = np.lexsort((dev, us))  # per-segment sort of deviations
+        dev_s = dev[order2]
+        mad_seg = (dev_s[lo] + dev_s[hi]) / 2
+        return pd.DataFrame(
+            {
+                "event_id": eid[order],
+                "user_id": us,
+                "is_outlier": dev > 3 * mad_seg[segid],
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    return bucketed_window(ds, mad_flags, key="user_id")

@@ -47,3 +47,39 @@ def test_distinct_sliding_matches_pandas_replay():
     for h in hours[:: max(1, len(hours) // 25)]:
         exp = pairs.loc[pairs.hour.between(h - 2, h), "user_id"].nunique()
         assert got.loc[h] == exp, h
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compaction_preserves_content_and_reduces_files():
+    from sciscraper_ray.pipelines.queries import small_files_compaction
+
+    got = small_files_compaction(SF).to_pandas().sort_values("lang")
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["lang", "n_chars"]
+    ).to_pandas()
+    exp = docs.groupby("lang").agg(n_docs=("lang", "size"), total_chars=("n_chars", "sum"))
+    for _, r in got.iterrows():
+        assert r.n_docs == exp.loc[r.lang, "n_docs"]
+        assert r.total_chars == exp.loc[r.lang, "total_chars"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mad_flags_match_pandas_replay():
+    from sciscraper_ray.pipelines.queries import events_anomaly_mad
+
+    got = (
+        events_anomaly_mad(SF).to_pandas().set_index("event_id").sort_index()
+    )
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "value"]
+    ).to_pandas()
+    med = ev.groupby("user_id")["value"].median()
+    dev = (ev["value"] - ev["user_id"].map(med)).abs()
+    mad = dev.groupby(ev["user_id"]).median()
+    exp = (
+        ev.assign(f=(dev > 3 * ev["user_id"].map(mad)))
+        .set_index("event_id")["f"]
+        .sort_index()
+    )
+    assert (got["is_outlier"] == exp).all()
+    assert got["is_outlier"].sum() > 0  # the rule actually fires
