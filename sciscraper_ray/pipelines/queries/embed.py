@@ -704,3 +704,94 @@ def ann_ivf_pq(sf_dir: str):
         .map_groups(reduce_asc, batch_format="pandas")
     )
     return merged.select_columns(["qid", "neighbor", "rank"])
+
+# --------------------------------------------------------------------------
+# Per-dimension feature statistics — the distributed "scaler fit" every
+# embedding pipeline runs before normalization/whitening/quantization.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH flat AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ), a AS (
+        SELECT dim, count(*) AS n, sum(x) AS s, sum(x * x) AS ss,
+               min(x) AS mn, max(x) AS mx
+        FROM flat GROUP BY dim
+    )
+    SELECT dim,
+           round(s / n, 6) AS mean,
+           round(sqrt(greatest(ss / n - (s / n) * (s / n), 0)), 6) AS std,
+           round(mn, 6) AS vmin,
+           round(mx, 6) AS vmax
+    FROM a ORDER BY dim
+    """,
+)
+def embedding_dim_stats(sf_dir: str):
+    """Distributed per-dimension moments over the vector column (StandardScaler
+    fit): each batch contributes one (d,)-row partial of (n, sum, sumsq,
+    min, max) computed as column reductions of the stacked (n, d) matrix —
+    the exchange is d rows per block regardless of corpus size, and the
+    final groupby merges |blocks| * d tiny rows. Population std uses the
+    same naive ss/n - mean^2 form on both engines (clamped at 0), so
+    round(,6) pins the comparison."""
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    from sciscraper_ray.stages.ann import _stack
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        m = _stack(b["embedding"])
+        d = m.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+                "n_p": pa.array(np.full(d, m.shape[0], dtype=np.int64)),
+                "s_p": pa.array(m.sum(axis=0), pa.float64()),
+                "ss_p": pa.array((m * m).sum(axis=0), pa.float64()),
+                "mn_p": pa.array(m.min(axis=0), pa.float64()),
+                "mx_p": pa.array(m.max(axis=0), pa.float64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(dim_partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            Sum(on="n_p", alias_name="n"),
+            Sum(on="s_p", alias_name="s"),
+            Sum(on="ss_p", alias_name="ss"),
+            Min(on="mn_p", alias_name="mn"),
+            Max(on="mx_p", alias_name="mx"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b["s"].to_numpy(zero_copy_only=False)
+        ss = b["ss"].to_numpy(zero_copy_only=False)
+        mean = s / n
+        std = np.sqrt(np.maximum(ss / n - mean * mean, 0.0))
+        return pa.table(
+            {
+                "dim": b["dim"],
+                "mean": pa.array(np.round(mean, 6), pa.float64()),
+                "std": pa.array(np.round(std, 6), pa.float64()),
+                "vmin": pa.array(
+                    np.round(b["mn"].to_numpy(zero_copy_only=False), 6),
+                    pa.float64(),
+                ),
+                "vmax": pa.array(
+                    np.round(b["mx"].to_numpy(zero_copy_only=False), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -381,3 +381,161 @@ def events_distinct_sliding(sf_dir: str):
         .aggregate(Sum(on="c", alias_name="distinct_users_3h"))
     )
     return out
+
+# --------------------------------------------------------------------------
+# Audience overlap: distinct users shared by each event-type pair. The
+# segmentation/co-occurrence primitive (market-basket over event types).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_user_overlap",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS users
+    FROM d a JOIN d b ON a.user_id = b.user_id
+                     AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    """,
+)
+def events_user_overlap(sf_dir: str):
+    """Co-occurrence counting without the quadratic self-join: per-batch
+    distinct (user, type) shrinks the exchange to <= users*types rows,
+    ONE shuffle co-locates each user's rows (bucketed, not per-user
+    dispatch), and inside a bucket the pair counts for ALL its users are
+    one boolean-matrix product B^T @ B (users x types incidence) — the
+    self-join the oracle runs never materializes. Partial pair counts
+    (<= types^2 rows per bucket) merge in a tiny final groupby."""
+    import pandas as pd
+
+    import ray.data
+
+    from sciscraper_ray.stages.window import bucketed_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def batch_distinct(b: pa.Table) -> pa.Table:
+        return b.group_by(["user_id", "event_type"]).aggregate([])
+
+    def bucket_overlap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"])
+        u_codes, _ = pd.factorize(g["user_id"], sort=False)
+        t_codes, t_uniq = pd.factorize(g["event_type"], sort=True)
+        m = np.zeros((u_codes.max() + 1, len(t_uniq)), dtype=np.int64)
+        m[u_codes, t_codes] = 1
+        co = m.T @ m
+        ia, ib = np.triu_indices(len(t_uniq), k=1)
+        cnt = co[ia, ib]
+        keep = cnt > 0
+        return pd.DataFrame(
+            {
+                "type_a": np.asarray(t_uniq)[ia[keep]],
+                "type_b": np.asarray(t_uniq)[ib[keep]],
+                "partial": cnt[keep],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        bucketed_window(
+            ds.map_batches(batch_distinct, batch_format="pyarrow"),
+            bucket_overlap,
+            key="user_id",
+        )
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum(on="partial", alias_name="users"))
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# k-anonymity / l-diversity audit over quasi-identifier groups — the
+# privacy gate a curation pipeline runs before releasing event data.
+# --------------------------------------------------------------------------
+
+_KANON_K = 5
+_KANON_L = 3
+
+
+@register(
+    "events_k_anonymity",
+    oracle=f"""
+    SELECT event_type, CAST(floor(value) AS BIGINT) AS band,
+           count(*) AS cnt,
+           count(DISTINCT user_id) AS users,
+           (count(*) < {_KANON_K} OR count(DISTINCT user_id) < {_KANON_L})
+               AS suppressed
+    FROM events GROUP BY event_type, band
+    """,
+)
+def events_k_anonymity(sf_dir: str):
+    """Sweeney's k-anonymity plus l-diversity on the sensitive attribute
+    (user_id): a quasi-identifier group (event_type, value band) is
+    suppressed when it holds < k records or < l distinct users.
+
+    The exact distinct count never ships raw rows: per-batch pre-agg to
+    (type, band, user, partial_cnt), one groupby merges the partials
+    (bounded by |types|*|bands|*|users|), a second per-batch fold turns
+    each merged row-group into (users_partial, cnt_partial), and the
+    final groupby is over the tiny QI-group table."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value", "user_id"]
+    )
+
+    def qid_partial(b: pa.Table) -> pa.Table:
+        band = pc.cast(pc.floor(b["value"]), pa.int64())
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "band": band,
+                "user_id": b["user_id"],
+            }
+        )
+        g = t.group_by(["event_type", "band", "user_id"]).aggregate(
+            [("user_id", "count")]
+        )
+        return g.rename_columns(["event_type", "band", "user_id", "c"])
+
+    per_user = (
+        ds.map_batches(qid_partial, batch_format="pyarrow")
+        .groupby(["event_type", "band", "user_id"])
+        .aggregate(Sum(on="c", alias_name="cnt_u"))
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type", "band"]).aggregate(
+            [("user_id", "count"), ("cnt_u", "sum")]
+        )
+        return g.rename_columns(["event_type", "band", "users_p", "cnt_p"])
+
+    grouped = (
+        per_user.map_batches(fold, batch_format="pyarrow")
+        .groupby(["event_type", "band"])
+        .aggregate(
+            Sum(on="users_p", alias_name="users"),
+            Sum(on="cnt_p", alias_name="cnt"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        supp = pc.or_(
+            pc.less(b["cnt"], _KANON_K), pc.less(b["users"], _KANON_L)
+        )
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "band": b["band"],
+                "cnt": b["cnt"],
+                "users": b["users"],
+                "suppressed": supp,
+            }
+        )
+
+    return grouped.map_batches(finish, batch_format="pyarrow")

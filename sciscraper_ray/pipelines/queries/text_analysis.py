@@ -178,3 +178,78 @@ def doc_winnow(sf_dir: str):
     )
 
 
+
+# --------------------------------------------------------------------------
+# Unigram entropy — the information-density quality signal (low-entropy
+# documents are template/spam boilerplate; CCNet and Gopher both gate on
+# repetition, entropy is the scale-free generalization). One tokenize pass,
+# all per-doc statistics from bincount over the flat (doc, token) counts.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_token_entropy",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), counts AS (
+        SELECT doc_id, token, count(*) AS c FROM toks GROUP BY doc_id, token
+    ), agg AS (
+        SELECT doc_id, sum(c) AS n, count(*) AS types,
+               sum(c * log2(c)) AS s
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(types AS BIGINT) AS n_types,
+           round(log2(n) - s / n, 6) AS entropy,
+           CASE WHEN types > 1
+                THEN round((log2(n) - s / n) / log2(types), 6)
+                ELSE 0.0 END AS norm_entropy
+    FROM agg
+    """,
+)
+def doc_token_entropy(sf_dir: str):
+    """Per-document Shannon entropy of the unigram distribution plus the
+    type-normalized variant (entropy / log2(n_types), the 'efficiency' —
+    1.0 means a uniform vocabulary, ~0 means one token dominates).
+
+    Embarrassingly parallel: no shuffle at all. Per batch the identity
+    H = log2(n) - sum(c*log2(c))/n needs only the per-(doc, token)
+    counts, which one pandas groupby computes vectorized; the three
+    per-doc reductions are bincounts over the group->doc index. Both
+    engines evaluate the identical closed form, so round(,6) pins the
+    float comparison."""
+    import pandas as pd
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def entropy_batch(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        lens = np.diff(offs)
+        doc = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        df = pd.DataFrame({"d": doc, "t": toks.flatten().to_pandas()})
+        grp = df.groupby(["d", "t"], sort=False).size()
+        d_idx = grp.index.get_level_values(0).to_numpy()
+        cv = grp.to_numpy().astype(np.float64)
+        nb = len(batch)
+        n = np.bincount(d_idx, weights=cv, minlength=nb)
+        types = np.bincount(d_idx, minlength=nb).astype(np.int64)
+        s = np.bincount(d_idx, weights=cv * np.log2(cv), minlength=nb)
+        ent = np.log2(n) - s / n
+        denom = np.where(types > 1, np.log2(np.maximum(types, 2)), 1.0)
+        norm = np.where(types > 1, ent / denom, 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n.astype(np.int64), pa.int64()),
+                "n_types": pa.array(types, pa.int64()),
+                "entropy": pa.array(np.round(ent, 6), pa.float64()),
+                "norm_entropy": pa.array(np.round(norm, 6), pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(entropy_batch, batch_format="pyarrow")

@@ -1,0 +1,84 @@
+"""Round-4 late additions: unigram entropy, audience overlap, k-anonymity
+audit, per-dimension embedding stats — each recomputed from first
+principles in pandas/numpy (oracle parity runs in
+tools/check_correctness.py)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from sciscraper_ray.pipelines.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_doc_token_entropy_matches_closed_form(ray_session):
+    out = (
+        QUERIES["doc_token_entropy"](SF)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    docs = pd.read_parquet(SF + "/documents.parquet")
+    for _, row in docs.head(40).iterrows():
+        toks = row["text"].strip().lower().split(" ")
+        n = len(toks)
+        counts = pd.Series(toks).value_counts()
+        ent = math.log2(n) - sum(c * math.log2(c) for c in counts) / n
+        got = out.loc[row["doc_id"]]
+        assert got["n_tokens"] == n
+        assert got["n_types"] == len(counts)
+        assert got["entropy"] == round(ent, 6)
+        if len(counts) > 1:
+            assert got["norm_entropy"] == round(ent / math.log2(len(counts)), 6)
+        else:
+            assert got["norm_entropy"] == 0.0
+
+
+def test_events_user_overlap_matches_pair_join(ray_session):
+    out = QUERIES["events_user_overlap"](SF).to_pandas()
+    ev = pd.read_parquet(SF + "/events.parquet", columns=["user_id", "event_type"])
+    d = ev.drop_duplicates()
+    j = d.merge(d, on="user_id")
+    j = j[j["event_type_x"] < j["event_type_y"]]
+    want = (
+        j.groupby(["event_type_x", "event_type_y"])
+        .size()
+        .reset_index(name="users")
+    )
+    got = out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+    want = want.sort_values(["event_type_x", "event_type_y"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["type_a"].to_numpy() == want["event_type_x"].to_numpy()).all()
+    assert (got["type_b"].to_numpy() == want["event_type_y"].to_numpy()).all()
+    assert (got["users"].to_numpy() == want["users"].to_numpy()).all()
+
+
+def test_events_k_anonymity_flags_small_groups(ray_session):
+    out = QUERIES["events_k_anonymity"](SF).to_pandas()
+    ev = pd.read_parquet(SF + "/events.parquet")
+    ev["band"] = np.floor(ev["value"]).astype(np.int64)
+    want = ev.groupby(["event_type", "band"]).agg(
+        cnt=("event_id", "size"), users=("user_id", "nunique")
+    )
+    got = out.set_index(["event_type", "band"]).sort_index()
+    want = want.sort_index()
+    assert len(got) == len(want)
+    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+    assert (got["users"].to_numpy() == want["users"].to_numpy()).all()
+    expect_supp = (want["cnt"] < 5) | (want["users"] < 3)
+    assert (got["suppressed"].to_numpy() == expect_supp.to_numpy()).all()
+    # the fine banding must actually exercise both flag values
+    assert got["suppressed"].any() and not got["suppressed"].all()
+
+
+def test_embedding_dim_stats_matches_numpy(ray_session):
+    out = QUERIES["embedding_dim_stats"](SF).to_pandas().sort_values("dim")
+    emb = pd.read_parquet(SF + "/embeddings.parquet", columns=["embedding"])
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    assert len(out) == m.shape[1]
+    np.testing.assert_allclose(out["mean"], np.round(m.mean(0), 6), atol=2e-6)
+    np.testing.assert_allclose(out["std"], np.round(m.std(0), 6), atol=2e-6)
+    np.testing.assert_array_equal(out["vmin"], np.round(m.min(0), 6))
+    np.testing.assert_array_equal(out["vmax"], np.round(m.max(0), 6))
