@@ -57,15 +57,48 @@ _DRIVER_CHECKED_R123 = (
 )
 
 
+# Must-recheck head of the sample window: the queries VERDICT r3 calls out
+# by name (ann_ivf has never shown the driver a green row; doc_ngram_novelty,
+# orders_by_region, events_debounce and events_user_mode changed physical
+# plans in round 4; the rest are the "never oracle-checked" set the verdict
+# lists), plus the round-4 late additions. The never-checked remainder
+# follows in registration order; everything driver-green in r1-r3 sits
+# behind. The front group (70 never-checked) exceeds the 50-query sample,
+# so this tier decides WHICH never-checked queries get external evidence
+# this round — all 170 are green in the committed local full sweep.
+_PRIORITY = (
+    "ann_ivf", "doc_ngram_novelty", "orders_by_region",
+    "events_debounce", "events_user_mode", "graph_pagerank",
+    "doc_dup_substrings", "dedup_editdistance", "dedup_ngram_jaccard",
+    "doc_segment_dedup", "cdc_merge", "zonemap_scan",
+    "events_user_overlap", "events_k_anonymity",
+    "embedding_dim_stats", "doc_token_entropy", "source_kl_divergence",
+    # richest never-checked round-4 ops, ahead of the simpler round-2
+    # window/statistics family (each family keeps >=1 representative in
+    # the window via the registration-order tail below)
+    "doc_filter_chain", "events_scd2", "lr_train_gd", "doc_bigram_lm_ppl",
+    "dedup_exact_stateful", "bucketed_storage_join", "doc_dsir_weight",
+    "doc_shuffle_deterministic", "small_files_compaction",
+    "events_anomaly_mad", "source_budget_allocation", "events_watermark",
+    "jsonl_roundtrip", "embedding_quantize", "event_type_hll_users",
+    "bloom_semijoin", "token_cms_estimate", "corpus_summary",
+    "url_canonicalize", "crawl_delta", "revenue_by_nation",
+    "doc_normalize", "events_value_histogram", "lang_partitioned_write",
+)
+
+
 def _rotate_registry() -> None:
-    """Rebuild both registries: never-driver-checked first (registration
-    order), driver-checked behind (registration order)."""
+    """Rebuild both registries: must-recheck tier first, then the rest of
+    the never-driver-checked set (registration order), driver-checked
+    behind (registration order)."""
     checked = set(_DRIVER_CHECKED_R123)
+    pri = {n: i for i, n in enumerate(_PRIORITY)}
 
     def reorder(d: dict) -> dict:
-        front = [n for n in d if n not in checked]
-        back = [n for n in d if n in checked]
-        return {n: d[n] for n in front + back}
+        head = sorted((n for n in d if n in pri), key=pri.__getitem__)
+        front = [n for n in d if n not in checked and n not in pri]
+        back = [n for n in d if n in checked and n not in pri]
+        return {n: d[n] for n in head + front + back}
 
     qs = reorder(QUERIES)
     QUERIES.clear()

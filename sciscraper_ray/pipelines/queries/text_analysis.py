@@ -253,3 +253,97 @@ def doc_token_entropy(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(entropy_batch, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Per-source KL divergence from the corpus unigram distribution — the
+# domain-shift / mixture-drift metric a curation pipeline tracks per
+# ingest source (DoReMi/DSIR-style domain weighting starts from exactly
+# these distributional distances).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "source_kl_divergence",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), c AS (
+        SELECT source, token, count(*) AS c FROM toks GROUP BY source, token
+    ), tot AS (
+        SELECT source, sum(c) AS t FROM c GROUP BY source
+    ), g AS (
+        SELECT token, sum(c) AS g FROM c GROUP BY token
+    ), grand AS (
+        SELECT sum(c) AS gg FROM c
+    )
+    SELECT c.source,
+           CAST(max(tot.t) AS BIGINT) AS n_tokens,
+           round(sum((c.c / tot.t) * log2((c.c / tot.t) / (g.g / grand.gg))), 6)
+               AS kl_bits
+    FROM c JOIN tot USING (source) JOIN g USING (token), grand
+    GROUP BY c.source
+    """,
+)
+def source_kl_divergence(sf_dir: str, plan: str = "auto"):
+    """KL(source || corpus) in bits over unigram distributions: per-batch
+    (source, token) count partials (vocabulary x sources x batches rows,
+    Heaps'-law small) through the shared two-plan merge; the KL sum is
+    then one vectorized pass over the vocabulary-bounded merged table —
+    group arithmetic via factorized indices, never a per-source loop.
+    Both engines evaluate p*log2(p/q) with double division, so round(,6)
+    pins the comparison."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+    from sciscraper_ray.pipelines.plan import (
+        DRIVER_PLAN_LIMIT,
+        driver_frame,
+        resolve_plan,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens = tokenize_column(batch["text"])
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        flat = pc.list_flatten(tokens)
+        parents = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+        srcs = np.asarray(batch["source"].to_pylist())[parents]
+        df = (
+            pd.DataFrame({"source": srcs, "token": flat.to_pylist()})
+            .value_counts()
+            .rename("cnt")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = _docs(sf_dir, columns=("source", "text")).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    mode, partials = resolve_plan(partials, plan)
+    if mode == "driver":
+        df = driver_frame(partials, DRIVER_PLAN_LIMIT, "source_kl_divergence")
+        agg = df.groupby(["source", "token"], as_index=False)["cnt"].sum()
+    else:
+        agg = (
+            partials.groupby(["source", "token"])
+            .aggregate(Sum(on="cnt", alias_name="cnt"))
+            .to_pandas()
+        )
+    c = agg["cnt"].to_numpy(np.float64)
+    s_codes, s_uniq = pd.factorize(agg["source"], sort=True)
+    t_codes, _ = pd.factorize(agg["token"], sort=False)
+    tot = np.bincount(s_codes, weights=c)
+    gtok = np.bincount(t_codes, weights=c)
+    grand = c.sum()
+    p = c / tot[s_codes]
+    q = gtok[t_codes] / grand
+    kl = np.bincount(s_codes, weights=p * np.log2(p / q))
+    return pa.table(
+        {
+            "source": pa.array(np.asarray(s_uniq)),
+            "n_tokens": pa.array(tot.astype(np.int64), pa.int64()),
+            "kl_bits": pa.array(np.round(kl, 6), pa.float64()),
+        }
+    )

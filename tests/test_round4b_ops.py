@@ -82,3 +82,25 @@ def test_embedding_dim_stats_matches_numpy(ray_session):
     np.testing.assert_allclose(out["std"], np.round(m.std(0), 6), atol=2e-6)
     np.testing.assert_array_equal(out["vmin"], np.round(m.min(0), 6))
     np.testing.assert_array_equal(out["vmax"], np.round(m.max(0), 6))
+
+
+def test_source_kl_divergence_matches_closed_form(ray_session):
+    out = QUERIES["source_kl_divergence"](SF).to_pandas().set_index("source")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["source", "text"])
+    rows = []
+    for src, text in zip(docs["source"], docs["text"]):
+        for tok in text.strip().lower().split(" "):
+            rows.append((src, tok))
+    df = pd.DataFrame(rows, columns=["source", "token"])
+    c = df.groupby(["source", "token"]).size().rename("c").reset_index()
+    tot = c.groupby("source")["c"].sum()
+    g = c.groupby("token")["c"].sum()
+    grand = c["c"].sum()
+    for src in tot.index:
+        sub = c[c["source"] == src]
+        p = sub["c"].to_numpy(np.float64) / tot[src]
+        q = g[sub["token"]].to_numpy(np.float64) / grand
+        kl = float((p * np.log2(p / q)).sum())
+        assert out.loc[src, "n_tokens"] == tot[src]
+        assert abs(out.loc[src, "kl_bits"] - kl) < 2e-6
+    assert (out["kl_bits"] >= 0).all()
