@@ -73,6 +73,7 @@ _PRIORITY = (
     "doc_segment_dedup", "cdc_merge", "zonemap_scan",
     "events_user_overlap", "events_k_anonymity",
     "embedding_dim_stats", "doc_token_entropy", "source_kl_divergence",
+    "media_avi_frames",
     # richest never-checked round-4 ops, ahead of the simpler round-2
     # window/statistics family (each family keeps >=1 representative in
     # the window via the registration-order tail below)

@@ -428,3 +428,43 @@ def media_gif_features(sf_dir: str):
         )
 
     return feats.map_batches(flatten, batch_format="pyarrow")
+
+
+@register(
+    "media_avi_frames",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, unnest(range(2 + doc_id % 4)) AS k FROM documents
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS frame_no,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           CAST(least(255, greatest(0,
+                2 * round(((doc_id + 40 * k) % 256 - 128) / 2.0) + 128))
+                AS DOUBLE) AS mean_c0,
+           CAST(2 + doc_id % 4 AS DOUBLE) / (10 + doc_id % 20) AS duration_s
+    FROM f WHERE k % 2 = 0
+    """,
+)
+def media_avi_frames(sf_dir: str):
+    """REAL video FRAME decode, end to end: deterministic AVI/MJPEG
+    containers (stages/avi.py RIFF writer) whose chunks the from-scratch
+    parser walks and whose frames the from-scratch baseline-JPEG codec
+    entropy-decodes — every 2nd frame sampled, the standard video
+    featurization shape. Constant-gray frames make the lossy round trip
+    exactly SQL-predictable (same DC formula as media_jpeg_features), and
+    fps rides strh dwRate/dwScale so duration_s is exact integer division
+    on both engines. Closes the video tier's honest gap: MP4 parses the
+    container (H.264 stays gated), AVI/MJPEG decodes real pixels."""
+    from sciscraper_ray.stages.multimodal import AviFrameStage
+
+    frames = _media(sf_dir, "avi").map_batches(
+        AviFrameStage,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 8),
+    )
+    return frames.select_columns(
+        ["doc_id", "frame_no", "width", "height", "mean_c0", "duration_s"]
+    )

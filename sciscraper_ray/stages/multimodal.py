@@ -296,6 +296,8 @@ def synth_media_batch(batch: pa.Table, kind: str = "image") -> pa.Table:
             payloads.append(synth_jpeg_payload(i))
         elif kind == "mp4":
             payloads.append(synth_mp4_payload(i))
+        elif kind == "avi":
+            payloads.append(synth_avi_payload(i))
         else:
             payloads.append(
                 encode_fake_video(32, 18, 60 + i % 240, 30, i % 251)
@@ -560,6 +562,80 @@ class VideoFrameSampleStage:
                 "doc_id": batch["doc_id"],
                 "frame_idx": pa.array(idxs, pa.list_(pa.int32())),
                 "frame_mean_luma": pa.array(lumas, pa.list_(pa.float64())),
+                "duration_s": pa.array(durs, pa.float64()),
+                "decode_status": pa.array(status, pa.string()),
+            }
+        )
+
+
+def synth_avi_payload(doc_id: int) -> bytes:
+    """Deterministic REAL AVI/MJPEG container for ``doc_id``
+    (stages/avi.py writer; frames from the stages/jpeg.py encoder):
+
+        n_frames = 2 + doc_id % 4, fps = 10 + doc_id % 20, 16x16 frames
+        frame k  = constant gray (doc_id + 40*k) % 256
+
+    Constant frames make the lossy MJPEG round trip exactly predictable
+    (same DC formula as synth_jpeg_payload), so an oracle can state every
+    sampled frame's mean from doc_id arithmetic."""
+    from sciscraper_ray.stages.avi import encode_avi_mjpeg
+    from sciscraper_ray.stages.jpeg import encode_jpeg
+
+    n_frames = 2 + doc_id % 4
+    fps = 10 + doc_id % 20
+    frames = [
+        encode_jpeg(np.full((16, 16), (doc_id + 40 * k) % 256, np.uint8))
+        for k in range(n_frames)
+    ]
+    return encode_avi_mjpeg(frames, 16, 16, fps)
+
+
+class AviFrameStage:
+    """Actor-pool stage: REAL AVI/MJPEG frame decode (stages/avi.py RIFF
+    walk + stages/jpeg.py entropy decode) -> one row per SAMPLED frame
+    (every ``stride``-th, the standard frame-sampling shape for video
+    featurization). Errors degrade to a single null row + status, so a
+    corrupt container never kills the batch."""
+
+    def __init__(self, payload_col: str = "payload", stride: int = 2):
+        self.payload_col = payload_col
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from sciscraper_ray.stages.avi import AviError, decode_avi_frames
+        from sciscraper_ray.stages.jpeg import JpegError
+
+        ids, fnos, ws, hs, means, durs, status = [], [], [], [], [], [], []
+        for doc_id, payload in zip(
+            batch["doc_id"].to_pylist(), batch[self.payload_col].to_pylist()
+        ):
+            try:
+                info, frames = decode_avi_frames(
+                    bytes(payload), stride=self.stride
+                )
+                for k, px in frames:
+                    ids.append(doc_id)
+                    fnos.append(k)
+                    ws.append(px.shape[1])
+                    hs.append(px.shape[0])
+                    means.append(float(px.mean()))
+                    durs.append(info["duration_s"])
+                    status.append("ok")
+            except (AviError, JpegError, struct.error) as exc:
+                ids.append(doc_id)
+                fnos.append(None)
+                ws.append(None)
+                hs.append(None)
+                means.append(None)
+                durs.append(None)
+                status.append(f"error: {type(exc).__name__}")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "frame_no": pa.array(fnos, pa.int64()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "mean_c0": pa.array(means, pa.float64()),
                 "duration_s": pa.array(durs, pa.float64()),
                 "decode_status": pa.array(status, pa.string()),
             }
