@@ -199,6 +199,7 @@ def pagerank(
     iters: int = 5,
     num_buckets: int = 32,
     plan: str = "auto",
+    seeds: "np.ndarray | None" = None,
 ) -> ray.data.Dataset | pa.Table:
     """Power-iteration PageRank over a DIRECTED (src, dst) edge list.
 
@@ -231,7 +232,17 @@ def pagerank(
     store, not driver memory.
 
     Fixed ``iters`` (not convergence-tested) keeps the result
-    deterministic and SQL-mirrorable."""
+    deterministic and SQL-mirrorable.
+
+    ``seeds`` switches to PERSONALIZED PageRank (Haveliwala WWW'02 /
+    random walk with restart): the teleport distribution p puts mass
+    1/|S| on each seed node present in the graph instead of 1/N on
+    every node, r0 = p, and each iteration is
+    r'(v) = (1-d) p(v) + d * contributions. Physically the only new
+    cost is the per-node base term: the driver plan swaps the scalar
+    base for a vector, and the shuffle plan rides p(dst) along the
+    static augmented edge list exactly like the destination degree, so
+    the per-iteration exchange count is unchanged."""
     from ray.data.aggregate import Sum
 
     from sciscraper_ray.stages.relational import bucketed_hash_join
@@ -257,8 +268,17 @@ def pagerank(
             raise ValueError("pagerank requires every dst to have an out-edge")
         deg = np.bincount(src_idx).astype(np.float64)
         n = len(nodes)
-        r = np.full(n, 1.0 / n)
-        base = (1.0 - damping) / n
+        if seeds is None:
+            r = np.full(n, 1.0 / n)
+            base = (1.0 - damping) / n
+        else:
+            inset = np.isin(nodes, seeds)
+            s = float(inset.sum())
+            if s == 0:
+                raise ValueError("ppr: no seed node present in the graph")
+            p = inset.astype(np.float64) / s
+            r = p.copy()
+            base = (1.0 - damping) * p
         for _ in range(iters):
             contrib = np.bincount(
                 dst_idx, weights=r[src_idx] / deg[src_idx], minlength=n
@@ -288,25 +308,76 @@ def pagerank(
     )
     n = deg.count()
 
-    # attach dst's degree to each edge once (static across iterations)
+    if seeds is None:
+        p_of = None
+    else:
+        seed_arr = np.asarray(seeds, dtype=np.int64)
+        seed_set = pa.array(seed_arr, pa.int64())
+        s_total = float(
+            sum(
+                row["c"]
+                for row in deg.map_batches(
+                    lambda b: pa.table(
+                        {
+                            "c": pa.array(
+                                [
+                                    pc.sum(
+                                        pc.cast(
+                                            pc.is_in(
+                                                b["node"], value_set=seed_set
+                                            ),
+                                            pa.int64(),
+                                        )
+                                    ).as_py()
+                                    or 0
+                                ],
+                                pa.int64(),
+                            )
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ).take_all()
+            )
+        )
+        if s_total == 0:
+            raise ValueError("ppr: no seed node present in the graph")
+
+        def p_of(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+            inset = pc.is_in(col, value_set=seed_set)
+            return (
+                inset.to_numpy(zero_copy_only=False).astype(np.float64)
+                / s_total
+            )
+
+    # attach dst's degree (and, for PPR, the dst's teleport mass — both
+    # static across iterations) to each edge once
+    def aug_cols(b: pa.Table) -> pa.Table:
+        cols = {"src": b["src"], "dst": b["dst"], "ddeg": b["deg"]}
+        if p_of is not None:
+            cols["dp"] = pa.array(p_of(b["dst"]), pa.float64())
+        return pa.table(cols)
+
     e_aug = bucketed_hash_join(
         e, deg, left_on="dst", right_on="node", num_buckets=num_buckets
-    ).map_batches(
-        lambda b: pa.table({"src": b["src"], "dst": b["dst"], "ddeg": b["deg"]}),
-        batch_format="pyarrow",
-    ).materialize()
+    ).map_batches(aug_cols, batch_format="pyarrow").materialize()
 
     base = (1.0 - damping) / n
-    ranks = deg.map_batches(
-        lambda b: pa.table(
+
+    def init_rank(b: pa.Table) -> pa.Table:
+        r0 = (
+            np.full(len(b), 1.0 / n)
+            if p_of is None
+            else p_of(b["node"])
+        )
+        return pa.table(
             {
                 "node": b["node"],
                 "deg": b["deg"],
-                "r": pa.array(np.full(len(b), 1.0 / n), pa.float64()),
+                "r": pa.array(r0, pa.float64()),
             }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+        )
+
+    ranks = deg.map_batches(init_rank, batch_format="pyarrow").materialize()
 
     # Nodes with out-edges but NO in-edges never appear as a groupby(dst)
     # key, so rebuilding ranks from the contribution aggregate alone would
@@ -322,21 +393,27 @@ def pagerank(
         ),
         batch_format="pyarrow",
     )
+    def no_in_rows(b: pa.Table) -> pa.Table:
+        # constant rank: (1-d)/N uniform, (1-d)*p(node) personalized
+        r_const = (
+            np.full(len(b), base)
+            if p_of is None
+            else (1.0 - damping) * p_of(b["node"])
+        )
+        return pa.table(
+            {
+                "node": b["node"],
+                "deg": b["deg"],
+                "r": pa.array(r_const, pa.float64()),
+            }
+        ).filter(pc.is_null(b["has_in"]))
+
     no_in = (
         bucketed_hash_join(
             deg, indeg_nodes, left_on="node", right_on="in_node",
             num_buckets=num_buckets, how="left",
         )
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "node": b["node"],
-                    "deg": b["deg"],
-                    "r": pa.array(np.full(len(b), base), pa.float64()),
-                }
-            ).filter(pc.is_null(b["has_in"])),
-            batch_format="pyarrow",
-        )
+        .map_batches(no_in_rows, batch_format="pyarrow")
         .materialize()
     )
 
@@ -353,23 +430,31 @@ def pagerank(
         contrib = bucketed_hash_join(
             e_aug, rd, left_on="src", right_on="node", num_buckets=num_buckets
         )
-        ranks = (
-            contrib.groupby(["dst", "ddeg"])
-            .aggregate(Sum(on="rd", alias_name="c"))
-            .map_batches(
-                lambda b: pa.table(
-                    {
-                        "node": b["dst"],
-                        "deg": b["ddeg"],
-                        "r": pa.array(
-                            base
-                            + damping * b["c"].to_numpy(zero_copy_only=False),
-                            pa.float64(),
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
+        group_keys = ["dst", "ddeg"] if p_of is None else ["dst", "ddeg", "dp"]
+
+        def rebuild(b: pa.Table) -> pa.Table:
+            base_vec = (
+                base
+                if p_of is None
+                else (1.0 - damping)
+                * b["dp"].to_numpy(zero_copy_only=False)
             )
+            return pa.table(
+                {
+                    "node": b["dst"],
+                    "deg": b["ddeg"],
+                    "r": pa.array(
+                        base_vec
+                        + damping * b["c"].to_numpy(zero_copy_only=False),
+                        pa.float64(),
+                    ),
+                }
+            )
+
+        ranks = (
+            contrib.groupby(group_keys)
+            .aggregate(Sum(on="rd", alias_name="c"))
+            .map_batches(rebuild, batch_format="pyarrow")
             .union(no_in)  # constant-rank source-only nodes ride along
             .materialize()
         )

@@ -67,24 +67,31 @@ _DRIVER_CHECKED_R123 = (
 # so this tier decides WHICH never-checked queries get external evidence
 # this round — all 170 are green in the committed local full sweep.
 _PRIORITY = (
+    # 1-12: the VERDICT r3 must-recheck set
     "ann_ivf", "doc_ngram_novelty", "orders_by_region",
     "events_debounce", "events_user_mode", "graph_pagerank",
     "doc_dup_substrings", "dedup_editdistance", "dedup_ngram_jaccard",
     "doc_segment_dedup", "cdc_merge", "zonemap_scan",
+    # 13-23: round-4 late-session additions
     "events_user_overlap", "events_k_anonymity",
     "embedding_dim_stats", "doc_token_entropy", "source_kl_divergence",
-    "media_avi_frames",
-    # richest never-checked round-4 ops, ahead of the simpler round-2
-    # window/statistics family (each family keeps >=1 representative in
-    # the window via the registration-order tail below)
+    "media_avi_frames", "events_ab_welch", "token_window_cooc",
+    "events_attribution_first_touch", "source_dup_rate", "graph_ppr",
+    # 24-29: the real-codec media family + identifier validation
+    "media_png_features", "media_wav_features", "media_jpeg_features",
+    "media_mp4_metadata", "media_gif_features", "page_validate_identifiers",
+    # 30-50: richest never-checked round-4 ops, ahead of the simpler
+    # round-2 window/statistics family (everything left is green in the
+    # committed local full sweep regardless)
+    "dedup_semantic", "embedding_pq_encode", "ann_ivf_pq",
     "doc_filter_chain", "events_scd2", "lr_train_gd", "doc_bigram_lm_ppl",
-    "dedup_exact_stateful", "bucketed_storage_join", "doc_dsir_weight",
-    "doc_shuffle_deterministic", "small_files_compaction",
-    "events_anomaly_mad", "source_budget_allocation", "events_watermark",
-    "jsonl_roundtrip", "embedding_quantize", "event_type_hll_users",
-    "bloom_semijoin", "token_cms_estimate", "corpus_summary",
-    "url_canonicalize", "crawl_delta", "revenue_by_nation",
-    "doc_normalize", "events_value_histogram", "lang_partitioned_write",
+    "doc_dsir_weight", "doc_shuffle_deterministic",
+    "dedup_exact_stateful", "bucketed_storage_join",
+    "small_files_compaction", "events_anomaly_mad",
+    "source_budget_allocation", "events_watermark",
+    "events_value_quantile_sketch", "events_distinct_sliding",
+    "embedding_quantize", "event_type_hll_users", "bloom_semijoin",
+    "token_cms_estimate",
 )
 
 

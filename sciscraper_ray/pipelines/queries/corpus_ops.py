@@ -2668,3 +2668,86 @@ def events_anomaly_mad(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
     )
     return bucketed_window(ds, mad_flags, key="user_id")
+
+
+# ---------------------------------------------------------------------------
+# Per-source duplication-rate report — the curation dashboard row that
+# decides which ingest feeds are worth their storage (a source shipping
+# 40% exact dupes gets its crawler fixed, not more budget).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_dup_rate",
+    oracle="""
+    SELECT source,
+           count(*) AS docs,
+           count(DISTINCT md5(text)) AS uniq,
+           round(1.0 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 6)
+               AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def source_dup_rate(sf_dir: str):
+    """Exact-duplicate share per source: per-batch rows collapse to
+    distinct (source, 128-bit content hash, partial_count) — text never
+    enters the exchange — one groupby merges the hash partials (bounded
+    by unique content x sources), and a second per-batch fold + tiny
+    groupby yields docs/uniq per source. Same two-stage exact-distinct
+    plan as events_k_anonymity; hashes ride as int64 bit-views (uint64
+    groupby keys promote to float64 inside Ray's sort-aggregate)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.dedup import md5_hash128_batch
+
+    ds = _docs(sf_dir, columns=("source", "text"))
+
+    def hash_partial(b: pa.Table) -> pa.Table:
+        h_hi, h_lo, _valid = md5_hash128_batch(b)
+        t = pa.table(
+            {
+                "source": b["source"],
+                "h_hi": pa.array(h_hi, pa.int64()),
+                "h_lo": pa.array(h_lo, pa.int64()),
+            }
+        )
+        g = t.group_by(["source", "h_hi", "h_lo"]).aggregate([("h_hi", "count")])
+        return g.rename_columns(["source", "h_hi", "h_lo", "c"])
+
+    per_hash = (
+        ds.map_batches(hash_partial, batch_format="pyarrow")
+        .groupby(["source", "h_hi", "h_lo"])
+        .aggregate(Sum(on="c", alias_name="cnt"))
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source"]).aggregate(
+            [("h_hi", "count"), ("cnt", "sum")]
+        )
+        return g.rename_columns(["source", "uniq_p", "docs_p"])
+
+    agg = (
+        per_hash.map_batches(fold, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum(on="uniq_p", alias_name="uniq"),
+            Sum(on="docs_p", alias_name="docs"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        docs = b["docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq = b["uniq"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "source": b["source"],
+                "docs": b["docs"],
+                "uniq": b["uniq"],
+                "dup_rate": pa.array(
+                    np.round(1.0 - uniq / docs, 6), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -539,3 +539,166 @@ def events_k_anonymity(sf_dir: str):
         )
 
     return grouped.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Welch's unequal-variance t-test between every event-type pair — the A/B
+# significance readout an experimentation pipeline computes over metric
+# streams (Welch 1947; the default two-sample test when variances differ).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_ab_welch",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, count(*) AS n, sum(value) AS s,
+               sum(value * value) AS ss
+        FROM events GROUP BY event_type
+    ), st AS (
+        SELECT event_type, n, s / n AS mean,
+               (ss - s * s / n) / (n - 1) AS var
+        FROM m
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           round((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 6)
+               AS t_stat,
+           round(power(a.var / a.n + b.var / b.n, 2)
+                 / (power(a.var / a.n, 2) / (a.n - 1)
+                    + power(b.var / b.n, 2) / (b.n - 1)), 6) AS welch_df
+    FROM st a JOIN st b ON a.event_type < b.event_type
+    """,
+)
+def events_ab_welch(sf_dir: str):
+    """Distributed two-sample testing from streamed moments: each batch
+    contributes one (n, sum, sumsq) partial per event type (|types| rows
+    per block — the exchange never scales with event volume), the tiny
+    merged moment table yields mean/variance per arm, and all pair
+    t-statistics + Welch-Satterthwaite dof come from one vectorized
+    triu-index pass. Both engines evaluate the identical formula chain,
+    so round(,6) pins the float comparison."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def moments(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = b["event_type"].to_numpy(zero_copy_only=False)
+        import pandas as pd
+
+        codes, uniq = pd.factorize(t, sort=True)
+        return pa.table(
+            {
+                "event_type": pa.array(np.asarray(uniq)),
+                "n_p": pa.array(np.bincount(codes).astype(np.int64)),
+                "s_p": pa.array(np.bincount(codes, weights=v)),
+                "ss_p": pa.array(np.bincount(codes, weights=v * v)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum(on="n_p", alias_name="n"),
+            Sum(on="s_p", alias_name="s"),
+            Sum(on="ss_p", alias_name="ss"),
+        )
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    n = agg["n"].to_numpy(np.float64)
+    s = agg["s"].to_numpy(np.float64)
+    ss = agg["ss"].to_numpy(np.float64)
+    mean = s / n
+    var = (ss - s * s / n) / (n - 1)
+    ia, ib = np.triu_indices(len(agg), k=1)
+    se2 = var[ia] / n[ia] + var[ib] / n[ib]
+    t_stat = (mean[ia] - mean[ib]) / np.sqrt(se2)
+    df = se2**2 / (
+        (var[ia] / n[ia]) ** 2 / (n[ia] - 1)
+        + (var[ib] / n[ib]) ** 2 / (n[ib] - 1)
+    )
+    types = agg["event_type"].to_numpy()
+    return pa.table(
+        {
+            "type_a": pa.array(types[ia]),
+            "type_b": pa.array(types[ib]),
+            "t_stat": pa.array(np.round(t_stat, 6), pa.float64()),
+            "welch_df": pa.array(np.round(df, 6), pa.float64()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# First-touch conversion attribution: every 'purchase' credits the event
+# type of that user's FIRST-ever event — the standard acquisition-channel
+# report; a real pipeline's channel column maps to event_type here.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_attribution_first_touch",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, event_type AS first_touch
+        FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    )
+    SELECT f.first_touch, count(*) AS conversions
+    FROM events e JOIN firsts f USING (user_id)
+    WHERE e.event_type = 'purchase'
+    GROUP BY first_touch
+    """,
+)
+def events_attribution_first_touch(sf_dir: str):
+    """One bucketed shuffle does BOTH sides of the oracle's join: inside
+    a user bucket, a single lexsort by (user, ts, event_id) yields every
+    user's first event via segment boundaries AND the per-user purchase
+    counts via one boolean bincount — the per-user join never ships rows,
+    and each bucket emits at most |types| partial credit rows."""
+    import pandas as pd
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.window import bucketed_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def credit(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        us, ets = u[order], et[order]
+        new_seg = np.r_[True, us[1:] != us[:-1]]
+        starts = np.nonzero(new_seg)[0]
+        first_touch = ets[starts]  # per-user first event type
+        segid = np.cumsum(new_seg) - 1
+        purchases = np.bincount(
+            segid, weights=(ets == "purchase").astype(np.float64)
+        ).astype(np.int64)
+        keep = purchases > 0
+        df = pd.DataFrame(
+            {"first_touch": first_touch[keep], "partial": purchases[keep]}
+        )
+        return df.groupby("first_touch", as_index=False)["partial"].sum()
+
+    return (
+        bucketed_window(ds, credit, key="user_id")
+        .groupby("first_touch")
+        .aggregate(Sum(on="partial", alias_name="conversions"))
+    )

@@ -1210,6 +1210,85 @@ def graph_pagerank(sf_dir: str):
     )
 
 
+def _ppr_sql(iters: int = 5) -> str:
+    """Personalized PageRank unrolled like _pagerank_sql, with the teleport
+    distribution concentrated on seed nodes (part ids < 50 present in the
+    graph) instead of uniform 1/N — r0 = p, each round adds (1-d)*p(dst)."""
+    p_case = (
+        "CASE WHEN {col} < 50 THEN 1.0 / (SELECT s FROM seedn) ELSE 0.0 END"
+    )
+    ctes = [
+        "e0 AS (SELECT DISTINCT l_partkey AS a, l_suppkey + 10000000 AS b FROM lineitem)",
+        "edges AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b AS src, a AS dst FROM e0)",
+        "deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src)",
+        "seedn AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM deg WHERE node < 50)",
+        f"r0 AS (SELECT node, {p_case.format(col='node')} AS r FROM deg)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS (
+        SELECT e.dst AS node,
+               (1.0 - 0.85) * ({p_case.format(col='e.dst')})
+                   + 0.85 * sum(p.r / dg.d) AS r
+        FROM edges e
+        JOIN r{k - 1} p ON p.node = e.src
+        JOIN deg dg ON dg.node = e.src
+        GROUP BY e.dst
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, round(r, 10) AS r FROM r{iters}"
+    )
+
+
+@register("graph_ppr", oracle=_ppr_sql(5))
+def graph_ppr(sf_dir: str):
+    """PERSONALIZED PageRank / random walk with restart (Haveliwala
+    WWW'02) from the seed set {part ids < 50} over the same symmetrized
+    part<->supplier graph as graph_pagerank — the 'related items from
+    these starting points' primitive behind recsys candidates and
+    crawl-frontier prioritization. Same two physical plans as pagerank
+    (pipelines/graph.py); the teleport mass rides the static augmented
+    edge list like the destination degree, so the per-iteration exchange
+    count is unchanged. Oracle unrolls the identical fixed-K iteration."""
+    import ray.data
+
+    from sciscraper_ray.pipelines.graph import _dedup_edges, pagerank
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": b["l_partkey"],
+                "b": pc.add(b["l_suppkey"], 10_000_000),
+            }
+        )
+
+    e0 = _dedup_edges(li.map_batches(to_edges, batch_format="pyarrow"))
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([a, bb]), pa.int64()),
+                "b": pa.array(np.concatenate([bb, a]), pa.int64()),
+            }
+        )
+
+    return pagerank(
+        e0.map_batches(symmetrize, batch_format="pyarrow"),
+        damping=0.85,
+        iters=5,
+        seeds=np.arange(50, dtype=np.int64),
+    )
+
+
 @register(
     "events_decayed_value",
     oracle="""

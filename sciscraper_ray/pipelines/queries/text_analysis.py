@@ -347,3 +347,84 @@ def source_kl_divergence(sf_dir: str, plan: str = "auto"):
             "kl_bits": pa.array(np.round(kl, 6), pa.float64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Skip-gram window co-occurrence — the (word, context) counting pass a
+# word2vec/GloVe embedding trainer runs (Mikolov et al. 2013); window-2
+# ordered pairs, vocabulary-bounded exchange like token_pair_counts.
+# --------------------------------------------------------------------------
+
+_COOC_WINDOW = 2
+
+
+@register(
+    "token_window_cooc",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest({_SQL_TOKENS}) AS token,
+               unnest(range(len({_SQL_TOKENS}))) AS ord
+        FROM documents
+    )
+    SELECT a.token AS w1, b.token AS w2, count(*) AS cnt
+    FROM toks a JOIN toks b
+      ON a.doc_id = b.doc_id
+     AND b.ord - a.ord BETWEEN 1 AND {_COOC_WINDOW}
+    GROUP BY w1, w2
+    ORDER BY cnt DESC, w1 ASC, w2 ASC
+    LIMIT 80
+    """,
+)
+def token_window_cooc(sf_dir: str):
+    """Ordered co-occurrence counts within a forward window of 2, top-80:
+    per batch, each offset d in 1..W is one vectorized shift of the flat
+    token buffer (same-doc adjacency = equal parent indices — no per-doc
+    loop, no position join), the offsets' pair streams value-count
+    locally, and the shuffle moves (w1, w2, cnt) partials bounded by the
+    batch's pair vocabulary. The oracle runs the quadratic position
+    self-join the engine never materializes."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens = tokenize_column(batch["text"])
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        flat = pc.list_flatten(tokens)
+        n = len(flat)
+        parents = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+        w1s, w2s = [], []
+        for d in range(1, _COOC_WINDOW + 1):
+            if n <= d:
+                break
+            same_doc = pa.array(parents[:-d] == parents[d:])
+            w1s.append(flat.slice(0, n - d).filter(same_doc))
+            w2s.append(flat.slice(d, n - d).filter(same_doc))
+        if not w1s:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "w1": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in w1s]).to_pandas(),
+                "w2": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in w2s]).to_pandas(),
+            }
+        )
+        vc = df.value_counts().rename("cnt").reset_index()
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    return (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .sort(key=["cnt", "w1", "w2"], descending=[True, False, False])
+        .limit(80)
+    )

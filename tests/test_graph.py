@@ -251,3 +251,58 @@ def test_hits_bipartite_star():
     assert got[("hub", 1)] == 1.0
     for a in (10, 11, 12):
         assert abs(got[("auth", a)] - 1 / np.sqrt(3)) < 1e-9
+
+
+def test_ppr_plan_parity_and_seed_locality():
+    """Personalized PageRank: both physical plans agree, teleport mass
+    stays concentrated near the seed, and total mass is conserved on a
+    symmetric graph."""
+    from sciscraper_ray.pipelines.graph import pagerank
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 10), (10, 11), (11, 12), (10, 12)]
+    sym = und + [(b, a) for a, b in und]
+    tbl = pa.table(
+        {
+            "a": pa.array([p[0] for p in sym], pa.int64()),
+            "b": pa.array([p[1] for p in sym], pa.int64()),
+        }
+    )
+    seeds = np.array([1], dtype=np.int64)
+    d = pagerank(tbl, iters=5, plan="driver", seeds=seeds).to_pandas()
+    s = pagerank(
+        tbl, iters=5, plan="shuffle", num_buckets=4, seeds=seeds
+    ).to_pandas()
+    d = d.sort_values("node").reset_index(drop=True)
+    s = s.sort_values("node").reset_index(drop=True)
+    assert list(d["node"]) == list(s["node"])
+    assert np.allclose(d["r"], s["r"], atol=1e-9)
+    assert abs(d["r"].sum() - 1.0) < 1e-6  # restart conserves mass
+    r = d.set_index("node")["r"]
+    # walk-with-restart locality: the seed's triangle outranks the far one
+    assert r[1] == r.max()
+    assert r[2] > r[11] and r[3] > r[12]
+
+
+def test_ppr_source_only_nodes_constant_rank():
+    from sciscraper_ray.pipelines.graph import pagerank
+
+    edges = [(20, 1), (21, 1), (1, 2), (2, 3), (3, 1)]
+    tbl = pa.table(
+        {
+            "a": pa.array([p[0] for p in edges], pa.int64()),
+            "b": pa.array([p[1] for p in edges], pa.int64()),
+        }
+    )
+    seeds = np.array([20, 1], dtype=np.int64)
+    d = pagerank(tbl, iters=4, plan="driver", seeds=seeds).to_pandas()
+    s = pagerank(
+        tbl, iters=4, plan="shuffle", num_buckets=4, seeds=seeds
+    ).to_pandas()
+    d = d.sort_values("node").reset_index(drop=True)
+    s = s.sort_values("node").reset_index(drop=True)
+    assert list(d["node"]) == list(s["node"]) == [1, 2, 3, 20, 21]
+    assert np.allclose(d["r"], s["r"], atol=1e-9)
+    r = d.set_index("node")["r"]
+    # seed source-only node: constant (1-d)*p; non-seed source-only: 0
+    assert abs(r[20] - 0.15 * 0.5) < 1e-12
+    assert r[21] == 0.0

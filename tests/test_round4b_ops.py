@@ -104,3 +104,68 @@ def test_source_kl_divergence_matches_closed_form(ray_session):
         assert out.loc[src, "n_tokens"] == tot[src]
         assert abs(out.loc[src, "kl_bits"] - kl) < 2e-6
     assert (out["kl_bits"] >= 0).all()
+
+
+def test_events_ab_welch_matches_scipy_free_formula(ray_session):
+    out = QUERIES["events_ab_welch"](SF).to_pandas()
+    ev = pd.read_parquet(SF + "/events.parquet", columns=["event_type", "value"])
+    g = ev.groupby("event_type")["value"]
+    stats = {t: (len(v), v.mean(), v.var(ddof=1)) for t, v in g}
+    types = sorted(stats)
+    assert len(out) == len(types) * (len(types) - 1) // 2
+    out = out.set_index(["type_a", "type_b"])
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            na, ma, va = stats[a]
+            nb, mb, vb = stats[b]
+            se2 = va / na + vb / nb
+            t = (ma - mb) / np.sqrt(se2)
+            df = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+            assert abs(out.loc[(a, b), "t_stat"] - t) < 2e-5
+            assert abs(out.loc[(a, b), "welch_df"] - df) < 2e-2
+
+
+def test_token_window_cooc_matches_shifted_zip(ray_session):
+    out = QUERIES["token_window_cooc"](SF).to_pandas()
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["text"])
+    pairs: dict[tuple, int] = {}
+    for text in docs["text"]:
+        toks = text.strip().lower().split(" ")
+        for d in (1, 2):
+            for a, b in zip(toks, toks[d:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:80]
+    got = list(zip(zip(out["w1"], out["w2"]), out["cnt"]))
+    assert got == [(k, v) for k, v in want]
+
+
+def test_attribution_first_touch_matches_pandas(ray_session):
+    out = (
+        QUERIES["events_attribution_first_touch"](SF)
+        .to_pandas()
+        .set_index("first_touch")["conversions"]
+        .sort_index()
+    )
+    ev = pd.read_parquet(SF + "/events.parquet")
+    firsts = (
+        ev.sort_values(["ts", "event_id"])
+        .groupby("user_id")["event_type"]
+        .first()
+        .rename("first_touch")
+    )
+    purch = ev[ev["event_type"] == "purchase"].merge(
+        firsts, left_on="user_id", right_index=True
+    )
+    want = purch.groupby("first_touch").size().sort_index()
+    assert (out.index == want.index).all()
+    assert (out.to_numpy() == want.to_numpy()).all()
+
+
+def test_source_dup_rate_counts_planted_copies(ray_session):
+    out = QUERIES["source_dup_rate"](SF).to_pandas().set_index("source")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["source", "text"])
+    g = docs.groupby("source")["text"]
+    for src, v in g:
+        assert out.loc[src, "docs"] == len(v)
+        assert out.loc[src, "uniq"] == v.nunique()
+        assert out.loc[src, "dup_rate"] == round(1.0 - v.nunique() / len(v), 6)
