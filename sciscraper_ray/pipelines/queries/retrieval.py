@@ -2340,3 +2340,86 @@ def doc_bigram_lm_ppl(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# KWIC concordance snippets — the keyword-in-context view a retrieval UI
+# renders for each hit (Luhn 1960); one row per occurrence with clamped
+# two-token windows on each side.
+# --------------------------------------------------------------------------
+
+_KWIC_TERM = "table"
+
+
+@register(
+    "doc_snippets",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ), pos AS (
+        SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS pos,
+           array_to_string(toks[greatest(i - 1, 1):i], ' ') AS left_ctx,
+           array_to_string(toks[i + 2:least(i + 3, len(toks))], ' ')
+               AS right_ctx
+    FROM pos WHERE toks[i + 1] = '{_KWIC_TERM}'
+    """,
+)
+def doc_snippets(sf_dir: str):
+    """Keyword-in-context extraction, fully vectorized: one tokenize pass,
+    the match mask is a single Arrow equality over the flat token buffer,
+    and each context token is one clamped gather (take with null indices
+    at document boundaries) — variable-width windows come from if_else
+    composition, never a per-hit Python loop. Zero shuffle: every row of
+    output is produced in the block that read its document. Boundary
+    semantics match the oracle's 1-indexed list slices exactly (empty
+    window -> NULL on both engines)."""
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def snippets(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        starts, ends = offs[:-1], offs[1:]
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        hit = pc.equal(flat, _KWIC_TERM).to_numpy(zero_copy_only=False)
+        g = np.nonzero(hit)[0]
+        doc_idx = parents[g]
+        st, en = starts[doc_idx], ends[doc_idx]
+
+        def gather(idx: np.ndarray, lo: np.ndarray, hi: np.ndarray):
+            ok = (idx >= lo) & (idx < hi)
+            ia = pa.array(
+                np.where(ok, idx, 0), pa.int64(), mask=~ok
+            )
+            return flat.take(ia)
+
+        tm2 = gather(g - 2, st, en)
+        tm1 = gather(g - 1, st, en)
+        tp1 = gather(g + 1, st, en)
+        tp2 = gather(g + 2, st, en)
+        left = pc.if_else(
+            pc.is_valid(tm2),
+            pc.binary_join_element_wise(tm2, tm1, " "),
+            tm1,
+        )
+        right = pc.if_else(
+            pc.is_valid(tp2),
+            pc.binary_join_element_wise(tp1, tp2, " "),
+            tp1,
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[doc_idx]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(g - st, pa.int64()),
+                "left_ctx": left,
+                "right_ctx": right,
+            }
+        )
+
+    return _docs(sf_dir).map_batches(snippets, batch_format="pyarrow")

@@ -169,3 +169,25 @@ def test_source_dup_rate_counts_planted_copies(ray_session):
         assert out.loc[src, "docs"] == len(v)
         assert out.loc[src, "uniq"] == v.nunique()
         assert out.loc[src, "dup_rate"] == round(1.0 - v.nunique() / len(v), 6)
+
+
+def test_doc_snippets_kwic_contexts(ray_session):
+    out = QUERIES["doc_snippets"](SF).to_pandas()
+    docs = pd.read_parquet(SF + "/documents.parquet")
+    rows = []
+    for _, r in docs.iterrows():
+        toks = r["text"].strip().lower().split(" ")
+        for i, t in enumerate(toks):
+            if t == "table":
+                left = " ".join(toks[max(i - 2, 0):i]) or None
+                right = " ".join(toks[i + 1:i + 3]) or None
+                rows.append((r["doc_id"], i, left, right))
+    want = pd.DataFrame(rows, columns=["doc_id", "pos", "left_ctx", "right_ctx"])
+    got = out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    want = want.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    for col in want.columns:
+        ga, wa = got[col].to_numpy(), want[col].to_numpy()
+        assert all(
+            (g == w) or (pd.isna(g) and pd.isna(w)) for g, w in zip(ga, wa)
+        ), col
