@@ -77,7 +77,8 @@ _PRIORITY = (
     "embedding_dim_stats", "doc_token_entropy", "source_kl_divergence",
     "media_avi_frames", "events_ab_welch", "token_window_cooc",
     "events_attribution_first_touch", "source_dup_rate", "graph_ppr",
-    "doc_snippets",
+    "doc_snippets", "events_user_activity_fullouter", "events_gap_stats",
+    "corpus_heaps_law",
     # 24-29: the real-codec media family + identifier validation
     "media_png_features", "media_wav_features", "media_jpeg_features",
     "media_mp4_metadata", "media_gif_features", "page_validate_identifiers",

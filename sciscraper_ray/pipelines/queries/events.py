@@ -702,3 +702,162 @@ def events_attribution_first_touch(sf_dir: str):
         .groupby("first_touch")
         .aggregate(Sum(on="partial", alias_name="conversions"))
     )
+
+
+# --------------------------------------------------------------------------
+# FULL OUTER join canary: users active on one rare signal but not the
+# other keep their row from either side (completes the join family:
+# inner/left/anti/semi/asof/range/bucketed + outer).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_user_activity_fullouter",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, count(*) AS c FROM events
+        WHERE event_type = 'purchase' AND value > 200 GROUP BY user_id
+    ), er AS (
+        SELECT user_id, count(*) AS c FROM events
+        WHERE event_type = 'error' AND value < 8 GROUP BY user_id
+    )
+    SELECT COALESCE(p.user_id, er.user_id) AS user_id,
+           CAST(COALESCE(p.c, 0) AS BIGINT) AS big_purchases,
+           CAST(COALESCE(er.c, 0) AS BIGINT) AS bad_errors
+    FROM p FULL OUTER JOIN er ON p.user_id = er.user_id
+    """,
+)
+def events_user_activity_fullouter(sf_dir: str):
+    """Distributed FULL OUTER join via the bucketed co-partition plan
+    (stages/relational.py bucketed_hash_join how="outer" — hash
+    partitioning is key-complete per bucket, so full-outer semantics
+    compose bucket-by-bucket). Both sides pre-reduce to per-user counts
+    before the one exchange; the rare-signal filters (>200-value
+    purchases, <8-value errors) keep both sides non-empty at every sf
+    and the error-only population large, so the outer path is actually
+    exercised (per-type value ranges differ by sf — thresholds probed
+    against all three fixtures)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+
+    def side(event_type: str, pred, uid_name: str, cnt_name: str):
+        def partial(b: pa.Table) -> pa.Table:
+            mask = pc.and_(pc.equal(b["event_type"], event_type), pred(b))
+            t = b.filter(mask)
+            g = t.group_by(["user_id"]).aggregate([("user_id", "count")])
+            return g.rename_columns([uid_name, "c"])
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(uid_name)
+            .aggregate(Sum(on="c", alias_name=cnt_name))
+        )
+
+    purchases = side(
+        "purchase", lambda b: pc.greater(b["value"], 200), "uid_p", "cp"
+    )
+    errors = side("error", lambda b: pc.less(b["value"], 8), "uid_e", "ce")
+
+    joined = bucketed_hash_join(
+        purchases, errors, left_on="uid_p", right_on="uid_e",
+        num_buckets=32, how="outer",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        uid = pc.coalesce(b["uid_p"], b["uid_e"])
+        return pa.table(
+            {
+                "user_id": uid,
+                "big_purchases": pc.coalesce(
+                    b["cp"], pa.scalar(0, pa.int64())
+                ),
+                "bad_errors": pc.coalesce(b["ce"], pa.scalar(0, pa.int64())),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival gap statistics per user — the engagement-cadence /
+# churn-risk signal (and the load model a capacity planner fits).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_gap_stats",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               date_diff('microsecond', lag(ts) OVER w, ts) AS gap_us
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, count(gap_us) AS n_gaps,
+           round(CAST(sum(gap_us) AS DOUBLE) / 1000000.0 / count(gap_us), 6)
+               AS mean_gap_s,
+           round(CAST(max(gap_us) AS DOUBLE) / 1000000.0, 6) AS max_gap_s
+    FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+    """,
+)
+def events_gap_stats(sf_dir: str):
+    """Per-user inter-arrival gaps WITHOUT per-user dispatch: the shared
+    bucketed_window plan, one lexsort by (user, ts, event_id) per bucket,
+    gaps = one np.diff with segment boundaries masked out, and the three
+    aggregates come from reduceat over segment offsets. Single-event
+    users drop out on both engines (no gaps)."""
+    import pandas as pd
+
+    import ray.data
+
+    from sciscraper_ray.stages.window import bucketed_window
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us, tss = u[order], ts[order]
+        if len(us) < 2:
+            return pd.DataFrame(
+                {
+                    "user_id": np.empty(0, np.int64),
+                    "n_gaps": np.empty(0, np.int64),
+                    "mean_gap_s": np.empty(0, np.float64),
+                    "max_gap_s": np.empty(0, np.float64),
+                }
+            )
+        d = np.diff(tss)  # exact integer microseconds
+        same = us[1:] == us[:-1]
+        # segment slices over the gap array: gaps for user segment
+        # [s, e) in row space live at [s, e-1) in diff space
+        new_seg = np.r_[True, ~same]
+        starts = np.nonzero(new_seg)[0]
+        ends = np.r_[starts[1:], len(us)]
+        keep = (ends - starts) >= 2
+        s2, e2 = starts[keep], ends[keep] - 1
+        sums_us = np.add.reduceat(np.where(same, d, 0), s2)
+        maxs_us = np.maximum.reduceat(np.where(same, d, np.int64(-1)), s2)
+        n = (e2 - s2).astype(np.int64)
+        # integer-exact microsecond sums make the float path identical
+        # on both engines: (sum_us / 1e6) / n, one rounding at the end
+        return pd.DataFrame(
+            {
+                "user_id": us[s2],
+                "n_gaps": n,
+                "mean_gap_s": np.round(
+                    sums_us.astype(np.float64) / 1e6 / n, 6
+                ),
+                "max_gap_s": np.round(maxs_us.astype(np.float64) / 1e6, 6),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return bucketed_window(ds, gaps, key="user_id")

@@ -428,3 +428,184 @@ def token_window_cooc(sf_dir: str):
         .sort(key=["cnt", "w1", "w2"], descending=[True, False, False])
         .limit(80)
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law fit — vocabulary-growth exponent V(n) ~ k * n^beta over the
+# corpus in doc_id order (Heaps 1978): the corpus-health scalar that
+# tells a curation pipeline whether new data still adds vocabulary.
+# --------------------------------------------------------------------------
+
+_HEAPS_W = 1024  # coarse doc_id range width for the two-level scan
+
+
+@register(
+    "corpus_heaps_law",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), n AS (
+        SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id
+    ), f AS (
+        SELECT min(doc_id) AS doc_id FROM toks GROUP BY token
+    ), fc AS (
+        SELECT doc_id, count(*) AS ft FROM f GROUP BY doc_id
+    ), cum AS (
+        SELECT n.doc_id,
+               sum(n.nt) OVER (ORDER BY n.doc_id) AS ct,
+               sum(COALESCE(fc.ft, 0)) OVER (ORDER BY n.doc_id) AS cy
+        FROM n LEFT JOIN fc USING (doc_id)
+    ), xy AS (
+        SELECT ln(CAST(ct AS DOUBLE)) AS x, ln(CAST(cy AS DOUBLE)) AS y
+        FROM cum
+    )
+    SELECT count(*) AS n_docs,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)), 6)
+               AS heaps_beta,
+           round((sum(y)
+                  - ((count(*) * sum(x * y) - sum(x) * sum(y))
+                     / (count(*) * sum(x * x) - sum(x) * sum(x))) * sum(x))
+                 / count(*), 6) AS heaps_logk
+    FROM xy
+    """,
+)
+def corpus_heaps_law(sf_dir: str, plan: str = "auto"):
+    """log-log least-squares fit of cumulative vocabulary vs cumulative
+    tokens, both prefix sums in doc_id order, WITHOUT corpus-sized driver
+    state: (1) per-doc token counts stream once; (2) each token's
+    first-occurrence doc comes from groupby(token).Min — the
+    vocabulary-bounded exchange every first-occurrence operator here
+    uses; (3) the two prefix sums run as the textbook two-level scan
+    (doc_pack_offsets pattern — coarse doc_id ranges reduce to (range,
+    token_total, newtype_total) cells, the driver cumsums the TINY range
+    table into bases, and each range scans internally); (4) each range
+    emits only its 5 regression partials (n, Σx, Σy, Σxy, Σx²), so the
+    final fit reduces |ranges| * 5 doubles. Identical closed form in the
+    oracle."""
+    import pandas as pd
+    from ray.data.aggregate import Min, Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        n = pc.coalesce(pc.list_value_length(toks), pa.scalar(0, pa.int32()))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "rng": pa.array(ids // _HEAPS_W, pa.int64()),
+                "nt": pc.cast(n, pa.int64()),
+            }
+        )
+
+    def token_firsts(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[parents]
+        t = pa.table({"token": flat, "doc_id": pa.array(ids, pa.int64())})
+        g = t.group_by("token").aggregate([("doc_id", "min")])
+        return g.rename_columns(["token", "first_doc"])
+
+    import ray.data
+
+    ds = _docs(sf_dir)
+    counted = ds.map_batches(per_doc, batch_format="pyarrow").materialize()
+
+    # vocabulary-bounded: one row per distinct token after the merge
+    firsts = (
+        ds.map_batches(token_firsts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Min(on="first_doc", alias_name="first_doc"))
+    )
+
+    def first_counts(b: pa.Table) -> pa.Table:
+        ids = b["first_doc"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "doc_id": b["first_doc"],
+                "rng": pa.array(ids // _HEAPS_W, pa.int64()),
+                "ft_p": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        g = t.group_by(["doc_id", "rng"]).aggregate([("ft_p", "sum")])
+        return g.rename_columns(["doc_id", "rng", "ft"])
+
+    ft = (
+        firsts.map_batches(first_counts, batch_format="pyarrow")
+        .groupby(["doc_id", "rng"])
+        .aggregate(Sum(on="ft", alias_name="ft"))
+    )
+
+    # pass 1: coarse range totals -> tiny driver table -> base offsets
+    def range_totals(b: pa.Table) -> pa.Table:
+        g = b.group_by("rng").aggregate([("nt", "sum")])
+        return g.rename_columns(["rng", "tot"])
+
+    def range_totals_ft(b: pa.Table) -> pa.Table:
+        g = b.group_by("rng").aggregate([("ft", "sum")])
+        return g.rename_columns(["rng", "tot"])
+
+    h_nt = (
+        counted.map_batches(range_totals, batch_format="pyarrow")
+        .to_pandas().groupby("rng")["tot"].sum().sort_index()
+    )
+    h_ft = (
+        ft.map_batches(range_totals_ft, batch_format="pyarrow")
+        .to_pandas().groupby("rng")["tot"].sum().sort_index()
+    )
+    base_nt = dict(zip(h_nt.index, h_nt.cumsum().shift(fill_value=0)))
+    base_ft = dict(zip(h_ft.index, h_ft.cumsum().shift(fill_value=0)))
+
+    # pass 2: in-range scan; each range emits 5 regression partials
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+
+    ft2 = ft.map_batches(
+        lambda b: pa.table({"doc_id2": b["doc_id"], "ft": b["ft"]}),
+        batch_format="pyarrow",
+    )
+    merged = bucketed_hash_join(
+        counted, ft2, left_on="doc_id", right_on="doc_id2",
+        num_buckets=32, how="left",
+    )
+
+    def scan_range(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        rng = int(g["rng"].iloc[0])
+        nt = g["nt"].to_numpy(np.int64)
+        ftv = g["ft"].fillna(0).to_numpy(np.int64)
+        ct = int(base_nt.get(rng, 0)) + np.cumsum(nt)
+        cy = int(base_ft.get(rng, 0)) + np.cumsum(ftv)
+        x = np.log(ct.astype(np.float64))
+        y = np.log(cy.astype(np.float64))
+        return pd.DataFrame(
+            {
+                "n": [len(x)],
+                "sx": [x.sum()],
+                "sy": [y.sum()],
+                "sxy": [(x * y).sum()],
+                "sxx": [(x * x).sum()],
+            }
+        )
+
+    parts = (
+        merged.groupby("rng")
+        .map_groups(scan_range, batch_format="pandas")
+        .to_pandas()
+    )
+    n = float(parts["n"].sum())
+    sx, sy = float(parts["sx"].sum()), float(parts["sy"].sum())
+    sxy, sxx = float(parts["sxy"].sum()), float(parts["sxx"].sum())
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    logk = (sy - beta * sx) / n
+    return pa.table(
+        {
+            "n_docs": pa.array([int(n)], pa.int64()),
+            "heaps_beta": pa.array([round(beta, 6)], pa.float64()),
+            "heaps_logk": pa.array([round(logk, 6)], pa.float64()),
+        }
+    )

@@ -207,7 +207,11 @@ def bucketed_hash_join(
     )
 
     lnames, rnames = list(lcols), list(rcols)
-    join_type = {"inner": "inner", "left": "left outer"}[how]
+    join_type = {
+        "inner": "inner",
+        "left": "left outer",
+        "outer": "full outer",
+    }[how]
 
     def merge_bucket(g: pa.Table) -> pa.Table:
         """Arrow-native bucket-local hash join (VERDICT r2 #9): the batch

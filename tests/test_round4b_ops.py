@@ -191,3 +191,65 @@ def test_doc_snippets_kwic_contexts(ray_session):
         assert all(
             (g == w) or (pd.isna(g) and pd.isna(w)) for g, w in zip(ga, wa)
         ), col
+
+
+def test_fullouter_join_keeps_both_unmatched_sides(ray_session):
+    out = QUERIES["events_user_activity_fullouter"](SF).to_pandas()
+    ev = pd.read_parquet(SF + "/events.parquet")
+    p = (
+        ev[(ev["event_type"] == "purchase") & (ev["value"] > 200)]
+        .groupby("user_id").size()
+    )
+    er = (
+        ev[(ev["event_type"] == "error") & (ev["value"] < 8)]
+        .groupby("user_id").size()
+    )
+    users = sorted(set(p.index) | set(er.index))
+    got = out.set_index("user_id").sort_index()
+    assert list(got.index) == users
+    for u in users:
+        assert got.loc[u, "big_purchases"] == p.get(u, 0)
+        assert got.loc[u, "bad_errors"] == er.get(u, 0)
+    # the outer path must actually be exercised (error-only users exist
+    # at every sf; purchase-only users appear from sf0.01 up)
+    assert (got["big_purchases"] == 0).any()
+
+
+def test_events_gap_stats_matches_pandas(ray_session):
+    out = QUERIES["events_gap_stats"](SF).to_pandas().set_index("user_id")
+    ev = pd.read_parquet(SF + "/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    for uid, g in ev.groupby("user_id"):
+        gaps = g["ts"].diff().dropna().dt.total_seconds().to_numpy()
+        if len(gaps) == 0:
+            assert uid not in out.index
+            continue
+        assert out.loc[uid, "n_gaps"] == len(gaps)
+        assert out.loc[uid, "mean_gap_s"] == round(float(gaps.mean()), 6)
+        assert out.loc[uid, "max_gap_s"] == round(float(gaps.max()), 6)
+
+
+def test_corpus_heaps_law_matches_closed_form(ray_session):
+    out = QUERIES["corpus_heaps_law"](SF).to_pandas()
+    docs = pd.read_parquet(SF + "/documents.parquet").sort_values("doc_id")
+    seen: set = set()
+    ct, cy, xs, ys = 0, 0, [], []
+    for _, r in docs.iterrows():
+        toks = r["text"].strip().lower().split(" ")
+        ct += len(toks)
+        new = set(toks) - seen
+        seen |= new
+        cy += len(new)
+        xs.append(np.log(ct))
+        ys.append(np.log(cy))
+    x, y = np.array(xs), np.array(ys)
+    n = len(x)
+    beta = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        n * (x * x).sum() - x.sum() ** 2
+    )
+    logk = (y.sum() - beta * x.sum()) / n
+    assert out["n_docs"][0] == n
+    assert abs(out["heaps_beta"][0] - beta) < 2e-6
+    assert abs(out["heaps_logk"][0] - logk) < 2e-5
+    assert 0 < out["heaps_beta"][0] < 1  # sublinear vocabulary growth
