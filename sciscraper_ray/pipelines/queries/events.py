@@ -861,3 +861,92 @@ def events_gap_stats(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
     )
     return bucketed_window(ds, gaps, key="user_id")
+
+
+# --------------------------------------------------------------------------
+# Stationary distribution of the behavior Markov chain — where user
+# sessions spend their time in the long run (the steady-state companion
+# to events_type_transitions).
+# --------------------------------------------------------------------------
+
+_MARKOV_ITERS = 8
+
+
+def _markov_sql(iters: int = _MARKOV_ITERS) -> str:
+    ctes = [
+        """seq AS (
+        SELECT event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    )""",
+        "t AS (SELECT prev AS f, event_type AS tt, count(*) AS c FROM seq WHERE prev IS NOT NULL GROUP BY f, tt)",
+        "rows_ AS (SELECT f, sum(c) AS tot FROM t GROUP BY f)",
+        "p AS (SELECT t.f, t.tt, t.c / rows_.tot AS p FROM t JOIN rows_ USING (f))",
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM rows_)",
+        "pi0 AS (SELECT f AS state, 1.0 / (SELECT k FROM n) AS pr FROM rows_)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"pi{k} AS (SELECT p.tt AS state, sum(pi{k - 1}.pr * p.p) AS pr "
+            f"FROM pi{k - 1} JOIN p ON p.f = pi{k - 1}.state GROUP BY p.tt)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT state, round(pr, 6) AS prob FROM pi{iters}"
+    )
+
+
+@register("events_markov_stationary", oracle=_markov_sql())
+def events_markov_stationary(sf_dir: str):
+    """Fixed-K power iteration over the row-normalized transition matrix
+    (pi' = pi P, 8 rounds from uniform): the transition counts come from
+    the SAME bucketed-window plan as events_type_transitions (exchange
+    bounded by |types|^2), and the iteration itself is |types|x|types|
+    driver math — the distributed work is the counting, exactly as in
+    the oracle's unrolled CTE chain. Matrix entries are exact integer
+    ratios, so both engines iterate identical doubles."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.window import (
+        bucket_type_transitions,
+        bucketed_window,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    counts = (
+        bucketed_window(ds, bucket_type_transitions)
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .to_pandas()  # bounded: |types|^2 rows
+    )
+    import pandas as pd
+
+    states = sorted(set(counts["from_type"]) | set(counts["to_type"]))
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    mat = np.zeros((k, k), np.float64)
+    for f, tt, c in zip(counts["from_type"], counts["to_type"], counts["cnt"]):
+        mat[idx[f], idx[tt]] = c
+    rowtot = mat.sum(axis=1)
+    has_out = rowtot > 0
+    p = np.zeros_like(mat)
+    p[has_out] = mat[has_out] / rowtot[has_out, None]
+    pi = np.where(has_out, 1.0 / has_out.sum(), 0.0)
+    for _ in range(_MARKOV_ITERS):
+        pi = pi @ p
+    emit = sorted(set(counts["to_type"]))
+    return pa.table(
+        {
+            "state": pa.array(emit),
+            "prob": pa.array(
+                np.round([pi[idx[s]] for s in emit], 6), pa.float64()
+            ),
+        }
+    )

@@ -625,3 +625,195 @@ def link_routing(sf_dir: str):
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3 (shipping priority) shaped three-table join: the classic
+# filter -> big x big join -> pre-reduced aggregate -> top-k pipeline.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_q3_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c2,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_c2 DESC, o.o_orderdate ASC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def orders_q3_priority(sf_dir: str):
+    """TPC-H Q3 shape (unshipped-revenue top-10) built scale-first:
+    every filter is pushed into the read pass, lineitem pre-reduces to
+    one (orderkey, revenue) partial per batch BEFORE any join, and both
+    joins are the bucketed co-partition plan (customer x orders and
+    orders x lineitem-partials are big x big at warehouse scale — no
+    sf-proportional broadcast). Revenue stays integer-exact end to end:
+    cents x (100 - discount basis points) avoids the float round()
+    half-even/half-away divergence entirely. Final top-10 sorts a
+    per-order table already reduced to qualifying orders."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.less(
+                b["o_orderdate"],
+                pa.scalar(np.datetime64("1995-03-15", "us"), pa.timestamp("us")),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    qual_orders = bucketed_hash_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey"
+    ).map_batches(
+        lambda b: b.select(["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.greater(
+                b["l_shipdate"],
+                pa.scalar(np.datetime64("1995-03-15", "us"), pa.timestamp("us")),
+            )
+        )
+        cents = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        bp = np.round(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "rev": pa.array(cents * (100 - bp), pa.int64()),
+            }
+        )
+        g = t.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    li = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum(on="rev", alias_name="revenue_c2"))
+    )
+
+    joined = bucketed_hash_join(
+        li, qual_orders, left_on="l_orderkey", right_on="o_orderkey"
+    )
+    top = (
+        joined.map_batches(
+            lambda b: b.select(
+                ["l_orderkey", "revenue_c2", "o_orderdate", "o_orderpriority"]
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(
+            key=["revenue_c2", "o_orderdate", "l_orderkey"],
+            descending=[True, False, False],
+        )
+        .limit(10)
+    )
+    return top
+
+
+# --------------------------------------------------------------------------
+# Exact weighted median per group — the robust price point a pricing /
+# inventory report quotes (median unit weighted by quantity moved).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS price,
+               sum(l_quantity) AS q
+        FROM lineitem GROUP BY flag, price
+    ), c AS (
+        SELECT flag, price,
+               sum(q) OVER (PARTITION BY flag ORDER BY price) AS cumq,
+               sum(q) OVER (PARTITION BY flag) AS tot
+        FROM w
+    )
+    SELECT flag, min(price) AS wmedian_price
+    FROM c WHERE cumq * 2 >= tot GROUP BY flag
+    """,
+)
+def lineitem_weighted_median(sf_dir: str):
+    """Exact weighted (lower) median without a global sort: per-batch
+    (flag, price) weight partials collapse duplicate prices first, the
+    one exchange moves rows bounded by |flags| x |distinct prices| (a
+    bounded price domain, not row count), and each flag's median is a
+    vectorized sort + cumsum + first-crossing inside its group.
+    Quantities are small integers in doubles, so every cumulative sum is
+    exact and the crossing comparison is engine-identical."""
+    import pandas as pd
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "flag": b["l_returnflag"],
+                "price": b["l_extendedprice"],
+                "q": b["l_quantity"],
+            }
+        )
+        g = t.group_by(["flag", "price"]).aggregate([("q", "sum")])
+        return g.rename_columns(["flag", "price", "q"])
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["flag", "price"])
+        .aggregate(Sum(on="q", alias_name="q"))
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("price")
+        q = g["q"].to_numpy(np.float64)
+        cum = np.cumsum(q)
+        tot = cum[-1]
+        i = int(np.argmax(cum * 2 >= tot))
+        return pd.DataFrame(
+            {
+                "flag": [g["flag"].iloc[0]],
+                "wmedian_price": [float(g["price"].iloc[i])],
+            }
+        )
+
+    return merged.groupby("flag").map_groups(pick, batch_format="pandas")

@@ -253,3 +253,57 @@ def test_corpus_heaps_law_matches_closed_form(ray_session):
     assert abs(out["heaps_beta"][0] - beta) < 2e-6
     assert abs(out["heaps_logk"][0] - logk) < 2e-5
     assert 0 < out["heaps_beta"][0] < 1  # sublinear vocabulary growth
+
+
+def test_orders_q3_exact_cents_and_order(ray_session):
+    out = QUERIES["orders_q3_priority"](SF).to_pandas()
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    want = con.sql(
+        """
+        SELECT l.l_orderkey,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_c2
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < DATE '1995-03-15'
+          AND l.l_shipdate > DATE '1995-03-15'
+        GROUP BY l.l_orderkey
+        ORDER BY revenue_c2 DESC LIMIT 10
+        """
+    ).df()
+    assert len(out) == len(want)
+    assert list(out["revenue_c2"]) == list(want["revenue_c2"])
+    # descending, deterministic ordering
+    assert (np.diff(out["revenue_c2"].to_numpy()) <= 0).all()
+
+
+def test_weighted_median_crossing_rule(ray_session):
+    out = (
+        QUERIES["lineitem_weighted_median"](SF)
+        .to_pandas()
+        .set_index("flag")["wmedian_price"]
+    )
+    li = pd.read_parquet(
+        SF + "/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+    for flag, g in li.groupby("l_returnflag"):
+        w = g.groupby("l_extendedprice")["l_quantity"].sum().sort_index()
+        cum = w.cumsum()
+        want = cum.index[(cum * 2 >= cum.iloc[-1]).argmax()]
+        assert out[flag] == want
+
+
+def test_markov_stationary_is_probability_vector(ray_session):
+    out = QUERIES["events_markov_stationary"](SF).to_pandas()
+    assert abs(out["prob"].sum() - 1.0) < 1e-4
+    assert (out["prob"] > 0).all()
+    assert len(out) == 5
