@@ -79,7 +79,7 @@ _PRIORITY = (
     "events_attribution_first_touch", "source_dup_rate", "graph_ppr",
     "doc_snippets", "events_user_activity_fullouter", "events_gap_stats",
     "corpus_heaps_law", "orders_q3_priority", "lineitem_weighted_median",
-    "events_markov_stationary",
+    "events_markov_stationary", "events_time_to_convert",
     # 24-29: the real-codec media family + identifier validation
     "media_png_features", "media_wav_features", "media_jpeg_features",
     "media_mp4_metadata", "media_gif_features", "page_validate_identifiers",

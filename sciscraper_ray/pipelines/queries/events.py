@@ -950,3 +950,76 @@ def events_markov_stationary(sf_dir: str):
             ),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel latency: per-user time from first signup to first subsequent
+# purchase — the time-to-convert table a growth team slices daily.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(ts) AS ts0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+        SELECT s.user_id, s.ts0, min(e.ts) AS ts1
+        FROM s JOIN events e
+          ON e.user_id = s.user_id
+         AND e.event_type = 'purchase' AND e.ts >= s.ts0
+        GROUP BY s.user_id, s.ts0
+    )
+    SELECT user_id,
+           round(CAST(date_diff('microsecond', ts0, ts1) AS DOUBLE)
+                 / 1000000.0, 6) AS convert_s
+    FROM p
+    """,
+)
+def events_time_to_convert(sf_dir: str):
+    """Both funnel endpoints in ONE bucketed shuffle: inside a user
+    bucket, a single lexsort by (user, ts) gives first-signup via
+    segment-min over the signup mask and first-qualifying-purchase via a
+    masked running comparison — the oracle's self-join never runs. The
+    microsecond difference stays integer until one final division, so
+    the rounded seconds are engine-identical."""
+    import pandas as pd
+
+    import ray.data
+
+    from sciscraper_ray.stages.window import bucketed_window
+
+    def convert(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((ts, u))
+        us, tss, ets = u[order], ts[order], et[order]
+        new_seg = np.r_[True, us[1:] != us[:-1]]
+        segid = np.cumsum(new_seg) - 1
+        nseg = segid[-1] + 1 if len(us) else 0
+        big = np.iinfo(np.int64).max
+        ts0 = np.full(nseg, big)
+        m_s = ets == "signup"
+        np.minimum.at(ts0, segid[m_s], tss[m_s])
+        ts1 = np.full(nseg, big)
+        m_p = ets == "purchase"
+        # first purchase at/after the user's first signup
+        ok = m_p & (ts0[segid] != big) & (tss >= ts0[segid])
+        np.minimum.at(ts1, segid[ok], tss[ok])
+        keep = (ts0 != big) & (ts1 != big)
+        starts = np.nonzero(new_seg)[0]
+        return pd.DataFrame(
+            {
+                "user_id": us[starts][keep],
+                "convert_s": np.round(
+                    (ts1[keep] - ts0[keep]).astype(np.float64) / 1e6, 6
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return bucketed_window(ds, convert, key="user_id")

@@ -307,3 +307,24 @@ def test_markov_stationary_is_probability_vector(ray_session):
     assert abs(out["prob"].sum() - 1.0) < 1e-4
     assert (out["prob"] > 0).all()
     assert len(out) == 5
+
+
+def test_time_to_convert_first_signup_then_first_purchase(ray_session):
+    out = (
+        QUERIES["events_time_to_convert"](SF)
+        .to_pandas()
+        .set_index("user_id")["convert_s"]
+    )
+    ev = pd.read_parquet(SF + "/events.parquet")
+    for uid, g in ev.groupby("user_id"):
+        s = g[g["event_type"] == "signup"]["ts"]
+        if s.empty:
+            assert uid not in out.index
+            continue
+        ts0 = s.min()
+        p = g[(g["event_type"] == "purchase") & (g["ts"] >= ts0)]["ts"]
+        if p.empty:
+            assert uid not in out.index
+            continue
+        want = round((p.min() - ts0).total_seconds(), 6)
+        assert out[uid] == want
