@@ -609,3 +609,119 @@ def corpus_heaps_law(sf_dir: str, plan: str = "auto"):
             "heaps_logk": pa.array([round(logk, 6)], pa.float64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Declared-vs-predicted language confusion matrix — the crawl-QA
+# aggregate behind doc_lang_mismatch's per-row report (which langtags
+# are systematically wrong, not just which rows).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_lang_confusion",
+    oracle=f"""
+    SELECT d.lang AS declared, p.lang_pred AS predicted,
+           count(*) AS docs
+    FROM ({_lang_sql()}) p JOIN documents d USING (doc_id)
+    GROUP BY declared, predicted
+    """,
+)
+def doc_lang_confusion(sf_dir: str):
+    """Confusion-matrix aggregate over the content-based language ID vs
+    the page's declared tag: the per-batch kernel runs the same
+    vectorized lang_id pass as doc_lang_id and pre-aggregates to
+    (declared, predicted, count) — the exchange is bounded by
+    |langs|^2 x batches, never the document stream."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = lang_id_batch(batch)
+        t = pa.table(
+            {"declared": batch["lang"], "predicted": out["lang_pred"]}
+        )
+        g = t.group_by(["declared", "predicted"]).aggregate(
+            [("predicted", "count")]
+        )
+        return g.rename_columns(["declared", "predicted", "c"])
+
+    return (
+        _docs(sf_dir, columns=("doc_id", "text", "lang"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["declared", "predicted"])
+        .aggregate(Sum(on="c", alias_name="docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Prefix autocomplete index — for every 3-char token prefix, the corpus's
+# most frequent completion (the build step behind a search-box
+# suggest service).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "token_prefix_autocomplete",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_SQL_TOKENS}) AS token FROM documents
+    ), c AS (
+        SELECT token, count(*) AS cnt FROM toks
+        WHERE length(token) >= 3 GROUP BY token
+    ), ranked AS (
+        SELECT substr(token, 1, 3) AS prefix, token, cnt,
+               row_number() OVER (
+                   PARTITION BY substr(token, 1, 3)
+                   ORDER BY cnt DESC, token ASC
+               ) AS rn
+        FROM c
+    )
+    SELECT prefix, token AS completion, cnt FROM ranked WHERE rn = 1
+    """,
+)
+def token_prefix_autocomplete(sf_dir: str):
+    """Top completion per 3-char prefix: per-batch token counts (the
+    standard vocabulary-bounded partial), one groupby-Sum merge, then
+    the per-prefix argmax is a single vectorized lexsort +
+    segment-boundary take over the merged vocabulary table — never a
+    per-prefix loop. Ties break (count desc, token asc) on both
+    engines."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens = tokenize_column(batch["text"])
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        flat = pc.list_flatten(tokens)
+        flat = flat.filter(
+            pc.greater_equal(pc.utf8_length(flat), 3)
+        )
+        vc = flat.value_counts()
+        return pa.table(
+            {"token": vc.field("values"), "cnt": vc.field("counts")}
+        )
+
+    merged = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .to_pandas()  # vocabulary-bounded
+    )
+    tok = merged["token"].to_numpy()
+    cnt = merged["cnt"].to_numpy(np.int64)
+    prefix = np.array([t[:3] for t in tok])
+    order = np.lexsort((tok, -cnt, prefix))
+    pfx_s, tok_s, cnt_s = prefix[order], tok[order], cnt[order]
+    first = np.r_[True, pfx_s[1:] != pfx_s[:-1]]
+    return pa.table(
+        {
+            "prefix": pa.array(pfx_s[first]),
+            "completion": pa.array(tok_s[first]),
+            "cnt": pa.array(cnt_s[first], pa.int64()),
+        }
+    )

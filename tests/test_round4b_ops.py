@@ -328,3 +328,45 @@ def test_time_to_convert_first_signup_then_first_purchase(ray_session):
             continue
         want = round((p.min() - ts0).total_seconds(), 6)
         assert out[uid] == want
+
+
+def test_lang_confusion_matches_per_doc_langid(ray_session):
+    out = QUERIES["doc_lang_confusion"](SF).to_pandas()
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "lang"])
+    assert out["docs"].sum() == len(docs)
+    # cross-check the matrix against the per-doc lang-ID query
+    pred = QUERIES["doc_lang_id"](SF).to_pandas().set_index("doc_id")
+    joined = docs.set_index("doc_id").join(pred)
+    want = (
+        joined.groupby(["lang", "lang_pred"]).size().rename("docs").reset_index()
+    )
+    got = out.sort_values(["declared", "predicted"]).reset_index(drop=True)
+    want = want.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["docs"].to_numpy() == want["docs"].to_numpy()).all()
+    assert (got["declared"].to_numpy() == want["lang"].to_numpy()).all()
+    assert (got["predicted"].to_numpy() == want["lang_pred"].to_numpy()).all()
+
+
+def test_prefix_autocomplete_argmax_rule(ray_session):
+    out = (
+        QUERIES["token_prefix_autocomplete"](SF)
+        .to_pandas()
+        .set_index("prefix")
+    )
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["text"])
+    counts: dict[str, int] = {}
+    for text in docs["text"]:
+        for t in text.strip().lower().split(" "):
+            if len(t) >= 3:
+                counts[t] = counts.get(t, 0) + 1
+    best: dict[str, tuple] = {}
+    for t, c in counts.items():
+        k = t[:3]
+        cand = (-c, t)
+        if k not in best or cand < best[k]:
+            best[k] = cand
+    assert len(out) == len(best)
+    for k, (negc, t) in best.items():
+        assert out.loc[k, "completion"] == t
+        assert out.loc[k, "cnt"] == -negc
