@@ -81,6 +81,7 @@ _PRIORITY = (
     "corpus_heaps_law", "orders_q3_priority", "lineitem_weighted_median",
     "events_markov_stationary", "events_time_to_convert",
     "doc_lang_confusion", "token_prefix_autocomplete",
+    "lineitem_price_qty_corr",
     # 24-29: the real-codec media family + identifier validation
     "media_png_features", "media_wav_features", "media_jpeg_features",
     "media_mp4_metadata", "media_gif_features", "page_validate_identifiers",

@@ -817,3 +817,101 @@ def lineitem_weighted_median(sf_dir: str):
         )
 
     return merged.groupby("flag").map_groups(pick, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Grouped feature correlation — Pearson r and OLS slope of price vs
+# quantity per return flag, from streamed moment partials (the feature-
+# screening pass a modeling pipeline runs before training).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_price_qty_corr",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag AS flag, count(*) AS n,
+               sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+               sum(l_quantity * l_extendedprice) AS sxy,
+               sum(l_quantity * l_quantity) AS sxx,
+               sum(l_extendedprice * l_extendedprice) AS syy
+        FROM lineitem GROUP BY flag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS pearson_r,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS ols_slope
+    FROM m
+    """,
+)
+def lineitem_price_qty_corr(sf_dir: str):
+    """Per-group Pearson r + OLS slope with a constant-size exchange:
+    each batch emits one 7-tuple of moments per flag (|flags| rows per
+    block regardless of row count), a tiny groupby merges them, and the
+    closed forms evaluate identically on both engines under round(,6)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def moments(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        q = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = b["l_extendedprice"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        codes, uniq = pd.factorize(
+            b["l_returnflag"].to_numpy(zero_copy_only=False), sort=True
+        )
+        def bc(w=None):
+            return np.bincount(codes, weights=w, minlength=len(uniq))
+        return pa.table(
+            {
+                "flag": pa.array(np.asarray(uniq)),
+                "n_p": pa.array(bc().astype(np.int64)),
+                "sx_p": pa.array(bc(q)),
+                "sy_p": pa.array(bc(p)),
+                "sxy_p": pa.array(bc(q * p)),
+                "sxx_p": pa.array(bc(q * q)),
+                "syy_p": pa.array(bc(p * p)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("flag")
+        .aggregate(
+            Sum(on="n_p", alias_name="n"),
+            Sum(on="sx_p", alias_name="sx"),
+            Sum(on="sy_p", alias_name="sy"),
+            Sum(on="sxy_p", alias_name="sxy"),
+            Sum(on="sxx_p", alias_name="sxx"),
+            Sum(on="syy_p", alias_name="syy"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b["sx"].to_numpy(zero_copy_only=False)
+        sy = b["sy"].to_numpy(zero_copy_only=False)
+        sxy = b["sxy"].to_numpy(zero_copy_only=False)
+        sxx = b["sxx"].to_numpy(zero_copy_only=False)
+        syy = b["syy"].to_numpy(zero_copy_only=False)
+        cov = n * sxy - sx * sy
+        r = cov / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        slope = cov / (n * sxx - sx * sx)
+        return pa.table(
+            {
+                "flag": b["flag"],
+                "n": pc.cast(b["n"], pa.int64()),
+                "pearson_r": pa.array(np.round(r, 6), pa.float64()),
+                "ols_slope": pa.array(np.round(slope, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

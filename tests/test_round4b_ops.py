@@ -370,3 +370,21 @@ def test_prefix_autocomplete_argmax_rule(ray_session):
     for k, (negc, t) in best.items():
         assert out.loc[k, "completion"] == t
         assert out.loc[k, "cnt"] == -negc
+
+
+def test_price_qty_corr_matches_numpy(ray_session):
+    out = (
+        QUERIES["lineitem_price_qty_corr"](SF).to_pandas().set_index("flag")
+    )
+    li = pd.read_parquet(
+        SF + "/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    for flag, g in li.groupby("l_returnflag"):
+        q = g["l_quantity"].to_numpy(np.float64)
+        p = g["l_extendedprice"].to_numpy(np.float64)
+        r = np.corrcoef(q, p)[0, 1]
+        slope = np.polyfit(q, p, 1)[0]
+        assert out.loc[flag, "n"] == len(g)
+        assert abs(out.loc[flag, "pearson_r"] - r) < 2e-5
+        assert abs(out.loc[flag, "ols_slope"] - slope) < 2e-3
