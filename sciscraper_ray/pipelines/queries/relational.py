@@ -915,3 +915,357 @@ def lineitem_price_qty_corr(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape: order-count-per-customer distribution (incl. the zero
+# bucket). The classic "distribution of engagement" report.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_dist",
+    oracle="""
+    WITH per AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def customer_order_dist(sf_dir: str):
+    """TPC-H Q13 (customer order-count distribution) without the left
+    join: orders pre-reduce per batch to (custkey, cnt) partials, ONE
+    groupby-Sum bounds the exchange by customer cardinality, per-batch
+    count histograms shrink that to |distinct c_count| rows (tens), and
+    the zero-order bucket is arithmetic — total customers (metadata
+    count, no data read) minus customers seen in orders. The full
+    customer table never joins anything."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("o_custkey").aggregate([([], "count_all")])
+        return g.rename_columns(["o_custkey", "cnt"])
+
+    per = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum(on="cnt", alias_name="c_count"))
+    )
+
+    def hist(b: pa.Table) -> pa.Table:
+        g = b.group_by("c_count").aggregate([([], "count_all")])
+        return g.rename_columns(["c_count", "custdist"])
+
+    dist = (
+        per.map_batches(hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("c_count")["custdist"]
+        .sum()
+    )
+    n_customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+    zero = n_customers - int(dist.sum())
+    counts = dict(dist)
+    if zero > 0:
+        counts[0] = counts.get(0, 0) + zero
+    out = (
+        pa.table(
+            {
+                "c_count": pa.array(list(counts), pa.int64()),
+                "custdist": pa.array(
+                    [int(v) for v in counts.values()], pa.int64()
+                ),
+            }
+        )
+        .sort_by([("custdist", "descending"), ("c_count", "descending")])
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q11 shape: parts whose traded value exceeds a fixed fraction of the
+# global total — grouped aggregate filtered by a global scalar, all integer.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "part_value_threshold",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS value_c2
+        FROM lineitem GROUP BY l_partkey
+    ), tot AS (SELECT sum(value_c2) AS t FROM pv)
+    SELECT l_partkey, value_c2
+    FROM pv, tot WHERE value_c2 * 10000 > t
+    ORDER BY value_c2 DESC, l_partkey ASC
+    LIMIT 100
+    """,
+)
+def part_value_threshold(sf_dir: str):
+    """TPC-H Q11 shape (value share above a global-fraction threshold):
+    per-batch partials bound the one shuffle by part cardinality; the
+    part-sized grouped table is materialized ONCE (bounded: |part|, not
+    |lineitem|) so the global-total scalar and the threshold filter reuse
+    it instead of re-running the groupby. Money stays integer
+    (cents x (100-discount bp)); the strict ``value*10000 > total``
+    comparison is done as exact integer math on both engines (Python int
+    threshold on the Ray side, BIGINT product on DuckDB's)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        bp = np.round(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "v": pa.array(cents * (100 - bp), pa.int64()),
+            }
+        )
+        return (
+            t.group_by("l_partkey")
+            .aggregate([("v", "sum")])
+            .rename_columns(["l_partkey", "v"])
+        )
+
+    pv = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum(on="v", alias_name="value_c2"))
+        .materialize()  # bounded by |part|; reused by scalar + filter
+    )
+    total = int(pv.sum("value_c2"))
+    # value_c2 * 10000 > total  <=>  value_c2 > total // 10000 (ints)
+    thresh = total // 10000
+
+    return (
+        pv.filter(
+            lambda r: r["value_c2"] > thresh
+        )
+        .sort(key=["value_c2", "l_partkey"], descending=[True, False])
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape: idle high-balance customers (above the positive-balance
+# mean, no orders) tallied per nation. Scalar subquery + anti-join + dim
+# broadcast, with the mean comparison kept integer-exact.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "customer_idle_highvalue",
+    oracle="""
+    WITH pos AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer
+    ), stats AS (
+        SELECT sum(bal_c) AS s, count(*) AS n FROM pos WHERE bal_c > 0
+    ), idle AS (
+        SELECT p.* FROM pos p, stats
+        WHERE p.bal_c * stats.n > stats.s
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+    )
+    SELECT n.n_name, count(*) AS numcust, sum(bal_c) AS totacctbal_c
+    FROM idle JOIN nation n ON idle.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def customer_idle_highvalue(sf_dir: str):
+    """TPC-H Q22 shape: customers above the positive-balance mean with no
+    urgent-priority orders, tallied per nation. The mean test is exact
+    integer cross-multiplication (bal_c * n > sum_c) — no float mean
+    crosses engines. The anti-join broadcasts the distinct urgent-order
+    custkeys (the priority filter is pushed into the scan, so the
+    broadcast is the qualifying subset, bounded by customer cardinality;
+    the >50M-key scale path is the bucketed co-partitioned anti-join,
+    stages/relational.py:140). The nation dim (25 rows) rides inside the
+    final partial as a plain dict lookup, and the one exchange is the
+    25-row nation tally."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def bal_stats(b: pa.Table) -> pa.Table:
+        bal = np.round(
+            b["c_acctbal"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        pos = bal[bal > 0]
+        return pa.table(
+            {
+                "s": pa.array([int(pos.sum())], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    st = cust.map_batches(bal_stats, batch_format="pyarrow").to_pandas()
+    s_pos, n_pos = int(st["s"].sum()), int(st["n"].sum())
+
+    ordered = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "k": pc.unique(
+                    b.filter(
+                        pc.equal(b["o_orderpriority"], "1-URGENT")
+                    )["o_custkey"]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    key_ref = ray.put(pa.array(ordered["k"].unique(), pa.int64()))
+
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat_ref = ray.put(dict(zip(nat["n_nationkey"], nat["n_name"])))
+
+    class IdleTally:
+        def __init__(self):
+            self.keys = ray.get(key_ref)
+            self.nations = ray.get(nat_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            bal = np.round(
+                b["c_acctbal"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            rich = bal * n_pos > s_pos
+            no_orders = pc.invert(
+                pc.is_in(b["c_custkey"], value_set=self.keys)
+            ).to_numpy(zero_copy_only=False)
+            keep = rich & no_orders
+            nk = b["c_nationkey"].to_numpy(zero_copy_only=False)[keep]
+            names = np.array(
+                [self.nations[int(k)] for k in nk], dtype=object
+            )
+            t = pa.table(
+                {
+                    "n_name": pa.array(names, pa.string()),
+                    "bal": pa.array(bal[keep], pa.int64()),
+                    "one": pa.array(np.ones(keep.sum(), np.int64)),
+                }
+            )
+            g = t.group_by("n_name").aggregate(
+                [("one", "sum"), ("bal", "sum")]
+            )
+            return g.rename_columns(["n_name", "numcust_p", "bal_p"])
+
+    return (
+        cust.map_batches(IdleTally, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("n_name")
+        .aggregate(
+            Sum(on="numcust_p", alias_name="numcust"),
+            Sum(on="bal_p", alias_name="totacctbal_c"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS / CUBE: multi-grain revenue report from ONE finest-grain
+# aggregate — the supersets are derived from the (|priorities| x |statuses|)
+# cell table, never from a second scan.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_c,
+           count(*) AS cnt
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def orders_grouping_sets(sf_dir: str):
+    """CUBE(priority, status) from one pass: per-batch partials reduce to
+    finest-grain cells, one tiny groupby merges them (<= 15 cells at any
+    scale — both dims are enum-like), and the three coarser grains are
+    pure arithmetic over that cell table on the driver. A second scan
+    per grouping set (what a naive UNION ALL plan does) would read the
+    fact table four times."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "priority": b["o_orderpriority"],
+                "status": b["o_orderstatus"],
+                "c": pa.array(cents, pa.int64()),
+                "one": pa.array(np.ones(len(cents), np.int64)),
+            }
+        )
+        g = t.group_by(["priority", "status"]).aggregate(
+            [("c", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(["priority", "status", "total_p", "cnt_p"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["priority", "status"])
+        .aggregate(
+            Sum(on="total_p", alias_name="total_c"),
+            Sum(on="cnt_p", alias_name="cnt"),
+        )
+        .to_pandas()  # bounded: |priorities| x |statuses| cells
+    )
+    frames = [cells]
+    for keys in (["priority"], ["status"], []):
+        if keys:
+            g = cells.groupby(keys, as_index=False)[["total_c", "cnt"]].sum()
+        else:
+            g = pd.DataFrame(
+                {"total_c": [cells["total_c"].sum()], "cnt": [cells["cnt"].sum()]}
+            )
+        for col in ("priority", "status"):
+            if col not in g.columns:
+                g[col] = "ALL"
+        frames.append(g[["priority", "status", "total_c", "cnt"]])
+    out = pd.concat(frames, ignore_index=True)
+    out["total_c"] = out["total_c"].astype(np.int64)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1,0 +1,122 @@
+"""Round-4 session-C additions: TPC-H-style distribution/threshold ops
+(Q13/Q11/Q22 shapes, CUBE), each recomputed from first principles in
+pandas/numpy (oracle parity runs in tools/check_correctness.py)."""
+
+import numpy as np
+import pandas as pd
+
+from sciscraper_ray.pipelines.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(out):
+    return out.to_pandas() if hasattr(out, "to_pandas") else out
+
+
+def test_customer_order_dist_matches_left_join(ray_session):
+    got = _df(QUERIES["customer_order_dist"](SF))
+    cust = pd.read_parquet(SF + "/customer.parquet", columns=["c_custkey"])
+    orders = pd.read_parquet(SF + "/orders.parquet", columns=["o_custkey"])
+    per = (
+        cust.merge(
+            orders.groupby("o_custkey").size().rename("c_count"),
+            left_on="c_custkey",
+            right_index=True,
+            how="left",
+        )["c_count"]
+        .fillna(0)
+        .astype(np.int64)
+    )
+    want = per.value_counts().rename_axis("c_count").reset_index(name="custdist")
+    got = got.sort_values(["c_count"]).reset_index(drop=True)
+    want = want.sort_values(["c_count"]).reset_index(drop=True)
+    assert (got["c_count"].to_numpy() == want["c_count"].to_numpy()).all()
+    assert (got["custdist"].to_numpy() == want["custdist"].to_numpy()).all()
+    # the headline ordering: custdist desc, c_count desc
+    ordered = _df(QUERIES["customer_order_dist"](SF))
+    pairs = list(zip(-ordered["custdist"], -ordered["c_count"]))
+    assert pairs == sorted(pairs)
+
+
+def test_part_value_threshold_matches_integer_math(ray_session):
+    got = _df(QUERIES["part_value_threshold"](SF)).sort_values(
+        ["value_c2", "l_partkey"], ascending=[False, True]
+    )
+    li = pd.read_parquet(
+        SF + "/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    cents = np.round(li["l_extendedprice"].to_numpy() * 100).astype(object)
+    bp = np.round(li["l_discount"].to_numpy() * 100).astype(object)
+    li["v"] = cents * (100 - bp)
+    pv = li.groupby("l_partkey")["v"].sum()
+    total = int(pv.sum())
+    want = pv[pv * 10000 > total].sort_values(ascending=False)
+    want = (
+        want.rename("value_c2")
+        .reset_index()
+        .sort_values(["value_c2", "l_partkey"], ascending=[False, True])
+        .head(100)
+    )
+    assert len(got) == len(want)
+    assert (got["l_partkey"].to_numpy() == want["l_partkey"].to_numpy()).all()
+    assert (
+        got["value_c2"].to_numpy().astype(np.int64)
+        == want["value_c2"].to_numpy().astype(np.int64)
+    ).all()
+
+
+def test_customer_idle_highvalue_matches_pandas(ray_session):
+    got = _df(QUERIES["customer_idle_highvalue"](SF)).set_index("n_name")
+    cust = pd.read_parquet(SF + "/customer.parquet")
+    orders = pd.read_parquet(
+        SF + "/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    nation = pd.read_parquet(SF + "/nation.parquet")
+    bal = np.round(cust["c_acctbal"].to_numpy() * 100).astype(np.int64)
+    pos = bal[bal > 0]
+    urgent = set(
+        orders.loc[orders["o_orderpriority"] == "1-URGENT", "o_custkey"]
+    )
+    keep = (bal * len(pos) > pos.sum()) & ~cust["c_custkey"].isin(urgent)
+    idle = cust[keep].copy()
+    idle["bal_c"] = bal[keep]
+    idle = idle.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    want = idle.groupby("n_name").agg(
+        numcust=("c_custkey", "size"), totacctbal_c=("bal_c", "sum")
+    )
+    assert len(got) == len(want) > 0
+    want = want.sort_index()
+    got = got.sort_index()
+    assert (got["numcust"].to_numpy() == want["numcust"].to_numpy()).all()
+    assert (
+        got["totacctbal_c"].to_numpy() == want["totacctbal_c"].to_numpy()
+    ).all()
+
+
+def test_orders_grouping_sets_is_consistent_cube(ray_session):
+    got = _df(QUERIES["orders_grouping_sets"](SF))
+    orders = pd.read_parquet(SF + "/orders.parquet")
+    cents = np.round(orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    orders = orders.assign(c=cents)
+    fine = orders.groupby(["o_orderpriority", "o_orderstatus"])["c"].agg(
+        ["sum", "size"]
+    )
+    n_pri = orders["o_orderpriority"].nunique()
+    n_st = orders["o_orderstatus"].nunique()
+    assert len(got) == len(fine) + n_pri + n_st + 1
+    # grand total row
+    g = got[(got["priority"] == "ALL") & (got["status"] == "ALL")]
+    assert int(g["total_c"].iloc[0]) == int(cents.sum())
+    assert int(g["cnt"].iloc[0]) == len(orders)
+    # one fine cell and one margin spot-checked exactly
+    pri, st = fine.index[0]
+    cell = got[(got["priority"] == pri) & (got["status"] == st)]
+    assert int(cell["total_c"].iloc[0]) == int(fine.loc[(pri, st), "sum"])
+    marg = got[(got["priority"] == pri) & (got["status"] == "ALL")]
+    want_m = orders[orders["o_orderpriority"] == pri]["c"]
+    assert int(marg["total_c"].iloc[0]) == int(want_m.sum())
+    assert int(marg["cnt"].iloc[0]) == len(want_m)
