@@ -2751,3 +2751,76 @@ def source_dup_rate(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Temperature sampling (T=0.7 source re-weighting): the multinomial
+# mixture weights an LLM data loader draws sources with.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "source_temperature_sampling",
+    oracle=f"""
+    WITH n AS (
+        SELECT source,
+               sum(CAST(len({_SQL_TOKENS}) AS BIGINT)) AS n_tokens
+        FROM documents GROUP BY source
+    ), w AS (
+        SELECT source, n_tokens,
+               pow(CAST(n_tokens AS DOUBLE), 0.7) AS wt
+        FROM n
+    )
+    SELECT source, n_tokens,
+           round(wt / (SELECT sum(wt) FROM w), 9) AS p_sample,
+           round((wt / (SELECT sum(wt) FROM w))
+                 / (CAST(n_tokens AS DOUBLE)
+                    / (SELECT sum(n_tokens) FROM n)), 6) AS epochs_rel
+    FROM w
+    """,
+)
+def source_temperature_sampling(sf_dir: str):
+    """Temperature-0.7 source sampling weights (the unigram-mixture
+    re-weighting LLM data loaders use to up-sample small sources):
+    p_i ∝ n_i^0.7 over per-source token counts, plus the relative
+    epoch count (p_i / natural share — how many times a source is
+    re-seen per natural epoch). Token counts reduce per batch to one
+    int64 per source (sources are bounded), the groupby moves only
+    those partials, and the finishing arithmetic runs on the tiny
+    source table mirroring the SQL's op order exactly."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=("source", "text"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        trimmed = pc.ascii_trim_whitespace(b["text"])
+        words = pc.add(
+            pc.count_substring(trimmed, pattern=" "), 1
+        ).cast(pa.int64())
+        t = pa.table({"source": b["source"], "w": words})
+        return (
+            t.group_by("source")
+            .aggregate([("w", "sum")])
+            .rename_columns(["source", "w"])
+        )
+
+    per = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum(on="w", alias_name="n_tokens"))
+        .to_pandas()  # bounded: |sources|
+        .sort_values("source", kind="stable")
+    )
+    n = per["n_tokens"].to_numpy().astype(np.int64)
+    wt = n.astype(np.float64) ** 0.7
+    p = wt / wt.sum()
+    epochs = p / (n.astype(np.float64) / float(n.sum()))
+    return pa.table(
+        {
+            "source": pa.array(per["source"], pa.string()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "p_sample": pa.array(np.round(p, 9), pa.float64()),
+            "epochs_rel": pa.array(np.round(epochs, 6), pa.float64()),
+        }
+    )

@@ -1023,3 +1023,205 @@ def events_time_to_convert(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
     )
     return bucketed_window(ds, convert, key="user_id")
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation: per-user recency/frequency/monetary plus exact
+# NTILE(4) quartiles via the rank-offset histogram trick (no global sort).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_rfm",
+    oracle="""
+    WITH per AS (
+        SELECT user_id,
+               count(*) AS frequency,
+               max(epoch_us(ts)) AS last_us,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS monetary_c
+        FROM events GROUP BY user_id
+    ), g AS (SELECT max(last_us) AS gmax FROM per)
+    SELECT user_id, frequency, monetary_c,
+           (g.gmax - last_us) // 86400000000 AS recency_d,
+           CAST(ntile(4) OVER (
+               ORDER BY (g.gmax - last_us) // 86400000000, user_id
+           ) AS BIGINT) AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY frequency, user_id) AS BIGINT)
+               AS f_quartile
+    FROM per, g
+    """,
+)
+def events_rfm(sf_dir: str):
+    """RFM (recency / frequency / monetary) user segmentation with exact
+    NTILE(4) quartiles and NO global sort: per-batch partials reduce the
+    one all-to-all to user cardinality; each quartile is assigned from a
+    value histogram (distinct recency days <= the crawl's day span,
+    distinct frequencies <= max events/user — both tiny) whose cumsum
+    gives every row its global rank, the same rank-offset plan as
+    doc_ntile (round2.py). Money stays integer cents; recency is exact
+    integer epoch-us floor-division on both engines."""
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64())
+        mon = np.where(
+            pc.equal(b["event_type"], "purchase").to_numpy(
+                zero_copy_only=False
+            ),
+            np.round(b["value"].to_numpy(zero_copy_only=False) * 100),
+            0,
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "one": pa.array(np.ones(len(b), np.int64)),
+                "us": us,
+                "mon": pa.array(mon, pa.int64()),
+            }
+        )
+        g = t.group_by("user_id").aggregate(
+            [("one", "sum"), ("us", "max"), ("mon", "sum")]
+        )
+        return g.rename_columns(["user_id", "cnt_p", "us_p", "mon_p"])
+
+    per = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum(on="cnt_p", alias_name="frequency"),
+            Max(on="us_p", alias_name="last_us"),
+            Sum(on="mon_p", alias_name="monetary_c"),
+        )
+        .materialize()  # bounded by |users|; reused 4x below
+    )
+    gmax = int(per.max("last_us"))
+
+    def add_recency(b: pa.Table) -> pa.Table:
+        rec = (gmax - b["last_us"].to_numpy(zero_copy_only=False)) // 86400000000
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "frequency": b["frequency"],
+                "monetary_c": b["monetary_c"],
+                "recency_d": pa.array(rec, pa.int64()),
+            }
+        )
+
+    per = per.map_batches(add_recency, batch_format="pyarrow").materialize()
+
+    def _offsets(metric: str):
+        parts = per.map_batches(
+            lambda b, m=metric: b.group_by(m)
+            .aggregate([([], "count_all")])
+            .rename_columns([m, "cnt"]),
+            batch_format="pyarrow",
+        ).to_pandas()  # bounded: |distinct metric values|
+        h = parts.groupby(metric)["cnt"].sum().sort_index()
+        return dict(zip(h.index, h.cumsum().shift(fill_value=0))), int(h.sum())
+
+    def _ntile_rule(n: int, k: int = 4):
+        q, r = divmod(n, k)
+
+        def rule(rank: np.ndarray) -> np.ndarray:
+            big = r * (q + 1)
+            lo = (rank - 1) // (q + 1) + 1
+            hi = r + (rank - 1 - big) // q + 1 if q else lo
+            return np.where(rank <= big, lo, hi).astype(np.int64)
+
+        return rule
+
+    def _assign(ds_in, metric: str, out_col: str):
+        offs, n = _offsets(metric)
+        rule = _ntile_rule(n)
+
+        def tile(g):
+            import pandas as pd
+
+            g = g.sort_values("user_id")
+            v = g[metric].iloc[0]
+            rank = offs[v] + np.arange(1, len(g) + 1, dtype=np.int64)
+            g = g.copy()
+            g[out_col] = rule(rank)
+            return g
+
+        return ds_in.groupby(metric).map_groups(tile, batch_format="pandas")
+
+    out = _assign(per, "recency_d", "r_quartile")
+    out = _assign(out, "frequency", "f_quartile")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Burst detection: per-user max events in any 1-minute tumbling window.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_minute_burst",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, epoch_us(ts) // 60000000 AS m, count(*) AS c
+        FROM events GROUP BY user_id, m
+    )
+    SELECT user_id, max(c) AS max_per_min, count(*) AS active_minutes
+    FROM w GROUP BY user_id
+    """,
+)
+def events_minute_burst(sf_dir: str):
+    """Rate-limit / burst audit: max events in any 1-minute tumbling
+    window plus distinct active minutes, per user. Two bounded
+    exchanges: (user, minute) pair counts (pre-reduced per batch — the
+    pair stream is what actually crosses the wire, never raw events),
+    then a per-user roll-up whose partials combine as (max of maxes,
+    sum of counts). Window id is exact integer epoch-us division on
+    both engines."""
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        m = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 60000000
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "m": pa.array(m, pa.int64()),
+                "one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        return (
+            t.group_by(["user_id", "m"])
+            .aggregate([("one", "sum")])
+            .rename_columns(["user_id", "m", "c"])
+        )
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["user_id", "m"])
+        .aggregate(Sum(on="c", alias_name="c"))
+    )
+
+    def user_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("user_id").aggregate(
+            [("c", "max"), ([], "count_all")]
+        )
+        return g.rename_columns(["user_id", "mx_p", "am_p"])
+
+    return (
+        pairs.map_batches(user_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max(on="mx_p", alias_name="max_per_min"),
+            Sum(on="am_p", alias_name="active_minutes"),
+        )
+    )

@@ -725,3 +725,73 @@ def token_prefix_autocomplete(sf_dir: str):
             "cnt": pa.array(cnt_s[first], pa.int64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Readability: Flesch reading ease with vowel-group syllable counting —
+# a pure per-row Arrow-kernel stage (zero Python in the hot path).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_readability",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS BIGINT) AS n_syllables,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                AS BIGINT) AS n_sentences,
+           206.835
+             - 1.015 * (CAST(len({_SQL_TOKENS}) AS DOUBLE)
+                        / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+             - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                            AS DOUBLE)
+                       / len({_SQL_TOKENS})) AS flesch
+    FROM documents
+    """,
+)
+def doc_readability(sf_dir: str):
+    """Flesch reading ease per document. Syllables are vowel-group runs
+    ([aeiouy]+ non-overlapping matches) — a vowel run never spans a
+    space, so counting runs over the WHOLE lowered text equals the
+    per-word sum without ever splitting (one count_substring_regex
+    kernel per batch, no token explosion). Words use the reference
+    tokenizer's count (spaces+1 on the trimmed string); sentences are
+    [.!?]+ runs clamped to >=1. The score is left UNROUNDED: both
+    engines evaluate the identical double expression per row, which is
+    bit-deterministic (no reduction, no sum order), unlike a rounded
+    value whose half-even/half-away boundary could diverge."""
+    import ray.data
+
+    ds = _docs(sf_dir)
+
+    def score(b: pa.Table) -> pa.Table:
+        trimmed = pc.ascii_trim_whitespace(b["text"])
+        words = pc.add(
+            pc.count_substring(trimmed, pattern=" "), 1
+        ).cast(pa.int64())
+        syl = pc.count_substring_regex(
+            pc.utf8_lower(b["text"]), pattern="[aeiouy]+"
+        ).cast(pa.int64())
+        sent = pc.max_element_wise(
+            pc.count_substring_regex(b["text"], pattern="[.!?]+").cast(
+                pa.int64()
+            ),
+            pa.scalar(1, pa.int64()),
+        )
+        w = words.to_numpy(zero_copy_only=False).astype(np.float64)
+        s = sent.to_numpy(zero_copy_only=False).astype(np.float64)
+        y = syl.to_numpy(zero_copy_only=False).astype(np.float64)
+        flesch = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_words": words,
+                "n_syllables": syl,
+                "n_sentences": sent,
+                "flesch": pa.array(flesch, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

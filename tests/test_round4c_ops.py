@@ -120,3 +120,92 @@ def test_orders_grouping_sets_is_consistent_cube(ray_session):
     want_m = orders[orders["o_orderpriority"] == pri]["c"]
     assert int(marg["total_c"].iloc[0]) == int(want_m.sum())
     assert int(marg["cnt"].iloc[0]) == len(want_m)
+
+
+def test_events_rfm_quartiles_match_pandas_ntile(ray_session):
+    got = _df(QUERIES["events_rfm"](SF)).sort_values("user_id")
+    ev = pd.read_parquet(SF + "/events.parquet")
+    us = ev["ts"].astype("int64")
+    per = pd.DataFrame(
+        {
+            "user_id": ev["user_id"],
+            "us": us,
+            "mon": np.where(
+                ev["event_type"] == "purchase",
+                np.round(ev["value"] * 100),
+                0,
+            ).astype(np.int64),
+        }
+    ).groupby("user_id").agg(
+        frequency=("us", "size"), last_us=("us", "max"), monetary_c=("mon", "sum")
+    )
+    per["recency_d"] = (per["last_us"].max() - per["last_us"]) // 86400000000
+
+    def ntile4(df, key):
+        df = df.sort_values([key, "user_id"]).reset_index()
+        n = len(df)
+        q, r = divmod(n, 4)
+        sizes = [q + 1] * r + [q] * (4 - r)
+        tiles = np.repeat(np.arange(1, 5), sizes)
+        return dict(zip(df["user_id"], tiles))
+
+    rq = ntile4(per.reset_index(), "recency_d")
+    fq = ntile4(per.reset_index(), "frequency")
+    got = got.set_index("user_id")
+    per = per.sort_index()
+    assert (got["frequency"].to_numpy() == per["frequency"].to_numpy()).all()
+    assert (got["monetary_c"].to_numpy() == per["monetary_c"].to_numpy()).all()
+    assert (got["recency_d"].to_numpy() == per["recency_d"].to_numpy()).all()
+    for uid in per.index:
+        assert got.loc[uid, "r_quartile"] == rq[uid]
+        assert got.loc[uid, "f_quartile"] == fq[uid]
+
+
+def test_events_minute_burst_matches_pandas(ray_session):
+    got = _df(QUERIES["events_minute_burst"](SF)).set_index("user_id").sort_index()
+    ev = pd.read_parquet(SF + "/events.parquet", columns=["user_id", "ts"])
+    ev["m"] = ev["ts"].astype("int64") // 60000000
+    w = ev.groupby(["user_id", "m"]).size().rename("c").reset_index()
+    want = w.groupby("user_id").agg(
+        max_per_min=("c", "max"), active_minutes=("c", "size")
+    )
+    assert (got["max_per_min"].to_numpy() == want["max_per_min"].to_numpy()).all()
+    assert (
+        got["active_minutes"].to_numpy() == want["active_minutes"].to_numpy()
+    ).all()
+
+
+def test_doc_readability_formula(ray_session):
+    import re
+
+    got = _df(QUERIES["doc_readability"](SF)).set_index("doc_id")
+    docs = pd.read_parquet(SF + "/documents.parquet")
+    for _, row in docs.head(30).iterrows():
+        words = len(row["text"].strip().split(" "))
+        syl = len(re.findall(r"[aeiouy]+", row["text"].lower()))
+        sent = max(len(re.findall(r"[.!?]+", row["text"])), 1)
+        g = got.loc[row["doc_id"]]
+        assert g["n_words"] == words
+        assert g["n_syllables"] == syl
+        assert g["n_sentences"] == sent
+        want = 206.835 - 1.015 * (words / sent) - 84.6 * (syl / words)
+        assert g["flesch"] == want  # bit-identical double expression
+
+
+def test_source_temperature_sampling_weights(ray_session):
+    got = _df(QUERIES["source_temperature_sampling"](SF))
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["source", "text"])
+    docs["w"] = docs["text"].str.strip().str.split(" ").str.len()
+    n = docs.groupby("source")["w"].sum().sort_index()
+    wt = n.to_numpy().astype(np.float64) ** 0.7
+    p = wt / wt.sum()
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    got = got.sort_values("source").reset_index(drop=True)
+    assert (got["n_tokens"].to_numpy() == n.to_numpy()).all()
+    assert np.allclose(got["p_sample"].to_numpy(), p, atol=1e-9)
+    # small sources oversampled, large undersampled, mass sums to 1
+    assert abs(got["p_sample"].sum() - 1.0) < 1e-6
+    big, small = n.idxmax(), n.idxmin()
+    gi = got.set_index("source")
+    if n[big] > n[small]:
+        assert gi.loc[small, "epochs_rel"] >= gi.loc[big, "epochs_rel"]
