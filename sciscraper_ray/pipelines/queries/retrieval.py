@@ -2423,3 +2423,305 @@ def doc_snippets(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(snippets, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity: do popular pages link to popular pages? Pearson r
+# of (indeg(src), indeg(dst)) across directed edges — one constant-size
+# exchange after the degree tally.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "link_degree_assortativity",
+    oracle=f"""
+    WITH l AS (
+        SELECT doc_id AS src, unnest({_REF_TARGETS_SQL}) AS dst
+        FROM documents
+    ), ind AS (
+        SELECT dst AS node, count(*) AS d FROM l GROUP BY dst
+    ), e AS (
+        SELECT coalesce(i1.d, 0) AS dx, i2.d AS dy
+        FROM l LEFT JOIN ind i1 ON l.src = i1.node
+               JOIN ind i2 ON l.dst = i2.node
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           round(CAST(count(*) * sum(dx * dy) - sum(dx) * sum(dy) AS DOUBLE)
+                 / sqrt(CAST(count(*) * sum(dx * dx) - sum(dx) * sum(dx)
+                             AS DOUBLE)
+                        * CAST(count(*) * sum(dy * dy) - sum(dy) * sum(dy)
+                               AS DOUBLE)), 6) AS assortativity
+    FROM e
+    """,
+)
+def link_degree_assortativity(sf_dir: str):
+    """In-degree assortativity of the harvested doc-level link graph:
+    Pearson r of (indeg(src), indeg(dst)) over directed edges (parallel
+    edges kept, like the degree sequence itself). The in-degree table is
+    bounded by the DESTINATION id space (the synthesizer's targets live
+    in [0, 997) at every sf) so it broadcasts via one ray.put; wider dst
+    spaces would swap the lookup for two bucketed_hash_join passes
+    (stages/relational.py:140). Every edge batch reduces to ONE int64
+    moment row — sums stay exact integers across engines, and only the
+    final closed form (mirrored cast-to-double order) is floating."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    edges = _doc_edges(sf_dir).materialize()  # reused: degree pass + moments
+
+    def ind_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("dst").aggregate([([], "count_all")])
+        return g.rename_columns(["node", "d"])
+
+    ind = (
+        edges.map_batches(ind_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum(on="d", alias_name="d"))
+        .to_pandas()  # bounded by the dst id space
+    )
+    lut = np.zeros(int(ind["node"].max()) + 1, np.int64)
+    lut[ind["node"].to_numpy()] = ind["d"].to_numpy()
+    lut_ref = ray.put(lut)
+
+    class Moments:
+        def __init__(self):
+            self.lut = ray.get(lut_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            src = b["src"].to_numpy(zero_copy_only=False)
+            dst = b["dst"].to_numpy(zero_copy_only=False)
+            dx = np.where(src < len(self.lut), self.lut[np.minimum(src, len(self.lut) - 1)], 0)
+            dy = self.lut[dst]
+            return pa.table(
+                {
+                    "n": pa.array([len(src)], pa.int64()),
+                    "sx": pa.array([int(dx.sum())], pa.int64()),
+                    "sy": pa.array([int(dy.sum())], pa.int64()),
+                    "sxy": pa.array([int((dx * dy).sum())], pa.int64()),
+                    "sxx": pa.array([int((dx * dx).sum())], pa.int64()),
+                    "syy": pa.array([int((dy * dy).sum())], pa.int64()),
+                }
+            )
+
+    m = (
+        edges.map_batches(Moments, batch_format="pyarrow", concurrency=(1, 4))
+        .to_pandas()
+        .sum()
+    )
+    n, sx, sy = int(m["n"]), int(m["sx"]), int(m["sy"])
+    sxy, sxx, syy = int(m["sxy"]), int(m["sxx"]), int(m["syy"])
+    num = float(n * sxy - sx * sy)
+    den = np.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+    return pa.table(
+        {
+            "n_edges": pa.array([n], pa.int64()),
+            "assortativity": pa.array([round(float(num / den), 6)], pa.float64()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-node clustering coefficient via degree-ordered wedge joins — the
+# node-level triangle plan host_triangle_count's docstring points at.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "node_clustering_coeff",
+    oracle=f"""
+    WITH l AS (
+        SELECT doc_id AS s, unnest({_REF_TARGETS_SQL}) AS t FROM documents
+    ), e AS (
+        SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        FROM l WHERE s <> t
+    ), tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), tnodes AS (
+        SELECT x AS node FROM tri UNION ALL
+        SELECT y FROM tri UNION ALL
+        SELECT z FROM tri
+    ), tcount AS (
+        SELECT node, count(*) AS t FROM tnodes GROUP BY node
+    ), deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node
+    )
+    SELECT deg.node, deg.d, coalesce(t.t, 0) AS triangles,
+           CASE WHEN deg.d >= 2
+                THEN round(2.0 * coalesce(t.t, 0) / (deg.d * (deg.d - 1)), 6)
+                ELSE 0.0 END AS clustering
+    FROM deg LEFT JOIN tcount t ON deg.node = t.node
+    """,
+)
+def node_clustering_coeff(sf_dir: str, num_buckets: int = 16):
+    """NODE-level local clustering coefficient — the degree-ordered wedge
+    join host_triangle_count's docstring declares necessary once the
+    graph outgrows a driver edge list. Plan (all exchanges bounded):
+    (1) distinct undirected edges via the packed-int64 groupby
+    (graph._dedup_edges); (2) degree tally; (3) orient every edge from
+    its lower (degree, node) endpoint — each triangle then has exactly
+    one vertex that out-sees the other two, so wedge volume is the
+    O(m^1.5) arboricity bound instead of sum(deg^2) on hub-skewed
+    graphs; (4) wedges generated bucket-locally (hash(u) % B groups, one
+    vectorized pair expansion per bucket — no per-node Python); (5)
+    wedge->edge closure via the bucketed co-partitioned hash join;
+    (6) triangle corners explode to per-node counts. The degree table
+    rides along as a broadcast here (node space bounded by the synth's
+    target arithmetic); at open-web scale steps (3)/(6) swap it for two
+    more bucketed joins — same plan shape."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.pipelines.graph import _dedup_edges
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+
+    raw = _doc_edges(sf_dir)
+
+    def orient_minmax(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        t = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s != t
+        s, t = s[keep], t[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, t), pa.int64()),
+                "b": pa.array(np.maximum(s, t), pa.int64()),
+            }
+        )
+
+    und = _dedup_edges(raw.map_batches(orient_minmax, batch_format="pyarrow"))
+    und = und.materialize()  # reused: degrees, orientation, closure probe
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                b["a"].to_numpy(zero_copy_only=False),
+                b["b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        t = pa.table({"node": pa.array(nodes, pa.int64())})
+        g = t.group_by("node").aggregate([([], "count_all")])
+        return g.rename_columns(["node", "d"])
+
+    deg = (
+        und.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum(on="d", alias_name="d"))
+        .to_pandas()  # bounded by node space (synth targets < 997)
+        .sort_values("node", kind="stable")
+    )
+    dlut = np.zeros(int(deg["node"].max()) + 1, np.int64)
+    dlut[deg["node"].to_numpy()] = deg["d"].to_numpy()
+    dlut_ref = ray.put(dlut)
+
+    class OrientByDegree:
+        """(a,b) -> (u,v): u the lower endpoint in (degree, node) order,
+        plus the wedge bucket id. Canonical closure key k = a<<32|b stays
+        in NODE order to match the undirected edge set."""
+
+        def __init__(self):
+            self.d = ray.get(dlut_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            a = b["a"].to_numpy(zero_copy_only=False)
+            bb = b["b"].to_numpy(zero_copy_only=False)
+            da, db = self.d[a], self.d[bb]
+            a_first = (da < db) | ((da == db) & (a < bb))
+            u = np.where(a_first, a, bb)
+            v = np.where(a_first, bb, a)
+            return pa.table(
+                {
+                    "u": pa.array(u, pa.int64()),
+                    "v": pa.array(v, pa.int64()),
+                    "bucket": pa.array(
+                        (u * 0x9E3779B9 & 0x7FFFFFFF) % num_buckets, pa.int64()
+                    ),
+                }
+            )
+
+    oriented = und.map_batches(
+        OrientByDegree, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+    def wedges(g):
+        import pandas as pd
+
+        u = g["u"].to_numpy()
+        v = g["v"].to_numpy()
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        # segment boundaries per u; all i<j pairs inside each segment
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        seg_end = np.repeat(ends, ends - starts)
+        pos = np.arange(len(u))
+        reps = seg_end - pos - 1
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"wu": [], "wv": [], "ww": [], "k": []}
+            ).astype(np.int64)
+        left = np.repeat(pos, reps)
+        offs = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        right = left + (np.arange(total) - np.repeat(offs, reps)) + 1
+        wv, ww = v[left], v[right]
+        lo, hi = np.minimum(wv, ww), np.maximum(wv, ww)
+        return pd.DataFrame(
+            {
+                "wu": u[left],
+                "wv": lo,
+                "ww": hi,
+                "k": (lo << 32) | hi,
+            }
+        )
+
+    wedge_ds = oriented.groupby("bucket").map_groups(
+        wedges, batch_format="pandas"
+    )
+
+    def edge_keys(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"ek": pa.array((a << 32) | bb, pa.int64())})
+
+    closed = bucketed_hash_join(
+        wedge_ds,
+        und.map_batches(edge_keys, batch_format="pyarrow"),
+        left_on="k",
+        right_on="ek",
+    )
+
+    def corner_partial(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                b["wu"].to_numpy(zero_copy_only=False),
+                b["wv"].to_numpy(zero_copy_only=False),
+                b["ww"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        t = pa.table({"node": pa.array(nodes, pa.int64())})
+        g = t.group_by("node").aggregate([([], "count_all")])
+        return g.rename_columns(["node", "t"])
+
+    tri = (
+        closed.map_batches(corner_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum(on="t", alias_name="t"))
+        .to_pandas()
+    )
+    out = deg.merge(tri, on="node", how="left")
+    t = out["t"].fillna(0).to_numpy(np.int64)
+    d = out["d"].to_numpy(np.int64)
+    coeff = np.where(d >= 2, np.round(2.0 * t / (d * (d - 1)), 6), 0.0)
+    return pa.table(
+        {
+            "node": pa.array(out["node"].to_numpy(), pa.int64()),
+            "d": pa.array(d, pa.int64()),
+            "triangles": pa.array(t, pa.int64()),
+            "clustering": pa.array(coeff, pa.float64()),
+        }
+    )

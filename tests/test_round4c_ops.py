@@ -209,3 +209,56 @@ def test_source_temperature_sampling_weights(ray_session):
     gi = got.set_index("source")
     if n[big] > n[small]:
         assert gi.loc[small, "epochs_rel"] >= gi.loc[big, "epochs_rel"]
+
+
+def _undirected_edges():
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id"])
+    ids = docs["doc_id"].to_numpy()
+    t1 = (ids * 17 + 13) % 997
+    t2 = (ids * 29 + 7) % 997
+    s = np.concatenate([ids, ids])
+    t = np.concatenate([t1, t2])
+    keep = s != t
+    a = np.minimum(s[keep], t[keep])
+    b = np.maximum(s[keep], t[keep])
+    return set(zip(a.tolist(), b.tolist()))
+
+
+def test_node_clustering_coeff_matches_bruteforce(ray_session):
+    got = _df(QUERIES["node_clustering_coeff"](SF)).set_index("node").sort_index()
+    E = _undirected_edges()
+    adj = {}
+    for a, b in E:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for node, nbrs in adj.items():
+        d = len(nbrs)
+        tri = sum(
+            1
+            for i, u in enumerate(sorted(nbrs))
+            for v in sorted(nbrs)[i + 1 :]
+            if (min(u, v), max(u, v)) in E
+        )
+        assert got.loc[node, "d"] == d
+        assert got.loc[node, "triangles"] == tri
+        want = round(2.0 * tri / (d * (d - 1)), 6) if d >= 2 else 0.0
+        assert got.loc[node, "clustering"] == want
+    assert len(got) == len(adj)
+    # triangles actually exist in the synth graph at this sf
+    assert got["triangles"].sum() > 0
+
+
+def test_link_degree_assortativity_matches_numpy(ray_session):
+    got = _df(QUERIES["link_degree_assortativity"](SF))
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id"])
+    ids = docs["doc_id"].to_numpy()
+    src = np.concatenate([ids, ids])
+    dst = np.concatenate([(ids * 17 + 13) % 997, (ids * 29 + 7) % 997])
+    ind = pd.Series(dst).value_counts()
+    dx = pd.Series(src).map(ind).fillna(0).to_numpy(np.float64)
+    dy = pd.Series(dst).map(ind).to_numpy(np.float64)
+    r = np.corrcoef(dx, dy)[0, 1]
+    assert int(got["n_edges"].iloc[0] if hasattr(got, "iloc") else got["n_edges"][0].as_py()) == len(src)
+    g = got["assortativity"]
+    gv = float(g.iloc[0]) if hasattr(g, "iloc") else g[0].as_py()
+    assert abs(gv - r) < 1e-4
