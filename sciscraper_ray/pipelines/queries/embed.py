@@ -795,3 +795,181 @@ def embedding_dim_stats(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# k-NN label classification: majority vote among the cosine top-k — the
+# label-propagation / quality-transfer primitive over an embedded corpus.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "knn_label_classify",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe, label AS true_label
+        FROM embeddings WHERE vec_id < {N_ANN_QUERIES}
+    ), s AS (
+        SELECT qid, e.vec_id AS neighbor,
+               list_cosine_similarity(qe, e.embedding) AS sim
+        FROM q, embeddings e WHERE e.vec_id <> qid
+    ), topk AS (
+        SELECT qid, neighbor FROM (
+            SELECT qid, neighbor,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY sim DESC, neighbor ASC
+                   ) AS rank
+            FROM s
+        ) WHERE rank <= {ANN_K}
+    ), votes AS (
+        SELECT t.qid, e.label, count(*) AS votes
+        FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor
+        GROUP BY t.qid, e.label
+    )
+    SELECT v.qid, v.label AS pred_label, v.votes, q.true_label
+    FROM (
+        SELECT qid, label, votes,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY votes DESC, label ASC
+               ) AS r
+        FROM votes
+    ) v JOIN q ON q.qid = v.qid
+    WHERE v.r = 1
+    """,
+)
+def knn_label_classify(sf_dir: str):
+    """k-NN classification over the embedding column: majority label of
+    the cosine top-{ANN_K} neighbors (tie -> smaller label), with the
+    query's own label carried for accuracy audits. Reuses the brute-force
+    plan knn_cosine proved: broadcast query matrix, one matmul +
+    partial top-k per batch, tiny grouped merge; the vote itself runs on
+    the merged (Q x k) table plus one broadcast label lookup — nothing
+    corpus-sized moves after the scan."""
+    import ray
+    import ray.data
+
+    from sciscraper_ray.stages.ann import BruteForceTopK, topk_reduce
+
+    qids, qmat = _query_vectors(sf_dir)
+    queries_ref = ray.put((qids, qmat))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    partials = ds.map_batches(
+        BruteForceTopK(queries_ref=queries_ref, k=ANN_K),
+        batch_format="pyarrow",
+    )
+    topk = partials.groupby("qid").map_groups(
+        lambda g: topk_reduce(g, ANN_K), batch_format="pandas"
+    ).to_pandas()  # Q x k rows
+
+    labels = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+        )
+        .to_pandas()
+        .set_index("vec_id")["label"]
+    )
+    topk["label"] = topk["neighbor"].map(labels).astype(np.int32)
+    votes = (
+        topk.groupby(["qid", "label"]).size().rename("votes").reset_index()
+    )
+    votes = votes.sort_values(
+        ["qid", "votes", "label"], ascending=[True, False, True]
+    )
+    best = votes.groupby("qid", sort=True).head(1).reset_index(drop=True)
+    best["true_label"] = best["qid"].map(labels).astype(np.int32)
+    return pa.table(
+        {
+            "qid": pa.array(best["qid"].to_numpy(np.int64)),
+            "pred_label": pa.array(best["label"].to_numpy(np.int32)),
+            "votes": pa.array(best["votes"].to_numpy(np.int64)),
+            "true_label": pa.array(best["true_label"].to_numpy(np.int32)),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# Label-centroid geometry: pairwise cosine similarity between per-label
+# mean vectors — the cluster-separation report for an embedded corpus.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_label_centroid_sim",
+    oracle="""
+    WITH flat AS (
+        SELECT label, generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ), cent AS (
+        SELECT label, dim, sum(v) / count(*) AS c
+        FROM flat GROUP BY label, dim
+    ), pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               sum(a.c * b.c) AS dot,
+               sqrt(sum(a.c * a.c)) AS na, sqrt(sum(b.c * b.c)) AS nb
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY label_a, label_b
+    )
+    SELECT label_a, label_b, round(dot / (na * nb), 6) AS cos_sim
+    FROM pairs
+    """,
+)
+def embedding_label_centroid_sim(sf_dir: str):
+    """Pairwise cosine similarity of per-label centroid vectors: each
+    batch reduces to a (labels x dim) partial sum + count (constant
+    size), one driver merge builds the centroids, and the |labels|^2/2
+    pair table is pure numpy. The oracle rebuilds the same centroids by
+    unnesting the list column with generate_subscripts; float32 elements
+    are widened to double on BOTH sides before any arithmetic and the
+    similarity is rounded to 6 — centroid sums differ only in addition
+    order (<=1 ulp), far below the rounding."""
+    import ray.data
+
+    from sciscraper_ray.stages.ann import _stack
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        mat = _stack(b["embedding"]).astype(np.float64)
+        codes, uniq = pd.factorize(
+            b["label"].to_numpy(zero_copy_only=False), sort=True
+        )
+        sums = np.zeros((len(uniq), mat.shape[1]), np.float64)
+        np.add.at(sums, codes, mat)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.asarray(uniq, np.int32)),
+                "cnt": pa.array(cnt, pa.int64()),
+                "s": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    labels = sorted(parts["label"].unique())
+    cents = {}
+    for lb in labels:
+        rows = parts[parts["label"] == lb]
+        total = np.sum(np.stack(rows["s"].to_numpy()), axis=0)
+        cents[lb] = total / rows["cnt"].sum()
+    la, lb_, cs = [], [], []
+    for i, a in enumerate(labels):
+        for b in labels[i + 1 :]:
+            ca, cb = cents[a], cents[b]
+            sim = float(ca @ cb) / (np.sqrt(ca @ ca) * np.sqrt(cb @ cb))
+            la.append(int(a))
+            lb_.append(int(b))
+            cs.append(round(sim, 6))
+    return pa.table(
+        {
+            "label_a": pa.array(la, pa.int32()),
+            "label_b": pa.array(lb_, pa.int32()),
+            "cos_sim": pa.array(cs, pa.float64()),
+        }
+    )

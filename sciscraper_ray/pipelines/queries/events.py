@@ -1225,3 +1225,110 @@ def events_minute_burst(sf_dir: str):
             Sum(on="am_p", alias_name="active_minutes"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV: revenue by signup-week cohort x weeks-since-signup — the
+# lifetime-value triangle every growth report is built from.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, min(epoch_us(ts)) AS f FROM events GROUP BY user_id
+    )
+    SELECT f // 604800000000 AS cohort_week,
+           (epoch_us(e.ts) - f) // 604800000000 AS age_weeks,
+           sum(CASE WHEN e.event_type = 'purchase'
+                    THEN CAST(round(e.value * 100) AS BIGINT)
+                    ELSE 0 END) AS revenue_c,
+           count(*) AS n_events
+    FROM events e JOIN first USING (user_id)
+    GROUP BY cohort_week, age_weeks
+    """,
+)
+def events_cohort_ltv(sf_dir: str):
+    """Cohort lifetime-value triangle: users cohorted by first-seen week,
+    revenue and activity tallied per (cohort_week, weeks-since-first).
+    First-seen timestamps reduce per batch to (user, min) partials (one
+    user-bounded groupby-Min), rejoin the stream via the bucketed
+    co-partitioned hash join (big x big: at web scale the user table
+    doesn't broadcast), and the final exchange is the tiny (cohorts x
+    ages) cell table. Week ids are exact integer epoch-us division;
+    money stays integer cents."""
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"],
+    )
+
+    def first_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"user_id": b["user_id"], "us": b["ts"].cast(pa.int64())}
+        )
+        g = t.group_by("user_id").aggregate([("us", "min")])
+        return g.rename_columns(["user_id", "us"])
+
+    first = (
+        ds.map_batches(first_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min(on="us", alias_name="f"))
+    )
+
+    def with_us(b: pa.Table) -> pa.Table:
+        cents = np.where(
+            pc.equal(b["event_type"], "purchase").to_numpy(
+                zero_copy_only=False
+            ),
+            np.round(b["value"].to_numpy(zero_copy_only=False) * 100),
+            0,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "uid": b["user_id"],
+                "us": b["ts"].cast(pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    joined = bucketed_hash_join(
+        ds.map_batches(with_us, batch_format="pyarrow"),
+        first,
+        left_on="uid",
+        right_on="user_id",
+    )
+
+    WEEK = 604800000000
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        f = b["f"].to_numpy(zero_copy_only=False)
+        us = b["us"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "cohort_week": pa.array(f // WEEK, pa.int64()),
+                "age_weeks": pa.array((us - f) // WEEK, pa.int64()),
+                "cents": b["cents"],
+                "one": pa.array(np.ones(len(f), np.int64)),
+            }
+        )
+        g = t.group_by(["cohort_week", "age_weeks"]).aggregate(
+            [("cents", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(
+            ["cohort_week", "age_weeks", "rev_p", "n_p"]
+        )
+
+    return (
+        joined.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby(["cohort_week", "age_weeks"])
+        .aggregate(
+            Sum(on="rev_p", alias_name="revenue_c"),
+            Sum(on="n_p", alias_name="n_events"),
+        )
+    )

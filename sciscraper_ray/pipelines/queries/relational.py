@@ -1269,3 +1269,108 @@ def orders_grouping_sets(sf_dir: str):
     out["total_c"] = out["total_c"].astype(np.int64)
     out["cnt"] = out["cnt"].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --------------------------------------------------------------------------
+# Market-basket pair mining: co-purchased part pairs by support — the
+# frequent-itemset (k=2) primitive, built on bucketed pair expansion.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS support
+    FROM d a JOIN d b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY support DESC, part_a ASC, part_b ASC
+    LIMIT 50
+    """,
+)
+def basket_part_pairs(sf_dir: str, num_buckets: int = 16):
+    """Frequent-itemset pair mining (k=2 market basket): top co-purchased
+    part pairs by order support. Distinct (order, part) via one two-key
+    groupby; pair expansion runs bucket-locally (hash(orderkey) % B
+    groups — Python overhead bounded by B, the expansion itself is the
+    vectorized lexsort + segment-offset kernel shared with the wedge
+    join in node_clustering_coeff); pair counts pre-reduce per batch
+    before the final (pair -> support) groupby. Basket width bounds the
+    blow-up (sum of per-order C(w,2)), the classic guarantee that makes
+    pair mining tractable at warehouse scale."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def dedup_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        return g
+
+    distinct = (
+        li.map_batches(dedup_partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_partkey"])
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "o": b["l_orderkey"],
+                    "p": b["l_partkey"],
+                    "bucket": pa.array(
+                        (
+                            b["l_orderkey"].to_numpy(zero_copy_only=False)
+                            * 0x9E3779B9
+                            & 0x7FFFFFFF
+                        )
+                        % num_buckets,
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def pairs(g):
+        import pandas as pd
+
+        o = g["o"].to_numpy()
+        p = g["p"].to_numpy()
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        starts = np.flatnonzero(np.r_[True, o[1:] != o[:-1]])
+        ends = np.r_[starts[1:], len(o)]
+        seg_end = np.repeat(ends, ends - starts)
+        pos = np.arange(len(o))
+        reps = seg_end - pos - 1
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"part_a": [], "part_b": [], "c": []}
+            ).astype(np.int64)
+        left = np.repeat(pos, reps)
+        offs = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        right = left + (np.arange(total) - np.repeat(offs, reps)) + 1
+        out = (
+            pd.DataFrame({"part_a": p[left], "part_b": p[right]})
+            .value_counts()
+            .rename("c")
+            .reset_index()
+        )
+        return out
+
+    return (
+        distinct.groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["part_a", "part_b"])
+        .aggregate(Sum(on="c", alias_name="support"))
+        .sort(
+            key=["support", "part_a", "part_b"],
+            descending=[True, False, False],
+        )
+        .limit(50)
+    )

@@ -262,3 +262,97 @@ def test_link_degree_assortativity_matches_numpy(ray_session):
     g = got["assortativity"]
     gv = float(g.iloc[0]) if hasattr(g, "iloc") else g[0].as_py()
     assert abs(gv - r) < 1e-4
+
+
+def test_knn_label_classify_majority_vote(ray_session):
+    got = _df(QUERIES["knn_label_classify"](SF)).set_index("qid").sort_index()
+    emb = pd.read_parquet(SF + "/embeddings.parquet")
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    labels = emb.set_index("vec_id")["label"]
+    ids = emb["vec_id"].to_numpy()
+    for qid in got.index:
+        qv = norm[ids == qid][0]
+        sims = norm @ qv
+        sims[ids == qid] = -np.inf
+        order = np.lexsort((ids, -sims))[:5]
+        votes = pd.Series(labels.loc[ids[order]].to_numpy()).value_counts()
+        top = votes[votes == votes.max()].index.min()
+        assert got.loc[qid, "pred_label"] == top
+        assert got.loc[qid, "votes"] == votes.max()
+        assert got.loc[qid, "true_label"] == labels.loc[qid]
+    assert len(got) == 10
+
+
+def test_embedding_label_centroid_sim_matches_numpy(ray_session):
+    got = _df(QUERIES["embedding_label_centroid_sim"](SF))
+    emb = pd.read_parquet(SF + "/embeddings.parquet")
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    out = got.set_index(["label_a", "label_b"]).sort_index()
+    labels = sorted(emb["label"].unique())
+    assert len(out) == len(labels) * (len(labels) - 1) // 2
+    cents = {
+        lb: mat[emb["label"].to_numpy() == lb].mean(axis=0) for lb in labels
+    }
+    for (a, b), row in out.iterrows():
+        ca, cb = cents[a], cents[b]
+        want = float(ca @ cb) / (np.linalg.norm(ca) * np.linalg.norm(cb))
+        assert abs(row["cos_sim"] - want) < 1e-5
+
+
+def test_events_cohort_ltv_matches_pandas(ray_session):
+    got = _df(QUERIES["events_cohort_ltv"](SF)).set_index(
+        ["cohort_week", "age_weeks"]
+    ).sort_index()
+    ev = pd.read_parquet(SF + "/events.parquet")
+    us = ev["ts"].astype("int64")
+    first = us.groupby(ev["user_id"]).transform("min")
+    WEEK = 604800000000
+    df = pd.DataFrame(
+        {
+            "cohort_week": first // WEEK,
+            "age_weeks": (us - first) // WEEK,
+            "cents": np.where(
+                ev["event_type"] == "purchase",
+                np.round(ev["value"] * 100),
+                0,
+            ).astype(np.int64),
+        }
+    )
+    want = df.groupby(["cohort_week", "age_weeks"]).agg(
+        revenue_c=("cents", "sum"), n_events=("cents", "size")
+    ).sort_index()
+    assert len(got) == len(want)
+    assert (got["revenue_c"].to_numpy() == want["revenue_c"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+
+
+def test_basket_part_pairs_matches_pandas(ray_session):
+    got = _df(QUERIES["basket_part_pairs"](SF))
+    li = pd.read_parquet(
+        SF + "/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).drop_duplicates()
+    j = li.merge(li, on="l_orderkey")
+    j = j[j["l_partkey_x"] < j["l_partkey_y"]]
+    want = (
+        j.groupby(["l_partkey_x", "l_partkey_y"])
+        .size()
+        .rename("support")
+        .reset_index()
+        .sort_values(
+            ["support", "l_partkey_x", "l_partkey_y"],
+            ascending=[False, True, True],
+        )
+        .head(50)
+        .reset_index(drop=True)
+    )
+    got = got.reset_index(drop=True)
+    assert len(got) == len(want)
+    # support sequence must match exactly; pairs can tie at equal support,
+    # so compare the (support, a, b) triples as sorted sets
+    assert (got["support"].to_numpy() == want["support"].to_numpy()).all()
+    gset = set(zip(got["part_a"], got["part_b"], got["support"]))
+    wset = set(
+        zip(want["l_partkey_x"], want["l_partkey_y"], want["support"])
+    )
+    assert gset == wset
