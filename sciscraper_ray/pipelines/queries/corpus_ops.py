@@ -2824,3 +2824,192 @@ def source_temperature_sampling(sf_dir: str):
             "epochs_rel": pa.array(np.round(epochs, 6), pa.float64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage: share of each source's token stream covered by the
+# global top-V vocabulary — the OOV-rate audit for tokenizer planning.
+# --------------------------------------------------------------------------
+
+_VOCAB_V = 100
+
+
+@register(
+    "source_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), vocab AS (
+        SELECT token FROM (
+            SELECT token, count(*) AS c FROM toks GROUP BY token
+            ORDER BY c DESC, token ASC LIMIT {_VOCAB_V}
+        )
+    )
+    SELECT source, count(*) AS total,
+           count(*) FILTER (WHERE token IN (SELECT token FROM vocab))
+               AS covered,
+           round(CAST(count(*) FILTER (
+                     WHERE token IN (SELECT token FROM vocab))
+                 AS DOUBLE) / count(*), 6) AS coverage
+    FROM toks GROUP BY source
+    """,
+)
+def source_vocab_coverage(sf_dir: str):
+    """Tokenizer-planning audit: fraction of each source's token stream
+    covered by the global top-{_VOCAB_V} vocabulary. Two passes, both
+    vocabulary-bounded: (1) per-batch token-count partials -> groupby-Sum
+    -> deterministic top-V (count desc, token asc); (2) the V-entry set
+    broadcasts via ray.put and each batch reduces to per-source
+    (covered, total) int partials — the final exchange is |sources|
+    rows. Same Heaps'-law bound as top_tokens_global; no raw token ever
+    crosses the wire twice."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    ds = _docs(sf_dir, columns=("source", "text"))
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        toks = tokenize_column(b["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        vc = (
+            pd.Series(flat.to_pylist()).value_counts().rename("c").reset_index()
+        )
+        vc.columns = ["token", "c"]
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum(on="c", alias_name="c"))
+        .to_pandas()  # vocabulary-bounded (Heaps' law)
+        .sort_values(["c", "token"], ascending=[False, True], kind="stable")
+        .head(_VOCAB_V)
+    )
+    vocab_ref = ray.put(pa.array(counts["token"], pa.string()))
+
+    class Coverage:
+        def __init__(self):
+            self.vocab = ray.get(vocab_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            toks = tokenize_column(b["text"])
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            flat = pc.list_flatten(toks)
+            parents = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False
+            )
+            src = np.asarray(b["source"].to_pylist())[parents]
+            hit = pc.is_in(flat, value_set=self.vocab).to_numpy(
+                zero_copy_only=False
+            )
+            df = pd.DataFrame({"source": src, "hit": hit.astype(np.int64)})
+            g = df.groupby("source")["hit"].agg(["sum", "size"]).reset_index()
+            g.columns = ["source", "covered_p", "total_p"]
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(Coverage, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("source")
+        .aggregate(
+            Sum(on="covered_p", alias_name="covered"),
+            Sum(on="total_p", alias_name="total"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        cov = b["covered"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = b["total"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": b["source"],
+                "total": b["total"],
+                "covered": b["covered"],
+                "coverage": pa.array(
+                    np.round(cov / tot, 6), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Length inequality: exact per-source Gini coefficient of document
+# lengths from the (source, n_chars) histogram — no per-source sort.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "source_length_gini",
+    oracle="""
+    WITH r AS (
+        SELECT source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars) AS i,
+               count(*) OVER (PARTITION BY source) AS n,
+               sum(n_chars) OVER (PARTITION BY source) AS s
+        FROM documents
+    )
+    SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(max(s) AS BIGINT) AS total_chars,
+           round(CAST(sum((2 * i - n - 1) * n_chars) AS DOUBLE)
+                 / (CAST(max(n) AS DOUBLE) * CAST(max(s) AS DOUBLE)), 6)
+               AS gini
+    FROM r GROUP BY source
+    """,
+)
+def source_length_gini(sf_dir: str):
+    """EXACT Gini coefficient of document lengths per source, computed
+    from the (source, n_chars) value histogram instead of a per-source
+    sort: inside a run of c equal values starting after a smaller rows,
+    the rank weights sum to c*(2a + c - n) — integer-exact — so the
+    whole numerator reduces over histogram cells. The one exchange is
+    the histogram itself (|sources| x |distinct lengths|, tiny); the
+    oracle recomputes the textbook row_number formula and both engines
+    divide once at the end."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=("source", "n_chars"))
+
+    def hist(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n_chars", "cnt"])
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["source", "n_chars"])
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values(["source", "n_chars"], kind="stable")
+    )
+    src_out, nd_out, tc_out, gini_out = [], [], [], []
+    for src, g in h.groupby("source", sort=True):
+        x = g["n_chars"].to_numpy(np.int64)
+        c = g["cnt"].to_numpy(np.int64)
+        n = int(c.sum())
+        s = int((x * c).sum())
+        a = np.concatenate(([0], np.cumsum(c)[:-1]))
+        num = int((x * c * (2 * a + c - n)).sum())
+        src_out.append(src)
+        nd_out.append(n)
+        tc_out.append(s)
+        gini_out.append(round(float(num) / (float(n) * float(s)), 6))
+    return pa.table(
+        {
+            "source": pa.array(src_out, pa.string()),
+            "n_docs": pa.array(nd_out, pa.int64()),
+            "total_chars": pa.array(tc_out, pa.int64()),
+            "gini": pa.array(gini_out, pa.float64()),
+        }
+    )

@@ -1332,3 +1332,76 @@ def events_cohort_ltv(sf_dir: str):
             Sum(on="n_p", alias_name="n_events"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence pattern mining: corpus-wide event-type TRIGRAM counts in
+# per-user (ts, event_id) order — one bucketed-window pass.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_top_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               lag(event_type, 1) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+               lag(event_type, 2) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS p2
+        FROM events
+    )
+    SELECT p2 AS t1, p1 AS t2, event_type AS t3, count(*) AS cnt
+    FROM seq WHERE p2 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY cnt DESC, t1, t2, t3
+    LIMIT 25
+    """,
+)
+def events_top_trigrams(sf_dir: str):
+    """Behavioral trigram mining (the k=3 sequence-pattern table next-
+    action models train on): per-user ordered event-type windows of 3,
+    tallied corpus-wide. Same bucketed-window plan as
+    events_type_transitions — one shuffle on user_id % B, in-bucket
+    lexsort, two shifted compares with user-boundary masking — and each
+    bucket emits partials bounded by |types|^3, so the final exchange is
+    constant-size."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.window import _sorted_bucket, bucketed_window
+
+    def trigrams(g):
+        import pandas as pd
+
+        order, user_s, _ts, _eid, new_user = _sorted_bucket(g)
+        et = g["event_type"].to_numpy()[order]
+        n = len(et)
+        if n < 3:
+            return pd.DataFrame({"t1": [], "t2": [], "t3": [], "cnt": []})
+        # position i closes a trigram iff i-1 and i are not user starts
+        # and i-2 exists in the same user run
+        valid = np.zeros(n, dtype=bool)
+        valid[2:] = ~new_user[2:] & ~new_user[1:-1]
+        idx = np.flatnonzero(valid)
+        out = (
+            pd.DataFrame(
+                {"t1": et[idx - 2], "t2": et[idx - 1], "t3": et[idx]}
+            )
+            .value_counts()
+            .rename("cnt")
+            .reset_index()
+        )
+        return out
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return (
+        bucketed_window(ds, trigrams)
+        .groupby(["t1", "t2", "t3"])
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .sort(key=["cnt", "t1", "t2", "t3"], descending=[True, False, False, False])
+        .limit(25)
+    )

@@ -1374,3 +1374,73 @@ def basket_part_pairs(sf_dir: str, num_buckets: int = 16):
         )
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Monthly cumulative revenue: time-series rollup + running total over the
+# tiny month table.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_monthly_cumsum",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+                   AS month,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c,
+               count(*) AS n_orders
+        FROM orders GROUP BY month
+    )
+    SELECT month, rev_c, n_orders,
+           sum(rev_c) OVER (ORDER BY month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_rev_c
+    FROM m
+    """,
+)
+def orders_monthly_cumsum(sf_dir: str):
+    """Month-over-month revenue with running total: per-batch partials
+    reduce to (yyyymm, cents, count) rows, one tiny groupby merges them
+    (months are calendar-bounded regardless of data size), and the
+    cumulative sum is driver arithmetic over that bounded table —
+    a global windowed cumsum over raw rows would be a full sort for a
+    quantity the month table already determines."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"]
+        month = pc.add(
+            pc.multiply(pc.year(d).cast(pa.int64()), 100),
+            pc.month(d).cast(pa.int64()),
+        )
+        cents = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "month": month,
+                "c": pa.array(cents, pa.int64()),
+                "one": pa.array(np.ones(len(cents), np.int64)),
+            }
+        )
+        g = t.group_by("month").aggregate([("c", "sum"), ("one", "sum")])
+        return g.rename_columns(["month", "rev_p", "n_p"])
+
+    m = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Sum(on="rev_p", alias_name="rev_c"),
+            Sum(on="n_p", alias_name="n_orders"),
+        )
+        .to_pandas()  # bounded: one row per calendar month
+        .sort_values("month", kind="stable")
+    )
+    m["cum_rev_c"] = m["rev_c"].cumsum()
+    return pa.Table.from_pandas(m, preserve_index=False)

@@ -356,3 +356,85 @@ def test_basket_part_pairs_matches_pandas(ray_session):
         zip(want["l_partkey_x"], want["l_partkey_y"], want["support"])
     )
     assert gset == wset
+
+
+def test_events_top_trigrams_matches_pandas(ray_session):
+    got = _df(QUERIES["events_top_trigrams"](SF)).reset_index(drop=True)
+    ev = pd.read_parquet(SF + "/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    frames = []
+    for _, g in ev.groupby("user_id"):
+        et = g["event_type"].to_numpy()
+        for i in range(2, len(et)):
+            frames.append((et[i - 2], et[i - 1], et[i]))
+    want = (
+        pd.DataFrame(frames, columns=["t1", "t2", "t3"])
+        .value_counts()
+        .rename("cnt")
+        .reset_index()
+        .sort_values(["cnt", "t1", "t2", "t3"], ascending=[False, True, True, True])
+        .head(25)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+    gset = set(zip(got["t1"], got["t2"], got["t3"], got["cnt"]))
+    wset = set(zip(want["t1"], want["t2"], want["t3"], want["cnt"]))
+    assert gset == wset
+
+
+def test_orders_monthly_cumsum(ray_session):
+    got = _df(QUERIES["orders_monthly_cumsum"](SF)).sort_values("month")
+    o = pd.read_parquet(SF + "/orders.parquet")
+    month = o["o_orderdate"].dt.year * 100 + o["o_orderdate"].dt.month
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    want = (
+        pd.DataFrame({"month": month, "c": cents})
+        .groupby("month")["c"]
+        .agg(["sum", "size"])
+        .sort_index()
+    )
+    assert (got["rev_c"].to_numpy() == want["sum"].to_numpy()).all()
+    assert (got["n_orders"].to_numpy() == want["size"].to_numpy()).all()
+    assert (got["cum_rev_c"].to_numpy() == want["sum"].cumsum().to_numpy()).all()
+
+
+def test_source_vocab_coverage(ray_session):
+    got = _df(QUERIES["source_vocab_coverage"](SF)).set_index("source")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["source", "text"])
+    toks = docs["text"].str.strip().str.lower().str.split(" ")
+    all_tokens = pd.Series(
+        [t for lst in toks for t in lst], name="token"
+    )
+    vc = all_tokens.value_counts()
+    vocab = set(
+        vc.rename("c")
+        .reset_index()
+        .sort_values(["c", "token"], ascending=[False, True])
+        .head(100)["token"]
+    )
+    per = pd.DataFrame(
+        {
+            "source": docs["source"].repeat(toks.str.len().to_numpy()),
+            "token": all_tokens.to_numpy(),
+        }
+    )
+    per["hit"] = per["token"].isin(vocab)
+    want = per.groupby("source")["hit"].agg(["sum", "size"])
+    assert (got["covered"].to_numpy() == want.loc[got.index, "sum"].to_numpy()).all()
+    assert (got["total"].to_numpy() == want.loc[got.index, "size"].to_numpy()).all()
+    assert ((got["coverage"] > 0) & (got["coverage"] <= 1)).all()
+
+
+def test_source_length_gini(ray_session):
+    got = _df(QUERIES["source_length_gini"](SF)).set_index("source")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["source", "n_chars"])
+    for src, g in docs.groupby("source"):
+        x = np.sort(g["n_chars"].to_numpy(np.int64))
+        n = len(x)
+        i = np.arange(1, n + 1)
+        gini = ((2 * i - n - 1) * x).sum() / (n * x.sum())
+        assert got.loc[src, "n_docs"] == n
+        assert got.loc[src, "total_chars"] == x.sum()
+        assert abs(got.loc[src, "gini"] - gini) < 1e-6
