@@ -2764,7 +2764,8 @@ def source_dup_rate(sf_dir: str):
     oracle=f"""
     WITH n AS (
         SELECT source,
-               sum(CAST(len({_SQL_TOKENS}) AS BIGINT)) AS n_tokens
+               CAST(sum(CAST(len({_SQL_TOKENS}) AS BIGINT)) AS BIGINT)
+                   AS n_tokens
         FROM documents GROUP BY source
     ), w AS (
         SELECT source, n_tokens,

@@ -1038,9 +1038,9 @@ def events_time_to_convert(sf_dir: str):
         SELECT user_id,
                count(*) AS frequency,
                max(epoch_us(ts)) AS last_us,
-               sum(CASE WHEN event_type = 'purchase'
+               CAST(sum(CASE WHEN event_type = 'purchase'
                         THEN CAST(round(value * 100) AS BIGINT)
-                        ELSE 0 END) AS monetary_c
+                        ELSE 0 END) AS BIGINT) AS monetary_c
         FROM events GROUP BY user_id
     ), g AS (SELECT max(last_us) AS gmax FROM per)
     SELECT user_id, frequency, monetary_c,
@@ -1241,9 +1241,9 @@ def events_minute_burst(sf_dir: str):
     )
     SELECT f // 604800000000 AS cohort_week,
            (epoch_us(e.ts) - f) // 604800000000 AS age_weeks,
-           sum(CASE WHEN e.event_type = 'purchase'
+           CAST(sum(CASE WHEN e.event_type = 'purchase'
                     THEN CAST(round(e.value * 100) AS BIGINT)
-                    ELSE 0 END) AS revenue_c,
+                    ELSE 0 END) AS BIGINT) AS revenue_c,
            count(*) AS n_events
     FROM events e JOIN first USING (user_id)
     GROUP BY cohort_week, age_weeks

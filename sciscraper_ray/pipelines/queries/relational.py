@@ -1007,9 +1007,10 @@ def customer_order_dist(sf_dir: str):
                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
                    AS value_c2
         FROM lineitem GROUP BY l_partkey
-    ), tot AS (SELECT sum(value_c2) AS t FROM pv)
-    SELECT l_partkey, value_c2
-    FROM pv, tot WHERE value_c2 * 10000 > t
+    ), tot AS (SELECT sum(value_c2) AS t FROM pv),
+    np AS (SELECT count(*) AS n FROM part)
+    SELECT l_partkey, CAST(value_c2 AS BIGINT) AS value_c2
+    FROM pv, tot, np WHERE value_c2 * 2 * np.n > 3 * tot.t
     ORDER BY value_c2 DESC, l_partkey ASC
     LIMIT 100
     """,
@@ -1020,9 +1021,11 @@ def part_value_threshold(sf_dir: str):
     part-sized grouped table is materialized ONCE (bounded: |part|, not
     |lineitem|) so the global-total scalar and the threshold filter reuse
     it instead of re-running the groupby. Money stays integer
-    (cents x (100-discount bp)); the strict ``value*10000 > total``
-    comparison is done as exact integer math on both engines (Python int
-    threshold on the Ray side, BIGINT product on DuckDB's)."""
+    (cents x (100-discount bp)); the threshold is scale-relative like
+    Q11's 0.0001/SF — parts above 1.5x the mean value share — and the
+    strict ``v * 2 * n_parts > 3 * total`` test is exact integer math on
+    both engines (floored Python int threshold on the Ray side, BIGINT
+    product on DuckDB's)."""
     import ray.data
     from ray.data.aggregate import Sum
 
@@ -1057,8 +1060,12 @@ def part_value_threshold(sf_dir: str):
         .materialize()  # bounded by |part|; reused by scalar + filter
     )
     total = int(pv.sum("value_c2"))
-    # value_c2 * 10000 > total  <=>  value_c2 > total // 10000 (ints)
-    thresh = total // 10000
+    n_parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    ).count()
+    # scale-relative threshold (TPC-H Q11's 0.0001/SF): parts above
+    # 1.5x the mean share. v*2n > 3t  <=>  v > (3t) // (2n)  (ints)
+    thresh = (3 * total) // (2 * n_parts)
 
     return (
         pv.filter(
@@ -1092,7 +1099,8 @@ def part_value_threshold(sf_dir: str):
               SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey
                 AND o.o_orderpriority = '1-URGENT')
     )
-    SELECT n.n_name, count(*) AS numcust, sum(bal_c) AS totacctbal_c
+    SELECT n.n_name, count(*) AS numcust,
+           CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
     FROM idle JOIN nation n ON idle.c_nationkey = n.n_nationkey
     GROUP BY n.n_name
     """,
@@ -1206,7 +1214,8 @@ def customer_idle_highvalue(sf_dir: str):
     oracle="""
     SELECT coalesce(o_orderpriority, 'ALL') AS priority,
            coalesce(o_orderstatus, 'ALL') AS status,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_c,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_c,
            count(*) AS cnt
     FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
     """,
@@ -1388,14 +1397,15 @@ def basket_part_pairs(sf_dir: str, num_buckets: int = 16):
     WITH m AS (
         SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
                    AS month,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_c,
                count(*) AS n_orders
         FROM orders GROUP BY month
     )
     SELECT month, rev_c, n_orders,
-           sum(rev_c) OVER (ORDER BY month
+           CAST(sum(rev_c) OVER (ORDER BY month
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum_rev_c
+               AS BIGINT) AS cum_rev_c
     FROM m
     """,
 )
@@ -1444,3 +1454,190 @@ def orders_monthly_cumsum(sf_dir: str):
     )
     m["cum_rev_c"] = m["rev_c"].cumsum()
     return pa.Table.from_pandas(m, preserve_index=False)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share — a dimension-attribute predicate
+# pushed through a fact join, all integer until one final ratio.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    WITH j AS (
+        SELECT p.p_type,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                   AS rev_c2
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_c2 ELSE 0 END)
+                AS BIGINT) AS promo_rev_c2,
+           CAST(sum(rev_c2) AS BIGINT) AS total_rev_c2,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev_c2
+                                  ELSE 0 END) / sum(rev_c2), 6)
+               AS promo_pct
+    FROM j
+    """,
+)
+def promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 shape (promo revenue percentage). The join is never
+    executed as a join: part's (partkey -> is_promo) projection is ONE
+    BIT per part, broadcast as a packed int64 bitmap keyed by partkey
+    (40M parts = 5 MB — broadcast-safe far past the string-dimension
+    limit); each lineitem batch then reduces to a single (promo, total)
+    integer pair and the driver merges constant-size partials. Money is
+    integer cents x basis points end to end; the one float op is the
+    final mirrored ratio."""
+    import ray
+    import ray.data
+
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    keys = part["p_partkey"].to_numpy(zero_copy_only=False)
+    promo = pc.equal(part["p_type"], "PROMO").to_numpy(zero_copy_only=False)
+    bitmap = np.zeros((int(keys.max()) >> 6) + 1, np.uint64)
+    pk = keys[promo].astype(np.uint64)
+    np.bitwise_or.at(bitmap, (pk >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (pk & np.uint64(63)))
+    bitmap_ref = ray.put(bitmap)
+
+    class Partial:
+        def __init__(self):
+            self.bitmap = ray.get(bitmap_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pkey = b["l_partkey"].to_numpy(zero_copy_only=False)
+            cents = np.round(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            bp = np.round(
+                b["l_discount"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            rev = cents * (100 - bp)
+            pk = pkey.astype(np.uint64)
+            is_promo = (
+                self.bitmap[(pk >> np.uint64(6)).astype(np.int64)]
+                >> (pk & np.uint64(63))
+            ) & np.uint64(1)
+            return pa.table(
+                {
+                    "promo": pa.array(
+                        [int(rev[is_promo.astype(bool)].sum())], pa.int64()
+                    ),
+                    "total": pa.array([int(rev.sum())], pa.int64()),
+                }
+            )
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4))
+        .to_pandas()
+        .sum()
+    )
+    promo_rev, total_rev = int(parts["promo"]), int(parts["total"])
+    return pa.table(
+        {
+            "promo_rev_c2": pa.array([promo_rev], pa.int64()),
+            "total_rev_c2": pa.array([total_rev], pa.int64()),
+            "promo_pct": pa.array(
+                [round(100.0 * promo_rev / total_rev, 6)], pa.float64()
+            ),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped top-k over a dimension join: the 3 highest-revenue suppliers per
+# nation — rank-within-group after a bounded supplier-grain aggregate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "top_suppliers_by_nation",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS BIGINT) AS rev_c2
+        FROM lineitem GROUP BY l_suppkey
+    ), ranked AS (
+        SELECT n.n_name, s.s_name, r.rev_c2,
+               row_number() OVER (
+                   PARTITION BY n.n_name
+                   ORDER BY r.rev_c2 DESC, s.s_suppkey ASC) AS rnk
+        FROM rev r
+        JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    )
+    SELECT n_name, s_name, rev_c2, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def top_suppliers_by_nation(sf_dir: str):
+    """Per-nation supplier leaderboard: lineitem pre-reduces to
+    (suppkey, revenue) partials per batch, one supplier-bounded
+    groupby-Sum, then the supplier->nation dim join and the top-3 take
+    run on the supplier-grain table (supplier is the 10x-smaller dim —
+    driver-merged here under the same row-bound rule orders_by_region
+    uses; past it, bucketed join + per-nation heap partials). Revenue is
+    integer cents x basis points; rank ties break on suppkey."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        bp = np.round(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "l_suppkey": b["l_suppkey"],
+                "r": pa.array(cents * (100 - bp), pa.int64()),
+            }
+        )
+        return (
+            t.group_by("l_suppkey")
+            .aggregate([("r", "sum")])
+            .rename_columns(["l_suppkey", "r"])
+        )
+
+    rev = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum(on="r", alias_name="rev_c2"))
+        .to_pandas()  # supplier-bounded
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    ).to_pandas()
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    j = rev.merge(supp, left_on="l_suppkey", right_on="s_suppkey").merge(
+        nat, left_on="s_nationkey", right_on="n_nationkey"
+    )
+    j = j.sort_values(
+        ["n_name", "rev_c2", "s_suppkey"], ascending=[True, False, True]
+    )
+    j["rnk"] = j.groupby("n_name").cumcount() + 1
+    out = j[j["rnk"] <= 3][["n_name", "s_name", "rev_c2", "rnk"]]
+    out["rnk"] = out["rnk"].astype(np.int64)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)

@@ -2725,3 +2725,105 @@ def node_clustering_coeff(sf_dir: str, num_buckets: int = 16):
             "clustering": pa.array(coeff, pa.float64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Bibliographic coupling: page pairs sharing a reference target — the
+# co-citation neighbor table, built on the shared pair-expansion kernel.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_cocitation_pairs",
+    oracle=f"""
+    WITH l AS (
+        SELECT DISTINCT doc_id AS src, unnest({_REF_TARGETS_SQL}) AS dst
+        FROM documents
+    )
+    SELECT a.src AS doc_a, b.src AS doc_b, count(*) AS shared_refs
+    FROM l a JOIN l b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY doc_a, doc_b
+    ORDER BY shared_refs DESC, doc_a ASC, doc_b ASC
+    LIMIT 50
+    """,
+)
+def doc_cocitation_pairs(sf_dir: str, num_buckets: int = 16):
+    """Bibliographic coupling: top page pairs by number of SHARED
+    reference targets. Distinct (src, dst) links bucket by hash(dst) % B
+    and expand to per-target citing-pairs with the vectorized segment
+    kernel (same as basket_part_pairs); hub targets bound the blow-up
+    as sum(indeg^2) — the documented skew risk, mitigated at open-web
+    scale by an indeg cap on the expansion (a target cited by millions
+    contributes no usable coupling signal)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    links = _doc_edges(sf_dir)
+
+    def dedup_partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["src", "dst"]).aggregate([])
+
+    distinct = (
+        links.map_batches(dedup_partial, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b["src"],
+                    "dst": b["dst"],
+                    "bucket": pa.array(
+                        (
+                            b["dst"].to_numpy(zero_copy_only=False)
+                            * 0x9E3779B9
+                            & 0x7FFFFFFF
+                        )
+                        % num_buckets,
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def pairs(g):
+        import pandas as pd
+
+        d = g["dst"].to_numpy()
+        s = g["src"].to_numpy()
+        order = np.lexsort((s, d))
+        d, s = d[order], s[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        ends = np.r_[starts[1:], len(d)]
+        seg_end = np.repeat(ends, ends - starts)
+        pos = np.arange(len(d))
+        reps = seg_end - pos - 1
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"doc_a": [], "doc_b": [], "c": []}
+            ).astype(np.int64)
+        left = np.repeat(pos, reps)
+        offs = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        right = left + (np.arange(total) - np.repeat(offs, reps)) + 1
+        return (
+            pd.DataFrame({"doc_a": s[left], "doc_b": s[right]})
+            .value_counts()
+            .rename("c")
+            .reset_index()
+        )
+
+    merged = (
+        distinct.groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum(on="c", alias_name="shared_refs"))
+    )
+    return (
+        merged.sort(
+            key=["shared_refs", "doc_a", "doc_b"],
+            descending=[True, False, False],
+        )
+        .limit(50)
+    )

@@ -52,7 +52,8 @@ def test_part_value_threshold_matches_integer_math(ray_session):
     li["v"] = cents * (100 - bp)
     pv = li.groupby("l_partkey")["v"].sum()
     total = int(pv.sum())
-    want = pv[pv * 10000 > total].sort_values(ascending=False)
+    n_parts = len(pd.read_parquet(SF + "/part.parquet", columns=["p_partkey"]))
+    want = pv[pv * 2 * n_parts > 3 * total].sort_values(ascending=False)
     want = (
         want.rename("value_c2")
         .reset_index()
@@ -438,3 +439,75 @@ def test_source_length_gini(ray_session):
         assert got.loc[src, "n_docs"] == n
         assert got.loc[src, "total_chars"] == x.sum()
         assert abs(got.loc[src, "gini"] - gini) < 1e-6
+
+
+def test_promo_revenue_share_matches_join(ray_session):
+    got = _df(QUERIES["promo_revenue_share"](SF))
+    li = pd.read_parquet(SF + "/lineitem.parquet")
+    part = pd.read_parquet(SF + "/part.parquet", columns=["p_partkey", "p_type"])
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    cents = np.round(j["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    bp = np.round(j["l_discount"].to_numpy() * 100).astype(np.int64)
+    rev = cents * (100 - bp)
+    promo = rev[(j["p_type"] == "PROMO").to_numpy()].sum()
+    total = rev.sum()
+    assert int(got["promo_rev_c2"].iloc[0] if hasattr(got, "iloc") else got["promo_rev_c2"][0].as_py()) == promo
+    t = got["total_rev_c2"]
+    assert int(t.iloc[0] if hasattr(t, "iloc") else t[0].as_py()) == total
+    p = got["promo_pct"]
+    pv = float(p.iloc[0] if hasattr(p, "iloc") else p[0].as_py())
+    assert abs(pv - 100.0 * promo / total) < 1e-5
+
+
+def test_top_suppliers_by_nation(ray_session):
+    got = _df(QUERIES["top_suppliers_by_nation"](SF))
+    li = pd.read_parquet(SF + "/lineitem.parquet")
+    supp = pd.read_parquet(SF + "/supplier.parquet")
+    nat = pd.read_parquet(SF + "/nation.parquet")
+    cents = np.round(li["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    bp = np.round(li["l_discount"].to_numpy() * 100).astype(np.int64)
+    li = li.assign(rev=cents * (100 - bp))
+    rev = li.groupby("l_suppkey")["rev"].sum().reset_index()
+    j = rev.merge(supp, left_on="l_suppkey", right_on="s_suppkey").merge(
+        nat, left_on="s_nationkey", right_on="n_nationkey"
+    )
+    j = j.sort_values(["n_name", "rev", "s_suppkey"], ascending=[True, False, True])
+    j["rnk"] = j.groupby("n_name").cumcount() + 1
+    want = j[j["rnk"] <= 3]
+    got = got.sort_values(["n_name", "rnk"]).reset_index(drop=True)
+    want = want.sort_values(["n_name", "rnk"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["s_name"].to_numpy() == want["s_name"].to_numpy()).all()
+    assert (got["rev_c2"].to_numpy() == want["rev"].to_numpy()).all()
+    # every nation with suppliers appears, capped at 3 rows
+    assert got.groupby("n_name").size().max() <= 3
+
+
+def test_doc_cocitation_pairs(ray_session):
+    got = _df(QUERIES["doc_cocitation_pairs"](SF)).reset_index(drop=True)
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id"])
+    ids = docs["doc_id"].to_numpy()
+    links = pd.DataFrame(
+        {
+            "src": np.concatenate([ids, ids]),
+            "dst": np.concatenate([(ids * 17 + 13) % 997, (ids * 29 + 7) % 997]),
+        }
+    ).drop_duplicates()
+    j = links.merge(links, on="dst")
+    j = j[j["src_x"] < j["src_y"]]
+    want = (
+        j.groupby(["src_x", "src_y"])
+        .size()
+        .rename("shared_refs")
+        .reset_index()
+        .sort_values(
+            ["shared_refs", "src_x", "src_y"], ascending=[False, True, True]
+        )
+        .head(50)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["shared_refs"].to_numpy() == want["shared_refs"].to_numpy()).all()
+    gset = set(zip(got["doc_a"], got["doc_b"], got["shared_refs"]))
+    wset = set(zip(want["src_x"], want["src_y"], want["shared_refs"]))
+    assert gset == wset
