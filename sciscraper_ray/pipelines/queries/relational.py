@@ -1048,7 +1048,7 @@ def part_value_threshold(sf_dir: str):
             }
         )
         return (
-            t.group_by("l_partkey")
+            t.group_by("pk")
             .aggregate([("v", "sum")])
             .rename_columns(["l_partkey", "v"])
         )
@@ -1641,3 +1641,394 @@ def top_suppliers_by_nation(sf_dir: str):
     out = j[j["rnk"] <= 3][["n_name", "s_name", "rev_c2", "rnk"]]
     out["rnk"] = out["rnk"].astype(np.int64)
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q10/Q16/Q17/Q18 shapes — the classic multi-join reporting family,
+# each built on the bucketed co-partition join (no sf-proportional
+# broadcasts) with integer-exact money (cents x basis points; see
+# orders_q3_priority for the float-rounding rationale).
+# --------------------------------------------------------------------------
+
+
+def _cents(col) -> np.ndarray:
+    """Exact cents as int64 from a 2-decimal float column."""
+    return np.round(col.to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+
+
+@register(
+    "returned_revenue_topk",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, c_acctbal,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c2
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue_c2 DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def returned_revenue_topk(sf_dir: str):
+    """TPC-H Q10 shape (returned-item reporting): which customers drove
+    the most revenue on returned lines. Scale plan: the returnflag filter
+    and the per-order revenue partial both run inside the lineitem read
+    pass, so the first bucketed join ships one row per qualifying order,
+    not one per line; the second bucketed join co-partitions the per-
+    customer aggregate with the customer table (both fact-sized — no
+    broadcast); only the 25-row nation dim is broadcast. The final top-20
+    sorts a per-customer table already reduced by two aggregations."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import (
+        BroadcastLookup,
+        bucketed_hash_join,
+        group_count_batch,
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        rev = _cents(b["l_extendedprice"]) * (100 - _cents(b["l_discount"]))
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev": pa.array(rev, pa.int64())})
+        return t.group_by("l_orderkey").aggregate([("rev", "sum")]).rename_columns(
+            ["l_orderkey", "rev"]
+        )
+
+    li = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum(on="rev", alias_name="rev"))
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    per_cust = (
+        bucketed_hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey")
+        .map_batches(
+            lambda b: group_count_batch(b, ["o_custkey"], {"rev": "rev"}).select(
+                ["o_custkey", "rev"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum(on="rev", alias_name="revenue_c2"))
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    joined = bucketed_hash_join(
+        per_cust, cust, left_on="o_custkey", right_on="c_custkey"
+    )
+
+    import pyarrow.parquet as pq
+
+    nat = (
+        pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+        .to_pandas()
+        .set_index("n_nationkey")
+    )
+    nat_ref = ray.put(nat)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = BroadcastLookup(nat_ref, on="c_nationkey")(b)
+        return b.select(["c_custkey", "c_name", "n_name", "c_acctbal", "revenue_c2"])
+
+    return (
+        joined.map_batches(finish, batch_format="pyarrow")
+        .sort(key=["revenue_c2", "c_custkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
+@register(
+    "small_qty_revenue",
+    oracle="""
+    WITH pq AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s,
+               count(*) AS c
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_small,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem JOIN pq USING (l_partkey)
+    WHERE CAST(round(l_quantity) AS BIGINT) * 5 * c < s
+    """,
+)
+def small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue): lines whose
+    quantity is below 20% of their part's average. The correlated
+    per-part average is a two-phase aggregate (per-batch Arrow partials,
+    then a partkey groupby whose output is part-cardinality, NOT
+    line-cardinality); it rejoins the line stream through the bucketed
+    co-partition join, so nothing sf-proportional is broadcast. The
+    20%-of-average predicate is evaluated in integers
+    (qty * 5 * cnt < sum_qty) — no float-division boundary to diverge
+    from the oracle at any scale."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+
+    def part_partial(b: pa.Table) -> pa.Table:
+        qty = np.round(b["l_quantity"].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        t = pa.table(
+            {
+                "pk": b["l_partkey"],
+                "q": pa.array(qty, pa.int64()),
+                "one": pa.array(np.ones(len(qty), np.int64)),
+            }
+        )
+        return (
+            t.group_by("pk")
+            .aggregate([("q", "sum"), ("one", "sum")])
+            .rename_columns(["pk", "s", "c"])
+        )
+
+    li_cols = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    per_part = (
+        li_cols.map_batches(part_partial, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum(on="s", alias_name="s"), Sum(on="c", alias_name="c"))
+    )
+
+    lines = li_cols.map_batches(
+        lambda b: pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "qty": pa.array(
+                    np.round(b["l_quantity"].to_numpy(zero_copy_only=False)).astype(
+                        np.int64
+                    )
+                ),
+                "cents": pa.array(_cents(b["l_extendedprice"])),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(
+        lines, per_part, left_on="l_partkey", right_on="pk"
+    )
+
+    def small_partial(b: pa.Table) -> pa.Table:
+        qty = b["qty"].to_numpy(zero_copy_only=False)
+        s = b["s"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        keep = qty * 5 * c < s
+        cents = b["cents"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n_small": pa.array([int(keep.sum())], pa.int64()),
+                "revenue_cents": pa.array([int(cents.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(small_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            Sum(on="n_small", alias_name="n_small"),
+            Sum(on="revenue_cents", alias_name="revenue_cents"),
+        )
+    )
+    return agg.map_batches(
+        lambda b: b.select(["n_small", "revenue_cents"]), batch_format="pyarrow"
+    )
+
+
+@register(
+    "large_order_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250
+    ORDER BY sum_qty DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def large_order_customers(sf_dir: str):
+    """TPC-H Q18 shape (large-volume customers): orders whose total line
+    quantity exceeds 250 units (the fixture's per-order p99 is ~260, so
+    the filter is scale-stable — per-order line counts don't grow with
+    sf). The HAVING runs as a filter on the per-order quantity aggregate
+    BEFORE any join, so both bucketed joins (orders, then customer) ship
+    only the ~1% qualifying orders. Quantities are summed as integers."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        qty = np.round(b["l_quantity"].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        t = pa.table(
+            {"l_orderkey": b["l_orderkey"], "q": pa.array(qty, pa.int64())}
+        )
+        return t.group_by("l_orderkey").aggregate([("q", "sum")]).rename_columns(
+            ["l_orderkey", "sum_qty"]
+        )
+
+    big = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+        )
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum(on="sum_qty", alias_name="sum_qty"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["sum_qty"], 250)),
+            batch_format="pyarrow",
+        )
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_custkey": b["o_custkey"],
+                "o_orderdate": b["o_orderdate"],
+                "total_cents": pa.array(_cents(b["o_totalprice"])),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    j1 = bucketed_hash_join(big, orders, left_on="l_orderkey", right_on="o_orderkey")
+    j2 = bucketed_hash_join(j1, cust, left_on="o_custkey", right_on="c_custkey")
+    return (
+        j2.map_batches(
+            lambda b: b.select(
+                [
+                    "c_name",
+                    "c_custkey",
+                    "o_orderkey",
+                    "o_orderdate",
+                    "total_cents",
+                    "sum_qty",
+                ]
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(key=["sum_qty", "o_orderkey"], descending=[True, False])
+        .limit(100)
+    )
+
+
+@register(
+    "brand_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) li
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand, p_size
+    """,
+)
+def brand_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape (parts/supplier relationship) without a partsupp
+    table: distinct (part, supplier) pairs observed in lineitem, counted
+    per brand/size. Two bounded exchanges: per-batch Arrow distinct
+    partials collapse the line stream before the pair groupby (output is
+    |part x supp| pairs, not lines), and the second distinct runs on
+    (brand, size, suppkey) — already pair-bounded. The part attribute
+    lookup broadcasts only (p_partkey, p_brand, p_size); at warehouse
+    scale where part outgrows a broadcast this lookup flips to the same
+    bucketed join used everywhere else (see orders_by_region's auto
+    plan)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import BroadcastLookup
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_partkey": b["l_partkey"], "l_suppkey": b["l_suppkey"]})
+        return t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+
+    pairs = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+        )
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .count()
+    )
+
+    part = (
+        pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+        )
+        .to_pandas()
+        .set_index("p_partkey")
+    )
+    part_ref = ray.put(part)
+
+    def attr_partial(b: pa.Table) -> pa.Table:
+        b = pa.table({"p_partkey": b["l_partkey"], "l_suppkey": b["l_suppkey"]})
+        b = BroadcastLookup(part_ref, on="p_partkey")(b)
+        return (
+            pa.table(
+                {
+                    "p_brand": b["p_brand"],
+                    "p_size": b["p_size"],
+                    "l_suppkey": b["l_suppkey"],
+                }
+            )
+            .group_by(["p_brand", "p_size", "l_suppkey"])
+            .aggregate([])
+        )
+
+    triple = (
+        pairs.map_batches(attr_partial, batch_format="pyarrow")
+        .groupby(["p_brand", "p_size", "l_suppkey"])
+        .count()
+    )
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "p_brand": b["p_brand"],
+                "p_size": b["p_size"],
+                "one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        return (
+            t.group_by(["p_brand", "p_size"])
+            .aggregate([("one", "sum")])
+            .rename_columns(["p_brand", "p_size", "supplier_cnt"])
+        )
+
+    return (
+        triple.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby(["p_brand", "p_size"])
+        .aggregate(Sum(on="supplier_cnt", alias_name="supplier_cnt"))
+    )
