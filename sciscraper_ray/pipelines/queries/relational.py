@@ -2032,3 +2032,293 @@ def brand_supplier_counts(sf_dir: str):
         .groupby(["p_brand", "p_size"])
         .aggregate(Sum(on="supplier_cnt", alias_name="supplier_cnt"))
     )
+
+
+@register(
+    "volume_shipping_pairs",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c2
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def volume_shipping_pairs(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping): revenue between every
+    (supplier nation, customer nation) pair by ship year. The widest
+    join graph in the registry — five tables — planned so line
+    granularity crosses at most one exchange: lines pre-reduce per batch
+    to (orderkey, supp_nation, year) partials (supplier nation resolved
+    through the narrow suppkey→nation keymap broadcast — 16 bytes/row,
+    bucketed-join flip at warehouse scale like orders_by_region), the
+    partials co-partition with orders then customer through the bucketed
+    join, and the output groupby is nation² × years — constant-bounded
+    regardless of sf."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import (
+        BroadcastLookup,
+        bucketed_hash_join,
+        group_count_batch,
+    )
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    supp2nat = (
+        supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+        .set_index("s_suppkey")[["n_name"]]
+        .rename(columns={"n_name": "supp_nation"})
+    )
+    supp_ref = ray.put(supp2nat)
+    cust_nat_ref = ray.put(
+        nat.rename(
+            columns={"n_nationkey": "c_nationkey", "n_name": "cust_nation"}
+        ).set_index("c_nationkey")
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        rev = _cents(b["l_extendedprice"]) * (100 - _cents(b["l_discount"]))
+        t = pa.table(
+            {
+                "s_suppkey": b["l_suppkey"],
+                "l_orderkey": b["l_orderkey"],
+                "l_year": pc.cast(pc.year(b["l_shipdate"]), pa.int64()),
+                "rev": pa.array(rev, pa.int64()),
+            }
+        )
+        t = BroadcastLookup(supp_ref, on="s_suppkey")(t)
+        return (
+            t.select(["l_orderkey", "supp_nation", "l_year", "rev"])
+            .group_by(["l_orderkey", "supp_nation", "l_year"])
+            .aggregate([("rev", "sum")])
+            .rename_columns(["l_orderkey", "supp_nation", "l_year", "rev"])
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    j1 = bucketed_hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    j2 = bucketed_hash_join(j1, cust, left_on="o_custkey", right_on="c_custkey")
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        b = BroadcastLookup(cust_nat_ref, on="c_nationkey")(b)
+        return group_count_batch(
+            b, ["supp_nation", "cust_nation", "l_year"], {"rev": "revenue_c2"}
+        ).select(["supp_nation", "cust_nation", "l_year", "revenue_c2"])
+
+    return (
+        j2.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum(on="revenue_c2", alias_name="revenue_c2"))
+    )
+
+
+@register(
+    "disjunctive_revenue",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c2
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 15
+           AND p_size BETWEEN 1 AND 25)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 25
+           AND p_size BETWEEN 1 AND 30)
+       OR (p_brand = 'Brand#5' AND l_quantity BETWEEN 20 AND 40
+           AND p_size BETWEEN 1 AND 40)
+    """,
+)
+def disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape (discounted revenue under an OR-of-ANDs
+    predicate): the disjunction mixes line attributes (quantity) with
+    part attributes (brand, size), so it can't be pushed into either
+    read alone. Plan: broadcast the narrow part attribute columns once
+    (brand dictionary + int8-able size; bucketed-join flip past the
+    broadcast row limit), evaluate the whole disjunction vectorized per
+    batch with numpy boolean algebra, and reduce to one global
+    (count, revenue) partial per batch — no shuffle at all except the
+    single-row final merge."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import BroadcastLookup
+
+    part = (
+        pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+        )
+        .to_pandas()
+        .set_index("p_partkey")
+    )
+    part_ref = ray.put(part)
+
+    _CLAUSES = (
+        ("Brand#12", 1, 15, 1, 25),
+        ("Brand#23", 10, 25, 1, 30),
+        ("Brand#5", 20, 40, 1, 40),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "p_partkey": b["l_partkey"],
+                "qty": b["l_quantity"],
+                "cents": pa.array(_cents(b["l_extendedprice"])),
+                "bp": pa.array(_cents(b["l_discount"])),
+            }
+        )
+        t = BroadcastLookup(part_ref, on="p_partkey")(t)
+        qty = t["qty"].to_numpy(zero_copy_only=False)
+        size = t["p_size"].to_numpy(zero_copy_only=False)
+        brand = np.asarray(t["p_brand"].to_pylist())
+        keep = np.zeros(len(qty), bool)
+        for br, qlo, qhi, slo, shi in _CLAUSES:
+            keep |= (
+                (brand == br)
+                & (qty >= qlo)
+                & (qty <= qhi)
+                & (size >= slo)
+                & (size <= shi)
+            )
+        rev = (
+            t["cents"].to_numpy(zero_copy_only=False)[keep]
+            * (100 - t["bp"].to_numpy(zero_copy_only=False)[keep])
+        )
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n_lines": pa.array([int(keep.sum())], pa.int64()),
+                "revenue_c2": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            Sum(on="n_lines", alias_name="n_lines"),
+            Sum(on="revenue_c2", alias_name="revenue_c2"),
+        )
+        .map_batches(
+            lambda b: b.select(["n_lines", "revenue_c2"]), batch_format="pyarrow"
+        )
+    )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    oracle="""
+    WITH c AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ), m AS (
+        SELECT l_partkey, min(cents) AS mc FROM c GROUP BY l_partkey
+    )
+    SELECT c.l_partkey, m.mc AS min_cents,
+           CAST(min(c.l_suppkey) AS BIGINT) AS best_suppkey
+    FROM c JOIN m ON c.l_partkey = m.l_partkey AND c.cents = m.mc
+    GROUP BY c.l_partkey, m.mc
+    """,
+)
+def cheapest_supplier_per_part(sf_dir: str):
+    """TPC-H Q2 shape without partsupp: distributed ARGMIN — for every
+    part, the lowest observed line price and the lowest supplier key
+    achieving it. Argmin doesn't decompose as a single aggregate without
+    a fused key (cents*2^k + suppkey overflows once suppkey outgrows k
+    bits), so it runs as the honest two-pass plan: (1) per-part Min over
+    per-batch Arrow partials (output part-bounded); (2) the line stream
+    rejoins its part's min through the bucketed co-partition join,
+    filters to price-achieving lines (integer equality, no float
+    boundary), and takes Min(suppkey) per part. Both exchanges are
+    part-bounded; lines never shuffle."""
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "l_suppkey": b["l_suppkey"],
+                "cents": pa.array(_cents(b["l_extendedprice"])),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def min_partial(b: pa.Table) -> pa.Table:
+        return (
+            b.select(["l_partkey", "cents"])
+            .group_by("l_partkey")
+            .aggregate([("cents", "min")])
+            .rename_columns(["pk", "mc"])
+        )
+
+    per_part = (
+        lines.map_batches(min_partial, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Min(on="mc", alias_name="mc"))
+    )
+    joined = bucketed_hash_join(lines, per_part, left_on="l_partkey", right_on="pk")
+
+    def argmin_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["cents"], b["mc"]))
+        return (
+            pa.table(
+                {
+                    "l_partkey": b["l_partkey"],
+                    "min_cents": b["mc"],
+                    "best_suppkey": b["l_suppkey"],
+                }
+            )
+            .group_by(["l_partkey", "min_cents"])
+            .aggregate([("best_suppkey", "min")])
+            .rename_columns(["l_partkey", "min_cents", "best_suppkey"])
+        )
+
+    return (
+        joined.map_batches(argmin_partial, batch_format="pyarrow")
+        .groupby(["l_partkey", "min_cents"])
+        .aggregate(Min(on="best_suppkey", alias_name="best_suppkey"))
+    )

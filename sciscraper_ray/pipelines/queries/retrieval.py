@@ -2827,3 +2827,129 @@ def doc_cocitation_pairs(sf_dir: str, num_buckets: int = 16):
         )
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Bounded-round k-core peeling — the degeneracy pruning pass community
+# detection and spam-farm analysis run before the expensive algorithms.
+# --------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    body = f"""
+    WITH l AS (
+        SELECT doc_id AS s, unnest({_REF_TARGETS_SQL}) AS t FROM documents
+    ), e0 AS (
+        SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        FROM l WHERE s <> t
+    )"""
+    for i in range(rounds):
+        body += f""", d{i} AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i})
+        GROUP BY node
+    ), a{i + 1} AS (SELECT node FROM d{i} WHERE d >= {k}
+    ), e{i + 1} AS (
+        SELECT a, b FROM e{i}
+        WHERE a IN (SELECT node FROM a{i + 1})
+          AND b IN (SELECT node FROM a{i + 1})
+    )"""
+    return body + f"""
+    SELECT node, CAST(count(*) AS BIGINT) AS deg
+    FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+    GROUP BY node
+    """
+
+
+@register("graph_kcore_peel", oracle=_kcore_sql(_KCORE_K, _KCORE_ROUNDS))
+def graph_kcore_peel(sf_dir: str):
+    """Bounded-round k-core peeling (k=2, 3 rounds) over the undirected
+    doc link graph: iteratively drop nodes of degree < k, keeping edges
+    whose endpoints both survive; report the post-peel degree table.
+    Fixed round count keeps the oracle expressible as unrolled CTEs
+    (same policy as graph_pagerank / crawl_depth_from_seeds). Per round:
+    degree tally is a per-batch Arrow partial + node-keyed groupby whose
+    merged output is node-bounded (driver table here, exactly the
+    node_clustering_coeff bound); the edge filter applies the alive set
+    as a broadcast boolean LUT — one streaming pass over edges, no
+    shuffle. At open-web node counts the LUT swaps for two bucketed
+    semi-joins per round; the round structure is unchanged."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.pipelines.graph import _dedup_edges
+
+    raw = _doc_edges(sf_dir)
+
+    def orient(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        t = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s != t
+        s, t = s[keep], t[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, t), pa.int64()),
+                "b": pa.array(np.maximum(s, t), pa.int64()),
+            }
+        )
+
+    edges = _dedup_edges(raw.map_batches(orient, batch_format="pyarrow"))
+    edges = edges.materialize()  # rescanned once per peel round
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                b["a"].to_numpy(zero_copy_only=False),
+                b["b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        t = pa.table({"node": pa.array(nodes, pa.int64())})
+        return (
+            t.group_by("node")
+            .aggregate([([], "count_all")])
+            .rename_columns(["node", "d"])
+        )
+
+    def degrees(ds):
+        return (
+            ds.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum(on="d", alias_name="deg"))
+            .to_pandas()  # node-bounded (synth targets < 997)
+        )
+
+    for _ in range(_KCORE_ROUNDS):
+        deg = degrees(edges)
+        alive = deg[deg["deg"] >= _KCORE_K]["node"].to_numpy()
+        size = (
+            int(max(alive.max() if len(alive) else 0, 1)) + 1
+        )
+        lut = np.zeros(size, bool)
+        if len(alive):
+            lut[alive] = True
+        lut_ref = ray.put(lut)
+
+        def alive_filter(b: pa.Table, _ref=lut_ref) -> pa.Table:
+            lt = ray.get(_ref)
+            a = b["a"].to_numpy(zero_copy_only=False)
+            bb = b["b"].to_numpy(zero_copy_only=False)
+            keep = (
+                (a < len(lt))
+                & (bb < len(lt))
+                & lt[np.minimum(a, len(lt) - 1)]
+                & lt[np.minimum(bb, len(lt) - 1)]
+            )
+            return b.filter(pa.array(keep))
+
+        edges = edges.map_batches(
+            alive_filter, batch_format="pyarrow"
+        ).materialize()
+
+    out = degrees(edges)
+    out["deg"] = out["deg"].astype(np.int64)
+    return pa.Table.from_pandas(
+        out.sort_values("node").reset_index(drop=True), preserve_index=False
+    )
