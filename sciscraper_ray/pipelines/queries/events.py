@@ -1405,3 +1405,63 @@ def events_top_trigrams(sf_dir: str):
         .sort(key=["cnt", "t1", "t2", "t3"], descending=[True, False, False, False])
         .limit(25)
     )
+
+
+@register(
+    "events_hour_of_week",
+    oracle="""
+    SELECT event_type,
+           CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events
+    GROUP BY event_type, dow, hod
+    """,
+)
+def events_hour_of_week(sf_dir: str):
+    """Hour-of-week seasonality profile: event count and value per
+    (event_type, day-of-week, hour-of-day) cell — the 7x24 heatmap a
+    traffic dashboard draws. Day-of-week parity is pinned to DuckDB's
+    dayofweek() (0 = Sunday): epoch-days + 4 mod 7 (1970-01-01 was a
+    Thursday). Value sums are cents integers. One exchange: the
+    type x 168-cell groupby over per-batch partials."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        us = ts.astype(np.int64)
+        days = us // 86_400_000_000
+        dow = (days + 4) % 7
+        hod = (us % 86_400_000_000) // 3_600_000_000
+        cents = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "dow": pa.array(dow, pa.int64()),
+                "hod": pa.array(hod, pa.int64()),
+                "n": pa.array(np.ones(len(ts), np.int64)),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["event_type", "dow", "hod"])
+            .aggregate([("n", "sum"), ("cents", "sum")])
+            .rename_columns(["event_type", "dow", "hod", "n_events", "value_cents"])
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "dow", "hod"])
+        .aggregate(
+            Sum(on="n_events", alias_name="n_events"),
+            Sum(on="value_cents", alias_name="value_cents"),
+        )
+    )

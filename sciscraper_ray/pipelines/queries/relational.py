@@ -2322,3 +2322,83 @@ def cheapest_supplier_per_part(sf_dir: str):
         .groupby(["l_partkey", "min_cents"])
         .aggregate(Min(on="best_suppkey", alias_name="best_suppkey"))
     )
+
+
+@register(
+    "late_shipment_trend",
+    oracle="""
+    WITH ms AS (
+        SELECT l_orderkey, max(l_shipdate) AS m FROM lineitem
+        GROUP BY l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(count(*) AS BIGINT) AS n_late
+    FROM orders JOIN ms ON o_orderkey = l_orderkey
+    WHERE m > o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderpriority, yr, qtr
+    """,
+)
+def late_shipment_trend(sf_dir: str):
+    """TPC-H Q4 shape (order-priority checking) adapted to this schema:
+    orders whose slowest line shipped more than 60 days after the order
+    date, tallied per (priority, year, quarter). The EXISTS semi-join
+    runs as a per-order Max aggregate (per-batch Arrow partials, then an
+    orderkey groupby — one row per order, not per line) followed by the
+    bucketed co-partition join with orders; the lateness predicate is an
+    exact timestamp comparison (epoch-us + 60 days in integer
+    microseconds), and the output groupby is priority x quarter —
+    constant-bounded."""
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+
+    def ship_partial(b: pa.Table) -> pa.Table:
+        return (
+            b.group_by("l_orderkey")
+            .aggregate([("l_shipdate", "max")])
+            .rename_columns(["l_orderkey", "m"])
+        )
+
+    ms = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        )
+        .map_batches(ship_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Max(on="m", alias_name="m"))
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    joined = bucketed_hash_join(ms, orders, left_on="l_orderkey", right_on="o_orderkey")
+
+    _60D_US = 60 * 86_400_000_000
+
+    def late_partial(b: pa.Table) -> pa.Table:
+        m = b["m"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        od = b["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        keep = m.astype(np.int64) > od.astype(np.int64) + _60D_US
+        b = b.filter(pa.array(keep))
+        t = pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "yr": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+                "qtr": pc.cast(pc.quarter(b["o_orderdate"]), pa.int64()),
+                "n": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        return (
+            t.group_by(["o_orderpriority", "yr", "qtr"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["o_orderpriority", "yr", "qtr", "n_late"])
+        )
+
+    return (
+        joined.map_batches(late_partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "yr", "qtr"])
+        .aggregate(Sum(on="n_late", alias_name="n_late"))
+    )

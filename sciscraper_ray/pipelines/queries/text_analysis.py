@@ -795,3 +795,176 @@ def doc_readability(sf_dir: str):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Sentence segmentation stats — the per-language length profile a corpus
+# report quotes (and the gate ahead of sentence-level dedup/packing).
+# --------------------------------------------------------------------------
+
+_SENT_SPLIT = "[.!?]+"
+_TRIM_CHARS = " \t\n\r"
+
+
+@register(
+    "doc_sentence_stats",
+    oracle=f"""
+    WITH segs AS (
+        SELECT lang,
+               trim(unnest(regexp_split_to_array(text, '{_SENT_SPLIT}')),
+                    ' ' || chr(9) || chr(10) || chr(13)) AS seg
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) FILTER (seg <> '') AS BIGINT) AS n_sentences,
+           CAST(coalesce(sum(length(seg)) FILTER (seg <> ''), 0) AS BIGINT)
+               AS sum_chars
+    FROM segs GROUP BY lang
+    """,
+)
+def doc_sentence_stats(sf_dir: str):
+    """Per-language sentence tally: split every document on terminal
+    punctuation runs ([.!?]+ — RE2 on both engines), trim each segment
+    of explicit ASCII whitespace (' ', TAB, LF, CR; spelled out because
+    SQL trim() and Python strip() default to DIFFERENT whitespace sets),
+    and count/measure the non-empty segments. Fully vectorized: one
+    split_pattern_regex per batch, flat-buffer trim + length, lang
+    repeated onto the flat rows from the list offsets; the only
+    exchange is the |langs|-bounded final groupby over per-batch
+    partials."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        segs = pc.split_pattern_regex(text, _SENT_SPLIT)
+        if isinstance(segs, pa.ChunkedArray):
+            segs = segs.combine_chunks()
+        offs = np.asarray(segs.offsets, np.int64)
+        flat = pc.utf8_trim(segs.values, _TRIM_CHARS)
+        counts = np.diff(offs)
+        langs = np.repeat(
+            np.asarray(b["lang"].to_pylist(), object), counts
+        )
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        # null texts yield null list rows (zero flat entries) — dropped,
+        # matching SQL's unnest(NULL) producing no rows
+        keep &= pc.is_valid(flat).to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                "lang": pa.array(langs[keep].tolist(), pa.string()),
+                "n": pa.array(np.ones(int(keep.sum()), np.int64)),
+                "chars": pa.array(lens[keep], pa.int64()),
+            }
+        )
+        return (
+            t.group_by("lang")
+            .aggregate([("n", "sum"), ("chars", "sum")])
+            .rename_columns(["lang", "n_sentences", "sum_chars"])
+        )
+
+    return (
+        _docs(sf_dir, columns=("text", "lang"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum(on="n_sentences", alias_name="n_sentences"),
+            Sum(on="sum_chars", alias_name="sum_chars"),
+        )
+    )
+
+
+@register(
+    "source_simpson_diversity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), counts AS (
+        SELECT source, token, count(*) AS n
+        FROM toks WHERE token <> '' GROUP BY source, token
+    )
+    SELECT source,
+           CAST(sum(n * (n - 1)) AS BIGINT) AS simpson_num,
+           CAST(sum(n) * (sum(n) - 1) AS BIGINT) AS simpson_den
+    FROM counts GROUP BY source
+    """,
+)
+def source_simpson_diversity(sf_dir: str):
+    """Simpson's diversity index per source, kept as an exact integer
+    rational (num = Σ n_i(n_i-1), den = N(N-1)) — the repeat-probability
+    measure of vocabulary concentration; 1 - num/den is the diversity.
+    Integers end to end: no float division to diverge from the oracle,
+    and both sides BIGINT-cast the sums (the HUGEINT→float64 hash trap).
+    Two bounded exchanges: per-batch (source, token) partial counts →
+    vocab-bounded groupby; per-source moment partials → |sources|-bounded
+    groupby."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets, np.int64)
+        flat = toks.values
+        counts = np.diff(offs)
+        src = np.repeat(np.asarray(b["source"].to_pylist(), object), counts)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        keep &= pc.is_valid(flat).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": pa.array(src[keep].tolist(), pa.string()),
+                "token": flat.filter(pa.array(keep)),
+                "n": pa.array(np.ones(int(keep.sum()), np.int64)),
+            }
+        )
+        return (
+            t.group_by(["source", "token"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["source", "token", "n"])
+        )
+
+    per_token = (
+        _docs(sf_dir, columns=("text", "source"))
+        .map_batches(tok_partial, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum(on="n", alias_name="n"))
+    )
+
+    def moment_partial(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["source"],
+                "num": pa.array(n * (n - 1), pa.int64()),
+                "N": pa.array(n, pa.int64()),
+            }
+        )
+        return (
+            t.group_by("source")
+            .aggregate([("num", "sum"), ("N", "sum")])
+            .rename_columns(["source", "num", "N"])
+        )
+
+    agg = (
+        per_token.map_batches(moment_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum(on="num", alias_name="num"), Sum(on="N", alias_name="N"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        N = b["N"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": b["source"],
+                "simpson_num": b["num"],
+                "simpson_den": pa.array(N * (N - 1), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
