@@ -973,3 +973,108 @@ def embedding_label_centroid_sim(sf_dir: str):
             "cos_sim": pa.array(cs, pa.float64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Global top-k most-similar embedding pairs — the all-pairs variant of
+# knn_cosine (near-dup mining's ranked output, not a per-query search).
+# --------------------------------------------------------------------------
+
+_PAIR_TOPK = 100
+
+
+@register(
+    "embedding_pairwise_topk",
+    oracle=f"""
+    WITH s AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS sim
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, rank FROM (
+        SELECT vec_a, vec_b,
+               row_number() OVER (
+                   ORDER BY sim DESC, vec_a ASC, vec_b ASC
+               ) AS rank
+        FROM s
+    ) WHERE rank <= {_PAIR_TOPK}
+    """,
+)
+def embedding_pairwise_topk(sf_dir: str):
+    """Global top-k most-similar pairs by cosine: each batch multiplies
+    its rows against the broadcast normalized corpus matrix (one matmul,
+    float64 like the DOUBLE[]-cast oracle), keeps only upper-triangle
+    pairs (vec_a < vec_b counts each pair once), and emits a k-bounded
+    per-batch partial; the driver merge sorts batches x k rows — never
+    the n² pair stream. Ranks-only output keeps the hash compare off raw
+    float sims (knn_cosine's convention). At open-web corpus sizes the
+    broadcast matrix swaps for the SRP-bucketed pair generation
+    (dedup_semantic's plan); the per-batch top-k + bounded merge is
+    unchanged."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    matn = mat / norms[:, None]
+    corpus_ref = ray.put((ids, matn))
+
+    class PairTopK:
+        def __init__(self):
+            self.ids, self.matn = ray.get(corpus_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            bid = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bm = np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+            bn = np.linalg.norm(bm, axis=1)
+            bn[bn == 0] = 1.0
+            sims = (bm / bn[:, None]) @ self.matn.T
+            # upper triangle only: batch row id < corpus id
+            mask = bid[:, None] < self.ids[None, :]
+            sims = np.where(mask, sims, -np.inf)
+            flat = sims.ravel()
+            k = min(_PAIR_TOPK, (flat > -np.inf).sum())
+            if k == 0:
+                return pa.table(
+                    {
+                        "vec_a": pa.array([], pa.int64()),
+                        "vec_b": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                    }
+                )
+            idx = np.argpartition(-flat, k - 1)[:k]
+            r, c = np.unravel_index(idx, sims.shape)
+            return pa.table(
+                {
+                    "vec_a": pa.array(bid[r], pa.int64()),
+                    "vec_b": pa.array(self.ids[c], pa.int64()),
+                    "sim": pa.array(flat[idx], pa.float64()),
+                }
+            )
+
+    partials = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(PairTopK, batch_format="pyarrow", concurrency=(1, 4))
+        .to_pandas()  # bounded: n_batches x k rows
+    )
+    top = partials.sort_values(
+        ["sim", "vec_a", "vec_b"], ascending=[False, True, True], kind="stable"
+    ).head(_PAIR_TOPK)
+    return pa.table(
+        {
+            "vec_a": pa.array(top["vec_a"].to_numpy(), pa.int64()),
+            "vec_b": pa.array(top["vec_b"].to_numpy(), pa.int64()),
+            "rank": pa.array(np.arange(1, len(top) + 1), pa.int64()),
+        }
+    )

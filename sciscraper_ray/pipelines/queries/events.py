@@ -1465,3 +1465,87 @@ def events_hour_of_week(sf_dir: str):
             Sum(on="value_cents", alias_name="value_cents"),
         )
     )
+
+
+@register(
+    "events_streak_longest",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d
+        FROM events
+    ), r AS (
+        SELECT user_id, d,
+               d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        FROM days
+    ), s AS (
+        SELECT user_id, count(*) AS len FROM r GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM s GROUP BY user_id
+    """,
+)
+def events_streak_longest(sf_dir: str):
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands window, on the bucketed-vectorized plan (ONE
+    shuffle on user-hash buckets, never a per-user map_groups): within a
+    bucket, lexsort (user, day), distinct-day mask, run boundaries where
+    the day delta != 1 or the user changes, run lengths via flatnonzero
+    diff, then per-user max/count via one Arrow group_by per bucket.
+    Users are whole within a bucket, so bucket outputs are final — no
+    second exchange."""
+    import ray.data
+
+    from sciscraper_ray.stages.window import bucketed_window
+
+    def kernel(g):
+        import pandas as pd
+
+        user = g["user_id"].to_numpy()
+        day = (
+            g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            // 86_400_000_000
+        )
+        order = np.lexsort((day, user))
+        user_s, day_s = user[order], day[order]
+        uniq = np.ones(len(user_s), bool)
+        uniq[1:] = (user_s[1:] != user_s[:-1]) | (day_s[1:] != day_s[:-1])
+        user_u, day_u = user_s[uniq], day_s[uniq]
+        if len(user_u) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": np.array([], user.dtype),
+                    "longest_streak": np.array([], np.int64),
+                    "n_streaks": np.array([], np.int64),
+                }
+            )
+        new_run = np.ones(len(user_u), bool)
+        new_run[1:] = (user_u[1:] != user_u[:-1]) | (
+            day_u[1:] != day_u[:-1] + 1
+        )
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, len(user_u)))
+        run_user = user_u[starts]
+        t = pa.table(
+            {
+                "user_id": pa.array(run_user, pa.int64()),
+                "len": pa.array(lens, pa.int64()),
+                "one": pa.array(np.ones(len(lens), np.int64)),
+            }
+        )
+        out = (
+            t.group_by("user_id")
+            .aggregate([("len", "max"), ("one", "sum")])
+            .rename_columns(["user_id", "longest_streak", "n_streaks"])
+        )
+        return out.to_pandas()
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return bucketed_window(ds, kernel).map_batches(
+        lambda b: b.select(["user_id", "longest_streak", "n_streaks"]),
+        batch_format="pyarrow",
+    )

@@ -2953,3 +2953,80 @@ def graph_kcore_peel(sf_dir: str):
     return pa.Table.from_pandas(
         out.sort_values("node").reset_index(drop=True), preserve_index=False
     )
+
+
+@register(
+    "host_jaccard_overlap",
+    oracle=f"""
+    WITH l AS (
+        SELECT doc_id, unnest({_REF_TARGETS_SQL}) AS t FROM documents
+    ), hs AS (
+        SELECT DISTINCT {_host_sql("doc_id")} AS h, t FROM l
+    ), sizes AS (
+        SELECT h, count(*) AS sz FROM hs GROUP BY h
+    ), inter AS (
+        SELECT a.h AS host_a, b.h AS host_b, count(*) AS inter
+        FROM hs a JOIN hs b ON a.t = b.t AND a.h < b.h
+        GROUP BY host_a, host_b
+    )
+    SELECT host_a, host_b, CAST(inter AS BIGINT) AS inter_cnt,
+           CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_cnt
+    FROM inter
+    JOIN sizes sa ON sa.h = host_a
+    JOIN sizes sb ON sb.h = host_b
+    """,
+)
+def host_jaccard_overlap(sf_dir: str):
+    """Jaccard overlap of outlink-target sets between host pairs — the
+    link-spam / mirror-site signal ("two hosts pointing at the same
+    things"). Kept as exact integer rationals (inter_cnt, union_cnt);
+    pairs with empty intersection drop (inner join on shared targets).
+    Plan: the DOM-harvested edge stream reduces per batch to distinct
+    (host, target) pairs, one groupby dedups globally, and the pair
+    algebra runs on the merged table — bounded by |hosts| x |target
+    space|, NOT by the edge stream (at open-web host counts the pair
+    step becomes a target-keyed self-join: same SQL shape, bucketed)."""
+    from sciscraper_ray.sources.page_synth import host_for
+
+    def hp(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False)
+        hosts = np.array([host_for(int(i)) for i in src], object)
+        t = pa.table(
+            {
+                "h": pa.array(hosts.tolist(), pa.string()),
+                "t": b["dst"],
+            }
+        )
+        return t.group_by(["h", "t"]).aggregate([])
+
+    hs = (
+        _doc_edges(sf_dir)
+        .map_batches(hp, batch_format="pyarrow")
+        .groupby(["h", "t"])
+        .count()
+        .to_pandas()  # bounded: |hosts| x target space (6 x 997)
+    )[["h", "t"]]
+
+    sizes = hs.groupby("h").size()
+    pairs = hs.merge(hs, on="t")
+    pairs = pairs[pairs["h_x"] < pairs["h_y"]]
+    inter = (
+        pairs.groupby(["h_x", "h_y"]).size().reset_index(name="inter_cnt")
+    )
+    inter["union_cnt"] = (
+        sizes.loc[inter["h_x"]].to_numpy()
+        + sizes.loc[inter["h_y"]].to_numpy()
+        - inter["inter_cnt"].to_numpy()
+    )
+    return pa.table(
+        {
+            "host_a": pa.array(inter["h_x"].tolist(), pa.string()),
+            "host_b": pa.array(inter["h_y"].tolist(), pa.string()),
+            "inter_cnt": pa.array(
+                inter["inter_cnt"].to_numpy().astype(np.int64), pa.int64()
+            ),
+            "union_cnt": pa.array(
+                inter["union_cnt"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
