@@ -1549,3 +1549,90 @@ def events_streak_longest(sf_dir: str):
         lambda b: b.select(["user_id", "longest_streak", "n_streaks"]),
         batch_format="pyarrow",
     )
+
+
+@register(
+    "events_cart_abandonment",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, event_type,
+               sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM o
+    ), agg AS (
+        SELECT user_id, sid,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (v = 1 AND p = 0) AS BIGINT) AS n_abandoned
+    FROM agg GROUP BY user_id
+    """,
+)
+def events_cart_abandonment(sf_dir: str):
+    """Browse-abandonment per user: sessions (30-min gap, the
+    events_sessionize convention) that contain a 'view' but no
+    'purchase'. Bucketed-vectorized plan: one user-hash shuffle, then
+    per bucket — lexsort, session boundaries via shifted diff, per-
+    session view/purchase flags via np.logical_or.reduceat on session
+    segments, per-user tallies via one Arrow group_by. Users are whole
+    within a bucket, so bucket outputs are final."""
+    import ray.data
+
+    from sciscraper_ray.stages.window import (
+        _sorted_bucket,
+        bucketed_window,
+        session_boundaries,
+    )
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def kernel(g):
+        import pandas as pd
+
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": np.array([], np.int64),
+                    "n_sessions": np.array([], np.int64),
+                    "n_abandoned": np.array([], np.int64),
+                }
+            )
+        order, user_s, ts_s, _, new_user = _sorted_bucket(g)
+        et_s = g["event_type"].to_numpy()[order]
+        _, _, s_start, _ = session_boundaries(user_s, ts_s, new_user, GAP_US)
+        has_view = np.logical_or.reduceat(et_s == "view", s_start)
+        has_purch = np.logical_or.reduceat(et_s == "purchase", s_start)
+        abandoned = has_view & ~has_purch
+        t = pa.table(
+            {
+                "user_id": pa.array(user_s[s_start], pa.int64()),
+                "one": pa.array(np.ones(len(s_start), np.int64)),
+                "ab": pa.array(abandoned.astype(np.int64), pa.int64()),
+            }
+        )
+        return (
+            t.group_by("user_id")
+            .aggregate([("one", "sum"), ("ab", "sum")])
+            .rename_columns(["user_id", "n_sessions", "n_abandoned"])
+            .to_pandas()
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return bucketed_window(ds, kernel).map_batches(
+        lambda b: b.select(["user_id", "n_sessions", "n_abandoned"]),
+        batch_format="pyarrow",
+    )

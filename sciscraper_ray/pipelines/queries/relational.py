@@ -2402,3 +2402,66 @@ def late_shipment_trend(sf_dir: str):
         .groupby(["o_orderpriority", "yr", "qtr"])
         .aggregate(Sum(on="n_late", alias_name="n_late"))
     )
+
+
+@register(
+    "orders_yoy_growth",
+    oracle="""
+    WITH y AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders GROUP BY yr
+    )
+    SELECT yr, revenue_cents,
+           revenue_cents - lag(revenue_cents) OVER (ORDER BY yr)
+               AS delta_cents
+    FROM y
+    """,
+)
+def orders_yoy_growth(sf_dir: str):
+    """Year-over-year revenue growth: a LAG window over a grouped
+    aggregate. The yearly rollup is the usual two-phase cents-integer
+    sum (per-batch partials, |years|-bounded groupby); the LAG runs on
+    the merged handful of rows driver-side — a window over an aggregate
+    is always output-bounded, never data-bounded. delta_cents is a
+    nullable integer (first year null), landing as float64 on both
+    engines."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "yr": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+                "cents": pa.array(_cents(b["o_totalprice"])),
+            }
+        )
+        return (
+            t.group_by("yr")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["yr", "revenue_cents"])
+        )
+
+    y = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("yr")
+        .aggregate(Sum(on="revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()  # |years|-bounded
+        .sort_values("yr")
+        .reset_index(drop=True)
+    )
+    rc = y["revenue_cents"].to_numpy().astype(np.int64)
+    delta = np.empty(len(rc), np.float64)
+    delta[0] = np.nan
+    delta[1:] = (rc[1:] - rc[:-1]).astype(np.float64)
+    return pa.table(
+        {
+            "yr": pa.array(y["yr"].to_numpy().astype(np.int64), pa.int64()),
+            "revenue_cents": pa.array(rc, pa.int64()),
+            "delta_cents": pa.array(delta, pa.float64()),
+        }
+    )

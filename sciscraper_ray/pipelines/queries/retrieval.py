@@ -3030,3 +3030,119 @@ def host_jaccard_overlap(sf_dir: str):
             ),
         }
     )
+
+
+@register(
+    "token_postings_delta_stats",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), d AS (
+        SELECT token, doc_id,
+               doc_id - lag(doc_id) OVER (
+                   PARTITION BY token ORDER BY doc_id
+               ) AS delta
+        FROM pairs
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS df,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc,
+           CAST(coalesce(max(delta), 0) AS BIGINT) AS max_gap
+    FROM d GROUP BY token
+    """,
+)
+def token_postings_delta_stats(sf_dir: str):
+    """Posting-list delta statistics — the compressibility profile an
+    index builder reads before picking a varint/PFor layout (df, id
+    range, and the worst consecutive-id gap per token). The max-gap
+    aggregate needs SORTED postings, so it can't fold into a plain
+    groupby; plan: per-batch DISTINCT (token, doc) partials, ONE
+    token-hash bucket shuffle (token_inverted_index's exchange), then
+    per bucket a vectorized lexsort (token, doc) + shifted diff with
+    same-token masking + np.maximum.reduceat over token segments — no
+    per-token Python. Group count is O(buckets), not vocabulary."""
+    import ray.data
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        from sciscraper_ray.kernels.tokenize import tokenize_column
+
+        toks = tokenize_column(b["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets, np.int64)
+        flat = toks.values
+        counts = np.diff(offs)
+        doc = np.repeat(
+            b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), counts
+        )
+        keep = pc.is_valid(flat).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "token": flat.filter(pa.array(keep)),
+                "doc_id": pa.array(doc[keep], pa.int64()),
+            }
+        )
+        return t.group_by(["token", "doc_id"]).aggregate([])
+
+    pairs = (
+        _docs(sf_dir, columns=("doc_id", "text"))
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["token", "doc_id"])
+        .count()
+        .map_batches(
+            lambda b: b.select(["token", "doc_id"]), batch_format="pyarrow"
+        )
+    )
+
+    N_BUCKETS = 32
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        # process-stable bucket hash (NOT Python hash(): PYTHONHASHSEED
+        # varies across workers and would split a token's postings)
+        import zlib
+
+        h = np.array(
+            [
+                zlib.crc32(t.encode("utf-8")) & (N_BUCKETS - 1)
+                for t in b["token"].to_pylist()
+            ],
+            np.int64,
+        )
+        return b.append_column("bucket", pa.array(h, pa.int64()))
+
+    def bucket_kernel(g):
+        import pandas as pd
+
+        tok = g["token"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        order = np.lexsort((doc, tok))
+        tok_s, doc_s = tok[order], doc[order]
+        new_tok = np.ones(len(tok_s), bool)
+        new_tok[1:] = tok_s[1:] != tok_s[:-1]
+        starts = np.flatnonzero(new_tok)
+        lens = np.diff(np.append(starts, len(tok_s)))
+        gaps = np.zeros(len(doc_s), np.int64)
+        gaps[1:] = doc_s[1:] - doc_s[:-1]
+        gaps[new_tok] = 0
+        max_gap = np.maximum.reduceat(gaps, starts)
+        # single-posting tokens: reduceat over a 1-length segment sees
+        # its own zeroed gap, so max_gap is already 0 there
+        return pd.DataFrame(
+            {
+                "token": tok_s[starts],
+                "df": lens.astype(np.int64),
+                "min_doc": doc_s[starts].astype(np.int64),
+                "max_doc": doc_s[starts + lens - 1].astype(np.int64),
+                "max_gap": max_gap,
+            }
+        )
+
+    return (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_kernel, batch_format="pandas")
+        .map_batches(
+            lambda b: b.select(["token", "df", "min_doc", "max_doc", "max_gap"]),
+            batch_format="pyarrow",
+        )
+    )
