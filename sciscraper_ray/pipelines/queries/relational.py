@@ -2465,3 +2465,102 @@ def orders_yoy_growth(sf_dir: str):
             "delta_cents": pa.array(delta, pa.float64()),
         }
     )
+
+
+@register(
+    "nation_revenue_hhi",
+    oracle="""
+    WITH rev AS (
+        SELECT n_name,
+               s_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name, s_suppkey
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           round(CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE)
+                 / CAST(CAST(sum(cents) AS HUGEINT) * sum(cents) AS DOUBLE),
+                 9) AS hhi
+    FROM rev GROUP BY n_name
+    """,
+)
+def nation_revenue_hhi(sf_dir: str):
+    """Herfindahl–Hirschman revenue concentration per supplier nation —
+    the market-structure number a sourcing report quotes. Numerator
+    Σcents² overflows int64 at warehouse revenue, so the moments are
+    finished with arbitrary-precision Python ints on the
+    supplier-bounded merged table (DuckDB mirrors with HUGEINT), and
+    only the final ratio becomes a double — both engines round the SAME
+    two exact integers' quotient, so the 9-digit round can't diverge.
+    Plan: per-batch (suppkey) cents partials with the supplier→nation
+    keymap broadcast, one supplier-bounded groupby, driver HHI."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import BroadcastLookup
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    s2n = (
+        supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+        .set_index("s_suppkey")[["n_name"]]
+    )
+    s2n_ref = ray.put(s2n)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "s_suppkey": b["l_suppkey"],
+                "cents": pa.array(_cents(b["l_extendedprice"])),
+            }
+        )
+        t = BroadcastLookup(s2n_ref, on="s_suppkey")(t)
+        return (
+            t.group_by(["n_name", "s_suppkey"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["n_name", "s_suppkey", "cents"])
+        )
+
+    rev = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["n_name", "s_suppkey"])
+        .aggregate(Sum(on="cents", alias_name="cents"))
+        .to_pandas()  # supplier-bounded
+    )
+    rows = []
+    for n_name, g in rev.groupby("n_name", sort=True):
+        cents = [int(c) for c in g["cents"]]
+        total = sum(cents)
+        num = sum(c * c for c in cents)  # exact python ints
+        den = total * total
+        rows.append(
+            (
+                n_name,
+                len(cents),
+                total,
+                round(float(num) / float(den), 9) if den else 0.0,
+            )
+        )
+    return pa.table(
+        {
+            "n_name": pa.array([r[0] for r in rows], pa.string()),
+            "n_suppliers": pa.array([r[1] for r in rows], pa.int64()),
+            "total_cents": pa.array([r[2] for r in rows], pa.int64()),
+            "hhi": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )

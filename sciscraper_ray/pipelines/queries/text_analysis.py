@@ -968,3 +968,137 @@ def source_simpson_diversity(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Character-level trigram frequency — the codepoint-n-gram table behind
+# lang-ID profiles and transliteration checks, at corpus scale.
+# --------------------------------------------------------------------------
+
+_CTRI_TOPK = 50
+
+
+@register(
+    "char_trigram_topk",
+    oracle=f"""
+    WITH pos AS (
+        SELECT text, unnest(range(length(text) - 2)) AS p
+        FROM documents WHERE length(text) >= 3
+    ), tri AS (
+        SELECT substring(text, CAST(p + 1 AS INT), 3) AS trigram
+        FROM pos
+    )
+    SELECT trigram, CAST(count(*) AS BIGINT) AS cnt FROM tri
+    GROUP BY trigram
+    ORDER BY cnt DESC, trigram ASC
+    LIMIT {_CTRI_TOPK}
+    """,
+)
+def char_trigram_topk(sf_dir: str):
+    """Corpus-wide character-trigram top-k, fully vectorized: each batch
+    joins its texts with a \\x00 sentinel, views the codepoint buffer as
+    uint32, and takes all length-3 sliding windows via stride tricks;
+    windows touching a sentinel drop. Each trigram packs into ONE int64
+    (codepoints < 2^21, so c0 | c1<<21 | c2<<42 fits 63 bits) — the
+    shuffle moves packed-int partial counts, never strings; only the 50
+    winning keys decode back to text on the driver. Oracle parity:
+    substring() indexes CHARACTERS on both engines."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = [t for t in b["text"].to_pylist() if t is not None]
+        if not texts:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        joined = "\x00".join(texts)
+        cp = np.frombuffer(joined.encode("utf-32-le"), np.uint32).astype(np.int64)
+        if len(cp) < 3:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        w = np.lib.stride_tricks.sliding_window_view(cp, 3)
+        valid = (w != 0).all(axis=1)
+        keys = w[valid, 0] | (w[valid, 1] << 21) | (w[valid, 2] << 42)
+        uk, counts = np.unique(keys, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uk, pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir, columns=("text",))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .to_pandas()  # distinct-trigram-bounded (alphabet³ ceiling)
+    )
+    agg["trigram"] = [
+        chr(k & 0x1FFFFF) + chr((k >> 21) & 0x1FFFFF) + chr((k >> 42) & 0x1FFFFF)
+        for k in agg["key"]
+    ]
+    top = agg.sort_values(
+        ["cnt", "trigram"], ascending=[False, True], kind="stable"
+    ).head(_CTRI_TOPK)
+    return pa.table(
+        {
+            "trigram": pa.array(top["trigram"].tolist(), pa.string()),
+            "cnt": pa.array(top["cnt"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+@register(
+    "doc_ascii_ratio",
+    oracle="""
+    SELECT source,
+           CAST(sum(length(regexp_replace(text, '[^ -~]', '', 'g'))
+                    ) AS BIGINT) AS ascii_chars,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY source
+    """,
+)
+def doc_ascii_ratio(sf_dir: str):
+    """Printable-ASCII character share per source — the mojibake /
+    encoding-health gate (a source whose ascii share suddenly drops is
+    mis-decoded upstream). Exact integer rationals (ascii_chars,
+    total_chars); counting is one vectorized codepoint-range test over
+    the batch's flat codepoint buffer. One |sources|-bounded exchange."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        srcs, asc, tot = [], [], []
+        for s, t in zip(b["source"].to_pylist(), b["text"].to_pylist()):
+            if t is None:
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+            srcs.append(s)
+            asc.append(int(((cp >= 0x20) & (cp <= 0x7E)).sum()))
+            tot.append(len(cp))
+        t = pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "ascii_chars": pa.array(asc, pa.int64()),
+                "total_chars": pa.array(tot, pa.int64()),
+            }
+        )
+        return (
+            t.group_by("source")
+            .aggregate([("ascii_chars", "sum"), ("total_chars", "sum")])
+            .rename_columns(["source", "ascii_chars", "total_chars"])
+        )
+
+    return (
+        _docs(sf_dir, columns=("text", "source"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum(on="ascii_chars", alias_name="ascii_chars"),
+            Sum(on="total_chars", alias_name="total_chars"),
+        )
+    )
