@@ -1,0 +1,124 @@
+"""Round-4 session-E additions: sessionized abandonment, YoY growth,
+postings delta stats, HHI concentration, char trigrams, ASCII share —
+first-principles pandas/numpy recomputes (oracle parity runs in
+tools/check_correctness.py)."""
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+from sciscraper_ray.pipelines.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(out):
+    return out.to_pandas() if hasattr(out, "to_pandas") else out
+
+
+def test_events_cart_abandonment(ray_session):
+    got = _df(QUERIES["events_cart_abandonment"](SF)).set_index("user_id")
+    ev = pd.read_parquet(
+        SF + "/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    ).sort_values(["user_id", "ts", "event_id"])
+    gap = 30 * 60 * 1_000_000
+    for uid, g in ev.groupby("user_id"):
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        new_s = np.ones(len(us), bool)
+        new_s[1:] = (us[1:] - us[:-1]) > gap
+        sid = np.cumsum(new_s)
+        et = g["event_type"].to_numpy()
+        n_sessions = sid[-1]
+        n_abandoned = 0
+        for s in range(1, n_sessions + 1):
+            m = sid == s
+            if ("view" in et[m]) and ("purchase" not in et[m]):
+                n_abandoned += 1
+        assert int(got.loc[uid, "n_sessions"]) == int(n_sessions)
+        assert int(got.loc[uid, "n_abandoned"]) == n_abandoned
+
+
+def test_orders_yoy_growth(ray_session):
+    got = _df(QUERIES["orders_yoy_growth"](SF))
+    orders = pd.read_parquet(SF + "/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    cents = np.round(orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    want = (
+        pd.DataFrame({"yr": orders["o_orderdate"].dt.year, "c": cents})
+        .groupby("yr")["c"]
+        .sum()
+        .sort_index()
+    )
+    assert got["yr"].tolist() == want.index.tolist()
+    assert got["revenue_cents"].tolist() == want.tolist()
+    d = got["delta_cents"].to_numpy()
+    assert np.isnan(d[0])
+    assert (d[1:] == np.diff(want.to_numpy())).all()
+
+
+def test_token_postings_delta_stats(ray_session):
+    got = _df(QUERIES["token_postings_delta_stats"](SF)).set_index("token")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    post = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        if text is None:
+            continue
+        for tok in set(text.strip().lower().split(" ")):
+            post.setdefault(tok, set()).add(int(did))
+    assert len(got) == len(post)
+    for tok, ids in post.items():
+        ids = sorted(ids)
+        gaps = np.diff(ids) if len(ids) > 1 else np.array([0])
+        assert int(got.loc[tok, "df"]) == len(ids)
+        assert int(got.loc[tok, "min_doc"]) == ids[0]
+        assert int(got.loc[tok, "max_doc"]) == ids[-1]
+        assert int(got.loc[tok, "max_gap"]) == int(gaps.max())
+
+
+def test_nation_revenue_hhi(ray_session):
+    got = _df(QUERIES["nation_revenue_hhi"](SF)).set_index("n_name")
+    li = pd.read_parquet(SF + "/lineitem.parquet", columns=["l_suppkey", "l_extendedprice"])
+    supp = pd.read_parquet(SF + "/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(SF + "/nation.parquet", columns=["n_nationkey", "n_name"])
+    li["cents"] = np.round(li["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    j = li.merge(supp, left_on="l_suppkey", right_on="s_suppkey").merge(
+        nat, left_on="s_nationkey", right_on="n_nationkey"
+    )
+    rev = j.groupby(["n_name", "s_suppkey"])["cents"].sum()
+    for n_name, g in rev.groupby(level=0):
+        cents = [int(c) for c in g]
+        total = sum(cents)
+        hhi = round(float(sum(c * c for c in cents)) / float(total * total), 9)
+        assert int(got.loc[n_name, "n_suppliers"]) == len(cents)
+        assert int(got.loc[n_name, "total_cents"]) == total
+        assert got.loc[n_name, "hhi"] == hhi
+
+
+def test_char_trigram_topk(ray_session):
+    got = _df(QUERIES["char_trigram_topk"](SF))
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["text"])
+    c = Counter()
+    for text in docs["text"]:
+        if text is None or len(text) < 3:
+            continue
+        for i in range(len(text) - 2):
+            c[text[i : i + 3]] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert got["trigram"].tolist() == [k for k, _ in want]
+    assert got["cnt"].tolist() == [v for _, v in want]
+
+
+def test_doc_ascii_ratio(ray_session):
+    got = _df(QUERIES["doc_ascii_ratio"](SF)).set_index("source")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["text", "source"])
+    per = {}
+    for text, src in zip(docs["text"], docs["source"]):
+        if text is None:
+            continue
+        a, t = per.get(src, (0, 0))
+        a += sum(1 for ch in text if " " <= ch <= "~")
+        t += len(text)
+        per[src] = (a, t)
+    for src, (a, t) in per.items():
+        assert int(got.loc[src, "ascii_chars"]) == a
+        assert int(got.loc[src, "total_chars"]) == t
