@@ -1636,3 +1636,130 @@ def events_cart_abandonment(sf_dir: str):
         lambda b: b.select(["user_id", "n_sessions", "n_abandoned"]),
         batch_format="pyarrow",
     )
+
+
+@register(
+    "events_peak_concurrency",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sx AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM o
+    ), sess AS (
+        SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end
+        FROM sx GROUP BY user_id, sid
+    ), b AS (
+        SELECT s_start AS t, 1 AS d FROM sess
+        UNION ALL
+        SELECT s_end, -1 FROM sess
+    ), r AS (
+        SELECT t, sum(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS c
+        FROM b
+    )
+    SELECT CAST(datediff('day', DATE '1970-01-01', CAST(t AS DATE)) AS BIGINT)
+               AS day,
+           CAST(max(c) AS BIGINT) AS peak_concurrent
+    FROM r GROUP BY day
+    """,
+)
+def events_peak_concurrency(sf_dir: str):
+    """Peak concurrent sessions per day — the capacity number an ops
+    dashboard quotes. Interval algebra as a segmented scan: sessions
+    (30-min gap) emit +1/-1 boundary deltas (end-exclusive: at an equal
+    instant the -1 sorts first, DuckDB's ORDER BY t, d tie rule); each
+    DAY partition reduces independently to (net delta, running max,
+    max prefix) — the associative scan triple — and the driver folds
+    the day summaries in order with carry-in, so the global running
+    count never requires a global sort: one day-keyed exchange of
+    boundary partials, then a |days|-bounded sequential combine."""
+    import ray.data
+
+    from sciscraper_ray.stages.window import bucketed_window
+
+    GAP_US = 30 * 60 * 1_000_000
+    DAY_US = 86_400_000_000
+
+    def sess_kernel(g):
+        import pandas as pd
+
+        from sciscraper_ray.stages.window import (
+            _sorted_bucket,
+            session_boundaries,
+        )
+
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"t": np.array([], np.int64), "d": np.array([], np.int64)}
+            )
+        order, user_s, ts_s, _, new_user = _sorted_bucket(g)
+        _, _, s_start, s_len = session_boundaries(user_s, ts_s, new_user, GAP_US)
+        starts = ts_s[s_start]
+        ends = ts_s[s_start + s_len - 1]
+        return pd.DataFrame(
+            {
+                "t": np.concatenate([starts, ends]),
+                "d": np.concatenate(
+                    [
+                        np.ones(len(starts), np.int64),
+                        -np.ones(len(ends), np.int64),
+                    ]
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    bounds = bucketed_window(ds, sess_kernel).map_batches(
+        lambda b: b.select(["t", "d"]), batch_format="pyarrow"
+    )
+
+    def day_scan(g):
+        import pandas as pd
+
+        t = g["t"].to_numpy()
+        d = g["d"].to_numpy()
+        order = np.lexsort((d, t))
+        run = np.cumsum(d[order])
+        return pd.DataFrame(
+            {
+                "day": [int(t[order][0] // DAY_US)],
+                "net": [int(run[-1])],
+                "peak": [int(run.max())],
+            }
+        )
+
+    days = (
+        bounds.map_batches(
+            lambda b: b.append_column(
+                "day", pa.array(b["t"].to_numpy(zero_copy_only=False) // DAY_US)
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .map_groups(day_scan, batch_format="pandas")
+        .to_pandas()  # |days|-bounded
+        .sort_values("day")
+    )
+    carry = 0
+    out_day, out_peak = [], []
+    for _, row in days.iterrows():
+        out_day.append(int(row["day"]))
+        out_peak.append(carry + int(row["peak"]))
+        carry += int(row["net"])
+    return pa.table(
+        {
+            "day": pa.array(out_day, pa.int64()),
+            "peak_concurrent": pa.array(out_peak, pa.int64()),
+        }
+    )

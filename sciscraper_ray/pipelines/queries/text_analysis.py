@@ -1102,3 +1102,99 @@ def doc_ascii_ratio(sf_dir: str):
             Sum(on="total_chars", alias_name="total_chars"),
         )
     )
+
+
+@register(
+    "doc_hapax_trigrams",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents
+    ), tri AS (
+        SELECT doc_id, ts[p+1] || ' ' || ts[p+2] || ' ' || ts[p+3] AS g
+        FROM toks, unnest(range(len(ts) - 2)) AS u(p)
+        WHERE len(ts) >= 3
+    ), c AS (
+        SELECT g, count(*) AS c, min(doc_id) AS d FROM tri GROUP BY g
+    )
+    SELECT d AS doc_id, CAST(count(*) AS BIGINT) AS n_hapax_trigrams
+    FROM c WHERE c = 1 GROUP BY d
+    """,
+)
+def doc_hapax_trigrams(sf_dir: str):
+    """Corpus-hapax word-TRIGRAM attribution per document — which docs
+    carry phrasing that appears nowhere else (the novelty / provenance
+    signal; single tokens are useless here because the synthetic vocab
+    saturates, every unigram repeats). The join-free trick: a hapax
+    occurs EXACTLY once, so aggregating (count, min_doc) per gram pins
+    it to its containing doc inside the same gram-bounded groupby; the
+    final tally groups the count=1 rows by doc. Trigram construction is
+    three shifted views of the flat token buffer joined in one Arrow
+    kernel, masked where a window crosses a document boundary."""
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets, np.int64)
+        flat = toks.values
+        n = len(flat)
+        doc = np.repeat(
+            b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            np.diff(offs),
+        )
+        if n < 3:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                    "d": pa.array([], pa.int64()),
+                }
+            )
+        grams = pc.binary_join_element_wise(
+            flat.slice(0, n - 2), flat.slice(1, n - 2), flat.slice(2, n - 2),
+            " ",
+        )
+        same_doc = doc[: n - 2] == doc[2:]
+        t = pa.table(
+            {
+                "g": grams.filter(pa.array(same_doc)),
+                "doc_id": pa.array(doc[: n - 2][same_doc], pa.int64()),
+                "n": pa.array(np.ones(int(same_doc.sum()), np.int64)),
+            }
+        )
+        return (
+            t.group_by("g")
+            .aggregate([("n", "sum"), ("doc_id", "min")])
+            .rename_columns(["g", "c", "d"])
+        )
+
+    per_gram = (
+        _docs(sf_dir, columns=("doc_id", "text"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum(on="c", alias_name="c"), Min(on="d", alias_name="d"))
+    )
+
+    def tally(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["c"], 1))
+        t = pa.table(
+            {
+                "doc_id": b["d"],
+                "n": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        return (
+            t.group_by("doc_id")
+            .aggregate([("n", "sum")])
+            .rename_columns(["doc_id", "n_hapax_trigrams"])
+        )
+
+    return (
+        per_gram.map_batches(tally, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum(on="n_hapax_trigrams", alias_name="n_hapax_trigrams"))
+    )
