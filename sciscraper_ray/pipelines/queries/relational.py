@@ -1048,7 +1048,7 @@ def part_value_threshold(sf_dir: str):
             }
         )
         return (
-            t.group_by("pk")
+            t.group_by("l_partkey")
             .aggregate([("v", "sum")])
             .rename_columns(["l_partkey", "v"])
         )
