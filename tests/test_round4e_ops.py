@@ -122,3 +122,50 @@ def test_doc_ascii_ratio(ray_session):
     for src, (a, t) in per.items():
         assert int(got.loc[src, "ascii_chars"]) == a
         assert int(got.loc[src, "total_chars"]) == t
+
+
+def test_events_peak_concurrency(ray_session):
+    got = _df(QUERIES["events_peak_concurrency"](SF)).set_index("day")
+    ev = pd.read_parquet(
+        SF + "/events.parquet", columns=["user_id", "ts", "event_id"]
+    ).sort_values(["user_id", "ts", "event_id"])
+    gap = 30 * 60 * 1_000_000
+    day_us = 86_400_000_000
+    bounds = []
+    for _, g in ev.groupby("user_id"):
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        new_s = np.ones(len(us), bool)
+        new_s[1:] = (us[1:] - us[:-1]) > gap
+        starts = np.flatnonzero(new_s)
+        ends = np.append(starts[1:], len(us)) - 1
+        for s, e in zip(starts, ends):
+            bounds.append((us[s], 1))
+            bounds.append((us[e], -1))
+    bounds.sort()
+    run, peaks = 0, {}
+    for t, d in bounds:
+        run += d
+        day = t // day_us
+        peaks[day] = max(peaks.get(day, run), run)
+    for day, peak in peaks.items():
+        assert int(got.loc[day, "peak_concurrent"]) == peak
+
+
+def test_doc_hapax_trigrams(ray_session):
+    got = _df(QUERIES["doc_hapax_trigrams"](SF)).set_index("doc_id")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    c = Counter()
+    first = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        if text is None:
+            continue
+        ts = text.strip().lower().split(" ")
+        for i in range(len(ts) - 2):
+            g = " ".join(ts[i : i + 3])
+            c[g] += 1
+            first.setdefault(g, int(did))
+            first[g] = min(first[g], int(did))
+    per_doc = Counter(first[g] for g, n in c.items() if n == 1)
+    assert len(got) == len(per_doc)
+    for did, n in per_doc.items():
+        assert int(got.loc[did, "n_hapax_trigrams"]) == n
