@@ -1763,3 +1763,94 @@ def events_peak_concurrency(sf_dir: str):
             "peak_concurrent": pa.array(out_peak, pa.int64()),
         }
     )
+
+
+@register(
+    "events_error_followup",
+    oracle="""
+    WITH err AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'error'
+    ), flag AS (
+        SELECT e.user_id,
+               EXISTS (
+                   SELECT 1 FROM events c
+                   WHERE c.user_id = e.user_id
+                     AND c.event_type = 'click'
+                     AND c.ts > e.ts
+                     AND c.ts <= e.ts + INTERVAL 5 MINUTE
+               ) AS rec
+        FROM err e
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_errors,
+           CAST(count(*) FILTER (rec) AS BIGINT) AS n_recovered
+    FROM flag GROUP BY user_id
+    """,
+)
+def events_error_followup(sf_dir: str):
+    """Error-recovery rate: per user, how many 'error' events were
+    followed by a 'click' from the SAME user within 5 minutes (strict
+    after, inclusive window end) — a temporal EXISTS semi-join. Bucketed
+    plan: one user-hash shuffle; per bucket the clicks lexsort by
+    (user, ts) and each error probes them with ONE vectorized
+    searchsorted over composite user-rank x timestamp keys (bucket-local
+    ranks keep the composite within int64; at spans where
+    rank x span_us would overflow, the probe falls back to per-segment
+    searchsorted). No per-event Python."""
+    import ray.data
+
+    from sciscraper_ray.stages.window import bucketed_window
+
+    WIN_US = 5 * 60 * 1_000_000
+
+    def kernel(g):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "user_id": np.array([], np.int64),
+                "n_errors": np.array([], np.int64),
+                "n_recovered": np.array([], np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        et = g["event_type"].to_numpy()
+        user = g["user_id"].to_numpy()
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        em = et == "error"
+        if not em.any():
+            return empty
+        cm = et == "click"
+        # bucket-local dense user ranks keep the composite key small
+        uniq_users = np.unique(user)
+        rank = np.searchsorted(uniq_users, user)
+        t0 = int(ts.min())
+        span = int(ts.max()) - t0 + 2 + WIN_US
+        comp = rank.astype(np.int64) * span + (ts - t0)
+        click_keys = np.sort(comp[cm])
+        err_keys = comp[em]
+        lo = np.searchsorted(click_keys, err_keys, side="right")
+        ok = lo < len(click_keys)
+        hit = np.zeros(len(err_keys), bool)
+        hit[ok] = click_keys[lo[ok]] <= err_keys[ok] + WIN_US
+        t = pa.table(
+            {
+                "user_id": pa.array(user[em], pa.int64()),
+                "one": pa.array(np.ones(int(em.sum()), np.int64)),
+                "rec": pa.array(hit.astype(np.int64), pa.int64()),
+            }
+        )
+        return (
+            t.group_by("user_id")
+            .aggregate([("one", "sum"), ("rec", "sum")])
+            .rename_columns(["user_id", "n_errors", "n_recovered"])
+            .to_pandas()
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return bucketed_window(ds, kernel).map_batches(
+        lambda b: b.select(["user_id", "n_errors", "n_recovered"]),
+        batch_format="pyarrow",
+    )

@@ -2564,3 +2564,139 @@ def nation_revenue_hhi(sf_dir: str):
             "hhi": pa.array([r[3] for r in rows], pa.float64()),
         }
     )
+
+
+@register(
+    "lineitem_benford",
+    oracle="""
+    SELECT CAST(substring(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem
+    GROUP BY digit
+    """,
+)
+def lineitem_benford(sf_dir: str):
+    """Benford first-digit audit over line amounts — the fraud /
+    synthetic-data smoke test. First digit extracted arithmetically
+    (divide by 10 until < 10 — vectorized with log10 + power, exact for
+    cents magnitudes), tallied into a 9-row table: per-batch partials,
+    one constant-bounded groupby."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = _cents(b["l_extendedprice"])
+        # first digit: shift into [1, 10) by integer division with the
+        # largest power of ten <= value (exact: cents < 2^53)
+        mag = np.floor(np.log10(cents)).astype(np.int64)
+        digit = cents // 10**mag
+        # float log10 can undershoot at exact powers of ten: correct up
+        high = digit >= 10
+        digit[high] //= 10
+        t = pa.table(
+            {
+                "digit": pa.array(digit, pa.int64()),
+                "n": pa.array(np.ones(len(digit), np.int64)),
+            }
+        )
+        return (
+            t.group_by("digit")
+            .aggregate([("n", "sum")])
+            .rename_columns(["digit", "cnt"])
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+    )
+
+
+@register(
+    "customer_order_gaps",
+    oracle="""
+    WITH g AS (
+        SELECT o_custkey,
+               datediff('day',
+                        lag(o_orderdate) OVER (
+                            PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey
+                        ),
+                        o_orderdate) AS gap_days
+        FROM orders
+    )
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(coalesce(sum(gap_days), 0) AS BIGINT) AS total_gap_days,
+           CAST(coalesce(max(gap_days), 0) AS BIGINT) AS max_gap_days
+    FROM g GROUP BY o_custkey
+    """,
+)
+def customer_order_gaps(sf_dir: str):
+    """Inter-order latency per customer (reorder cadence): day gaps
+    between consecutive orders, summarized as integer (count, total,
+    max) — no float median to diverge. Same bucketed-window plan as the
+    events family but keyed on o_custkey over the ORDERS table: one
+    customer-hash shuffle, per bucket a lexsort (custkey, date, orderkey)
+    + shifted day diff masked at customer boundaries, per-customer
+    reduction via one Arrow group_by. Proves the window machinery is
+    table-agnostic."""
+    import ray.data
+
+    from sciscraper_ray.stages.window import bucketed_window
+
+    def kernel(g):
+        import pandas as pd
+
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "o_custkey": np.array([], np.int64),
+                    "n_orders": np.array([], np.int64),
+                    "total_gap_days": np.array([], np.int64),
+                    "max_gap_days": np.array([], np.int64),
+                }
+            )
+        cust = g["o_custkey"].to_numpy()
+        day = (
+            g["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
+            // 86_400_000_000
+        )
+        okey = g["o_orderkey"].to_numpy()
+        order = np.lexsort((okey, day, cust))
+        cust_s, day_s = cust[order], day[order]
+        new_c = np.ones(len(cust_s), bool)
+        new_c[1:] = cust_s[1:] != cust_s[:-1]
+        gaps = np.zeros(len(day_s), np.int64)
+        gaps[1:] = day_s[1:] - day_s[:-1]
+        gaps[new_c] = 0
+        t = pa.table(
+            {
+                "o_custkey": pa.array(cust_s, pa.int64()),
+                "one": pa.array(np.ones(len(cust_s), np.int64)),
+                "gap": pa.array(gaps, pa.int64()),
+            }
+        )
+        return (
+            t.group_by("o_custkey")
+            .aggregate([("one", "sum"), ("gap", "sum"), ("gap", "max")])
+            .rename_columns(
+                ["o_custkey", "n_orders", "total_gap_days", "max_gap_days"]
+            )
+            .to_pandas()
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
+    return bucketed_window(ds, kernel, key="o_custkey").map_batches(
+        lambda b: b.select(
+            ["o_custkey", "n_orders", "total_gap_days", "max_gap_days"]
+        ),
+        batch_format="pyarrow",
+    )
