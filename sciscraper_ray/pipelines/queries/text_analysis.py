@@ -1198,3 +1198,110 @@ def doc_hapax_trigrams(sf_dir: str):
         .groupby("doc_id")
         .aggregate(Sum(on="n_hapax_trigrams", alias_name="n_hapax_trigrams"))
     )
+
+
+_TTR_WIN = 20
+
+
+@register(
+    "doc_windowed_ttr",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest({_SQL_TOKENS}) AS token,
+               unnest(range(len({_SQL_TOKENS}))) AS ord
+        FROM documents
+    ), wins AS (
+        SELECT doc_id, ord // {_TTR_WIN} AS w,
+               count(DISTINCT token) AS d
+        FROM toks GROUP BY doc_id, w
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(d) AS BIGINT) AS sum_distinct
+    FROM wins GROUP BY doc_id
+    """,
+)
+def doc_windowed_ttr(sf_dir: str):
+    """Windowed type-token ratio (MTLD-style lexical diversity, kept
+    integer): tokens chop into fixed non-overlapping 20-token windows
+    per doc; each window reports its distinct-token count; per doc the
+    windows' count and distinct-sum come back (the ratio is the
+    reader's division). Vectorized: window ids from the flat token
+    offsets, per-batch distinct (doc, window, token) via Arrow group_by,
+    one distinct-triple groupby (bounded by token volume), then the
+    doc-keyed rollup of window partials."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets, np.int64)
+        flat = toks.values
+        counts = np.diff(offs)
+        doc = np.repeat(
+            b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), counts
+        )
+        ords = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], counts)
+        keep = pc.is_valid(flat).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "doc_id": pa.array(doc[keep], pa.int64()),
+                "w": pa.array(ords[keep] // _TTR_WIN, pa.int64()),
+                "token": flat.filter(pa.array(keep)),
+            }
+        )
+        return t.group_by(["doc_id", "w", "token"]).aggregate([])
+
+    triples = (
+        _docs(sf_dir, columns=("doc_id", "text"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["doc_id", "w", "token"])
+        .count()
+    )
+
+    def win_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "w": b["w"],
+                "one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        return (
+            t.group_by(["doc_id", "w"])
+            .aggregate([("one", "sum")])
+            .rename_columns(["doc_id", "w", "d"])
+        )
+
+    wins = (
+        triples.map_batches(win_partial, batch_format="pyarrow")
+        .groupby(["doc_id", "w"])
+        .aggregate(Sum(on="d", alias_name="d"))
+    )
+
+    def doc_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "one": pa.array(np.ones(len(b), np.int64)),
+                "d": b["d"],
+            }
+        )
+        return (
+            t.group_by("doc_id")
+            .aggregate([("one", "sum"), ("d", "sum")])
+            .rename_columns(["doc_id", "n_windows", "sum_distinct"])
+        )
+
+    return (
+        wins.map_batches(doc_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum(on="n_windows", alias_name="n_windows"),
+            Sum(on="sum_distinct", alias_name="sum_distinct"),
+        )
+    )

@@ -169,3 +169,84 @@ def test_doc_hapax_trigrams(ray_session):
     assert len(got) == len(per_doc)
     for did, n in per_doc.items():
         assert int(got.loc[did, "n_hapax_trigrams"]) == n
+
+
+def test_lineitem_benford(ray_session):
+    got = _df(QUERIES["lineitem_benford"](SF)).set_index("digit")
+    li = pd.read_parquet(SF + "/lineitem.parquet", columns=["l_extendedprice"])
+    cents = np.round(li["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    c = Counter(int(str(v)[0]) for v in cents)
+    assert len(got) == len(c)
+    for d, n in c.items():
+        assert int(got.loc[d, "cnt"]) == n
+
+
+def test_customer_order_gaps(ray_session):
+    got = _df(QUERIES["customer_order_gaps"](SF)).set_index("o_custkey")
+    orders = pd.read_parquet(
+        SF + "/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    ).sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    for ck, g in orders.groupby("o_custkey"):
+        days = (
+            g["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
+            // 86_400_000_000
+        )
+        gaps = np.diff(days)
+        assert int(got.loc[ck, "n_orders"]) == len(days)
+        assert int(got.loc[ck, "total_gap_days"]) == int(gaps.sum()) if len(gaps) else 0
+        assert int(got.loc[ck, "max_gap_days"]) == (int(gaps.max()) if len(gaps) else 0)
+
+
+def test_events_error_followup(ray_session):
+    got = _df(QUERIES["events_error_followup"](SF)).set_index("user_id")
+    ev = pd.read_parquet(SF + "/events.parquet", columns=["user_id", "ts", "event_type"])
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    win = 5 * 60 * 1_000_000
+    for uid, g in ev.groupby("user_id"):
+        errs = g[g["event_type"] == "error"]["us"].to_numpy()
+        clicks = np.sort(g[g["event_type"] == "click"]["us"].to_numpy())
+        if len(errs) == 0:
+            assert uid not in got.index
+            continue
+        rec = sum(
+            1
+            for t in errs
+            if ((clicks > t) & (clicks <= t + win)).any()
+        )
+        assert int(got.loc[uid, "n_errors"]) == len(errs)
+        assert int(got.loc[uid, "n_recovered"]) == rec
+
+
+def test_doc_windowed_ttr(ray_session):
+    got = _df(QUERIES["doc_windowed_ttr"](SF)).set_index("doc_id")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        if text is None:
+            continue
+        ts = text.strip().lower().split(" ")
+        wins = [ts[i : i + 20] for i in range(0, len(ts), 20)]
+        assert int(got.loc[int(did), "n_windows"]) == len(wins)
+        assert int(got.loc[int(did), "sum_distinct"]) == sum(
+            len(set(w)) for w in wins
+        )
+
+
+def test_graph_two_hop_reach(ray_session):
+    got = _df(QUERIES["graph_two_hop_reach"](SF)).set_index("node")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id"])
+    ids = docs["doc_id"].to_numpy()
+    edges = set()
+    for i in ids:
+        for t in [(i * 17 + 13) % 997, (i * 29 + 7) % 997]:
+            if i != t:
+                edges.add((min(int(i), int(t)), max(int(i), int(t))))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for v, nbrs in adj.items():
+        reach = set(nbrs)
+        for n in nbrs:
+            reach |= adj[n]
+        reach.discard(v)
+        assert int(got.loc[v, "reach2"]) == len(reach)
