@@ -2700,3 +2700,76 @@ def customer_order_gaps(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+@register(
+    "orders_pareto_cutoff",
+    oracle="""
+    WITH pc AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ), r AS (
+        SELECT cents,
+               sum(cents) OVER (
+                   ORDER BY cents DESC, o_custkey ASC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum,
+               row_number() OVER (ORDER BY cents DESC, o_custkey ASC) AS rn
+        FROM pc
+    )
+    SELECT CAST(min(rn) AS BIGINT) AS n_customers_80,
+           CAST((SELECT count(*) FROM pc) AS BIGINT) AS total_customers,
+           CAST((SELECT sum(cents) FROM pc) AS BIGINT) AS total_cents
+    FROM r WHERE cum * 5 >= (SELECT sum(cents) FROM pc) * 4
+    """,
+)
+def orders_pareto_cutoff(sf_dir: str):
+    """Pareto 80/20 concentration: the smallest prefix of customers
+    (revenue-descending, custkey tie-break) covering ≥80% of revenue —
+    the account-management headcount number. The 80% test is exact
+    integer cross-multiplication (cum*5 ≥ total*4). Per-customer revenue
+    is the usual two-phase cents sum; the ranked prefix scan runs on the
+    customer-bounded merged table (driver here; at warehouse scale the
+    two-level scan corpus_heaps_law uses applies unchanged — range cells
+    then carry-in bases)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import group_count_batch
+
+    pc_ds = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(
+            lambda b: group_count_batch(
+                pa.table(
+                    {
+                        "o_custkey": b["o_custkey"],
+                        "cents": pa.array(_cents(b["o_totalprice"])),
+                    }
+                ),
+                ["o_custkey"],
+                {"cents": "cents"},
+            ).select(["o_custkey", "cents"]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum(on="cents", alias_name="cents"))
+        .to_pandas()  # customer-bounded
+    )
+    cents = pc_ds["cents"].to_numpy().astype(np.int64)
+    keys = pc_ds["o_custkey"].to_numpy().astype(np.int64)
+    order = np.lexsort((keys, -cents))
+    cum = np.cumsum(cents[order])
+    total = int(cum[-1])
+    n80 = int(np.searchsorted(cum * 5, total * 4, side="left")) + 1
+    return pa.table(
+        {
+            "n_customers_80": pa.array([n80], pa.int64()),
+            "total_customers": pa.array([len(cents)], pa.int64()),
+            "total_cents": pa.array([total], pa.int64()),
+        }
+    )

@@ -1305,3 +1305,89 @@ def doc_windowed_ttr(sf_dir: str):
             Sum(on="sum_distinct", alias_name="sum_distinct"),
         )
     )
+
+
+@register(
+    "token_burstiness",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), tf AS (
+        SELECT token, doc_id, count(*) AS tf
+        FROM toks WHERE token <> '' GROUP BY token, doc_id
+    )
+    SELECT token,
+           CAST(sum(tf) AS BIGINT) AS cf,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(max(tf) AS BIGINT) AS max_tf
+    FROM tf GROUP BY token
+    """,
+)
+def token_burstiness(sf_dir: str):
+    """Token burstiness profile (Church/Gale): collection frequency,
+    document frequency, and the peak within-document count per token —
+    cf/df far above 1 marks topical 'bursty' terms, the signal
+    TF-IDF-family weighting rests on. Two bounded exchanges: per-batch
+    (token, doc) count partials → (vocab x doc)-bounded groupby, then
+    per-token moment partials → vocab-bounded groupby."""
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets, np.int64)
+        flat = toks.values
+        doc = np.repeat(
+            b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            np.diff(offs),
+        )
+        keep = pc.is_valid(flat).to_numpy(zero_copy_only=False)
+        keep &= pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "token": flat.filter(pa.array(keep)),
+                "doc_id": pa.array(doc[keep], pa.int64()),
+                "n": pa.array(np.ones(int(keep.sum()), np.int64)),
+            }
+        )
+        return (
+            t.group_by(["token", "doc_id"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["token", "doc_id", "tf"])
+        )
+
+    tf = (
+        _docs(sf_dir, columns=("doc_id", "text"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["token", "doc_id"])
+        .aggregate(Sum(on="tf", alias_name="tf"))
+    )
+
+    def moment_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "token": b["token"],
+                "cf": b["tf"],
+                "one": pa.array(np.ones(len(b), np.int64)),
+                "mx": b["tf"],
+            }
+        )
+        return (
+            t.group_by("token")
+            .aggregate([("cf", "sum"), ("one", "sum"), ("mx", "max")])
+            .rename_columns(["token", "cf", "df", "max_tf"])
+        )
+
+    return (
+        tf.map_batches(moment_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(
+            Sum(on="cf", alias_name="cf"),
+            Sum(on="df", alias_name="df"),
+            Max(on="max_tf", alias_name="max_tf"),
+        )
+    )
