@@ -3257,3 +3257,52 @@ def graph_two_hop_reach(sf_dir: str):
         .groupby("node")
         .aggregate(Sum(on="reach2", alias_name="reach2"))
     )
+
+
+@register(
+    "page_paragraph_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST((len(string_split(text, ' ')) + 39) // 40 AS BIGINT)
+               AS n_paras,
+           CAST(length(text)
+                - ((len(string_split(text, ' ')) + 39) // 40 - 1)
+               AS BIGINT) AS sum_chars
+    FROM documents
+    """,
+)
+def page_paragraph_stats(sf_dir: str):
+    """Paragraph-level extraction parity: parse every fixture page with
+    the REAL DOM engine, count the <article id=main> paragraphs and sum
+    their extracted text lengths. The synthesizer chunks main content
+    into 40-word paragraphs, so the oracle rebuilds both numbers
+    arithmetically — ceil(tokens/40) paragraphs, and the joined-chunk
+    char total telescopes to length(text) minus the (n_paras-1) removed
+    separator spaces. Any escape/unescape or whitespace bug anywhere in
+    the parse chain breaks the equality; one parse per page, zero
+    shuffle."""
+    from sciscraper_ray.sources.page_synth import render_html
+    from sciscraper_ray.stages.dom_select import select_texts
+
+    def harvest(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n_paras: list[int] = []
+        sum_chars: list[int] = []
+        for i, t, lg in zip(
+            ids, batch["text"].to_pylist(), batch["lang"].to_pylist()
+        ):
+            page = render_html(int(i), t, lg).decode()
+            paras = select_texts(page, "article p")
+            n_paras.append(len(paras))
+            sum_chars.append(sum(len(p) for p in paras))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_paras": pa.array(n_paras, pa.int64()),
+                "sum_chars": pa.array(sum_chars, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+        harvest, batch_format="pyarrow"
+    )

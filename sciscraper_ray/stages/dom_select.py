@@ -136,6 +136,14 @@ def select_text(
     return m.group(0) if m else None
 
 
+def select_texts(html: str, selector: str) -> list[str]:
+    """Every matching node's text, document order — the all-matches
+    companion to ``select_text`` (paragraph/section harvesting)."""
+    builder = _TreeBuilder()
+    builder.feed(html)
+    return [n.text() for n in _select(builder.root, _parse_selector(selector))]
+
+
 def select_attr(html: str, selector: str, attr: str) -> str | None:
     builder = _TreeBuilder()
     builder.feed(html)
