@@ -250,3 +250,60 @@ def test_graph_two_hop_reach(ray_session):
             reach |= adj[n]
         reach.discard(v)
         assert int(got.loc[v, "reach2"]) == len(reach)
+
+
+def test_orders_pareto_cutoff(ray_session):
+    got = _df(QUERIES["orders_pareto_cutoff"](SF))
+    orders = pd.read_parquet(SF + "/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cents = np.round(orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    per = (
+        pd.DataFrame({"k": orders["o_custkey"], "c": cents})
+        .groupby("k")["c"]
+        .sum()
+        .reset_index()
+        .sort_values(["c", "k"], ascending=[False, True])
+    )
+    cum = per["c"].cumsum().to_numpy()
+    total = int(cum[-1])
+    n80 = int(np.argmax(cum * 5 >= total * 4)) + 1
+    assert int(got["n_customers_80"].iloc[0]) == n80
+    assert int(got["total_customers"].iloc[0]) == len(per)
+    assert int(got["total_cents"].iloc[0]) == total
+
+
+def test_token_burstiness(ray_session):
+    got = _df(QUERIES["token_burstiness"](SF)).set_index("token")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    tf = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        if text is None:
+            continue
+        c = Counter(t for t in text.strip().lower().split(" ") if t)
+        for tok, n in c.items():
+            tf.setdefault(tok, []).append(n)
+    assert len(got) == len(tf)
+    for tok, counts in tf.items():
+        assert int(got.loc[tok, "cf"]) == sum(counts)
+        assert int(got.loc[tok, "df"]) == len(counts)
+        assert int(got.loc[tok, "max_tf"]) == max(counts)
+
+
+def test_page_paragraph_stats(ray_session):
+    got = _df(QUERIES["page_paragraph_stats"](SF)).set_index("doc_id")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split(" ")
+        n_paras = (len(toks) + 39) // 40
+        want_chars = sum(
+            len(" ".join(toks[i : i + 40])) for i in range(0, len(toks), 40)
+        )
+        assert int(got.loc[int(did), "n_paras"]) == n_paras
+        assert int(got.loc[int(did), "sum_chars"]) == want_chars
+
+
+def test_select_texts_all_matches_in_order():
+    from sciscraper_ray.stages.dom_select import select_texts
+
+    html = "<div><p>a</p><span>x</span><p>b c</p></div><p>d</p>"
+    assert select_texts(html, "p") == ["a", "b c", "d"]
+    assert select_texts(html, "em") == []
