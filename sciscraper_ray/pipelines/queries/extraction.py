@@ -539,3 +539,52 @@ def page_extract_pipeline(sf_dir: str):
     )
 
 
+
+
+@register(
+    "pdf_page_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST((len(string_split(text, ' ')) + 39) // 40 AS BIGINT)
+               AS n_pages,
+           CAST(length(text)
+                - ((len(string_split(text, ' ')) + 39) // 40 - 1)
+               AS BIGINT) AS sum_chars
+    FROM documents
+    """,
+)
+def pdf_page_stats(sf_dir: str):
+    """Page-level PDF parity (the PDF twin of page_paragraph_stats):
+    every doc renders as a real PDF payload (40 words per page), the
+    REAL document model parses it back (xref/content-stream/glyph
+    clustering — stages/pdf_parse.extract_pdf_pages), and the page count
+    plus summed page-text lengths must equal the closed form —
+    ceil(tokens/40) pages, total chars telescoping to length(text) minus
+    the (n_pages-1) page-break separators. Any font-width, spacing or
+    stream-slicing bug anywhere in the parser breaks the equality. One
+    parse per payload, zero shuffle."""
+    from sciscraper_ray.stages.pdf_parse import extract_pdf_pages
+
+    def stats(batch: pa.Table) -> pa.Table:
+        out_id: list[int] = []
+        n_pages: list[int] = []
+        sum_chars: list[int] = []
+        for did, payload in zip(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            batch["html"].to_pylist(),
+        ):
+            pages = extract_pdf_pages(payload)
+            out_id.append(int(did))
+            n_pages.append(len(pages))
+            sum_chars.append(sum(len(p) for p in pages))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_pages": pa.array(n_pages, pa.int64()),
+                "sum_chars": pa.array(sum_chars, pa.int64()),
+            }
+        )
+
+    return _pages(sf_dir, pdf_mod=1, dup_mod=None).map_batches(
+        stats, batch_format="pyarrow"
+    )

@@ -3306,3 +3306,127 @@ def page_paragraph_stats(sf_dir: str):
     return _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
         harvest, batch_format="pyarrow"
     )
+
+
+@register(
+    "crawl_interleave_schedule",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_host_sql("doc_id")} AS host FROM documents
+    ), r AS (
+        SELECT doc_id, host,
+               row_number() OVER (
+                   PARTITION BY host ORDER BY doc_id
+               ) AS rank_in_host
+        FROM d
+    )
+    SELECT doc_id, host, CAST(rank_in_host AS BIGINT) AS rank_in_host,
+           CAST(row_number() OVER (
+               ORDER BY rank_in_host, host, doc_id
+           ) AS BIGINT) AS slot
+    FROM r
+    """,
+)
+def crawl_interleave_schedule(sf_dir: str):
+    """Politeness-interleaved fetch schedule: round-robin across hosts
+    (every host's k-th fetch happens before any host's (k+1)-th), the
+    ordering a crawler emits so no host sees bursts. The global slot
+    needs NO global sort: with the |hosts|-bounded count histogram
+    broadcast, slot(r, host) = Σ_h min(c_h, r-1) + |{{h' < host :
+    c_h' ≥ r}}| + 1 — a closed form over the histogram, evaluated
+    vectorized per batch. Per-host ranks come from the bucketed window
+    (hosts whole per bucket; the mega-host's bucket is the skew cap —
+    at open-web host counts the rank pass becomes the two-level scan
+    corpus_heaps_law uses)."""
+    import ray
+    import ray.data
+
+    from sciscraper_ray.sources.page_synth import host_for
+    from sciscraper_ray.stages.window import bucketed_window
+
+    base = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "host": pa.array(
+                    [
+                        host_for(int(i))
+                        for i in b["doc_id"].to_numpy(zero_copy_only=False)
+                    ],
+                    pa.string(),
+                ),
+                "hkey": pa.array(
+                    [
+                        int.from_bytes(
+                            host_for(int(i)).encode()[:6], "big"
+                        )
+                        for i in b["doc_id"].to_numpy(zero_copy_only=False)
+                    ],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def rank_kernel(g):
+        import pandas as pd
+
+        host = g["host"].to_numpy()
+        did = g["doc_id"].to_numpy()
+        order = np.lexsort((did, host))
+        host_s, did_s = host[order], did[order]
+        new_h = np.ones(len(host_s), bool)
+        new_h[1:] = host_s[1:] != host_s[:-1]
+        starts = np.flatnonzero(new_h)
+        lens = np.diff(np.append(starts, len(host_s)))
+        rank = np.arange(len(host_s)) - np.repeat(starts, lens) + 1
+        return pd.DataFrame(
+            {
+                "doc_id": did_s,
+                "host": host_s,
+                "rank_in_host": rank.astype(np.int64),
+            }
+        )
+
+    ranked = bucketed_window(base, rank_kernel, key="hkey").map_batches(
+        lambda b: b.select(["doc_id", "host", "rank_in_host"]),
+        batch_format="pyarrow",
+    )
+    ranked = ranked.materialize()  # reused: histogram + slot pass
+
+    counts = (
+        ranked.groupby("host")
+        .count()
+        .to_pandas()  # |hosts|-bounded
+        .sort_values("host")
+    )
+    hosts_sorted = counts["host"].tolist()
+    c = counts["count()"].to_numpy().astype(np.int64)
+    c_ref = ray.put((hosts_sorted, c))
+
+    def slot_batch(b: pa.Table) -> pa.Table:
+        hosts_s, cc = ray.get(c_ref)
+        hidx = {h: i for i, h in enumerate(hosts_s)}
+        r = b["rank_in_host"].to_numpy(zero_copy_only=False)
+        hi = np.array([hidx[h] for h in b["host"].to_pylist()], np.int64)
+        # Σ_h min(c_h, r-1): cumulative over the sorted count histogram
+        cs = np.sort(cc)
+        cum = np.concatenate(([0], np.cumsum(cs)))
+        pos = np.searchsorted(cs, r - 1, side="left")
+        before_rank = cum[pos] + (len(cs) - pos) * (r - 1)
+        # ties at the same rank from lexically-smaller hosts
+        ge = (cc[None, :] >= r[:, None]) & (
+            np.arange(len(cc))[None, :] < hi[:, None]
+        )
+        slot = before_rank + ge.sum(axis=1) + 1
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "host": b["host"],
+                "rank_in_host": b["rank_in_host"],
+                "slot": pa.array(slot, pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(slot_batch, batch_format="pyarrow")

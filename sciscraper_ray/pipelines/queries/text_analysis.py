@@ -1391,3 +1391,101 @@ def token_burstiness(sf_dir: str):
             Max(on="max_tf", alias_name="max_tf"),
         )
     )
+
+
+@register(
+    "token_positional_bias",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents
+    ), toks AS (
+        SELECT doc_id, unnest(ts) AS token,
+               unnest(range(len(ts))) AS ord, len(ts) AS L
+        FROM d
+    ), f AS (
+        SELECT doc_id, token, min(ord) AS fo, any_value(L) AS L
+        FROM toks WHERE token <> '' GROUP BY doc_id, token
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(fo) AS BIGINT) AS sum_first_ord,
+           CAST(sum(L) AS BIGINT) AS sum_doc_len
+    FROM f GROUP BY token
+    """,
+)
+def token_positional_bias(sf_dir: str):
+    """Positional bias per token: where in a document a token FIRST
+    appears, summed as exact integer rationals (Σ first-position,
+    Σ doc-length — the reader's division gives the mean normalized
+    position). Tokens that always surface early are header/boilerplate
+    candidates; late ones live in references — the positional prior
+    boilerplate classifiers feed on. Vectorized: per-batch flat-buffer
+    ordinals, (doc, token) Min via Arrow group_by partials, then the
+    vocab-bounded moment rollup."""
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets, np.int64)
+        flat = toks.values
+        counts = np.diff(offs)
+        doc = np.repeat(
+            b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), counts
+        )
+        L = np.repeat(counts, counts)
+        ords = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], counts)
+        keep = pc.is_valid(flat).to_numpy(zero_copy_only=False)
+        keep &= pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "doc_id": pa.array(doc[keep], pa.int64()),
+                "token": flat.filter(pa.array(keep)),
+                "fo": pa.array(ords[keep], pa.int64()),
+                "L": pa.array(L[keep], pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["doc_id", "token"])
+            .aggregate([("fo", "min"), ("L", "min")])
+            .rename_columns(["doc_id", "token", "fo", "L"])
+        )
+
+    first = (
+        _docs(sf_dir, columns=("doc_id", "text"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["doc_id", "token"])
+        .aggregate(
+            Min(on="fo", alias_name="fo"),
+            Min(on="L", alias_name="L"),
+        )
+    )
+
+    def moment_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "token": b["token"],
+                "one": pa.array(np.ones(len(b), np.int64)),
+                "fo": b["fo"],
+                "L": b["L"],
+            }
+        )
+        return (
+            t.group_by("token")
+            .aggregate([("one", "sum"), ("fo", "sum"), ("L", "sum")])
+            .rename_columns(["token", "n_docs", "sum_first_ord", "sum_doc_len"])
+        )
+
+    return (
+        first.map_batches(moment_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(
+            Sum(on="n_docs", alias_name="n_docs"),
+            Sum(on="sum_first_ord", alias_name="sum_first_ord"),
+            Sum(on="sum_doc_len", alias_name="sum_doc_len"),
+        )
+    )

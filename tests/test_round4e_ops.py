@@ -307,3 +307,16 @@ def test_select_texts_all_matches_in_order():
     html = "<div><p>a</p><span>x</span><p>b c</p></div><p>d</p>"
     assert select_texts(html, "p") == ["a", "b c", "d"]
     assert select_texts(html, "em") == []
+
+
+def test_pdf_page_stats(ray_session):
+    got = _df(QUERIES["pdf_page_stats"](SF)).set_index("doc_id")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split(" ")
+        n_pages = (len(toks) + 39) // 40
+        want_chars = sum(
+            len(" ".join(toks[i : i + 40])) for i in range(0, len(toks), 40)
+        )
+        assert int(got.loc[int(did), "n_pages"]) == n_pages
+        assert int(got.loc[int(did), "sum_chars"]) == want_chars
