@@ -1489,3 +1489,120 @@ def token_positional_bias(sf_dir: str):
             Sum(on="sum_doc_len", alias_name="sum_doc_len"),
         )
     )
+
+
+@register(
+    "source_phrase_overlap",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, {_SQL_TOKENS} AS ts FROM documents
+    ), tri AS (
+        SELECT DISTINCT source,
+               ts[p+1] || ' ' || ts[p+2] || ' ' || ts[p+3] AS g
+        FROM d, unnest(range(len(ts) - 2)) AS u(p)
+        WHERE len(ts) >= 3
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM tri a JOIN tri b ON a.g = b.g AND a.source < b.source
+    GROUP BY source_a, source_b
+    """,
+)
+def source_phrase_overlap(sf_dir: str):
+    """Cross-source phrase contamination: how many distinct word
+    TRIGRAMS each pair of ingest feeds shares — the template-reuse /
+    syndication fingerprint (exact-dup overlap is zero in this corpus;
+    phrase-level overlap is where the signal lives). Plan: trigrams
+    hash to 128-bit keys (two int64 columns — grams never shuffle as
+    strings), distinct (source, gram) via one vocab-bounded groupby,
+    then the bucketed co-partitioned SELF-join on the high half with an
+    exact low-half + source-order filter; the pair tally is
+    |sources|²-bounded. The 128-bit key makes a false shared-phrase a
+    cryptographic event, same contract as dedup_exact."""
+    import hashlib
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+
+    def gram_partial(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets, np.int64)
+        flat = toks.values
+        counts = np.diff(offs)
+        src = np.repeat(np.asarray(b["source"].to_pylist(), object), counts)
+        n = len(flat)
+        if n < 3:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "h1": pa.array([], pa.int64()),
+                    "h2": pa.array([], pa.int64()),
+                }
+            )
+        grams = pc.binary_join_element_wise(
+            flat.slice(0, n - 2), flat.slice(1, n - 2), flat.slice(2, n - 2),
+            " ",
+        )
+        # mask windows crossing a document boundary (source equality is
+        # NOT enough — adjacent docs often share a source)
+        doc_ix = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        keep = doc_ix[: n - 2] == doc_ix[2:]
+        gl = grams.filter(pa.array(keep)).to_pylist()
+        digests = b"".join(hashlib.md5(g.encode()).digest() for g in gl)
+        u = np.frombuffer(digests, dtype=">u8").reshape(-1, 2)
+        signed = (u.astype(np.uint64) ^ np.uint64(1 << 63)).view(np.int64)
+        t = pa.table(
+            {
+                "source": pa.array(src[: n - 2][keep].tolist(), pa.string()),
+                "h1": pa.array(signed[:, 0].copy(), pa.int64()),
+                "h2": pa.array(signed[:, 1].copy(), pa.int64()),
+            }
+        )
+        return t.group_by(["source", "h1", "h2"]).aggregate([])
+
+    distinct = (
+        _docs(sf_dir, columns=("text", "source"))
+        .map_batches(gram_partial, batch_format="pyarrow")
+        .groupby(["source", "h1", "h2"])
+        .count()
+        .map_batches(
+            lambda b: b.select(["source", "h1", "h2"]), batch_format="pyarrow"
+        )
+    )
+    right = distinct.map_batches(
+        lambda b: pa.table(
+            {"source_b": b["source"], "g1": b["h1"], "g2": b["h2"]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(distinct, right, left_on="h1", right_on="g1")
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(b["h2"], b["g2"]),
+            pc.less(b["source"], b["source_b"]),
+        )
+        b = b.filter(keep)
+        t = pa.table(
+            {
+                "source_a": b["source"],
+                "source_b": b["source_b"],
+                "one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        return (
+            t.group_by(["source_a", "source_b"])
+            .aggregate([("one", "sum")])
+            .rename_columns(["source_a", "source_b", "n_shared"])
+        )
+
+    return (
+        joined.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum(on="n_shared", alias_name="n_shared"))
+    )
