@@ -1854,3 +1854,82 @@ def events_error_followup(sf_dir: str):
         lambda b: b.select(["user_id", "n_errors", "n_recovered"]),
         batch_format="pyarrow",
     )
+
+
+@register(
+    "events_value_drift",
+    oracle="""
+    WITH m AS (
+        SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+        FROM events
+    )
+    SELECT event_type,
+           CAST(floor(value / 50) AS BIGINT) AS bucket,
+           CAST(count(*) FILTER (epoch_us(ts) <= mid) AS BIGINT) AS n_first,
+           CAST(count(*) FILTER (epoch_us(ts) > mid) AS BIGINT) AS n_second
+    FROM events, m
+    GROUP BY event_type, bucket
+    """,
+)
+def events_value_drift(sf_dir: str):
+    """Distribution-drift histogram (the PSI input a data-quality
+    monitor computes): value histograms per event type for the first
+    vs second half of the observed time range, counts only — the
+    divergence formula is the reader's. Two passes: a scalar (min, max)
+    timestamp pre-pass (one row per batch merged driver-side), then the
+    |types x buckets|-bounded histogram groupby; the midpoint constant
+    rides in the closure, never a join."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ts_ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    mm = ts_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "lo": pa.array(
+                    [int(b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64).min())],
+                    pa.int64(),
+                ),
+                "hi": pa.array(
+                    [int(b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64).max())],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()  # one row per batch
+    mid = (int(mm["lo"].min()) + int(mm["hi"].max())) // 2
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = (
+            b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        )
+        bucket = np.floor(
+            b["value"].to_numpy(zero_copy_only=False) / 50.0
+        ).astype(np.int64)
+        first = us <= mid
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "bucket": pa.array(bucket, pa.int64()),
+                "n_first": pa.array(first.astype(np.int64), pa.int64()),
+                "n_second": pa.array((~first).astype(np.int64), pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["event_type", "bucket"])
+            .aggregate([("n_first", "sum"), ("n_second", "sum")])
+            .rename_columns(["event_type", "bucket", "n_first", "n_second"])
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .aggregate(
+            Sum(on="n_first", alias_name="n_first"),
+            Sum(on="n_second", alias_name="n_second"),
+        )
+    )

@@ -2773,3 +2773,51 @@ def orders_pareto_cutoff(sf_dir: str):
             "total_cents": pa.array([total], pa.int64()),
         }
     )
+
+
+@register(
+    "orders_fiscal_week_rollup",
+    oracle="""
+    SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iso_yr,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_wk,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders GROUP BY iso_yr, iso_wk
+    """,
+)
+def orders_fiscal_week_rollup(sf_dir: str):
+    """Revenue per ISO week — the fiscal-calendar rollup where the
+    year boundary bites (Jan 1 1995 is ISO week 52 of ISO-YEAR 1994;
+    grouping by calendar year + week double-counts the split weeks).
+    Parity pinned: pc.iso_week/iso_year == DuckDB weekofyear/isoyear.
+    One |weeks|-bounded exchange over per-batch cents partials."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "iso_yr": pc.cast(pc.iso_year(b["o_orderdate"]), pa.int64()),
+                "iso_wk": pc.cast(pc.iso_week(b["o_orderdate"]), pa.int64()),
+                "n": pa.array(np.ones(len(b), np.int64)),
+                "cents": pa.array(_cents(b["o_totalprice"])),
+            }
+        )
+        return (
+            t.group_by(["iso_yr", "iso_wk"])
+            .aggregate([("n", "sum"), ("cents", "sum")])
+            .rename_columns(["iso_yr", "iso_wk", "n_orders", "revenue_cents"])
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["iso_yr", "iso_wk"])
+        .aggregate(
+            Sum(on="n_orders", alias_name="n_orders"),
+            Sum(on="revenue_cents", alias_name="revenue_cents"),
+        )
+    )
