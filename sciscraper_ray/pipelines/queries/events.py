@@ -1933,3 +1933,107 @@ def events_value_drift(sf_dir: str):
             Sum(on="n_second", alias_name="n_second"),
         )
     )
+
+
+@register(
+    "events_session_position_value",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, event_id, value,
+               sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM o
+    ), p AS (
+        SELECT value,
+               least(row_number() OVER (
+                   PARTITION BY user_id, sid ORDER BY ts, event_id
+               ), 5) AS pos
+        FROM s
+    )
+    SELECT CAST(pos AS BIGINT) AS pos,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM p GROUP BY pos
+    """,
+)
+def events_session_position_value(sf_dir: str):
+    """Value by position within a session (capped at 5+): do first
+    touches or deep-session events carry the money — the engagement
+    curve a session-depth optimizer reads. Bucketed plan: one user-hash
+    shuffle; per bucket the session boundaries come from the shared
+    shifted-diff kernel and the within-session position is a cumcount
+    reset at session starts (pure cumsum arithmetic); per-bucket
+    partials collapse into a 5-row table."""
+    import ray.data
+
+    from sciscraper_ray.stages.window import bucketed_window
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def kernel(g):
+        import pandas as pd
+
+        from sciscraper_ray.stages.window import (
+            _sorted_bucket,
+            session_boundaries,
+        )
+
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "pos": np.array([], np.int64),
+                    "n_events": np.array([], np.int64),
+                    "value_cents": np.array([], np.int64),
+                }
+            )
+        order, user_s, ts_s, _, new_user = _sorted_bucket(g)
+        val = g["value"].to_numpy()[order]
+        new_s, _, s_start, s_len = session_boundaries(
+            user_s, ts_s, new_user, GAP_US
+        )
+        idx = np.arange(len(user_s))
+        pos = idx - np.repeat(s_start, s_len) + 1
+        pos = np.minimum(pos, 5)
+        cents = np.round(val * 100).astype(np.int64)
+        t = pa.table(
+            {
+                "pos": pa.array(pos, pa.int64()),
+                "one": pa.array(np.ones(len(pos), np.int64)),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+        return (
+            t.group_by("pos")
+            .aggregate([("one", "sum"), ("cents", "sum")])
+            .rename_columns(["pos", "n_events", "value_cents"])
+            .to_pandas()
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    from ray.data.aggregate import Sum
+
+    return (
+        bucketed_window(ds, kernel)
+        .map_batches(
+            lambda b: b.select(["pos", "n_events", "value_cents"]),
+            batch_format="pyarrow",
+        )
+        .groupby("pos")
+        .aggregate(
+            Sum(on="n_events", alias_name="n_events"),
+            Sum(on="value_cents", alias_name="value_cents"),
+        )
+    )

@@ -1606,3 +1606,71 @@ def source_phrase_overlap(sf_dir: str):
         .groupby(["source_a", "source_b"])
         .aggregate(Sum(on="n_shared", alias_name="n_shared"))
     )
+
+
+@register(
+    "lang_bpe_fertility",
+    oracle=f"""
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}'))) AS BIGINT)
+               AS sum_bpe,
+           CAST(sum(len(list_filter({_SQL_TOKENS}, x -> x <> ''))) AS BIGINT)
+               AS sum_words,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_bpe_fertility(sf_dir: str):
+    """Tokenizer fertility per language (BPE-ish subword count over
+    whitespace word count, kept as exact integer rationals) — the
+    compression-ratio number that decides how expensive a language is
+    to train on. One pass computes both counts (compiled regex + flat
+    tokenize offsets); one |langs|-bounded exchange."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+    from sciscraper_ray.stages.textstats import _BPE_RE
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        bpe = np.fromiter(
+            (len(_BPE_RE.findall(t)) if t is not None else 0 for t in texts),
+            np.int64,
+            count=len(texts),
+        )
+        toks = tokenize_column(b["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets, np.int64)
+        flat = toks.values
+        nonempty = (
+            pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            & pc.is_valid(flat).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(nonempty)))
+        words = cum[offs[1:]] - cum[offs[:-1]]
+        t = pa.table(
+            {
+                "lang": b["lang"],
+                "sum_bpe": pa.array(bpe, pa.int64()),
+                "sum_words": pa.array(words, pa.int64()),
+                "n": pa.array(np.ones(len(texts), np.int64)),
+            }
+        )
+        return (
+            t.group_by("lang")
+            .aggregate([("sum_bpe", "sum"), ("sum_words", "sum"), ("n", "sum")])
+            .rename_columns(["lang", "sum_bpe", "sum_words", "n_docs"])
+        )
+
+    return (
+        _docs(sf_dir, columns=("text", "lang"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum(on="sum_bpe", alias_name="sum_bpe"),
+            Sum(on="sum_words", alias_name="sum_words"),
+            Sum(on="n_docs", alias_name="n_docs"),
+        )
+    )
