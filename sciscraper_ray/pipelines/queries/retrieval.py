@@ -3430,3 +3430,100 @@ def crawl_interleave_schedule(sf_dir: str):
         )
 
     return ranked.map_batches(slot_batch, batch_format="pyarrow")
+
+
+@register(
+    "graph_wcc_sizes",
+    oracle=f"""
+    WITH RECURSIVE l AS (
+        SELECT doc_id AS s, unnest({_REF_TARGETS_SQL}) AS t FROM documents
+    ), e AS (
+        SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        FROM l WHERE s <> t
+    ), und AS (
+        SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+    ), nodes AS (
+        SELECT DISTINCT u AS n FROM und
+    ), reach(s, t) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT r.s, u.v FROM reach r JOIN und u ON r.t = u.u
+    ), comp AS (
+        SELECT s, min(t) AS lbl FROM reach GROUP BY s
+    ), sizes AS (
+        SELECT lbl, count(*) AS comp_size FROM comp GROUP BY lbl
+    )
+    SELECT CAST(comp_size AS BIGINT) AS comp_size,
+           CAST(count(*) AS BIGINT) AS n_components
+    FROM sizes GROUP BY comp_size
+    """,
+)
+def graph_wcc_sizes(sf_dir: str):
+    """Weakly-connected-component size distribution of the doc link
+    graph — the fragmentation profile (one giant component + a dust
+    tail is the healthy-web signature; many mid-size islands means a
+    partitioned crawl). Components come from the alternating
+    Large-/Small-Star plan (pipelines/graph.py — edge-list-only
+    exchanges, converges in O(log n) rounds); the size histogram is two
+    tiny groupbys on the (node, comp) table. The oracle computes the
+    same labels via a recursive-CTE transitive closure — tractable at
+    fixture node counts, which is exactly why the engine ships the
+    star algorithm instead."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.pipelines.graph import connected_components
+
+    raw = _doc_edges(sf_dir)
+
+    def orient(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        t = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s != t
+        s, t = s[keep], t[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, t), pa.int64()),
+                "b": pa.array(np.maximum(s, t), pa.int64()),
+            }
+        )
+
+    comp = connected_components(raw.map_batches(orient, batch_format="pyarrow"))
+
+    def size_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "comp_id": b["comp_id"],
+                "one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        return (
+            t.group_by("comp_id")
+            .aggregate([("one", "sum")])
+            .rename_columns(["comp_id", "sz"])
+        )
+
+    sizes = (
+        comp.map_batches(size_partial, batch_format="pyarrow")
+        .groupby("comp_id")
+        .aggregate(Sum(on="sz", alias_name="comp_size"))
+    )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "comp_size": b["comp_size"],
+                "one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        return (
+            t.group_by("comp_size")
+            .aggregate([("one", "sum")])
+            .rename_columns(["comp_size", "n_components"])
+        )
+
+    return (
+        sizes.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("comp_size")
+        .aggregate(Sum(on="n_components", alias_name="n_components"))
+    )

@@ -1674,3 +1674,58 @@ def lang_bpe_fertility(sf_dir: str):
             Sum(on="n_docs", alias_name="n_docs"),
         )
     )
+
+
+@register(
+    "doc_lead_sentence",
+    oracle=f"""
+    SELECT doc_id,
+           list_filter(
+               list_transform(
+                   regexp_split_to_array(text, '{_SENT_SPLIT}'),
+                   x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))
+               ),
+               x -> x <> ''
+           )[1] AS lead_sentence
+    FROM documents
+    """,
+)
+def doc_lead_sentence(sf_dir: str):
+    """Lead-sentence extraction (the snippet a SERP or abstract preview
+    shows): first non-empty trimmed segment under the [.!?]+ split
+    convention of doc_sentence_stats. Fully vectorized first-per-segment
+    selection: trim + non-empty mask on the flat segment buffer, then
+    one np.minimum.reduceat of masked positions per document — no
+    Python per row; docs with no sentence yield null."""
+    import ray.data
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        segs = pc.split_pattern_regex(text, _SENT_SPLIT)
+        if isinstance(segs, pa.ChunkedArray):
+            segs = segs.combine_chunks()
+        offs = np.asarray(segs.offsets, np.int64)
+        flat = pc.utf8_trim(segs.values, _TRIM_CHARS)
+        n = len(flat)
+        good = (
+            pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            & pc.is_valid(flat).to_numpy(zero_copy_only=False)
+        )
+        pos = np.where(good, np.arange(n, dtype=np.int64), n)
+        counts = np.diff(offs)
+        first = np.full(len(counts), n, np.int64)
+        nz = counts > 0
+        if nz.any():
+            first[nz] = np.minimum.reduceat(pos, offs[:-1][nz])
+        lead = pc.if_else(
+            pa.array(first < n),
+            flat.take(pa.array(np.minimum(first, n - 1) if n else np.zeros(len(counts), np.int64), pa.int64())),
+            pa.nulls(len(counts), pa.string()),
+        ) if n else pa.nulls(len(counts), pa.string())
+        return pa.table({"doc_id": b["doc_id"], "lead_sentence": lead})
+
+    return _docs(sf_dir, columns=("doc_id", "text")).map_batches(
+        partial, batch_format="pyarrow"
+    )
