@@ -390,3 +390,94 @@ def test_source_phrase_overlap(ray_session):
                 n_rows += 1
                 assert int(got.loc[(a, b), "n_shared"]) == shared
     assert len(got) == n_rows
+
+
+def test_lang_bpe_fertility(ray_session):
+    got = _df(QUERIES["lang_bpe_fertility"](SF)).set_index("lang")
+    from sciscraper_ray.stages.textstats import _BPE_RE
+
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["text", "lang"])
+    agg = {}
+    for text, lang in zip(docs["text"], docs["lang"]):
+        if text is None:
+            continue
+        b, w, n = agg.get(lang, (0, 0, 0))
+        b += len(_BPE_RE.findall(text))
+        w += sum(1 for t in text.strip().lower().split(" ") if t)
+        agg[lang] = (b, w, n + 1)
+    for lang, (b, w, n) in agg.items():
+        assert int(got.loc[lang, "sum_bpe"]) == b
+        assert int(got.loc[lang, "sum_words"]) == w
+        assert int(got.loc[lang, "n_docs"]) == n
+
+
+def test_events_session_position_value(ray_session):
+    got = _df(QUERIES["events_session_position_value"](SF)).set_index("pos")
+    ev = pd.read_parquet(
+        SF + "/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    ).sort_values(["user_id", "ts", "event_id"])
+    gap = 30 * 60 * 1_000_000
+    agg = {}
+    for _, g in ev.groupby("user_id"):
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        vals = g["value"].to_numpy()
+        pos = 0
+        prev = None
+        for t, v in zip(us, vals):
+            pos = 1 if prev is None or t - prev > gap else pos + 1
+            p = min(pos, 5)
+            n, c = agg.get(p, (0, 0))
+            agg[p] = (n + 1, c + int(round(v * 100)))
+            prev = t
+    for p, (n, c) in agg.items():
+        assert int(got.loc[p, "n_events"]) == n
+        assert int(got.loc[p, "value_cents"]) == c
+
+
+def test_doc_lead_sentence(ray_session):
+    import re as _re
+
+    got = _df(QUERIES["doc_lead_sentence"](SF)).set_index("doc_id")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        lead = None
+        for seg in _re.split(r"[.!?]+", text):
+            seg = seg.strip(" \t\n\r")
+            if seg:
+                lead = seg
+                break
+        val = got.loc[int(did), "lead_sentence"]
+        if lead is None:
+            assert val is None or pd.isna(val)
+        else:
+            assert val == lead
+
+
+def test_graph_wcc_sizes(ray_session):
+    got = _df(QUERIES["graph_wcc_sizes"](SF)).set_index("comp_size")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id"])
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for i in docs["doc_id"]:
+        i = int(i)
+        for t in [(i * 17 + 13) % 997, (i * 29 + 7) % 997]:
+            if i != t:
+                union(i, t)
+    sizes = Counter()
+    for n in list(parent):
+        sizes[find(n)] += 1
+    hist = Counter(sizes.values())
+    assert len(got) == len(hist)
+    for size, cnt in hist.items():
+        assert int(got.loc[size, "n_components"]) == cnt
