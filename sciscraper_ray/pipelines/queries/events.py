@@ -2037,3 +2037,91 @@ def events_session_position_value(sf_dir: str):
             Sum(on="value_cents", alias_name="value_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Interval-union coverage: each event opens a fixed 5-minute activity
+# window; per user, how much wall-clock does the UNION of those windows
+# cover, and how many disjoint activity islands does it merge into?
+# The classic interval-coalescing primitive (uptime from heartbeats,
+# ad-exposure reach, crawl-politeness windows) without materializing
+# intervals: for ts sorted per user, union coverage is
+# sum(min(next_ts - ts, W)) + W and a new island starts exactly where
+# the gap exceeds W.
+# --------------------------------------------------------------------------
+
+_COVER_W_US = 300_000_000  # 5-minute activity window, integer microseconds
+
+
+@register(
+    "events_interval_coverage",
+    oracle=f"""
+    WITH d AS (
+        SELECT user_id,
+               date_diff('microsecond', ts,
+                         lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= {_COVER_W_US}
+                         THEN {_COVER_W_US} ELSE gap_us END) AS BIGINT)
+               AS covered_us,
+           CAST(1 + sum(CASE WHEN gap_us > {_COVER_W_US} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_islands
+    FROM d GROUP BY user_id
+    """,
+)
+def events_interval_coverage(sf_dir: str):
+    """Per-user union-of-intervals coverage via the shared
+    bucketed_window plan (ONE shuffle on user bucket, vectorized lexsort
+    kernel, zero per-user dispatch): coverage adds min(gap, W) per
+    consecutive pair plus W for the final event — exactly the coalesced
+    interval union because a gap >= W contributes one full window and
+    opens a new island. All arithmetic is integer microseconds, so the
+    oracle compare is exact; a user's rows live in one bucket, so each
+    bucket emits final per-user rows with no second aggregation."""
+    import pandas as pd
+
+    import ray.data
+
+    from sciscraper_ray.stages.window import bucketed_window
+
+    W = _COVER_W_US
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us, tss = u[order], ts[order]
+        n = len(us)
+        d = np.diff(tss)
+        same = us[1:] == us[:-1] if n > 1 else np.empty(0, bool)
+        # per consecutive same-user pair: coverage contribution and
+        # island-break flag; the trailing event of each user adds W
+        contrib = np.where(same, np.minimum(d, W), 0).astype(np.int64)
+        breaks = (same & (d > W)).astype(np.int64)
+        new_user = np.r_[True, ~same]
+        starts = np.nonzero(new_user)[0]
+        # reduceat over padded pair arrays: user segment [s, e) owns pair
+        # positions [s, e-1); the crossing pair at e-1 and the pad cell
+        # are both 0, so slice sums [starts[i], starts[i+1]) are exact
+        # per-user totals with no boundary correction (single-event
+        # users reduce over a lone zero).
+        pad_c = np.r_[contrib, np.int64(0)]
+        pad_b = np.r_[breaks, np.int64(0)]
+        seg_cov = np.add.reduceat(pad_c, starts)
+        seg_brk = np.add.reduceat(pad_b, starts)
+        return pd.DataFrame(
+            {
+                "user_id": us[starts],
+                "covered_us": seg_cov + W,
+                "n_islands": seg_brk + 1,
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return bucketed_window(ds, cover, key="user_id")

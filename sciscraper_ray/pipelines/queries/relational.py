@@ -2821,3 +2821,102 @@ def orders_fiscal_week_rollup(sf_dir: str):
             Sum(on="revenue_cents", alias_name="revenue_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 shape (suppliers who kept waiting orders) adapted to this
+# schema: among orders touching >= 2 distinct suppliers, find those where
+# EXACTLY ONE supplier shipped late (> 45 days after the order date) and
+# blame that supplier. The semi-join + anti-join pair of the original
+# (EXISTS another supplier / NOT EXISTS another late supplier) collapses
+# into per-order distinct-supplier and late-supplier counts.
+# --------------------------------------------------------------------------
+
+_BLAME_LATE_US = 45 * 86_400_000_000  # 45 days in integer microseconds
+
+
+@register(
+    "supplier_late_blame",
+    oracle="""
+    WITH lo AS (
+        SELECT l_orderkey AS ok, l_suppkey AS sk,
+               max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY
+                        THEN 1 ELSE 0 END) AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY ok, sk
+    ), per_order AS (
+        SELECT ok, count(*) AS n_supp, sum(late) AS n_late,
+               max(CASE WHEN late = 1 THEN sk END) AS late_sk
+        FROM lo GROUP BY ok
+    )
+    SELECT late_sk AS s_suppkey, CAST(count(*) AS BIGINT) AS n_blame
+    FROM per_order WHERE n_supp >= 2 AND n_late = 1
+    GROUP BY s_suppkey
+    ORDER BY n_blame DESC, s_suppkey ASC
+    LIMIT 10
+    """,
+)
+def supplier_late_blame(sf_dir: str):
+    """Q21-shape sole-late-supplier blame without any EXISTS dispatch:
+    lineitem co-partition-joins orders on orderkey (bucketed_hash_join —
+    the one fact x fact all-to-all), then ONE more orderkey-bucketed
+    pass runs a vectorized lexsort kernel per bucket: (order, supplier)
+    pair segments collapse via maximum.reduceat, order segments count
+    distinct/late suppliers via add.reduceat, and the blamed supplier of
+    a sole-late order is the masked max over its pair segment. Each
+    bucket emits a |suppliers|-bounded partial tally; the global groupby
+    is supplier-bounded and the top-10 sort runs on that small result."""
+    import pandas as pd
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+    from sciscraper_ray.stages.window import bucketed_window
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    joined = bucketed_hash_join(
+        lines, orders, left_on="l_orderkey", right_on="o_orderkey"
+    )
+
+    def blame(g: pd.DataFrame) -> pd.DataFrame:
+        ok = g["l_orderkey"].to_numpy(np.int64)
+        sk = g["l_suppkey"].to_numpy(np.int64)
+        ship = g["l_shipdate"].to_numpy("datetime64[us]").astype(np.int64)
+        od = g["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+        late = (ship > od + _BLAME_LATE_US).astype(np.int64)
+        order = np.lexsort((sk, ok))
+        ok_s, sk_s, late_s = ok[order], sk[order], late[order]
+        n = len(ok_s)
+        new_pair = np.r_[True, (ok_s[1:] != ok_s[:-1]) | (sk_s[1:] != sk_s[:-1])]
+        p_start = np.nonzero(new_pair)[0]
+        pok = ok_s[p_start]
+        psk = sk_s[p_start]
+        plate = np.maximum.reduceat(late_s, p_start)
+        new_ord = np.r_[True, pok[1:] != pok[:-1]]
+        o_start = np.nonzero(new_ord)[0]
+        n_supp = np.diff(np.r_[o_start, len(pok)])
+        n_late = np.add.reduceat(np.r_[plate, np.int64(0)], o_start)[: len(o_start)]
+        late_sk = np.maximum.reduceat(
+            np.r_[np.where(plate == 1, psk, np.int64(-1)), np.int64(-1)], o_start
+        )[: len(o_start)]
+        blamed = late_sk[(n_supp >= 2) & (n_late == 1)]
+        uniq, cnt = np.unique(blamed, return_counts=True)
+        return pd.DataFrame(
+            {"s_suppkey": uniq, "n_blame": cnt.astype(np.int64)}
+        )
+
+    tallied = (
+        bucketed_window(joined, blame, key="l_orderkey")
+        .groupby("s_suppkey")
+        .aggregate(Sum(on="n_blame", alias_name="n_blame"))
+    )
+    return tallied.sort(
+        ["n_blame", "s_suppkey"], descending=[True, False]
+    ).limit(10)
