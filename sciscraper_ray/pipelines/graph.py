@@ -692,3 +692,130 @@ def hits(
     return a_ds.map_batches(tag("auth"), batch_format="pyarrow").union(
         h_ds.map_batches(tag("hub"), batch_format="pyarrow")
     )
+
+
+def _mode_per_node(u: np.ndarray, nl: np.ndarray):
+    """Vectorized (count desc, label asc) neighbor-label mode: returns
+    (nodes, winning labels) for every node present in ``u``. Two
+    lexsorts + reduceat boundaries — zero per-node Python."""
+    order = np.lexsort((nl, u))
+    us, nls = u[order], nl[order]
+    new_pair = np.r_[True, (us[1:] != us[:-1]) | (nls[1:] != nls[:-1])]
+    p_start = np.nonzero(new_pair)[0]
+    cnt = np.diff(np.r_[p_start, len(us)])
+    pu, pl = us[p_start], nls[p_start]
+    order2 = np.lexsort((pl, -cnt, pu))
+    pu2, pl2 = pu[order2], pl[order2]
+    first = np.r_[True, pu2[1:] != pu2[:-1]]
+    return pu2[first], pl2[first]
+
+
+def label_propagation(
+    edges: ray.data.Dataset | pa.Table,
+    *,
+    rounds: int = 3,
+    num_buckets: int = 32,
+    plan: str = "auto",
+) -> ray.data.Dataset | pa.Table:
+    """Synchronous label propagation over a DISTINCT canonical undirected
+    edge list (a < b, no self-loops, no duplicates — multiplicity feeds
+    the mode, so callers dedup first): labels start as node ids; each
+    round EVERY node simultaneously adopts the mode of its neighbors'
+    previous labels, ties broken toward the smallest label. Fixed
+    ``rounds`` (not convergence-tested) keeps the result deterministic
+    and SQL-mirrorable — the classic community-detection primitive
+    (Raghavan et al. 2007) restricted to its deterministic synchronous
+    form.
+
+    Two physical plans (resolve_plan policy):
+
+    driver — symmetrized edge arrays stream to the driver once; each
+    round is two np.lexsorts + reduceat over the edge list (pure C).
+
+    shuffle — per round: ONE co-partitioned bucketed_hash_join of the
+    static symmetrized edge list against the (node, lbl) table on the
+    neighbor end, then ONE node-bucketed exchange where each bucket runs
+    the same vectorized mode kernel. Both all-to-alls move only int64
+    pairs; the label table (N rows) re-materializes per round — the
+    standard iterative-algorithm tradeoff."""
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+    from sciscraper_ray.stages.window import bucketed_window
+
+    if isinstance(edges, pa.Table):
+        edges = ray.data.from_arrow(edges)
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(np.r_[a, bb], pa.int64()),
+                "v": pa.array(np.r_[bb, a], pa.int64()),
+            }
+        )
+
+    e = edges.map_batches(symmetrize, batch_format="pyarrow")
+    mode, e = resolve_plan(e, plan)
+
+    if mode == "driver":
+        from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+        g = driver_frame(e, DRIVER_PLAN_LIMIT, "label_propagation")
+        u = g["u"].to_numpy()
+        v = g["v"].to_numpy()
+        nodes = np.unique(u)
+        labels = nodes.copy()
+        v_idx = np.searchsorted(nodes, v)
+        for _ in range(rounds):
+            nl = labels[v_idx]
+            win_nodes, win_lbl = _mode_per_node(u, nl)
+            # symmetrized edges cover every node as u, so the winner
+            # table is complete and positional assignment is total
+            labels = win_lbl[np.searchsorted(win_nodes, nodes)]
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "lbl": pa.array(labels, pa.int64()),
+            }
+        )
+
+    # shuffle plan: static edge list, per-round join + bucketed mode
+    def init_labels(b: pa.Table) -> pa.Table:
+        un = np.unique(b["u"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"node": pa.array(un, pa.int64()), "lbl": pa.array(un, pa.int64())}
+        )
+
+    from ray.data.aggregate import Min
+
+    labels_ds = (
+        e.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min(on="lbl", alias_name="lbl"))
+    )
+
+    def bucket_mode(g: pd.DataFrame) -> pd.DataFrame:
+        un, ln = _mode_per_node(
+            g["u"].to_numpy(np.int64), g["lbl"].to_numpy(np.int64)
+        )
+        return pd.DataFrame({"node": un, "lbl": ln})
+
+    for _ in range(rounds):
+        joined = bucketed_hash_join(
+            e,
+            labels_ds.map_batches(
+                lambda b: pa.table({"n2": b["node"], "lbl": b["lbl"]}),
+                batch_format="pyarrow",
+            ),
+            left_on="v",
+            right_on="n2",
+            num_buckets=num_buckets,
+        )
+        labels_ds = bucketed_window(
+            joined, bucket_mode, key="u", buckets=num_buckets
+        ).map_batches(
+            lambda b: pa.table({"node": b["node"], "lbl": b["lbl"]}),
+            batch_format="pyarrow",
+        )
+        labels_ds = labels_ds.materialize()
+    return labels_ds

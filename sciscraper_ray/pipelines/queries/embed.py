@@ -1078,3 +1078,99 @@ def embedding_pairwise_topk(sf_dir: str):
             "rank": pa.array(np.arange(1, len(top) + 1), pa.int64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed PCA-direction extraction: top principal axis of the
+# embedding cloud via power iteration over the second-moment matrix.
+# The Gram accumulation is the same d^2-doubles-per-batch reduction as
+# embedding_gram; cross-engine exactness comes from fixed-point
+# quantization (floor(x*1000 + 0.5) per coordinate), which makes the
+# accumulated matrix INTEGER — addition order can't change it — so both
+# engines iterate on bit-identical input and only benign 1e-16/step
+# float drift separates them (rounded away at 6 decimals).
+# --------------------------------------------------------------------------
+
+_PI_DIM = 64
+# the fixture spectrum has lambda2/lambda1 ~ 0.93, so 80 fixed steps put
+# the iterate within ~0.4% angle of the true top axis — convergence is a
+# property of the input, the cross-engine contract is the FIXED count
+_PI_ITERS = 80
+
+
+def _power_iteration_oracle() -> str:
+    steps = []
+    prev = "v0"
+    for k in range(1, _PI_ITERS + 1):
+        # the norm via a window over the SAME select keeps each CTE
+        # referenced exactly once — a scalar subquery would re-expand the
+        # whole chain per step (inlined CTEs, exponential blowup)
+        steps.append(
+            f"""v{k} AS MATERIALIZED (
+        SELECT i, y / sqrt(sum(y * y) OVER ()) AS x FROM (
+            SELECT g.i AS i, sum(CAST(g.m AS DOUBLE) * v.x) AS y
+            FROM g JOIN {prev} v ON g.j = v.i GROUP BY g.i
+        )
+    )"""
+        )
+        prev = f"v{k}"
+    body = ",\n    ".join(steps)
+    return f"""
+    WITH q AS (
+        SELECT vec_id, t.i AS i,
+               CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 1000 + 0.5)
+                    AS BIGINT) AS qv
+        FROM embeddings, range({_PI_DIM}) t(i)
+    ), g AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j, sum(a.qv * b.qv) AS m
+        FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY a.i, b.i
+    ), v0 AS (
+        SELECT i, 1.0 AS x FROM range({_PI_DIM}) t(i)
+    ), {body}
+    SELECT CAST(i AS BIGINT) AS dim, round(x, 6) + 0 AS loading FROM {prev}
+    """
+
+
+@register("embedding_power_iteration", oracle=_power_iteration_oracle())
+def embedding_power_iteration(sf_dir: str):
+    """Dominant eigenvector of the quantized second-moment matrix by 12
+    fixed power-iteration steps (v0 = all-ones). Each batch ships ONE
+    integer d x d X^T X partial (a single matmul over the zero-copy
+    flatten-reshape) — the reduction volume is d^2 int64 per batch
+    regardless of row count, the driver-side sum is exact integer
+    arithmetic, and the iteration itself is 12 tiny d x d matvecs. Fixed
+    iteration count (not convergence) keeps it deterministic and
+    SQL-mirrorable; the oracle unrolls the same 12 normalized steps over
+    the same integer matrix."""
+    import ray.data
+
+    from sciscraper_ray.stages.ann import _stack
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _stack(batch["embedding"])
+        q = np.floor(mat * 1000.0 + 0.5).astype(np.int64)
+        g = q.T @ q
+        return pa.table(
+            {
+                "cell": pa.array(g.ravel(), pa.int64()),
+                "idx": pa.array(np.arange(g.size, dtype=np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    d = _PI_DIM
+    m = (
+        parts.groupby("idx")["cell"].sum().to_numpy().reshape(d, d).astype(np.float64)
+    )
+    v = np.ones(d, np.float64)
+    for _ in range(_PI_ITERS):
+        y = m @ v
+        v = y / np.sqrt(np.sum(y * y))
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "loading": pa.array(np.round(v, 6) + 0.0, pa.float64()),
+        }
+    )

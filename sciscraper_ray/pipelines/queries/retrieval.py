@@ -3527,3 +3527,132 @@ def graph_wcc_sizes(sf_dir: str):
         .groupby("comp_size")
         .aggregate(Sum(on="n_components", alias_name="n_components"))
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic synchronous label propagation (Raghavan et al. 2007,
+# restricted to the SQL-mirrorable synchronous min-tiebreak form): the
+# cheap community-detection pass crawl pipelines run between WCC (too
+# coarse: one giant component) and modularity methods (not
+# fixed-round-deterministic). 3 synchronous rounds, then the community
+# size histogram.
+# --------------------------------------------------------------------------
+
+_LP_ROUNDS = 3
+
+
+def _lp_oracle() -> str:
+    rounds = []
+    prev = "lab0"
+    for k in range(1, _LP_ROUNDS + 1):
+        rounds.append(
+            f"""r{k} AS (
+        SELECT e.u AS n, lb.lbl AS cl, count(*) AS c
+        FROM e JOIN {prev} lb ON e.v = lb.n GROUP BY e.u, lb.lbl
+    ), lab{k} AS (
+        SELECT n, cl AS lbl FROM (
+            SELECT n, cl, row_number() OVER (
+                PARTITION BY n ORDER BY c DESC, cl ASC) AS rn
+            FROM r{k}
+        ) WHERE rn = 1
+    )"""
+        )
+        prev = f"lab{k}"
+    body = ",\n    ".join(rounds)
+    return f"""
+    WITH l AS (
+        SELECT doc_id AS s, unnest({_REF_TARGETS_SQL}) AS t FROM documents
+    ), e0 AS (
+        SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        FROM l WHERE s <> t
+    ), e AS (
+        SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0
+    ), lab0 AS (
+        SELECT DISTINCT u AS n, u AS lbl FROM e
+    ), {body},
+    sizes AS (
+        SELECT lbl, count(*) AS sz FROM {prev} GROUP BY lbl
+    )
+    SELECT CAST(sz AS BIGINT) AS comm_size,
+           CAST(count(*) AS BIGINT) AS n_communities
+    FROM sizes GROUP BY sz
+    """
+
+
+@register("graph_label_propagation", oracle=_lp_oracle())
+def graph_label_propagation(sf_dir: str):
+    """Community size histogram after 3 synchronous mode-label rounds
+    over the doc link graph. Edges are harvested through the DOM engine
+    (same parse as page_link_graph), canonicalized (a < b, self-loops
+    dropped) and DEDUPED with a key-only groupby — multiplicity feeds
+    the neighbor mode, so distinctness is part of the contract. The
+    rounds run in pipelines/graph.py label_propagation (two-plan:
+    driver lexsort kernel under resolve_plan's limit, else per-round
+    bucketed join + node-bucketed vectorized mode kernel); the
+    histogram is two |distinct-size|-bounded groupbys."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from sciscraper_ray.pipelines.graph import label_propagation
+
+    raw = _doc_edges(sf_dir)
+
+    def orient(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        t = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s != t
+        s, t = s[keep], t[keep]
+        tab = pa.table(
+            {
+                "a": pa.array(np.minimum(s, t), pa.int64()),
+                "b": pa.array(np.maximum(s, t), pa.int64()),
+            }
+        )
+        # local pre-dedup shrinks the distinct shuffle's exchange
+        return tab.group_by(["a", "b"]).aggregate([]).rename_columns(["a", "b"])
+
+    distinct = (
+        raw.map_batches(orient, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_m"))
+        .map_batches(
+            lambda b: b.select(["a", "b"]), batch_format="pyarrow"
+        )
+    )
+
+    labels = label_propagation(distinct, rounds=_LP_ROUNDS)
+    if isinstance(labels, pa.Table):
+        labels = ray.data.from_arrow(labels)
+
+    def size_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"lbl": b["lbl"], "one": pa.array(np.ones(len(b), np.int64))}
+        )
+        return (
+            t.group_by("lbl").aggregate([("one", "sum")]).rename_columns(["lbl", "sz"])
+        )
+
+    sizes = (
+        labels.map_batches(size_partial, batch_format="pyarrow")
+        .groupby("lbl")
+        .aggregate(Sum(on="sz", alias_name="comm_size"))
+    )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "comm_size": b["comm_size"],
+                "one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        return (
+            t.group_by("comm_size")
+            .aggregate([("one", "sum")])
+            .rename_columns(["comm_size", "n_communities"])
+        )
+
+    return (
+        sizes.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("comm_size")
+        .aggregate(Sum(on="n_communities", alias_name="n_communities"))
+    )

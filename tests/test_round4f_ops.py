@@ -65,3 +65,85 @@ def test_supplier_late_blame(ray_session):
     assert sorted(got_pairs, key=lambda kv: (-kv[1], kv[0])) == exp
     # the pipeline's own ordering contract: count desc, suppkey asc
     assert got_pairs == exp
+
+
+def test_label_propagation_plan_parity(ray_session):
+    """Driver and shuffle plans produce identical labels on the same
+    canonical edge list (the test_dedup-style plan-parity gate)."""
+    import pyarrow as pa
+
+    from sciscraper_ray.pipelines.graph import label_propagation
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 200, 600, dtype=np.int64)
+    b = rng.integers(0, 200, 600, dtype=np.int64)
+    keep = a != b
+    lo, hi = np.minimum(a[keep], b[keep]), np.maximum(a[keep], b[keep])
+    pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    edges = pa.table({"a": pairs[:, 0], "b": pairs[:, 1]})
+
+    drv = label_propagation(edges, rounds=3, plan="driver")
+    drv_df = drv.to_pandas() if hasattr(drv, "to_pandas") else drv
+    shf = label_propagation(edges, rounds=3, plan="shuffle")
+    shf_df = shf.to_pandas().sort_values("node").reset_index(drop=True)
+    drv_df = (
+        drv_df.to_pandas() if not hasattr(drv_df, "sort_values") else drv_df
+    )
+    drv_df = drv_df.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(drv_df, shf_df)
+
+
+def test_label_propagation_semantics():
+    """3 synchronous rounds on a toy barbell: mode with min tiebreak."""
+    import pyarrow as pa
+
+    from sciscraper_ray.pipelines.graph import label_propagation
+
+    # triangle {0,1,2} bridged to triangle {3,4,5} via 2-3
+    e = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    edges = pa.table(
+        {
+            "a": np.array([x for x, _ in e], np.int64),
+            "b": np.array([y for _, y in e], np.int64),
+        }
+    )
+    out = label_propagation(edges, rounds=3, plan="driver")
+    got = dict(zip(out["node"].to_pylist(), out["lbl"].to_pylist()))
+    # hand-rolled synchronous rounds
+    adj = {n: [] for n in range(6)}
+    for x, y in e:
+        adj[x].append(y)
+        adj[y].append(x)
+    lbl = {n: n for n in range(6)}
+    for _ in range(3):
+        new = {}
+        for n in range(6):
+            cnts: dict[int, int] = {}
+            for nb in adj[n]:
+                cnts[lbl[nb]] = cnts.get(lbl[nb], 0) + 1
+            best = sorted(cnts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[n] = best
+        lbl = new
+    assert got == lbl
+
+
+def test_embedding_power_iteration(ray_session):
+    out = QUERIES["embedding_power_iteration"](SF)
+    df = _df(out).sort_values("dim").reset_index(drop=True)
+    emb = pd.read_parquet(SF + "/embeddings.parquet", columns=["embedding"])
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = np.floor(mat * 1000.0 + 0.5)
+    m = q.T @ q
+    got = df["loading"].to_numpy()
+    # primary: exact recompute of the fixed 80-step contract
+    v = np.ones(64)
+    for _ in range(80):
+        y = m @ v
+        v = y / np.sqrt(np.sum(y * y))
+    assert np.allclose(got, np.round(v, 6), atol=2e-6)
+    # secondary: the fixed count actually lands near the true top axis
+    w, vecs = np.linalg.eigh(m)
+    top = vecs[:, -1]
+    cos = abs(float(got @ top) / (np.linalg.norm(got) * np.linalg.norm(top)))
+    assert cos > 0.99
+    assert abs(np.linalg.norm(got) - 1.0) < 1e-4
