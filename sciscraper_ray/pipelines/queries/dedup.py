@@ -1117,3 +1117,108 @@ def dedup_embedding(sf_dir: str):
     return near_dup_pairs_embedding(full, threshold=0.95)
 
 
+
+
+# ---------------------------------------------------------------------------
+# HLL ROLLUP — the mergeability payoff: day-level register tables are
+# built ONCE from the raw stream, then every coarser level (here the
+# whole-range total) is a register-table max-merge — no second scan of
+# the data. This is how a 100 TB pipeline serves "distinct users per
+# day AND overall" from one pass. Output carries the finished ESTIMATES
+# (alpha * m^2 / sum(2^-rho) with the linear-counting small-range
+# branch), not raw registers.
+# ---------------------------------------------------------------------------
+
+
+def _hll_rollup_oracle() -> str:
+    rho = """CASE WHEN hv // 64 = 0 THEN 55
+                    ELSE 54 - length(bin(hv // 64)) + 1 END"""
+    est = (
+        "round(CASE WHEN 0.709 * 4096 / denom <= 160.0 AND zeros > 0 "
+        "THEN 64 * ln(64.0 / zeros) ELSE 0.709 * 4096 / denom END, 6)"
+    )
+    return f"""
+    WITH h AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS d,
+               {_md5_hex15_sql("CAST(user_id AS VARCHAR)")} AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ), r AS (
+        SELECT d, hv % 64 AS bucket, {rho} AS rho FROM h
+    ), regs AS (
+        SELECT d, bucket, max(rho) AS mr FROM r GROUP BY d, bucket
+    ), day_d AS (
+        SELECT d, sum(power(2.0, -mr)) + (64 - count(*)) AS denom,
+               64 - count(*) AS zeros
+        FROM regs GROUP BY d
+    ), tot_r AS (
+        SELECT bucket, max(mr) AS mr FROM regs GROUP BY bucket
+    ), tot_d AS (
+        SELECT sum(power(2.0, -mr)) + (64 - count(*)) AS denom,
+               64 - count(*) AS zeros
+        FROM tot_r
+    )
+    SELECT 'day' AS level, d AS key, {est} AS est_users FROM day_d
+    UNION ALL
+    SELECT 'total' AS level, '*' AS key, {est} AS est_users FROM tot_d
+    """
+
+
+@register("events_hll_rollup", oracle=_hll_rollup_oracle())
+def events_hll_rollup(sf_dir: str):
+    """Hierarchical HLL rollup (distinct users per day + overall) from
+    ONE scan: per-batch grouped partial registers (vectorized md5 parse
+    + np.maximum.at, <= |days| x 64 rows per batch), one
+    groupby(day, bucket).Max exchange, then the total level is a pure
+    register merge (per-bucket max over the day table). The finished
+    register table is |days| x 64 rows — that it fits anywhere IS the
+    sketch contract — so the estimate finish (stages/sketch.py
+    hll_estimate, same alpha/linear-counting branch as the oracle) runs
+    vectorized on the driver."""
+    import ray.data
+    from ray.data.aggregate import Max
+
+    from sciscraper_ray.stages.sketch import (
+        hll_estimate,
+        hll_grouped_partial_batch,
+    )
+
+    def add_day(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+                "user_id": b["user_id"],
+            }
+        )
+
+    regs = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+        )
+        .map_batches(add_day, batch_format="pyarrow")
+        .map_batches(
+            lambda b: hll_grouped_partial_batch(b, "day", "user_id"),
+            batch_format="pyarrow",
+        )
+        .groupby(["day", "bucket"])
+        .aggregate(Max(on="rho", alias_name="mr"))
+        .to_pandas()
+    )
+    levels: list[str] = []
+    keys: list[str] = []
+    ests: list[float] = []
+    for day, g in sorted(regs.groupby("day")):
+        reg = dict(zip(g["bucket"].astype(int), g["mr"].astype(int)))
+        levels.append("day")
+        keys.append(str(day))
+        ests.append(round(hll_estimate(reg), 6))
+    tot = regs.groupby("bucket")["mr"].max()
+    levels.append("total")
+    keys.append("*")
+    ests.append(round(hll_estimate(dict(zip(tot.index.astype(int), tot.astype(int)))), 6))
+    return pa.table(
+        {
+            "level": pa.array(levels, pa.string()),
+            "key": pa.array(keys, pa.string()),
+            "est_users": pa.array(ests, pa.float64()),
+        }
+    )

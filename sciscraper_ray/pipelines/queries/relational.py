@@ -2920,3 +2920,205 @@ def supplier_late_blame(sf_dir: str):
     return tallied.sort(
         ["n_blame", "s_suppkey"], descending=[True, False]
     ).limit(10)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8 shape (national market share): within ASIA-region customers'
+# revenue on STANDARD-type parts, what share per order-year came from
+# NATION_2 suppliers? The five-table join splits into its physical
+# roles: two big-big bucketed joins (orders x customer on custkey,
+# lineitem x qualified-orders on orderkey) and three broadcast dims
+# (nation->region 25 rows; the STANDARD-partkey bitmap, one bit per
+# part; suppkey->nationkey). Money is cents x basis points integers end
+# to end; the one float op is the final mirrored share.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "market_share_q8",
+    oracle="""
+    WITH ao AS (
+        SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS yr
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_regionkey = 2
+    ), lr AS (
+        SELECT l_orderkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+               (s_nationkey = 2) AS n2
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE p_type = 'STANDARD'
+    )
+    SELECT yr,
+           CAST(sum(rev) AS BIGINT) AS asia_std_rev_c2,
+           round(CAST(sum(CASE WHEN n2 THEN rev ELSE 0 END) AS BIGINT)
+                 / CAST(sum(rev) AS BIGINT), 6) AS n2_share
+    FROM lr JOIN ao ON l_orderkey = o_orderkey
+    GROUP BY yr
+    """,
+)
+def market_share_q8(sf_dir: str):
+    """Q8 market share with each join in its scale-correct physical
+    form: customer is sf-proportional, so orders qualify through a
+    bucketed co-partition join against the ASIA-filtered customer
+    projection (the VERDICT r3 orders_by_region lesson — never
+    broadcast a fact-sized side); lineitem pre-filters through a
+    broadcast partkey BITMAP (one bit per part — 40M parts = 5 MB, the
+    promo_revenue_share trick) and tags supplier nation through a
+    broadcast dense suppkey->nationkey array (int8 per supplier; at a
+    supplier count where that outgrows the object store comfort bound
+    the same bucketed join applies); per-batch partials pre-reduce to
+    (orderkey, rev, n2rev) rows so the second bucketed join moves
+    order-grain integers only, and the year groupby is |years|-bounded."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+
+    # --- broadcast dims -------------------------------------------------
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    asia_nations = set(
+        nation.filter(pc.equal(nation["n_regionkey"], 2))["n_nationkey"]
+        .to_numpy(zero_copy_only=False)
+        .tolist()
+    )
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    keys = part["p_partkey"].to_numpy(zero_copy_only=False)
+    std = pc.equal(part["p_type"], "STANDARD").to_numpy(zero_copy_only=False)
+    bitmap = np.zeros((int(keys.max()) >> 6) + 1, np.uint64)
+    pk = keys[std].astype(np.uint64)
+    np.bitwise_or.at(
+        bitmap,
+        (pk >> np.uint64(6)).astype(np.int64),
+        np.uint64(1) << (pk & np.uint64(63)),
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False)
+    snat = np.full(int(sk.max()) + 1, -1, np.int32)
+    snat[sk] = supp["s_nationkey"].to_numpy(zero_copy_only=False)
+    bitmap_ref = ray.put(bitmap)
+    snat_ref = ray.put(snat)
+
+    # --- ASIA orders via bucketed join against the filtered customer ----
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    asia_arr = np.array(sorted(asia_nations), np.int32)
+
+    def asia_only(b: pa.Table) -> pa.Table:
+        keep = np.isin(b["c_nationkey"].to_numpy(zero_copy_only=False), asia_arr)
+        return pa.table({"c_custkey": b["c_custkey"].filter(pa.array(keep))})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    asia_orders = bucketed_hash_join(
+        orders,
+        cust.map_batches(asia_only, batch_format="pyarrow"),
+        left_on="o_custkey",
+        right_on="c_custkey",
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "yr": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    # --- lineitem partials: STANDARD filter + supplier-nation tag -------
+    class LinePartial:
+        def __init__(self):
+            self.bitmap = ray.get(bitmap_ref)
+            self.snat = ray.get(snat_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pkey = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            is_std = (
+                (self.bitmap[(pkey >> np.uint64(6)).astype(np.int64)]
+                 >> (pkey & np.uint64(63)))
+                & np.uint64(1)
+            ).astype(bool)
+            b = b.filter(pa.array(is_std))
+            if not b.num_rows:
+                return pa.table(
+                    {
+                        "l_orderkey": pa.array([], pa.int64()),
+                        "rev": pa.array([], pa.int64()),
+                        "n2rev": pa.array([], pa.int64()),
+                    }
+                )
+            cents = np.round(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            bp = np.round(
+                b["l_discount"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            rev = cents * (100 - bp)
+            n2 = self.snat[b["l_suppkey"].to_numpy(zero_copy_only=False)] == 2
+            t = pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "rev": pa.array(rev, pa.int64()),
+                    "n2rev": pa.array(np.where(n2, rev, 0), pa.int64()),
+                }
+            )
+            return (
+                t.group_by("l_orderkey")
+                .aggregate([("rev", "sum"), ("n2rev", "sum")])
+                .rename_columns(["l_orderkey", "rev", "n2rev"])
+            )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(LinePartial, batch_format="pyarrow", concurrency=(1, 4))
+
+    joined = bucketed_hash_join(
+        li, asia_orders, left_on="l_orderkey", right_on="o_orderkey"
+    )
+
+    def year_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"yr": b["yr"], "rev": b["rev"], "n2rev": b["n2rev"]})
+        return (
+            t.group_by("yr")
+            .aggregate([("rev", "sum"), ("n2rev", "sum")])
+            .rename_columns(["yr", "rev", "n2rev"])
+        )
+
+    agg = (
+        joined.map_batches(year_partial, batch_format="pyarrow")
+        .groupby("yr")
+        .aggregate(
+            Sum(on="rev", alias_name="rev"), Sum(on="n2rev", alias_name="n2rev")
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        rev = b["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n2 = b["n2rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "yr": b["yr"],
+                "asia_std_rev_c2": pa.array(rev, pa.int64()),
+                "n2_share": pa.array(
+                    np.round(n2.astype(np.float64) / rev.astype(np.float64), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -147,3 +147,49 @@ def test_embedding_power_iteration(ray_session):
     cos = abs(float(got @ top) / (np.linalg.norm(got) * np.linalg.norm(top)))
     assert cos > 0.99
     assert abs(np.linalg.norm(got) - 1.0) < 1e-4
+
+
+def test_events_hll_rollup_merge_property(ray_session):
+    """Total-level estimate must equal the estimate of the max-merged
+    day registers, and every estimate stays within HLL error of exact."""
+    got = _df(QUERIES["events_hll_rollup"](SF))
+    ev = pd.read_parquet(SF + "/events.parquet", columns=["ts", "user_id"])
+    exact_total = ev["user_id"].nunique()
+    tot = float(got.loc[got["level"] == "total", "est_users"].iloc[0])
+    # m=64 -> typical rel error ~13%; allow 3 sigma
+    assert abs(tot - exact_total) / exact_total < 0.4
+    days = got[got["level"] == "day"]
+    assert len(days) == ev["ts"].dt.strftime("%Y-%m-%d").nunique()
+    # day estimates also sane vs exact per-day distincts
+    exact_day = ev.groupby(ev["ts"].dt.strftime("%Y-%m-%d"))["user_id"].nunique()
+    for _, row in days.iterrows():
+        assert abs(row["est_users"] - exact_day[row["key"]]) / exact_day[row["key"]] < 0.5
+
+
+def test_market_share_q8(ray_session):
+    got = _df(QUERIES["market_share_q8"](SF)).set_index("yr")
+    li = pd.read_parquet(SF + "/lineitem.parquet")
+    orders = pd.read_parquet(SF + "/orders.parquet")
+    cust = pd.read_parquet(SF + "/customer.parquet")
+    nation = pd.read_parquet(SF + "/nation.parquet")
+    part = pd.read_parquet(SF + "/part.parquet")
+    supp = pd.read_parquet(SF + "/supplier.parquet")
+    asia = nation[nation["n_regionkey"] == 2]["n_nationkey"]
+    ac = cust[cust["c_nationkey"].isin(asia)]["c_custkey"]
+    ao = orders[orders["o_custkey"].isin(ac)][["o_orderkey", "o_orderdate"]]
+    std = part[part["p_type"] == "STANDARD"]["p_partkey"]
+    l2 = li[li["l_partkey"].isin(std)].merge(
+        ao, left_on="l_orderkey", right_on="o_orderkey"
+    )
+    l2 = l2.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    cents = np.round(l2["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    bp = np.round(l2["l_discount"].to_numpy() * 100).astype(np.int64)
+    rev = cents * (100 - bp)
+    yr = l2["o_orderdate"].dt.year.to_numpy()
+    n2 = (l2["s_nationkey"] == 2).to_numpy()
+    for y in np.unique(yr):
+        m = yr == y
+        tot = int(rev[m].sum())
+        share = round(float(rev[m & n2].sum()) / tot, 6)
+        assert int(got.loc[y, "asia_std_rev_c2"]) == tot
+        assert abs(float(got.loc[y, "n2_share"]) - share) < 1e-9
