@@ -1222,3 +1222,80 @@ def events_hll_rollup(sf_dir: str):
             "est_users": pa.array(ests, pa.float64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney continuation statistics — the smoothing ingredient plain
+# bigram counts can't give: how many DISTINCT left contexts precede
+# each token (N1+(.w)) and the continuation probability
+# P_cont(w) = N1+(.w) / |distinct bigrams|. "san francisco" scores high
+# on raw counts but low on continuation — the signal KN smoothing is
+# built on (Kneser & Ney 1995).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "token_kn_continuation",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n
+        FROM documents
+    ), w AS (
+        SELECT unnest(range(n - 1)) AS k, toks FROM d WHERE n >= 2
+    ), bg AS (
+        SELECT toks[k + 1] AS prev, toks[k + 2] AS nxt FROM w
+    ), db AS (
+        SELECT DISTINCT prev, nxt FROM bg
+    ), tot AS (
+        SELECT count(*) AS t FROM db
+    )
+    SELECT nxt AS token, CAST(count(*) AS BIGINT) AS cont_cnt,
+           round(count(*) / (SELECT CAST(t AS DOUBLE) FROM tot), 6)
+               AS p_cont
+    FROM db GROUP BY nxt
+    """,
+)
+def token_kn_continuation(sf_dir: str):
+    """Distinct-left-context counts per token: per-batch Arrow group_by
+    compresses each batch to its DISTINCT (prev, next) pairs — the
+    exchange moves O(vocab^2) pair rows, never token streams — and the
+    vocab-bounded union dedups once on the driver (same plan budget as
+    token_bigram_next; above the driver bound the identical dedup is
+    one groupby on the pair key). The one float op (the shared
+    normalizer division) is mirrored exactly."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        _, bg = _ngram_positions(batch, 2)
+        if len(bg) == 0:
+            return pa.table(
+                {
+                    "prev": pa.array([], type=pa.string()),
+                    "nxt": pa.array([], type=pa.string()),
+                }
+            )
+        split = pc.split_pattern(bg, " ")
+        flat = pc.list_flatten(split)
+        tok = flat.take(np.arange(0, len(flat), 2))
+        nxt = flat.take(np.arange(1, len(flat), 2))
+        return (
+            pa.table({"prev": tok, "nxt": nxt})
+            .group_by(["prev", "nxt"])
+            .aggregate([])
+        )
+
+    parts = (
+        _docs(sf_dir).map_batches(partials, batch_format="pyarrow").to_pandas()
+    )
+    db = parts.drop_duplicates(["prev", "nxt"])
+    total = float(len(db))
+    cont = db.groupby("nxt", as_index=False).size()
+    return pa.table(
+        {
+            "token": pa.array(cont["nxt"], pa.string()),
+            "cont_cnt": pa.array(cont["size"].to_numpy(np.int64)),
+            "p_cont": pa.array(
+                np.round(cont["size"].to_numpy(np.float64) / total, 6),
+                pa.float64(),
+            ),
+        }
+    )

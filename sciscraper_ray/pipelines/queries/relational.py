@@ -3122,3 +3122,115 @@ def market_share_q8(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Range-partitioner construction — the backbone of every distributed
+# sort / write-ordered step: a DETERMINISTIC hash sample of rows picks
+# B-1 price boundaries, and the whole table is histogrammed into the
+# resulting ranges. Balanced counts prove the sample-derived splits
+# would feed a balanced sort; the md5 row-hash sample (not random())
+# is what makes the plan reproducible AND SQL-mirrorable.
+# --------------------------------------------------------------------------
+
+_RP_MOD = 50  # 2% deterministic sample
+_RP_BUCKETS = 8
+
+_RP_KEY_SQL = (
+    "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)"
+)
+
+
+@register(
+    "lineitem_range_partition",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_extendedprice AS p, {_RP_KEY_SQL} AS k
+        FROM lineitem
+        WHERE {{mod_expr}} = 0
+    ), o AS (
+        SELECT p, row_number() OVER (ORDER BY p, k) AS rn FROM s
+    ), bnd AS (
+        SELECT o.p FROM o, (SELECT count(*) AS n FROM s) t,
+             range(1, {_RP_BUCKETS}) g(kk)
+        WHERE o.rn = (g.kk * t.n) // {_RP_BUCKETS}
+    )
+    SELECT CAST((SELECT count(*) FROM bnd
+                 WHERE bnd.p < l.l_extendedprice) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem l GROUP BY bucket
+    """.replace(
+        "{mod_expr}",
+        # inline to avoid importing at module top: same md5 15-hex-digit
+        # positional parse the split/HLL oracles share
+        "(("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({_RP_KEY_SQL}), {j + 1}, 1)) - 1)"
+            f" * {16 ** (14 - j)}"
+            for j in range(15)
+        )
+        + f") % {_RP_MOD})",
+    ),
+)
+def lineitem_range_partition(sf_dir: str):
+    """Sample -> boundaries -> histogram, each stage in its distributed
+    form: the 2% sample is a per-batch md5 row-hash filter (pure map,
+    deterministic, no coordination); the sampled (price, key) pairs
+    merge on the driver and B-1 = 7 boundaries are read at the exact
+    rank positions (k*n)//B (at petabyte scale the sample itself is
+    re-subsampled by raising the modulus — the documented knob — so the
+    driver table stays bounded); the boundaries broadcast and every
+    batch histograms itself with one np.searchsorted — the final
+    exchange is B partial-count rows per batch. Ties at a boundary go
+    left (count of boundaries strictly below, pinned on both engines)."""
+    import hashlib
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+
+    def sample_batch(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = b["l_linenumber"].to_numpy(zero_copy_only=False)
+        keys = [f"{o}-{l}" for o, l in zip(ok, ln)]
+        digests = b"".join(hashlib.md5(k.encode()).digest() for k in keys)
+        h = (np.frombuffer(digests, ">u8")[::2] >> np.uint64(4)).astype(np.int64)
+        keep = (h % _RP_MOD) == 0
+        return pa.table(
+            {
+                "p": b["l_extendedprice"].filter(pa.array(keep)),
+                "k": pa.array([k for k, m in zip(keys, keep) if m], pa.string()),
+            }
+        )
+
+    sample = ds.map_batches(sample_batch, batch_format="pyarrow").to_pandas()
+    order = np.lexsort((sample["k"].to_numpy(), sample["p"].to_numpy()))
+    p_sorted = sample["p"].to_numpy()[order]
+    n = len(p_sorted)
+    # rank positions are 1-based (row_number); a position of 0 matches no
+    # sample row and drops out on BOTH engines (tiny-sample degenerate)
+    positions = [(k * n) // _RP_BUCKETS for k in range(1, _RP_BUCKETS)]
+    bounds = np.array(
+        [p_sorted[q - 1] for q in positions if q >= 1], np.float64
+    )
+
+    def hist_batch(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        bucket = np.searchsorted(bounds, price, side="left").astype(np.int64)
+        uniq, cnt = np.unique(bucket, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(uniq, pa.int64()),
+                "n_rows": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(hist_batch, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum(on="n_rows", alias_name="n_rows"))
+    )

@@ -359,6 +359,48 @@ def token_inverted_index(sf_dir: str):
     )
 
 
+def _warc_fixture_dir(sf_dir: str, n_shards: int = 8) -> tuple[str, int]:
+    """Build (once, cached) the 8-shard WARC fixture for ``sf_dir`` and
+    return (dir, n_shards). Cache key = the source parquet's identity
+    (abspath, mtime_ns, size) so a regenerated fixture never reuses
+    stale shards; shards are written to a temp dir and published with an
+    atomic rename so concurrent runs never observe a half-written
+    cache."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from sciscraper_ray.sources.warc import build_warc
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    cache_key = hashlib.sha256(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    out_dir = f"/tmp/warc_src_{cache_key}"
+    if not os.path.isdir(out_dir):
+        docs = pq.read_table(src, columns=["doc_id", "text"])
+        tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
+        os.makedirs(tmp_dir, exist_ok=True)
+        ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+        texts = docs["text"].to_pylist()
+        shards: list[list[tuple[int, str, bytes]]] = [[] for _ in range(n_shards)]
+        for i, t in zip(ids, texts):
+            shards[int(i) % n_shards].append(
+                (int(i), f"https://warc.example/doc-{int(i)}", t.encode("utf-8"))
+            )
+        for s, recs in enumerate(shards):
+            with open(os.path.join(tmp_dir, f"shard-{s:04d}.warc"), "wb") as f:
+                f.write(build_warc(recs))
+        try:
+            os.rename(tmp_dir, out_dir)  # atomic publish
+        except OSError:  # lost the race to a concurrent builder — use theirs
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+    return out_dir, n_shards
+
+
 @register(
     "warc_roundtrip",
     oracle="""
@@ -382,41 +424,13 @@ def warc_roundtrip(sf_dir: str):
     fixture never reuses stale shards, and built in a temp dir with an
     atomic rename so a concurrent run can never observe a half-written
     cache)."""
-    import hashlib
     import os
-    import shutil
-
-    import pyarrow.parquet as pq
 
     import ray.data
 
-    from sciscraper_ray.sources.warc import build_warc, parse_warc
+    from sciscraper_ray.sources.warc import parse_warc
 
-    src = f"{sf_dir}/documents.parquet"
-    st = os.stat(src)
-    cache_key = hashlib.sha256(
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:16]
-    docs = pq.read_table(src, columns=["doc_id", "text"])
-    n_shards = 8
-    out_dir = f"/tmp/warc_src_{cache_key}"
-    if not os.path.isdir(out_dir):
-        tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
-        os.makedirs(tmp_dir, exist_ok=True)
-        ids = docs["doc_id"].to_numpy(zero_copy_only=False)
-        texts = docs["text"].to_pylist()
-        shards: list[list[tuple[int, str, bytes]]] = [[] for _ in range(n_shards)]
-        for i, t in zip(ids, texts):
-            shards[int(i) % n_shards].append(
-                (int(i), f"https://warc.example/doc-{int(i)}", t.encode("utf-8"))
-            )
-        for s, recs in enumerate(shards):
-            with open(os.path.join(tmp_dir, f"shard-{s:04d}.warc"), "wb") as f:
-                f.write(build_warc(recs))
-        try:
-            os.rename(tmp_dir, out_dir)  # atomic publish
-        except OSError:  # lost the race to a concurrent builder — use theirs
-            shutil.rmtree(tmp_dir, ignore_errors=True)
+    out_dir, n_shards = _warc_fixture_dir(sf_dir)
 
     def parse_batch(batch: pa.Table) -> pa.Table:
         ids_, uris, texts_ = [], [], []
@@ -3656,3 +3670,74 @@ def graph_label_propagation(sf_dir: str):
         .groupby("comm_size")
         .aggregate(Sum(on="n_communities", alias_name="n_communities"))
     )
+
+
+# --------------------------------------------------------------------------
+# CDX sidecar index build: the (offset, length) table that turns
+# sequential-only WARC segments into a random-access store (what
+# Common Crawl publishes as .cdx). The oracle derives every offset
+# arithmetically — the WARC/1.0 envelope is deterministic, so
+# rec_len = 127 + 2*len(digits(id)) + len(digits(payload_len)) +
+# payload_len and offsets are the per-shard prefix sum — which means a
+# single byte of writer/scanner drift fails the compare.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "warc_cdx_index",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               127 + 2 * length(CAST(doc_id AS VARCHAR))
+                   + length(CAST(octet_length(encode(text)) AS VARCHAR))
+                   + octet_length(encode(text)) AS rec_len
+        FROM documents
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(sum(rec_len) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - rec_len AS BIGINT) AS offset,
+           CAST(rec_len AS BIGINT) AS rec_len
+    FROM r
+    """,
+)
+def warc_cdx_index(sf_dir: str):
+    """Build the CDX index by scanning the WARC shards themselves
+    (sources/warc.py cdx_scan: Content-Length-delimited walk recording
+    each record's magic offset and full envelope span). One task per
+    segment file — the index build is embarrassingly parallel and
+    shuffle-free, exactly how real .cdx generation fans out over
+    warc.paths; the oracle recomputes every byte offset from the
+    envelope arithmetic, so the check pins the writer AND scanner to
+    the format contract."""
+    import os
+
+    import ray.data
+
+    from sciscraper_ray.sources.warc import cdx_scan
+
+    out_dir, n_shards = _warc_fixture_dir(sf_dir)
+
+    def scan_batch(batch: pa.Table) -> pa.Table:
+        ids_, shards_, offs_, lens_ = [], [], [], []
+        for path, blob in zip(
+            batch["path"].to_pylist(), batch["bytes"].to_pylist()
+        ):
+            shard = int(os.path.basename(path).split("-")[1].split(".")[0])
+            for rec_id, _uri, off, ln in cdx_scan(blob):
+                ids_.append(rec_id)
+                shards_.append(shard)
+                offs_.append(off)
+                lens_.append(ln)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_, pa.int64()),
+                "shard": pa.array(shards_, pa.int64()),
+                "offset": pa.array(offs_, pa.int64()),
+                "rec_len": pa.array(lens_, pa.int64()),
+            }
+        )
+
+    return ray.data.read_binary_files(
+        [os.path.join(out_dir, f"shard-{s:04d}.warc") for s in range(n_shards)],
+        include_paths=True,
+    ).map_batches(scan_batch, batch_format="pyarrow")

@@ -78,3 +78,43 @@ def parse_warc(data: bytes) -> list[dict]:
         )
         pos = body_start + length
     return out
+
+
+def cdx_scan(data: bytes) -> list[tuple[int | None, str, int, int]]:
+    """CDX-style index scan of one segment: (record_id, uri, offset,
+    rec_len) per record, where offset is the byte position of the
+    record's ``WARC/1.0`` magic and rec_len spans through the trailing
+    CRLF CRLF separator — the (offset, length) pair that makes WARC
+    random-access (what a .cdx sidecar stores for Common Crawl)."""
+    out: list[tuple[int | None, str, int, int]] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/1.0", pos)
+        if start < 0:
+            break
+        hdr_end = data.find(_CRLF + _CRLF, start)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in data[start:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            if v:
+                headers[k.decode("latin-1").strip()] = v.decode("latin-1").strip()
+        try:
+            length = int(headers["Content-Length"])
+        except (KeyError, ValueError):
+            pos = start + len(b"WARC/1.0")
+            continue
+        body_start = hdr_end + 4
+        end = body_start + length + 4  # trailing CRLF CRLF
+        rec_id = headers.get("WARC-Record-ID", "")
+        num = None
+        if rec_id.startswith("<urn:doc:") and rec_id.endswith(">"):
+            try:
+                num = int(rec_id[len("<urn:doc:") : -1])
+            except ValueError:
+                num = None
+        out.append((num, headers.get("WARC-Target-URI", ""), start, end - start))
+        pos = end
+    return out

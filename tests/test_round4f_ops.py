@@ -193,3 +193,53 @@ def test_market_share_q8(ray_session):
         share = round(float(rev[m & n2].sum()) / tot, 6)
         assert int(got.loc[y, "asia_std_rev_c2"]) == tot
         assert abs(float(got.loc[y, "n2_share"]) - share) < 1e-9
+
+
+def test_warc_cdx_random_access(ray_session):
+    """The CDX rows must actually work: seek to (offset, rec_len) in the
+    shard file, parse the single record, get the right doc back."""
+    from sciscraper_ray.pipelines.queries.retrieval import _warc_fixture_dir
+    from sciscraper_ray.sources.warc import parse_warc
+
+    got = _df(QUERIES["warc_cdx_index"](SF))
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    out_dir, _ = _warc_fixture_dir(SF)
+    sample = got.sort_values("doc_id").iloc[:: max(1, len(got) // 25)]
+    for _, row in sample.iterrows():
+        path = f"{out_dir}/shard-{int(row['shard']):04d}.warc"
+        with open(path, "rb") as f:
+            f.seek(int(row["offset"]))
+            blob = f.read(int(row["rec_len"]))
+        recs = parse_warc(blob)
+        assert len(recs) == 1
+        assert recs[0]["record_id"] == int(row["doc_id"])
+        assert recs[0]["payload"].decode("utf-8") == texts[int(row["doc_id"])]
+    assert len(got) == len(docs)
+
+
+def test_token_kn_continuation(ray_session):
+    got = _df(QUERIES["token_kn_continuation"](SF)).set_index("token")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["text"])
+    pairs = set()
+    for t in docs["text"]:
+        toks = t.strip().lower().split(" ")
+        pairs.update(zip(toks, toks[1:]))
+    total = len(pairs)
+    cont: dict[str, int] = {}
+    for _, w in pairs:
+        cont[w] = cont.get(w, 0) + 1
+    assert len(got) == len(cont)
+    for w, c in cont.items():
+        assert int(got.loc[w, "cont_cnt"]) == c
+        assert abs(float(got.loc[w, "p_cont"]) - round(c / total, 6)) < 1e-9
+
+
+def test_lineitem_range_partition_balance(ray_session):
+    got = _df(QUERIES["lineitem_range_partition"](SF))
+    li = pd.read_parquet(SF + "/lineitem.parquet")
+    assert int(got["n_rows"].sum()) == len(li)
+    assert set(got["bucket"]) == set(range(8))
+    # sample-derived splits must be roughly balanced (2% sample, 8 ways)
+    frac = got["n_rows"].to_numpy() / len(li)
+    assert frac.max() < 0.25 and frac.min() > 0.04
