@@ -1299,3 +1299,129 @@ def token_kn_continuation(sf_dir: str):
             ),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# The PRODUCTION dedup cascade — exact pass first (cheap, kills byte
+# copies), MinHash-LSH near-dup pass on the survivors (expensive,
+# kills fuzzy copies) — reported as a per-stage funnel. Running near-dup
+# only on exact survivors is the standard cost structure (C4, CCNet,
+# RefinedWeb all stage it this way); the funnel row counts are the
+# pipeline's operational dashboard.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cascade",
+    oracle="""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000,
+               array_to_string(
+                   string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' ')
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 400000, text FROM documents WHERE doc_id % 9 = 0
+    ), g AS (
+        SELECT md5(text) AS h, min(doc_id) AS keep FROM all_docs GROUP BY h
+    ), surv AS (
+        SELECT d.doc_id, d.text FROM all_docs d JOIN g ON d.doc_id = g.keep
+    ), toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS lst FROM surv
+    ), grams AS (
+        SELECT doc_id,
+               CASE WHEN len(lst) < 3 THEN [array_to_string(lst, ' ')]
+                    ELSE list_transform(range(1, len(lst) - 1),
+                        i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2])
+               END AS shl
+        FROM toks
+    ), sh AS (
+        SELECT DISTINCT doc_id, unnest(shl) AS gr FROM grams
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        FROM sh x JOIN sh y ON x.gr = y.gr AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    ), pairs AS (
+        SELECT a, b FROM inter
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+    ), c0 AS (SELECT count(*) AS n FROM all_docs),
+       c1 AS (SELECT count(*) AS n FROM surv),
+       r2 AS (SELECT count(DISTINCT b) AS r FROM pairs)
+    SELECT 'input' AS stage, CAST(0 AS BIGINT) AS n_removed,
+           CAST(n AS BIGINT) AS n_remaining FROM c0
+    UNION ALL
+    SELECT 'exact', CAST((SELECT n FROM c0) - n AS BIGINT),
+           CAST(n AS BIGINT) FROM c1
+    UNION ALL
+    SELECT 'near', CAST(r AS BIGINT),
+           CAST((SELECT n FROM c1) - r AS BIGINT) FROM r2
+    """,
+)
+def dedup_cascade(sf_dir: str):
+    """Two-stage funnel over documents + injected near copies (id%7 ->
+    +200000, last word dropped) + injected exact copies (id%9 ->
+    +400000): the exact pass is the shared winner_filter two-pass plan
+    (128-bit md5 keys, payloads never shuffle), the near pass runs
+    MinHash-LSH + exact verify (>= 0.8 word-3-gram Jaccard) over the
+    exact survivors only, and a survivor is near-removed iff it is the
+    GREATER side of any qualifying pair (single-pass rule, mirrored in
+    SQL — full transitive clustering is dedup_components' job). Stage
+    counts are Dataset metadata / a distinct-count over the pair table;
+    the pair table is bounded by dup volume."""
+    import ray.data
+
+    from sciscraper_ray.pipelines.dedup import exact_dedup, near_dup_pairs_minhash
+
+    docs = _docs(sf_dir)
+
+    def near_copies(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 7 == 0
+        texts = [
+            " ".join(t.split(" ")[:-1])
+            for t, k in zip(batch["text"].to_pylist(), keep)
+            if k
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array((ids[keep] + 200_000).tolist(), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    def exact_copies(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 9 == 0
+        return pa.table(
+            {
+                "doc_id": pa.array((ids[keep] + 400_000).tolist(), pa.int64()),
+                "text": batch["text"].filter(pa.array(keep)),
+            }
+        )
+
+    ds = (
+        docs.union(docs.map_batches(near_copies, batch_format="pyarrow"))
+        .union(docs.map_batches(exact_copies, batch_format="pyarrow"))
+        .materialize()
+    )
+    n0 = ds.count()
+    surv = exact_dedup(ds).materialize()
+    n1 = surv.count()
+    pairs = near_dup_pairs_minhash(surv, threshold=0.8, est_input_rows=n1)
+    if isinstance(pairs, pa.Table):
+        b_vals = pairs["b"].to_numpy(zero_copy_only=False)
+    else:
+        b_vals = pairs.to_pandas()["b"].to_numpy()
+    r2 = int(len(np.unique(b_vals)))
+    return pa.table(
+        {
+            "stage": pa.array(["input", "exact", "near"], pa.string()),
+            "n_removed": pa.array([0, n0 - n1, r2], pa.int64()),
+            "n_remaining": pa.array([n0, n1, n1 - r2], pa.int64()),
+        }
+    )

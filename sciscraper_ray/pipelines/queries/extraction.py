@@ -588,3 +588,102 @@ def pdf_page_stats(sf_dir: str):
     return _pages(sf_dir, pdf_mod=1, dup_mod=None).map_batches(
         stats, batch_format="pyarrow"
     )
+
+
+# --------------------------------------------------------------------------
+# Block-density X-ray of the readability stripper: per page, the
+# per-container (n_blocks, text_chars, link_chars) table the
+# Arc90/Kohlschütter scorer actually sees, plus which container won.
+# The oracle derives every number arithmetically from the deterministic
+# render (sources/page_synth.py) — nav chrome is constant, the header
+# varies only with the id's digit count, the article with the text's
+# word count — so a single off-by-one in the parser's block
+# segmentation or link-char accounting fails the compare.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "page_block_density",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, length(text) AS L,
+               CAST(ceil(len(string_split(text, ' ')) / 40.0) AS BIGINT) AS nb
+        FROM documents
+    )
+    SELECT doc_id, 'ul' AS tag, CAST(4 AS BIGINT) AS n_blocks,
+           CAST(25 AS BIGINT) AS text_chars, CAST(25 AS BIGINT) AS link_chars,
+           CAST(0 AS BIGINT) AS is_winner FROM base
+    UNION ALL
+    SELECT doc_id, 'aside', 3, 73, 47, 0 FROM base
+    UNION ALL
+    SELECT doc_id, 'header', 2,
+           33 + length(CAST(doc_id AS VARCHAR)), 0, 0 FROM base
+    UNION ALL
+    SELECT doc_id, 'article', nb, L - (nb - 1), 0, 1 FROM base
+    UNION ALL
+    SELECT doc_id, 'footer', 1, 38, 12, 0 FROM base
+    """,
+)
+def page_block_density(sf_dir: str):
+    """Run the real block parser (stages/html_extract.py _BlockParser)
+    over every rendered page and aggregate its block stream per
+    innermost container, tagging the scorer's winning container. Pure
+    map stage — one task per batch, no exchange; the page render and
+    parse both happen inside the batch so payload bytes never leave the
+    task. The fixture guarantees the winner is the article for every
+    row (min text length >= 44 chars, one positive-scoring container),
+    which the oracle pins structurally."""
+    from collections import defaultdict
+
+    from sciscraper_ray.sources.page_synth import render_html
+    from sciscraper_ray.stages.html_extract import (
+        _BlockParser,
+        _block_score,
+    )
+
+    def profile(batch: pa.Table) -> pa.Table:
+        ids_, tags_, nbs_, tcs_, lcs_, win_ = [], [], [], [], [], []
+        for i, t, lg in zip(
+            batch["doc_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["lang"].to_pylist(),
+        ):
+            page = render_html(int(i), t, lg).decode("utf-8")
+            p = _BlockParser()
+            p.feed(page)
+            p.close()
+            agg: dict[int, list[int]] = defaultdict(lambda: [0, 0, 0])
+            scores: dict[int, float] = defaultdict(float)
+            for text, lc, cid in p.blocks:
+                a = agg[cid]
+                a[0] += 1
+                a[1] += len(text)
+                a[2] += lc
+                scores[cid] += _block_score(text, lc)
+            positive = {
+                c: s
+                for c, s in scores.items()
+                if s > 0 and not p.container_neg.get(c, False)
+            }
+            best = max(positive, key=lambda c: (positive[c], -c)) if positive else -1
+            for cid, (nb, tc, lc) in agg.items():
+                ids_.append(int(i))
+                tags_.append(p.container_tags[cid])
+                nbs_.append(nb)
+                tcs_.append(tc)
+                lcs_.append(lc)
+                win_.append(1 if cid == best else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_, pa.int64()),
+                "tag": pa.array(tags_, pa.string()),
+                "n_blocks": pa.array(nbs_, pa.int64()),
+                "text_chars": pa.array(tcs_, pa.int64()),
+                "link_chars": pa.array(lcs_, pa.int64()),
+                "is_winner": pa.array(win_, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+        profile, batch_format="pyarrow"
+    )

@@ -243,3 +243,48 @@ def test_lineitem_range_partition_balance(ray_session):
     # sample-derived splits must be roughly balanced (2% sample, 8 ways)
     frac = got["n_rows"].to_numpy() / len(li)
     assert frac.max() < 0.25 and frac.min() > 0.04
+
+
+def test_dedup_cascade_funnel(ray_session):
+    got = _df(QUERIES["dedup_cascade"](SF)).set_index("stage")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    n_near = int((docs["doc_id"] % 7 == 0).sum())
+    n_exact = int((docs["doc_id"] % 9 == 0).sum())
+    n0 = len(docs) + n_near + n_exact
+    assert int(got.loc["input", "n_remaining"]) == n0
+    # every injected exact copy must die in stage 1 (plus any natural
+    # exact dups); stage counts are internally consistent
+    assert int(got.loc["exact", "n_removed"]) >= n_exact
+    assert (
+        int(got.loc["exact", "n_remaining"])
+        == n0 - int(got.loc["exact", "n_removed"])
+    )
+    # every injected near copy must die by stage 2 at the latest
+    assert int(got.loc["near", "n_removed"]) >= 1
+    assert (
+        int(got.loc["near", "n_remaining"])
+        == int(got.loc["exact", "n_remaining"]) - int(got.loc["near", "n_removed"])
+    )
+
+
+def test_page_block_density(ray_session):
+    got = _df(QUERIES["page_block_density"](SF))
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    assert len(got) == 5 * len(docs)
+    # article always wins; chrome containers never do
+    w = got[got["is_winner"] == 1]
+    assert set(w["tag"]) == {"article"} and len(w) == len(docs)
+    # spot-check article arithmetic on a few docs
+    sample = docs.iloc[:: max(1, len(docs) // 20)]
+    art = got[got["tag"] == "article"].set_index("doc_id")
+    for _, row in sample.iterrows():
+        nwords = len(row["text"].split(" "))
+        nb = -(-nwords // 40)
+        assert int(art.loc[row["doc_id"], "n_blocks"]) == nb
+        assert (
+            int(art.loc[row["doc_id"], "text_chars"])
+            == len(row["text"]) - (nb - 1)
+        )
+    # chrome containers carry high link density (the signal that kills them)
+    ul = got[got["tag"] == "ul"]
+    assert (ul["link_chars"] == ul["text_chars"]).all()
