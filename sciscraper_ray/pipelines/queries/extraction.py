@@ -687,3 +687,121 @@ def page_block_density(sf_dir: str):
     return _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
         profile, batch_format="pyarrow"
     )
+
+
+import re as _re
+
+_SX_RE = _re.compile(rb"startxref\n(\d+)\n%%EOF\n?$")
+_XREF_HDR_RE = _re.compile(rb"xref\n(\d+) (\d+)\n")
+_SIZE_RE = _re.compile(rb"/Size (\d+)")
+_PAGES_COUNT_RE = _re.compile(
+    rb"^2 0 obj\n<< /Type /Pages /Kids \[[^\]]*\] /Count (\d+) >>"
+)
+
+
+def _pdf_audit_one(payload: bytes) -> tuple[int, int, int]:
+    """(n_pages, n_objects, xref_ok) for one PDF payload — see
+    pdf_xref_audit for the checks. Module-level so the corruption tests
+    can probe single payloads directly."""
+    m = _SX_RE.search(payload, max(0, len(payload) - 64))
+    if not m:
+        return 0, 0, 0
+    xref_at = int(m.group(1))
+    hdr = _XREF_HDR_RE.match(payload, xref_at)
+    if not hdr:
+        return 0, 0, 0
+    start, count = int(hdr.group(1)), int(hdr.group(2))
+    ok = start == 0
+    sz = _SIZE_RE.search(payload, xref_at)
+    ok &= bool(sz) and int(sz.group(1)) == count
+    at = hdr.end()
+    for num in range(count):
+        e = payload[at + 20 * num : at + 20 * (num + 1)]
+        if len(e) != 20 or e[17:18] not in (b"n", b"f"):
+            return 0, 0, 0
+        if num == 0:
+            ok &= e[17:18] == b"f"
+            continue
+        off = int(e[0:10])
+        ok &= e[17:18] == b"n" and payload.startswith(
+            b"%d 0 obj\n" % num, off
+        )
+    n_objects = count - 1
+    # pages-tree /Count, read at the xref-declared offset of object 2
+    obj2_off = int(payload[at + 40 : at + 50]) if count > 2 else -1
+    pm = (
+        _PAGES_COUNT_RE.match(payload[obj2_off : obj2_off + 4096])
+        if obj2_off >= 0
+        else None
+    )
+    n_pages = int(pm.group(1)) if pm else 0
+    ok &= pm is not None and n_objects == 4 + 2 * n_pages
+    return n_pages, n_objects, int(bool(ok))
+
+
+@register(
+    "pdf_xref_audit",
+    oracle="""
+    SELECT doc_id,
+           CAST(ceil(len(string_split(text, ' ')) / 40.0) AS BIGINT)
+               AS n_pages,
+           CAST(4 + 2 * ceil(len(string_split(text, ' ')) / 40.0) AS BIGINT)
+               AS n_objects,
+           CAST(1 AS BIGINT) AS xref_ok
+    FROM documents
+    """,
+)
+def pdf_xref_audit(sf_dir: str):
+    """Cross-reference-table integrity audit over every PDF payload — the
+    structural half of what a repair/lint tool (qpdf --check) does, and
+    the part of the document model pdf_extract never touches because the
+    text path only needs objects it can reach. Per payload, all verified
+    byte-exactly:
+
+    - trailer ``startxref`` points at the literal ``xref`` keyword;
+    - the xref section header (start=0, count) matches trailer ``/Size``;
+    - every in-use entry's 10-digit offset lands EXACTLY on its
+      ``N 0 obj`` header (targeted startswith probe — no global regex
+      scan, so bytes inside FlateDecode streams can't false-match);
+    - object numbers are contiguous 1..count-1;
+    - page count re-read from the pages-tree ``/Count`` at the
+      xref-declared offset of object 2 (never by scanning).
+
+    The oracle mirrors the writer's arithmetic (sources/pdf_write.py):
+    ceil(words/40) pages, 3 fixed objects + /Info + (page, content) pair
+    per page. Pure map stage — parse work stays in the task, nothing
+    shuffles; a corrupt byte anywhere flips xref_ok to 0 and fails the
+    hash compare."""
+    from sciscraper_ray.sources.page_synth import synth_pages_batch
+
+    def audit(batch: pa.Table) -> pa.Table:
+        rows = [_pdf_audit_one(p) for p in batch["html"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_pages": pa.array([r[0] for r in rows], pa.int64()),
+                "n_objects": pa.array([r[1] for r in rows], pa.int64()),
+                "xref_ok": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=("doc_id", "text"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "text": b["text"],
+                    "lang": pa.array(["en"] * len(b), pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda b: synth_pages_batch(
+                b, pdf_mod=1, dup_mod=0, with_pdf_info=True
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(audit, batch_format="pyarrow")
+    )

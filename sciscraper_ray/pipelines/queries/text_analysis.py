@@ -1729,3 +1729,196 @@ def doc_lead_sentence(sf_dir: str):
     return _docs(sf_dir, columns=("doc_id", "text")).map_batches(
         partial, batch_format="pyarrow"
     )
+
+
+# --------------------------------------------------------------------------
+# Good-Turing count-of-counts and the vocab coverage curve — both are
+# functions of the corpus trigram frequency HISTOGRAM (r -> N_r), which is
+# tiny (one row per distinct frequency, O(sqrt(corpus grams)) rows by
+# Zipf), so the heavy lifting is a single gram-keyed exchange shared by
+# the two queries and the driver only ever sees the histogram. Trigrams,
+# not unigrams: the synthetic vocab saturates (~31 types), trigrams give
+# a real Zipf tail (9.4k hapaxes at sf0.01).
+# --------------------------------------------------------------------------
+
+
+def _trigram_count_hist(sf_dir: str):
+    """Corpus word-trigram count-of-counts histogram as pandas (r, n_r).
+
+    Plan: per-batch Arrow group_by compresses each batch's gram stream to
+    (gram, partial count) — the one all-to-all exchange then moves gram
+    keys, never token streams — a second vocab-of-frequencies groupby
+    collapses the per-gram counts to the histogram. The driver receives
+    only (distinct frequency, type count) rows.
+    """
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets, np.int64)
+        flat = toks.values
+        n = len(flat)
+        if n < 3:
+            return pa.table(
+                {"g": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        doc = np.repeat(
+            np.arange(len(b), dtype=np.int64), np.diff(offs)
+        )
+        grams = pc.binary_join_element_wise(
+            flat.slice(0, n - 2), flat.slice(1, n - 2), flat.slice(2, n - 2),
+            " ",
+        )
+        same_doc = doc[: n - 2] == doc[2:]
+        t = pa.table(
+            {
+                "g": grams.filter(pa.array(same_doc)),
+                "n": pa.array(np.ones(int(same_doc.sum()), np.int64)),
+            }
+        )
+        return t.group_by("g").aggregate([("n", "sum")]).rename_columns(["g", "c"])
+
+    per_gram = (
+        _docs(sf_dir, columns=("doc_id", "text"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum(on="c", alias_name="r"))
+    )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"r": b["r"], "n": pa.array(np.ones(len(b), np.int64))}
+        )
+        return t.group_by("r").aggregate([("n", "sum")]).rename_columns(["r", "n_r"])
+
+    return (
+        per_gram.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("r")
+        .aggregate(Sum(on="n_r", alias_name="n_r"))
+        .to_pandas()
+        .sort_values("r", ignore_index=True)
+    )
+
+
+_SQL_TRIGRAM_HIST = f"""
+    toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents
+    ), tri AS (
+        SELECT ts[p+1] || ' ' || ts[p+2] || ' ' || ts[p+3] AS g
+        FROM toks, unnest(range(len(ts) - 2)) AS u(p)
+        WHERE len(ts) >= 3
+    ), cnt AS (
+        SELECT g, count(*) AS r FROM tri GROUP BY g
+    ), h AS (
+        SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM cnt GROUP BY r
+    )
+"""
+
+
+@register(
+    "token_good_turing",
+    oracle=f"""
+    WITH {_SQL_TRIGRAM_HIST}
+    SELECT CAST(h.r AS BIGINT) AS r, h.n_r AS n_r,
+           CAST((h.r + 1) * coalesce(h2.n_r, 0) AS BIGINT) AS gt_num
+    FROM h LEFT JOIN h h2 ON h2.r = h.r + 1
+    """,
+)
+def token_good_turing(sf_dir: str):
+    """Good-Turing count-of-counts over corpus word trigrams (Good 1953;
+    the ingredient of Katz backoff and the N1/N2 discounts in KN): for
+    each observed frequency r, the number of trigram types N_r seen
+    exactly r times, and the adjusted-count NUMERATOR (r+1)*N_{{r+1}}
+    (the GT estimate is that rational over n_r; kept as exact integers —
+    the unseen-mass estimate P0 is gt_num/total at r=0's successor, and
+    never rounding means the oracle compare is exact, not 1e-6-close).
+    Same exchange budget as doc_hapax_trigrams: one gram-keyed shuffle of
+    per-batch pre-aggregated partials, then a frequency-keyed groupby of
+    at most one row per distinct frequency."""
+    hist = _trigram_count_hist(sf_dir)
+    r = hist["r"].to_numpy(np.int64)
+    n_r = hist["n_r"].to_numpy(np.int64)
+    n_of = dict(zip(r.tolist(), n_r.tolist()))
+    gt_num = np.array(
+        [(x + 1) * n_of.get(x + 1, 0) for x in r.tolist()], np.int64
+    )
+    return pa.table(
+        {
+            "r": pa.array(r, pa.int64()),
+            "n_r": pa.array(n_r, pa.int64()),
+            "gt_num": pa.array(gt_num, pa.int64()),
+        }
+    )
+
+
+@register(
+    "token_coverage_topk",
+    oracle=f"""
+    WITH {_SQL_TRIGRAM_HIST},
+    w AS (
+        SELECT r, n_r,
+               coalesce(CAST(sum(r * n_r) OVER (
+                   ORDER BY r DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS BIGINT), 0) AS mb,
+               coalesce(CAST(sum(n_r) OVER (
+                   ORDER BY r DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS BIGINT), 0) AS tb,
+               CAST(sum(r * n_r) OVER () AS BIGINT) AS tot
+        FROM h
+    ),
+    p AS (SELECT unnest([50, 90, 99]) AS pct)
+    SELECT CAST(p.pct AS BIGINT) AS pct,
+           CAST(w.tb + (p.pct * w.tot - 100 * w.mb + 100 * w.r - 1)
+                // (100 * w.r) AS BIGINT) AS vocab_size,
+           CAST(w.mb + ((p.pct * w.tot - 100 * w.mb + 100 * w.r - 1)
+                // (100 * w.r)) * w.r AS BIGINT) AS covered_mass,
+           w.tot AS total_mass
+    FROM p JOIN w
+      ON 100 * w.mb < p.pct * w.tot
+     AND 100 * (w.mb + w.r * w.n_r) >= p.pct * w.tot
+    """,
+)
+def token_coverage_topk(sf_dir: str):
+    """Vocabulary coverage curve: the SMALLEST number of trigram types
+    that covers >= {50, 90, 99} percent of corpus trigram mass when types
+    are admitted most-frequent-first (the tokenizer-vocab-sizing question:
+    "how big must the vocab be to cover 99 percent of the stream").
+    Greedy by frequency is optimal, and the answer depends only on the
+    count HISTOGRAM — within a frequency class every type contributes
+    equally, so the minimal set takes ceil(remaining mass / r) types from
+    the crossing class. Pure integer arithmetic on both sides (percent scaled by 100,
+    Python bigints mirror BIGINT); at warehouse scale pct*total stays
+    under 1e16 << int64 max."""
+    hist = _trigram_count_hist(sf_dir).sort_values(
+        "r", ascending=False, ignore_index=True
+    )
+    rs = [int(x) for x in hist["r"]]
+    ns = [int(x) for x in hist["n_r"]]
+    total = sum(a * b for a, b in zip(rs, ns))
+    out_pct, out_vocab, out_cov = [], [], []
+    for pct in (50, 90, 99):
+        mb = 0  # mass before this class
+        tb = 0  # types before this class
+        for r, n_r in zip(rs, ns):
+            if 100 * (mb + r * n_r) >= pct * total:
+                k = (pct * total - 100 * mb + 100 * r - 1) // (100 * r)
+                out_pct.append(pct)
+                out_vocab.append(tb + k)
+                out_cov.append(mb + k * r)
+                break
+            mb += r * n_r
+            tb += n_r
+    return pa.table(
+        {
+            "pct": pa.array(out_pct, pa.int64()),
+            "vocab_size": pa.array(out_vocab, pa.int64()),
+            "covered_mass": pa.array(out_cov, pa.int64()),
+            "total_mass": pa.array([total] * len(out_pct), pa.int64()),
+        }
+    )
