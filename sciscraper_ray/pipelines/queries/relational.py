@@ -3234,3 +3234,521 @@ def lineitem_range_partition(sf_dir: str):
         .groupby("bucket")
         .aggregate(Sum(on="n_rows", alias_name="n_rows"))
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H shape completion (round 4): Q6 / Q15 / Q20 / Q9 analogs over the
+# columns this schema carries (no partsupp, no l_shipmode — the oracles
+# pin the adapted semantics). Each exercises a DIFFERENT physical plan:
+# Q6 a pure filter-agg with 3 groups, Q15 a distributed argmax-with-ties,
+# Q20 a pair-grain conditional aggregate + threshold semi-join, Q9 the
+# full mixed broadcast/bucketed star join (reference Q8's machinery).
+# Money stays integer end-to-end (cents x basis points) so the hash
+# compare is exact — the round-4 FP-parity rule.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "forecast_discount_revenue",
+    oracle="""
+    SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_bp,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS forecast_rev_cbp
+    FROM lineitem
+    WHERE year(l_shipdate) = 1997
+      AND round(l_discount * 100) BETWEEN 4 AND 6
+      AND l_quantity < 24
+    GROUP BY disc_bp
+    """,
+)
+def forecast_discount_revenue(sf_dir: str):
+    """Q6 forecast-revenue-change shape (reference: the what-if filter
+    aggregate): revenue that would be reclaimed by eliminating mid-band
+    discounts (4-6 bp) on small-quantity 1997 shipments, reported PER
+    DISCOUNT LEVEL so the answer is the 3-row what-if curve rather than
+    one scalar. Plan: pruned 4-column read; each batch filters and
+    reduces to at most 3 (disc_bp, n, sum) rows with np.add.at on int64
+    (never float bincount); the global groupby moves 3 rows per batch.
+    Nothing here is sf-proportional except the scan itself."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        yr = pc.year(b["l_shipdate"]).to_numpy(zero_copy_only=False)
+        bp = np.round(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        cents = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        keep = (yr == 1997) & (bp >= 4) & (bp <= 6) & (qty < 24)
+        bpk = bp[keep] - 4
+        n = np.bincount(bpk, minlength=3).astype(np.int64)
+        s = np.zeros(3, np.int64)
+        np.add.at(s, bpk, cents[keep] * (bpk + 4))
+        return pa.table(
+            {
+                "disc_bp": pa.array([4, 5, 6], pa.int64()),
+                "n_lines": pa.array(n),
+                "forecast_rev_cbp": pa.array(s),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
+            ],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("disc_bp")
+        .aggregate(
+            Sum(on="n_lines", alias_name="n_lines"),
+            Sum(on="forecast_rev_cbp", alias_name="forecast_rev_cbp"),
+        )
+    )
+    # empty discount bands (possible at tiny sf) don't exist in the oracle
+    return agg.filter(lambda r: r["n_lines"] > 0)
+
+
+@register(
+    "supplier_peak_revenue",
+    oracle="""
+    WITH r AS (
+        SELECT l_suppkey AS s_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS BIGINT) AS total_rev_c2
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate < DATE '1997-04-01'
+        GROUP BY 1
+    )
+    SELECT r.s_suppkey, s_name, total_rev_c2
+    FROM r JOIN supplier ON r.s_suppkey = supplier.s_suppkey
+    WHERE total_rev_c2 = (SELECT max(total_rev_c2) FROM r)
+    """,
+)
+def supplier_peak_revenue(sf_dir: str):
+    """Q15 top-supplier shape: quarterly revenue per supplier, then the
+    suppliers TIED at the global maximum (Q15's correlated =max()
+    subquery). Distributed argmax-with-ties: per-batch (suppkey, rev)
+    partials keep the exchange supplier-bounded; the supplier-grain
+    aggregate is materialized ONCE (object store, never the driver) and
+    reused for both the scalar max reduction and the tie filter; the
+    name lookup streams the supplier table against the broadcast winner
+    keyset (ties are O(1), so that side never grows), not a shuffle."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].to_numpy(zero_copy_only=False)
+        lo = np.datetime64("1997-01-01", "us")
+        hi = np.datetime64("1997-04-01", "us")
+        keep = (ship >= lo) & (ship < hi)
+        cents = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        bp = np.round(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "s_suppkey": b["l_suppkey"].filter(pa.array(keep)),
+                "total_rev_c2": pa.array(
+                    (cents * (100 - bp))[keep], pa.int64()
+                ),
+            }
+        )
+        return (
+            t.group_by("s_suppkey")
+            .aggregate([("total_rev_c2", "sum")])
+            .rename_columns(["s_suppkey", "total_rev_c2"])
+        )
+
+    rev = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum(on="total_rev_c2", alias_name="total_rev_c2"))
+        .materialize()
+    )
+    peak = rev.max("total_rev_c2")
+    winners = {
+        int(r["s_suppkey"]): int(r["total_rev_c2"])
+        for r in rev.filter(
+            lambda r: r["total_rev_c2"] == peak
+        ).take_all()
+    }
+
+    def name_join(b: pa.Table) -> pa.Table:
+        sk = b["s_suppkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(sk, np.fromiter(winners, np.int64))
+        b = b.filter(pa.array(keep))
+        return pa.table(
+            {
+                "s_suppkey": b["s_suppkey"],
+                "s_name": b["s_name"],
+                "total_rev_c2": pa.array(
+                    [winners[int(k)] for k in b["s_suppkey"].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).map_batches(name_join, batch_format="pyarrow")
+
+
+@register(
+    "excess_shipment_suppliers",
+    oracle="""
+    WITH sp AS (
+        SELECT l_suppkey, l_partkey,
+               sum(CASE WHEN year(l_shipdate) = 1997
+                        THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS q97,
+               sum(CAST(l_quantity AS BIGINT)) AS qtot
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'large%'
+        GROUP BY l_suppkey, l_partkey
+    )
+    SELECT l_suppkey AS s_suppkey, CAST(count(*) AS BIGINT) AS n_excess_parts
+    FROM sp WHERE 2 * q97 > qtot
+    GROUP BY 1
+    """,
+)
+def excess_shipment_suppliers(sf_dir: str, plan: str = "auto"):
+    """Q20 excess-inventory shape, adapted to this schema (no partsupp
+    availqty): per (supplier, 'large…' part) pair, did 1997 account for
+    MORE THAN HALF of all-time shipped quantity — then the per-supplier
+    count of such concentration parts. Plan: the part predicate becomes
+    a broadcast partkey bitmap (one bit per part, the promo_revenue_share
+    trick) applied inside the lineitem scan; each batch pre-reduces to
+    (pair-key, q97, qtot) rows with a single-int64 combined key
+    (suppkey * P + partkey — two-column shuffle keys pay double sort
+    cost); the pair-grain merge goes through the shared two-plan
+    resolver (driver lexsort+reduceat under the 50M bound — lineitem's
+    parquet row count is a free upper bound — distributed groupby-Sum
+    past it); the final supplier-grain tally is pair-bounded."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.pipelines.plan import (
+        DRIVER_PLAN_LIMIT,
+        driver_frame,
+        parquet_row_bound,
+        resolve_plan,
+    )
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    keys = part["p_partkey"].to_numpy(zero_copy_only=False)
+    hit = pc.starts_with(part["p_name"], "large").to_numpy(
+        zero_copy_only=False
+    )
+    pmax = int(keys.max()) + 1
+    bitmap = np.zeros((pmax >> 6) + 1, np.uint64)
+    pk = keys[hit].astype(np.uint64)
+    np.bitwise_or.at(
+        bitmap,
+        (pk >> np.uint64(6)).astype(np.int64),
+        np.uint64(1) << (pk & np.uint64(63)),
+    )
+    bitmap_ref = ray.put(bitmap)
+
+    class PairPartial:
+        def __init__(self):
+            self.bitmap = ray.get(bitmap_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pkey = (
+                b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+            keep = (
+                (self.bitmap[(pkey >> np.uint64(6)).astype(np.int64)]
+                 >> (pkey & np.uint64(63)))
+                & np.uint64(1)
+            ).astype(bool)
+            if not keep.any():
+                return pa.table(
+                    {
+                        "kk": pa.array([], pa.int64()),
+                        "q97": pa.array([], pa.int64()),
+                        "qtot": pa.array([], pa.int64()),
+                    }
+                )
+            sk = b["l_suppkey"].to_numpy(zero_copy_only=False)[keep]
+            pkk = pkey[keep].astype(np.int64)
+            qty = (
+                b["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+            ).astype(np.int64)
+            yr97 = (
+                pc.year(b["l_shipdate"]).to_numpy(zero_copy_only=False)[keep]
+                == 1997
+            )
+            t = pa.table(
+                {
+                    "kk": pa.array(sk * pmax + pkk, pa.int64()),
+                    "q97": pa.array(np.where(yr97, qty, 0), pa.int64()),
+                    "qtot": pa.array(qty, pa.int64()),
+                }
+            )
+            return (
+                t.group_by("kk")
+                .aggregate([("q97", "sum"), ("qtot", "sum")])
+                .rename_columns(["kk", "q97", "qtot"])
+            )
+
+    partials = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_partkey", "l_quantity", "l_shipdate"],
+    ).map_batches(PairPartial, batch_format="pyarrow", concurrency=(1, 4))
+
+    mode, partials = resolve_plan(
+        partials,
+        plan,
+        est_rows=parquet_row_bound(f"{sf_dir}/lineitem.parquet"),
+    )
+    if mode == "driver":
+        df = driver_frame(
+            partials, DRIVER_PLAN_LIMIT, "excess_shipment_suppliers"
+        )
+        kk = df["kk"].to_numpy(np.int64)
+        order = np.argsort(kk, kind="stable")
+        kk = kk[order]
+        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+        q97 = np.add.reduceat(df["q97"].to_numpy(np.int64)[order], starts)
+        qtot = np.add.reduceat(df["qtot"].to_numpy(np.int64)[order], starts)
+        excess = 2 * q97 > qtot
+        supp = (kk[starts][excess] // pmax).astype(np.int64)
+        uniq, cnt = np.unique(supp, return_counts=True)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(uniq, pa.int64()),
+                "n_excess_parts": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    pairs = partials.groupby("kk").aggregate(
+        Sum(on="q97", alias_name="q97"), Sum(on="qtot", alias_name="qtot")
+    )
+
+    def supplier_partial(b: pa.Table) -> pa.Table:
+        excess = (
+            2 * b["q97"].to_numpy(zero_copy_only=False)
+            > b["qtot"].to_numpy(zero_copy_only=False)
+        )
+        supp = (
+            b["kk"].to_numpy(zero_copy_only=False)[excess] // pmax
+        ).astype(np.int64)
+        uniq, cnt = np.unique(supp, return_counts=True)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(uniq, pa.int64()),
+                "n_excess_parts": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return (
+        pairs.map_batches(supplier_partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum(on="n_excess_parts", alias_name="n_excess_parts"))
+    )
+
+
+@register(
+    "profit_by_nation_year",
+    oracle="""
+    SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    - CAST(round(p_retailprice * 100) AS BIGINT)
+                        * CAST(l_quantity AS BIGINT) * 80) AS BIGINT)
+               AS profit_c2
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY n_name, yr
+    """,
+)
+def profit_by_nation_year(sf_dir: str):
+    """Q9 product-type-profit shape: per supplier-nation x order-year
+    margin on 'bolt' parts, with cost proxied at 80 percent of the
+    part's retail price (this schema has no partsupp supplycost; the
+    oracle pins the proxy). The star join in its scale-correct mixed
+    form (market_share_q8's machinery): part contributes a broadcast
+    substring-match bitmap PLUS a dense retail-cents array (int64 per
+    part — 40M parts = 320 MB would flip to a bucketed join; here it
+    rides the same broadcast as the bitmap); supplier contributes the
+    dense nationkey array; the one unavoidable fact-fact exchange is
+    lineitem-margin x orders on orderkey, entered at order grain after
+    per-batch (orderkey, natkey) pre-reduction; the final groupby moves
+    |nations x years| rows. Margin stays integer (cents x 100) so the
+    oracle compare is exact."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_retailprice"],
+    )
+    keys = part["p_partkey"].to_numpy(zero_copy_only=False)
+    hit = pc.match_substring(part["p_name"], "bolt").to_numpy(
+        zero_copy_only=False
+    )
+    pmax = int(keys.max()) + 1
+    bitmap = np.zeros((pmax >> 6) + 1, np.uint64)
+    pk = keys[hit].astype(np.uint64)
+    np.bitwise_or.at(
+        bitmap,
+        (pk >> np.uint64(6)).astype(np.int64),
+        np.uint64(1) << (pk & np.uint64(63)),
+    )
+    retail = np.zeros(pmax, np.int64)
+    retail[keys] = np.round(
+        part["p_retailprice"].to_numpy(zero_copy_only=False) * 100
+    ).astype(np.int64)
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False)
+    snat = np.full(int(sk.max()) + 1, -1, np.int32)
+    snat[sk] = supp["s_nationkey"].to_numpy(zero_copy_only=False)
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nname = dict(
+        zip(
+            nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()
+        )
+    )
+    bitmap_ref = ray.put(bitmap)
+    retail_ref = ray.put(retail)
+    snat_ref = ray.put(snat)
+
+    class MarginPartial:
+        def __init__(self):
+            self.bitmap = ray.get(bitmap_ref)
+            self.retail = ray.get(retail_ref)
+            self.snat = ray.get(snat_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pkey = (
+                b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+            keep = (
+                (self.bitmap[(pkey >> np.uint64(6)).astype(np.int64)]
+                 >> (pkey & np.uint64(63)))
+                & np.uint64(1)
+            ).astype(bool)
+            if not keep.any():
+                return pa.table(
+                    {
+                        "l_orderkey": pa.array([], pa.int64()),
+                        "natkey": pa.array([], pa.int64()),
+                        "margin": pa.array([], pa.int64()),
+                    }
+                )
+            cents = np.round(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep] * 100
+            ).astype(np.int64)
+            bp = np.round(
+                b["l_discount"].to_numpy(zero_copy_only=False)[keep] * 100
+            ).astype(np.int64)
+            qty = (
+                b["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+            ).astype(np.int64)
+            cost = self.retail[pkey[keep].astype(np.int64)] * qty * 80
+            nat = self.snat[
+                b["l_suppkey"].to_numpy(zero_copy_only=False)[keep]
+            ].astype(np.int64)
+            t = pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"].filter(pa.array(keep)),
+                    "natkey": pa.array(nat, pa.int64()),
+                    "margin": pa.array(
+                        cents * (100 - bp) - cost, pa.int64()
+                    ),
+                }
+            )
+            return (
+                t.group_by(["l_orderkey", "natkey"])
+                .aggregate([("margin", "sum")])
+                .rename_columns(["l_orderkey", "natkey", "margin"])
+            )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ],
+    ).map_batches(MarginPartial, batch_format="pyarrow", concurrency=(1, 4))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "yr": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = bucketed_hash_join(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey"
+    )
+
+    def nkyr_partial(b: pa.Table) -> pa.Table:
+        kk = (
+            b["natkey"].to_numpy(zero_copy_only=False) * 10_000
+            + b["yr"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table({"kk": pa.array(kk), "margin": b["margin"]})
+        return (
+            t.group_by("kk")
+            .aggregate([("margin", "sum")])
+            .rename_columns(["kk", "margin"])
+        )
+
+    agg = (
+        joined.map_batches(nkyr_partial, batch_format="pyarrow")
+        .groupby("kk")
+        .aggregate(Sum(on="margin", alias_name="profit_c2"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        kk = b["kk"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [nname[int(k) // 10_000] for k in kk], pa.string()
+                ),
+                "yr": pa.array(kk % 10_000, pa.int64()),
+                "profit_c2": b["profit_c2"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
