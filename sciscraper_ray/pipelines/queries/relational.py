@@ -3752,3 +3752,78 @@ def profit_by_nation_year(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+@register(
+    "lineitem_skyline",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+    ), w AS (
+        SELECT price_c, qty,
+               max(qty) OVER (
+                   ORDER BY price_c ASC, qty DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS mq
+        FROM d
+    )
+    SELECT price_c, qty FROM w WHERE mq IS NULL OR qty > mq
+    """,
+)
+def lineitem_skyline(sf_dir: str):
+    """2-D skyline (Pareto frontier) over (price asc, quantity desc):
+    the distinct (price, qty) points no other point dominates (<= price
+    AND >= qty, one strict) — the Borzsony/BNL query shape, here in its
+    distributed local-then-global form. The algebraic fact that makes it
+    scale: the GLOBAL skyline is a subset of the union of per-block
+    LOCAL skylines, and a 2-D local skyline is one vectorized pass
+    (sort by price asc / qty desc, keep rows where qty beats the running
+    max — identical kernel at both levels, and the oracle's window
+    formulation is the same O(n log n) idea, never the n^2 NOT EXISTS).
+    A block's skyline over random data is tiny (bounded by |distinct
+    qty| = 50 here), so the driver merge handles blocks x 50 rows; the
+    scan itself is the only sf-proportional stage."""
+    import ray.data
+
+    def local_skyline(price: np.ndarray, qty: np.ndarray) -> pa.Table:
+        order = np.lexsort((-qty, price))
+        p, q = price[order], qty[order]
+        # running max of qty over STRICTLY previous rows; ties of
+        # (price, qty) collapse via the distinct filter first
+        keep = np.zeros(len(p), bool)
+        if len(p):
+            rm = np.maximum.accumulate(q)
+            keep[0] = True
+            keep[1:] = q[1:] > rm[:-1]
+        return pa.table(
+            {
+                "price_c": pa.array(p[keep], pa.int64()),
+                "qty": pa.array(q[keep], pa.int64()),
+            }
+        )
+
+    def batch_skyline(b: pa.Table) -> pa.Table:
+        price = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = price * 64 + qty  # qty <= 50 packs losslessly
+        uniq = np.unique(kk)
+        return local_skyline(uniq // 64, uniq % 64)
+
+    locals_df = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_extendedprice", "l_quantity"],
+        )
+        .map_batches(batch_skyline, batch_format="pyarrow")
+        .to_pandas()
+    )
+    kk = np.unique(
+        locals_df["price_c"].to_numpy(np.int64) * 64
+        + locals_df["qty"].to_numpy(np.int64)
+    )
+    return local_skyline(kk // 64, kk % 64)

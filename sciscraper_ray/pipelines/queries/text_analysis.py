@@ -1922,3 +1922,146 @@ def token_coverage_topk(sf_dir: str):
             "total_mass": pa.array([total] * len(out_pct), pa.int64()),
         }
     )
+
+
+@register(
+    "doc_sorted_lcp",
+    oracle="""
+    WITH o AS (
+        SELECT doc_id, text,
+               lag(text) OVER (ORDER BY text, doc_id) AS prev
+        FROM documents
+    )
+    SELECT doc_id, CAST(coalesce((
+        SELECT max(i)
+        FROM unnest(range(1, least(length(text), length(prev)) + 1)) AS t(i)
+        WHERE substr(text, 1, CAST(i AS INT)) = substr(prev, 1, CAST(i AS INT))
+    ), 0) AS BIGINT) AS lcp_prev
+    FROM o
+    """,
+)
+def doc_sorted_lcp(sf_dir: str):
+    """Per-document longest-common-prefix with its predecessor in global
+    lexicographic order — the suffix-array-flavored signal behind
+    prefix-duplicate detection and front-coding compression estimates
+    (a high LCP marks a near-copy that exact dedup's full-hash misses).
+
+    The interesting part is the physical plan: a NEIGHBOR computation
+    after a DISTRIBUTED sort. Ray Data's sort gives no cross-block
+    adjacency, so the op builds it: (1) a deterministic md5-sampled
+    boundary set range-partitions by text (the lineitem_range_partition
+    partitioner — sample-derived, so ranges balance under any text
+    skew); (2) each range sorts locally and computes all interior LCPs
+    in one vectorized byte-matrix pass (pad to a (n x maxlen) uint8
+    grid, lcp = rows of zero cumulated mismatch — no per-pair loop);
+    (3) the only cross-range dependency is ONE text per boundary: each
+    range's first row carries the range's first/last texts, the driver
+    stitches the B boundary LCPs (B = num ranges, not data-sized), and
+    a broadcast patch pass fixes exactly those rows. Total exchange:
+    one B-way partition of (doc_id, text) plus B boundary rows."""
+    import hashlib
+
+    import ray.data
+
+    NUM_RANGES = 16
+    SAMPLE_MOD = 13
+
+    def sample(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(str(int(i)).encode()).digest()[:4], "big"
+                ) % SAMPLE_MOD == 0
+                for i in ids
+            ]
+        )
+        return pa.table({"text": b["text"].filter(pa.array(keep))})
+
+    docs = _docs(sf_dir, columns=("doc_id", "text"))
+    boundary_texts = sorted(
+        docs.map_batches(sample, batch_format="pyarrow").to_pandas()["text"]
+    )
+    step = max(1, len(boundary_texts) // NUM_RANGES)
+    bounds = boundary_texts[step::step][: NUM_RANGES - 1]
+
+    def assign(b: pa.Table) -> pa.Table:
+        r = np.zeros(len(b), np.int64)
+        for bd in bounds:
+            r += pc.greater_equal(b["text"], bd).to_numpy(
+                zero_copy_only=False
+            )
+        return pa.table(
+            {"doc_id": b["doc_id"], "text": b["text"], "r": pa.array(r)}
+        )
+
+    def range_lcp(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(
+            ["text", "doc_id"], ignore_index=True
+        )
+        texts = [t.encode() for t in df["text"]]
+        n = len(texts)
+        lens = np.array([len(t) for t in texts], np.int64)
+        maxlen = max(1, int(lens.max()))
+        grid = np.frombuffer(
+            b"".join(t.ljust(maxlen, b"\0") for t in texts), np.uint8
+        ).reshape(n, maxlen)
+        lcp = np.zeros(n, np.int64)
+        if n > 1:
+            neq = grid[1:] != grid[:-1]
+            lcp[1:] = np.minimum(
+                (np.cumsum(neq, axis=1) == 0).sum(axis=1),
+                np.minimum(lens[1:], lens[:-1]),
+            )
+        lcp[0] = -1  # stitched from the neighboring range by the driver
+        first = np.array([None] * n, object)
+        last = np.array([None] * n, object)
+        first[0], last[0] = df["text"].iloc[0], df["text"].iloc[-1]
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                "lcp_prev": pa.array(lcp),
+                "r": pa.array(
+                    np.full(n, int(df.get("r", g["r"].to_pandas()).iloc[0]))
+                ),
+                "first_text": pa.array(first, pa.string()),
+                "last_text": pa.array(last, pa.string()),
+            }
+        )
+
+    ranged = (
+        docs.map_batches(assign, batch_format="pyarrow")
+        .groupby("r")
+        .map_groups(range_lcp, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _lcp(a: str, b: str) -> int:
+        m = min(len(a), len(b))
+        i = 0
+        while i < m and a[i] == b[i]:
+            i += 1
+        return i
+
+    firsts = sorted(
+        ranged.filter(lambda row: row["lcp_prev"] == -1).take_all(),
+        key=lambda row: row["r"],
+    )
+    fix: dict[int, int] = {}
+    prev_last = None
+    for row in firsts:
+        fix[int(row["doc_id"])] = (
+            0 if prev_last is None else _lcp(row["first_text"], prev_last)
+        )
+        prev_last = row["last_text"]
+
+    def patch(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        lcp = b["lcp_prev"].to_numpy(zero_copy_only=False).copy()
+        for i in np.flatnonzero(lcp == -1):
+            lcp[i] = fix[int(ids[i])]
+        return pa.table(
+            {"doc_id": pa.array(ids), "lcp_prev": pa.array(lcp)}
+        )
+
+    return ranged.map_batches(patch, batch_format="pyarrow")
