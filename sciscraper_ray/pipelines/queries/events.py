@@ -2218,3 +2218,88 @@ def events_cusum_drift(sf_dir: str):
             "drift_flag": pa.array(out_f),
         }
     )
+
+
+from sciscraper_ray.pipelines.queries.dedup import _md5_hex15_sql
+
+_KMV_K = 64
+_KMV_M = 16**15  # hash domain of the shared 15-hex-char md5 convention
+
+
+@register(
+    "events_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               {_md5_hex15_sql("CAST(user_id AS VARCHAR)")} AS h
+        FROM events
+    ), r AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+        FROM h
+    )
+    SELECT event_type,
+           nd AS true_distinct,
+           CAST(CASE WHEN nd < {_KMV_K} THEN nd
+                ELSE (CAST({_KMV_K - 1} AS HUGEINT) * {_KMV_M}) // h
+                END AS BIGINT) AS est_distinct,
+           CAST(least(nd, {_KMV_K}) AS BIGINT) AS k_used
+    FROM r WHERE rn = least(nd, {_KMV_K})
+    """,
+)
+def events_kmv_distinct(sf_dir: str):
+    """KMV (k-minimum-values / bottom-k) distinct-user sketch per event
+    type, audited against the exact count (Bar-Yossef et al. 2002): keep
+    the k=64 smallest hash values per type; with hashes uniform on
+    [0, M), the k-th smallest h_k estimates distinct = (k-1)*M/h_k.
+    Unlike HLL (already in stages/sketch.py) the KMV sketch supports set
+    INTERSECTION estimates and is trivially mergeable: min-k of a union
+    is min-k of the concatenated min-k's — which is exactly the plan
+    here: each batch reduces its distinct (type, user-hash) pairs to at
+    most |types| x k rows, and per-type merge (5 bounded groups) re-takes
+    the bottom-k. The exact true_distinct side ships batch-distinct
+    pairs — that's the audit's cost, the sketch path alone never moves
+    more than types x k rows per batch. All-integer estimate (exact
+    floor division on both sides; hash is the shared 15-hex md5
+    convention) so the compare is exact, not 1e-6-close."""
+    import hashlib
+
+    import ray.data
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": b["event_type"], "u": b["user_id"]})
+        t = t.group_by(["event_type", "u"]).aggregate([])
+        hs = np.array(
+            [
+                int(hashlib.md5(str(int(u)).encode()).hexdigest()[:15], 16)
+                for u in t["u"].to_pylist()
+            ],
+            np.int64,
+        )
+        return pa.table({"event_type": t["event_type"], "h": pa.array(hs)})
+
+    def per_type(g: pa.Table) -> pa.Table:
+        hs = np.unique(g["h"].to_numpy(zero_copy_only=False))
+        nd = len(hs)
+        if nd < _KMV_K:
+            est = nd
+        else:
+            est = (_KMV_K - 1) * _KMV_M // int(hs[_KMV_K - 1])
+        return pa.table(
+            {
+                "event_type": pa.array([g["event_type"][0].as_py()]),
+                "true_distinct": pa.array([nd], pa.int64()),
+                "est_distinct": pa.array([est], pa.int64()),
+                "k_used": pa.array([min(nd, _KMV_K)], pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(per_type, batch_format="pyarrow")
+    )

@@ -3827,3 +3827,221 @@ def lineitem_skyline(sf_dir: str):
         + locals_df["qty"].to_numpy(np.int64)
     )
     return local_skyline(kk // 64, kk % 64)
+
+
+@register(
+    "lineitem_zorder_stats",
+    oracle="""
+    WITH xy AS (
+        SELECT date_diff('day', DATE '1995-01-01', l_shipdate) AS x,
+               CAST(l_quantity AS BIGINT) * 50 AS y
+        FROM lineitem
+    ), z AS (
+        SELECT x, y,
+               (SELECT CAST(sum((((x >> CAST(i AS INT)) & 1) << (2 * CAST(i AS INT)))
+                         + (((y >> CAST(i AS INT)) & 1) << (2 * CAST(i AS INT) + 1)))
+                 AS BIGINT)
+                FROM unnest(range(16)) AS t(i)) AS zv
+        FROM xy
+    )
+    SELECT CAST(zv >> 20 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(x) AS BIGINT) AS min_day, CAST(max(x) AS BIGINT) AS max_day,
+           min(y) // 50 AS min_qty, max(y) // 50 AS max_qty,
+           CAST(min(x) <= 729 AND max(x) >= 365
+                AND min(y) <= 1000 AND max(y) >= 500 AS BIGINT) AS probe_hit
+    FROM z
+    GROUP BY bucket
+    """,
+)
+def lineitem_zorder_stats(sf_dir: str):
+    """Z-order (Morton curve) clustering audit — the data-layout
+    technique behind multi-dimensional zone-map pruning (Delta/Iceberg
+    OPTIMIZE ZORDER): interleave the bits of (ship-day, quantity), cut
+    the curve into 16 coarse buckets (z >> 20), and report each bucket's
+    min/max box in BOTH dimensions plus whether the box intersects a
+    probe predicate (day in [365, 729], qty in [10, 20] — 1996 shipments
+    of mid quantities). Because the curve alternates bits, every bucket
+    is tight in BOTH dims — a 2-D predicate prunes most buckets, where
+    a single-column sort gives tight boxes in one dim only (the existing
+    zonemap_scan shows that layout). The zv computation is pure
+    vectorized bit arithmetic per batch; per-batch partial (bucket,
+    count, mins, maxes) rows bound the exchange at 16 x batches."""
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        days = (
+            b["l_shipdate"].to_numpy(zero_copy_only=False)
+            - np.datetime64("1995-01-01", "us")
+        ) // np.timedelta64(1, "D")
+        x = days.astype(np.int64)
+        y = b["l_quantity"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        ) * 50  # scale qty (6 bits) to day magnitude (12 bits) so the
+        # interleaved TOP bits carry both dims, not just the wider one
+        z = np.zeros(len(x), np.int64)
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        t = pa.table(
+            {
+                "bucket": pa.array(z >> 20, pa.int64()),
+                "n_rows": pa.array(np.ones(len(x), np.int64)),
+                "min_day": pa.array(x),
+                "max_day": pa.array(x),
+                "min_qty": pa.array(y),
+                "max_qty": pa.array(y),
+            }
+        )
+        return (
+            t.group_by("bucket")
+            .aggregate(
+                [
+                    ("n_rows", "sum"),
+                    ("min_day", "min"),
+                    ("max_day", "max"),
+                    ("min_qty", "min"),
+                    ("max_qty", "max"),
+                ]
+            )
+            .rename_columns(
+                ["bucket", "n_rows", "min_day", "max_day", "min_qty", "max_qty"]
+            )
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_shipdate", "l_quantity"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Sum(on="n_rows", alias_name="n_rows"),
+            Min(on="min_day", alias_name="min_day"),
+            Max(on="max_day", alias_name="max_day"),
+            Min(on="min_qty", alias_name="min_qty"),
+            Max(on="max_qty", alias_name="max_qty"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        hit = (
+            (b["min_day"].to_numpy(zero_copy_only=False) <= 729)
+            & (b["max_day"].to_numpy(zero_copy_only=False) >= 365)
+            & (b["min_qty"].to_numpy(zero_copy_only=False) <= 1000)
+            & (b["max_qty"].to_numpy(zero_copy_only=False) >= 500)
+        )
+        out = pa.table(
+            {
+                "bucket": b["bucket"],
+                "n_rows": b["n_rows"],
+                "min_day": b["min_day"],
+                "max_day": b["max_day"],
+                "min_qty": pc.divide(b["min_qty"], 50),
+                "max_qty": pc.divide(b["max_qty"], 50),
+            }
+        )
+        return out.append_column(
+            "probe_hit", pa.array(hit.astype(np.int64))
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+@register(
+    "customer_segment_nation_independence",
+    oracle="""
+    WITH o AS (
+        SELECT c_mktsegment AS seg, n_name,
+               CAST(count(*) AS BIGINT) AS obs
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ), m AS (SELECT seg, CAST(sum(obs) AS BIGINT) AS st FROM o GROUP BY 1),
+    n AS (SELECT n_name, CAST(sum(obs) AS BIGINT) AS nt FROM o GROUP BY 1),
+    tot AS (SELECT CAST(sum(obs) AS BIGINT) AS N FROM o)
+    SELECT m.seg, n.n_name,
+           coalesce(o.obs, 0) AS obs,
+           m.st * n.nt AS expected_times_n,
+           coalesce(o.obs, 0) * tot.N - m.st * n.nt AS deviation_n
+    FROM m CROSS JOIN n CROSS JOIN tot
+    LEFT JOIN o ON o.seg = m.seg AND o.n_name = n.n_name
+    """,
+)
+def customer_segment_nation_independence(sf_dir: str):
+    """Chi-square-style independence audit of market segment x nation —
+    the contingency-table screen for 'is this attribute pair actually
+    independent' that decides whether a composite partitioning key is
+    worth it. Kept EXACT: for each cell (incl. never-observed combos)
+    emit observed count, expected*N = row_total * col_total, and the
+    signed deviation obs*N - st*nt — all int64 (at 150M customers
+    obs*N ~ 2e16, inside int64), so no chi-square float division ever
+    happens and the compare is exact; the caller can finish the
+    statistic with one division. Plan: per-batch (nationkey, segment)
+    partial counts, a 25x5-bounded groupby, marginals and the dense
+    cross join computed from those 125 rows on the driver; the nation
+    dim joins by broadcast (25 rows)."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nname = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "seg": b["c_mktsegment"],
+                "nk": b["c_nationkey"],
+                "obs": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        return (
+            t.group_by(["seg", "nk"])
+            .aggregate([("obs", "sum")])
+            .rename_columns(["seg", "nk", "obs"])
+        )
+
+    cells = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_mktsegment", "c_nationkey"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["seg", "nk"])
+        .aggregate(Sum(on="obs", alias_name="obs"))
+        .to_pandas()
+    )
+    segs = sorted(cells["seg"].unique())
+    nks = sorted(cells["nk"].unique())
+    obs = {
+        (r.seg, int(r.nk)): int(r.obs) for r in cells.itertuples()
+    }
+    st = {s: sum(v for (s2, _), v in obs.items() if s2 == s) for s in segs}
+    nt = {k: sum(v for (_, k2), v in obs.items() if k2 == k) for k in nks}
+    N = sum(obs.values())
+    rows = [
+        (
+            s,
+            nname[k],
+            obs.get((s, k), 0),
+            st[s] * nt[k],
+            obs.get((s, k), 0) * N - st[s] * nt[k],
+        )
+        for s in segs
+        for k in nks
+    ]
+    return pa.table(
+        {
+            "seg": pa.array([r[0] for r in rows], pa.string()),
+            "n_name": pa.array([r[1] for r in rows], pa.string()),
+            "obs": pa.array([r[2] for r in rows], pa.int64()),
+            "expected_times_n": pa.array([r[3] for r in rows], pa.int64()),
+            "deviation_n": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
