@@ -4045,3 +4045,117 @@ def customer_segment_nation_independence(sf_dir: str):
             "deviation_n": pa.array([r[4] for r in rows], pa.int64()),
         }
     )
+
+
+@register(
+    "customer_band_migration",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ), banded AS (
+        SELECT o_custkey, yr,
+               CAST(ntile(10) OVER (
+                   PARTITION BY yr ORDER BY cents, o_custkey
+               ) AS BIGINT) AS band
+        FROM spend
+    )
+    SELECT a.band AS band_from, b.band AS band_to,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM banded a
+    JOIN banded b ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+    GROUP BY 1, 2
+    """,
+)
+def customer_band_migration(sf_dir: str):
+    """Year-over-year spend-decile migration matrix (the TPC-DS-flavored
+    'band transition' shape behind churn/upsell dashboards): customers
+    are ranked into per-year deciles by annual spend (ntile ties pinned
+    by (cents, custkey) so both sides band identically), and every
+    consecutive-year pair contributes one (band_from, band_to)
+    transition. Plan: per-batch (custkey, yr) partial sums reduce the
+    scan to customer-year grain; that table is driver-merged under the
+    orders parquet row bound (the top_suppliers_by_nation rule — past
+    ~50M customer-years the banding flips to the sample-derived range
+    partitioner rank path of lineitem_range_partition, per year); the
+    per-year ntile and the adjacent-year self-join are two vectorized
+    passes on the customer-year table; output is the 10x10 matrix."""
+    import ray.data
+
+    from sciscraper_ray.pipelines.plan import (
+        DRIVER_PLAN_LIMIT,
+        driver_frame,
+        parquet_row_bound,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "ck": b["o_custkey"],
+                "yr": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+                "cents": pa.array(
+                    np.round(
+                        b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+        return (
+            t.group_by(["ck", "yr"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["ck", "yr", "cents"])
+        )
+
+    partials = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(partial, batch_format="pyarrow")
+
+    bound = parquet_row_bound(f"{sf_dir}/orders.parquet")
+    if bound is not None and bound > DRIVER_PLAN_LIMIT:
+        raise NotImplementedError(
+            "customer_band_migration: customer-year table exceeds the"
+            " driver plan bound — use the per-year range-partitioner rank"
+            " path (lineitem_range_partition) for the banding step."
+        )
+    df = driver_frame(partials, DRIVER_PLAN_LIMIT, "customer_band_migration")
+    # merge partials to customer-year grain
+    kk = df["ck"].to_numpy(np.int64) * 10_000 + df["yr"].to_numpy(np.int64)
+    order = np.argsort(kk, kind="stable")
+    kk = kk[order]
+    starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+    cents = np.add.reduceat(df["cents"].to_numpy(np.int64)[order], starts)
+    ck, yr = kk[starts] // 10_000, kk[starts] % 10_000
+
+    # per-year ntile(10) with DuckDB's distribution rule: the first
+    # (n mod 10) bands get the extra row
+    band = np.empty(len(ck), np.int64)
+    for y in np.unique(yr):
+        seg = np.flatnonzero(yr == y)
+        o = np.lexsort((ck[seg], cents[seg]))
+        n = len(seg)
+        q, rem = divmod(n, 10)
+        r = np.empty(n, np.int64)  # 0-based rank -> 1-based band
+        ranks = np.arange(n)
+        cut = rem * (q + 1)
+        r[ranks < cut] = ranks[ranks < cut] // (q + 1) + 1
+        if q:
+            r[ranks >= cut] = rem + (ranks[ranks >= cut] - cut) // q + 1
+        band[seg[o]] = r
+
+    # adjacent-year transitions: sort by (ck, yr), compare neighbors
+    o = np.lexsort((yr, ck))
+    ck_s, yr_s, band_s = ck[o], yr[o], band[o]
+    adj = (ck_s[1:] == ck_s[:-1]) & (yr_s[1:] == yr_s[:-1] + 1)
+    pair = band_s[:-1][adj] * 100 + band_s[1:][adj]
+    uniq, cnt = np.unique(pair, return_counts=True)
+    return pa.table(
+        {
+            "band_from": pa.array(uniq // 100, pa.int64()),
+            "band_to": pa.array(uniq % 100, pa.int64()),
+            "n_customers": pa.array(cnt.astype(np.int64)),
+        }
+    )

@@ -2065,3 +2065,205 @@ def doc_sorted_lcp(sf_dir: str):
         )
 
     return ranged.map_batches(patch, batch_format="pyarrow")
+
+
+from sciscraper_ray.pipelines.queries.dedup import _md5_hex15_sql as _hex15
+
+
+@register(
+    "token_ams_f2",
+    oracle=f"""
+    WITH {_SQL_TRIGRAM_HIST},
+    gh AS (
+        SELECT r, {_hex15('g')} AS hh FROM cnt
+    ),
+    js AS (SELECT CAST(unnest(range(16)) AS INT) AS j),
+    z AS (
+        SELECT CAST(j AS BIGINT) AS j,
+               CAST(sum((((hh >> j) & 1) * 2 - 1) * r) AS BIGINT) AS z
+        FROM gh CROSS JOIN js GROUP BY j
+    ),
+    f2 AS (SELECT CAST(sum(r * r * n_r) AS BIGINT) AS true_f2 FROM h)
+    SELECT j, z, CAST(z * z AS BIGINT) AS est_f2, true_f2
+    FROM z CROSS JOIN f2
+    """,
+)
+def token_ams_f2(sf_dir: str):
+    """AMS/tug-of-war F2 sketch (Alon-Matias-Szegedy 1996) over corpus
+    trigram frequencies, audited against the exact second moment. F2 =
+    sum of squared counts is the SELF-JOIN SIZE of the gram table — the
+    query-optimizer cardinality primitive — and the sketch estimates it
+    with NO gram-keyed exchange at all: z_j = sum_w sign_j(w) * c_w is
+    linear in counts, so per-batch partials (16 ints per batch) simply
+    add; E[z_j^2] = F2. The 16 signs derive from bits 0..15 of the
+    shared 15-hex md5 of the gram (documented weakening of 4-wise
+    independence — determinism and SQL-mirrorability over variance).
+    The exact true_f2 rides the trigram count HISTOGRAM (sum r^2*N_r),
+    reusing _trigram_count_hist's one bounded exchange — the audit
+    column is what costs a shuffle, never the sketch."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets, np.int64)
+        flat = toks.values
+        n = len(flat)
+        z = np.zeros(16, np.int64)
+        if n >= 3:
+            doc = np.repeat(np.arange(len(b), dtype=np.int64), np.diff(offs))
+            grams = pc.binary_join_element_wise(
+                flat.slice(0, n - 2), flat.slice(1, n - 2),
+                flat.slice(2, n - 2), " ",
+            )
+            same_doc = doc[: n - 2] == doc[2:]
+            t = pa.table(
+                {
+                    "g": grams.filter(pa.array(same_doc)),
+                    "c": pa.array(
+                        np.ones(int(same_doc.sum()), np.int64)
+                    ),
+                }
+            )
+            t = t.group_by("g").aggregate([("c", "sum")])
+            hs = np.array(
+                [
+                    int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                    for g in t["g"].to_pylist()
+                ],
+                np.int64,
+            )
+            c = t["c_sum"].to_numpy(zero_copy_only=False)
+            for j in range(16):
+                z[j] = int(np.sum((((hs >> j) & 1) * 2 - 1) * c))
+        return pa.table(
+            {"j": pa.array(np.arange(16, dtype=np.int64)), "z": pa.array(z)}
+        )
+
+    zj = (
+        _docs(sf_dir, columns=("doc_id", "text"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("j")
+        .aggregate(Sum(on="z", alias_name="z"))
+        .to_pandas()
+        .sort_values("j", ignore_index=True)
+    )
+    hist = _trigram_count_hist(sf_dir)
+    true_f2 = int(
+        (hist["r"].to_numpy(np.int64) ** 2 * hist["n_r"].to_numpy(np.int64))
+        .sum()
+    )
+    z = zj["z"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "j": pa.array(zj["j"].to_numpy(np.int64)),
+            "z": pa.array(z),
+            "est_f2": pa.array(z * z),
+            "true_f2": pa.array(np.full(16, true_f2, np.int64)),
+        }
+    )
+
+
+_RAKE_STOPS = ("a", "the")
+_RAKE_STOPS_SQL = "('a', 'the')"
+
+
+@register(
+    "token_rake_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents
+    ), pos AS (
+        SELECT doc_id, ts[CAST(p AS INT) + 1] AS w, p
+        FROM toks, unnest(range(len(ts))) AS u(p)
+    ), marked AS (
+        SELECT doc_id, w, p,
+               CAST(sum(CASE WHEN w IN {_RAKE_STOPS_SQL} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY p) AS BIGINT)
+                   AS phrase_id
+        FROM pos
+    ), phrase AS (
+        SELECT doc_id, phrase_id, w,
+               CAST(count(*) OVER (PARTITION BY doc_id, phrase_id)
+                   AS BIGINT) AS plen
+        FROM marked WHERE w NOT IN {_RAKE_STOPS_SQL}
+    )
+    SELECT w AS token,
+           CAST(count(*) AS BIGINT) AS freq,
+           CAST(sum(plen) AS BIGINT) AS deg
+    FROM phrase GROUP BY w
+    """,
+)
+def token_rake_stats(sf_dir: str):
+    """RAKE keyword statistics (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs; for each
+    word, freq = occurrences inside phrases and deg = sum of the
+    lengths of the phrases it occurs in. RAKE's keyword score is
+    deg/freq — emitted as the exact integer pair (one division from the
+    statistic) so the compare is exact. The segmentation is a
+    vectorized prefix-sum: phrase_id = running count of stopwords seen,
+    computed per batch with np.cumsum over the flattened token stream
+    (document boundaries salt the id so phrases never span docs); the
+    per-word aggregate is vocabulary-bounded."""
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    stops = set(_RAKE_STOPS)
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets, np.int64)
+        flat = toks.values
+        n = len(flat)
+        if n == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "freq": pa.array([], pa.int64()),
+                    "deg": pa.array([], pa.int64()),
+                }
+            )
+        doc = np.repeat(np.arange(len(b), dtype=np.int64), np.diff(offs))
+        is_stop = pc.is_in(
+            flat, value_set=pa.array(sorted(stops))
+        ).to_numpy(zero_copy_only=False)
+        # phrase key: (doc, running stop count) — strictly increasing
+        # across doc boundaries because every doc restarts the pair
+        pid = np.cumsum(is_stop)
+        key = doc * (n + 1) + pid
+        keep = ~is_stop
+        kk = key[keep]
+        # phrase lengths via one sort-free pass: kk is already
+        # non-decreasing (doc and pid both non-decreasing in stream order)
+        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+        seg_len = np.diff(np.r_[starts, len(kk)])
+        plen = np.repeat(seg_len, seg_len)
+        t = pa.table(
+            {
+                "token": pa.array(flat.filter(pa.array(keep))),
+                "freq": pa.array(np.ones(len(kk), np.int64)),
+                "deg": pa.array(plen.astype(np.int64)),
+            }
+        )
+        return (
+            t.group_by("token")
+            .aggregate([("freq", "sum"), ("deg", "sum")])
+            .rename_columns(["token", "freq", "deg"])
+        )
+
+    return (
+        _docs(sf_dir, columns=("doc_id", "text"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(
+            Sum(on="freq", alias_name="freq"), Sum(on="deg", alias_name="deg")
+        )
+    )
