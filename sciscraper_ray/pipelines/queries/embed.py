@@ -1174,3 +1174,109 @@ def embedding_power_iteration(sf_dir: str):
             "loading": pa.array(np.round(v, 6) + 0.0, pa.float64()),
         }
     )
+
+
+_TRUNC_DIM = 16
+
+
+@register(
+    "ann_dim_truncation_recall",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id < {N_ANN_QUERIES}
+    ), fr AS (
+        SELECT qid, e.vec_id AS neighbor,
+               row_number() OVER (
+                   PARTITION BY qid
+                   ORDER BY list_cosine_similarity(qe, e.embedding) DESC,
+                            e.vec_id ASC
+               ) AS rk
+        FROM q, embeddings e WHERE e.vec_id <> qid
+    ), tr AS (
+        SELECT qid, e.vec_id AS neighbor,
+               row_number() OVER (
+                   PARTITION BY qid
+                   ORDER BY list_cosine_similarity(
+                       qe[1:{_TRUNC_DIM}], e.embedding[1:{_TRUNC_DIM}]
+                   ) DESC, e.vec_id ASC
+               ) AS rk
+        FROM q, embeddings e WHERE e.vec_id <> qid
+    )
+    SELECT f.qid, CAST({ANN_K} AS BIGINT) AS k,
+           CAST(count(t.neighbor) AS BIGINT) AS n_common
+    FROM (SELECT * FROM fr WHERE rk <= {ANN_K}) f
+    LEFT JOIN (SELECT * FROM tr WHERE rk <= {ANN_K}) t
+      ON f.qid = t.qid AND f.neighbor = t.neighbor
+    GROUP BY f.qid
+    """,
+)
+def ann_dim_truncation_recall(sf_dir: str):
+    """Matryoshka-style dimension-truncation recall audit: how many of
+    each query's true cosine top-k (full 64 dims) survive when search
+    runs on the first 16 dims only — the evaluation that decides whether
+    a truncated-dim first pass (4x less matmul and memory bandwidth, the
+    standard coarse-then-rerank trick at retrieval scale) is safe for
+    this embedding family. One scan computes BOTH variants' per-batch
+    partial top-k (two matmuls against the same broadcast query matrix,
+    rows tagged by variant), the grouped merge is (2 x queries)-bounded,
+    and the overlap count runs on the 2*|q|*k result rows. Output is
+    integer counts (n_common of k), so the compare is exact even though
+    similarities are float."""
+    import ray
+    import ray.data
+
+    from sciscraper_ray.stages.ann import BruteForceTopK, topk_reduce
+
+    qids, qmat = _query_vectors(sf_dir)
+    full_ref = ray.put((qids, qmat))
+    trunc_ref = ray.put((qids, qmat[:, :_TRUNC_DIM].copy()))
+
+    class BothVariants:
+        def __init__(self):
+            self.full = BruteForceTopK(queries_ref=full_ref, k=ANN_K)
+            self.trunc = BruteForceTopK(queries_ref=trunc_ref, k=ANN_K)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            f = self.full(b)
+            vecs = b["embedding"]
+            sliced = pc.list_slice(vecs, 0, _TRUNC_DIM)
+            t = self.trunc(
+                pa.table({"vec_id": b["vec_id"], "embedding": sliced})
+            )
+            f = f.append_column(
+                "variant", pa.array(np.zeros(len(f), np.int64))
+            )
+            t = t.append_column(
+                "variant", pa.array(np.ones(len(t), np.int64))
+            )
+            return pa.concat_tables([f, t])
+
+    merged = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(BothVariants, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby(["variant", "qid"])
+        .map_groups(lambda g: topk_reduce(g, ANN_K), batch_format="pandas")
+        .to_pandas()
+    )
+    full_sets = {
+        q: set(g["neighbor"])
+        for q, g in merged[merged["variant"] == 0].groupby("qid")
+    }
+    trunc_sets = {
+        q: set(g["neighbor"])
+        for q, g in merged[merged["variant"] == 1].groupby("qid")
+    }
+    qs = sorted(full_sets)
+    return pa.table(
+        {
+            "qid": pa.array(qs, pa.int64()),
+            "k": pa.array([ANN_K] * len(qs), pa.int64()),
+            "n_common": pa.array(
+                [len(full_sets[q] & trunc_sets.get(q, set())) for q in qs],
+                pa.int64(),
+            ),
+        }
+    )

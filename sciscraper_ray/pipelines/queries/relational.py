@@ -4159,3 +4159,130 @@ def customer_band_migration(sf_dir: str):
             "n_customers": pa.array(cnt.astype(np.int64)),
         }
     )
+
+
+from sciscraper_ray.pipelines.queries.dedup import _md5_hex15_sql as _hex15
+
+_KMV_K = 64
+_KMV_M = 16**15
+
+
+@register(
+    "customer_year_overlap_kmv",
+    oracle=f"""
+    WITH ay AS (
+        SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               {_hex15('CAST(o_custkey AS VARCHAR)')} AS h
+        FROM orders
+    ), pairs AS (
+        SELECT DISTINCT yr AS y FROM ay
+        WHERE yr + 1 IN (SELECT yr FROM ay)
+    ), u AS (
+        SELECT p.y, h,
+               max(CASE WHEN ay.yr = p.y THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN ay.yr = p.y + 1 THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p JOIN ay ON ay.yr IN (p.y, p.y + 1)
+        GROUP BY p.y, h
+    ), r AS (
+        SELECT y, h, in_a, in_b,
+               row_number() OVER (PARTITION BY y ORDER BY h) AS rn,
+               CAST(count(*) OVER (PARTITION BY y) AS BIGINT) AS nd,
+               CAST(sum(in_a * in_b) OVER (PARTITION BY y) AS BIGINT)
+                   AS true_inter
+        FROM u
+    ), kth AS (
+        SELECT y, h AS hk, nd, true_inter,
+               CAST(CASE WHEN nd < {_KMV_K} THEN nd
+                    ELSE (CAST({_KMV_K - 1} AS HUGEINT) * {_KMV_M}) // h
+                    END AS BIGINT) AS est_union
+        FROM r WHERE rn = least(nd, {_KMV_K})
+    ), cc AS (
+        SELECT y, CAST(sum(in_a * in_b) AS BIGINT) AS c
+        FROM r WHERE rn <= {_KMV_K} GROUP BY y
+    )
+    SELECT kth.y AS yr_from, kth.y + 1 AS yr_to,
+           nd AS true_union, est_union, true_inter,
+           CAST((CAST(cc.c AS HUGEINT) * est_union)
+                // least(nd, {_KMV_K}) AS BIGINT) AS est_inter,
+           CAST(least(nd, {_KMV_K}) AS BIGINT) AS k_used
+    FROM kth JOIN cc ON kth.y = cc.y
+    """,
+)
+def customer_year_overlap_kmv(sf_dir: str):
+    """KMV set-INTERSECTION estimation (Beyer et al. 2007) between
+    consecutive years' active-customer sets, audited exactly — the
+    sketch capability HLL lacks and the reason events_kmv_distinct's
+    docstring advertises KMV: the bottom-k of a union is computable
+    from per-set bottom-k's, and the fraction of those k samples lying
+    in both sets estimates |A∩B| = (c/k) * est(|A∪B|). All-integer
+    floor arithmetic on both sides; when a union is smaller than k the
+    estimates collapse to the exact values (the audit's base case).
+    Plan: per-batch distinct (year, custkey) partials; the
+    customer-year grain table is driver-merged under the orders parquet
+    row bound (the shared two-plan rule — past it, per-year bottom-k
+    partials merge distributively exactly like events_kmv_distinct);
+    output is |year pairs| rows."""
+    import hashlib
+
+    import ray.data
+
+    from sciscraper_ray.pipelines.plan import (
+        DRIVER_PLAN_LIMIT,
+        driver_frame,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "yr": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+                "ck": b["o_custkey"],
+            }
+        )
+        return t.group_by(["yr", "ck"]).aggregate([])
+
+    df = driver_frame(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+        ).map_batches(partial, batch_format="pyarrow"),
+        DRIVER_PLAN_LIMIT,
+        "customer_year_overlap_kmv",
+    )
+    kk = np.unique(
+        df["yr"].to_numpy(np.int64) * 10_000_000_000
+        + df["ck"].to_numpy(np.int64)
+    )
+    yr, ck = kk // 10_000_000_000, kk % 10_000_000_000
+    hcache = {
+        int(c): int(hashlib.md5(str(int(c)).encode()).hexdigest()[:15], 16)
+        for c in np.unique(ck)
+    }
+    by_year = {
+        int(y): {hcache[int(c)] for c in ck[yr == y]} for y in np.unique(yr)
+    }
+    rows = []
+    for y in sorted(by_year):
+        if y + 1 not in by_year:
+            continue
+        a, b = by_year[y], by_year[y + 1]
+        union = sorted(a | b)
+        nd = len(union)
+        k_used = min(nd, _KMV_K)
+        bottom = union[:k_used]
+        est_union = (
+            nd if nd < _KMV_K else (_KMV_K - 1) * _KMV_M // union[_KMV_K - 1]
+        )
+        c = sum(1 for h in bottom if h in a and h in b)
+        rows.append(
+            (
+                y, y + 1, nd, est_union, len(a & b),
+                c * est_union // k_used, k_used,
+            )
+        )
+    cols = list(zip(*rows))
+    names = [
+        "yr_from", "yr_to", "true_union", "est_union", "true_inter",
+        "est_inter", "k_used",
+    ]
+    return pa.table(
+        {n: pa.array(list(c), pa.int64()) for n, c in zip(names, cols)}
+    )
