@@ -2303,3 +2303,89 @@ def events_kmv_distinct(sf_dir: str):
         .groupby("event_type")
         .map_groups(per_type, batch_format="pyarrow")
     )
+
+
+@register(
+    "events_runs_test",
+    oracle="""
+    WITH hc AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), med AS (
+        SELECT event_type, quantile_disc(x, 0.5) AS med FROM hc GROUP BY 1
+    ), signs AS (
+        SELECT hc.event_type, hr, med, x > med AS above,
+               lag(x > med) OVER (
+                   PARTITION BY hc.event_type ORDER BY hr
+               ) AS prev
+        FROM hc JOIN med USING (event_type)
+        WHERE x <> med
+    )
+    SELECT event_type, CAST(min(med) AS BIGINT) AS median_rate,
+           CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           CAST(sum(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n_below,
+           CAST(sum(CASE WHEN prev IS NULL OR prev <> above
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+    FROM signs GROUP BY event_type
+    """,
+)
+def events_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs statistic over each type's hourly volume
+    series: hours are marked above/below the type's discrete median
+    (exact element, sorted[(n-1)//2], the quantile_disc(0.5) convention;
+    median-equal hours drop, the standard treatment), and n_runs counts
+    the maximal same-sign stretches — far fewer runs than
+    2*n_above*n_below/n + 1 means the series is trending/bursty rather
+    than i.i.d., the nonparametric cousin of events_cusum_drift that
+    needs no threshold. All counts integer, so the compare is exact.
+    Plan: identical exchange budget to events_cusum_drift — per-batch
+    (type, hour) Arrow partials, one calendar-bounded groupby, and the
+    per-type sign scan on the driver is |types| x |hours| rows."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "hr": pc.floor_temporal(b["ts"], unit="hour"),
+                "n": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        return (
+            t.group_by(["event_type", "hr"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["event_type", "hr", "n"])
+        )
+
+    hourly = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hr"])
+        .aggregate(Sum(on="n", alias_name="x"))
+        .to_pandas()
+        .sort_values(["event_type", "hr"], ignore_index=True)
+    )
+    types = hourly["event_type"].to_numpy()
+    x_all = hourly["x"].to_numpy(np.int64)
+    out = []
+    for et in np.unique(types):
+        x = x_all[types == et]
+        med = int(np.sort(x)[(len(x) - 1) // 2])
+        s = x[x != med] > med
+        runs = int(1 + np.count_nonzero(s[1:] != s[:-1])) if len(s) else 0
+        out.append(
+            (et, med, int(s.sum()), int(len(s) - s.sum()), runs)
+        )
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in out], pa.string()),
+            "median_rate": pa.array([r[1] for r in out], pa.int64()),
+            "n_above": pa.array([r[2] for r in out], pa.int64()),
+            "n_below": pa.array([r[3] for r in out], pa.int64()),
+            "n_runs": pa.array([r[4] for r in out], pa.int64()),
+        }
+    )

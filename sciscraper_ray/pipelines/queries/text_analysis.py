@@ -2267,3 +2267,115 @@ def token_rake_stats(sf_dir: str):
             Sum(on="freq", alias_name="freq"), Sum(on="deg", alias_name="deg")
         )
     )
+
+
+@register(
+    "doc_texttiling_boundaries",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents
+    ), pos AS (
+        SELECT doc_id, ts[CAST(p AS INT) + 1] AS w,
+               CAST(p // 20 AS BIGINT) AS blk
+        FROM toks, unnest(range(len(ts))) AS u(p)
+    ), cnt AS (
+        SELECT doc_id, blk, w, CAST(count(*) AS BIGINT) AS c
+        FROM pos GROUP BY 1, 2, 3
+    ), norms AS (
+        SELECT doc_id, blk, CAST(sum(c * c) AS BIGINT) AS nn
+        FROM cnt GROUP BY 1, 2
+    ), dots AS (
+        SELECT a.doc_id, a.blk, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        FROM cnt a JOIN cnt b
+          ON a.doc_id = b.doc_id AND b.blk = a.blk + 1 AND a.w = b.w
+        GROUP BY 1, 2
+    ), gaps AS (
+        SELECT n1.doc_id, coalesce(d.dot, 0) AS dot, n1.nn AS na, n2.nn AS nb
+        FROM norms n1
+        JOIN norms n2 ON n1.doc_id = n2.doc_id AND n2.blk = n1.blk + 1
+        LEFT JOIN dots d ON d.doc_id = n1.doc_id AND d.blk = n1.blk
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(CASE WHEN 4 * dot * dot < na * nb THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_boundaries
+    FROM gaps GROUP BY doc_id
+    """,
+)
+def doc_texttiling_boundaries(sf_dir: str):
+    """TextTiling topic-shift detection (Hearst 1997), exact-integer
+    form: adjacent 20-token blocks are compared as bag-of-words vectors
+    and a gap is a topic boundary when cosine similarity drops below
+    0.5. The float cosine never materializes — both terms are
+    non-negative integers, so cos < 1/2 is EXACTLY 4*dot^2 < |a|^2*|b|^2
+    (squaring is monotone for dot >= 0), which keeps the oracle compare
+    exact instead of 1e-6-close. Docs shorter than two blocks emit no
+    row (no gap exists — pinned on both sides). Embarrassingly parallel:
+    each document's blocks live in its own row, so the whole op is one
+    map_batches with np.add.at scatter adds over (doc-block, token-id)
+    keys — no exchange at all."""
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_gaps": pa.array([], pa.int64()),
+                "n_boundaries": pa.array([], pa.int64()),
+            }
+        )
+        toks = tokenize_column(b["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets, np.int64)
+        n = int(offs[-1])
+        if n == 0:
+            return empty
+        lens = np.diff(offs)
+        doc = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+        pos = np.arange(n, dtype=np.int64) - offs[doc]
+        blk = pos // 20
+        words = toks.values.to_numpy(zero_copy_only=False)
+        _, wid = np.unique(words, return_inverse=True)
+        v = int(wid.max()) + 1
+        mb = int(blk.max()) + 2
+        dbk = doc * mb + blk
+        key = dbk * v + wid
+        uk, c = np.unique(key, return_counts=True)
+        c = c.astype(np.int64)
+        # norms per doc-block
+        nn = np.zeros(len(b) * mb, np.int64)
+        np.add.at(nn, uk // v, c * c)
+        # dots: align (doc, blk, w) with (doc, blk+1, w) = key + v
+        nxt = np.searchsorted(uk, uk + v)
+        ok = (nxt < len(uk)) & (uk[np.minimum(nxt, len(uk) - 1)] == uk + v)
+        dot = np.zeros(len(b) * mb, np.int64)
+        np.add.at(dot, uk[ok] // v, c[ok] * c[nxt[ok]])
+        # per-doc gap scan, fully vectorized: enumerate every gap index
+        # (doc-block pairs) across the batch in one segmented arange
+        n_blocks = (lens + 19) // 20
+        g = np.maximum(n_blocks - 1, 0)
+        tot = int(g.sum())
+        if tot == 0:
+            return empty
+        doci = np.repeat(np.arange(len(b), dtype=np.int64), g)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(g) - g, g
+        )
+        gi = doci * mb + within
+        bd = (4 * dot[gi] * dot[gi] < nn[gi] * nn[gi + 1]).astype(np.int64)
+        n_bd = np.bincount(doci, weights=bd, minlength=len(b)).astype(
+            np.int64
+        )
+        has = g > 0
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[has].astype(np.int64)),
+                "n_gaps": pa.array(g[has].astype(np.int64)),
+                "n_boundaries": pa.array(n_bd[has]),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id", "text")).map_batches(
+        partial, batch_format="pyarrow"
+    )
