@@ -2171,3 +2171,124 @@ def doc_collect_ids(sf_dir: str):
     return ds.groupby(["source", "lang"]).map_groups(collect, batch_format="pandas")
 
 
+
+
+@register(
+    "lineitem_price_quantiles_twopass",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    )
+    SELECT CAST(unnest([10, 50, 90]) AS BIGINT) AS pct,
+           unnest([
+               CAST(quantile_disc(cents, 0.1) AS BIGINT),
+               CAST(quantile_disc(cents, 0.5) AS BIGINT),
+               CAST(quantile_disc(cents, 0.9) AS BIGINT)
+           ]) AS value_cents,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM c
+    """,
+)
+def lineitem_price_quantiles_twopass(sf_dir: str):
+    """EXACT p10/p50/p90 of a CONTINUOUS column in two bounded passes —
+    the scale path lineitem_quantiles' docstring defers (its histogram
+    trick needs bounded distinct cardinality; prices have ~n distinct
+    values). Pass 1 histograms cents into 4096 fixed-width integer bins
+    whose bounds come FREE from the parquet footer's row-group
+    statistics (no extra scan); the driver's cumulative sum locates,
+    for each target rank ceil(n*q)-1 (the quantile_disc rule), the one
+    bin containing it. Pass 2 re-scans collecting ONLY values inside
+    the (up to 3) target bins — expected n/4096 rows each, guarded by
+    the shared driver-frame bound — and reads the exact order statistic
+    off a driver sort. Total exchange: 4096-row histogram partials plus
+    the target-bin values; nothing global is ever sorted. A pathological
+    single-value bin would simply make pass 2 the exact-count shortcut
+    (every rank inside it is that value)."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+    NBINS = 4096
+    pf = pq.ParquetFile(f"{sf_dir}/lineitem.parquet")
+    col = pf.schema_arrow.get_field_index("l_extendedprice")
+    mins, maxs = [], []
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(col).statistics
+        mins.append(st.min)
+        maxs.append(st.max)
+    lo = int(np.floor(min(mins) * 100))
+    hi = int(np.ceil(max(maxs) * 100))
+    w = max(1, (hi - lo + NBINS) // NBINS)
+
+    def cents_of(b: pa.Table) -> np.ndarray:
+        return np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        binned = np.clip((cents_of(b) - lo) // w, 0, NBINS - 1)
+        cnt = np.bincount(binned, minlength=NBINS)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "bin": pa.array(nz.astype(np.int64)),
+                "cnt": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("bin", ignore_index=True)
+    )
+    cnt = np.zeros(NBINS, np.int64)
+    cnt[hist["bin"].to_numpy(np.int64)] = hist["cnt"].to_numpy(np.int64)
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    ranks = {pct: (n * pct + 99) // 100 - 1 for pct in (10, 50, 90)}
+    target_bins = {
+        pct: int(np.searchsorted(cum, r + 1)) for pct, r in ranks.items()
+    }
+    need = sorted(set(target_bins.values()))
+    need_arr = np.array(need, np.int64)
+
+    def in_targets(b: pa.Table) -> pa.Table:
+        cents = cents_of(b)
+        binned = np.clip((cents - lo) // w, 0, NBINS - 1)
+        keep = np.isin(binned, need_arr)
+        return pa.table(
+            {
+                "bin": pa.array(binned[keep]),
+                "cents": pa.array(cents[keep]),
+            }
+        )
+
+    vals = driver_frame(
+        ds.map_batches(in_targets, batch_format="pyarrow"),
+        DRIVER_PLAN_LIMIT,
+        "lineitem_price_quantiles_twopass",
+    )
+    out = []
+    for pct in (10, 50, 90):
+        bb = target_bins[pct]
+        rank_in = ranks[pct] - (int(cum[bb - 1]) if bb else 0)
+        inbin = np.sort(
+            vals.loc[vals["bin"] == bb, "cents"].to_numpy(np.int64)
+        )
+        out.append((pct, int(inbin[rank_in])))
+    return pa.table(
+        {
+            "pct": pa.array([r[0] for r in out], pa.int64()),
+            "value_cents": pa.array([r[1] for r in out], pa.int64()),
+            "n_rows": pa.array([n] * 3, pa.int64()),
+        }
+    )
