@@ -3014,3 +3014,88 @@ def source_length_gini(sf_dir: str):
             "gini": pa.array(gini_out, pa.float64()),
         }
     )
+
+
+@register(
+    "doc_length_dup_crosstab",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, n_chars,
+               CAST(count(*) OVER (PARTITION BY md5(substr(text, 1, 32))) > 1
+                   AS BIGINT) AS is_dup
+        FROM documents
+    ), b AS (
+        SELECT CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                   AS band,
+               is_dup
+        FROM d
+    )
+    SELECT band, is_dup, CAST(count(*) AS BIGINT) AS n_docs
+    FROM b GROUP BY 1, 2
+    """,
+)
+def doc_length_dup_crosstab(sf_dir: str):
+    """Curation-bias audit: length-decile x exact-duplicate crosstab —
+    the 'is dedup about to skew my length distribution' check run before
+    committing a dedup pass (dup probability usually CORRELATES with
+    length on the real web: short boilerplate dominates dup clusters).
+    Deciles band n_chars with the DuckDB ntile tie rule pinned by
+    (n_chars, doc_id); is_dup marks PREFIX duplicates — docs
+    sharing their first 32 chars with another doc (the teaser-prefix
+    signal; whole-text exact dups are absent from this fixture at small
+    sf, so the prefix key is what keeps the audit non-degenerate). Plan: batches reduce to
+    (doc_id, n_chars, hash-hi, hash-lo) — text never leaves the worker —
+    and the doc-grain table is driver-merged under the shared row bound
+    (top_suppliers_by_nation rule; past it the banding flips to the
+    range-partitioner rank path and dup flags to the groupby-count
+    two-pass of source_dup_rate). Output is the 10 x 2 table."""
+    import ray.data
+
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+    from sciscraper_ray.stages.dedup import md5_hash128_batch
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = pa.table({"text": pc.utf8_slice_codeunits(b["text"], 0, 32)})
+        hi, lo, _ = md5_hash128_batch(key, "text")
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars": b["n_chars"],
+                "hi": pa.array(hi),
+                "lo": pa.array(lo),
+            }
+        )
+
+    df = driver_frame(
+        _docs(sf_dir, columns=("doc_id", "text", "n_chars")).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        DRIVER_PLAN_LIMIT,
+        "doc_length_dup_crosstab",
+    )
+    key = list(zip(df["hi"].to_numpy(np.int64), df["lo"].to_numpy(np.int64)))
+    _, inv, cnt = np.unique(key, axis=0, return_inverse=True, return_counts=True)
+    is_dup = (cnt[inv] > 1).astype(np.int64)
+    order = np.lexsort(
+        (df["doc_id"].to_numpy(np.int64), df["n_chars"].to_numpy(np.int64))
+    )
+    n = len(df)
+    q, rem = divmod(n, 10)
+    ranks = np.arange(n)
+    cut = rem * (q + 1)
+    band_sorted = np.where(
+        ranks < cut,
+        ranks // (q + 1) + 1,
+        rem + np.maximum(ranks - cut, 0) // max(q, 1) + 1,
+    )
+    band = np.empty(n, np.int64)
+    band[order] = band_sorted
+    pair = band * 2 + is_dup
+    uniq, n_docs = np.unique(pair, return_counts=True)
+    return pa.table(
+        {
+            "band": pa.array(uniq // 2, pa.int64()),
+            "is_dup": pa.array(uniq % 2, pa.int64()),
+            "n_docs": pa.array(n_docs.astype(np.int64)),
+        }
+    )

@@ -2379,3 +2379,130 @@ def doc_texttiling_boundaries(sf_dir: str):
     return _docs(sf_dir, columns=("doc_id", "text")).map_batches(
         partial, batch_format="pyarrow"
     )
+
+
+@register(
+    "token_stupid_backoff",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents
+    ), bi AS (
+        SELECT ts[CAST(p AS INT) + 1] AS w1, ts[CAST(p AS INT) + 2] AS w2
+        FROM toks, unnest(range(len(ts) - 1)) AS u(p)
+        WHERE len(ts) >= 2
+    ), bc AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2
+    ), un AS (
+        SELECT unnest(ts) AS w FROM toks
+    ), uc AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM un GROUP BY 1
+    ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc)
+    SELECT u1.w AS w1, u2.w AS w2,
+           CASE WHEN bc.c12 IS NOT NULL THEN bc.c12
+                ELSE 2 * u2.c END AS score_num,
+           CASE WHEN bc.c12 IS NOT NULL THEN u1.c
+                ELSE 5 * tot.n END AS score_den,
+           CAST(bc.c12 IS NULL AS BIGINT) AS backed_off
+    FROM uc u1 CROSS JOIN uc u2 CROSS JOIN tot
+    LEFT JOIN bc ON bc.w1 = u1.w AND bc.w2 = u2.w
+    """,
+)
+def token_stupid_backoff(sf_dir: str):
+    """Stupid-backoff bigram scores (Brants et al. 2007 — the smoothing
+    that replaced KN at web scale because it needs NO discount fitting)
+    over the full vocab x vocab grid: S(w2|w1) = c12/c1 when the bigram
+    was seen, else 0.4 * c2/N. Scores stay exact unreduced integer
+    fractions (score_num, score_den) — the one float division is the
+    caller's — so the oracle compare is exact; backed_off marks which
+    cell took the unigram path (the grid makes backoff REAL: observed
+    bigram enumeration alone would never trigger it). Plan: one pass
+    emits per-batch bigram partials (doc-boundary masked), a second
+    the unigram partials; both groupbys and the final grid join are
+    vocabulary-bounded, never corpus-bounded. Completes the LM
+    smoothing family next to token_kn_continuation (KN),
+    token_good_turing (GT) and doc_bigram_lm_ppl (add-k)."""
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def bigram_partial(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets, np.int64)
+        flat = toks.values
+        n = len(flat)
+        if n < 2:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "c12": pa.array([], pa.int64()),
+                }
+            )
+        doc = np.repeat(np.arange(len(b), dtype=np.int64), np.diff(offs))
+        same = pa.array(doc[: n - 1] == doc[1:])
+        t = pa.table(
+            {
+                "w1": flat.slice(0, n - 1).filter(same),
+                "w2": flat.slice(1, n - 1).filter(same),
+                "c12": pa.array(
+                    np.ones(int(np.count_nonzero(same)), np.int64)
+                ),
+            }
+        )
+        return (
+            t.group_by(["w1", "w2"])
+            .aggregate([("c12", "sum")])
+            .rename_columns(["w1", "w2", "c12"])
+        )
+
+    def unigram_partial(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(tokenize_column(b["text"]))
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "w": vc.field("values"),
+                "c": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    docs = _docs(sf_dir, columns=("doc_id", "text"))
+    bi = (
+        docs.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum(on="c12", alias_name="c12"))
+        .to_pandas()
+    )
+    un = (
+        docs.map_batches(unigram_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum(on="c", alias_name="c"))
+        .to_pandas()
+    )
+    words = un["w"].tolist()
+    c_of = dict(zip(words, un["c"].astype(int)))
+    c12_of = {
+        (r.w1, r.w2): int(r.c12) for r in bi.itertuples()
+    }
+    total = sum(c_of.values())
+    rows = [
+        (
+            w1, w2,
+            c12_of.get((w1, w2), 2 * c_of[w2]),
+            c_of[w1] if (w1, w2) in c12_of else 5 * total,
+            int((w1, w2) not in c12_of),
+        )
+        for w1 in words
+        for w2 in words
+    ]
+    names = ["w1", "w2", "score_num", "score_den", "backed_off"]
+    return pa.table(
+        {
+            "w1": pa.array([r[0] for r in rows], pa.string()),
+            "w2": pa.array([r[1] for r in rows], pa.string()),
+            "score_num": pa.array([r[2] for r in rows], pa.int64()),
+            "score_den": pa.array([r[3] for r in rows], pa.int64()),
+            "backed_off": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
