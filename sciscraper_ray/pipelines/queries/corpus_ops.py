@@ -3099,3 +3099,103 @@ def doc_length_dup_crosstab(sf_dir: str):
             "n_docs": pa.array(n_docs.astype(np.int64)),
         }
     )
+
+
+@register(
+    "source_length_mannwhitney",
+    oracle="""
+    WITH g AS (
+        SELECT CASE WHEN source = 'src0' THEN 0 ELSE 1 END AS grp,
+               CAST(n_chars AS BIGINT) AS v
+        FROM documents WHERE source IN ('src0', 'src1')
+    ), h AS (
+        SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2
+    ), tot AS (
+        SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM h GROUP BY v
+    ), cl AS (
+        SELECT v, ct,
+               coalesce(CAST(sum(ct) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING) AS BIGINT), 0) AS below
+        FROM tot
+    ), r1 AS (
+        SELECT CAST(sum(h.c * (2 * cl.below + cl.ct + 1)) AS BIGINT)
+                   AS two_r1,
+               CAST(sum(h.c) AS BIGINT) AS n1
+        FROM h JOIN cl ON h.v = cl.v WHERE grp = 0
+    ), n2t AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n2 FROM h WHERE grp = 1
+    )
+    SELECT n1, n2, two_r1,
+           two_r1 - n1 * (n1 + 1) AS two_u1,
+           2 * n1 * n2 - (two_r1 - n1 * (n1 + 1)) AS two_u2
+    FROM r1, n2t
+    """,
+)
+def source_length_mannwhitney(sf_dir: str):
+    """Mann-Whitney U between src0 and src1 document lengths — the
+    nonparametric two-sample location test (does one source emit
+    systematically longer docs), joining the robust family
+    (events_ab_welch is its parametric cousin). Everything stays
+    integer by the doubled-midrank identity: a value v's midrank is
+    (2*count_below(v) + count_equal(v) + 1) / 2, so 2*R1 =
+    sum over group-1 rows of (2*below + ties + 1) — exact with ties,
+    no float ranks ever. 2*U1 = 2*R1 - n1(n1+1); U1 + U2 = n1*n2
+    closes the audit. Plan: per-batch (group, length) histogram
+    partials; the merged histogram is |distinct length| x 2 rows
+    (value-domain bounded, like lineitem_quantiles), and the midrank
+    cumulative runs on that tiny table."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = b["source"].to_numpy(zero_copy_only=False)
+        keep = (src == "src0") | (src == "src1")
+        grp = (src[keep] == "src1").astype(np.int64)
+        v = b["n_chars"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        t = pa.table(
+            {
+                "grp": pa.array(grp),
+                "v": pa.array(v),
+                "c": pa.array(np.ones(len(v), np.int64)),
+            }
+        )
+        return (
+            t.group_by(["grp", "v"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["grp", "v", "c"])
+        )
+
+    h = (
+        _docs(sf_dir, columns=("source", "n_chars"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["grp", "v"])
+        .aggregate(Sum(on="c", alias_name="c"))
+        .to_pandas()
+        .sort_values(["v", "grp"], ignore_index=True)
+    )
+    vals = np.sort(h["v"].unique())
+    ct = np.zeros(len(vals), np.int64)
+    for g in (0, 1):
+        sub = h[h["grp"] == g]
+        ct[np.searchsorted(vals, sub["v"].to_numpy(np.int64))] += (
+            sub["c"].to_numpy(np.int64)
+        )
+    below = np.concatenate(([0], np.cumsum(ct)[:-1]))
+    pos = {int(v): i for i, v in enumerate(vals)}
+    g0 = h[h["grp"] == 0]
+    idx = np.array([pos[int(v)] for v in g0["v"]], np.int64)
+    c0 = g0["c"].to_numpy(np.int64)
+    two_r1 = int((c0 * (2 * below[idx] + ct[idx] + 1)).sum())
+    n1 = int(c0.sum())
+    n2 = int(h.loc[h["grp"] == 1, "c"].sum())
+    two_u1 = two_r1 - n1 * (n1 + 1)
+    return pa.table(
+        {
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "two_r1": pa.array([two_r1], pa.int64()),
+            "two_u1": pa.array([two_u1], pa.int64()),
+            "two_u2": pa.array([2 * n1 * n2 - two_u1], pa.int64()),
+        }
+    )

@@ -2292,3 +2292,144 @@ def lineitem_price_quantiles_twopass(sf_dir: str):
             "n_rows": pa.array([n] * 3, pa.int64()),
         }
     )
+
+
+@register(
+    "lineitem_winsorized_mean",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ), cuts AS (
+        SELECT CAST(quantile_disc(cents, 0.05) AS BIGINT) AS lo_cut,
+               CAST(quantile_disc(cents, 0.95) AS BIGINT) AS hi_cut
+        FROM c
+    )
+    SELECT lo_cut, hi_cut,
+           CAST(sum(CASE WHEN cents < lo_cut THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_lo,
+           CAST(sum(CASE WHEN cents > hi_cut THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_hi,
+           CAST(sum(least(greatest(cents, lo_cut), hi_cut)) AS BIGINT)
+               AS winsorized_sum_cents,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM c, cuts
+    GROUP BY lo_cut, hi_cut
+    """,
+)
+def lineitem_winsorized_mean(sf_dir: str):
+    """5/95-winsorized price statistics — the robust-mean prep that
+    caps rather than drops outliers (complements events_anomaly_mad's
+    flagging and doc_iqr_filter's dropping). Exact on a CONTINUOUS
+    column by reusing lineitem_price_quantiles_twopass's plan: pass 1's
+    4096-bin histogram (bounds free from the parquet footer) locates
+    the p05/p95 bins, pass 2 collects only those two bins' values to
+    read the exact cut points, and pass 3 is one clipped partial-sum
+    scan. The mean itself stays a (sum, count) integer pair — the one
+    division is the caller's, so the oracle compare is exact."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+    NBINS = 4096
+    pf = pq.ParquetFile(f"{sf_dir}/lineitem.parquet")
+    col = pf.schema_arrow.get_field_index("l_extendedprice")
+    stats = [
+        pf.metadata.row_group(rg).column(col).statistics
+        for rg in range(pf.metadata.num_row_groups)
+    ]
+    lo = int(np.floor(min(s.min for s in stats) * 100))
+    hi = int(np.ceil(max(s.max for s in stats) * 100))
+    w = max(1, (hi - lo + NBINS) // NBINS)
+
+    def cents_of(b: pa.Table) -> np.ndarray:
+        return np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        binned = np.clip((cents_of(b) - lo) // w, 0, NBINS - 1)
+        cnt = np.bincount(binned, minlength=NBINS)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "bin": pa.array(nz.astype(np.int64)),
+                "cnt": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    cnt = np.zeros(NBINS, np.int64)
+    cnt[hist["bin"].to_numpy(np.int64)] = hist["cnt"].to_numpy(np.int64)
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    ranks = {q: (n * q + 99) // 100 - 1 for q in (5, 95)}
+    tbins = {q: int(np.searchsorted(cum, r + 1)) for q, r in ranks.items()}
+    need = np.array(sorted(set(tbins.values())), np.int64)
+
+    def in_targets(b: pa.Table) -> pa.Table:
+        cents = cents_of(b)
+        binned = np.clip((cents - lo) // w, 0, NBINS - 1)
+        keep = np.isin(binned, need)
+        return pa.table(
+            {"bin": pa.array(binned[keep]), "cents": pa.array(cents[keep])}
+        )
+
+    vals = driver_frame(
+        ds.map_batches(in_targets, batch_format="pyarrow"),
+        DRIVER_PLAN_LIMIT,
+        "lineitem_winsorized_mean",
+    )
+    cutv = {}
+    for q in (5, 95):
+        bb = tbins[q]
+        rank_in = ranks[q] - (int(cum[bb - 1]) if bb else 0)
+        inbin = np.sort(vals.loc[vals["bin"] == bb, "cents"].to_numpy(np.int64))
+        cutv[q] = int(inbin[rank_in])
+    lo_cut, hi_cut = cutv[5], cutv[95]
+
+    def clip_partial(b: pa.Table) -> pa.Table:
+        cents = cents_of(b)
+        return pa.table(
+            {
+                "n_clipped_lo": pa.array(
+                    [int((cents < lo_cut).sum())], pa.int64()
+                ),
+                "n_clipped_hi": pa.array(
+                    [int((cents > hi_cut).sum())], pa.int64()
+                ),
+                "winsorized_sum_cents": pa.array(
+                    [int(np.clip(cents, lo_cut, hi_cut).sum())], pa.int64()
+                ),
+                "n_rows": pa.array([len(cents)], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(clip_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+    return pa.table(
+        {
+            "lo_cut": pa.array([lo_cut], pa.int64()),
+            "hi_cut": pa.array([hi_cut], pa.int64()),
+            "n_clipped_lo": pa.array([int(agg["n_clipped_lo"])], pa.int64()),
+            "n_clipped_hi": pa.array([int(agg["n_clipped_hi"])], pa.int64()),
+            "winsorized_sum_cents": pa.array(
+                [int(agg["winsorized_sum_cents"])], pa.int64()
+            ),
+            "n_rows": pa.array([int(agg["n_rows"])], pa.int64()),
+        }
+    )

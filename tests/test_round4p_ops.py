@@ -1,0 +1,47 @@
+"""Round-4 session-P additions: winsorized mean, Mann-Whitney U —
+first-principles recomputes (oracle parity runs in
+tools/check_correctness.py at all three sf dirs)."""
+
+import numpy as np
+import pandas as pd
+
+from sciscraper_ray.pipelines.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(out):
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    return pd.DataFrame(out)
+
+
+def test_lineitem_winsorized_mean(ray_session):
+    got = _df(QUERIES["lineitem_winsorized_mean"](SF)).iloc[0]
+    li = pd.read_parquet(SF + "/lineitem.parquet", columns=["l_extendedprice"])
+    cents = np.sort(np.round(li["l_extendedprice"].to_numpy() * 100).astype(np.int64))
+    n = len(cents)
+    lo = int(cents[(n * 5 + 99) // 100 - 1])
+    hi = int(cents[(n * 95 + 99) // 100 - 1])
+    assert got["lo_cut"] == lo and got["hi_cut"] == hi
+    assert got["n_clipped_lo"] == int((cents < lo).sum())
+    assert got["n_clipped_hi"] == int((cents > hi).sum())
+    assert got["winsorized_sum_cents"] == int(np.clip(cents, lo, hi).sum())
+    assert got["n_rows"] == n
+    # winsorizing must pull the mean toward the middle vs the raw mean
+    assert got["winsorized_sum_cents"] != int(cents.sum())
+
+
+def test_source_length_mannwhitney(ray_session):
+    got = _df(QUERIES["source_length_mannwhitney"](SF)).iloc[0]
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["source", "n_chars"])
+    a = docs.loc[docs["source"] == "src0", "n_chars"].to_numpy(np.int64)
+    b = docs.loc[docs["source"] == "src1", "n_chars"].to_numpy(np.int64)
+    # brute force 2*U1 = sum over (x in a, y in b) of 2*[x>y] + [x==y]
+    two_u1 = int(
+        2 * (a[:, None] > b[None, :]).sum() + (a[:, None] == b[None, :]).sum()
+    )
+    assert got["n1"] == len(a) and got["n2"] == len(b)
+    assert got["two_u1"] == two_u1
+    assert got["two_u2"] == 2 * len(a) * len(b) - two_u1
+    # midrank identity: 2*R1 = 2*U1 + n1*(n1+1)
+    assert got["two_r1"] == two_u1 + len(a) * (len(a) + 1)
