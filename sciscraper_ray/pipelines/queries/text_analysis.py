@@ -2506,3 +2506,82 @@ def token_stupid_backoff(sf_dir: str):
             "backed_off": pa.array([r[4] for r in rows], pa.int64()),
         }
     )
+
+
+_FH_DIMS = 16
+
+
+def _fh_cols_sql() -> str:
+    return ",\n".join(
+        f"           CAST(coalesce(sum(CASE WHEN b = {d} THEN s END), 0)"
+        f" AS BIGINT) AS h{d}"
+        for d in range(_FH_DIMS)
+    )
+
+
+@register(
+    "doc_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM documents
+    ), hh AS (
+        SELECT doc_id, {_hex15('w')} AS h FROM toks
+    ), fh AS (
+        SELECT doc_id, CAST(h % {_FH_DIMS} AS BIGINT) AS b,
+               CASE WHEN (h // {_FH_DIMS}) % 2 = 0 THEN 1 ELSE -1 END AS s
+        FROM hh
+    )
+    SELECT doc_id,
+{_fh_cols_sql()}
+    FROM fh GROUP BY doc_id
+    """,
+)
+def doc_feature_hashing(sf_dir: str):
+    """Hashing-trick document featurizer (Weinberger et al. 2009 — the
+    Vowpal-Wabbit/spam-filter representation): each token scatters a
+    +-1 (sign bit of its hash) into one of 16 buckets (low bits), giving
+    every doc a fixed-width signed-INTEGER feature vector with no vocab
+    dictionary to build, ship, or synchronize — the property that makes
+    it the featurizer of choice when the vocabulary itself would be a
+    coordination problem at cluster scale. Signs make collisions cancel
+    in expectation (the unbiased variant). Both sides derive bucket and
+    sign from the shared 15-hex md5, and the vectors are exact ints, so
+    the hash compare is exact. Embarrassingly parallel: one np.add.at
+    scatter per batch over (doc, bucket); per-batch hashing is bounded
+    by batch-distinct tokens, and nothing shuffles."""
+    import hashlib
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values.to_numpy(zero_copy_only=False)
+        doc = np.repeat(
+            np.arange(len(b), dtype=np.int64),
+            np.diff(np.asarray(toks.offsets, np.int64)),
+        )
+        vocab, inv = np.unique(flat, return_inverse=True)
+        hs = np.array(
+            [
+                int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+                for w in vocab
+            ],
+            object,  # 60-bit values: keep python ints for exact // and %
+        )
+        bucket = np.array([int(h % _FH_DIMS) for h in hs], np.int64)[inv]
+        sign = np.array(
+            [1 if (h // _FH_DIMS) % 2 == 0 else -1 for h in hs], np.int64
+        )[inv]
+        vec = np.zeros(len(b) * _FH_DIMS, np.int64)
+        np.add.at(vec, doc * _FH_DIMS + bucket, sign)
+        vec = vec.reshape(len(b), _FH_DIMS)
+        cols = {"doc_id": b["doc_id"]}
+        for d in range(_FH_DIMS):
+            cols[f"h{d}"] = pa.array(vec[:, d])
+        return pa.table(cols)
+
+    return _docs(sf_dir, columns=("doc_id", "text")).map_batches(
+        partial, batch_format="pyarrow"
+    )

@@ -45,3 +45,28 @@ def test_source_length_mannwhitney(ray_session):
     assert got["two_u2"] == 2 * len(a) * len(b) - two_u1
     # midrank identity: 2*R1 = 2*U1 + n1*(n1+1)
     assert got["two_r1"] == two_u1 + len(a) * (len(a) + 1)
+
+
+def test_doc_feature_hashing(ray_session):
+    import hashlib
+
+    got = _df(QUERIES["doc_feature_hashing"](SF)).set_index("doc_id")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    cache = {}
+
+    def hv(w):
+        if w not in cache:
+            h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            cache[w] = (h % 16, 1 if (h // 16) % 2 == 0 else -1)
+        return cache[w]
+
+    for _, r in docs.head(50).iterrows():
+        vec = np.zeros(16, np.int64)
+        for w in r["text"].lower().strip().split(" "):
+            b, s = hv(w)
+            vec[b] += s
+        row = got.loc[r["doc_id"]]
+        assert [int(row[f"h{d}"]) for d in range(16)] == vec.tolist()
+    # signed collisions must produce BOTH polarities somewhere
+    assert (got[[f"h{d}" for d in range(16)]].to_numpy() < 0).any()
+    assert (got[[f"h{d}" for d in range(16)]].to_numpy() > 0).any()
