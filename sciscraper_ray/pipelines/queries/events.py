@@ -2389,3 +2389,108 @@ def events_runs_test(sf_dir: str):
             "n_runs": pa.array([r[4] for r in out], pa.int64()),
         }
     )
+
+
+@register(
+    "events_survival_km",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, min(ts) AS t0, max(ts) AS tlast,
+               min(CASE WHEN event_type = 'purchase' AND value >= 150
+                        THEN ts END) AS tp
+        FROM events GROUP BY user_id
+    ), durs AS (
+        SELECT CAST((epoch_us(CASE WHEN tp IS NOT NULL THEN tp ELSE tlast END)
+                     - epoch_us(t0)) // 86400000000
+               AS BIGINT) AS d,
+               CAST(tp IS NOT NULL AS BIGINT) AS ev
+        FROM per_user
+    ), hist AS (
+        SELECT d,
+               CAST(sum(ev) AS BIGINT) AS n_event,
+               CAST(sum(1 - ev) AS BIGINT) AS n_censored
+        FROM durs GROUP BY d
+    )
+    SELECT d, n_event, n_censored,
+           CAST(sum(n_event + n_censored) OVER (
+               ORDER BY d DESC
+           ) AS BIGINT) AS n_risk
+    FROM hist
+    """,
+)
+def events_survival_km(sf_dir: str):
+    """Kaplan-Meier life-table ingredients for time-to-first-big-purchase
+    (value >= 150), with honest right-censoring at each user's last
+    observed event — the survival-analysis shape behind conversion-lag
+    and churn curves that naive 'average days to convert' gets wrong by
+    silently dropping the ~55% of users who never convert. Per distinct
+    day d: events, censorings, and the at-risk count (reverse cumulative
+    — everyone whose observation reaches d). All integers, so the
+    compare is exact; the KM product-limit estimator is one fold over
+    these rows. Plan: per-batch per-user (min, conditional-min, max)
+    partials, one user-bounded groupby merge, and the day histogram is
+    calendar-bounded driver work."""
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    BIG = np.iinfo(np.int64).max
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        val = b["value"].to_numpy(zero_copy_only=False)
+        hit = (et == "purchase") & (val >= 150)
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "t0": pa.array(ts),
+                "tlast": pa.array(ts),
+                "tp": pa.array(np.where(hit, ts, BIG)),
+            }
+        )
+        return (
+            t.group_by("user_id")
+            .aggregate([("t0", "min"), ("tlast", "max"), ("tp", "min")])
+            .rename_columns(["user_id", "t0", "tlast", "tp"])
+        )
+
+    per_user = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_type", "value"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Min(on="t0", alias_name="t0"),
+            Max(on="tlast", alias_name="tlast"),
+            Min(on="tp", alias_name="tp"),
+        )
+        .to_pandas()
+    )
+    t0 = per_user["t0"].to_numpy(np.int64)
+    tp = per_user["tp"].to_numpy(np.int64)
+    tlast = per_user["tlast"].to_numpy(np.int64)
+    ev = tp != BIG
+    end = np.where(ev, tp, tlast)
+    US_PER_DAY = 86_400_000_000
+    d = (end - t0) // US_PER_DAY
+    days = np.unique(d)
+    n_event = np.array(
+        [int(np.count_nonzero(ev & (d == x))) for x in days], np.int64
+    )
+    n_cens = np.array(
+        [int(np.count_nonzero(~ev & (d == x))) for x in days], np.int64
+    )
+    total = n_event + n_cens
+    n_risk = total[::-1].cumsum()[::-1]
+    return pa.table(
+        {
+            "d": pa.array(days.astype(np.int64)),
+            "n_event": pa.array(n_event),
+            "n_censored": pa.array(n_cens),
+            "n_risk": pa.array(n_risk.astype(np.int64)),
+        }
+    )

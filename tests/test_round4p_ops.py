@@ -70,3 +70,34 @@ def test_doc_feature_hashing(ray_session):
     # signed collisions must produce BOTH polarities somewhere
     assert (got[[f"h{d}" for d in range(16)]].to_numpy() < 0).any()
     assert (got[[f"h{d}" for d in range(16)]].to_numpy() > 0).any()
+
+
+def test_events_survival_km(ray_session):
+    got = _df(QUERIES["events_survival_km"](SF)).sort_values(
+        "d", ignore_index=True
+    )
+    ev = pd.read_parquet(SF + "/events.parquet")
+    US_DAY = 86_400_000_000
+    rows = []
+    for _, g in ev.groupby("user_id"):
+        t0 = g["ts"].min()
+        hits = g[(g["event_type"] == "purchase") & (g["value"] >= 150)]
+        if len(hits):
+            rows.append((int((hits["ts"].min() - t0).value // 1000) // US_DAY, 1))
+        else:
+            rows.append((int((g["ts"].max() - t0).value // 1000) // US_DAY, 0))
+    df = pd.DataFrame(rows, columns=["d", "ev"])
+    hist = df.groupby("d").agg(
+        n_event=("ev", "sum"), n_total=("ev", "count")
+    ).sort_index()
+    hist["n_censored"] = hist["n_total"] - hist["n_event"]
+    hist["n_risk"] = hist["n_total"][::-1].cumsum()[::-1]
+    assert got["d"].tolist() == hist.index.tolist()
+    assert got["n_event"].tolist() == hist["n_event"].tolist()
+    assert got["n_censored"].tolist() == hist["n_censored"].tolist()
+    assert got["n_risk"].tolist() == hist["n_risk"].tolist()
+    # real censoring exists (the point of KM over a plain average)
+    assert got["n_censored"].sum() > 0 and got["n_event"].sum() > 0
+    # at-risk counts are non-increasing and start at the user count
+    assert got["n_risk"].is_monotonic_decreasing
+    assert got["n_risk"].iloc[0] == ev["user_id"].nunique()
