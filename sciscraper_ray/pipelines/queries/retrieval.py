@@ -3741,3 +3741,107 @@ def warc_cdx_index(sf_dir: str):
         [os.path.join(out_dir, f"shard-{s:04d}.warc") for s in range(n_shards)],
         include_paths=True,
     ).map_batches(scan_batch, batch_format="pyarrow")
+
+
+@register(
+    "link_neighbor_degree_curve",
+    oracle=f"""
+    WITH l AS (
+        SELECT doc_id AS src, unnest({_REF_TARGETS_SQL}) AS dst
+        FROM documents
+    ), ind AS (
+        SELECT dst AS node, count(*) AS d FROM l GROUP BY dst
+    ), e AS (
+        SELECT coalesce(i1.d, 0) AS dx, i2.d AS dy
+        FROM l LEFT JOIN ind i1 ON l.src = i1.node
+               JOIN ind i2 ON l.dst = i2.node
+    )
+    SELECT CAST(dx AS BIGINT) AS src_indeg,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(sum(dy) AS BIGINT) AS sum_dst_indeg
+    FROM e GROUP BY dx
+    """,
+)
+def link_neighbor_degree_curve(sf_dir: str):
+    """Average-neighbor-degree curve k_nn(d) — the degree-correlation
+    PROFILE underneath link_degree_assortativity's single Pearson
+    number (Pastor-Satorras et al. 2001): for every source in-degree
+    class d, the edge count and the total in-degree of link targets
+    (mean = sum/n, the caller's one division — both columns exact
+    int64). A rising curve means hubs link to hubs (assortative), the
+    fingerprint used to tell organic link structure from spam farms.
+    Same physical plan as the assortativity op: the in-degree table is
+    bounded by the destination id space and broadcasts via one ray.put;
+    every edge batch pre-reduces to at most |degree classes| rows, and
+    the final groupby is degree-bounded, never edge-bounded."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.sources.page_synth import _LINK_MOD
+
+    def edges_of(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        src = np.repeat(ids, 2)
+        dst = np.empty(len(ids) * 2, np.int64)
+        dst[0::2] = (ids * 17 + 13) % _LINK_MOD
+        dst[1::2] = (ids * 29 + 7) % _LINK_MOD
+        return src, dst
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+
+    def indeg_partial(b: pa.Table) -> pa.Table:
+        _, dst = edges_of(b)
+        cnt = np.bincount(dst, minlength=_LINK_MOD)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "node": pa.array(nz.astype(np.int64)),
+                "d": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    ind_df = (
+        docs.map_batches(indeg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum(on="d", alias_name="d"))
+        .to_pandas()
+    )
+    indeg = np.zeros(_LINK_MOD, np.int64)
+    indeg[ind_df["node"].to_numpy(np.int64)] = ind_df["d"].to_numpy(np.int64)
+    indeg_ref = ray.put(indeg)
+
+    class CurvePartial:
+        def __init__(self):
+            self.indeg = ray.get(indeg_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            src, dst = edges_of(b)
+            # srcs outside the target id space are never linked-to: deg 0
+            dx = np.where(
+                src < _LINK_MOD,
+                self.indeg[np.minimum(src, _LINK_MOD - 1)],
+                0,
+            )
+            dy = self.indeg[dst]
+            t = pa.table(
+                {
+                    "src_indeg": pa.array(dx),
+                    "n_edges": pa.array(np.ones(len(dx), np.int64)),
+                    "sum_dst_indeg": pa.array(dy),
+                }
+            )
+            return (
+                t.group_by("src_indeg")
+                .aggregate([("n_edges", "sum"), ("sum_dst_indeg", "sum")])
+                .rename_columns(["src_indeg", "n_edges", "sum_dst_indeg"])
+            )
+
+    return (
+        docs.map_batches(CurvePartial, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("src_indeg")
+        .aggregate(
+            Sum(on="n_edges", alias_name="n_edges"),
+            Sum(on="sum_dst_indeg", alias_name="sum_dst_indeg"),
+        )
+    )

@@ -101,3 +101,26 @@ def test_events_survival_km(ray_session):
     # at-risk counts are non-increasing and start at the user count
     assert got["n_risk"].is_monotonic_decreasing
     assert got["n_risk"].iloc[0] == ev["user_id"].nunique()
+
+
+def test_link_neighbor_degree_curve(ray_session):
+    from collections import Counter, defaultdict
+
+    got = _df(QUERIES["link_neighbor_degree_curve"](SF)).set_index(
+        "src_indeg"
+    )
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id"])
+    edges = []
+    for i in docs["doc_id"]:
+        edges.append((int(i), (int(i) * 17 + 13) % 997))
+        edges.append((int(i), (int(i) * 29 + 7) % 997))
+    indeg = Counter(t for _, t in edges)
+    n, s = defaultdict(int), defaultdict(int)
+    for src, dst in edges:
+        dx = indeg.get(src, 0)
+        n[dx] += 1
+        s[dx] += indeg[dst]
+    assert set(got.index) == set(n)
+    for d in n:
+        assert int(got.loc[d, "n_edges"]) == n[d]
+        assert int(got.loc[d, "sum_dst_indeg"]) == s[d]
