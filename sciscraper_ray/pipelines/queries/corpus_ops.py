@@ -3199,3 +3199,61 @@ def source_length_mannwhitney(sf_dir: str):
             "two_u2": pa.array([2 * n1 * n2 - two_u1], pa.int64()),
         }
     )
+
+
+from sciscraper_ray.pipelines.queries.dedup import _md5_hex15_sql as _hex15
+
+
+@register(
+    "doc_sample_bottomk",
+    oracle=f"""
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY h) AS BIGINT)
+               AS sample_rank
+    FROM (SELECT doc_id, {_hex15("CAST(doc_id AS VARCHAR)")} AS h FROM documents)
+    ORDER BY h LIMIT 100
+    """,
+)
+def doc_sample_bottomk(sf_dir: str):
+    """Exactly-k uniform corpus sample by bottom-k content-stable hash —
+    the eval-set/holdout primitive the fractional samplers
+    (doc_split_assign, doc_sample_stratified) can't give: EXACTLY 100
+    docs, the same 100 on any cluster size, partitioning, or rerun, and
+    mergeable (bottom-k of a union is bottom-k of concatenated per-batch
+    bottom-k's — the KMV argument applied to sampling). Per batch at
+    most k (doc_id, hash) rows survive, the driver merge handles
+    batches x k rows, and sample_rank pins a total order for downstream
+    pairing. At 10^12 docs nothing changes — that's the point."""
+    import hashlib
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        hs = np.array(
+            [
+                int(hashlib.md5(str(int(i)).encode()).hexdigest()[:15], 16)
+                for i in ids
+            ],
+            np.int64,
+        )
+        take = np.argsort(hs, kind="stable")[:100]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[take].astype(np.int64)),
+                "h": pa.array(hs[take]),
+            }
+        )
+
+    merged = (
+        _docs(sf_dir, columns=("doc_id",))
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("h", ignore_index=True)
+        .head(100)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(merged["doc_id"].to_numpy(np.int64)),
+            "sample_rank": pa.array(
+                np.arange(1, len(merged) + 1, dtype=np.int64)
+            ),
+        }
+    )

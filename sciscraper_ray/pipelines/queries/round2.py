@@ -2433,3 +2433,155 @@ def lineitem_winsorized_mean(sf_dir: str):
             "n_rows": pa.array([int(agg["n_rows"])], pa.int64()),
         }
     )
+
+
+@register(
+    "orders_value_quantiles_by_segment",
+    oracle="""
+    WITH oc AS (
+        SELECT c_mktsegment AS seg,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT seg, CAST(unnest([50, 90]) AS BIGINT) AS pct,
+           unnest([
+               CAST(quantile_disc(cents, 0.5) AS BIGINT),
+               CAST(quantile_disc(cents, 0.9) AS BIGINT)
+           ]) AS value_cents,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM oc GROUP BY seg
+    """,
+)
+def orders_value_quantiles_by_segment(sf_dir: str):
+    """GROUPED exact continuous quantiles (p50/p90 of order value per
+    market segment) — the per-cohort percentile dashboard query, solved
+    by the same two-bounded-passes plan as
+    lineitem_price_quantiles_twopass but with the histogram keyed
+    (segment, bin): pass 1 moves at most |segments| x 4096 cells (price
+    bounds free from the parquet footer), the driver locates each
+    (segment, target-rank) bin, pass 2 collects only those bins' values
+    per segment. The segment tag rides a dense custkey->code int8 array
+    (one ray.put — the market_share_q8 pattern; where customers outgrow
+    the object store comfort bound the same bucketed join applies).
+    Never a global sort, never per-row shuffle."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+    NBINS = 4096
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    segs = sorted(set(cust["c_mktsegment"].to_pylist()))
+    seg_code = {s: i for i, s in enumerate(segs)}
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    code = np.full(int(ck.max()) + 1, -1, np.int8)
+    code[ck] = np.array(
+        [seg_code[s] for s in cust["c_mktsegment"].to_pylist()], np.int8
+    )
+    code_ref = ray.put(code)
+
+    pf = pq.ParquetFile(f"{sf_dir}/orders.parquet")
+    col = pf.schema_arrow.get_field_index("o_totalprice")
+    stats = [
+        pf.metadata.row_group(rg).column(col).statistics
+        for rg in range(pf.metadata.num_row_groups)
+    ]
+    lo = int(np.floor(min(s.min for s in stats) * 100))
+    hi = int(np.ceil(max(s.max for s in stats) * 100))
+    w = max(1, (hi - lo + NBINS) // NBINS)
+    ns = len(segs)
+
+    class HistPartial:
+        def __init__(self):
+            self.code = ray.get(code_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            cents = np.round(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            sc = self.code[
+                b["o_custkey"].to_numpy(zero_copy_only=False)
+            ].astype(np.int64)
+            binned = np.clip((cents - lo) // w, 0, NBINS - 1)
+            key = sc * NBINS + binned
+            cnt = np.bincount(key, minlength=ns * NBINS)
+            nz = np.flatnonzero(cnt)
+            return pa.table(
+                {
+                    "k": pa.array(nz.astype(np.int64)),
+                    "cnt": pa.array(cnt[nz].astype(np.int64)),
+                }
+            )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    hist = (
+        ds.map_batches(HistPartial, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("k")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    cnt = np.zeros(ns * NBINS, np.int64)
+    cnt[hist["k"].to_numpy(np.int64)] = hist["cnt"].to_numpy(np.int64)
+    cnt = cnt.reshape(ns, NBINS)
+    cums = np.cumsum(cnt, axis=1)
+    targets = {}  # (seg_idx, pct) -> (bin, rank_in_bin)
+    need_keys = set()
+    for si in range(ns):
+        n = int(cums[si, -1])
+        for pct in (50, 90):
+            r = (n * pct + 99) // 100 - 1
+            bb = int(np.searchsorted(cums[si], r + 1))
+            targets[(si, pct)] = (bb, r - (int(cums[si, bb - 1]) if bb else 0))
+            need_keys.add(si * NBINS + bb)
+    need = np.array(sorted(need_keys), np.int64)
+
+    class TargetCollect:
+        def __init__(self):
+            self.code = ray.get(code_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            cents = np.round(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            sc = self.code[
+                b["o_custkey"].to_numpy(zero_copy_only=False)
+            ].astype(np.int64)
+            key = sc * NBINS + np.clip((cents - lo) // w, 0, NBINS - 1)
+            keep = np.isin(key, need)
+            return pa.table(
+                {"k": pa.array(key[keep]), "cents": pa.array(cents[keep])}
+            )
+
+    vals = driver_frame(
+        ds.map_batches(
+            TargetCollect, batch_format="pyarrow", concurrency=(1, 4)
+        ),
+        DRIVER_PLAN_LIMIT,
+        "orders_value_quantiles_by_segment",
+    )
+    out = []
+    for si, s in enumerate(segs):
+        n = int(cums[si, -1])
+        for pct in (50, 90):
+            bb, rank_in = targets[(si, pct)]
+            inbin = np.sort(
+                vals.loc[vals["k"] == si * NBINS + bb, "cents"].to_numpy(
+                    np.int64
+                )
+            )
+            out.append((s, pct, int(inbin[rank_in]), n))
+    return pa.table(
+        {
+            "seg": pa.array([r[0] for r in out], pa.string()),
+            "pct": pa.array([r[1] for r in out], pa.int64()),
+            "value_cents": pa.array([r[2] for r in out], pa.int64()),
+            "n_rows": pa.array([r[3] for r in out], pa.int64()),
+        }
+    )
