@@ -2494,3 +2494,89 @@ def events_survival_km(sf_dir: str):
             "n_risk": pa.array(n_risk.astype(np.int64)),
         }
     )
+
+
+@register(
+    "events_hourly_topk_users",
+    oracle="""
+    WITH hc AS (
+        SELECT date_trunc('hour', ts) AS window_start, user_id,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), rk AS (
+        SELECT window_start, user_id, cnt,
+               row_number() OVER (
+                   PARTITION BY window_start ORDER BY cnt DESC, user_id
+               ) AS rnk
+        FROM hc
+    )
+    SELECT window_start, user_id, cnt, CAST(rnk AS BIGINT) AS rnk
+    FROM rk WHERE rnk <= 3
+    """,
+)
+def events_hourly_topk_users(sf_dir: str, num_buckets: int = 32):
+    """Windowed grouped top-k: the 3 most active users per tumbling
+    1-hour window (tie-break user_id asc) — the per-window heavy-hitter
+    report every abuse/ops dashboard runs, and the grouped variant of
+    events_topk_users' global plan. Plan: per-batch (window, user)
+    partial counts (each batch shrinks to its distinct pairs before any
+    exchange), one groupby-Sum on the composite key, then per-window
+    top-3 via BUCKETED segment selection — windows hash into
+    ``num_buckets`` groups and each bucket ranks ALL its windows in one
+    lexsort + segment-boundary scan (no per-window Python dispatch; the
+    hour grid is calendar-bounded, ~3.6k windows at sf0.1, so the
+    deepest group is tiny and the top-3 output is 3 rows/window
+    regardless of user volume). At 10^12 events nothing materializes
+    beyond (window, user) partials and the 3-row-per-window result."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import group_count_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "window_start", pc.floor_temporal(batch["ts"], unit="hour")
+        )
+        out = group_count_batch(
+            batch.drop_columns(["ts"]), ["window_start", "user_id"]
+        )
+        h = pc.cast(out["window_start"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return out.append_column(
+            "bucket",
+            pa.array((h * 0x9E3779B9 & 0x7FFFFFFF) % num_buckets, pa.int64()),
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["bucket", "window_start", "user_id"])
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+    )
+
+    def topk(g: "pd.DataFrame") -> "pd.DataFrame":
+        win = g["window_start"].to_numpy().astype("datetime64[us]")
+        wkey = win.astype(np.int64)
+        user = g["user_id"].to_numpy()
+        cnt = g["cnt"].to_numpy()
+        order = np.lexsort((user, -cnt, wkey))
+        wkey, win = wkey[order], win[order]
+        user, cnt = user[order], cnt[order]
+        starts = np.flatnonzero(np.r_[True, wkey[1:] != wkey[:-1]])
+        rnk = np.arange(len(wkey)) - np.repeat(starts, np.diff(np.r_[starts, len(wkey)])) + 1
+        keep = rnk <= 3
+        return pd.DataFrame(
+            {
+                "window_start": win[keep],
+                "user_id": user[keep],
+                "cnt": cnt[keep],
+                "rnk": rnk[keep].astype(np.int64),
+            }
+        )
+
+    return agg.groupby("bucket").map_groups(topk, batch_format="pandas")

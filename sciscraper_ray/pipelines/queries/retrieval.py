@@ -3845,3 +3845,163 @@ def link_neighbor_degree_curve(sf_dir: str):
             Sum(on="sum_dst_indeg", alias_name="sum_dst_indeg"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Link prediction: common-neighbor / Jaccard scores for non-adjacent pairs
+# --------------------------------------------------------------------------
+
+
+@register(
+    "link_jaccard_prediction",
+    oracle=f"""
+    WITH l AS (
+        SELECT doc_id AS s, unnest({_REF_TARGETS_SQL}) AS t FROM documents
+    ), e AS (
+        SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        FROM l WHERE s <> t
+    ), adj AS (
+        SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+    ), deg AS (
+        SELECT u AS node, count(*) AS d FROM adj GROUP BY u
+    ), cn AS (
+        SELECT a1.v AS x, a2.v AS y, count(*) AS common
+        FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
+        GROUP BY x, y
+    ), nonadj AS (
+        SELECT cn.x, cn.y, cn.common
+        FROM cn LEFT JOIN e ON e.a = cn.x AND e.b = cn.y
+        WHERE e.a IS NULL
+    )
+    SELECT x AS a, y AS b, common,
+           dx.d AS deg_a, dy.d AS deg_b,
+           dx.d + dy.d - common AS union_size,
+           CAST(row_number() OVER (ORDER BY common DESC, x, y) AS BIGINT)
+               AS rnk
+    FROM nonadj
+    JOIN deg dx ON dx.node = x
+    JOIN deg dy ON dy.node = y
+    ORDER BY common DESC, x, y
+    LIMIT 100
+    """,
+)
+def link_jaccard_prediction(sf_dir: str, num_buckets: int = 16):
+    """Link prediction over the harvested web graph: for every
+    NON-adjacent node pair sharing at least one neighbor, the
+    common-neighbor count plus the Jaccard ingredients (deg_a, deg_b,
+    union = deg_a + deg_b - common) as exact integers, top-100 by
+    (common desc, a, b) — the classic "you may also like" / related-page
+    candidate generator (Liben-Nowell & Kleinberg 2003). Plan: (1)
+    distinct undirected edges via the packed-int64 groupby; (2) FULL
+    adjacency (both directions — unlike triangle counting, every wedge
+    center must expand, so no degree orientation); (3) bucket-local
+    vectorized pair expansion per center segment (hash(u) % B, one
+    lexsort + repeat/cumsum expansion per bucket — never per-node
+    Python); (4) wedge pairs shrink through a groupby-Count on the
+    packed lo<<32|hi key; (5) the bounded candidate table merges on the
+    driver where the anti-join against the edge set and the degree
+    attach are numpy array ops. Wedge volume is sum(deg^2) — at open-web
+    scale step (3) caps hub fan-out (hubs contribute no discriminative
+    common-neighbor signal) and steps (4)/(5) swap the driver merge for
+    the bucketed co-partitioned join, same plan shape as
+    node_clustering_coeff documents."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.pipelines.graph import _dedup_edges
+
+    raw = _doc_edges(sf_dir)
+
+    def orient_minmax(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        t = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s != t
+        s, t = s[keep], t[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, t), pa.int64()),
+                "b": pa.array(np.maximum(s, t), pa.int64()),
+            }
+        )
+
+    und = _dedup_edges(
+        raw.map_batches(orient_minmax, batch_format="pyarrow")
+    ).materialize()  # reused: adjacency expansion + driver anti-join probe
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        u = np.concatenate([a, bb])
+        v = np.concatenate([bb, a])
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "bucket": pa.array(
+                    (u * 0x9E3779B9 & 0x7FFFFFFF) % num_buckets, pa.int64()
+                ),
+            }
+        )
+
+    adj = und.map_batches(both_dirs, batch_format="pyarrow")
+
+    def wedge_pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        u = g["u"].to_numpy()
+        v = g["v"].to_numpy()
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        seg_end = np.repeat(ends, ends - starts)
+        pos = np.arange(len(u))
+        reps = seg_end - pos - 1
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame({"k": np.array([], np.int64)})
+        left = np.repeat(pos, reps)
+        offs = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        right = left + (np.arange(total) - np.repeat(offs, reps)) + 1
+        wv, ww = v[left], v[right]
+        lo, hi = np.minimum(wv, ww), np.maximum(wv, ww)
+        return pd.DataFrame({"k": (lo << 32) | hi})
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("k").aggregate([([], "count_all")])
+        return g.rename_columns(["k", "common"])
+
+    cand = (
+        adj.groupby("bucket")
+        .map_groups(wedge_pairs, batch_format="pandas")
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum(on="common", alias_name="common"))
+        .to_pandas()  # bounded by candidate pairs (node space < 997 here)
+    )
+    edges = und.to_pandas()
+    ea = edges["a"].to_numpy(np.int64)
+    eb = edges["b"].to_numpy(np.int64)
+    ekeys = (ea << 32) | eb
+    deg = np.zeros(int(max(ea.max(), eb.max())) + 1, np.int64)
+    np.add.at(deg, ea, 1)
+    np.add.at(deg, eb, 1)
+
+    k = cand["k"].to_numpy(np.int64)
+    common = cand["common"].to_numpy(np.int64)
+    keep = ~np.isin(k, ekeys)
+    k, common = k[keep], common[keep]
+    a = k >> 32
+    b = k & 0xFFFFFFFF
+    order = np.lexsort((b, a, -common))[:100]
+    a, b, common = a[order], b[order], common[order]
+    da, db = deg[a], deg[b]
+    return pa.table(
+        {
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "common": pa.array(common, pa.int64()),
+            "deg_a": pa.array(da, pa.int64()),
+            "deg_b": pa.array(db, pa.int64()),
+            "union_size": pa.array(da + db - common, pa.int64()),
+            "rnk": pa.array(np.arange(1, len(a) + 1, dtype=np.int64)),
+        }
+    )
