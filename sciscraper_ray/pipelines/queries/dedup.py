@@ -1425,3 +1425,224 @@ def dedup_cascade(sf_dir: str):
             "n_remaining": pa.array([n0, n1, n1 - r2], pa.int64()),
         }
     )
+
+
+@register(
+    "dedup_minhash_jaccard_audit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents
+    ), tri AS (
+        SELECT DISTINCT doc_id, ts[p+1] || ' ' || ts[p+2] || ' ' || ts[p+3] AS g
+        FROM toks, unnest(range(len(ts) - 2)) AS u(p)
+        WHERE len(ts) >= 3
+    ), pref AS (
+        SELECT doc_id, md5(substr(text, 1, 32)) AS pfx FROM documents
+    ), pairs AS (
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM pref x JOIN pref y ON x.pfx = y.pfx AND x.doc_id < y.doc_id
+    ), sig AS (
+        SELECT doc_id, s,
+               min({_md5_hex15_sql("CAST(s AS VARCHAR) || '|' || g")}) AS mh
+        FROM tri, unnest(range(8)) AS v(s)
+        WHERE doc_id IN (SELECT a FROM pairs UNION SELECT b FROM pairs)
+        GROUP BY doc_id, s
+    ), agree AS (
+        SELECT p.a, p.b,
+               CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT)
+                   AS agree
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.a
+        JOIN sig sb ON sb.doc_id = p.b AND sb.s = sa.s
+        GROUP BY p.a, p.b
+    ), isect AS (
+        SELECT p.a, p.b, count(*) AS inter
+        FROM pairs p
+        JOIN tri ga ON ga.doc_id = p.a
+        JOIN tri gb ON gb.doc_id = p.b AND gb.g = ga.g
+        GROUP BY p.a, p.b
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id
+    )
+    SELECT ag.a, ag.b, ag.agree,
+           CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+           CAST(na.n + nb.n - coalesce(i.inter, 0) AS BIGINT) AS uni
+    FROM agree ag
+    LEFT JOIN isect i ON i.a = ag.a AND i.b = ag.b
+    JOIN sizes na ON na.doc_id = ag.a
+    JOIN sizes nb ON nb.doc_id = ag.b
+    """,
+)
+def dedup_minhash_jaccard_audit(
+    sf_dir: str, num_perm: int = 8, num_buckets: int = 16
+):
+    """MinHash estimator audit with a FULL SQL oracle: for every
+    candidate pair (docs sharing the 32-char text prefix — the corpus's
+    real near-dup signal), the 8-permutation md5-salted minhash
+    agreement count next to the EXACT trigram-set intersection and
+    union. agree/8 is the Jaccard estimate, inter/uni the truth — the
+    estimator-quality report every LSH threshold tuning needs, and
+    unlike dedup_minhash's banded pipeline this one is end-to-end
+    SQL-checkable because min-over-md5(salt||gram) IS expressible in
+    the oracle (the salted-min trick: each salt is one independent
+    permutation of gram space). Plan: (1) candidate pairs via the
+    bucketed prefix-hash lexsort (128-bit md5 prefix keys as two int64
+    columns, hash(p1) %% B groups, one vectorized segment pair
+    expansion per bucket — pairs-only shuffle, bounded by dup mass);
+    (2) a second pruned pass computes signatures and 128-bit gram ids
+    for CANDIDATE docs only (Arrow is_in filter pushes everyone else
+    out before any Python); (3) the driver merge handles
+    candidate-bounded rows (set ops per pair). At 10^12 docs step (3)
+    becomes a bucketed co-partitioned join on pair keys — same shape;
+    gram ids stay 128-bit so estimator-vs-truth divergence can never
+    come from key collisions (the doc_ngram_novelty lesson)."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = _docs(sf_dir)
+
+    def prefix_partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        p1 = np.empty(len(ids), np.int64)
+        p2 = np.empty(len(ids), np.int64)
+        for i, t in enumerate(texts):
+            d = hashlib.md5(t[:32].encode()).digest()
+            p1[i] = int.from_bytes(d[:8], "big", signed=True)
+            p2[i] = int.from_bytes(d[8:], "big", signed=True)
+        return pa.table(
+            {
+                "p1": pa.array(p1),
+                "p2": pa.array(p2),
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "bucket": pa.array(
+                    (p1 & 0x7FFFFFFF) % num_buckets, pa.int64()
+                ),
+            }
+        )
+
+    def expand_pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        p1 = g["p1"].to_numpy()
+        p2 = g["p2"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((d, p2, p1))
+        p1, p2, d = p1[order], p2[order], d[order]
+        new = np.r_[True, (p1[1:] != p1[:-1]) | (p2[1:] != p2[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(d)]
+        seg_end = np.repeat(ends, ends - starts)
+        pos = np.arange(len(d))
+        reps = seg_end - pos - 1
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"a": np.array([], np.int64), "b": np.array([], np.int64)}
+            )
+        left = np.repeat(pos, reps)
+        offs = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        right = left + (np.arange(total) - np.repeat(offs, reps)) + 1
+        x, y = d[left], d[right]
+        return pd.DataFrame(
+            {"a": np.minimum(x, y), "b": np.maximum(x, y)}
+        )
+
+    pairs = (
+        docs.map_batches(prefix_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(expand_pairs, batch_format="pandas")
+        .to_pandas()  # bounded by duplicate mass, never corpus size
+    )
+    if len(pairs) == 0:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "agree": pa.array([], pa.int64()),
+                "inter": pa.array([], pa.int64()),
+                "uni": pa.array([], pa.int64()),
+            }
+        )
+    cand = np.unique(
+        np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()])
+    )
+    cand_arr = pa.array(cand.astype(np.int64))
+
+    def cand_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["doc_id"], value_set=cand_arr))
+        out_doc: list[int] = []
+        out_kind: list[int] = []  # 0..num_perm-1 = sig slot, -1 = gram id
+        out_v1: list[int] = []
+        out_v2: list[int] = []
+        for i, t in zip(
+            b["doc_id"].to_numpy(zero_copy_only=False), b["text"].to_pylist()
+        ):
+            toks = t.strip().lower().split(" ")
+            grams = sorted(
+                {
+                    " ".join(toks[j : j + 3])
+                    for j in range(len(toks) - 2)
+                }
+            )
+            if not grams:
+                continue
+            mins = [None] * num_perm
+            for g in grams:
+                gd = hashlib.md5(g.encode()).digest()
+                out_doc.append(int(i))
+                out_kind.append(-1)
+                out_v1.append(int.from_bytes(gd[:8], "big", signed=True))
+                out_v2.append(int.from_bytes(gd[8:], "big", signed=True))
+                for s in range(num_perm):
+                    h = int(
+                        hashlib.md5(f"{s}|{g}".encode()).hexdigest()[:15], 16
+                    )
+                    if mins[s] is None or h < mins[s]:
+                        mins[s] = h
+            for s in range(num_perm):
+                out_doc.append(int(i))
+                out_kind.append(s)
+                out_v1.append(mins[s])
+                out_v2.append(0)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "kind": pa.array(out_kind, pa.int64()),
+                "v1": pa.array(out_v1, pa.int64()),
+                "v2": pa.array(out_v2, pa.int64()),
+            }
+        )
+
+    rows = docs.map_batches(cand_partial, batch_format="pyarrow").to_pandas()
+    sig: dict[tuple[int, int], int] = {}
+    grams_by_doc: dict[int, set[tuple[int, int]]] = {}
+    for doc, kind, v1, v2 in zip(
+        rows["doc_id"].to_numpy(),
+        rows["kind"].to_numpy(),
+        rows["v1"].to_numpy(),
+        rows["v2"].to_numpy(),
+    ):
+        if kind < 0:
+            grams_by_doc.setdefault(int(doc), set()).add((int(v1), int(v2)))
+        else:
+            sig[(int(doc), int(kind))] = int(v1)
+
+    out = {"a": [], "b": [], "agree": [], "inter": [], "uni": []}
+    pairs = pairs.drop_duplicates().sort_values(["a", "b"])
+    for a, b in zip(pairs["a"].to_numpy(), pairs["b"].to_numpy()):
+        a, b = int(a), int(b)
+        ga, gb = grams_by_doc.get(a), grams_by_doc.get(b)
+        if not ga or not gb:
+            continue  # oracle's inner join on sig drops gram-less docs
+        agree = sum(
+            1 for s in range(num_perm) if sig[(a, s)] == sig[(b, s)]
+        )
+        inter = len(ga & gb)
+        out["a"].append(a)
+        out["b"].append(b)
+        out["agree"].append(agree)
+        out["inter"].append(inter)
+        out["uni"].append(len(ga) + len(gb) - inter)
+    return pa.table(
+        {k: pa.array(v, pa.int64()) for k, v in out.items()}
+    )

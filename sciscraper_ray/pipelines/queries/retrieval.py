@@ -4005,3 +4005,127 @@ def link_jaccard_prediction(sf_dir: str, num_buckets: int = 16):
             "rnk": pa.array(np.arange(1, len(a) + 1, dtype=np.int64)),
         }
     )
+
+
+@register(
+    "graph_seed_closeness",
+    oracle=f"""
+    WITH RECURSIVE links AS (
+        SELECT doc_id AS src, unnest({_REF_TARGETS_SQL}) AS dst FROM documents
+    ),
+    seeds AS (
+        SELECT doc_id AS seed FROM documents WHERE doc_id % 200 = 0
+    ),
+    bfs(seed, node, d) AS (
+        SELECT seed, seed, 0 FROM seeds
+        UNION
+        SELECT b.seed, l.dst, b.d + 1
+        FROM bfs b JOIN links l ON l.src = b.node
+        WHERE b.d < {_BFS_ROUNDS}
+    ),
+    md AS (
+        SELECT seed, node, min(d) AS d FROM bfs GROUP BY seed, node
+    )
+    SELECT seed, count(*) AS n_reached,
+           CAST(sum(d) AS BIGINT) AS sum_dist,
+           CAST(max(d) AS BIGINT) AS ecc
+    FROM md GROUP BY seed
+    """,
+)
+def graph_seed_closeness(sf_dir: str):
+    """Per-seed closeness-centrality ingredients — for each probe seed
+    (doc_id % 200 == 0) the exact reachable count, sum of hop distances
+    and eccentricity within the shared _BFS_ROUNDS horizon: the
+    landmark-distance table ANF/HyperBall-style centrality estimates
+    calibrate against, computed exactly for a bounded landmark set.
+    Plan: ONE labeled multi-seed BFS — the frontier is (seed, node)
+    pairs, each round ships only the per-seed frontier arrays
+    (ray.put once) and every edge block answers all seeds with one
+    is_in semi-join per seed (seed count is the bounded landmark
+    budget, never corpus-scale); no shuffle, the edge list is harvested
+    and materialized once, and the driver holds only per-seed visited
+    sets (politeness-bounded neighborhoods — the bfs_distances
+    contract, labeled). The oracle replays the same closure as one
+    recursive CTE carrying the seed column."""
+    import ray
+
+    edges = _doc_edges(sf_dir).materialize()
+
+    def seed_filter(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"seed": pa.array(ids[ids % 200 == 0], pa.int64())})
+
+    seeds = (
+        _docs(sf_dir, columns=("doc_id",))
+        .map_batches(seed_filter, batch_format="pyarrow")
+        .to_pandas()["seed"]
+        .to_numpy(np.int64)
+    )
+    dist: dict[int, dict[int, int]] = {int(s): {int(s): 0} for s in seeds}
+    frontier: dict[int, np.ndarray] = {
+        int(s): np.array([s], np.int64) for s in seeds
+    }
+    for d in range(1, _BFS_ROUNDS + 1):
+        active = {s: f for s, f in frontier.items() if f.size}
+        if not active:
+            break
+        ref = ray.put(
+            {s: pa.array(f, pa.int64()) for s, f in active.items()}
+        )
+
+        def hop(batch: pa.Table, _ref=ref) -> pa.Table:
+            fr = ray.get(_ref)
+            out_s: list[np.ndarray] = []
+            out_d: list[np.ndarray] = []
+            for s, nodes in fr.items():
+                hit = batch.filter(pc.is_in(batch["src"], value_set=nodes))
+                dsts = pc.unique(hit["dst"]).to_numpy(zero_copy_only=False)
+                out_s.append(np.full(dsts.size, s, np.int64))
+                out_d.append(dsts.astype(np.int64))
+            if not out_s:
+                return pa.table(
+                    {
+                        "seed": pa.array([], pa.int64()),
+                        "dst": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "seed": pa.array(np.concatenate(out_s)),
+                    "dst": pa.array(np.concatenate(out_d)),
+                }
+            )
+
+        cand = (
+            edges.map_batches(hop, batch_format="pyarrow")
+            .to_pandas()
+            .drop_duplicates()
+        )
+        frontier = {}
+        for s, g in cand.groupby("seed"):
+            s = int(s)
+            seen = dist[s]
+            new = np.array(
+                [n for n in g["dst"].to_numpy() if int(n) not in seen],
+                np.int64,
+            )
+            for n in new:
+                seen[int(n)] = d
+            if new.size:
+                frontier[s] = new
+
+    out_seed = sorted(dist)
+    return pa.table(
+        {
+            "seed": pa.array(out_seed, pa.int64()),
+            "n_reached": pa.array(
+                [len(dist[s]) for s in out_seed], pa.int64()
+            ),
+            "sum_dist": pa.array(
+                [sum(dist[s].values()) for s in out_seed], pa.int64()
+            ),
+            "ecc": pa.array(
+                [max(dist[s].values()) for s in out_seed], pa.int64()
+            ),
+        }
+    )
