@@ -3257,3 +3257,93 @@ def doc_sample_bottomk(sf_dir: str):
             ),
         }
     )
+
+
+@register(
+    "doc_bootstrap_mean_ci",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    slots AS (
+        SELECT b, i
+        FROM unnest(range(16)) AS t(b), unnest(range(2000)) AS u(i)
+    ),
+    draw AS (
+        SELECT b,
+               ({_hex15("CAST(b AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}
+                % (SELECT c FROM n)) AS did
+        FROM slots
+    )
+    SELECT b, count(*) AS m, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+    FROM draw JOIN documents d ON d.doc_id = draw.did
+    GROUP BY b
+    """,
+)
+def doc_bootstrap_mean_ci(sf_dir: str, n_boot: int = 16, m: int = 2000):
+    """Deterministic bootstrap for the corpus mean document length: 16
+    resamples of 2,000 draws WITH replacement, each draw addressed by a
+    content-stable hash (slot (b,i) -> doc hex15(md5("b:i")) % n) so
+    every cluster size, partitioning, and rerun resamples the SAME
+    rows — the reproducible-CI primitive (percentile CI over the per-
+    resample means) that np.random-based bootstraps can't give a
+    distributed engine. Plan: the slot table is tiny (B*m rows) and
+    ships once via ray.put sorted by target doc; each document batch
+    answers all resamples at once — np.searchsorted locates the batch's
+    draws, np.bincount folds n_chars into per-resample partial sums —
+    and only (b, partial_sum, partial_m) counters leave the batch.
+    Integer sums end-to-end; the one division (mean) is left to the
+    reader on both sides. At 10^12 docs the slot side stays B*m and the
+    doc side streams — nothing scales with the corpus."""
+    import hashlib
+
+    import ray
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    b_arr = np.repeat(np.arange(n_boot, dtype=np.int64), m)
+    i_arr = np.tile(np.arange(m, dtype=np.int64), n_boot)
+    did = np.array(
+        [
+            int(hashlib.md5(f"{b}:{i}".encode()).hexdigest()[:15], 16) % n
+            for b, i in zip(b_arr, i_arr)
+        ],
+        np.int64,
+    )
+    order = np.argsort(did, kind="stable")
+    slots_ref = ray.put((did[order], b_arr[order]))
+
+    class Partial:
+        def __init__(self):
+            self.did, self.b = ray.get(slots_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            chars = batch["n_chars"].to_numpy(zero_copy_only=False)
+            o = np.argsort(ids, kind="stable")
+            ids_s, chars_s = ids[o], chars[o]
+            pos = np.searchsorted(ids_s, self.did)
+            ok = (pos < len(ids_s)) & (
+                ids_s[np.minimum(pos, len(ids_s) - 1)] == self.did
+            )
+            bs = self.b[ok]
+            vals = chars_s[pos[ok]].astype(np.int64)
+            sums = np.bincount(bs, weights=vals, minlength=16).astype(np.int64)
+            cnts = np.bincount(bs, minlength=16).astype(np.int64)
+            return pa.table(
+                {
+                    "b": pa.array(np.arange(16, dtype=np.int64)),
+                    "m": pa.array(cnts),
+                    "sum_chars": pa.array(sums),
+                }
+            )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _docs(sf_dir, columns=("doc_id", "n_chars"))
+        .map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("b")
+        .aggregate(
+            Sum(on="m", alias_name="m"),
+            Sum(on="sum_chars", alias_name="sum_chars"),
+        )
+    )

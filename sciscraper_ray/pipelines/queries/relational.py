@@ -4286,3 +4286,148 @@ def customer_year_overlap_kmv(sf_dir: str):
     return pa.table(
         {n: pa.array(list(c), pa.int64()) for n, c in zip(names, cols)}
     )
+
+
+@register(
+    "table_constraint_audit",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS constraint_name,
+           (SELECT count(*) FROM orders) AS n_checked,
+           (SELECT count(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+               AS n_violations
+    UNION ALL
+    SELECT 'customer_custkey_unique',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+    UNION ALL
+    SELECT 'lineitem_quantity_range',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 0.1)
+    UNION ALL
+    SELECT 'documents_text_nonempty',
+           (SELECT count(*) FROM documents),
+           (SELECT count(*) FROM documents
+            WHERE text IS NULL OR text = '')
+    UNION ALL
+    SELECT 'events_value_nonnegative',
+           (SELECT count(*) FROM events),
+           (SELECT count(*) FROM events WHERE value IS NULL OR value < 0)
+    """,
+)
+def table_constraint_audit(sf_dir: str):
+    """dbt-style data-quality constraint audit over the whole warehouse:
+    one row per declared constraint with exact checked/violation counts
+    — the CI gate a production ingest runs before promoting a snapshot
+    (referential integrity, key uniqueness, domain ranges, non-null).
+    Every check is a streaming aggregate: range/null gates are per-batch
+    counter partials summed on the driver (two ints per batch); the FK
+    check reduces the dimension side to distinct-key partials broadcast
+    once (ray.put) and anti-probes the fact stream with one is_in per
+    batch (the orders_anti_join plan — past ~50M distinct keys the
+    documented scale path is the hash-bucketed co-partitioned anti
+    join); uniqueness compares streamed row count vs distinct-partial
+    union. No constraint materializes table rows — only counters move."""
+    import ray
+    import ray.data
+
+    def count_violations(ds, checker) -> tuple[int, int]:
+        def partial(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "n": pa.array([len(b)], pa.int64()),
+                    "v": pa.array([int(checker(b))], pa.int64()),
+                }
+            )
+
+        m = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+        return int(m["n"]), int(m["v"])
+
+    rows: list[tuple[str, int, int]] = []
+
+    # FK: orders.o_custkey -> customer.c_custkey (distinct-key broadcast)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    parts = cust.map_batches(
+        lambda b: pa.table({"k": pc.unique(b["c_custkey"])}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n_cust_rows = int(
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+        ).count()
+    )
+    distinct_keys = parts["k"].unique()
+    key_ref = ray.put(pa.array(distinct_keys, type=pa.int64()))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+
+    def fk_viol(b: pa.Table) -> int:
+        hit = pc.is_in(b["o_custkey"], value_set=ray.get(key_ref))
+        return len(b) - pc.sum(pc.cast(hit, pa.int64())).as_py()
+
+    n, v = count_violations(orders, fk_viol)
+    rows.append(("orders_custkey_fk", n, v))
+    rows.append(
+        ("customer_custkey_unique", n_cust_rows, n_cust_rows - len(distinct_keys))
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_discount"]
+    )
+
+    def qty_viol(b: pa.Table) -> int:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        return int(((q < 1) | (q > 50)).sum())
+
+    def disc_viol(b: pa.Table) -> int:
+        x = b["l_discount"].to_numpy(zero_copy_only=False)
+        return int(((x < 0) | (x > 0.1)).sum())
+
+    n, v = count_violations(li, qty_viol)
+    rows.append(("lineitem_quantity_range", n, v))
+    n, v = count_violations(li, disc_viol)
+    rows.append(("lineitem_discount_range", n, v))
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def text_viol(b: pa.Table) -> int:
+        col = b["text"]
+        empty = pc.sum(
+            pc.cast(pc.equal(pc.fill_null(col, ""), ""), pa.int64())
+        ).as_py()
+        return int(empty or 0)
+
+    n, v = count_violations(docs, text_viol)
+    rows.append(("documents_text_nonempty", n, v))
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def val_viol(b: pa.Table) -> int:
+        col = b["value"]
+        bad = col.null_count + int(
+            (pc.sum(pc.cast(pc.less(pc.fill_null(col, 0.0), 0.0), pa.int64())).as_py() or 0)
+        )
+        return bad
+
+    n, v = count_violations(ev, val_viol)
+    rows.append(("events_value_nonnegative", n, v))
+
+    return pa.table(
+        {
+            "constraint_name": pa.array([r[0] for r in rows], pa.string()),
+            "n_checked": pa.array([r[1] for r in rows], pa.int64()),
+            "n_violations": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
