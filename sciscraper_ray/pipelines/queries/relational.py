@@ -4431,3 +4431,201 @@ def table_constraint_audit(sf_dir: str):
             "n_violations": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+@register(
+    "schema_evolution_union",
+    oracle="""
+    SELECT CASE WHEN o_orderdate < DATE '1999-01-01'
+                THEN '<pre-evolution>' ELSE o_orderpriority END
+               AS priority_label,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+    FROM orders
+    GROUP BY priority_label
+    """,
+)
+def schema_evolution_union(sf_dir: str):
+    """Lakehouse schema-evolution read: two REAL parquet snapshot
+    directories are written with different physical schemas (v1 is the
+    pre-2019 export without o_orderpriority; v2 added the column — the
+    classic additive evolution), then read back as separate Datasets,
+    aligned (the missing column backfills a sentinel), unioned and
+    aggregated — the reader-side unification every long-lived table
+    needs because historical files are never rewritten. Both snapshots
+    are written through Ray's partitioned parquet sink into a FRESH
+    mkdtemp (no cross-run cache to race on), so the query also
+    round-trips the engine's own resumable-output layout. The aggregate
+    is per-batch (label, n, rev_c) partials -> one tiny groupby-Sum;
+    cents stay integer end-to-end. At 10^12 rows nothing changes: each
+    snapshot streams, the union is lazy block concatenation (no data
+    movement), and only label-bounded partials shuffle."""
+    import tempfile
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    split = np.datetime64("1999-01-01")
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice", "o_orderpriority"],
+    )
+
+    def v1_rows(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(d < split)).drop_columns(
+            ["o_orderpriority"]
+        )
+
+    def v2_rows(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(d >= split))
+
+    orders.map_batches(v1_rows, batch_format="pyarrow").write_parquet(
+        f"{base}/v1"
+    )
+    orders.map_batches(v2_rows, batch_format="pyarrow").write_parquet(
+        f"{base}/v2"
+    )
+
+    def label_v1(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "priority_label": pa.array(
+                    ["<pre-evolution>"] * len(b), pa.string()
+                ),
+                "rev_c": pa.array(cents),
+            }
+        )
+        return t.group_by("priority_label").aggregate(
+            [("rev_c", "sum"), ([], "count_all")]
+        ).rename_columns(["priority_label", "rev_c", "n_orders"])
+
+    def label_v2(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "priority_label": b["o_orderpriority"],
+                "rev_c": pa.array(cents),
+            }
+        )
+        return t.group_by("priority_label").aggregate(
+            [("rev_c", "sum"), ([], "count_all")]
+        ).rename_columns(["priority_label", "rev_c", "n_orders"])
+
+    d1 = ray.data.read_parquet(f"{base}/v1").map_batches(
+        label_v1, batch_format="pyarrow"
+    )
+    d2 = ray.data.read_parquet(f"{base}/v2").map_batches(
+        label_v2, batch_format="pyarrow"
+    )
+    return (
+        d1.union(d2)
+        .groupby("priority_label")
+        .aggregate(
+            Sum(on="n_orders", alias_name="n_orders"),
+            Sum(on="rev_c", alias_name="rev_c"),
+        )
+    )
+
+
+@register(
+    "orders_incremental_agg",
+    oracle="""
+    WITH tagged AS (
+        SELECT CASE WHEN o_orderdate < DATE '1999-01-01'
+                    THEN 'base' ELSE 'delta' END AS phase,
+               CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+                   AS month,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders
+    ), parts AS (
+        SELECT phase, month, count(*) AS n_orders,
+               CAST(sum(c) AS BIGINT) AS rev_c
+        FROM tagged GROUP BY phase, month
+    )
+    SELECT phase, month, n_orders, rev_c FROM parts
+    UNION ALL
+    SELECT 'merged' AS phase, month,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           CAST(sum(rev_c) AS BIGINT) AS rev_c
+    FROM parts GROUP BY month
+    """,
+)
+def orders_incremental_agg(sf_dir: str):
+    """Incremental view maintenance, made visible: the monthly revenue
+    view is computed as BASE partials (pre-1999 snapshot) plus DELTA
+    partials (the new arrivals), then MERGED by adding partials — never
+    rescanning the base — and all three phases are emitted so the
+    associativity of the maintenance step is itself oracle-checked
+    (merged must equal the direct full-table aggregate, which is what
+    the oracle computes for the 'merged' rows). One scan produces both
+    phases' partials (the phase tag is derived per batch); the shuffle
+    carries only (phase, month) partial rows bounded by the calendar;
+    the merge is a month-bounded driver fold. This is the engine
+    contract that lets a 10^12-row table absorb a daily delta with
+    delta-sized work."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    split = np.datetime64("1999-01-01")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False)
+        dd = d.astype("datetime64[M]")
+        yrs = dd.astype("datetime64[Y]").astype(np.int64) + 1970
+        mos = (dd.astype(np.int64) % 12) + 1
+        month = yrs * 100 + mos
+        cents = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        phase = np.where(d < split, "base", "delta")
+        t = pa.table(
+            {
+                "phase": pa.array(phase, pa.string()),
+                "month": pa.array(month, pa.int64()),
+                "c": pa.array(cents),
+            }
+        )
+        out = t.group_by(["phase", "month"]).aggregate(
+            [("c", "sum"), ([], "count_all")]
+        )
+        return out.rename_columns(["phase", "month", "rev_c", "n_orders"])
+
+    parts = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["phase", "month"])
+        .aggregate(
+            Sum(on="n_orders", alias_name="n_orders"),
+            Sum(on="rev_c", alias_name="rev_c"),
+        )
+        .to_pandas()  # bounded by 2 x calendar months
+    )
+    merged = (
+        parts.groupby("month", as_index=False)[["n_orders", "rev_c"]]
+        .sum()
+        .assign(phase="merged")
+    )
+    import pandas as pd
+
+    out = pd.concat(
+        [parts[["phase", "month", "n_orders", "rev_c"]], merged], axis=0
+    )
+    return pa.table(
+        {
+            "phase": pa.array(out["phase"].tolist(), pa.string()),
+            "month": pa.array(out["month"].to_numpy(np.int64)),
+            "n_orders": pa.array(out["n_orders"].to_numpy(np.int64)),
+            "rev_c": pa.array(out["rev_c"].to_numpy(np.int64)),
+        }
+    )
