@@ -2580,3 +2580,162 @@ def events_hourly_topk_users(sf_dir: str, num_buckets: int = 32):
         )
 
     return agg.groupby("bucket").map_groups(topk, batch_format="pandas")
+
+
+@register(
+    "events_sliding_velocity",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS eu FROM events),
+    w AS (
+        SELECT user_id,
+               count(*) OVER (PARTITION BY user_id ORDER BY eu
+                   RANGE BETWEEN CURRENT ROW AND 599999999 FOLLOWING) AS c
+        FROM e
+    )
+    SELECT user_id, count(*) AS n_events,
+           CAST(max(c) AS BIGINT) AS max_in_10min
+    FROM w GROUP BY user_id
+    """,
+)
+def events_sliding_velocity(sf_dir: str):
+    """Exact SLIDING-window velocity per user: the maximum number of
+    events inside ANY 10-minute window [t, t+10min) anchored at an
+    event — the fraud/abuse rate-limit rule that tumbling-minute grids
+    (events_minute_burst) under-count whenever a burst straddles a
+    minute boundary. Plan: the bucketed window shape (one shuffle on
+    user_id & (B-1)), then fully vectorized inside each bucket — the
+    segment-offset trick packs (segment, epoch) into one monotone int64
+    key (segments ~10^15 apart, far beyond the window width, so one
+    global np.searchsorted pair counts every row's window without ever
+    crossing a user boundary), and np.maximum.reduceat takes per-user
+    maxima. The RANGE-frame tie rule (all peer rows at the anchor
+    timestamp count) falls out of the left-searchsorted anchor. No
+    per-user Python anywhere; the oracle is the equivalent RANGE frame."""
+    import pandas as pd
+    import ray.data
+
+    from sciscraper_ray.stages.window import bucketed_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    W = 600_000_000  # 10 minutes in microseconds
+
+    def kernel(g: "pd.DataFrame") -> "pd.DataFrame":
+        user = g["user_id"].to_numpy()
+        eu = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, eu, user))
+        user, eu = user[order], eu[order]
+        new_user = np.ones(len(user), dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        seg = np.cumsum(new_user) - 1
+        skey = seg.astype(np.int64) * 10**15 + eu
+        left = np.searchsorted(skey, skey, side="left")
+        right = np.searchsorted(skey, skey + W, side="left")
+        c = right - left
+        starts = np.flatnonzero(new_user)
+        return pd.DataFrame(
+            {
+                "user_id": user[starts],
+                "n_events": np.diff(np.r_[starts, len(user)]).astype(
+                    np.int64
+                ),
+                "max_in_10min": np.maximum.reduceat(c, starts).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    return bucketed_window(ds, kernel)
+
+
+@register(
+    "events_order_violations",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS eu, event_type
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    fc AS (
+        SELECT user_id,
+               min(eu) FILTER (WHERE event_type = 'click') AS first_click
+        FROM e GROUP BY user_id
+    ),
+    p AS (SELECT user_id, eu FROM e WHERE event_type = 'purchase')
+    SELECT p.user_id, count(*) AS n_purchases,
+           CAST(sum(CASE WHEN fc.first_click IS NULL
+                          OR p.eu < fc.first_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM p JOIN fc ON fc.user_id = p.user_id
+    GROUP BY p.user_id
+    """,
+)
+def events_order_violations(sf_dir: str):
+    """Event-sequence state-machine validation: per user, how many
+    'purchase' events arrive STRICTLY BEFORE the user's first 'click' —
+    the funnel-integrity / instrumentation-bug detector (a purchase
+    with no preceding click means broken tracking or replayed logs).
+    Plan: irrelevant event types are dropped at the scan (Arrow filter
+    inside the read stage — only click/purchase rows ever shuffle),
+    then ONE bucketed-window pass: per bucket, lexsort by (user, ts),
+    per-segment first-click via a masked minimum-reduceat, and the
+    violation count is a vectorized strict-less compare against the
+    segment's first-click broadcast back over its rows — no per-user
+    dispatch, no driver-side user table (the orders_by_region lesson:
+    nothing here is proportional to the user count outside the one
+    bucketed exchange). Emits users with >= 1 purchase."""
+    import pandas as pd
+    import ray.data
+
+    from sciscraper_ray.stages.window import bucketed_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.is_in(
+                b["event_type"],
+                value_set=pa.array(["click", "purchase"], pa.string()),
+            )
+        )
+
+    def kernel(g: "pd.DataFrame") -> "pd.DataFrame":
+        user = g["user_id"].to_numpy()
+        eu = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy()
+        is_click = (g["event_type"] == "click").to_numpy()
+        order = np.lexsort((eid, eu, user))
+        user, eu, is_click = user[order], eu[order], is_click[order]
+        new_user = np.ones(len(user), dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        starts = np.flatnonzero(new_user)
+        sentinel = np.iinfo(np.int64).max
+        click_eu = np.where(is_click, eu, sentinel)
+        first_click = np.minimum.reduceat(click_eu, starts)
+        fc_row = np.repeat(first_click, np.diff(np.r_[starts, len(user)]))
+        is_purch = ~is_click
+        viol = is_purch & (eu < fc_row)
+        seg_sizes = np.diff(np.r_[starts, len(user)])
+        seg_id = np.repeat(np.arange(len(starts)), seg_sizes)
+        n_purch = np.bincount(
+            seg_id, weights=is_purch, minlength=len(starts)
+        ).astype(np.int64)
+        n_viol = np.bincount(
+            seg_id, weights=viol, minlength=len(starts)
+        ).astype(np.int64)
+        keep_seg = n_purch >= 1
+        return pd.DataFrame(
+            {
+                "user_id": user[starts][keep_seg],
+                "n_purchases": n_purch[keep_seg],
+                "n_violations": n_viol[keep_seg],
+            }
+        )
+
+    return bucketed_window(
+        ds.map_batches(keep, batch_format="pyarrow"), kernel
+    )
