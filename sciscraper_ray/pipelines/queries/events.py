@@ -2739,3 +2739,86 @@ def events_order_violations(sf_dir: str):
     return bucketed_window(
         ds.map_batches(keep, batch_format="pyarrow"), kernel
     )
+
+
+@register(
+    "events_hourly_autocorr",
+    oracle="""
+    WITH hc AS (
+        SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+               count(*) AS c
+        FROM events GROUP BY h
+    ),
+    grid AS (
+        SELECT unnest(range((SELECT min(h) FROM hc),
+                            (SELECT max(h) FROM hc) + 1)) AS h
+    ),
+    dense AS (
+        SELECT grid.h, coalesce(hc.c, 0) AS c
+        FROM grid LEFT JOIN hc ON hc.h = grid.h
+    ),
+    lagged AS (
+        SELECT c AS x,
+               lead(c) OVER (ORDER BY h) AS y
+        FROM dense
+    )
+    SELECT count(*) AS n_pairs,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(x * y) AS BIGINT) AS sum_xy,
+           CAST(sum(x * x) AS BIGINT) AS sum_xx,
+           CAST(sum(y * y) AS BIGINT) AS sum_yy
+    FROM lagged WHERE y IS NOT NULL
+    """,
+)
+def events_hourly_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation ingredients of the DENSE hourly event-count
+    series — the seasonality/burstiness health metric a traffic monitor
+    derives r = (n*sxy - sx*sy) / sqrt(...) from; all six moments are
+    exact integers here so the one float division happens identically
+    on both sides (the events_gap_stats lesson). The hour grid between
+    the corpus's first and last hour is calendar-bounded (never
+    row-bounded), so the per-batch (hour, count) partials groupby-Sum
+    into a table the driver densifies with zero-fill and folds with one
+    vectorized multiply — silent hours matter and are counted, which a
+    sparse self-join would silently drop. At 10^12 events the exchange
+    is still just hour-grain partials."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = (
+            b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[h]")
+        ).astype(np.int64)
+        u, c = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(u, pa.int64()),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    hc = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum(on="c", alias_name="c"))
+        .to_pandas()  # calendar-bounded
+        .sort_values("h")
+    )
+    h = hc["h"].to_numpy(np.int64)
+    c = hc["c"].to_numpy(np.int64)
+    dense = np.zeros(int(h.max() - h.min()) + 1, np.int64)
+    dense[h - h.min()] = c
+    x, y = dense[:-1], dense[1:]
+    return pa.table(
+        {
+            "n_pairs": pa.array([len(x)], pa.int64()),
+            "sum_x": pa.array([int(x.sum())], pa.int64()),
+            "sum_y": pa.array([int(y.sum())], pa.int64()),
+            "sum_xy": pa.array([int((x * y).sum())], pa.int64()),
+            "sum_xx": pa.array([int((x * x).sum())], pa.int64()),
+            "sum_yy": pa.array([int((y * y).sum())], pa.int64()),
+        }
+    )

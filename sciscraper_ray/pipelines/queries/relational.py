@@ -4629,3 +4629,123 @@ def orders_incremental_agg(sf_dir: str):
             "rev_c": pa.array(out["rev_c"].to_numpy(np.int64)),
         }
     )
+
+
+from sciscraper_ray.pipelines.queries.dedup import _md5_hex15_sql as _bloom_hex15
+
+_BLOOM_M = 16384  # bits; fixed so the oracle text is sf-independent
+_BLOOM_K = 3
+
+
+@register(
+    "bloom_fpr_audit",
+    oracle=f"""
+    WITH a AS (SELECT p_partkey AS key FROM part WHERE p_partkey % 2 = 0),
+    b AS (SELECT p_partkey AS key FROM part WHERE p_partkey % 2 = 1),
+    bits AS (
+        SELECT DISTINCT
+            ({_bloom_hex15("CAST(i AS VARCHAR) || ':' || CAST(key AS VARCHAR)")}
+             % {_BLOOM_M}) AS pos
+        FROM a, unnest(range({_BLOOM_K})) AS t(i)
+    ),
+    probe AS (
+        SELECT b.key,
+            ({_bloom_hex15("CAST(i AS VARCHAR) || ':' || CAST(key AS VARCHAR)")}
+             % {_BLOOM_M}) AS pos
+        FROM b, unnest(range({_BLOOM_K})) AS t(i)
+    ),
+    fp AS (
+        SELECT p.key FROM probe p JOIN bits ON bits.pos = p.pos
+        GROUP BY p.key HAVING count(*) = {_BLOOM_K}
+    )
+    SELECT (SELECT count(*) FROM b) AS n_probes,
+           (SELECT count(*) FROM fp) AS n_false_positives,
+           (SELECT count(*) FROM bits) AS n_bits_set
+    """,
+)
+def bloom_fpr_audit(sf_dir: str):
+    """Bloom-filter quality measurement with a FULL SQL oracle: insert
+    the even part keys (k={_BLOOM_K} md5-salted positions into an
+    m=16384-bit filter), probe the disjoint odd keys, and report the
+    EXACT measured false-positive count plus the realized fill — the
+    capacity-planning audit every sketch deployment needs (the same
+    md5-position scheme as the production bloom_semijoin, so this
+    measures that filter's real FPR at each corpus scale, including the
+    saturation regime where an undersized filter goes useless). Plan:
+    the build side shrinks to per-batch DISTINCT position sets (never
+    more than m rows leave a batch) OR-folded on the driver into one
+    2 KiB bitmask; the probe side streams against the broadcast mask
+    and emits two counters per batch. Nothing anywhere scales past m
+    bits + counters — the textbook reason blooms work at 10^12 rows."""
+    import hashlib
+
+    import ray
+    import ray.data
+
+    def positions(keys: np.ndarray) -> np.ndarray:
+        out = np.empty((len(keys), _BLOOM_K), np.int64)
+        for r, key in enumerate(keys):
+            for i in range(_BLOOM_K):
+                out[r, i] = (
+                    int(
+                        hashlib.md5(f"{i}:{int(key)}".encode()).hexdigest()[
+                            :15
+                        ],
+                        16,
+                    )
+                    % _BLOOM_M
+                )
+        return out
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    )
+
+    def build_partial(b: pa.Table) -> pa.Table:
+        k = b["p_partkey"].to_numpy(zero_copy_only=False)
+        evens = k[k % 2 == 0]
+        pos = np.unique(positions(evens).ravel()) if evens.size else np.array([], np.int64)
+        return pa.table({"pos": pa.array(pos, pa.int64())})
+
+    pos_rows = (
+        part.map_batches(build_partial, batch_format="pyarrow")
+        .to_pandas()["pos"]
+        .to_numpy()
+    )
+    mask = np.zeros(_BLOOM_M, bool)
+    mask[pos_rows] = True
+    mask_ref = ray.put(mask)
+
+    class Probe:
+        def __init__(self):
+            self.mask = ray.get(mask_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            k = b["p_partkey"].to_numpy(zero_copy_only=False)
+            odds = k[k % 2 == 1]
+            if odds.size:
+                hit = self.mask[positions(odds)].all(axis=1)
+                fp = int(hit.sum())
+            else:
+                fp = 0
+            return pa.table(
+                {
+                    "n_probes": pa.array([int(odds.size)], pa.int64()),
+                    "n_false_positives": pa.array([fp], pa.int64()),
+                }
+            )
+
+    m = (
+        part.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 4))
+        .to_pandas()
+        .sum()
+    )
+    return pa.table(
+        {
+            "n_probes": pa.array([int(m["n_probes"])], pa.int64()),
+            "n_false_positives": pa.array(
+                [int(m["n_false_positives"])], pa.int64()
+            ),
+            "n_bits_set": pa.array([int(mask.sum())], pa.int64()),
+        }
+    )
