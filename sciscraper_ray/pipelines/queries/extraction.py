@@ -805,3 +805,120 @@ def pdf_xref_audit(sf_dir: str):
         )
         .map_batches(audit, batch_format="pyarrow")
     )
+
+
+@register(
+    "csv_quoted_roundtrip",
+    oracle="""
+    SELECT doc_id, lang,
+           text || ',"' || lang || chr(10) || '"end' AS payload
+    FROM documents
+    """,
+)
+def csv_quoted_roundtrip(sf_dir: str):
+    """RFC 4180 hard-case CSV round trip: every document is exported
+    with a payload field that embeds a comma, a double quote, AND a
+    newline (the three cases naive line-split CSV readers corrupt),
+    sharded to 8 real files, then read back through the engine's own
+    quote-aware record scanner — the ingestion-robustness proof for the
+    S2 csv source beyond terms_from_csv's clean fixture. Writer uses
+    minimal quoting with quote doubling; the reader is a byte-level
+    state machine (in-quote toggling, doubled-quote unescape, records
+    split only on unquoted newlines) running one task per shard file —
+    multi-line records mean a file cannot be split mid-record, exactly
+    the real constraint that makes crawl CSV dumps ship as many small
+    shards. The oracle reconstructs the payload by string arithmetic,
+    so one mis-parsed byte anywhere fails the hash."""
+    import csv
+    import io
+    import tempfile
+
+    import pandas as pd
+    import ray.data
+
+    base = tempfile.mkdtemp(prefix="csv_quoted_")
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "shard", pa.array((ids % 8).astype(np.int64))
+        )
+
+    def write_shard(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("doc_id")
+        shard = int(g["shard"].iloc[0])
+        buf = io.StringIO()
+        w = csv.writer(buf, quoting=csv.QUOTE_MINIMAL, lineterminator="\n")
+        for i, lang, text in zip(g["doc_id"], g["lang"], g["text"]):
+            payload = f'{text},"{lang}\n"end'
+            w.writerow([int(i), lang, payload])
+        with open(f"{base}/shard-{shard:02d}.csv", "w") as f:
+            f.write(buf.getvalue())
+        return pd.DataFrame({"shard": [shard], "n": [len(g)]})
+
+    (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "text"],
+        )
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pandas")
+        .materialize()  # barrier: shards complete before the read
+    )
+
+    def parse_rfc4180(blob: bytes) -> list[list[str]]:
+        s = blob.decode()
+        rows: list[list[str]] = []
+        field: list[str] = []
+        row: list[str] = []
+        in_quotes = False
+        i, n = 0, len(s)
+        while i < n:
+            ch = s[i]
+            if in_quotes:
+                if ch == '"':
+                    if i + 1 < n and s[i + 1] == '"':
+                        field.append('"')
+                        i += 1
+                    else:
+                        in_quotes = False
+                else:
+                    field.append(ch)
+            elif ch == '"':
+                in_quotes = True
+            elif ch == ",":
+                row.append("".join(field))
+                field = []
+            elif ch == "\n":
+                row.append("".join(field))
+                rows.append(row)
+                field, row = [], []
+            else:
+                field.append(ch)
+            i += 1
+        if field or row:
+            row.append("".join(field))
+            rows.append(row)
+        return rows
+
+    def read_shard(b: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        langs: list[str] = []
+        payloads: list[str] = []
+        for blob in b["bytes"].to_pylist():
+            for row in parse_rfc4180(bytes(blob)):
+                ids.append(int(row[0]))
+                langs.append(row[1])
+                payloads.append(row[2])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "payload": pa.array(payloads, pa.string()),
+            }
+        )
+
+    return ray.data.read_binary_files(base).map_batches(
+        read_shard, batch_format="pyarrow"
+    )

@@ -2585,3 +2585,80 @@ def doc_feature_hashing(sf_dir: str):
     return _docs(sf_dir, columns=("doc_id", "text")).map_batches(
         partial, batch_format="pyarrow"
     )
+
+
+@register(
+    "token_postings_varbyte_size",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), posting AS (
+        SELECT DISTINCT token, doc_id FROM toks
+    ), d AS (
+        SELECT token, doc_id,
+               lag(doc_id) OVER (PARTITION BY token ORDER BY doc_id) AS prev
+        FROM posting
+    ), g AS (
+        SELECT token,
+               CASE WHEN prev IS NULL THEN doc_id + 1
+                    ELSE doc_id - prev END AS delta
+        FROM d
+    )
+    SELECT token, count(*) AS df,
+           CAST(sum(CASE WHEN delta < 128 THEN 1
+                         WHEN delta < 16384 THEN 2
+                         WHEN delta < 2097152 THEN 3
+                         ELSE 4 END) AS BIGINT) AS encoded_bytes
+    FROM g GROUP BY token
+    """,
+)
+def token_postings_varbyte_size(sf_dir: str):
+    """Inverted-index compression accounting: the exact varbyte
+    (VByte/LEB128, 7 data bits per byte) size of every token's
+    gap-encoded posting list — the storage model behind every IR
+    engine's index budget, and the quantity token_postings_delta_stats'
+    gap histogram exists to drive. First gap is doc_id+1 so doc 0
+    encodes non-degenerately. Plan: per-batch DISTINCT (token, doc_id)
+    partials shrink the exchange to postings; the per-token gap+size
+    pass is a vocab-bounded map_groups whose kernel is one vectorized
+    np.diff + threshold-sum (no per-posting Python). At open-web scale
+    the vocab-bounded groupby becomes the bucketed lexsort segment scan
+    the delta-stats op already documents — same outputs."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets, np.int64)
+        doc = np.repeat(
+            b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            np.diff(offs),
+        )
+        t = pa.table({"token": toks.values, "doc_id": pa.array(doc)})
+        return t.group_by(["token", "doc_id"]).aggregate([])
+
+    def sizes(g: "pd.DataFrame") -> "pd.DataFrame":
+        ids = np.sort(np.unique(g["doc_id"].to_numpy()))
+        deltas = np.diff(ids, prepend=-1)
+        deltas[0] = ids[0] + 1
+        nbytes = np.where(
+            deltas < 128, 1, np.where(deltas < 16384, 2, np.where(deltas < 2097152, 3, 4))
+        )
+        return pd.DataFrame(
+            {
+                "token": [g["token"].iloc[0]],
+                "df": [len(ids)],
+                "encoded_bytes": [int(nbytes.sum())],
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(sizes, batch_format="pandas")
+    )
