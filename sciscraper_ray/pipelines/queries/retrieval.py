@@ -4239,3 +4239,115 @@ def warc_gzip_member_split(sf_dir: str):
     return rd.read_binary_files(base).map_batches(
         split_members, batch_format="pyarrow"
     )
+
+
+from sciscraper_ray.pipelines.queries.dedup import _md5_hex15_sql as _walk_hex15
+
+_WALKS = 64
+_WALK_LEN = 8
+
+
+@register(
+    "graph_random_walks",
+    oracle=f"""
+    WITH RECURSIVE nbrs AS (
+        SELECT s, t,
+               row_number() OVER (PARTITION BY s ORDER BY t) - 1 AS idx,
+               count(*) OVER (PARTITION BY s) AS outdeg
+        FROM (
+            SELECT DISTINCT doc_id AS s, unnest({_REF_TARGETS_SQL}) AS t
+            FROM documents
+        )
+        WHERE s <> t
+    ),
+    walk(walk_id, step, node) AS (
+        SELECT w, 0, w FROM unnest(range({_WALKS})) AS u(w)
+        UNION ALL
+        SELECT wk.walk_id, wk.step + 1, n.t
+        FROM walk wk
+        JOIN nbrs n ON n.s = wk.node
+         AND n.idx = ({_walk_hex15(
+             "CAST(wk.walk_id AS VARCHAR) || ':' || CAST(wk.step AS VARCHAR)"
+         )} % n.outdeg)
+        WHERE wk.step < {_WALK_LEN}
+    )
+    SELECT walk_id, step, node FROM walk
+    """,
+)
+def graph_random_walks(sf_dir: str):
+    """Deterministic random walks over the harvested web graph — the
+    node2vec/DeepWalk sampling primitive, made REPRODUCIBLE: step t of
+    walk w picks neighbor index hex15(md5("w:t")) %% outdeg among the
+    node's sorted distinct neighbors, so every cluster size, partition
+    layout and rerun emits byte-identical walk corpora (and the whole
+    trajectory set is checkable by a recursive-CTE oracle — np.random
+    walks can never be). 64 walks of length 8 start at docs 0..63;
+    walks die at sink nodes (link targets that are not documents have
+    no outlinks). Plan: the DOM-harvested edge list is materialized
+    once; each step broadcasts the walks' current-node set (bounded by
+    the walk budget, never the graph) and the edge blocks answer with
+    one is_in semi-join; the driver advances the 64 walk states from
+    the returned neighbor lists. Walk count is the sampling budget —
+    at web scale you raise it and shard walk states, the per-step
+    exchange stays budget-bounded."""
+    import hashlib
+
+    import ray
+
+    raw = _doc_edges(sf_dir)
+
+    def clean(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        t = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s != t
+        return pa.table(
+            {
+                "src": pa.array(s[keep], pa.int64()),
+                "dst": pa.array(t[keep], pa.int64()),
+            }
+        )
+
+    edges = raw.map_batches(clean, batch_format="pyarrow").materialize()
+
+    state: dict[int, int] = {w: w for w in range(_WALKS)}  # walk -> node
+    rows = [(w, 0, w) for w in range(_WALKS)]
+    for step in range(_WALK_LEN):
+        if not state:
+            break
+        cur_nodes = pa.array(sorted(set(state.values())), pa.int64())
+        ref = ray.put(cur_nodes)
+
+        def fetch(b: pa.Table, _ref=ref) -> pa.Table:
+            hit = b.filter(pc.is_in(b["src"], value_set=ray.get(_ref)))
+            return hit
+
+        nb = (
+            edges.map_batches(fetch, batch_format="pyarrow")
+            .to_pandas()
+            .drop_duplicates()
+        )
+        nbrs: dict[int, list[int]] = {}
+        for s, t in zip(nb["src"].to_numpy(), nb["dst"].to_numpy()):
+            nbrs.setdefault(int(s), []).append(int(t))
+        nxt: dict[int, int] = {}
+        for w, node in state.items():
+            lst = sorted(nbrs.get(node, ()))
+            if not lst:
+                continue  # sink: walk ends
+            idx = (
+                int(
+                    hashlib.md5(f"{w}:{step}".encode()).hexdigest()[:15], 16
+                )
+                % len(lst)
+            )
+            nxt[w] = lst[idx]
+            rows.append((w, step + 1, lst[idx]))
+        state = nxt
+
+    return pa.table(
+        {
+            "walk_id": pa.array([r[0] for r in rows], pa.int64()),
+            "step": pa.array([r[1] for r in rows], pa.int64()),
+            "node": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
