@@ -4749,3 +4749,140 @@ def bloom_fpr_audit(sf_dir: str):
             "n_bits_set": pa.array([int(mask.sum())], pa.int64()),
         }
     )
+
+
+@register(
+    "orders_key_islands",
+    oracle="""
+    WITH k AS (
+        SELECT DISTINCT o_orderkey AS key FROM orders
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) % 7 <> 0
+    ),
+    d AS (SELECT key, key - lag(key) OVER (ORDER BY key) AS gap FROM k),
+    isl AS (
+        SELECT key, sum(CASE WHEN gap IS NULL OR gap > 1 THEN 1 ELSE 0 END)
+                    OVER (ORDER BY key) AS island_id
+        FROM d
+    ),
+    ilens AS (SELECT island_id, count(*) AS len FROM isl GROUP BY island_id)
+    SELECT (SELECT count(*) FROM k) AS n_keys,
+           (SELECT count(*) FROM ilens) AS n_islands,
+           (SELECT CAST(max(len) AS BIGINT) FROM ilens) AS longest_island,
+           (SELECT CAST(coalesce(max(gap - 1), 0) AS BIGINT)
+            FROM d WHERE gap > 1) AS max_gap
+    """,
+)
+def orders_key_islands(sf_dir: str, num_ranges: int = 16):
+    """Exact gaps-and-islands over a GLOBAL key space without a global
+    sort: surviving order keys (a deterministic retention filter stands
+    in for deletes) are range-partitioned, every partition solves its
+    islands locally with one np.diff, and the driver stitches only the
+    B boundary summaries — the parallel run-length merge. Each range
+    reports (first/last key, prefix/suffix run, local islands, longest,
+    max gap); two adjacent ranges merge an island iff last+1 == first,
+    and a range that is one single island forwards the growing run to
+    its successor, so an island spanning MANY ranges is measured
+    exactly. This is the segmented-scan decomposition every distributed
+    RLE/compaction planner uses; exchange volume is one B-way partition
+    of bare int64 keys plus B summary rows — at 10^12 keys the driver
+    still folds only B tuples."""
+    import pandas as pd
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def keys_partial(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)[cents % 7 != 0]
+        return pa.table({"key": pa.array(np.unique(k), pa.int64())})
+
+    keys = orders.map_batches(keys_partial, batch_format="pyarrow")
+    # sample-free balanced ranges from footer stats would need the true
+    # min/max; a cheap Min/Max aggregate pass is calendar-tiny either way
+    mm = keys.map_batches(
+        lambda b: pa.table(
+            {
+                "lo": pa.array([int(b["key"][0].as_py())], pa.int64()),
+                "hi": pa.array(
+                    [int(b["key"][-1].as_py())], pa.int64()
+                ),
+            }
+        )
+        if len(b)
+        else pa.table(
+            {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    width = max(1, (hi - lo + num_ranges) // num_ranges)
+
+    def assign(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": b["key"],
+                "r": pa.array((k - lo) // width, pa.int64()),
+            }
+        )
+
+    def range_summary(g: "pd.DataFrame") -> "pd.DataFrame":
+        k = np.unique(g["key"].to_numpy())
+        d = np.diff(k)
+        brk = d > 1
+        starts = np.r_[0, np.flatnonzero(brk) + 1]
+        ends = np.r_[np.flatnonzero(brk), len(k) - 1]
+        lens = k[ends] - k[starts] + 1
+        return pd.DataFrame(
+            {
+                "r": [int(g["r"].iloc[0])],
+                "n_keys": [len(k)],
+                "n_islands": [len(starts)],
+                "first_key": [int(k[0])],
+                "last_key": [int(k[-1])],
+                "prefix_run": [int(lens[0])],
+                "suffix_run": [int(lens[-1])],
+                "longest": [int(lens.max())],
+                "max_gap": [int((d[brk] - 1).max()) if brk.any() else 0],
+            }
+        )
+
+    summaries = (
+        keys.map_batches(assign, batch_format="pyarrow")
+        .groupby("r")
+        .map_groups(range_summary, batch_format="pandas")
+        .to_pandas()  # B rows
+        .sort_values("r")
+    )
+    tot_keys = int(summaries["n_keys"].sum())
+    tot_islands = int(summaries["n_islands"].sum())
+    longest = int(summaries["longest"].max())
+    max_gap = int(summaries["max_gap"].max())
+    open_run = None
+    prev_last = None
+    for rg in summaries.itertuples():
+        if prev_last is not None:
+            gap = rg.first_key - prev_last - 1
+            if gap == 0:
+                tot_islands -= 1
+                merged = open_run + rg.prefix_run
+                longest = max(longest, merged)
+                open_run = merged if rg.n_islands == 1 else rg.suffix_run
+            else:
+                max_gap = max(max_gap, gap)
+                open_run = rg.suffix_run
+        else:
+            open_run = rg.suffix_run
+        prev_last = rg.last_key
+    return pa.table(
+        {
+            "n_keys": pa.array([tot_keys], pa.int64()),
+            "n_islands": pa.array([tot_islands], pa.int64()),
+            "longest_island": pa.array([longest], pa.int64()),
+            "max_gap": pa.array([max_gap], pa.int64()),
+        }
+    )
