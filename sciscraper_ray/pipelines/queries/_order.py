@@ -85,9 +85,18 @@ _PRIORITY = (
     # 24-29: the real-codec media family + identifier validation
     "media_png_features", "media_wav_features", "media_jpeg_features",
     "media_mp4_metadata", "media_gif_features", "page_validate_identifiers",
-    # 30-50: richest never-checked round-4 ops, ahead of the simpler
-    # round-2 window/statistics family (everything left is green in the
-    # committed local full sweep regardless)
+    # 41-50: the late-session round-4 additions with the newest claims
+    # (estimator audits, deterministic walks, boundary stitching, real
+    # gzip-member/CSV ingestion) — these carry this session's novel
+    # physical plans, so they get the remaining driver-sample slots
+    "dedup_minhash_jaccard_audit", "graph_random_walks",
+    "orders_key_islands", "bloom_fpr_audit", "warc_gzip_member_split",
+    "csv_quoted_roundtrip", "events_sliding_velocity",
+    "link_jaccard_prediction", "table_constraint_audit",
+    "schema_evolution_union",
+    # 51+: richest earlier never-checked round-4 ops — behind the sample
+    # window now, but every one is green in the committed local full
+    # sweep (CORRECTNESS_full_r4.json)
     "dedup_semantic", "embedding_pq_encode", "ann_ivf_pq",
     "doc_filter_chain", "events_scd2", "lr_train_gd", "doc_bigram_lm_ppl",
     "doc_dsir_weight", "doc_shuffle_deterministic",
