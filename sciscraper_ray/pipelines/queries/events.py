@@ -2822,3 +2822,108 @@ def events_hourly_autocorr(sf_dir: str):
             "sum_yy": pa.array([int((y * y).sum())], pa.int64()),
         }
     )
+
+
+@register(
+    "events_hourly_ewma",
+    oracle="""
+    WITH RECURSIVE hc AS (
+        SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+               count(*) AS c
+        FROM events GROUP BY h
+    ),
+    grid AS (
+        SELECT unnest(range((SELECT min(h) FROM hc),
+                            (SELECT max(h) FROM hc) + 1)) AS h
+    ),
+    dense AS (
+        SELECT grid.h, row_number() OVER (ORDER BY grid.h) AS rn,
+               coalesce(hc.c, 0) AS c
+        FROM grid LEFT JOIN hc ON hc.h = grid.h
+    ),
+    rec AS (
+        SELECT rn, h, c, CAST(c AS DOUBLE) AS y, FALSE AS burst
+        FROM dense WHERE rn = 1
+        UNION ALL
+        SELECT d.rn, d.h, d.c, (CAST(d.c AS DOUBLE) + r.y) * 0.5,
+               (CAST(d.c AS DOUBLE) - r.y) > 3 * sqrt(greatest(r.y, 1.0))
+        FROM rec r JOIN dense d ON d.rn = r.rn + 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(CASE WHEN burst THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bursts,
+           CAST(coalesce(sum(CASE WHEN burst THEN h END), 0) AS BIGINT)
+               AS sum_burst_hours,
+           max(y) AS max_ewma,
+           max(CASE WHEN rn = (SELECT max(rn) FROM dense) THEN y END)
+               AS final_ewma
+    FROM rec
+    """,
+)
+def events_hourly_ewma(sf_dir: str):
+    """EWMA burst monitor over the DENSE hourly count series — the
+    classic streaming traffic baseline y_t = (x_t + y_{t-1}) / 2 with a
+    Poisson-style burst flag when an hour's count sits more than three
+    sqrt-baselines above the baseline carried INTO it — scale-RELATIVE,
+    so the rule fires at every sf (a fixed multiplier is degenerate at
+    sf0.1 where hourly counts concentrate near the mean). The dyadic
+    alpha = 1/2 makes the float recursion BIT-deterministic on any
+    IEEE-754 engine: the add is one correctly-rounded op and the *0.5
+    only decrements the exponent, so the Python fold and DuckDB's
+    recursive CTE agree to the last bit — no rounding epsilon anywhere
+    (the events_gap_stats lesson, applied to a recurrence instead of a
+    sum). Distribution shape is identical to events_hourly_autocorr:
+    per-batch (hour, count) partials groupby-Sum into a CALENDAR-bounded
+    table, the driver densifies with zero-fill and folds the recurrence
+    over <=|hours| cells — at 10^12 events the exchange is still
+    hour-grain partials and the sequential tail is grid-length, not
+    row-count."""
+    import math
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = (
+            b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[h]")
+        ).astype(np.int64)
+        u, c = np.unique(h, return_counts=True)
+        return pa.table(
+            {"h": pa.array(u, pa.int64()), "c": pa.array(c.astype(np.int64))}
+        )
+
+    hc = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum(on="c", alias_name="c"))
+        .to_pandas()  # calendar-bounded
+        .sort_values("h")
+    )
+    h = hc["h"].to_numpy(np.int64)
+    c = hc["c"].to_numpy(np.int64)
+    lo = int(h.min())
+    dense = np.zeros(int(h.max()) - lo + 1, np.int64)
+    dense[h - lo] = c
+    y = float(dense[0])
+    max_y = y
+    n_bursts = 0
+    sum_burst_hours = 0
+    for i in range(1, len(dense)):
+        x = float(dense[i])
+        if (x - y) > 3.0 * math.sqrt(max(y, 1.0)):
+            n_bursts += 1
+            sum_burst_hours += lo + i
+        y = (x + y) * 0.5
+        if y > max_y:
+            max_y = y
+    return pa.table(
+        {
+            "n_hours": pa.array([len(dense)], pa.int64()),
+            "n_bursts": pa.array([n_bursts], pa.int64()),
+            "sum_burst_hours": pa.array([sum_burst_hours], pa.int64()),
+            "max_ewma": pa.array([max_y], pa.float64()),
+            "final_ewma": pa.array([y], pa.float64()),
+        }
+    )

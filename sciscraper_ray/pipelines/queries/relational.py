@@ -4886,3 +4886,127 @@ def orders_key_islands(sf_dir: str, num_ranges: int = 16):
             "max_gap": pa.array([max_gap], pa.int64()),
         }
     )
+
+
+@register(
+    "orders_seasonal_decompose",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+                   AS ym,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders GROUP BY ym
+    ),
+    w AS (
+        SELECT ym, revenue_cents,
+               row_number() OVER (ORDER BY ym) AS rn,
+               count(*) OVER () AS n,
+               CAST(sum(revenue_cents) OVER (
+                   ORDER BY ym ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING
+               ) AS BIGINT) AS s13,
+               lag(revenue_cents, 6) OVER (ORDER BY ym) AS lag6,
+               lead(revenue_cents, 6) OVER (ORDER BY ym) AS lead6
+        FROM m
+    ),
+    v AS (
+        SELECT ym, revenue_cents, ym % 100 AS mo,
+               2 * s13 - lag6 - lead6 AS trend_num
+        FROM w WHERE rn BETWEEN 7 AND n - 6
+    ),
+    s AS (
+        SELECT mo,
+               CAST(sum(24 * revenue_cents - trend_num) AS BIGINT)
+                   AS det_sum,
+               count(*) AS n_mo
+        FROM v GROUP BY mo
+    )
+    SELECT v.ym, v.revenue_cents,
+           CAST(v.trend_num AS DOUBLE) / 24 AS trend_cents,
+           CAST(24 * v.revenue_cents - v.trend_num AS DOUBLE) / 24
+               AS detrended_cents,
+           CAST(s.det_sum AS DOUBLE) / (24 * s.n_mo) AS seasonal_cents
+    FROM v JOIN s ON s.mo = v.mo
+    """,
+)
+def orders_seasonal_decompose(sf_dir: str):
+    """Classic 2x12 centered-moving-average seasonal decomposition of the
+    monthly revenue series (the textbook additive decompose a demand
+    planner runs): trend_t is the 13-month window with half-weight
+    endpoints, kept EXACT as the integer numerator
+    trend_num = m[t-6] + 2*sum(m[t-5..t+5]) + m[t+6]
+              = 2*S13 - m[t-6] - m[t+6]
+    over cents (denominator 24 divided out ONCE at emit, identically on
+    both engines — the round-half-even lesson means no intermediate
+    float ever exists), detrended_t = 24*m_t - trend_num (integer), and
+    the seasonal index is the month-of-year mean of the detrended
+    numerators (uncentered, documented). Plan: per-batch (ym, cents)
+    partials groupby-Sum into a CALENDAR-bounded table (~80 months for
+    seven years — never row-bounded), the driver runs the window fold
+    with two np.slides; at 10^12 orders the exchange is month-grain
+    partials and everything after is O(|months|)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ym = (
+            pc.year(b["o_orderdate"]).to_numpy(zero_copy_only=False) * 100
+            + pc.month(b["o_orderdate"]).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        cents = _cents(b["o_totalprice"])
+        u, inv = np.unique(ym, return_inverse=True)
+        return pa.table(
+            {
+                "ym": pa.array(u, pa.int64()),
+                "cents": pa.array(np.bincount(inv, cents).astype(np.int64)),
+            }
+        )
+
+    m = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ym")
+        .aggregate(Sum(on="cents", alias_name="cents"))
+        .to_pandas()  # calendar-bounded (~80 rows)
+        .sort_values("ym")
+    )
+    ym = m["ym"].to_numpy(np.int64)
+    cents = m["cents"].to_numpy(np.int64)
+    n = len(cents)
+    if n < 13:
+        return pa.table(
+            {
+                "ym": pa.array([], pa.int64()),
+                "revenue_cents": pa.array([], pa.int64()),
+                "trend_cents": pa.array([], pa.float64()),
+                "detrended_cents": pa.array([], pa.float64()),
+                "seasonal_cents": pa.array([], pa.float64()),
+            }
+        )
+    win = np.lib.stride_tricks.sliding_window_view(cents, 13)
+    s13 = win.sum(axis=1)  # rows 7..n-6 (0-based 6..n-7)
+    mid_ym = ym[6 : n - 6]
+    mid_cents = cents[6 : n - 6]
+    trend_num = 2 * s13 - cents[: n - 12] - cents[12:]
+    det_num = 24 * mid_cents - trend_num
+    mo = mid_ym % 100
+    det_sum = np.zeros(13, np.int64)
+    n_mo = np.zeros(13, np.int64)
+    np.add.at(det_sum, mo, det_num)
+    np.add.at(n_mo, mo, 1)
+    seasonal = det_sum[mo].astype(np.float64) / (24.0 * n_mo[mo])
+    return pa.table(
+        {
+            "ym": pa.array(mid_ym, pa.int64()),
+            "revenue_cents": pa.array(mid_cents, pa.int64()),
+            "trend_cents": pa.array(
+                trend_num.astype(np.float64) / 24.0, pa.float64()
+            ),
+            "detrended_cents": pa.array(
+                det_num.astype(np.float64) / 24.0, pa.float64()
+            ),
+            "seasonal_cents": pa.array(seasonal, pa.float64()),
+        }
+    )

@@ -1,0 +1,87 @@
+"""Round-4 session-AB additions: dyadic-EWMA burst monitor and 2x12
+centered-MA seasonal decomposition — first-principles recomputes plus
+the bit-determinism / exact-integer properties each op's parity rests
+on (oracle parity runs in tools/check_correctness.py)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from sciscraper_ray.pipelines.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(out):
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    return pd.DataFrame(out)
+
+
+def _dense_hourly(sf=SF):
+    ev = pd.read_parquet(sf + "/events.parquet", columns=["ts"])
+    h = ev["ts"].to_numpy().astype("datetime64[h]").astype(np.int64)
+    u, c = np.unique(h, return_counts=True)
+    dense = np.zeros(int(u.max() - u.min()) + 1, np.int64)
+    dense[u - u.min()] = c
+    return int(u.min()), dense
+
+
+def test_events_hourly_ewma(ray_session):
+    got = _df(QUERIES["events_hourly_ewma"](SF)).iloc[0]
+    lo, dense = _dense_hourly()
+    y = float(dense[0])
+    max_y, nb, sbh = y, 0, 0
+    for i in range(1, len(dense)):
+        x = float(dense[i])
+        if (x - y) > 3.0 * math.sqrt(max(y, 1.0)):
+            nb += 1
+            sbh += lo + i
+        y = (x + y) * 0.5
+        max_y = max(max_y, y)
+    assert int(got["n_hours"]) == len(dense)
+    assert int(got["n_bursts"]) == nb
+    assert int(got["sum_burst_hours"]) == sbh
+    # dyadic alpha=1/2: the fold is bit-deterministic, so equality is
+    # EXACT (no tolerance) — that's the whole parity contract
+    assert float(got["final_ewma"]) == y
+    assert float(got["max_ewma"]) == max_y
+    # burst rule must be non-degenerate on the fixture
+    assert 0 < nb < len(dense) - 1
+
+
+def test_orders_seasonal_decompose(ray_session):
+    got = _df(QUERIES["orders_seasonal_decompose"](SF)).sort_values("ym")
+    o = pd.read_parquet(
+        SF + "/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    ym = (
+        o["o_orderdate"].dt.year.to_numpy() * 100
+        + o["o_orderdate"].dt.month.to_numpy()
+    ).astype(np.int64)
+    m = pd.DataFrame({"ym": ym, "c": cents}).groupby("ym")["c"].sum()
+    v = m.to_numpy()
+    n = len(v)
+    s13 = np.convolve(v, np.ones(13, np.int64), "valid")
+    trend_num = 2 * s13 - v[: n - 12] - v[12:]
+    mid = m.index.to_numpy()[6 : n - 6]
+    det_num = 24 * v[6 : n - 6] - trend_num
+    assert got["ym"].to_numpy().tolist() == mid.tolist()
+    assert got["revenue_cents"].to_numpy().tolist() == v[6 : n - 6].tolist()
+    # the single final division is the only float op
+    np.testing.assert_array_equal(
+        got["trend_cents"].to_numpy(), trend_num.astype(np.float64) / 24.0
+    )
+    np.testing.assert_array_equal(
+        got["detrended_cents"].to_numpy(), det_num.astype(np.float64) / 24.0
+    )
+    mo = mid % 100
+    for k in np.unique(mo):
+        sel = mo == k
+        want = det_num[sel].sum() / (24.0 * sel.sum())
+        np.testing.assert_array_equal(
+            got["seasonal_cents"].to_numpy()[sel], np.full(sel.sum(), want)
+        )
+    # trend really smooths: detrended variance well below raw variance
+    assert np.var(det_num / 24.0) < np.var(v[6 : n - 6].astype(float))
