@@ -1280,3 +1280,120 @@ def ann_dim_truncation_recall(sf_dir: str):
             ),
         }
     )
+
+
+@register(
+    "embedding_mutual_knn",
+    oracle=f"""
+    WITH s AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_cosine_similarity(a.embedding, b.embedding) AS sim
+        FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
+    ), m AS (
+        SELECT src, dst FROM (
+            SELECT src, dst, row_number() OVER (
+                PARTITION BY src ORDER BY sim DESC, dst ASC
+            ) AS rnk
+            FROM s
+        ) WHERE rnk <= {ANN_K}
+    ), mut AS (
+        SELECT a.src AS u, a.dst AS v
+        FROM m a JOIN m b ON a.src = b.dst AND a.dst = b.src
+        WHERE a.src < a.dst
+    ), ends AS (
+        SELECT u AS node FROM mut UNION ALL SELECT v FROM mut
+    ), deg AS (
+        SELECT e.vec_id AS node, coalesce(c.cnt, 0) AS degree
+        FROM embeddings e LEFT JOIN (
+            SELECT node, count(*) AS cnt FROM ends GROUP BY node
+        ) c ON c.node = e.vec_id
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def embedding_mutual_knn(sf_dir: str):
+    """Mutual-kNN graph degree histogram — the symmetrized neighbor
+    graph SemDeDup-style embedding clustering and manifold-density
+    estimators are built on (an edge survives only if BOTH endpoints
+    rank each other in their top-k, which strips the hub-node asymmetry
+    plain kNN suffers from). Every vector is a query: the (n,d) matrix
+    broadcasts once via ray.put and each corpus batch emits PARTIAL
+    top-k rows (rank-only downstream, so ulp-level cosine noise cannot
+    flip parity — the knn_cosine contract). Mutuality is decided
+    DISTRIBUTED, never on the driver: each directed edge packs into an
+    order-free key min<<32|max, a k-bounded groupby counts directions
+    (count==2 <=> mutual), endpoints re-explode and a second k-bounded
+    groupby yields per-node degrees; the driver folds only the
+    <=(k+1)-row histogram plus the zero-degree complement. At 10^9
+    vectors the broadcast matrix is replaced by the IVF bucket path
+    (stages/ann.py) feeding the same packed-key mutuality plan."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+
+    from sciscraper_ray.stages.ann import BruteForceTopK, _stack, topk_reduce
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    n_total = len(ids)
+    queries_ref = ray.put((ids, _stack(t["embedding"])))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    m = (
+        ds.map_batches(
+            BruteForceTopK(queries_ref=queries_ref, k=ANN_K),
+            batch_format="pyarrow",
+        )
+        .groupby("qid")
+        .map_groups(lambda g: topk_reduce(g, ANN_K), batch_format="pandas")
+    )
+
+    def pack(b: pa.Table) -> pa.Table:
+        u = b["qid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["neighbor"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.minimum(u, v) * (1 << 32) + np.maximum(u, v)
+        return pa.table({"key": pa.array(key, pa.int64())})
+
+    def unpack_mutual(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy(zero_copy_only=False)[
+            b["count()"].to_numpy(zero_copy_only=False) == 2
+        ]
+        node = np.concatenate([k >> 32, k & ((1 << 32) - 1)])
+        return pa.table({"node": pa.array(node.astype(np.int64), pa.int64())})
+
+    hist = (
+        m.map_batches(pack, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Count())
+        .map_batches(unpack_mutual, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count())
+        .map_batches(
+            lambda b: pa.table(
+                {"degree": pc.cast(b["count()"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("degree")
+        .aggregate(Count())
+        .to_pandas()  # <= k+1 rows
+    )
+    degree = hist["degree"].to_numpy(np.int64)
+    n_nodes = hist["count()"].to_numpy(np.int64)
+    n_zero = n_total - int(n_nodes.sum())
+    if n_zero > 0:
+        degree = np.r_[0, degree]
+        n_nodes = np.r_[n_zero, n_nodes]
+    return pa.table(
+        {
+            "degree": pa.array(degree, pa.int64()),
+            "n_nodes": pa.array(n_nodes, pa.int64()),
+        }
+    )

@@ -2662,3 +2662,106 @@ def token_postings_varbyte_size(sf_dir: str):
         .groupby("token")
         .map_groups(sizes, batch_format="pandas")
     )
+
+
+@register(
+    "token_chi2_keyness",
+    oracle=f"""
+    WITH toks AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp,
+               unnest({_SQL_TOKENS}) AS token
+        FROM documents
+    ), cnt AS (
+        SELECT token,
+               CAST(sum(grp) AS BIGINT) AS k_en,
+               CAST(sum(1 - grp) AS BIGINT) AS k_rest
+        FROM toks GROUP BY token
+    ), tot AS (
+        SELECT CAST(sum(k_en) AS BIGINT) AS n_en,
+               CAST(sum(k_rest) AS BIGINT) AS n_rest
+        FROM cnt
+    ), f AS (
+        SELECT token, k_en, k_rest,
+               CAST(n_en + n_rest AS DOUBLE) AS nd,
+               CAST(k_en * (n_rest - k_rest)
+                    - k_rest * (n_en - k_en) AS DOUBLE) AS xd,
+               CAST(k_en + k_rest AS DOUBLE) AS r1,
+               CAST((n_en + n_rest) - (k_en + k_rest) AS DOUBLE) AS r2,
+               CAST(n_en AS DOUBLE) AS c1,
+               CAST(n_rest AS DOUBLE) AS c2
+        FROM cnt, tot
+    )
+    SELECT token, k_en, k_rest,
+           ((nd * xd) * xd) / (((r1 * r2) * c1) * c2) AS chi2
+    FROM f
+    """,
+)
+def token_chi2_keyness(sf_dir: str):
+    """Corpus-comparison keyness: the 2x2 chi-square statistic per token
+    between the English sub-corpus and everything else — the standard
+    'which words characterize THIS slice' diagnostic (chosen over
+    Dunning log-likelihood deliberately: chi-square is a pure RATIONAL
+    of the four exact integer cell counts, so there is no transcendental
+    whose last-ulp disagreement between libm implementations could leak
+    into the hash; the one division happens on bit-identical doubles
+    folded in the same parenthesized order on both engines). Plan:
+    per-batch (token, side) count partials -> one vocab-bounded
+    groupby-Sum -> driver computes chi2 over |vocab| rows. Cell products
+    stay under 2^53 here; at 10^12-token scale the driver fold swaps to
+    Python big ints (the HHI lesson) with the same emitted doubles."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        counts = np.diff(np.asarray(toks.offsets, np.int64))
+        is_en = pc.equal(b["lang"], "en").to_numpy(zero_copy_only=False)
+        grp = np.repeat(is_en.astype(np.int64), counts)
+        t = pa.table(
+            {
+                "token": toks.values,
+                "k_en": pa.array(grp, pa.int64()),
+                "k_rest": pa.array(1 - grp, pa.int64()),
+            }
+        )
+        g = t.group_by("token").aggregate([("k_en", "sum"), ("k_rest", "sum")])
+        return g.rename_columns(["token", "k_en", "k_rest"])
+
+    cnt = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(
+            Sum(on="k_en", alias_name="k_en"),
+            Sum(on="k_rest", alias_name="k_rest"),
+        )
+        .to_pandas()  # vocab-bounded
+    )
+    k_en = cnt["k_en"].to_numpy(np.int64)
+    k_rest = cnt["k_rest"].to_numpy(np.int64)
+    n_en = int(k_en.sum())
+    n_rest = int(k_rest.sum())
+    nd = float(n_en + n_rest)
+    xd = (k_en * (n_rest - k_rest) - k_rest * (n_en - k_en)).astype(
+        np.float64
+    )
+    r1 = (k_en + k_rest).astype(np.float64)
+    r2 = float(n_en + n_rest) - r1
+    c1 = float(n_en)
+    c2 = float(n_rest)
+    chi2 = ((nd * xd) * xd) / (((r1 * r2) * c1) * c2)
+    return pa.table(
+        {
+            "token": pa.array(cnt["token"].tolist(), pa.string()),
+            "k_en": pa.array(k_en, pa.int64()),
+            "k_rest": pa.array(k_rest, pa.int64()),
+            "chi2": pa.array(chi2, pa.float64()),
+        }
+    )

@@ -85,3 +85,58 @@ def test_orders_seasonal_decompose(ray_session):
         )
     # trend really smooths: detrended variance well below raw variance
     assert np.var(det_num / 24.0) < np.var(v[6 : n - 6].astype(float))
+
+
+def test_embedding_mutual_knn(ray_session):
+    got = _df(QUERIES["embedding_mutual_knn"](SF)).sort_values("degree")
+    emb = pd.read_parquet(SF + "/embeddings.parquet")
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    n = len(ids)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    np.fill_diagonal(sims, -np.inf)
+    # top-5 per row, tie-break neighbor asc
+    order = np.lexsort((np.tile(ids, (n, 1)), -sims), axis=1)[:, :5]
+    nbr = {ids[i]: set(ids[order[i]]) for i in range(n)}
+    mutual = {
+        (min(u, v), max(u, v))
+        for u, s in nbr.items()
+        for v in s
+        if u in nbr[v]
+    }
+    deg = {int(i): 0 for i in ids}
+    for u, v in mutual:
+        deg[int(u)] += 1
+        deg[int(v)] += 1
+    want = pd.Series(list(deg.values())).value_counts().sort_index()
+    assert got["degree"].tolist() == want.index.tolist()
+    assert got["n_nodes"].tolist() == want.tolist()
+    # symmetrization strictly prunes: fewer mutual edges than directed
+    assert 0 < len(mutual) < 5 * n
+
+
+def test_token_chi2_keyness(ray_session):
+    got = _df(QUERIES["token_chi2_keyness"](SF)).set_index("token")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["text", "lang"])
+    rows = {}
+    tot = [0, 0]
+    for text, lang in zip(docs["text"], docs["lang"]):
+        side = 0 if lang == "en" else 1
+        for t in text.strip().lower().split(" "):
+            c = rows.setdefault(t, [0, 0])
+            c[side] += 1
+            tot[side] += 1
+    assert len(got) == len(rows)
+    for t, (a, b) in rows.items():
+        assert int(got.loc[t, "k_en"]) == a
+        assert int(got.loc[t, "k_rest"]) == b
+        c, d = tot[0] - a, tot[1] - b
+        x = float(a * d - b * c)
+        nd = float(tot[0] + tot[1])
+        want = ((nd * x) * x) / (
+            ((float(a + b) * float(c + d)) * tot[0]) * tot[1]
+        )
+        assert float(got.loc[t, "chi2"]) == want  # bit-exact contract
+    # the statistic discriminates: not all chi2 equal
+    assert got["chi2"].nunique() > 1
