@@ -85,6 +85,8 @@ _PRIORITY = (
     # 24-29: the real-codec media family + identifier validation
     "media_png_features", "media_wav_features", "media_jpeg_features",
     "media_mp4_metadata", "media_gif_features", "page_validate_identifiers",
+    # 30: the north-star reading-order layout contract (two-column PDF)
+    "pdf_reading_order_extract",
     # 41-50: the late-session round-4 additions with the newest claims
     # (estimator audits, deterministic walks, boundary stitching, real
     # gzip-member/CSV ingestion) — these carry this session's novel

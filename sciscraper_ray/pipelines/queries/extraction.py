@@ -922,3 +922,60 @@ def csv_quoted_roundtrip(sf_dir: str):
     return ray.data.read_binary_files(base).map_batches(
         read_shard, batch_format="pyarrow"
     )
+
+
+@register(
+    "pdf_reading_order_extract",
+    oracle="SELECT doc_id, text AS extracted_text FROM documents",
+)
+def pdf_reading_order_extract(sf_dir: str):
+    """Two-column PDF layout parse with READING-ORDER block clustering —
+    the north-star's 'char/word box clustering into reading-order text
+    blocks' exercised where it actually matters: every document renders
+    as a single-page TWO-column PDF (build_pdf_two_column — newspaper
+    layout, left column holds the first half of the wrapped lines), and
+    the extractor must emit left column top-to-bottom THEN right column
+    to reproduce the source text byte-identically. The naive page-wide
+    y-cluster (glyphs_to_text) zips the columns line-by-line and fails
+    this oracle on every multi-line document — tests pin that negative
+    control. Column bands come from the x-interval projection
+    (split_columns): a gutter must be empty across every line, so word
+    gaps and ragged edges can't fake one. Same task-shape as
+    pdf_extract: render and extract are stateless per-batch callables,
+    payloads never shuffle."""
+    import ray.data  # noqa: F401 — Dataset ops on _docs
+
+    from sciscraper_ray.sources.pdf_write import build_pdf_two_column
+    from sciscraper_ray.stages.pdf_parse import (
+        extract_pdf_pages,
+        glyphs_to_reading_order,
+    )
+
+    def render(b: pa.Table) -> pa.Table:
+        payloads = [build_pdf_two_column(t) for t in b["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    def extract(b: pa.Table) -> pa.Table:
+        texts = [
+            " ".join(
+                extract_pdf_pages(p, assemble=glyphs_to_reading_order)
+            )
+            for p in b["payload"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "extracted_text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=("doc_id", "text"))
+        .map_batches(render, batch_format="pyarrow")
+        .map_batches(extract, batch_format="pyarrow")
+    )

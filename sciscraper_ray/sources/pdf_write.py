@@ -117,3 +117,96 @@ def build_pdf(
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
     return bytes(out)
+
+
+COL2_X = [MARGIN_X, 332.0]  # two-column origins; gutter >= 80pt at
+# col_chars=30 (max line 180pt from x=72 ends at 252) — an order of
+# magnitude wider than the 6pt word gap, so projection-based column
+# detection has no spurious splits
+
+
+def _wrap(words: list[str], col_chars: int) -> list[str]:
+    """Greedy wrap to <= col_chars characters per line (counting single
+    spaces), never splitting a word."""
+    lines: list[str] = []
+    cur: list[str] = []
+    used = 0
+    for w in words:
+        add = len(w) + (1 if cur else 0)
+        if cur and used + add > col_chars:
+            lines.append(" ".join(cur))
+            cur, used = [w], len(w)
+        else:
+            cur.append(w)
+            used += add
+    if cur:
+        lines.append(" ".join(cur))
+    return lines
+
+
+def build_pdf_two_column(
+    text: str,
+    info: "dict[str, str] | None" = None,
+    col_chars: int = 30,
+) -> bytes:
+    """Single-page TWO-COLUMN layout: text wraps to ``col_chars``-wide
+    lines, the first half fills the left column top-to-bottom, the rest
+    the right column — the newspaper reading order a naive y-then-x line
+    clusterer garbles (it zips the columns line by line). Ground truth
+    for the reading-order block extractor: left column then right column
+    reconstructs ``text`` byte-identically."""
+    words = text.split(" ")
+    lines = _wrap(words, col_chars)
+    half = (len(lines) + 1) // 2
+    cols = [lines[:half], lines[half:]]
+    ops = ["BT", f"/F1 {FONT_SIZE:g} Tf"]
+    for x0, col_lines in zip(COL2_X, cols):
+        y = TOP_Y
+        for line in col_lines:
+            x = x0
+            for word in line.split(" "):
+                ops.append(f"1 0 0 1 {x:g} {y:g} Tm")
+                ops.append(f"{_pdf_string(word)} Tj")
+                x += len(word) * CHAR_W + WORD_GAP
+            y -= LINE_H
+    ops.append("ET")
+    stream = zlib.compress("\n".join(ops).encode("latin-1"))
+
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    add(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    add(b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")  # 2
+    add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")  # 3
+    add(
+        f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
+        f"/Contents 5 0 R /Resources << /Font << /F1 3 0 R >> >> >>".encode()
+    )  # 4
+    add(
+        f"<< /Length {len(stream)} /Filter /FlateDecode >>\nstream\n".encode()
+        + stream
+        + b"\nendstream"
+    )  # 5
+    info_ref = ""
+    if info:
+        entries = " ".join(f"/{k} {_pdf_string(v)}" for k, v in info.items())
+        info_num = add(f"<< {entries} >>".encode("latin-1", errors="replace"))
+        info_ref = f" /Info {info_num} 0 R"
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R{info_ref} >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)

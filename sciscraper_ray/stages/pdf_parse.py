@@ -21,6 +21,7 @@ metric, which keeps synthetic round-trips byte-exact.
 
 from __future__ import annotations
 
+import bisect
 import re
 import zlib
 
@@ -364,6 +365,58 @@ def glyphs_to_text(
     return "\n".join(out_lines)
 
 
+def split_columns(
+    glyphs: list[tuple[str, float, float, float]], gutter_min: float = 24.0
+) -> list[list[tuple[str, float, float, float]]]:
+    """Cluster glyphs into COLUMN bands by projecting every glyph's
+    x-interval onto the x-axis and splitting at empty gaps wider than
+    ``gutter_min`` — a gutter must be empty across EVERY line of the
+    page, so ragged right edges and ordinary word gaps (one em or less)
+    can never fake one. Returns bands left-to-right; a page with no
+    gutter comes back as a single band."""
+    if not glyphs:
+        return []
+    iv = sorted((g[1], g[1] + g[3]) for g in glyphs)
+    bands = [[iv[0][0], iv[0][1]]]
+    for x0, x1 in iv[1:]:
+        if x0 > bands[-1][1] + gutter_min:
+            bands.append([x0, x1])
+        elif x1 > bands[-1][1]:
+            bands[-1][1] = x1
+    if len(bands) == 1:
+        return [list(glyphs)]
+    starts = [b[0] for b in bands]
+    out: list[list[tuple[str, float, float, float]]] = [[] for _ in bands]
+    for g in glyphs:
+        out[bisect.bisect_right(starts, g[1]) - 1].append(g)
+    return out
+
+
+def glyphs_to_reading_order(
+    glyphs: list[tuple[str, float, float, float]],
+    x_tolerance: float = X_TOLERANCE,
+    y_tolerance: float = Y_TOLERANCE,
+    gutter_min: float = 24.0,
+) -> str:
+    """pdfplumber-style word/box clustering into READING-ORDER text
+    blocks (the north-star layout contract): glyphs split into column
+    bands first (``split_columns``), each band runs the y-then-x line
+    assembly independently, and blocks emit left column first, top to
+    bottom, then the next column — the order a human reads a
+    two-column paper. The naive page-wide y-cluster (``glyphs_to_text``)
+    zips the columns line by line instead; this function exists because
+    that garbling is byte-visible against the known main text. Output is
+    single-space-joined words (the reference's ' '.join contract —
+    docscraper.py:205), so a correctly ordered extraction reproduces the
+    source text byte-identically."""
+    cols = split_columns(glyphs, gutter_min)
+    parts = [
+        glyphs_to_text(c, x_tolerance, y_tolerance).replace("\n", " ")
+        for c in cols
+    ]
+    return " ".join(p for p in parts if p)
+
+
 def _scan_pages(payload: bytes) -> list[str]:
     """Legacy fallback for payloads with no parseable page tree (raw
     fragments, exotic writers): every Flate stream containing a BT block
@@ -401,14 +454,18 @@ def _scan_pages(payload: bytes) -> list[str]:
     return pages
 
 
-def extract_pdf_pages(payload: bytes) -> list[str]:
+def extract_pdf_pages(payload: bytes, assemble=glyphs_to_text) -> list[str]:
     """Per-page extracted text (pdfplumber extract_text analog per page).
 
     Primary path: the document model (pdf_doc.PdfDocument) resolves the
     page tree, joins each page's content-stream array, and supplies the
     page's font tables so glyph advances use real /Widths metrics. A
     payload with no parseable page tree degrades to the legacy
-    stream-scan path."""
+    stream-scan path.
+
+    ``assemble`` maps a page's glyph list to text — the default is the
+    single-flow line clusterer; pass ``glyphs_to_reading_order`` for
+    column-aware block assembly (multi-column layouts)."""
     try:
         doc = PdfDocument(payload)
         page_nodes = doc.pages()
@@ -424,7 +481,7 @@ def extract_pdf_pages(payload: bytes) -> list[str]:
                     pages.append("")
                     continue
                 fonts = doc.page_fonts(node)
-                pages.append(glyphs_to_text(_extract_glyphs(content, fonts)))
+                pages.append(assemble(_extract_glyphs(content, fonts)))
             except Exception:  # noqa: BLE001 — degrade per page, never die
                 pages.append("")
         return pages

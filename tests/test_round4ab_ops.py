@@ -140,3 +140,52 @@ def test_token_chi2_keyness(ray_session):
         assert float(got.loc[t, "chi2"]) == want  # bit-exact contract
     # the statistic discriminates: not all chi2 equal
     assert got["chi2"].nunique() > 1
+
+
+def test_reading_order_blocks_vs_naive():
+    """Column-aware assembly reconstructs the text; the naive page-wide
+    y-cluster garbles two-column layouts (the negative control that
+    proves the gutter logic is load-bearing)."""
+    from sciscraper_ray.sources.pdf_write import build_pdf_two_column
+    from sciscraper_ray.stages.pdf_parse import (
+        extract_pdf_pages,
+        glyphs_to_reading_order,
+        glyphs_to_text,
+        split_columns,
+    )
+
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["text"])
+    multi = [t for t in docs["text"] if len(t) > 80][:20]
+    assert len(multi) == 20
+    for t in multi:
+        payload = build_pdf_two_column(t)
+        ordered = " ".join(
+            extract_pdf_pages(payload, assemble=glyphs_to_reading_order)
+        )
+        assert ordered == t
+        naive = " ".join(
+            p.replace("\n", " ") for p in extract_pdf_pages(payload)
+        )
+        assert naive != t  # zipped columns are byte-visible
+
+    # single-column glyphs: no gutter -> one band, identical output
+    glyphs = [("a", 72.0, 720.0, 6.0), ("b", 79.0, 720.0, 6.0),
+              ("c", 72.0, 706.0, 6.0)]
+    assert len(split_columns(glyphs)) == 1
+    assert glyphs_to_reading_order(glyphs) == glyphs_to_text(
+        glyphs
+    ).replace("\n", " ")
+
+
+def test_split_columns_gutter_detection():
+    from sciscraper_ray.stages.pdf_parse import split_columns
+
+    # two bands separated by a 80pt gutter; word gaps of 6pt never split
+    left = [("l", 72.0 + 12 * i, 720.0 - 14 * j, 6.0)
+            for i in range(10) for j in range(4)]
+    right = [("r", 332.0 + 12 * i, 720.0 - 14 * j, 6.0)
+             for i in range(10) for j in range(4)]
+    bands = split_columns(left + right)
+    assert len(bands) == 2
+    assert {g[0] for g in bands[0]} == {"l"}
+    assert {g[0] for g in bands[1]} == {"r"}
