@@ -85,8 +85,11 @@ _PRIORITY = (
     # 24-29: the real-codec media family + identifier validation
     "media_png_features", "media_wav_features", "media_jpeg_features",
     "media_mp4_metadata", "media_gif_features", "page_validate_identifiers",
-    # 30: the north-star reading-order layout contract (two-column PDF)
-    "pdf_reading_order_extract",
+    # 30-32: the north-star extraction-tier contracts — two-column
+    # reading order, byte-exact extraction under page damage, WARC
+    # revisit-record crawl dedup
+    "pdf_reading_order_extract", "page_extract_damage_matrix",
+    "warc_revisit_dedup",
     # 41-50: the late-session round-4 additions with the newest claims
     # (estimator audits, deterministic walks, boundary stitching, real
     # gzip-member/CSV ingestion) — these carry this session's novel

@@ -979,3 +979,250 @@ def pdf_reading_order_extract(sf_dir: str):
         .map_batches(render, batch_format="pyarrow")
         .map_batches(extract, batch_format="pyarrow")
     )
+
+
+@register(
+    "page_extract_damage_matrix",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 5
+               WHEN 3 THEN array_to_string(
+                   (string_split(text, ' '))[1:40], ' ')
+               WHEN 4 THEN 'Document ' || doc_id
+                           || ' by the synthesis authors'
+               ELSE text
+           END AS extracted_text
+    FROM documents
+    """,
+)
+def page_extract_damage_matrix(sf_dir: str):
+    """Extraction under deterministic page damage — the malformed-HTML
+    reality of a web crawl, pinned as a per-document BYTE-EXACT contract
+    instead of a vague robustness claim. Five damage classes by
+    doc_id % 5: (0) UTF-8 BOM prefix, (1) closing </body></html>
+    stripped, (2) truncated right after </article> (footer lost), (3)
+    truncated at the first </p> INSIDE the article — the extractor must
+    degrade to exactly the first paragraph (40 words), (4) truncated
+    BEFORE the article — every surviving container is nav/aside/header
+    chrome, and the Arc90 last-resort branch (no content-like container
+    anywhere) hands the page to the least-bad boilerplate container:
+    the byline header, NOT the link-dense sidebar. Classes 0-2 must
+    extract the full text unchanged (resilience); 3-4 pin the DEGRADED
+    output precisely, so a scoring regression that starts leaking
+    boilerplate fails the oracle byte-visibly. Same stateless task shape
+    as pdf_extract; damage is applied to payload bytes, never to the
+    ground-truth column."""
+    import ray.data  # noqa: F401
+
+    from sciscraper_ray.sources.page_synth import render_html
+    from sciscraper_ray.stages.html_extract import extract_main_content
+
+    def damage(doc_id: int, html: bytes) -> bytes:
+        m = doc_id % 5
+        if m == 0:
+            return b"\xef\xbb\xbf" + html
+        if m == 1:
+            return html.replace(b"</body></html>", b"")
+        if m == 2:
+            cut = html.find(b"</article>")
+            return html[: cut + len(b"</article>")]
+        if m == 3:
+            start = html.find(b'<article id="main">')
+            cut = html.find(b"</p>", start)
+            return html[: cut + len(b"</p>")]
+        return html[: html.find(b"<article")]
+
+    def run(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        out = []
+        for i, t, lang in zip(ids, b["text"].to_pylist(), b["lang"].to_pylist()):
+            payload = damage(int(i), render_html(int(i), t, lang))
+            out.append(extract_main_content(payload.decode("utf-8"))[0])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "extracted_text": pa.array(out, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+        run, batch_format="pyarrow"
+    )
+
+
+@register(
+    "warc_revisit_dedup",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 < 3 THEN 'mega.example.org'
+                    WHEN 1 + doc_id % 5 = 1 THEN 'alpha.example.com'
+                    WHEN 1 + doc_id % 5 = 2 THEN 'beta.example.net'
+                    WHEN 1 + doc_id % 5 = 3 THEN 'gamma.example.io'
+                    WHEN 1 + doc_id % 5 = 4 THEN 'delta.example.edu'
+                    ELSE 'epsilon.example.dev'
+               END AS host
+        FROM documents
+    )
+    SELECT host,
+           CAST(count(*)
+                + sum(CASE WHEN doc_id % 17 = 0 AND doc_id % 2 = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_response,
+           CAST(sum(CASE WHEN doc_id % 17 = 0 AND doc_id % 2 = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_revisit
+    FROM d GROUP BY host
+    """,
+)
+def warc_revisit_dedup(sf_dir: str):
+    """Crawl-time dedup with real WARC `revisit` records — what an
+    archiving crawler actually writes when a refetch comes back
+    byte-identical (identical-payload-digest profile: empty payload,
+    WARC-Refers-To the first capture, WARC-Payload-Digest header). The
+    crawl fixture refetches every 17th url; half the refetches carry
+    REVISED content (so they must stay full `response` records — dedup
+    is by (url, payload digest), not by url). Plan is the winner-filter
+    shape with ANNOTATE instead of FILTER: pass 1 reduces
+    md5(url+payload) 128-bit keys to (key, min_ts) partials through
+    resolve_plan (driver lexsort below the limit, groupby-Min above);
+    only COLLIDING keys broadcast; pass 2 classifies each row against
+    the broadcast, serializes the batch into a WARC segment via
+    build_warc, and the emitted counts come from PARSING that segment
+    back (parse_warc) — the record envelope round-trips inside the
+    operator, payloads never shuffle. At 10^12 pages the exchange is
+    key partials + the colliding subset, same contract as dedup_exact."""
+    import collections
+    import hashlib
+
+    import pandas as pd
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.pipelines.plan import (
+        DRIVER_PLAN_LIMIT,
+        driver_frame,
+        resolve_plan,
+    )
+    from sciscraper_ray.pipelines.winner import _segment_reduce
+    from sciscraper_ray.sources.page_synth import synth_pages_batch
+    from sciscraper_ray.sources.warc import build_warc, parse_warc
+
+    def pages(sf_dir: str):
+        return _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+            lambda b: synth_pages_batch(b, pdf_mod=0, dup_mod=17, change_mod=2),
+            batch_format="pyarrow",
+        )
+
+    def keyed(b: pa.Table):
+        urls = b["url"].to_pylist()
+        pls = b["html"].to_pylist()
+        dig = b"".join(
+            hashlib.md5(u.encode() + b"\0" + p).digest()
+            for u, p in zip(urls, pls)
+        )
+        u8 = np.frombuffer(dig, dtype=">u8").reshape(-1, 2)
+        signed = (u8.astype(np.uint64) ^ np.uint64(1 << 63)).view(np.int64)
+        return signed[:, 0].copy(), signed[:, 1].copy()
+
+    def ts_us(b: pa.Table) -> np.ndarray:
+        return (
+            b["warc_ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+
+    def key_partial(b: pa.Table) -> pd.DataFrame:
+        hi, lo = keyed(b)
+        return _segment_reduce(
+            hi, lo, ts_us(b), np.ones(len(hi), np.int64), np.minimum, min_cnt=1
+        )
+
+    partials = pages(sf_dir).map_batches(key_partial, batch_format="pyarrow")
+    merge, partials = resolve_plan(partials, "auto", limit=DRIVER_PLAN_LIMIT)
+    if merge == "driver":
+        merged = driver_frame(partials, DRIVER_PLAN_LIMIT, "warc_revisit_dedup")
+        dups = _segment_reduce(
+            merged["h_hi"].to_numpy(),
+            merged["h_lo"].to_numpy(),
+            merged["val"].to_numpy(),
+            merged["cnt"].to_numpy(),
+            np.minimum,
+            min_cnt=2,
+        )
+    else:
+        from ray.data.aggregate import Min
+
+        dups = (
+            partials.groupby(["h_hi", "h_lo"])
+            .aggregate(
+                Min(on="val", alias_name="val"), Sum(on="cnt", alias_name="cnt")
+            )
+            .map_batches(
+                lambda b: b.filter(pc.greater(b["cnt"], 1)),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+    refs = ray.put(dups[["h_hi", "h_lo", "val"]].astype("int64"))
+
+    def classify_roundtrip(b: pa.Table) -> pa.Table:
+        d = ray.get(refs)
+        hi, lo = keyed(b)
+        ts = ts_us(b)
+        left = pd.DataFrame({"h_hi": hi, "h_lo": lo})
+        m = left.merge(d, on=["h_hi", "h_lo"], how="left")
+        win = m["val"].to_numpy(dtype="float64", na_value=np.nan)
+        revisit = ~np.isnan(win) & (ts.astype("float64") > win)
+        urls = b["url"].to_pylist()
+        pls = b["html"].to_pylist()
+        recs = []
+        for j in range(len(urls)):
+            rid = int(ts[j])  # unique per capture
+            if revisit[j]:
+                recs.append(
+                    (
+                        rid,
+                        urls[j],
+                        b"",
+                        {
+                            "WARC-Type": "revisit",
+                            "WARC-Profile": "http://netpreserve.org/warc/"
+                            "1.0/revisit/identical-payload-digest",
+                            "WARC-Refers-To": f"<urn:doc:{int(win[j])}>",
+                            "WARC-Payload-Digest": "md5:"
+                            + hashlib.md5(pls[j]).hexdigest(),
+                        },
+                    )
+                )
+            else:
+                recs.append((rid, urls[j], pls[j]))
+        parsed = parse_warc(build_warc(recs))
+        n_resp: collections.Counter = collections.Counter()
+        n_rev: collections.Counter = collections.Counter()
+        for rec in parsed:
+            host = rec["uri"].split("/")[2]
+            if rec["warc_type"] == "revisit":
+                n_rev[host] += 1
+            else:
+                n_resp[host] += 1
+        hosts = sorted(set(n_resp) | set(n_rev))
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "n_response": pa.array(
+                    [n_resp[h] for h in hosts], pa.int64()
+                ),
+                "n_revisit": pa.array([n_rev[h] for h in hosts], pa.int64()),
+            }
+        )
+
+    return (
+        pages(sf_dir)
+        .map_batches(classify_roundtrip, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum(on="n_response", alias_name="n_response"),
+            Sum(on="n_revisit", alias_name="n_revisit"),
+        )
+    )

@@ -19,14 +19,26 @@ from __future__ import annotations
 _CRLF = b"\r\n"
 
 
-def build_warc(records: list[tuple[int, str, bytes]]) -> bytes:
-    """records: (record_id, target_uri, payload) -> one WARC segment."""
+def build_warc(
+    records: "list[tuple[int, str, bytes]] | list[tuple[int, str, bytes, dict]]",
+) -> bytes:
+    """records: (record_id, target_uri, payload[, extra_headers]) -> one
+    WARC segment. ``extra_headers`` may override ``WARC-Type`` (e.g. a
+    crawl-dedup ``revisit`` record, which per the
+    identical-payload-digest profile carries WARC-Refers-To /
+    WARC-Payload-Digest headers and an EMPTY payload) and add any other
+    named header."""
     out = bytearray()
-    for rec_id, uri, payload in records:
+    for rec in records:
+        rec_id, uri, payload = rec[0], rec[1], rec[2]
+        extra = dict(rec[3]) if len(rec) > 3 else {}
+        warc_type = extra.pop("WARC-Type", "response")
         out += b"WARC/1.0" + _CRLF
-        out += b"WARC-Type: response" + _CRLF
+        out += f"WARC-Type: {warc_type}".encode() + _CRLF
         out += f"WARC-Record-ID: <urn:doc:{rec_id}>".encode() + _CRLF
         out += f"WARC-Target-URI: {uri}".encode() + _CRLF
+        for k, v in extra.items():
+            out += f"{k}: {v}".encode() + _CRLF
         out += f"Content-Length: {len(payload)}".encode() + _CRLF
         out += _CRLF
         out += payload
@@ -69,11 +81,20 @@ def parse_warc(data: bytes) -> list[dict]:
                 num = int(rec_id[len("<urn:doc:") : -1])
             except ValueError:
                 num = None
+        refers = headers.get("WARC-Refers-To", "")
+        refers_num = None
+        if refers.startswith("<urn:doc:") and refers.endswith(">"):
+            try:
+                refers_num = int(refers[len("<urn:doc:") : -1])
+            except ValueError:
+                refers_num = None
         out.append(
             {
                 "record_id": num,
                 "uri": headers.get("WARC-Target-URI", ""),
                 "payload": payload,
+                "warc_type": headers.get("WARC-Type", "response"),
+                "refers_to": refers_num,
             }
         )
         pos = body_start + length

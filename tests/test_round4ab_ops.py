@@ -189,3 +189,79 @@ def test_split_columns_gutter_detection():
     assert len(bands) == 2
     assert {g[0] for g in bands[0]} == {"l"}
     assert {g[0] for g in bands[1]} == {"r"}
+
+
+def test_page_extract_damage_matrix(ray_session):
+    got = _df(QUERIES["page_extract_damage_matrix"](SF)).set_index("doc_id")
+    docs = pd.read_parquet(
+        SF + "/documents.parquet", columns=["doc_id", "text"]
+    ).set_index("doc_id")
+    n_degraded = 0
+    for i, row in docs.iterrows():
+        t = row["text"]
+        m = i % 5
+        if m == 3:
+            want = " ".join(t.split(" ")[:40])
+            n_degraded += want != t
+        elif m == 4:
+            want = f"Document {i} by the synthesis authors"
+            n_degraded += 1
+        else:
+            want = t
+        assert got.loc[i, "extracted_text"] == want, (i, m)
+    # degraded classes genuinely degrade on this corpus
+    assert n_degraded > len(docs) / 10
+
+
+def test_warc_revisit_records_roundtrip():
+    from sciscraper_ray.sources.warc import build_warc, parse_warc
+
+    payload = b"<html>\r\n\r\nbody with WARC/1.0 inside</html>"
+    seg = build_warc(
+        [
+            (10, "https://h/a", payload),
+            (
+                11,
+                "https://h/a",
+                b"",
+                {
+                    "WARC-Type": "revisit",
+                    "WARC-Refers-To": "<urn:doc:10>",
+                    "WARC-Payload-Digest": "md5:deadbeef",
+                },
+            ),
+        ]
+    )
+    recs = parse_warc(seg)
+    assert [r["warc_type"] for r in recs] == ["response", "revisit"]
+    assert recs[0]["payload"] == payload and recs[0]["refers_to"] is None
+    assert recs[1]["refers_to"] == 10 and recs[1]["payload"] == b""
+
+
+def test_warc_revisit_dedup_counts(ray_session):
+    got = _df(QUERIES["warc_revisit_dedup"](SF)).set_index("host")
+    ids = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy()
+    hosts = np.where(
+        ids % 10 < 3,
+        "mega.example.org",
+        np.array(
+            [
+                "",
+                "alpha.example.com",
+                "beta.example.net",
+                "gamma.example.io",
+                "delta.example.edu",
+                "epsilon.example.dev",
+            ]
+        )[1 + ids % 5],
+    )
+    df = pd.DataFrame({"h": hosts, "i": ids})
+    for h, g in df.groupby("h"):
+        i = g["i"].to_numpy()
+        want_resp = len(i) + int(((i % 17 == 0) & (i % 2 == 0)).sum())
+        want_rev = int(((i % 17 == 0) & (i % 2 == 1)).sum())
+        assert int(got.loc[h, "n_response"]) == want_resp
+        assert int(got.loc[h, "n_revisit"]) == want_rev
+    assert int(got["n_revisit"].sum()) > 0  # fixture exercises revisits
