@@ -1646,3 +1646,215 @@ def dedup_minhash_jaccard_audit(
     return pa.table(
         {k: pa.array(v, pa.int64()) for k, v in out.items()}
     )
+
+
+@register(
+    "dedup_incremental_ingest",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, md5(substr(text, 1, 32)) AS pfx, {_SQL_TOKENS} AS ts
+        FROM documents
+    ), tri AS (
+        SELECT DISTINCT doc_id, ts[p+1] || ' ' || ts[p+2] || ' ' || ts[p+3] AS g
+        FROM d, unnest(range(len(ts) - 2)) AS u(p)
+        WHERE len(ts) >= 3
+    ), pairs AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM d a JOIN d b ON a.pfx = b.pfx
+        WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+    ), i AS (
+        SELECT p.a, p.b, count(*) AS inter
+        FROM pairs p
+        JOIN tri ga ON ga.doc_id = p.a
+        JOIN tri gb ON gb.doc_id = p.b AND gb.g = ga.g
+        GROUP BY p.a, p.b
+    ), s AS (
+        SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id
+    ), dec AS (
+        SELECT p.a,
+               count(*) AS n_candidates,
+               sum(CASE WHEN 20 * coalesce(i.inter, 0)
+                             >= 19 * (na.n + nb.n - coalesce(i.inter, 0))
+                        THEN 1 ELSE 0 END) AS n_rej,
+               min(CASE WHEN 20 * coalesce(i.inter, 0)
+                             >= 19 * (na.n + nb.n - coalesce(i.inter, 0))
+                        THEN p.b END) AS dup_of
+        FROM pairs p
+        LEFT JOIN i ON i.a = p.a AND i.b = p.b
+        JOIN s na ON na.doc_id = p.a
+        JOIN s nb ON nb.doc_id = p.b
+        GROUP BY p.a
+    )
+    SELECT nd.doc_id,
+           CAST(coalesce(dec.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(CASE WHEN coalesce(dec.n_rej, 0) > 0 THEN 0 ELSE 1 END
+                AS BIGINT) AS accepted,
+           dec.dup_of
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) nd
+    LEFT JOIN dec ON dec.a = nd.doc_id
+    """,
+)
+def dedup_incremental_ingest(sf_dir: str, num_buckets: int = 16):
+    """Incremental shard ingest against an accepted corpus — the
+    continuous-crawl dedup decision a production pipeline makes every
+    batch: docs with doc_id % 4 == 0 arrive as the NEW shard, the rest
+    are the standing corpus, and each new doc is ACCEPTED unless its
+    exact trigram Jaccard against some corpus doc reaches tau = 0.95
+    (integer rule 20*inter >= 19*uni — no float ever compares). Emits
+    the full ingest ledger per new doc: candidate count (prefix-hash
+    collisions against the corpus), the accept/reject bit, and dup_of =
+    the smallest rejecting corpus doc (provenance for the crawl log).
+    Plan: the dedup_minhash_jaccard_audit candidate machinery restricted
+    to CROSS-class pairs (new x corpus — intra-shard and corpus-corpus
+    pairs are dropped inside the bucket expansion, shrinking the pair
+    stream ~2x), exact gram-set verify on the candidate-bounded subset,
+    then the decision table broadcasts (it is dup-mass-bounded, NOT
+    shard-bounded) and the new-doc slice annotates distributed — the
+    output ledger never materializes on the driver. At 10^12 docs the
+    shard's signatures would come from the standing LSH index
+    (dedup_minhash's banded shuffle) instead of a corpus rescan; the
+    decision/annotate contract is unchanged."""
+    import hashlib
+
+    import pandas as pd
+    import ray
+
+    docs = _docs(sf_dir)
+
+    def prefix_partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        p1 = np.empty(len(ids), np.int64)
+        p2 = np.empty(len(ids), np.int64)
+        for i, t in enumerate(texts):
+            dg = hashlib.md5(t[:32].encode()).digest()
+            p1[i] = int.from_bytes(dg[:8], "big", signed=True)
+            p2[i] = int.from_bytes(dg[8:], "big", signed=True)
+        return pa.table(
+            {
+                "p1": pa.array(p1),
+                "p2": pa.array(p2),
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "bucket": pa.array((p1 & 0x7FFFFFFF) % num_buckets, pa.int64()),
+            }
+        )
+
+    def expand_cross_pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        p1 = g["p1"].to_numpy()
+        p2 = g["p2"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((d, p2, p1))
+        p1, p2, d = p1[order], p2[order], d[order]
+        new = np.r_[True, (p1[1:] != p1[:-1]) | (p2[1:] != p2[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(d)]
+        seg_end = np.repeat(ends, ends - starts)
+        pos = np.arange(len(d))
+        reps = seg_end - pos - 1
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"a": np.array([], np.int64), "b": np.array([], np.int64)}
+            )
+        left = np.repeat(pos, reps)
+        offs = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        right = left + (np.arange(total) - np.repeat(offs, reps)) + 1
+        x, y = d[left], d[right]
+        x_new = x % 4 == 0
+        y_new = y % 4 == 0
+        cross = x_new != y_new
+        x, y, x_new = x[cross], y[cross], x_new[cross]
+        return pd.DataFrame(
+            {
+                "a": np.where(x_new, x, y).astype(np.int64),
+                "b": np.where(x_new, y, x).astype(np.int64),
+            }
+        )
+
+    pairs = (
+        docs.map_batches(prefix_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(expand_cross_pairs, batch_format="pandas")
+        .to_pandas()  # bounded by cross-class dup mass
+        .drop_duplicates()
+    )
+
+    decisions: dict[int, tuple[int, int, "int | None"]] = {}
+    if len(pairs):
+        cand = np.unique(
+            np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()])
+        )
+        cand_arr = pa.array(cand.astype(np.int64))
+
+        def gram_partial(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_in(b["doc_id"], value_set=cand_arr))
+            out_doc, out_v1, out_v2 = [], [], []
+            for i, t in zip(
+                b["doc_id"].to_numpy(zero_copy_only=False),
+                b["text"].to_pylist(),
+            ):
+                toks = t.strip().lower().split(" ")
+                for g in {
+                    " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+                }:
+                    gd = hashlib.md5(g.encode()).digest()
+                    out_doc.append(int(i))
+                    out_v1.append(int.from_bytes(gd[:8], "big", signed=True))
+                    out_v2.append(int.from_bytes(gd[8:], "big", signed=True))
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_doc, pa.int64()),
+                    "v1": pa.array(out_v1, pa.int64()),
+                    "v2": pa.array(out_v2, pa.int64()),
+                }
+            )
+
+        rows = docs.map_batches(gram_partial, batch_format="pyarrow").to_pandas()
+        grams: dict[int, set] = {}
+        for doc, v1, v2 in zip(
+            rows["doc_id"].to_numpy(), rows["v1"].to_numpy(), rows["v2"].to_numpy()
+        ):
+            grams.setdefault(int(doc), set()).add((int(v1), int(v2)))
+        for a, b in zip(pairs["a"].to_numpy(), pairs["b"].to_numpy()):
+            a, b = int(a), int(b)
+            ga, gb = grams.get(a), grams.get(b)
+            if not ga or not gb:
+                continue  # mirrors the oracle's inner join on sizes
+            n_cand, n_rej, dup_of = decisions.get(a, (0, 0, None))
+            inter = len(ga & gb)
+            uni = len(ga) + len(gb) - inter
+            rej = 20 * inter >= 19 * uni
+            decisions[a] = (
+                n_cand + 1,
+                n_rej + int(rej),
+                min(dup_of, b) if rej and dup_of is not None
+                else (b if rej else dup_of),
+            )
+
+    dec_ref = ray.put(decisions)
+
+    def annotate(b: pa.Table) -> pa.Table:
+        dec = ray.get(dec_ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids % 4 == 0]
+        n_cand = np.zeros(len(ids), np.int64)
+        accepted = np.ones(len(ids), np.int64)
+        dup_of: list = [None] * len(ids)
+        for j, i in enumerate(ids):
+            if int(i) in dec:
+                nc, nr, dof = dec[int(i)]
+                n_cand[j] = nc
+                accepted[j] = 0 if nr > 0 else 1
+                dup_of[j] = dof
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_candidates": pa.array(n_cand, pa.int64()),
+                "accepted": pa.array(accepted, pa.int64()),
+                "dup_of": pa.array(dup_of, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        annotate, batch_format="pyarrow"
+    )

@@ -265,3 +265,39 @@ def test_warc_revisit_dedup_counts(ray_session):
         assert int(got.loc[h, "n_response"]) == want_resp
         assert int(got.loc[h, "n_revisit"]) == want_rev
     assert int(got["n_revisit"].sum()) > 0  # fixture exercises revisits
+
+
+def test_dedup_incremental_ingest(ray_session):
+    got = _df(QUERIES["dedup_incremental_ingest"](SF)).set_index("doc_id")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    import hashlib
+
+    def grams(t):
+        toks = t.strip().lower().split(" ")
+        return {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+
+    pfx = {
+        int(i): hashlib.md5(t[:32].encode()).hexdigest()
+        for i, t in zip(docs["doc_id"], docs["text"])
+    }
+    g = {int(i): grams(t) for i, t in zip(docs["doc_id"], docs["text"])}
+    new = sorted(i for i in pfx if i % 4 == 0)
+    corpus = [i for i in pfx if i % 4 != 0]
+    n_rejected = 0
+    for a in new:
+        cands = [b for b in corpus if pfx[b] == pfx[a] and g[a] and g[b]]
+        rej = [
+            b
+            for b in cands
+            if 20 * len(g[a] & g[b]) >= 19 * (len(g[a] | g[b]))
+        ]
+        assert int(got.loc[a, "n_candidates"]) == len(cands), a
+        assert int(got.loc[a, "accepted"]) == (0 if rej else 1), a
+        if rej:
+            assert int(got.loc[a, "dup_of"]) == min(rej), a
+            n_rejected += 1
+        else:
+            assert pd.isna(got.loc[a, "dup_of"]), a
+    assert len(got) == len(new)
+    # fixture exercises both verdicts
+    assert 0 < n_rejected < len(new)
