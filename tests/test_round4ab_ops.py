@@ -301,3 +301,36 @@ def test_dedup_incremental_ingest(ray_session):
     assert len(got) == len(new)
     # fixture exercises both verdicts
     assert 0 < n_rejected < len(new)
+
+
+def test_graph_neighborhood_function(ray_session):
+    got = _df(QUERIES["graph_neighborhood_function"](SF))
+    ids = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy()
+    adj = {}
+    for i in ids:
+        adj.setdefault(int(i), []).extend(
+            [(i * 17 + 13) % 997, (i * 29 + 7) % 997]
+        )
+    want = np.zeros(7, np.int64)
+    for u in ids:
+        ball, frontier = {int(u)}, {int(u)}
+        want[0] += 1
+        for d in range(1, 7):
+            nxt = {
+                int(x) for f in frontier for x in adj.get(f, []) if x not in ball
+            }
+            if not nxt:
+                break
+            ball |= nxt
+            want[d] += len(nxt)
+            frontier = nxt
+    cum = np.cumsum(want)
+    assert got["d"].tolist() == list(range(7))
+    assert got["n_pairs"].tolist() == cum.tolist()
+    np.testing.assert_array_equal(
+        got["pct"].to_numpy(), cum.astype(float) / float(cum[-1])
+    )
+    # the curve is non-trivial: strictly grows for at least 3 hops
+    assert cum[0] < cum[1] < cum[2] < cum[3]
