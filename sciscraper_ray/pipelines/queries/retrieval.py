@@ -4463,3 +4463,166 @@ def graph_neighborhood_function(sf_dir: str):
             "pct": pa.array(counts.astype(np.float64) / nd, pa.float64()),
         }
     )
+
+
+@register(
+    "doc_ccnet_ppl_bins",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest({_SQL_TOKENS}) AS token,
+               unnest(range(len({_SQL_TOKENS}))) AS ord
+        FROM documents
+    ), uni AS (
+        SELECT token, count(*) AS c1 FROM toks GROUP BY token
+    ), vsz AS (
+        SELECT count(*) AS v FROM uni
+    ), bg AS (
+        SELECT a.doc_id, a.token AS w1, b.token AS w2
+        FROM toks a JOIN toks b
+          ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+    ), bgc AS (
+        SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+    ), terms AS (
+        SELECT bg.doc_id,
+               ln((bgc.c2 + 1.0) / (uni.c1 + vsz.v)) AS t
+        FROM bg
+        JOIN bgc USING (w1, w2)
+        JOIN uni ON uni.token = bg.w1
+        CROSS JOIN vsz
+    ), agg AS (
+        SELECT doc_id,
+               CAST(round(round(sum(t) / count(*), 6) * 1000000) AS BIGINT)
+                   AS lp
+        FROM terms GROUP BY doc_id
+    ), p AS (
+        SELECT d.lang, agg.lp FROM documents d JOIN agg USING (doc_id)
+    ), q AS (
+        SELECT lang,
+               quantile_disc(lp, 1.0/3) AS q1,
+               quantile_disc(lp, 2.0/3) AS q2
+        FROM p GROUP BY lang
+    )
+    SELECT p.lang,
+           CASE WHEN p.lp <= q.q1 THEN 'tail'
+                WHEN p.lp <= q.q2 THEN 'middle'
+                ELSE 'head' END AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(p.lp) AS BIGINT) AS min_lp_micro,
+           CAST(max(p.lp) AS BIGINT) AS max_lp_micro
+    FROM p JOIN q USING (lang)
+    GROUP BY p.lang, bin
+    """,
+)
+def doc_ccnet_ppl_bins(sf_dir: str):
+    """CCNet's actual selection step: per-language head/middle/tail
+    binning of documents by LM perplexity tertiles (Wenzek et al. keep
+    'head' as the cleanest third; here higher avg log-prob = lower
+    perplexity = head). Everything after the bigram-LM score runs in
+    INTEGER micro-log-prob units — the rounded-6 score is scaled to an
+    exact int64 the moment it exists, so tertile thresholds, bin
+    comparisons and the min/max outputs never touch a float boundary
+    (quantile_disc over BIGINT returns an element; the driver mirrors
+    the sorted[ceil(n*q)-1] rule with the same double n*q product the
+    engine uses — the pinned formula in test_round4_properties). Plan:
+    the per-doc score Dataset joins lang via one bucketed co-partitioned
+    join, compresses to a (lang, lp) histogram whose cell count is
+    RESOLUTION-bounded (<= 1.5e7 cells for the whole [-15, 0] log-prob
+    range at 6 decimals — calendar-bounded in spirit, never row-bounded,
+    the two-pass-quantile contract), thresholds broadcast, bins assign
+    distributed, and the output is the |langs| x 3 summary."""
+    import math
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+
+    from sciscraper_ray.pipelines.queries._shared import QUERIES
+
+    ppl = QUERIES["doc_bigram_lm_ppl"](sf_dir)
+
+    def to_micro(b: pa.Table) -> pa.Table:
+        lp = b["avg_logprob"].to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(lp)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    b["doc_id"].to_numpy(zero_copy_only=False)[keep].astype(
+                        np.int64
+                    )
+                ),
+                "lp": pa.array(
+                    np.round(lp[keep] * 1_000_000).astype(np.int64)
+                ),
+            }
+        )
+
+    lang_side = _docs(sf_dir, columns=("doc_id", "lang")).map_batches(
+        lambda b: pa.table({"doc_id_r": b["doc_id"], "lang": b["lang"]}),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(
+        ppl.map_batches(to_micro, batch_format="pyarrow"),
+        lang_side,
+        left_on="doc_id",
+        right_on="doc_id_r",
+        num_buckets=8,
+    )
+
+    hist = (
+        joined.map_batches(
+            lambda b: pa.table({"lang": b["lang"], "lp": b["lp"]})
+            .group_by(["lang", "lp"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "lp", "cnt"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["lang", "lp"])
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .to_pandas()  # resolution-bounded
+    )
+
+    thresholds: dict[str, tuple[int, int]] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("lp")
+        vals = g["lp"].to_numpy(np.int64)
+        cnts = g["cnt"].to_numpy(np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+
+        def disc(q: float) -> int:
+            k = math.ceil(n * q)  # same double product DuckDB forms
+            return int(vals[np.searchsorted(cum, k)])
+
+        thresholds[str(lang)] = (disc(1.0 / 3), disc(2.0 / 3))
+    thr_ref = ray.put(thresholds)
+
+    def assign(b: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        langs = b["lang"].to_pylist()
+        lp = b["lp"].to_numpy(zero_copy_only=False)
+        bins = [
+            "tail"
+            if lp[j] <= thr[langs[j]][0]
+            else ("middle" if lp[j] <= thr[langs[j]][1] else "head")
+            for j in range(len(langs))
+        ]
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "bin": pa.array(bins, pa.string()),
+                "lp": b["lp"],
+            }
+        )
+
+    return (
+        joined.map_batches(assign, batch_format="pyarrow")
+        .groupby(["lang", "bin"])
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Min(on="lp", alias_name="min_lp_micro"),
+            Max(on="lp", alias_name="max_lp_micro"),
+        )
+    )

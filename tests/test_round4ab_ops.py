@@ -334,3 +334,24 @@ def test_graph_neighborhood_function(ray_session):
     )
     # the curve is non-trivial: strictly grows for at least 3 hops
     assert cum[0] < cum[1] < cum[2] < cum[3]
+
+
+def test_doc_ccnet_ppl_bins(ray_session):
+    got = _df(QUERIES["doc_ccnet_ppl_bins"](SF))
+    # structural invariants per lang: three bins, tertile-balanced counts
+    # (ntile-free threshold rule: tail <= q1 < middle <= q2 < head), and
+    # strictly ordered log-prob ranges tail < middle < head
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["lang"])
+    n_by_lang = docs["lang"].value_counts()
+    for lang, g in got.groupby("lang"):
+        g = g.set_index("bin")
+        assert set(g.index) == {"head", "middle", "tail"}
+        assert int(g["n_docs"].sum()) == int(n_by_lang[lang])
+        # thresholds are quantile elements: each bin holds >= 1/6 of docs
+        assert (g["n_docs"] >= n_by_lang[lang] // 6).all()
+        assert (
+            int(g.loc["tail", "max_lp_micro"])
+            <= int(g.loc["middle", "min_lp_micro"])
+            and int(g.loc["middle", "max_lp_micro"])
+            <= int(g.loc["head", "min_lp_micro"])
+        )
