@@ -4626,3 +4626,331 @@ def doc_ccnet_ppl_bins(sf_dir: str):
             Max(on="lp", alias_name="max_lp_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion + ranked-list evaluation
+# --------------------------------------------------------------------------
+
+_RRF_K = 60  # the canonical smoothing constant (Cormack et al. 2009)
+
+_BM25_QVALS = ", ".join(
+    f"({qid}, '{t1}', '{t2}', '{t3}')" for qid, (t1, t2, t3) in _BM25_QUERIES
+)
+_BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+
+# Second ranker shared by the fusion/eval oracles: rank documents by TOTAL
+# query-term frequency (an exact-integer lexical ranker — the "sparse"
+# leg of a hybrid stack), score > 0 only, ties doc_id asc, top-10.
+_TF_RANKER_SQL = f"""
+        SELECT query_id, doc_id, r FROM (
+            SELECT q.query_id, f.doc_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY (COALESCE(a.tf, 0) + COALESCE(b.tf, 0)
+                                 + COALESCE(c.tf, 0)) DESC, f.doc_id ASC
+                   ) AS r,
+                   COALESCE(a.tf, 0) + COALESCE(b.tf, 0) + COALESCE(c.tf, 0)
+                       AS s
+            FROM (SELECT DISTINCT doc_id FROM tft) f
+            CROSS JOIN (VALUES {_BM25_QVALS}) q(query_id, t1, t2, t3)
+            LEFT JOIN tft a ON a.doc_id = f.doc_id AND a.token = q.t1
+            LEFT JOIN tft b ON b.doc_id = f.doc_id AND b.token = q.t2
+            LEFT JOIN tft c ON c.doc_id = f.doc_id AND c.token = q.t3
+        ) WHERE s > 0 AND r <= {_BM25_TOPK}
+"""
+
+_TFT_CTE = f"""
+    toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), tft AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE token IN {_BM25_TERMS_SQL} GROUP BY doc_id, token
+    )
+"""
+
+
+def _tf_topk_pandas(sf_dir: str):
+    """Total-query-term-frequency top-10 per query: one corpus scan, a
+    per-batch integer partial top-k per query (lossless under the global
+    (s desc, doc_id asc) order), bounded driver merge."""
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nrows = len(batch)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        tf = {}
+        for t in _BM25_TERMS:
+            mask = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tf[t] = np.bincount(par[mask], minlength=nrows).astype(np.int64)
+        out_q, out_d, out_s = [], [], []
+        for qid, (t1, t2, t3) in _BM25_QUERIES:
+            s = tf[t1] + tf[t2] + tf[t3]
+            nz = np.flatnonzero(s > 0)
+            order = nz[np.lexsort((doc_ids[nz], -s[nz]))][: _BM25_TOPK]
+            out_q.append(np.full(len(order), qid, np.int64))
+            out_d.append(doc_ids[order])
+            out_s.append(s[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "doc_id": pa.array(np.concatenate(out_d)),
+                "s": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    cand = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # bounded: batches x Q x k rows
+    )
+    cand = cand.sort_values(
+        ["query_id", "s", "doc_id"], ascending=[True, False, True]
+    )
+    return cand.groupby("query_id", sort=True).head(_BM25_TOPK)
+
+
+def _ranks_of(df, score_col: str, ascending: bool = False):
+    """1-based per-query rank under (score desc, doc_id asc) — the same
+    total order every ranked-list oracle here uses."""
+    df = df.sort_values(
+        ["query_id", score_col, "doc_id"], ascending=[True, ascending, True]
+    ).reset_index(drop=True)
+    df["r"] = df.groupby("query_id").cumcount() + 1
+    return df[["query_id", "doc_id", "r"]]
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle=f"""
+    WITH bm AS ({_bm25_oracle()}),
+    bmr AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               ) AS r
+        FROM bm
+    ),
+    {_TFT_CTE},
+    tfr AS ({_TF_RANKER_SQL}),
+    cand AS (
+        SELECT query_id, doc_id FROM bmr
+        UNION
+        SELECT query_id, doc_id FROM tfr
+    ),
+    fused AS (
+        SELECT c.query_id, c.doc_id,
+               COALESCE(1.0 / ({_RRF_K} + b.r), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + t.r), 0.0) AS rrf_score
+        FROM cand c
+        LEFT JOIN bmr b ON b.query_id = c.query_id AND b.doc_id = c.doc_id
+        LEFT JOIN tfr t ON t.query_id = c.query_id AND t.doc_id = c.doc_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_score,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC
+        ) AS fused_rank
+        FROM fused
+    ) WHERE fused_rank <= {_BM25_TOPK}
+    """,
+)
+def retrieval_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two
+    retrieval legs — the standard hybrid-search merge (dense+sparse in a
+    RAG stack; here BM25 + an exact-integer total-term-frequency ranker,
+    so both legs and the fusion are engine-reproducible). Each leg is a
+    full corpus scan with per-batch bounded top-k partials (the BM25 plan
+    and its integer twin); fusion itself touches only the <= 2*Q*k
+    candidate rows. RRF score = sum over lists of 1/(60+rank), docs
+    absent from a list contribute 0 — computed as two exactly-rounded
+    IEEE divisions plus one add in the SAME association on both engines,
+    so the emitted doubles are bit-identical (no transcendentals, no
+    reduction-order ambiguity). At 100 TB each leg is the already-proven
+    streaming top-k; the fused merge never leaves candidate scale."""
+    import pandas as pd
+
+    from sciscraper_ray.pipelines.queries._shared import QUERIES
+
+    bm = QUERIES["doc_bm25_topk"](sf_dir).to_pandas()
+    bmr = _ranks_of(bm, "score")
+    tfr = _ranks_of(_tf_topk_pandas(sf_dir), "s")
+
+    cand = pd.merge(
+        bmr.rename(columns={"r": "r_bm"}),
+        tfr.rename(columns={"r": "r_tf"}),
+        on=["query_id", "doc_id"],
+        how="outer",
+    )
+    a = np.where(
+        cand["r_bm"].notna(), 1.0 / (_RRF_K + cand["r_bm"].fillna(0.0)), 0.0
+    )
+    b = np.where(
+        cand["r_tf"].notna(), 1.0 / (_RRF_K + cand["r_tf"].fillna(0.0)), 0.0
+    )
+    cand["rrf_score"] = a + b
+    cand = cand.sort_values(
+        ["query_id", "rrf_score", "doc_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    cand["fused_rank"] = cand.groupby("query_id").cumcount() + 1
+    top = cand[cand["fused_rank"] <= _BM25_TOPK]
+    return pa.table(
+        {
+            "query_id": pa.array(top["query_id"].to_numpy(np.int64)),
+            "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
+            "rrf_score": pa.array(top["rrf_score"].to_numpy(np.float64)),
+            "fused_rank": pa.array(top["fused_rank"].to_numpy(np.int64)),
+        }
+    )
+
+
+@register(
+    "retrieval_eval_mrr",
+    oracle=f"""
+    WITH bm AS ({_bm25_oracle()}),
+    bmr AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               ) AS r
+        FROM bm
+    ),
+    {_TFT_CTE},
+    rel AS (
+        SELECT q.query_id, a.doc_id
+        FROM (VALUES {_BM25_QVALS}) q(query_id, t1, t2, t3)
+        JOIN tft a ON a.token = q.t1
+        JOIN tft b ON b.doc_id = a.doc_id AND b.token = q.t2
+        JOIN tft c ON c.doc_id = a.doc_id AND c.token = q.t3
+    ),
+    hit AS (
+        SELECT bmr.query_id, bmr.r
+        FROM bmr JOIN rel
+          ON rel.query_id = bmr.query_id AND rel.doc_id = bmr.doc_id
+    ),
+    per AS (
+        SELECT q.query_id,
+               (SELECT count(*) FROM rel
+                WHERE rel.query_id = q.query_id) AS n_rel,
+               (SELECT count(*) FROM hit
+                WHERE hit.query_id = q.query_id AND hit.r <= 5) AS hits_at_5,
+               (SELECT count(*) FROM hit
+                WHERE hit.query_id = q.query_id AND hit.r <= 10)
+                   AS hits_at_10,
+               COALESCE((SELECT min(hit.r) FROM hit
+                         WHERE hit.query_id = q.query_id), 0)
+                   AS first_rel_rank
+        FROM (VALUES {_BM25_QVALS}) q(query_id, t1, t2, t3)
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(n_rel AS BIGINT) AS n_rel,
+           CAST(hits_at_5 AS BIGINT) AS hits_at_5,
+           CAST(hits_at_10 AS BIGINT) AS hits_at_10,
+           CAST(first_rel_rank AS BIGINT) AS first_rel_rank,
+           CASE WHEN first_rel_rank = 0 THEN 0
+                ELSE CAST(round(1000000.0 / first_rel_rank) AS BIGINT)
+           END AS mrr_micro
+    FROM per
+    """,
+)
+def retrieval_eval_mrr(sf_dir: str):
+    """Ranked-list evaluation of the BM25 leg against a deterministic
+    relevance oracle (doc is relevant to a query iff it contains ALL
+    three query terms — the boolean-AND containment label): per query
+    emits n_rel, hits@5, hits@10, the first relevant rank, and MRR in
+    exact micro units (round(1e6 / first_rank); 1e6/r never lands on a
+    .5 for r <= 10, so half-even vs half-up cannot diverge). Plan: the
+    ranked list is the proven bounded top-k; relevance then needs ONE
+    more corpus scan emitting per-batch 5-int relevant-doc COUNT
+    partials plus flags for the <= Q*k broadcast ranked docs — the
+    exchange is (Q + Q*k) rows regardless of corpus size, and the
+    metric assembly happens on that bounded table."""
+    import ray
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+    from sciscraper_ray.pipelines.queries._shared import QUERIES
+
+    bm = QUERIES["doc_bm25_topk"](sf_dir).to_pandas()
+    bmr = _ranks_of(bm, "score")
+    ranked = {
+        int(q): dict(zip(g["doc_id"].astype(np.int64), g["r"].astype(np.int64)))
+        for q, g in bmr.groupby("query_id")
+    }
+    ranked_ref = ray.put(ranked)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ranked_ = ray.get(ranked_ref)
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nrows = len(batch)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        has = {}
+        for t in _BM25_TERMS:
+            mask = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            has[t] = np.bincount(par[mask], minlength=nrows) > 0
+        out_q, out_d, out_c = [], [], []
+        for qid, (t1, t2, t3) in _BM25_QUERIES:
+            rel = has[t1] & has[t2] & has[t3]
+            # count partial rides doc_id = -1
+            out_q.append(qid)
+            out_d.append(-1)
+            out_c.append(int(rel.sum()))
+            rdocs = ranked_.get(qid, {})
+            for j in np.flatnonzero(rel):
+                d = int(doc_ids[j])
+                if d in rdocs:
+                    out_q.append(qid)
+                    out_d.append(d)
+                    out_c.append(1)
+        return pa.table(
+            {
+                "query_id": pa.array(np.array(out_q, np.int64)),
+                "doc_id": pa.array(np.array(out_d, np.int64)),
+                "c": pa.array(np.array(out_c, np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["query_id", "doc_id"])
+        .aggregate(Sum(on="c", alias_name="c"))
+        .to_pandas()  # bounded: Q count rows + Q*k flag rows
+    )
+    rows = []
+    for qid, _terms in _BM25_QUERIES:
+        g = agg[agg["query_id"] == qid]
+        n_rel = int(g.loc[g["doc_id"] == -1, "c"].sum())
+        rdocs = ranked.get(qid, {})
+        hit_ranks = sorted(
+            rdocs[int(d)]
+            for d in g.loc[g["doc_id"] >= 0, "doc_id"]
+            if int(d) in rdocs
+        )
+        h5 = sum(1 for r in hit_ranks if r <= 5)
+        h10 = sum(1 for r in hit_ranks if r <= 10)
+        first = hit_ranks[0] if hit_ranks else 0
+        mrr = int(np.round(1_000_000.0 / first)) if first else 0
+        rows.append((qid, n_rel, h5, h10, first, mrr))
+    q, nr, h5s, h10s, fr, mm = zip(*rows)
+    return pa.table(
+        {
+            "query_id": pa.array(np.array(q, np.int64)),
+            "n_rel": pa.array(np.array(nr, np.int64)),
+            "hits_at_5": pa.array(np.array(h5s, np.int64)),
+            "hits_at_10": pa.array(np.array(h10s, np.int64)),
+            "first_rel_rank": pa.array(np.array(fr, np.int64)),
+            "mrr_micro": pa.array(np.array(mm, np.int64)),
+        }
+    )
