@@ -1226,3 +1226,182 @@ def warc_revisit_dedup(sf_dir: str):
             Sum(on="n_revisit", alias_name="n_revisit"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PDF document-structure graphs: the outline (bookmark) tree and URI link
+# annotations. The reference's PDF tier stops at text + /Info metadata
+# (doifrompdf.py:30-126); a bulk academic-PDF pipeline also mines the TOC
+# and outbound links, so both graphs are written as REAL cross-linked
+# objects (sources/pdf_write.build_pdf_structured) and walked back by the
+# document model (stages/pdf_struct.py). The fixture derives every item
+# from doc_id arithmetic, so the oracle reproduces the pre-order
+# enumeration in closed form.
+# --------------------------------------------------------------------------
+
+
+def _outline_spec(did: int) -> list[tuple[str, int, int]]:
+    """t = 1 + did%3 top-level sections; c = did%2 children under EACH
+    (so half the corpus exercises the nested walk and half the flat one);
+    dests alternate between the two pages."""
+    t, c = 1 + did % 3, did % 2
+    items: list[tuple[str, int, int]] = []
+    for i in range(t):
+        items.append((f"Section {i + 1} of {did}", i % 2, 0))
+        for j in range(c):
+            items.append((f"Sub {i + 1}.{j + 1} of {did}", (i + j + 1) % 2, 1))
+    return items
+
+
+@register(
+    "pdf_outline_extract",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, 1 + doc_id % 3 AS t, doc_id % 2 AS c FROM documents
+    ),
+    tops AS (
+        SELECT doc_id, c, unnest(range(t)) AS i FROM base
+    ),
+    top_rows AS (
+        SELECT doc_id,
+               CAST(i * (1 + c) AS BIGINT) AS ord,
+               CAST(0 AS BIGINT) AS depth,
+               'Section ' || (i + 1) || ' of ' || doc_id AS title,
+               CAST(i % 2 AS BIGINT) AS page_idx
+        FROM tops
+    ),
+    child_rows AS (
+        SELECT doc_id,
+               CAST(i * (1 + c) + 1 + j AS BIGINT) AS ord,
+               CAST(1 AS BIGINT) AS depth,
+               'Sub ' || (i + 1) || '.' || (j + 1) || ' of ' || doc_id
+                   AS title,
+               CAST((i + j + 1) % 2 AS BIGINT) AS page_idx
+        FROM (SELECT doc_id, i, c, unnest(range(c)) AS j FROM tops)
+    )
+    SELECT * FROM top_rows UNION ALL SELECT * FROM child_rows
+    """,
+)
+def pdf_outline_extract(sf_dir: str):
+    """Bookmark-tree (TOC) recovery: each doc renders as a 2-page PDF
+    whose /Outlines graph is real linked objects (/Parent /Prev /Next
+    /First /Last /Dest), and the extractor walks /First-children +
+    /Next-siblings in pre-order — never trusting the advisory /Count —
+    resolving each /Dest page ref back to its tree-order index. Render,
+    walk and row emission are fused in ONE stateless map stage, so
+    payload bytes never leave the task and the op is a pure map at any
+    corpus size (the 100 TB plan is the same stage over read_parquet of
+    the real page table). Oracle reproduces the doc_id-arithmetic
+    enumeration in closed form; any linkage or dest-resolution bug
+    desynchronizes ord/depth/page_idx."""
+    from sciscraper_ray.sources.pdf_write import build_pdf_structured
+    from sciscraper_ray.stages.pdf_struct import extract_outline
+
+    def run(b: pa.Table) -> pa.Table:
+        ids_, ords_, deps_, titles_, pages_ = [], [], [], [], []
+        for did, text in zip(
+            b["doc_id"].to_numpy(zero_copy_only=False),
+            b["text"].to_pylist(),
+        ):
+            did = int(did)
+            words = text.split(" ")
+            half = (len(words) + 1) // 2
+            payload = build_pdf_structured(
+                [" ".join(words[:half]) or "x", " ".join(words[half:]) or "y"],
+                outline=_outline_spec(did),
+            )
+            for ord_, depth, title, page_idx in extract_outline(payload):
+                ids_.append(did)
+                ords_.append(ord_)
+                deps_.append(depth)
+                titles_.append(title)
+                pages_.append(page_idx)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_, pa.int64()),
+                "ord": pa.array(ords_, pa.int64()),
+                "depth": pa.array(deps_, pa.int64()),
+                "title": pa.array(titles_, pa.string()),
+                "page_idx": pa.array(pages_, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id", "text")).map_batches(
+        run, batch_format="pyarrow"
+    )
+
+
+@register(
+    "pdf_annotation_links",
+    oracle="""
+    SELECT doc_id,
+           CAST(j AS BIGINT) AS link_ord,
+           CAST(j % 2 AS BIGINT) AS page_idx,
+           CAST(100 + 10 * j AS BIGINT) AS x0,
+           CAST(700 - 20 * j AS BIGINT) AS y0,
+           CAST(160 + 10 * j AS BIGINT) AS x1,
+           CAST(712 - 20 * j AS BIGINT) AS y1,
+           'https://ref.example/' || doc_id || '/' || j AS uri
+    FROM (SELECT doc_id, unnest(range(1 + doc_id % 4)) AS j FROM documents)
+    """,
+)
+def pdf_annotation_links(sf_dir: str):
+    """Outbound-link harvest from /Annots Link annotations with /S /URI
+    actions (§12.5.6.5) — the citation-graph edge source real academic
+    PDFs carry. 1 + doc_id%4 links per doc, link j on page j%2, so the
+    extractor's page-major harvest order (page, array-pos) deliberately
+    DIFFERS from synthesis order for docs with >= 3 links (link 2 lives
+    on page 0 and is harvested before link 1). The synthesis index j is
+    recovered from the uri tail and emitted as ``link_ord`` so both sides
+    key rows identically — the remap only yields a consistent rect/uri
+    pairing if the walk really is page-major and skips nothing. Fused
+    single map stage, zero exchange."""
+    from sciscraper_ray.sources.pdf_write import build_pdf_structured
+    from sciscraper_ray.stages.pdf_struct import extract_link_annots
+
+    def run(b: pa.Table) -> pa.Table:
+        ids_, ords_, pg_, x0_, y0_, x1_, y1_, uri_ = (
+            [], [], [], [], [], [], [], [],
+        )
+        for did in b["doc_id"].to_numpy(zero_copy_only=False):
+            did = int(did)
+            k = 1 + did % 4
+            links = [
+                (
+                    j % 2,
+                    (100 + 10 * j, 700 - 20 * j, 160 + 10 * j, 712 - 20 * j),
+                    f"https://ref.example/{did}/{j}",
+                )
+                for j in range(k)
+            ]
+            payload = build_pdf_structured(["alpha", "beta"], links=links)
+            rows = extract_link_annots(payload)
+            # harvest order is (page, array-pos); recover the synthesis
+            # index j from the uri tail so link_ord is j on both sides —
+            # the reorder itself is what proves the walk is page-major
+            for _, page_i, x0, y0, x1, y1, uri in rows:
+                j = int(uri.rsplit("/", 1)[1])
+                ids_.append(did)
+                ords_.append(j)
+                pg_.append(page_i)
+                x0_.append(x0)
+                y0_.append(y0)
+                x1_.append(x1)
+                y1_.append(y1)
+                uri_.append(uri)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_, pa.int64()),
+                "link_ord": pa.array(ords_, pa.int64()),
+                "page_idx": pa.array(pg_, pa.int64()),
+                "x0": pa.array(x0_, pa.int64()),
+                "y0": pa.array(y0_, pa.int64()),
+                "x1": pa.array(x1_, pa.int64()),
+                "y1": pa.array(y1_, pa.int64()),
+                "uri": pa.array(uri_, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        run, batch_format="pyarrow"
+    )

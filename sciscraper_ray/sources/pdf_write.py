@@ -119,6 +119,141 @@ def build_pdf(
     return bytes(out)
 
 
+def build_pdf_structured(
+    pages: list[str],
+    outline: "list[tuple[str, int, int]] | None" = None,
+    links: "list[tuple[int, tuple[int, int, int, int], str]] | None" = None,
+    info: "dict[str, str] | None" = None,
+) -> bytes:
+    """Document-structure variant of ``build_pdf``: same page/content layout
+    plus an /Outlines bookmark tree and /Annots Link annotations.
+
+    ``outline``: pre-order sequence of ``(title, page_idx, depth)`` with
+    depth 0 (top level) or 1 (child of the preceding depth-0 item). Items
+    are written as real cross-linked objects (/Parent /Prev /Next /First
+    /Last /Count /Dest), the graph a conforming reader walks — parity
+    target for the reference's bookmark-style metadata probing.
+
+    ``links``: sequence of ``(page_idx, (x0, y0, x1, y1), uri)`` written as
+    direct /Annots Link dicts with /A << /S /URI >> actions on their page
+    (§12.5.6.5) — integer rects so the extraction compare is exact.
+    """
+    outline = list(outline or [])
+    links = list(links or [])
+    n_pages = len(pages)
+    # object layout: 1 catalog, 2 pages, 3 font, (page, content) pairs,
+    # optional info, outline root, outline items in pre-order.
+    page_obj_nums = [4 + 2 * i for i in range(n_pages)]
+    next_num = 4 + 2 * n_pages
+    info_num = 0
+    if info:
+        info_num = next_num
+        next_num += 1
+    root_num = 0
+    item_nums: list[int] = []
+    if outline:
+        root_num = next_num
+        item_nums = [root_num + 1 + k for k in range(len(outline))]
+
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    outlines_ref = f" /Outlines {root_num} 0 R" if outline else ""
+    add(f"<< /Type /Catalog /Pages 2 0 R{outlines_ref} >>".encode())  # 1
+    kids = " ".join(f"{n} 0 R" for n in page_obj_nums)
+    add(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())  # 2
+    add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")  # 3
+    for i, text in enumerate(pages):
+        stream = _page_stream([text])
+        annots = ""
+        page_links = [(r, u) for (p, r, u) in links if p == i]
+        if page_links:
+            dicts = " ".join(
+                f"<< /Type /Annot /Subtype /Link /Rect [{x0} {y0} {x1} {y1}] "
+                f"/Border [0 0 0] /A << /S /URI /URI {_pdf_string(u)} >> >>"
+                for (x0, y0, x1, y1), u in page_links
+            )
+            annots = f" /Annots [{dicts}]"
+        add(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
+            f"/Contents {4 + 2 * i + 1} 0 R "
+            f"/Resources << /Font << /F1 3 0 R >> >>{annots} >>".encode()
+        )
+        add(
+            f"<< /Length {len(stream)} /Filter /FlateDecode >>\nstream\n".encode()
+            + stream
+            + b"\nendstream"
+        )
+
+    info_ref = ""
+    if info:
+        entries = " ".join(f"/{k} {_pdf_string(v)}" for k, v in info.items())
+        got = add(f"<< {entries} >>".encode("latin-1", errors="replace"))
+        assert got == info_num
+        info_ref = f" /Info {info_num} 0 R"
+
+    if outline:
+        # resolve the pre-order (title, page, depth) list into the
+        # cross-linked sibling/child graph
+        tops = [k for k, (_, _, d) in enumerate(outline) if d == 0]
+        children: dict[int, list[int]] = {t: [] for t in tops}
+        cur_top = None
+        parent_of: dict[int, int] = {}
+        for k, (_, _, d) in enumerate(outline):
+            if d == 0:
+                cur_top = k
+            else:
+                children[cur_top].append(k)
+                parent_of[k] = cur_top
+        got = add(
+            f"<< /Type /Outlines /First {item_nums[tops[0]]} 0 R "
+            f"/Last {item_nums[tops[-1]]} 0 R /Count {len(tops)} >>".encode()
+        )
+        assert got == root_num
+        for k, (title, page_idx, d) in enumerate(outline):
+            if d == 0:
+                sibs = tops
+                parent = root_num
+            else:
+                sibs = children[parent_of[k]]
+                parent = item_nums[parent_of[k]]
+            pos = sibs.index(k)
+            parts = [
+                f"/Title {_pdf_string(title)}",
+                f"/Parent {parent} 0 R",
+                f"/Dest [{page_obj_nums[page_idx]} 0 R /XYZ 72 720 0]",
+            ]
+            if pos > 0:
+                parts.append(f"/Prev {item_nums[sibs[pos - 1]]} 0 R")
+            if pos + 1 < len(sibs):
+                parts.append(f"/Next {item_nums[sibs[pos + 1]]} 0 R")
+            kids_k = children.get(k, [])
+            if kids_k:
+                parts.append(f"/First {item_nums[kids_k[0]]} 0 R")
+                parts.append(f"/Last {item_nums[kids_k[-1]]} 0 R")
+                parts.append(f"/Count {len(kids_k)}")
+            add(("<< " + " ".join(parts) + " >>").encode("latin-1", "replace"))
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R{info_ref} >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
 COL2_X = [MARGIN_X, 332.0]  # two-column origins; gutter >= 80pt at
 # col_chars=30 (max line 180pt from x=72 ends at 252) — an order of
 # magnitude wider than the 6pt word gap, so projection-based column
