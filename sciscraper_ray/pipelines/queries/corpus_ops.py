@@ -3347,3 +3347,269 @@ def doc_bootstrap_mean_ci(sf_dir: str, n_boot: int = 16, m: int = 2000):
             Sum(on="sum_chars", alias_name="sum_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Registrable-domain (eTLD+1) resolution — the PSL algorithm every
+# crawl-politeness/per-site-quota stage keys on (kernels/psl.py). The
+# messy-host fixture exercises all four rule classes plus the IP and
+# host-is-suffix edge cases; the oracle states the expected resolution
+# per case from first principles (never by mirroring the kernel).
+
+
+@register(
+    "url_registrable_domain",
+    oracle="""
+    SELECT doc_id,
+           CASE
+               WHEN doc_id % 13 = 0 THEN
+                   '192.168.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+               WHEN doc_id % 17 = 0 THEN 'github.io'
+               WHEN doc_id % 8 = 0 THEN 'a' || doc_id || '.example.com'
+               WHEN doc_id % 8 = 1 THEN 'b' || doc_id || '.sub.example.co.uk'
+               WHEN doc_id % 8 = 2 THEN 'site' || doc_id || '.github.io'
+               WHEN doc_id % 8 = 3 THEN 'deep.x.data' || doc_id || '.org'
+               WHEN doc_id % 8 = 4 THEN 'w.zone' || doc_id || '.ck'
+               WHEN doc_id % 8 = 5 THEN 'sub' || doc_id || '.www.ck'
+               WHEN doc_id % 8 = 6 THEN 'shop' || doc_id || '.example.com.au'
+               ELSE 'x' || doc_id || '.svc.internal'
+           END AS host,
+           CASE
+               WHEN doc_id % 13 = 0 THEN NULL
+               WHEN doc_id % 17 = 0 THEN 'github.io'
+               WHEN doc_id % 8 = 0 THEN 'com'
+               WHEN doc_id % 8 = 1 THEN 'co.uk'
+               WHEN doc_id % 8 = 2 THEN 'github.io'
+               WHEN doc_id % 8 = 3 THEN 'org'
+               WHEN doc_id % 8 = 4 THEN 'zone' || doc_id || '.ck'
+               WHEN doc_id % 8 = 5 THEN 'ck'
+               WHEN doc_id % 8 = 6 THEN 'com.au'
+               ELSE 'internal'
+           END AS public_suffix,
+           CASE
+               WHEN doc_id % 13 = 0 THEN NULL
+               WHEN doc_id % 17 = 0 THEN NULL
+               WHEN doc_id % 8 = 0 THEN 'example.com'
+               WHEN doc_id % 8 = 1 THEN 'example.co.uk'
+               WHEN doc_id % 8 = 2 THEN 'site' || doc_id || '.github.io'
+               WHEN doc_id % 8 = 3 THEN 'data' || doc_id || '.org'
+               WHEN doc_id % 8 = 4 THEN 'w.zone' || doc_id || '.ck'
+               WHEN doc_id % 8 = 5 THEN 'www.ck'
+               WHEN doc_id % 8 = 6 THEN 'example.com.au'
+               ELSE 'svc.internal'
+           END AS registrable_domain,
+           CASE
+               WHEN doc_id % 13 = 0 THEN NULL
+               WHEN doc_id % 17 = 0 THEN 'normal'
+               WHEN doc_id % 8 = 4 THEN 'wildcard'
+               WHEN doc_id % 8 = 5 THEN 'exception'
+               WHEN doc_id % 8 = 7 THEN 'default'
+               ELSE 'normal'
+           END AS rule_type
+    FROM documents
+    """,
+)
+def url_registrable_domain(sf_dir: str):
+    """eTLD+1 resolution over deliberately adversarial hosts: deep
+    subdomains under 1- and 2-label suffixes, a private-registry suffix
+    (site.github.io must be its OWN registrable domain), the *.ck
+    wildcard, its !www.ck exception (which must also win for deeper
+    subdomains), hosts that ARE a public suffix (registrable = null),
+    unknown TLDs (the implicit '*' default rule) and IPv4 literals
+    (all-null — the PSL is a DNS-name algorithm). Kernel is three
+    tail-label extract_regex calls + is_in against per-length rule sets
+    (kernels/psl.py) — pure Arrow, one map stage, zero exchange; at
+    100 TB this runs as-is over the page table's url column after
+    canonicalize_urls."""
+    from sciscraper_ray.kernels.psl import psl_registrable
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hosts = []
+        for i in ids:
+            i = int(i)
+            if i % 13 == 0:
+                hosts.append(f"192.168.{i % 256}.{(i * 7) % 256}")
+            elif i % 17 == 0:
+                hosts.append("github.io")
+            elif i % 8 == 0:
+                hosts.append(f"a{i}.example.com")
+            elif i % 8 == 1:
+                hosts.append(f"b{i}.sub.example.co.uk")
+            elif i % 8 == 2:
+                hosts.append(f"site{i}.github.io")
+            elif i % 8 == 3:
+                hosts.append(f"deep.x.data{i}.org")
+            elif i % 8 == 4:
+                hosts.append(f"w.zone{i}.ck")
+            elif i % 8 == 5:
+                hosts.append(f"sub{i}.www.ck")
+            elif i % 8 == 6:
+                hosts.append(f"shop{i}.example.com.au")
+            else:
+                hosts.append(f"x{i}.svc.internal")
+        host_arr = pa.array(hosts, pa.string())
+        suffix, registrable, rule = psl_registrable(host_arr)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "host": host_arr,
+                "public_suffix": suffix,
+                "registrable_domain": registrable,
+                "rule_type": rule,
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        build, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-URL crawl dedup: explode each page into its crawl-record
+# variants (case/port/utm/fragment noise around ONE canonical form),
+# canonicalize, and keep one record per canonical URL via the shared
+# winner-filter plan — the frontier-dedup composition a real crawler
+# runs before fetch scheduling.
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+    SELECT doc_id,
+           'https://' ||
+           CASE doc_id % 5
+               WHEN 0 THEN 'example.com' WHEN 1 THEN 'sample.org'
+               WHEN 2 THEN 'docs.example.com' WHEN 3 THEN 'data.net'
+               ELSE 'archive.edu' END
+           || '/papers/x' || doc_id AS canonical_url,
+           CAST(1 + doc_id % 3 AS BIGINT) AS n_variants,
+           CAST(4 * doc_id AS BIGINT) AS survivor_record
+    FROM documents
+    WHERE doc_id % 11 <> 0
+    """,
+)
+def dedup_url_canonical(sf_dir: str):
+    """Frontier dedup by canonical URL: each parseable page explodes into
+    1 + doc_id%3 raw crawl records that differ only in canonicalization
+    noise (scheme case, :443, one trailing slash, utm_* params, fragment
+    — variant v of doc d has record_id 4d+v), records canonicalize
+    vectorized (kernels/links.canonicalize_urls; unparseable %11 rows
+    canonicalize to null and are excluded from dup detection, not
+    collapsed onto a sentinel), and the shared two-pass winner filter
+    (key = md5-128 of the canonical form, winner = min record_id) keeps
+    exactly the v=0 record per URL. Per-canonical variant counts ride
+    the same pass-1 partials. Payloads never shuffle; the exchange is
+    key partials only — the identical plan dedup_exact proved at the
+    50M-key flip point."""
+    import pandas as pd
+
+    import ray  # noqa: F401
+
+    from sciscraper_ray.pipelines.winner import WinnerSpec, winner_filter
+    from sciscraper_ray.stages.dedup import md5_hash128_batch
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        rec_ids, raws, dids = [], [], []
+        for i in ids:
+            i = int(i)
+            if i % 11 == 0:
+                rec_ids.append(4 * i)
+                raws.append(f"not a url {i}")
+                dids.append(i)
+                continue
+            host = ("Example.COM", "www.Sample.ORG", "Docs.Example.COM",
+                    "WWW.Data.NET", "archive.Edu")[i % 5]
+            for v in range(1 + i % 3):
+                scheme = "HTTPS" if v == 1 else "https"
+                port = ":443" if v == 2 else ""
+                path = f"/papers/x{i}" + ("/" if v == 1 else "")
+                query = "?utm_source=feed&utm_campaign=x" if v == 2 else ""
+                frag = f"#sec{v}" if v else ""
+                rec_ids.append(4 * i + v)
+                raws.append(f"{scheme}://{host}{port}{path}{query}{frag}")
+                dids.append(i)
+        return pa.table(
+            {
+                "record_id": pa.array(rec_ids, pa.int64()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "raw_url": pa.array(raws, pa.string()),
+            }
+        )
+
+    def canonize(batch: pa.Table) -> pa.Table:
+        from sciscraper_ray.kernels.links import canonicalize_urls
+
+        canonical, _host = canonicalize_urls(batch["raw_url"])
+        return batch.append_column("canonical_url", canonical)
+
+    records = (
+        _docs(sf_dir, columns=("doc_id",))
+        .map_batches(explode, batch_format="pyarrow")
+        .map_batches(canonize, batch_format="pyarrow")
+    )
+
+    spec = WinnerSpec(
+        keys=lambda b: md5_hash128_batch(b, "canonical_url"),
+        value=lambda b: b["record_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        ),
+        np_reducer=np.minimum,
+        agg_name="min",
+        what="dedup_url_canonical",
+    )
+    survivors = winner_filter(
+        records,
+        spec,
+        keys_source=records.select_columns(["record_id", "canonical_url"]),
+    )
+
+    def surviving_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["canonical_url"]))
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "canonical_url": batch["canonical_url"],
+                "survivor_record": pc.cast(batch["record_id"], pa.int64()),
+            }
+        )
+
+    # n_variants is doc_id%3+1 by construction, but deriving it from the
+    # survivor row would be oracle-mirroring; count it from the actual
+    # record stream instead (per-batch partial + groupby), then attach it
+    # with the big-big bucketed hash join — both sides are corpus-sized,
+    # so neither a broadcast nor a driver merge is scale-honest here.
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+
+    def variant_partial(batch: pa.Table) -> pa.Table:
+        valid = batch.filter(pc.is_valid(batch["canonical_url"]))
+        ids = valid["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(ids, return_counts=True)
+        return pa.table(
+            {
+                "cnt_doc_id": pa.array(uniq.astype(np.int64)),
+                "n_variants": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        records.map_batches(variant_partial, batch_format="pyarrow")
+        .groupby("cnt_doc_id")
+        .aggregate(Sum(on="n_variants", alias_name="n_variants"))
+    )
+    joined = bucketed_hash_join(
+        survivors.map_batches(surviving_rows, batch_format="pyarrow"),
+        counts,
+        left_on="doc_id",
+        right_on="cnt_doc_id",
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(
+            ["doc_id", "canonical_url", "n_variants", "survivor_record"]
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
