@@ -1405,3 +1405,190 @@ def pdf_annotation_links(sf_dir: str):
     return _docs(sf_dir, columns=("doc_id",)).map_batches(
         run, batch_format="pyarrow"
     )
+
+
+# --------------------------------------------------------------------------
+# HTML structured-data extraction: <table> grids (WHATWG forming-a-table
+# algorithm incl. colspan/rowspan) and JSON-LD metadata blocks
+# (stages/html_tables.py). Fixtures exercise the span geometry the naive
+# cells-in-order reading gets wrong; oracles state the FILLED grid in
+# closed form.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "page_html_tables",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, 2 + doc_id % 3 AS r, 2 + doc_id % 2 AS c,
+               (doc_id % 5 = 0) AS cs, (doc_id % 7 = 0) AS rs
+        FROM documents
+    ),
+    cells AS (
+        SELECT doc_id, cs, rs, i, unnest(range(c)) AS j
+        FROM (SELECT doc_id, c, cs, rs, unnest(range(r + 1)) AS i FROM p)
+    )
+    SELECT doc_id, CAST(0 AS BIGINT) AS table_idx,
+           CAST(i AS BIGINT) AS row, CAST(j AS BIGINT) AS col,
+           CASE
+               WHEN i = 0 THEN 'h' || (j + 1)
+               WHEN i = 1 AND cs AND j <= 1 THEN 'v1.0'
+               WHEN i = 1 AND cs THEN 'v1.' || (j - 1)
+               WHEN i = 2 AND cs AND rs AND j <= 1 THEN 'v1.0'
+               WHEN i = 2 AND cs AND rs THEN 'v2.' || (j - 2)
+               WHEN i = 2 AND rs AND j = 0 THEN 'v1.0'
+               WHEN i = 2 AND rs THEN 'v2.' || (j - 1)
+               ELSE 'v' || i || '.' || j
+           END AS text,
+           CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_header
+    FROM cells
+    UNION ALL
+    SELECT doc_id, 1, 0, 0, 't2_' || doc_id, 0
+    FROM documents WHERE doc_id % 4 = 0
+    """,
+)
+def page_html_tables(sf_dir: str):
+    """Relational extraction of HTML tables via the real grid-filling
+    algorithm (WHATWG §4.9.12): written cells place left-to-right
+    skipping slots occupied by rowspans from above; colspan/rowspan
+    expand over multiple slots; the emitted rows are the FILLED grid
+    (one row per slot, span text duplicated into every covered slot).
+    The fixture puts a colspan=2 on %5 docs' first data cell, a
+    rowspan=2 on %7 docs' (both on %35), so cells-in-written-order
+    misassigns columns on ~31%% of the corpus and fails the closed-form
+    oracle. A second 1x1 table on %4 docs pins per-table indexing.
+    Single fused map stage — render and parse never leave the task."""
+    from sciscraper_ray.stages.html_tables import extract_tables
+
+    def run(b: pa.Table) -> pa.Table:
+        ids_, ti_, ri_, ci_, tx_, hd_ = [], [], [], [], [], []
+        for did in b["doc_id"].to_numpy(zero_copy_only=False):
+            i = int(did)
+            r, c = 2 + i % 3, 2 + i % 2
+            cs, rs = i % 5 == 0, i % 7 == 0
+            rows = [
+                "<tr>" + "".join(f"<th>h{j + 1}</th>" for j in range(c)) + "</tr>"
+            ]
+            for row_i in range(1, r + 1):
+                if row_i == 1:
+                    attrs = (' colspan="2"' if cs else "") + (
+                        ' rowspan="2"' if rs else ""
+                    )
+                    written = c - (1 if cs else 0)
+                    cells = [f"<td{attrs}>v1.0</td>"] + [
+                        f"<td>v1.{k}</td>" for k in range(1, written)
+                    ]
+                elif row_i == 2:
+                    written = c - (1 if rs else 0) - (1 if cs and rs else 0)
+                    cells = [f"<td>v2.{k}</td>" for k in range(written)]
+                else:
+                    cells = [f"<td>v{row_i}.{k}</td>" for k in range(c)]
+                rows.append("<tr>" + "".join(cells) + "</tr>")
+            html = "<table>" + "".join(rows) + "</table>"
+            if i % 4 == 0:
+                html += f"<table><tr><td>t2_{i}</td></tr></table>"
+            html = f"<html><body><h1>Doc {i}</h1>{html}</body></html>"
+            for t_idx, row, col, text, hdr in extract_tables(html):
+                ids_.append(i)
+                ti_.append(t_idx)
+                ri_.append(row)
+                ci_.append(col)
+                tx_.append(text)
+                hd_.append(1 if hdr else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_, pa.int64()),
+                "table_idx": pa.array(ti_, pa.int64()),
+                "row": pa.array(ri_, pa.int64()),
+                "col": pa.array(ci_, pa.int64()),
+                "text": pa.array(tx_, pa.string()),
+                "is_header": pa.array(hd_, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        run, batch_format="pyarrow"
+    )
+
+
+@register(
+    "page_jsonld_extract",
+    oracle="""
+    SELECT doc_id, CAST(0 AS BIGINT) AS block_ord,
+           'ScholarlyArticle' AS type,
+           'Title ' || doc_id AS headline,
+           CAST(1990 + doc_id % 35 AS BIGINT) AS year,
+           CAST(doc_id % 500 AS BIGINT) AS citations
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 1, 'Dataset', 'DS ' || doc_id,
+           CAST(2000 + doc_id % 20 AS BIGINT), 0
+    FROM documents WHERE doc_id % 6 = 0
+    """,
+)
+def page_jsonld_extract(sf_dir: str):
+    """schema.org JSON-LD harvest: <script type="application/ld+json">
+    blocks parsed as JSON in document order; %9 docs lead with a
+    MALFORMED block that must be skipped without shifting the valid
+    ordinals, %6 docs carry a second (Dataset) block. Per-block rows
+    (type/headline/year/citations) — the metadata sidecar a scholarly
+    crawl mines alongside the extracted text. Fused render+parse map
+    stage, zero exchange."""
+    import json
+
+    from sciscraper_ray.stages.html_tables import extract_jsonld
+
+    def run(b: pa.Table) -> pa.Table:
+        ids_, bo_, ty_, hl_, yr_, ci_ = [], [], [], [], [], []
+        for did in b["doc_id"].to_numpy(zero_copy_only=False):
+            i = int(did)
+            blocks = []
+            if i % 9 == 0:
+                blocks.append('{"@type": broken')
+            blocks.append(
+                json.dumps(
+                    {
+                        "@type": "ScholarlyArticle",
+                        "headline": f"Title {i}",
+                        "year": 1990 + i % 35,
+                        "citations": i % 500,
+                    }
+                )
+            )
+            if i % 6 == 0:
+                blocks.append(
+                    json.dumps(
+                        {
+                            "@type": "Dataset",
+                            "headline": f"DS {i}",
+                            "year": 2000 + i % 20,
+                            "citations": 0,
+                        }
+                    )
+                )
+            scripts = "".join(
+                f'<script type="application/ld+json">{blk}</script>'
+                for blk in blocks
+            )
+            html = f"<html><head>{scripts}</head><body>Doc {i}</body></html>"
+            for ord_, obj in enumerate(extract_jsonld(html)):
+                ids_.append(i)
+                bo_.append(ord_)
+                ty_.append(str(obj.get("@type", "")))
+                hl_.append(str(obj.get("headline", "")))
+                yr_.append(int(obj.get("year", 0)))
+                ci_.append(int(obj.get("citations", 0)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_, pa.int64()),
+                "block_ord": pa.array(bo_, pa.int64()),
+                "type": pa.array(ty_, pa.string()),
+                "headline": pa.array(hl_, pa.string()),
+                "year": pa.array(yr_, pa.int64()),
+                "citations": pa.array(ci_, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        run, batch_format="pyarrow"
+    )
