@@ -2765,3 +2765,194 @@ def token_chi2_keyness(sf_dir: str):
             "chi2": pa.array(chi2, pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Dice-coefficient collocations: the log-free companion to
+# token_pmi_collocations (Smadja/Church phrase measures; word2vec-style
+# phrase passes often swap PMI for Dice on small corpora because it has
+# no rare-event blowup). Score in EXACT integer micro-units so the
+# compare is bit-identical: dice_micro = half-up(2e6 * f(xy)/(f(x·)+f(·y)))
+# computed as (4e6*cnt + (lc+rc)) // (2*(lc+rc)) in int64 on both engines.
+
+
+@register(
+    "token_dice_collocations",
+    oracle=f"""
+    WITH d AS (
+        SELECT {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n FROM documents
+    ), w AS (
+        SELECT unnest(range(n - 1)) AS k, toks FROM d WHERE n >= 2
+    ), bg AS (
+        SELECT toks[k + 1] AS token, toks[k + 2] AS next_token FROM w
+    ), cnt AS (
+        SELECT token, next_token, count(*) AS cnt
+        FROM bg GROUP BY token, next_token
+    ),
+    lft AS (SELECT token, sum(cnt) AS lc FROM cnt GROUP BY token),
+    rgt AS (SELECT next_token, sum(cnt) AS rc FROM cnt GROUP BY next_token)
+    SELECT c.token, c.next_token, CAST(c.cnt AS BIGINT) AS cnt,
+           CAST(
+               (4000000 * c.cnt + (l.lc + r.rc)) // (2 * (l.lc + r.rc))
+               AS BIGINT
+           ) AS dice_micro
+    FROM cnt c
+    JOIN lft l ON l.token = c.token
+    JOIN rgt r ON r.next_token = c.next_token
+    WHERE c.cnt >= 5
+    """,
+)
+def token_dice_collocations(sf_dir: str):
+    """Dice-coefficient phrase detection over adjacent-bigram events seen
+    >= 5 times: 2*f(xy) / (f(x·) + f(·y)) with marginals summed over
+    bigram events (the same marginal convention as the PMI twin, so the
+    two scores are comparable per pair). Identical physical plan: Arrow
+    group_by partials per batch, the exchange bounded by distinct-bigram
+    vocabulary, marginals via two vectorized transforms on the merged
+    vocab table; the score is pure int64 arithmetic — no logs, no
+    doubles, bit-identical on both engines."""
+    from sciscraper_ray.pipelines.queries.dedup import _ngram_positions
+
+    def partials(batch: pa.Table) -> pa.Table:
+        _, bg = _ngram_positions(batch, 2)
+        if len(bg) == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], type=pa.string()),
+                    "next_token": pa.array([], type=pa.string()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        split = pc.split_pattern(bg, " ")
+        flat = pc.list_flatten(split)
+        tok = flat.take(np.arange(0, len(flat), 2))
+        nxt = flat.take(np.arange(1, len(flat), 2))
+        agg = (
+            pa.table({"token": tok, "next_token": nxt})
+            .group_by(["token", "next_token"])
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["token", "next_token", "cnt"])
+
+    parts = _docs(sf_dir).map_batches(partials, batch_format="pyarrow").to_pandas()
+    merged = parts.groupby(["token", "next_token"], as_index=False)["cnt"].sum()
+    lc = merged.groupby("token")["cnt"].transform("sum").to_numpy(np.int64)
+    rc = merged.groupby("next_token")["cnt"].transform("sum").to_numpy(np.int64)
+    cnt = merged["cnt"].to_numpy(np.int64)
+    keep = cnt >= 5
+    denom = lc[keep] + rc[keep]
+    dice = (4_000_000 * cnt[keep] + denom) // (2 * denom)
+    return pa.table(
+        {
+            "token": pa.array(merged["token"].to_numpy()[keep], pa.string()),
+            "next_token": pa.array(
+                merged["next_token"].to_numpy()[keep], pa.string()
+            ),
+            "cnt": pa.array(cnt[keep], pa.int64()),
+            "dice_micro": pa.array(dice, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# License classification — the governance gate a training-data pipeline
+# runs before a document may enter a commercial corpus. Priority-ordered
+# pattern table (most-restrictive CC variant first so 'CC BY-NC-SA'
+# never downgrades to 'CC BY'); each pattern is one vectorized
+# match_substring_regex pass over the batch, the chain an if_else
+# cascade — no Python per row.
+
+_LICENSE_TABLE = (
+    # (license id, regex, commercial_ok, attribution_required)
+    ("cc-by-nc-sa", r"CC BY-NC-SA|Attribution-NonCommercial-ShareAlike", 0, 1),
+    ("cc-by-nc", r"CC BY-NC|Attribution-NonCommercial", 0, 1),
+    ("cc-by-sa", r"CC BY-SA|Attribution-ShareAlike", 1, 1),
+    ("cc-by", r"CC BY|Creative Commons Attribution", 1, 1),
+    ("cc0", r"CC0|public domain dedication", 1, 0),
+    ("gpl", r"GNU General Public License|GPLv?[23]", 1, 1),
+    ("apache-2.0", r"Apache License,? Version 2\.0|Apache-2\.0", 1, 1),
+    ("mit", r"MIT [Ll]icense", 1, 1),
+    ("proprietary", r"[Aa]ll rights reserved", 0, 0),
+)
+
+
+def classify_license(texts):
+    """``(license, commercial_ok, attribution_required)`` arrays; rows
+    matching no pattern classify as ('none', 0, 0) — unknown provenance
+    is excluded from commercial corpora by default."""
+    lic = pa.nulls(len(texts), pa.string())
+    com = pa.nulls(len(texts), pa.int64())
+    att = pa.nulls(len(texts), pa.int64())
+    for name, pat, c_ok, a_req in _LICENSE_TABLE:
+        hit = pc.match_substring_regex(texts, pat)
+        unset = pc.and_(hit, pc.is_null(lic))
+        lic = pc.if_else(unset, pa.scalar(name, pa.string()), lic)
+        com = pc.if_else(unset, pa.scalar(c_ok, pa.int64()), com)
+        att = pc.if_else(unset, pa.scalar(a_req, pa.int64()), att)
+    lic = pc.fill_null(lic, "none")
+    com = pc.fill_null(com, 0)
+    att = pc.fill_null(att, 0)
+    return lic, com, att
+
+
+@register(
+    "doc_license_classify",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 8
+               WHEN 0 THEN 'cc-by' WHEN 1 THEN 'cc-by-sa'
+               WHEN 2 THEN 'cc-by-nc' WHEN 3 THEN 'mit'
+               WHEN 4 THEN 'apache-2.0' WHEN 5 THEN 'gpl'
+               WHEN 6 THEN 'proprietary' ELSE 'none'
+           END AS license,
+           CAST(CASE doc_id % 8
+               WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 0 WHEN 3 THEN 1
+               WHEN 4 THEN 1 WHEN 5 THEN 1 WHEN 6 THEN 0 ELSE 0
+           END AS BIGINT) AS commercial_ok,
+           CAST(CASE doc_id % 8
+               WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 3 THEN 1
+               WHEN 4 THEN 1 WHEN 5 THEN 1 WHEN 6 THEN 0 ELSE 0
+           END AS BIGINT) AS attribution_required
+    FROM documents
+    """,
+)
+def doc_license_classify(sf_dir: str):
+    """Rule-based license gate over page footers: each doc's text gets a
+    deterministic license statement appended (%8 cases: the three CC
+    tiers, MIT, Apache, GPL, all-rights-reserved, or nothing), with the
+    CC BY-SA case phrased to ALSO contain the plain 'Creative Commons
+    Attribution' phrase — the priority table must pick the more
+    restrictive variant or the doc leaks into a commercial corpus with
+    the wrong obligations. Pure vectorized map stage (one regex pass per
+    table row), zero exchange; at 100 TB the same stage runs over the
+    extracted-text column."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        stamped = []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            case = i % 8
+            footer = (
+                "Licensed under CC BY 4.0.",
+                "Creative Commons Attribution-ShareAlike: CC BY-SA 4.0.",
+                "For non-commercial use: CC BY-NC 4.0 applies.",
+                "Released under the MIT license.",
+                "Covered by the Apache License, Version 2.0.",
+                "Distributed under the GNU General Public License.",
+                "Copyright. All rights reserved.",
+                "",
+            )[case]
+            stamped.append(f"{t} {footer}" if footer else t)
+        lic, com, att = classify_license(pa.array(stamped, pa.string()))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "license": lic,
+                "commercial_ok": com,
+                "attribution_required": att,
+            }
+        )
+
+    return _docs(sf_dir).map_batches(run, batch_format="pyarrow")
