@@ -4954,3 +4954,42 @@ def retrieval_eval_mrr(sf_dir: str):
             "mrr_micro": pa.array(np.array(mm, np.int64)),
         }
     )
+
+
+@register(
+    "graph_scc_sizes",
+    oracle=f"""
+    WITH RECURSIVE links AS (
+        SELECT DISTINCT doc_id AS src, unnest({_REF_TARGETS_SQL}) AS dst
+        FROM documents
+    ),
+    reach(a, b) AS (
+        SELECT src, dst FROM links
+        UNION
+        SELECT r.a, l.dst FROM reach r JOIN links l ON l.src = r.b
+    ),
+    mutual AS (
+        SELECT r1.a AS v, r1.b AS u
+        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+    ),
+    sccid AS (SELECT v, min(u) AS scc_id FROM mutual GROUP BY v)
+    SELECT CAST(scc_id AS BIGINT) AS scc_id,
+           CAST(count(*) AS BIGINT) AS size
+    FROM sccid GROUP BY scc_id HAVING count(*) >= 2
+    """,
+)
+def graph_scc_sizes(sf_dir: str):
+    """Non-trivial strongly-connected components of the directed
+    doc-level link graph — the MultiStep plan (pipelines/graph.py
+    strongly_connected_sizes): iterative distributed TRIM drops every
+    edge whose src has no in-edge or whose dst has no out-edge (no node
+    either side of such an edge can sit on a cycle; removal cascades to
+    fixpoint), leaving the cyclic core orders of magnitude smaller than
+    the crawl, then exact iterative Tarjan labels the core under the
+    driver-merge contract. Emits (scc_id = min member, size) for every
+    SCC with >= 2 nodes. Trim rounds exchange only NODE-set partials and
+    a broadcast filter — edges never shuffle. The oracle recomputes the
+    closure with a recursive CTE: scc(v) = min u with v->*u and u->*v."""
+    from sciscraper_ray.pipelines.graph import strongly_connected_sizes
+
+    return strongly_connected_sizes(_doc_edges(sf_dir))
