@@ -2927,3 +2927,114 @@ def events_hourly_ewma(sf_dir: str):
             "final_ewma": pa.array([y], pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# DGIM sliding-window count sketch audit (Datar-Gionis-Indyk-Motwani
+# 2002): the O(log^2 N)-space structure a streaming node keeps when it
+# cannot buffer the window. The REAL sequential algorithm runs per user
+# (r=2 buckets per power-of-two size, cascade merges, expiry at the
+# window edge) and its estimate is audited against the exact count; the
+# theorem |est - exact| <= exact/2 is emitted as a flag the oracle pins
+# to 1, so a broken merge/expiry that violates the bound goes red.
+
+_DGIM_WINDOW = 64
+_DGIM_R = 2
+
+
+def _dgim_estimate(bits: "np.ndarray") -> int:
+    """Run DGIM over the full stream (positions 0..n-1, newest = last),
+    return the estimate of ones among the last _DGIM_WINDOW positions."""
+    buckets: list[list[int]] = []  # [end_pos, size], newest first
+    n = len(bits)
+    ones = np.flatnonzero(bits)
+    for pos in ones:
+        buckets.insert(0, [int(pos), 1])
+        size = 1
+        while True:
+            idxs = [j for j, b in enumerate(buckets) if b[1] == size]
+            if len(idxs) <= _DGIM_R:
+                break
+            # merge the two OLDEST buckets of this size; merged bucket
+            # keeps the NEWER end position
+            j_new, j_old = idxs[-2], idxs[-1]
+            buckets[j_new][1] = size * 2
+            del buckets[j_old]
+            size *= 2
+    cutoff = n - 1 - _DGIM_WINDOW  # expire buckets ending at/before this
+    buckets = [b for b in buckets if b[0] > cutoff]
+    if not buckets:
+        return 0
+    full = sum(b[1] for b in buckets[:-1])
+    return full + (buckets[-1][1] + 1) // 2
+
+
+@register(
+    "events_dgim_window_count",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) FILTER (
+               event_type = 'click' AND rn <= {_DGIM_WINDOW}
+           ) AS BIGINT) AS exact_clicks,
+           CAST(1 AS BIGINT) AS bound_ok
+    FROM ordered GROUP BY user_id
+    """,
+)
+def events_dgim_window_count(sf_dir: str):
+    """Per user: clicks among the last {W} events, exact vs the DGIM
+    sketch run as a genuine one-pass automaton over the (ts, event_id)-
+    ordered stream. Physical plan is the shared bucketed-window shape:
+    ONE shuffle on user_id & (B-1), per-bucket lexsort, then the
+    per-user automaton over each segment — per-group dispatch bounded by
+    B, and the automaton state is O(log^2 W) per user, which is the
+    point of the sketch. bound_ok = [2*|est-exact| <= exact + 2] (the
+    DGIM error theorem with +2 slack for counts 0-1); the oracle pins it
+    to 1 for every user, so any merge-cascade or expiry bug that breaks
+    the guarantee is a hash mismatch, and exact_clicks pins the window
+    bookkeeping itself."""
+    import pandas as pd
+
+    import ray  # noqa: F401
+
+    from sciscraper_ray.stages.window import bucketed_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def kernel(g: "pd.DataFrame") -> "pd.DataFrame":
+        user = g["user_id"].to_numpy()
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy()
+        is_click = (g["event_type"] == "click").to_numpy()
+        order = np.lexsort((eid, ts, user))
+        user, is_click = user[order], is_click[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], user[1:] != user[:-1]))
+        )
+        ends = np.concatenate((bounds[1:], [len(user)]))
+        out_u, out_exact, out_ok = [], [], []
+        for s, e in zip(bounds, ends):
+            bits = is_click[s:e]
+            exact = int(bits[-_DGIM_WINDOW:].sum())
+            est = _dgim_estimate(bits)
+            out_u.append(int(user[s]))
+            out_exact.append(exact)
+            out_ok.append(1 if 2 * abs(est - exact) <= exact + 2 else 0)
+        return pd.DataFrame(
+            {
+                "user_id": np.array(out_u, np.int64),
+                "exact_clicks": np.array(out_exact, np.int64),
+                "bound_ok": np.array(out_ok, np.int64),
+            }
+        )
+
+    return bucketed_window(ds, kernel, key="user_id")

@@ -1592,3 +1592,79 @@ def page_jsonld_extract(sf_dir: str):
     return _docs(sf_dir, columns=("doc_id",)).map_batches(
         run, batch_format="pyarrow"
     )
+
+
+@register(
+    "page_hreflang_clusters",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 10 = 9 THEN doc_id
+                ELSE doc_id - doc_id % 3 END AS BIGINT) AS cluster_id,
+           CASE WHEN doc_id % 10 = 9 THEN NULL
+                ELSE CASE doc_id % 3
+                    WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr'
+                END
+           END AS lang,
+           CAST(CASE WHEN doc_id % 10 = 9 THEN 0 ELSE 3 END AS BIGINT)
+               AS n_alternates
+    FROM documents
+    """,
+)
+def page_hreflang_clusters(sf_dir: str):
+    """Language-variant clustering from <link rel="alternate" hreflang>
+    declarations: consecutive id-triples form en/de/fr variant clusters
+    whose pages all declare the same alternates plus an x-default
+    pointing at the cluster head; %10==9 pages declare nothing (broken
+    reciprocity is normal on the web) and become their own singleton
+    cluster with a null language. The engine parses the REAL link tags
+    (stages/html_tables.extract_hreflang), takes cluster_id from the
+    x-default href tail and its own language from the alternate whose
+    href matches the page's own path — no doc_id arithmetic on the
+    engine side. Fused render+parse map stage, zero exchange; the
+    follow-on dedup-by-cluster is the standard keep-one-per-cluster
+    winner filter."""
+    from sciscraper_ray.stages.html_tables import extract_hreflang
+
+    def run(b: pa.Table) -> pa.Table:
+        ids_, cl_, lg_, na_ = [], [], [], []
+        for did in b["doc_id"].to_numpy(zero_copy_only=False):
+            i = int(did)
+            if i % 10 == 9:
+                head = ""
+            else:
+                c = i - i % 3
+                head = (
+                    f'<link rel="alternate" hreflang="en" href="https://h/x{c}">'
+                    f'<link rel="alternate" hreflang="de" href="https://h/x{c + 1}">'
+                    f'<link rel="alternate" hreflang="fr" href="https://h/x{c + 2}">'
+                    f'<link rel="alternate" hreflang="x-default" href="https://h/x{c}">'
+                )
+            html = f"<html><head>{head}</head><body>Doc {i}</body></html>"
+            alts = extract_hreflang(html)
+            own = f"https://h/x{i}"
+            lang = None
+            cluster = i
+            n_alt = 0
+            for hl, href in alts:
+                if hl == "x-default":
+                    cluster = int(href.rsplit("x", 1)[1])
+                else:
+                    n_alt += 1
+                    if href == own:
+                        lang = hl
+            ids_.append(i)
+            cl_.append(cluster)
+            lg_.append(lang)
+            na_.append(n_alt)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_, pa.int64()),
+                "cluster_id": pa.array(cl_, pa.int64()),
+                "lang": pa.array(lg_, pa.string()),
+                "n_alternates": pa.array(na_, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        run, batch_format="pyarrow"
+    )

@@ -156,3 +156,26 @@ def extract_jsonld(html: str) -> list[dict]:
         if isinstance(v, dict):
             out.append(v)
     return out
+
+
+class _HreflangParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.alternates: list[tuple[str, str]] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag != "link":
+            return
+        a = dict(attrs)
+        if a.get("rel") == "alternate" and a.get("hreflang") and a.get("href"):
+            self.alternates.append((a["hreflang"], a["href"]))
+
+
+def extract_hreflang(html: str) -> list[tuple[str, str]]:
+    """``(hreflang, href)`` pairs from <link rel="alternate"> tags in
+    document order — the language-variant cluster declaration
+    (RFC 8288 link relations; Google's hreflang contract)."""
+    p = _HreflangParser()
+    p.feed(html)
+    p.close()
+    return p.alternates
