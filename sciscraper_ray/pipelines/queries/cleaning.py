@@ -159,3 +159,129 @@ def resumable_extract(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+
+
+# ---------------------------------------------------------------------------
+# CSV schema inference — the type-sniffing pass every lakehouse ingest
+# runs over schemaless text files. Deterministic promotion lattice:
+# bool < bigint < double < varchar per column over non-null cells
+# (date is its own leaf; any mix with non-dates promotes to varchar);
+# all-null columns infer 'null'. The fixture exercises every lattice
+# edge; the oracle states the expected type per (doc case, column) from
+# first principles.
+
+_CSV_INT_RE = None  # compiled lazily per worker
+
+
+def infer_csv_schema(blob: str) -> list[tuple[str, str, int]]:
+    """``(column, inferred_type, n_nulls)`` per column of one
+    header-bearing CSV blob (simple commas — quoting is
+    csv_quoted_roundtrip's dedicated surface)."""
+    import re as _re
+
+    global _CSV_INT_RE
+    if _CSV_INT_RE is None:
+        _CSV_INT_RE = (
+            _re.compile(r"^-?\d+$"),
+            _re.compile(r"^-?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$"),
+            _re.compile(r"^\d{4}-\d{2}-\d{2}$"),
+            _re.compile(r"^(true|false)$", _re.IGNORECASE),
+        )
+    int_re, dbl_re, date_re, bool_re = _CSV_INT_RE
+    lines = blob.strip("\n").split("\n")
+    header = lines[0].split(",")
+    cols: list[list[str]] = [[] for _ in header]
+    for line in lines[1:]:
+        for j, cell in enumerate(line.split(",")):
+            cols[j].append(cell)
+    out = []
+    for name, cells in zip(header, cols):
+        non_null = [c for c in cells if c != ""]
+        n_nulls = len(cells) - len(non_null)
+        if not non_null:
+            out.append((name, "null", n_nulls))
+            continue
+        if all(bool_re.match(c) for c in non_null):
+            typ = "boolean"
+        elif all(int_re.match(c) for c in non_null):
+            typ = "bigint"
+        elif all(dbl_re.match(c) for c in non_null):
+            typ = "double"
+        elif all(date_re.match(c) for c in non_null):
+            typ = "date"
+        else:
+            typ = "varchar"
+        out.append((name, typ, n_nulls))
+    return out
+
+
+@register(
+    "csv_schema_infer",
+    oracle="""
+    WITH cols(col_ord, col) AS (
+        VALUES (0, 'c0'), (1, 'c1'), (2, 'c2'), (3, 'c3')
+    )
+    SELECT d.doc_id, c.col,
+           CASE c.col_ord
+               WHEN 0 THEN 'bigint'
+               WHEN 1 THEN CASE d.doc_id % 3
+                   WHEN 0 THEN 'date' WHEN 1 THEN 'double' ELSE 'boolean'
+               END
+               WHEN 2 THEN CASE WHEN d.doc_id % 4 = 0
+                   THEN 'varchar' ELSE 'bigint' END
+               ELSE 'null'
+           END AS inferred_type,
+           CAST(CASE c.col_ord
+               WHEN 0 THEN CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 0 END
+               WHEN 3 THEN 5 ELSE 0
+           END AS BIGINT) AS n_nulls
+    FROM documents d CROSS JOIN cols c
+    """,
+)
+def csv_schema_infer(sf_dir: str):
+    """Type inference over messy schemaless CSVs: per doc a 5-row blob
+    whose columns walk the promotion lattice — c0 ints with an empty
+    (null) cell on even docs, c1 cycles date/double/boolean by %3 (the
+    double case mixes plain ints with exponent floats, so an int-greedy
+    sniffer that stops at the first row infers wrong), c2 is ints except
+    one trailing string on %4 docs (the late-row varchar demotion the
+    one-row-lookahead samplers miss), c3 all-null. Emits (doc_id, col,
+    inferred_type, n_nulls); pure fused map stage."""
+
+    def run(b: pa.Table) -> pa.Table:
+        ids_, co_, ty_, nn_ = [], [], [], []
+        for did in b["doc_id"].to_numpy(zero_copy_only=False):
+            i = int(did)
+            c0 = [str(10 * i + k) for k in range(5)]
+            if i % 2 == 0:
+                c0[3] = ""
+            if i % 3 == 0:
+                c1 = [f"2024-{1 + k:02d}-{(i % 27) + 1:02d}" for k in range(5)]
+            elif i % 3 == 1:
+                c1 = [str(i), f"{i}.5", f"{i}e3", "0.25", str(i + 1)]
+            else:
+                c1 = ["true", "FALSE", "True", "false", "TRUE"]
+            c2 = [str(k - 2) for k in range(5)]
+            if i % 4 == 0:
+                c2[4] = f"x{i}"
+            c3 = [""] * 5
+            blob = "c0,c1,c2,c3\n" + "\n".join(
+                ",".join(r) for r in zip(c0, c1, c2, c3)
+            )
+            for name, typ, nn in infer_csv_schema(blob):
+                ids_.append(i)
+                co_.append(name)
+                ty_.append(typ)
+                nn_.append(nn)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_, pa.int64()),
+                "col": pa.array(co_, pa.string()),
+                "inferred_type": pa.array(ty_, pa.string()),
+                "n_nulls": pa.array(nn_, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        run, batch_format="pyarrow"
+    )

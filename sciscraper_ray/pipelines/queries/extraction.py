@@ -1668,3 +1668,70 @@ def page_hreflang_clusters(sf_dir: str):
     return _docs(sf_dir, columns=("doc_id",)).map_batches(
         run, batch_format="pyarrow"
     )
+
+
+@register(
+    "pdf_incremental_update_extract",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'REVISED ' || doc_id || ': ' || array_to_string(
+                    (string_split(text, ' '))[1:5], ' ')
+                ELSE text
+           END AS extracted_text,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
+               AS n_generations
+    FROM documents
+    """,
+)
+def pdf_incremental_update_extract(sf_dir: str):
+    """Incremental-update PDFs (§7.5.6 — how editors save annotations and
+    revisions without rewriting the file): %3 docs get an appended update
+    section that REDEFINES the page content object (new stream, one-entry
+    xref subsection, /Prev-chained trailer). The extractor must honor the
+    newest definition — the body-scan model's later-definition-overrides
+    policy — and emit the revised text; a reader that trusts the FIRST
+    xref or the first object definition returns the stale pre-update text
+    and fails the oracle on a third of the corpus. n_generations counts
+    '%%EOF' markers (1 original + 1 per update) — the file-forensics
+    signal for revision history. Stateless fused map, zero exchange."""
+    from sciscraper_ray.sources.pdf_write import (
+        _page_stream,
+        append_incremental_update,
+        build_pdf,
+    )
+    from sciscraper_ray.stages.pdf_parse import extract_pdf_pages
+
+    def run(b: pa.Table) -> pa.Table:
+        ids_, tx_, ng_ = [], [], []
+        for did, text in zip(
+            b["doc_id"].to_numpy(zero_copy_only=False),
+            b["text"].to_pylist(),
+        ):
+            i = int(did)
+            payload = build_pdf([text])
+            if i % 3 == 0:
+                revised = f"REVISED {i}: " + " ".join(text.split(" ")[:5])
+                stream = _page_stream([revised])
+                body = (
+                    f"<< /Length {len(stream)} /Filter /FlateDecode >>"
+                    "\nstream\n".encode()
+                    + stream
+                    + b"\nendstream"
+                )
+                payload = append_incremental_update(payload, 5, body)
+            pages = extract_pdf_pages(payload)
+            ids_.append(i)
+            tx_.append(" ".join(pages))
+            ng_.append(payload.count(b"%%EOF"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_, pa.int64()),
+                "extracted_text": pa.array(tx_, pa.string()),
+                "n_generations": pa.array(ng_, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id", "text")).map_batches(
+        run, batch_format="pyarrow"
+    )

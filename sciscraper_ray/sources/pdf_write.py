@@ -10,6 +10,7 @@ fonts.
 
 from __future__ import annotations
 
+import re
 import zlib
 
 FONT_SIZE = 10.0
@@ -342,6 +343,30 @@ def build_pdf_two_column(
         out += f"{off:010d} 00000 n \n".encode()
     out += (
         f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R{info_ref} >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def append_incremental_update(
+    payload: bytes, obj_num: int, body: bytes
+) -> bytes:
+    """Append a PDF incremental-update section (§7.5.6) redefining ONE
+    object: the new object body, a one-entry classic xref subsection, and
+    a trailer chaining to the previous xref via /Prev. Readers that honor
+    update ordering must see the NEW definition; the body-scan document
+    model's later-definition-overrides policy is exactly that contract."""
+    m = re.search(rb"startxref\s+(\d+)\s*%%EOF\s*$", payload)
+    prev_xref = int(m.group(1)) if m else 0
+    sm = re.search(rb"/Size (\d+)", payload)
+    size = int(sm.group(1)) if sm else obj_num + 1
+    out = bytearray(payload)
+    obj_at = len(out)
+    out += f"{obj_num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n{obj_num} 1\n{obj_at:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {size} /Root 1 0 R /Prev {prev_xref} >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
     return bytes(out)
