@@ -1735,3 +1735,91 @@ def pdf_incremental_update_extract(sf_dir: str):
     return _docs(sf_dir, columns=("doc_id", "text")).map_batches(
         run, batch_format="pyarrow"
     )
+
+
+@register(
+    "page_charset_mismatch",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4
+               WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+               WHEN 2 THEN 'utf-8' ELSE 'iso-8859-1'
+           END AS declared,
+           CASE doc_id % 4
+               WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8'
+               WHEN 2 THEN 'iso-8859-1' ELSE 'iso-8859-1'
+           END AS sniffed,
+           CAST(CASE WHEN doc_id % 4 IN (1, 2) THEN 1 ELSE 0 END AS BIGINT)
+               AS mismatch,
+           CASE WHEN doc_id % 4 = 3 THEN 'plain ascii ' || doc_id
+                ELSE chr(82) || chr(233) || 'sum' || chr(233) || ' '
+                     || doc_id || ' na' || chr(239) || 've caf'
+                     || chr(233)
+           END AS body_text
+    FROM documents
+    """,
+)
+def page_charset_mismatch(sf_dir: str):
+    """Charset lie detection — a crawl's <meta charset> declarations are
+    wrong often enough that production extractors sniff bytes instead of
+    trusting headers. Deterministic sniff rule: a body with non-ASCII
+    bytes that validates as UTF-8 IS UTF-8; invalid UTF-8 falls back to
+    iso-8859-1 (byte-faithful); pure ASCII carries no evidence and
+    inherits the declaration. %4 cases: truthful UTF-8, UTF-8 bytes
+    declared latin-1 (the classic double-encoding source), latin-1 bytes
+    declared UTF-8 (mojibake source), truthful ASCII-only latin-1. The
+    emitted body_text is decoded with the SNIFFED charset, so both lie
+    cases must still recover the exact accented string. Pure fused map
+    stage over payload bytes, zero exchange."""
+    import re as _re
+
+    meta_re = _re.compile(rb'<meta charset="([^"]+)">')
+
+    def run(b: pa.Table) -> pa.Table:
+        ids_, dec_, sn_, mm_, tx_ = [], [], [], [], []
+        for did in b["doc_id"].to_numpy(zero_copy_only=False):
+            i = int(did)
+            case = i % 4
+            if case == 3:
+                body_s = f"plain ascii {i}"
+            else:
+                body_s = f"Résumé {i} naïve café"
+            declared = ("utf-8", "iso-8859-1", "utf-8", "iso-8859-1")[case]
+            body_b = body_s.encode(
+                "latin-1" if case == 2 else "utf-8"
+            )
+            page = (
+                f'<html><head><meta charset="{declared}"></head><body>'.encode()
+                + body_b
+                + b"</body></html>"
+            )
+            # --- engine side: sniff from bytes only ---
+            m = meta_re.search(page)
+            decl = m.group(1).decode("ascii") if m else "utf-8"
+            body = page.split(b"<body>")[1].split(b"</body>")[0]
+            try:
+                decoded = body.decode("utf-8")
+                sniffed = "utf-8" if max(body) > 127 else decl
+            except UnicodeDecodeError:
+                decoded = None
+                sniffed = "iso-8859-1"
+            if sniffed == "iso-8859-1" or decoded is None:
+                decoded = body.decode("iso-8859-1")
+            ids_.append(i)
+            dec_.append(decl)
+            sn_.append(sniffed)
+            mm_.append(1 if sniffed != decl else 0)
+            tx_.append(decoded)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_, pa.int64()),
+                "declared": pa.array(dec_, pa.string()),
+                "sniffed": pa.array(sn_, pa.string()),
+                "mismatch": pa.array(mm_, pa.int64()),
+                "body_text": pa.array(tx_, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        run, batch_format="pyarrow"
+    )

@@ -468,3 +468,121 @@ def media_avi_frames(sf_dir: str):
     return frames.select_columns(
         ["doc_id", "frame_no", "width", "height", "mean_c0", "duration_s"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (dHash) image dedup — the multimodal twin of
+# dedup_exact: decode REAL PNGs, hash the horizontal-gradient sign grid
+# (the standard 64-bit difference hash), group by hash. The fixture
+# encodes a 6-bit content key into the gradient signs, so every distinct
+# key yields a distinct hash and every shared key an exact duplicate —
+# the oracle states cluster sizes from the key arithmetic while the
+# engine sees only pixels.
+
+_PHASH_KEYS = 50  # distinct image contents; docs sharing doc_id % 50 collide
+
+
+def _phash_image(key: int) -> "np.ndarray":
+    """8x9 grayscale whose dHash bit (r, c) equals bit ((r*8+c) % 6) of
+    ``key``: each row walks +-5 steps from 100, so the sign of every
+    horizontal difference is exactly the encoded bit."""
+    img = np.zeros((8, 9), np.uint8)
+    img[:, 0] = 100
+    for r in range(8):
+        v = 100
+        for c in range(8):
+            bit = (key >> ((r * 8 + c) % 6)) & 1
+            v += 5 if bit else -5
+            img[r, c + 1] = v
+    return img
+
+
+def dhash64(img: "np.ndarray") -> int:
+    """Difference hash over an (8, 9) grayscale grid: bit = [px(r,c+1) >
+    px(r,c)], row-major, returned as a signed int64 bit view (uint64
+    keys promote to float64 inside Ray aggregates)."""
+    bits = (img[:, 1:].astype(np.int16) > img[:, :-1].astype(np.int16))
+    h = np.uint64(0)
+    for b in bits.flatten():
+        h = (h << np.uint64(1)) | np.uint64(bool(b))
+    return int(h.astype(np.int64))
+
+
+@register(
+    "media_phash_dedup",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(count(*) OVER (PARTITION BY doc_id % {_PHASH_KEYS})
+               AS BIGINT) AS n_dups,
+           CAST(CASE WHEN doc_id = min(doc_id) OVER (
+                   PARTITION BY doc_id % {_PHASH_KEYS})
+               THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
+    FROM documents
+    """,
+)
+def media_phash_dedup(sf_dir: str):
+    """Image near-dup detection by difference hash: each doc carries a
+    REAL PNG (per-row filter types cycle all five predictors), the
+    from-scratch decoder recovers pixels, dHash signs the horizontal
+    gradients into a 64-bit key, and one groupby on the key yields
+    (cluster size, min-doc survivor) joined back via the big-big
+    bucketed hash join. Engine never sees the content key — a single
+    wrong pixel from any PNG filter path flips a hash bit and splinters
+    a cluster. Exchanges: int64 (hash, doc) pairs plus the bounded
+    groupby — pixels never shuffle. At 100 TB this is exactly the image
+    branch of a CommonCrawl-scale media dedup."""
+    from sciscraper_ray.stages.png import decode_png, encode_png
+    from sciscraper_ray.stages.relational import bucketed_hash_join
+
+    from ray.data.aggregate import Count, Min
+
+    def hash_batch(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        hashes = []
+        for i in ids:
+            i = int(i)
+            img = _phash_image(i % _PHASH_KEYS)
+            payload = encode_png(
+                img, filter_type=[(i + y) % 5 for y in range(8)]
+            )
+            decoded = decode_png(payload)[:, :, 0]
+            hashes.append(dhash64(decoded))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "phash": pa.array(np.array(hashes, np.int64)),
+            }
+        )
+
+    hashed = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        hash_batch, batch_format="pyarrow"
+    )
+    clusters = (
+        hashed.map_batches(
+            lambda b: pa.table(
+                {"h": b["phash"], "d": b["doc_id"]}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("h")
+        .aggregate(
+            Count(alias_name="n_dups"),
+            Min(on="d", alias_name="min_doc"),
+        )
+    )
+    joined = bucketed_hash_join(
+        hashed, clusters, left_on="phash", right_on="h"
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_dups": pc.cast(b["n_dups"], pa.int64()),
+                "is_survivor": pc.cast(
+                    pc.equal(b["doc_id"], b["min_doc"]), pa.int64()
+                ),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
