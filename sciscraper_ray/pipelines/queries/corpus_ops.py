@@ -3613,3 +3613,102 @@ def dedup_url_canonical(sf_dir: str):
         )
 
     return joined.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Host-level template detection: the longest common prefix of a host's
+# pages IS its boilerplate template (sites render one skeleton per
+# host). LCP of a SET equals LCP(lexicographic min, lexicographic max) —
+# so the whole-corpus op reduces to a (min, max, count) groupby on host
+# and an O(template) char compare per host: no pairwise work, no page
+# text leaving the aggregate.
+
+
+@register(
+    "host_template_lcp",
+    oracle="""
+    WITH t AS (
+        SELECT CASE WHEN doc_id % 10 < 3 THEN 'mega.example.org'
+               ELSE CASE doc_id % 5 WHEN 0 THEN 'alpha.example.com'
+               WHEN 1 THEN 'beta.example.net' WHEN 2 THEN 'gamma.example.io'
+               WHEN 3 THEN 'delta.example.edu'
+               ELSE 'epsilon.example.dev' END END AS host,
+               text FROM documents
+    ),
+    tt AS (
+        SELECT host, '[' || host || '] Daily Digest :: ' || text AS page
+        FROM t
+    ),
+    mm AS (
+        SELECT host, min(page) AS lo, max(page) AS hi, count(*) AS n_pages
+        FROM tt GROUP BY host
+    ),
+    pos AS (
+        SELECT host, lo, hi, n_pages,
+               unnest(range(least(length(lo), length(hi)) + 1)) AS p
+        FROM mm
+    )
+    SELECT host, CAST(max(p) AS BIGINT) AS template_len,
+           CAST(min(n_pages) AS BIGINT) AS n_pages
+    FROM pos WHERE substr(lo, 1, CAST(p AS INTEGER))
+                 = substr(hi, 1, CAST(p AS INTEGER))
+    GROUP BY host
+    """,
+)
+def host_template_lcp(sf_dir: str):
+    """Per-host template length via the min/max-LCP identity: pages are
+    rendered with a host-specific skeleton prefix, per-batch partials
+    reduce each host to (lex-min page, lex-max page, count), the
+    host-bounded merge happens on the driver, and the template length is
+    one char-compare of the two extreme strings per host (LCP(set) =
+    LCP(min, max) because lexicographic order sandwiches every other
+    string's divergence point). The exchange is 2 strings + 1 int per
+    host per batch — page text never shuffles; at 10^8 hosts the same
+    partials feed a groupby(host) Min/Max instead of the driver merge."""
+    import pandas as pd
+
+    from sciscraper_ray.sources.page_synth import host_for
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        pages = [
+            f"[{host_for(int(i))}] Daily Digest :: {t}"
+            for i, t in zip(ids, texts)
+        ]
+        df = pd.DataFrame(
+            {"host": [host_for(int(i)) for i in ids], "page": pages}
+        )
+        agg = df.groupby("host", as_index=False).agg(
+            lo=("page", "min"), hi=("page", "max"), n_pages=("page", "size")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = (
+        _docs(sf_dir, columns=("doc_id", "text"))
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    merged = parts.groupby("host", as_index=False).agg(
+        lo=("lo", "min"), hi=("hi", "max"), n_pages=("n_pages", "sum")
+    )
+
+    def lcp(a: str, b: str) -> int:
+        n = min(len(a), len(b))
+        for k in range(n):
+            if a[k] != b[k]:
+                return k
+        return n
+
+    return pa.table(
+        {
+            "host": pa.array(merged["host"], pa.string()),
+            "template_len": pa.array(
+                [lcp(a, b) for a, b in zip(merged["lo"], merged["hi"])],
+                pa.int64(),
+            ),
+            "n_pages": pa.array(
+                merged["n_pages"].to_numpy(np.int64), pa.int64()
+            ),
+        }
+    )

@@ -1823,3 +1823,70 @@ def page_charset_mismatch(sf_dir: str):
     return _docs(sf_dir, columns=("doc_id",)).map_batches(
         run, batch_format="pyarrow"
     )
+
+
+@register(
+    "page_rss_items",
+    oracle="""
+    SELECT doc_id, CAST(j AS BIGINT) AS item_ord,
+           CASE WHEN doc_id % 5 = 0 AND j = 0
+                THEN 'News & <updates> ' || doc_id
+                ELSE 'Item ' || doc_id || '.' || j END AS title,
+           'tag:' || doc_id || ':' || j AS guid,
+           '2024-01-' || lpad(CAST(1 + (doc_id + j) % 28 AS VARCHAR), 2, '0')
+               AS pub_date
+    FROM (SELECT doc_id, unnest(range(1 + doc_id % 3)) AS j FROM documents)
+    """,
+)
+def page_rss_items(sf_dir: str):
+    """RSS 2.0 feed-item extraction (the discovery surface a news crawl
+    polls): 1 + doc_id%3 items per feed with title/guid/pubDate; %5
+    feeds lead with an entity-escaped title (&amp;, &lt;) that must
+    arrive UNESCAPED, pinning charref handling, and <pubDate>'s mixed
+    case pins the parser's tag normalization. Fused render+parse map
+    stage, zero exchange."""
+    from html import escape
+
+    from sciscraper_ray.stages.html_tables import extract_rss_items
+
+    def run(b: pa.Table) -> pa.Table:
+        ids_, io_, ti_, gu_, pd_ = [], [], [], [], []
+        for did in b["doc_id"].to_numpy(zero_copy_only=False):
+            i = int(did)
+            items_xml = []
+            for j in range(1 + i % 3):
+                title = (
+                    f"News & <updates> {i}"
+                    if i % 5 == 0 and j == 0
+                    else f"Item {i}.{j}"
+                )
+                items_xml.append(
+                    "<item>"
+                    f"<title>{escape(title)}</title>"
+                    f"<guid>tag:{i}:{j}</guid>"
+                    f"<pubDate>2024-01-{1 + (i + j) % 28:02d}</pubDate>"
+                    "</item>"
+                )
+            xml = (
+                '<?xml version="1.0"?><rss version="2.0"><channel>'
+                f"<title>Feed {i}</title>{''.join(items_xml)}</channel></rss>"
+            )
+            for ord_, item in enumerate(extract_rss_items(xml)):
+                ids_.append(i)
+                io_.append(ord_)
+                ti_.append(item.get("title", ""))
+                gu_.append(item.get("guid", ""))
+                pd_.append(item.get("pubdate", ""))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_, pa.int64()),
+                "item_ord": pa.array(io_, pa.int64()),
+                "title": pa.array(ti_, pa.string()),
+                "guid": pa.array(gu_, pa.string()),
+                "pub_date": pa.array(pd_, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        run, batch_format="pyarrow"
+    )

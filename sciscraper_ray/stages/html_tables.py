@@ -179,3 +179,46 @@ def extract_hreflang(html: str) -> list[tuple[str, str]]:
     p.feed(html)
     p.close()
     return p.alternates
+
+
+class _RssParser(HTMLParser):
+    """RSS 2.0 item harvest (HTMLParser lowercases tag names, so
+    <pubDate> arrives as 'pubdate' — normalized here)."""
+
+    _FIELDS = ("title", "guid", "pubdate")
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.items: list[dict[str, str]] = []
+        self._in_item = False
+        self._field: str | None = None
+        self._buf: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "item":
+            self._in_item = True
+            self.items.append({})
+        elif self._in_item and tag in self._FIELDS:
+            self._field = tag
+            self._buf = []
+
+    def handle_endtag(self, tag):
+        if tag == "item":
+            self._in_item = False
+        elif self._in_item and tag == self._field:
+            self.items[-1][tag] = "".join(self._buf).strip()
+            self._field = None
+
+    def handle_data(self, data):
+        if self._field is not None:
+            self._buf.append(data)
+
+
+def extract_rss_items(xml: str) -> list[dict[str, str]]:
+    """``{title, guid, pubdate}`` per <item> in document order; fields
+    missing from an item are absent from its dict. Entity references in
+    titles arrive unescaped (convert_charrefs)."""
+    p = _RssParser()
+    p.feed(xml)
+    p.close()
+    return p.items
