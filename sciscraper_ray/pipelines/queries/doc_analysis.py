@@ -336,3 +336,165 @@ def doc_parentheticals(sf_dir: str):
     return _docs(sf_dir).map_batches(extract, batch_format="pyarrow")
 
 
+
+
+# ---------------------------------------------------------------------------
+# Information-extraction normalizers: quantities with units and dates in
+# heterogeneous formats, both normalized by parsing the RAW strings (the
+# engine never sees the synthesis arithmetic).
+
+_UNIT_SI = {"kg": ("g", 1000), "cm": ("mm", 10), "MB": ("KB", 1024)}
+
+_MONTHS = (
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+)
+
+
+@register(
+    "doc_measurements_extract",
+    oracle="""
+    WITH m(ord, unit_raw, unit_si, mult, base, modulo) AS (
+        VALUES (0, 'kg', 'g', 1000, 1, 90),
+               (1, 'cm', 'mm', 10, 1, 50),
+               (2, 'MB', 'KB', 1024, 1, 30)
+    )
+    SELECT d.doc_id, CAST(m.ord AS BIGINT) AS ord,
+           CAST(m.base + d.doc_id % m.modulo AS BIGINT) AS value_raw,
+           m.unit_raw,
+           CAST((m.base + d.doc_id % m.modulo) * m.mult AS BIGINT)
+               AS value_si,
+           m.unit_si
+    FROM documents d CROSS JOIN m
+    """,
+)
+def doc_measurements_extract(sf_dir: str):
+    """Quantity/unit extraction with SI normalization — the measurement
+    miner a scientific-corpus pipeline runs over extracted text. Each
+    doc's text carries three planted measurements (kg/cm/MB with
+    doc-varying integer values inside prose); ONE compiled regex pass per
+    batch finds every number-unit pair in document order and a constant
+    unit table normalizes (kg->g x1000, cm->mm x10, MB->KB x1024,
+    integer-exact). The engine parses raw strings only. Fused map stage,
+    zero exchange."""
+    import re as _re
+
+    pat = _re.compile(r"(\d+) (kg|cm|MB)\b")
+
+    def run(b: pa.Table) -> pa.Table:
+        ids_, or_, vr_, ur_, vs_, us_ = [], [], [], [], [], []
+        for did, text in zip(
+            b["doc_id"].to_numpy(zero_copy_only=False),
+            b["text"].to_pylist(),
+        ):
+            i = int(did)
+            prose = (
+                f"{text} Sample weighs {1 + i % 90} kg and spans "
+                f"{1 + i % 50} cm; buffer holds {1 + i % 30} MB."
+            )
+            for ord_, m in enumerate(pat.finditer(prose)):
+                v = int(m.group(1))
+                unit = m.group(2)
+                si_unit, mult = _UNIT_SI[unit]
+                ids_.append(i)
+                or_.append(ord_)
+                vr_.append(v)
+                ur_.append(unit)
+                vs_.append(v * mult)
+                us_.append(si_unit)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_, pa.int64()),
+                "ord": pa.array(or_, pa.int64()),
+                "value_raw": pa.array(vr_, pa.int64()),
+                "unit_raw": pa.array(ur_, pa.string()),
+                "value_si": pa.array(vs_, pa.int64()),
+                "unit_si": pa.array(us_, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
+@register(
+    "doc_dates_normalize",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, 1 + doc_id % 12 AS m, 1 + doc_id % 28 AS d
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE doc_id % 3
+               WHEN 0 THEN '2021-' || lpad(CAST(m AS VARCHAR), 2, '0')
+                           || '-' || lpad(CAST(d AS VARCHAR), 2, '0')
+               WHEN 1 THEN (
+                   [{", ".join(repr(mn) for mn in _MONTHS)}][m]
+               ) || ' ' || d || ', 2021'
+               ELSE lpad(CAST(d AS VARCHAR), 2, '0') || '/'
+                    || lpad(CAST(m AS VARCHAR), 2, '0') || '/2021'
+           END AS raw_date,
+           '2021-' || lpad(CAST(m AS VARCHAR), 2, '0') || '-'
+                   || lpad(CAST(d AS VARCHAR), 2, '0') AS iso_date,
+           CASE doc_id % 3 WHEN 0 THEN 'iso' WHEN 1 THEN 'long'
+                ELSE 'euro' END AS fmt
+    FROM base
+    """,
+)
+def doc_dates_normalize(sf_dir: str):
+    """Date normalization across the three formats a scholarly crawl
+    actually serves (ISO, 'March 5, 2021' long form, day-first
+    '05/03/2021' European): a compiled pattern table classifies and
+    parses the RAW string (month-name lookup for the long form; the
+    euro form pins day-first disambiguation) and every row re-emits as
+    ISO. The oracle rebuilds each surface form and the ISO target from
+    the planted (month, day) arithmetic. Fused map stage, zero
+    exchange."""
+    import re as _re
+
+    iso_re = _re.compile(r"^(\d{4})-(\d{2})-(\d{2})$")
+    long_re = _re.compile(r"^([A-Z][a-z]+) (\d{1,2}), (\d{4})$")
+    euro_re = _re.compile(r"^(\d{2})/(\d{2})/(\d{4})$")
+    month_no = {mn: k + 1 for k, mn in enumerate(_MONTHS)}
+
+    def run(b: pa.Table) -> pa.Table:
+        ids_, rd_, io_, fm_ = [], [], [], []
+        for did in b["doc_id"].to_numpy(zero_copy_only=False):
+            i = int(did)
+            m, d = 1 + i % 12, 1 + i % 28
+            case = i % 3
+            if case == 0:
+                raw = f"2021-{m:02d}-{d:02d}"
+            elif case == 1:
+                raw = f"{_MONTHS[m - 1]} {d}, 2021"
+            else:
+                raw = f"{d:02d}/{m:02d}/2021"
+            # --- engine side: classify + parse the raw string only ---
+            if g := iso_re.match(raw):
+                y, mm, dd = int(g.group(1)), int(g.group(2)), int(g.group(3))
+                fmt = "iso"
+            elif g := long_re.match(raw):
+                y, mm, dd = (
+                    int(g.group(3)), month_no[g.group(1)], int(g.group(2))
+                )
+                fmt = "long"
+            elif g := euro_re.match(raw):
+                y, mm, dd = int(g.group(3)), int(g.group(2)), int(g.group(1))
+                fmt = "euro"
+            else:
+                continue
+            ids_.append(i)
+            rd_.append(raw)
+            io_.append(f"{y:04d}-{mm:02d}-{dd:02d}")
+            fm_.append(fmt)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_, pa.int64()),
+                "raw_date": pa.array(rd_, pa.string()),
+                "iso_date": pa.array(io_, pa.string()),
+                "fmt": pa.array(fm_, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        run, batch_format="pyarrow"
+    )
