@@ -1890,3 +1890,117 @@ def page_rss_items(sf_dir: str):
     return _docs(sf_dir, columns=("doc_id",)).map_batches(
         run, batch_format="pyarrow"
     )
+
+
+# --------------------------------------------------------------------------
+# Magic-byte payload sniffing: crawl servers lie about Content-Type, so
+# the router classifies by leading bytes. Payloads are built by the REAL
+# format writers (PDF/PNG/GIF/WAV/gzip/HTML) and %5 rows declare a wrong
+# type, which the sniffer must override.
+# --------------------------------------------------------------------------
+
+_MAGIC_TABLE = (
+    ("pdf", b"%PDF-"),
+    ("png", b"\x89PNG\r\n\x1a\n"),
+    ("gif", b"GIF8"),
+    ("jpeg", b"\xff\xd8\xff"),
+    ("wav", b"RIFF"),
+    ("gzip", b"\x1f\x8b"),
+)
+
+
+def sniff_payload_type(payload: bytes) -> str:
+    for name, magic in _MAGIC_TABLE:
+        if payload[: len(magic)] == magic:
+            return name
+    head = payload[:256].lstrip().lower()
+    if head.startswith((b"<!doctype", b"<html")):
+        return "html"
+    return "octet-stream"
+
+
+@register(
+    "payload_magic_sniff",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 6
+               WHEN 0 THEN 'pdf' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
+               WHEN 3 THEN 'wav' WHEN 4 THEN 'gzip' ELSE 'html'
+           END AS sniffed_type,
+           CASE WHEN doc_id % 5 = 0 THEN 'text/plain' ELSE
+               CASE doc_id % 6
+                   WHEN 0 THEN 'application/pdf' WHEN 1 THEN 'image/png'
+                   WHEN 2 THEN 'image/gif' WHEN 3 THEN 'audio/wav'
+                   WHEN 4 THEN 'application/gzip' ELSE 'text/html'
+               END
+           END AS declared_type,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS mislabeled
+    FROM documents
+    """,
+)
+def payload_magic_sniff(sf_dir: str):
+    """Content-type routing by magic bytes over payloads built by the
+    repo's REAL format writers (PDF writer, PNG/GIF encoders, WAV
+    RIFF builder, a one-member gzip, rendered HTML): %5 rows carry a
+    lying 'text/plain' declaration that the sniffer must override —
+    exactly the router decision the extraction pipeline makes before
+    dispatching to the PDF pool vs the DOM stripper. Prefix compares
+    only (first 8 bytes + an HTML head probe); one fused map stage."""
+    import gzip as _gzip
+
+    from sciscraper_ray.sources.pdf_write import build_pdf
+    from sciscraper_ray.stages.gif import encode_gif
+    from sciscraper_ray.stages.png import encode_png
+    from sciscraper_ray.stages.wav import encode_wav
+
+    _MIME = {
+        "pdf": "application/pdf", "png": "image/png", "gif": "image/gif",
+        "wav": "audio/wav", "gzip": "application/gzip", "html": "text/html",
+    }
+
+    def run(b: pa.Table) -> pa.Table:
+        ids_, sn_, de_, mi_ = [], [], [], []
+        for did in b["doc_id"].to_numpy(zero_copy_only=False):
+            i = int(did)
+            case = i % 6
+            if case == 0:
+                payload = build_pdf([f"doc {i}"])
+            elif case == 1:
+                payload = encode_png(
+                    np.full((4, 4), i % 256, np.uint8), filter_type=0
+                )
+            elif case == 2:
+                img = np.full((3, 3), i % 200, np.uint8)
+                pal = np.stack(
+                    [np.arange(256)] * 3, axis=1
+                ).astype(np.uint8)
+                payload = encode_gif(img, pal)
+            elif case == 3:
+                payload = encode_wav(
+                    np.zeros((8, 1), np.int16), sample_rate=8000
+                )
+            elif case == 4:
+                payload = _gzip.compress(f"record {i}".encode(), mtime=0)
+            else:
+                payload = f"<!DOCTYPE html><html><body>{i}</body></html>".encode()
+            declared = "text/plain" if i % 5 == 0 else _MIME[
+                ("pdf", "png", "gif", "wav", "gzip", "html")[case]
+            ]
+            sniffed = sniff_payload_type(payload)
+            ids_.append(i)
+            sn_.append(sniffed)
+            de_.append(declared)
+            mi_.append(1 if _MIME.get(sniffed) != declared else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_, pa.int64()),
+                "sniffed_type": pa.array(sn_, pa.string()),
+                "declared_type": pa.array(de_, pa.string()),
+                "mislabeled": pa.array(mi_, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        run, batch_format="pyarrow"
+    )

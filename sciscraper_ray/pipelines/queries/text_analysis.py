@@ -2956,3 +2956,91 @@ def doc_license_classify(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Unicode script-mix profiling: per doc, codepoint counts per script
+# class — the mojibake/mixed-script symptom detector that runs next to
+# lang-ID in a multilingual crawl. Pure vectorized regex counting (one
+# Arrow pass per script class), no Python rows.
+
+_SCRIPT_CLASSES = (
+    ("cyrillic", r"[\x{0400}-\x{04FF}]", "[Ѐ-ӿ]"),
+    ("greek", r"[\x{0370}-\x{03FF}]", "[Ͱ-Ͽ]"),
+    ("cjk", r"[\x{4E00}-\x{9FFF}]", "[一-鿿]"),
+)
+
+
+@register(
+    "doc_script_mix",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               text || CASE
+                   WHEN doc_id % 7 = 0 THEN ' Привет мир'
+                   WHEN doc_id % 7 = 1 THEN ' αβγ δέλτα'
+                   WHEN doc_id % 7 = 2 THEN ' 中文 测试'
+                   WHEN doc_id % 7 = 3 THEN ' Привет αβγ 中'
+                   ELSE ''
+               END AS tt
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(regexp_replace(tt, '[^\x{0400}-\x{04FF}]', '', 'g'))
+               AS BIGINT) AS cyrillic_chars,
+           CAST(length(regexp_replace(tt, '[^\x{0370}-\x{03FF}]', '', 'g'))
+               AS BIGINT) AS greek_chars,
+           CAST(length(regexp_replace(tt, '[^\x{4E00}-\x{9FFF}]', '', 'g'))
+               AS BIGINT) AS cjk_chars,
+           CAST(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END AS BIGINT)
+               AS is_mixed
+    FROM t
+    """,
+)
+def doc_script_mix(sf_dir: str):
+    """Script-mix X-ray: Cyrillic/Greek/CJK codepoint counts per doc
+    (the base corpus is Latin-only; %7 cases plant one foreign-script
+    tail each and case 3 plants all three at once — the mixed-script
+    page a mojibake detector must flag). Engine counts via one
+    pc.count_substring_regex pass per script class; is_mixed = at least
+    two non-Latin classes present. The oracle counts the same codepoint
+    ranges with RE2 strip-and-length. Zero exchange."""
+
+    def run(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        tails = []
+        for i in ids:
+            i = int(i)
+            tails.append(
+                {
+                    0: " Привет мир",
+                    1: " αβγ δέλτα",
+                    2: " 中文 测试",
+                    3: " Привет αβγ 中",
+                }.get(i % 7, "")
+            )
+        tt = pc.binary_join_element_wise(
+            b["text"], pa.array(tails, pa.string()), ""
+        )
+        counts = {}
+        for name, _duck_re, arrow_re in _SCRIPT_CLASSES:
+            counts[name] = pc.cast(
+                pc.count_substring_regex(tt, arrow_re), pa.int64()
+            )
+        present = None
+        for name in counts:
+            flag = pc.cast(pc.greater(counts[name], 0), pa.int64())
+            present = flag if present is None else pc.add(present, flag)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "cyrillic_chars": counts["cyrillic"],
+                "greek_chars": counts["greek"],
+                "cjk_chars": counts["cjk"],
+                "is_mixed": pc.cast(
+                    pc.greater_equal(present, 2), pa.int64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(run, batch_format="pyarrow")
