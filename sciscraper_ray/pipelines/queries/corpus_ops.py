@@ -3712,3 +3712,173 @@ def host_template_lcp(sf_dir: str):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document suffix arrays via vectorized prefix doubling (the
+# Manber-Myers O(n log n) construction, all numpy — no O(n^2) suffix
+# materialization), plus Kasai-adjacent LCP for the longest repeated
+# substring. This is the in-doc half of the ExactSubstr machinery
+# (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+# Better" builds exactly these arrays); the cross-doc half is
+# pipelines/substr.py.
+
+
+def suffix_ranks(s: "np.ndarray") -> "np.ndarray":
+    """rank[i] = 0-based lexicographic rank of suffix s[i:] among all
+    suffixes (uint8 array in, int64 out); prefix doubling with lexsort —
+    O(n log^2 n) C-level work, no suffix strings materialized."""
+    n = len(s)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    rank = s.astype(np.int64)
+    k = 1
+    while True:
+        key2 = np.full(n, -1, np.int64)
+        if k < n:
+            key2[:-k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        new = np.zeros(n, np.int64)
+        if n > 1:
+            r_o, k_o = rank[order], key2[order]
+            bump = (r_o[1:] != r_o[:-1]) | (k_o[1:] != k_o[:-1])
+            new[order[1:]] = np.cumsum(bump)
+        if new.max() == n - 1 or k >= n:
+            return new
+        rank = new
+        k *= 2
+
+
+_LRS_CAP = 32  # capped LCP grid keeps the SQL oracle polynomial
+
+
+@register(
+    "doc_suffix_array",
+    oracle="""
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           CAST(rank() OVER (
+               PARTITION BY doc_id ORDER BY substr(text, CAST(pos AS INTEGER))
+           ) AS BIGINT) AS suffix_rank
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(1, length(text) + 1)) AS pos
+        FROM documents
+    )
+    """,
+)
+def doc_suffix_array(sf_dir: str):
+    """Suffix array of every document (char grain): rank[pos] via
+    prefix doubling — each round is one np.lexsort over (rank, rank
+    shifted by 2^k) with cumsum re-ranking, terminating when ranks are a
+    permutation. Emits (doc_id, 1-based pos, 1-based rank); suffixes of
+    one string are pairwise distinct so the oracle's plain ORDER BY
+    substr rank is total. Per-doc arrays factorize, so the stage is a
+    pure map over batches — corpus-scale cost is the same O(chars)
+    row emission as any tokenizing pass, zero exchange."""
+
+    def run(b: pa.Table) -> pa.Table:
+        ids_, pos_, rk_ = [], [], []
+        for did, text in zip(
+            b["doc_id"].to_numpy(zero_copy_only=False),
+            b["text"].to_pylist(),
+        ):
+            s = np.frombuffer(text.encode("ascii"), np.uint8)
+            r = suffix_ranks(s)
+            n = len(s)
+            ids_.append(np.full(n, int(did), np.int64))
+            pos_.append(np.arange(1, n + 1, dtype=np.int64))
+            rk_.append(r + 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(ids_)),
+                "pos": pa.array(np.concatenate(pos_)),
+                "suffix_rank": pa.array(np.concatenate(rk_)),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
+@register(
+    "doc_longest_repeat",
+    oracle=f"""
+    WITH sa AS (
+        SELECT doc_id, text, pos,
+               rank() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY substr(text, CAST(pos AS INTEGER))
+               ) AS r
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(1, length(text) + 1)) AS pos
+            FROM documents
+        )
+    ),
+    adj AS (
+        SELECT a.doc_id, a.text, a.pos AS p1, b.pos AS p2
+        FROM sa a JOIN sa b
+          ON b.doc_id = a.doc_id AND b.r = a.r + 1
+    ),
+    grid AS (
+        SELECT doc_id, text, p1, p2, unnest(range({_LRS_CAP} + 1)) AS q
+        FROM adj
+    )
+    SELECT doc_id, CAST(max(q) AS BIGINT) AS lrs_capped
+    FROM grid
+    WHERE substr(text, CAST(p1 AS INTEGER), CAST(q AS INTEGER))
+        = substr(text, CAST(p2 AS INTEGER), CAST(q AS INTEGER))
+    GROUP BY doc_id
+    """,
+)
+def doc_longest_repeat(sf_dir: str):
+    """Longest repeated substring per document (capped at {CAP} chars;
+    the within-doc repetition signal ExactSubstr thresholds at 50
+    tokens): Kasai's theorem says the LRS is the max LCP of RANK-adjacent
+    suffixes, so the engine walks the suffix array once with the O(n)
+    Kasai h-decrement trick instead of comparing all pairs. The oracle
+    computes the same adjacent-pair max with a capped position grid.
+    Same zero-exchange per-doc map shape as doc_suffix_array."""
+
+    def kasai_lrs(s: "np.ndarray", rank: "np.ndarray") -> int:
+        n = len(s)
+        sa = np.empty(n, np.int64)
+        sa[rank] = np.arange(n)
+        best = 0
+        h = 0
+        for i in range(n):
+            r = rank[i]
+            if r + 1 < n:
+                j = sa[r + 1]
+                while (
+                    i + h < n and j + h < n and s[i + h] == s[j + h]
+                    and h < _LRS_CAP
+                ):
+                    h += 1
+                best = max(best, h)
+                if best >= _LRS_CAP:
+                    return _LRS_CAP
+            else:
+                h = 0
+                continue
+            if h:
+                h -= 1
+        return best
+
+    def run(b: pa.Table) -> pa.Table:
+        ids_, lr_ = [], []
+        for did, text in zip(
+            b["doc_id"].to_numpy(zero_copy_only=False),
+            b["text"].to_pylist(),
+        ):
+            s = np.frombuffer(text.encode("ascii"), np.uint8)
+            r = suffix_ranks(s)
+            ids_.append(int(did))
+            lr_.append(kasai_lrs(s, r))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_, pa.int64()),
+                "lrs_capped": pa.array(lr_, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(run, batch_format="pyarrow")
