@@ -498,3 +498,114 @@ def doc_dates_normalize(sf_dir: str):
     return _docs(sf_dir, columns=("doc_id",)).map_batches(
         run, batch_format="pyarrow"
     )
+
+
+@register(
+    "doc_dehyphenate",
+    oracle="""
+    SELECT doc_id, text AS repaired_text,
+           CAST(CASE WHEN len(toks) > (doc_id % 10)
+                     AND length(toks[(doc_id % 10) + 1]) > 4
+                THEN 1 ELSE 0 END AS BIGINT) AS n_repairs
+    FROM (
+        SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    )
+    """,
+)
+def doc_dehyphenate(sf_dir: str):
+    """Line-break hyphenation repair — the PDF-extraction post-processor
+    that rejoins words split at line ends ('exam- ple' -> 'example').
+    The fixture breaks word #(doc_id%10) of each doc (when longer than 4
+    chars) into 'pre- rest'; one vectorized replace_substring_regex pass
+    repairs every break and the output must be byte-identical to the
+    original text, with the repair count emitted (repairs counted BEFORE
+    the rewrite from the same compiled pattern). The corpus is verified
+    hyphen-free, so a false-positive join is impossible by construction
+    and the oracle is the identity. Zero exchange."""
+
+    def run(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        broken = []
+        for i, text in zip(ids, b["text"].to_pylist()):
+            i = int(i)
+            words = text.split(" ")
+            k = i % 10
+            if k < len(words) and len(words[k]) > 4:
+                w = words[k]
+                words[k] = w[:3] + "- " + w[3:]
+            broken.append(" ".join(words))
+        arr = pa.array(broken, pa.string())
+        pat = r"([A-Za-z])- ([A-Za-z])"
+        n_repairs = pc.cast(pc.count_substring_regex(arr, pat), pa.int64())
+        repaired = pc.replace_substring_regex(arr, pat, r"\1\2")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "repaired_text": repaired,
+                "n_repairs": n_repairs,
+            }
+        )
+
+    return _docs(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
+_PHRASE = "zeta quark flux"
+
+
+@register(
+    "retrieval_phrase_search",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               ' ' || text || CASE
+                   WHEN doc_id % 12 = 0
+                       THEN ' {_PHRASE} also {_PHRASE}'
+                   WHEN doc_id % 6 = 0 THEN ' {_PHRASE}'
+                   ELSE ''
+               END || ' ' AS padded
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((length(padded) - length(replace(padded, ' {_PHRASE} ', '')))
+               // length(' {_PHRASE} ') AS BIGINT) AS n_occurrences
+    FROM t
+    WHERE padded LIKE '% {_PHRASE} %'
+    """,
+)
+def retrieval_phrase_search(sf_dir: str):
+    """Exact phrase search (the positional-index intersection, expressed
+    as its substring equivalent over the single-space token stream:
+    ' w1 w2 w3 ' inside ' '||text||' ' holds iff the three tokens are
+    adjacent — token boundaries are exactly the spaces, so no partial-
+    word false positives). %6 docs carry one planted occurrence, %12
+    docs two non-adjacent ones; emitted rows are the matching docs with
+    their non-overlapping occurrence counts. One vectorized
+    count_substring pass, zero exchange — the same scan shape BM25's
+    candidate pass uses."""
+
+    def run(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = []
+        for i, text in zip(ids, b["text"].to_pylist()):
+            i = int(i)
+            if i % 12 == 0:
+                tail = f" {_PHRASE} also {_PHRASE}"
+            elif i % 6 == 0:
+                tail = f" {_PHRASE}"
+            else:
+                tail = ""
+            texts.append(f" {text}{tail} ")
+        arr = pa.array(texts, pa.string())
+        cnt = pc.cast(
+            pc.count_substring(arr, f" {_PHRASE} "), pa.int64()
+        )
+        keep = pc.greater(cnt, 0)
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "n_occurrences": cnt,
+            }
+        )
+        return t.filter(keep)
+
+    return _docs(sf_dir).map_batches(run, batch_format="pyarrow")
