@@ -3038,3 +3038,90 @@ def events_dgim_window_count(sf_dir: str):
         )
 
     return bucketed_window(ds, kernel, key="user_id")
+
+
+@register(
+    "events_hourly_ffill",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id,
+               CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts)
+                   AS BIGINT) AS h,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM spans
+    )
+    SELECT grid.user_id, CAST(grid.h AS BIGINT) AS hour,
+           CAST(last_value(hourly.cents IGNORE NULLS) OVER (
+               PARTITION BY grid.user_id ORDER BY grid.h
+           ) AS BIGINT) AS cents_filled,
+           CAST(CASE WHEN hourly.cents IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_filled
+    FROM grid LEFT JOIN hourly
+      ON hourly.user_id = grid.user_id AND hourly.h = grid.h
+    """,
+)
+def events_hourly_ffill(sf_dir: str):
+    """Dense per-user hourly series with forward-fill gap repair — the
+    time-series regularization every downstream window model needs
+    (silent hours inherit the last observed hourly total). Integer-cents
+    sums keep the fill engine-exact. One bucketed shuffle on user; per
+    bucket a lexsort + bincount builds each user's observed hours, the
+    dense grid is an arange over the user's own [min, max] span, and the
+    fill is the classic np.maximum.accumulate index trick — no per-user
+    dispatch, no driver state. The oracle rebuilds the grid with
+    range() and last_value IGNORE NULLS."""
+    import pandas as pd
+
+    import ray  # noqa: F401
+
+    from sciscraper_ray.stages.window import bucketed_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    epoch = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+
+    def kernel(g: "pd.DataFrame") -> "pd.DataFrame":
+        user = g["user_id"].to_numpy()
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        h = (ts - epoch) // 3_600_000_000
+        order = np.lexsort((h, user))
+        user, h, cents = user[order], h[order], cents[order]
+        out_u, out_h, out_c, out_f = [], [], [], []
+        bounds = np.flatnonzero(
+            np.concatenate(([True], user[1:] != user[:-1]))
+        )
+        ends = np.concatenate((bounds[1:], [len(user)]))
+        for s, e in zip(bounds, ends):
+            uh, uc = h[s:e], cents[s:e]
+            h0, h1 = int(uh[0]), int(uh[-1])
+            span = h1 - h0 + 1
+            sums = np.bincount(uh - h0, weights=uc, minlength=span).astype(
+                np.int64
+            )
+            observed = np.zeros(span, bool)
+            observed[uh - h0] = True
+            # ffill: index of the last observed hour at or before each slot
+            idx = np.where(observed, np.arange(span), 0)
+            idx = np.maximum.accumulate(idx)
+            out_u.append(np.full(span, user[s], np.int64))
+            out_h.append(np.arange(h0, h1 + 1, dtype=np.int64))
+            out_c.append(sums[idx])
+            out_f.append((~observed).astype(np.int64))
+        return pd.DataFrame(
+            {
+                "user_id": np.concatenate(out_u),
+                "hour": np.concatenate(out_h),
+                "cents_filled": np.concatenate(out_c),
+                "is_filled": np.concatenate(out_f),
+            }
+        )
+
+    return bucketed_window(ds, kernel, key="user_id")

@@ -2004,3 +2004,63 @@ def payload_magic_sniff(sf_dir: str):
     return _docs(sf_dir, columns=("doc_id",)).map_batches(
         run, batch_format="pyarrow"
     )
+
+
+@register(
+    "dom_xpath_select",
+    oracle="""
+    WITH q(ord, xpath) AS (
+        VALUES (0, '/html/body/div[1]/p[2]'), (1, '//span/@data-x'),
+               (2, '/html/body/ul/li[2]'), (3, '//p')
+    )
+    SELECT d.doc_id, q.xpath,
+           CASE q.ord
+               WHEN 0 THEN 'B' || d.doc_id
+               WHEN 1 THEN 'v' || d.doc_id
+               WHEN 2 THEN 'two' || d.doc_id
+               ELSE 'A' || d.doc_id
+           END AS value
+    FROM documents d CROSS JOIN q
+    """,
+)
+def dom_xpath_select(sf_dir: str):
+    """XPath-lite DOM selection (the second selector language next to
+    the CSS engine): absolute child-axis paths, 1-based SAME-TAG
+    positional predicates (XPath semantics — div[2] is the second div
+    sibling, not nth-child), a //tag descendant seed, and a trailing
+    @attr step, evaluated against the real tree builder. Four
+    expressions per page cover each feature; the sibling-index fixture
+    (two <p> under one <div>, the value in the SECOND) fails any
+    evaluator that confuses nth-of-type with nth-child. Fused map,
+    zero exchange."""
+    from sciscraper_ray.stages.dom_select import xpath_select
+
+    _XPATHS = (
+        "/html/body/div[1]/p[2]", "//span/@data-x",
+        "/html/body/ul/li[2]", "//p",
+    )
+
+    def run(b: pa.Table) -> pa.Table:
+        ids_, xp_, va_ = [], [], []
+        for did in b["doc_id"].to_numpy(zero_copy_only=False):
+            i = int(did)
+            html = (
+                f"<html><body><div><p>A{i}</p><p>B{i}</p></div>"
+                f'<div><span data-x="v{i}">C{i}</span></div>'
+                f"<ul><li>one{i}</li><li>two{i}</li></ul></body></html>"
+            )
+            for xp in _XPATHS:
+                ids_.append(i)
+                xp_.append(xp)
+                va_.append(xpath_select(html, xp))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_, pa.int64()),
+                "xpath": pa.array(xp_, pa.string()),
+                "value": pa.array(va_, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        run, batch_format="pyarrow"
+    )

@@ -219,3 +219,78 @@ class DomSelectStage:
         for name in names:
             out = out.append_column(name, pa.array(cols[name], type=pa.string()))
         return out
+
+
+# -- XPath-lite ------------------------------------------------------------
+
+_XPATH_STEP = re.compile(r"^([a-zA-Z][a-zA-Z0-9]*)(?:\[(\d+)\])?$")
+
+
+def xpath_select(html: str, xpath: str) -> str | None:
+    """Evaluate an XPath-lite expression against the document:
+
+    - absolute paths ``/html/body/div`` (child axis per step);
+    - 1-based positional predicates ``div[2]`` counting SAME-TAG siblings
+      (XPath semantics, not nth-child);
+    - a leading ``//tag`` descendant step (document-order first walk);
+    - a final ``@attr`` step returning the attribute value.
+
+    Returns the first match's text (or attribute), None when the path
+    matches nothing — the subset covering the selector workloads the
+    CSS engine (select_text) doesn't express, e.g. positional sibling
+    indexing and attribute extraction in one expression."""
+    b = _TreeBuilder()
+    b.feed(html)
+    b.close()
+
+    attr = None
+    if "/@" in xpath:
+        xpath, attr = xpath.rsplit("/@", 1)
+    if xpath.startswith("//"):
+        steps = xpath[2:].split("/")
+        # descendant seed: every node whose tag matches the first step
+        first = steps[0]
+        m = _XPATH_STEP.match(first)
+        if not m:
+            return None
+        tag0, idx0 = m.group(1), m.group(2)
+        seeds: list[_Node] = []
+
+        def walk(n: _Node):
+            for c in n.children:
+                if c.tag == tag0:
+                    seeds.append(c)
+                walk(c)
+
+        walk(b.root)
+        if idx0:
+            k = int(idx0)
+            if len(seeds) < k:
+                return None
+            seeds = [seeds[k - 1]]
+        frontier = seeds
+        steps = steps[1:]
+    else:
+        frontier = [b.root]
+        steps = [s for s in xpath.split("/") if s]
+    for step in steps:
+        m = _XPATH_STEP.match(step)
+        if not m:
+            return None
+        tag, idx = m.group(1), m.group(2)
+        nxt: list[_Node] = []
+        for node in frontier:
+            same = [c for c in node.children if c.tag == tag]
+            if idx:
+                k = int(idx)
+                if len(same) >= k:
+                    nxt.append(same[k - 1])
+            else:
+                nxt.extend(same)
+        frontier = nxt
+        if not frontier:
+            return None
+    node = frontier[0]
+    if attr is not None:
+        return node.attrs.get(attr)
+    return node.text()
