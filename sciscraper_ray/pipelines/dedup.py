@@ -426,6 +426,155 @@ def near_dup_pairs_editdist(
     )
 
 
+def osa_np(s: str, t: str) -> int:
+    """Optimal String Alignment distance (restricted Damerau-Levenshtein:
+    adjacent transposition counts 1 but no substring is edited twice) via
+    the same row-DP + minimum-accumulate trick as ``levenshtein_np`` —
+    the transposition term enters the pre-accumulate candidate row just
+    like substitution, so each row stays O(|t|) numpy."""
+    sa = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    ta = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+    if len(sa) == 0 or len(ta) == 0:
+        return max(len(sa), len(ta))
+    m = len(ta)
+    jar = np.arange(m + 1)
+    prev = jar.copy()
+    prev2 = None
+    sprev = None
+    for i in range(1, len(sa) + 1):
+        sub = prev[:-1] + (ta != sa[i - 1])
+        c0 = np.concatenate(([i], np.minimum(prev[1:] + 1, sub)))
+        if prev2 is not None and m >= 2:
+            # transposition: s[i-2:i] == reversed(t[j-2:j])
+            tr_ok = (ta[1:] == sprev) & (ta[:-1] == sa[i - 1])
+            trans = np.where(tr_ok, prev2[:-2] + 1, np.iinfo(np.int64).max)
+            c0[2:] = np.minimum(c0[2:], trans)
+        cur = np.minimum.accumulate(c0 - jar) + jar
+        prev2, prev, sprev = prev, cur, sa[i - 1]
+    return int(prev[-1])
+
+
+def damerau_levenshtein_exact(s: str, t: str) -> int:
+    """UNRESTRICTED Damerau-Levenshtein (Lowrance-Wagner): transposed
+    characters may drift apart through later edits ('ca' -> 'abc' is 2,
+    where OSA says 3). Matches DuckDB's ``damerau_levenshtein`` so the
+    oracle can recompute the join natively. O(|s|*|t|) Python — only ever
+    called on the narrow tier-2 band the vectorized OSA pass can't
+    decide (see ``near_dup_pairs_damerau``)."""
+    da: dict[str, int] = {}
+    la, lb = len(s), len(t)
+    inf = la + lb
+    d = np.empty((la + 2, lb + 2), np.int64)
+    d[0, :] = inf
+    d[:, 0] = inf
+    d[1, 1:] = np.arange(lb + 1)
+    d[1:, 1] = np.arange(la + 1)
+    for i in range(1, la + 1):
+        db = 0
+        ci = s[i - 1]
+        for j in range(1, lb + 1):
+            cj = t[j - 1]
+            k = da.get(cj, 0)
+            l = db
+            if ci == cj:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1, j + 1] = min(
+                d[i, j] + cost,
+                d[i + 1, j] + 1,
+                d[i, j + 1] + 1,
+                d[k, l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[ci] = i
+    return int(d[la + 1, lb + 1])
+
+
+def near_dup_pairs_damerau(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 6,
+    pair_mode: str = "auto",
+) -> pa.Table:
+    """Transposition-aware similarity join: (a, b) with unrestricted
+    damerau_levenshtein(text_a, text_b) <= max_dist, a < b.
+
+    Same zero-false-negative length blocking as the Levenshtein join
+    (transpositions don't change length, so |len diff| <= D still holds),
+    then a THREE-TIER verify so the O(n*m) exact DP almost never runs:
+
+    1. counting filter — DL >= sum_c |count_a(c) - count_b(c)| / 2
+       (sub changes two char counts, ins/del one, transposition none),
+       evaluated as ONE numpy op over the whole candidate set;
+    2. vectorized OSA row-DP: DL <= OSA always, and OSA <= Lev <= 2*DL
+       (replace each transposition with two substitutions), so
+       OSA <= D accepts and OSA > 2*D rejects with no exact call;
+    3. Lowrance-Wagner exact DP only for the D < OSA <= 2*D band.
+    """
+    width = max_dist + 1
+
+    def block(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        lens = np.array(
+            [len(t) if t is not None else -1 for t in batch[text_col].to_pylist()],
+            dtype=np.int64,
+        )
+        keep = lens >= 0
+        ids, lens = ids[keep], lens[keep]
+        blk = lens // width
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate([ids, ids]), pa.int64()),
+                "blk": pa.array(np.concatenate([blk, blk + 1]), pa.int64()),
+            }
+        )
+
+    banded = ds.map_batches(block, batch_format="pyarrow")
+    pairs = _candidate_pairs(banded, ["blk"], pair_mode)
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    if pairs.empty:
+        return empty
+    texts = _texts_for(ds, np.unique(pairs[["a", "b"]].to_numpy()), id_col, text_col)
+    ids_sorted = np.array(sorted(texts), np.int64)
+    # 256-wide byte histograms (texts are UTF-8; multibyte chars shift the
+    # bound conservatively, never unsafely: each char edit moves <= 8 byte
+    # counts, so divide by 8 instead of 2 when any text is non-ASCII).
+    hist = np.zeros((len(ids_sorted), 256), np.int32)
+    ascii_only = True
+    for row, i in enumerate(ids_sorted):
+        bb = np.frombuffer(texts[int(i)].encode(), np.uint8)
+        if bb.size and bb.max() >= 128:
+            ascii_only = False
+        hist[row] = np.bincount(bb, minlength=256)
+    ai = np.searchsorted(ids_sorted, pairs["a"].to_numpy())
+    bi = np.searchsorted(ids_sorted, pairs["b"].to_numpy())
+    l1 = np.abs(hist[ai] - hist[bi]).sum(axis=1)
+    lower = l1 // (2 if ascii_only else 8)
+    pairs = pairs[lower <= max_dist]
+    if pairs.empty:
+        return empty
+    keep = []
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ta, tb = texts[int(a)], texts[int(b)]
+        if abs(len(ta) - len(tb)) > max_dist:
+            keep.append(False)
+            continue
+        osa = osa_np(ta, tb)
+        if osa <= max_dist:
+            keep.append(True)
+        elif osa > 2 * max_dist:
+            keep.append(False)
+        else:
+            keep.append(damerau_levenshtein_exact(ta, tb) <= max_dist)
+    out = pairs[np.array(keep, dtype=bool)]
+    return pa.table(
+        {"a": pa.array(out["a"], pa.int64()), "b": pa.array(out["b"], pa.int64())}
+    )
+
+
 def exact_dedup_stateful(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",

@@ -1858,3 +1858,66 @@ def dedup_incremental_ingest(sf_dir: str, num_buckets: int = 16):
     return _docs(sf_dir, columns=("doc_id",)).map_batches(
         annotate, batch_format="pyarrow"
     )
+
+
+@register(
+    "dedup_damerau",
+    oracle="""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 1
+        UNION ALL
+        SELECT doc_id + 900000,
+               substr(text, 2, 1) || 'q' || substr(text, 1, 1) || substr(text, 3)
+        FROM documents
+        WHERE doc_id % 17 = 0 AND doc_id % 5 = 1 AND length(text) >= 2
+    )
+    SELECT x.doc_id AS a, y.doc_id AS b
+    FROM all_docs x JOIN all_docs y
+      ON x.doc_id < y.doc_id
+     AND abs(length(x.text) - length(y.text)) <= 6
+    WHERE damerau_levenshtein(x.text, y.text) <= 6
+    """,
+)
+def dedup_damerau(sf_dir: str):
+    """Transposition-aware edit-similarity join (UNRESTRICTED
+    Damerau-Levenshtein <= 6): the OCR/typo dedup regime where swapped
+    adjacent characters are one error, not two — including the
+    Lowrance-Wagner case OSA misses (transposed characters drifting
+    apart through a later insertion). Length-blocked candidates with
+    zero false negatives, then a three-tier verify (byte-histogram
+    counting filter -> vectorized OSA row-DP, exact only inside the
+    D < OSA <= 2D band) — see pipelines/dedup.py
+    near_dup_pairs_damerau. The fixture is the doc_id % 5 == 1 fifth of
+    the corpus plus, for its % 17 == 0 members, a mutant built by
+    transposing the first two characters AND inserting 'q' between them
+    (distance exactly 2 under unrestricted D-L, 3 under OSA and 4 under
+    plain Levenshtein — so the oracle's native damerau_levenshtein is
+    the only semantics that reproduces the pair set). The oracle
+    recomputes the join exhaustively on the same fixture."""
+    from sciscraper_ray.pipelines.dedup import near_dup_pairs_damerau
+
+    ds0 = _docs(sf_dir)
+
+    def fifth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 5 == 1))
+
+    base = ds0.map_batches(fifth, batch_format="pyarrow")
+
+    def mutants(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        out_id, out_tx = [], []
+        for i, t in zip(ids, texts):
+            if i % 17 == 0 and t is not None and len(t) >= 2:
+                out_id.append(int(i) + 900_000)
+                out_tx.append(t[1] + "q" + t[0] + t[2:])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "text": pa.array(out_tx, pa.string()),
+            }
+        )
+
+    ds = base.union(base.map_batches(mutants, batch_format="pyarrow")).materialize()
+    return near_dup_pairs_damerau(ds, max_dist=6)

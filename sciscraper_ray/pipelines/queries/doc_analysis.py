@@ -609,3 +609,76 @@ def retrieval_phrase_search(sf_dir: str):
         return t.filter(keep)
 
     return _docs(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
+# Border-free literals (no proper prefix equals a suffix), so occurrences
+# can never overlap themselves and the overlap-counting scan below agrees
+# exactly with the oracle's non-overlapping replace() arithmetic.
+_SCAN_LITERALS = ("data", "model", "tion", "stream", "batch", "index")
+
+_SCAN_VALUES = ", ".join(f"('{p}')" for p in _SCAN_LITERALS)
+
+
+@register(
+    "doc_literal_scan",
+    oracle=f"""
+    WITH pats AS (SELECT * FROM (VALUES {_SCAN_VALUES}) AS t(pattern))
+    SELECT d.doc_id, p.pattern,
+           CAST((length(d.text) - length(replace(d.text, p.pattern, '')))
+                / length(p.pattern) AS BIGINT) AS cnt
+    FROM documents d CROSS JOIN pats p
+    """,
+)
+def doc_literal_scan(sf_dir: str):
+    """Multi-literal keyword spotting over raw text — substring counts
+    (crossing token boundaries, e.g. 'tion' inside words), the primitive
+    behind lexicon hit-rate filters and contamination canaries. Fully
+    vectorized: each batch's texts are concatenated into one uint8 byte
+    buffer with a NUL fence between docs, one stride-tricks
+    sliding_window_view comparison per literal finds every occurrence in
+    O(len * pat) numpy, and hit positions map back to documents with a
+    single searchsorted against the doc-offset array — no per-row Python.
+    ASCII literals cannot match inside UTF-8 multibyte sequences
+    (continuation bytes are >= 0x80), so byte counts equal character
+    counts. The dense doc x literal grid (zeros included) comes from one
+    bincount per literal. Literals are border-free by construction, so
+    the overlap-free count the scan produces equals the oracle's
+    left-to-right replace() count."""
+
+    def scan(batch: pa.Table) -> pa.Table:
+        texts = [t if t is not None else "" for t in batch["text"].to_pylist()]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(texts)
+        bufs = [t.encode() for t in texts]
+        lens = np.fromiter((len(b) for b in bufs), np.int64, n)
+        # fence byte between docs so no window spans two documents
+        big = np.zeros(int(lens.sum()) + n, np.uint8)
+        starts = np.zeros(n, np.int64)
+        pos = 0
+        for i, b in enumerate(bufs):
+            starts[i] = pos
+            big[pos : pos + len(b)] = np.frombuffer(b, np.uint8)
+            pos += len(b) + 1
+        out_id, out_pat, out_cnt = [], [], []
+        for pat in _SCAN_LITERALS:
+            pb = np.frombuffer(pat.encode(), np.uint8)
+            w = len(pb)
+            if len(big) >= w:
+                wins = np.lib.stride_tricks.sliding_window_view(big, w)
+                hit_pos = np.flatnonzero((wins == pb).all(axis=1))
+            else:
+                hit_pos = np.array([], np.int64)
+            owner = np.searchsorted(starts, hit_pos, side="right") - 1
+            cnt = np.bincount(owner, minlength=n).astype(np.int64)
+            out_id.append(ids.astype(np.int64))
+            out_pat.extend([pat] * n)
+            out_cnt.append(cnt)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "pattern": pa.array(out_pat, pa.string()),
+                "cnt": pa.array(np.concatenate(out_cnt), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(scan, batch_format="pyarrow")

@@ -1,0 +1,98 @@
+"""Round-4 session-AR additions: unrestricted Damerau-Levenshtein
+similarity join (Lowrance-Wagner semantics, three-tier verify) and the
+vectorized multi-literal scan — first-principles recomputes (oracle
+parity runs in tools/check_correctness.py)."""
+
+import pandas as pd
+
+from sciscraper_ray.pipelines.dedup import (
+    damerau_levenshtein_exact,
+    levenshtein_np,
+    osa_np,
+)
+from sciscraper_ray.pipelines.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(out):
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    return pd.DataFrame(out)
+
+
+def test_damerau_kernel_goldens():
+    # the canonical unrestricted-vs-OSA divergence: 'ca' -> 'abc'
+    assert damerau_levenshtein_exact("ca", "abc") == 2
+    assert osa_np("ca", "abc") == 3
+    assert levenshtein_np("ca", "abc") == 3
+    # plain transposition costs 1 in both Damerau variants
+    assert damerau_levenshtein_exact("abcd", "acbd") == 1
+    assert osa_np("abcd", "acbd") == 1
+    assert levenshtein_np("abcd", "acbd") == 2
+    # degenerate / identity / pure-Levenshtein cases agree
+    for a, b in [
+        ("", ""),
+        ("", "xyz"),
+        ("kitten", "sitting"),
+        ("flaw", "lawn"),
+        ("abc", "abc"),
+        ("a cat", "an act"),
+        ("a cat", "a abct"),
+    ]:
+        exact = damerau_levenshtein_exact(a, b)
+        assert exact <= osa_np(a, b) <= levenshtein_np(a, b) <= 2 * exact
+
+
+def test_damerau_kernel_vs_duckdb_fuzz():
+    import duckdb
+
+    # deterministic fuzz over a tiny alphabet (maximizes transpositions)
+    strs = []
+    for seed in range(40):
+        s, x = [], seed * 2654435761 % 2**32
+        for _ in range(seed % 9 + 1):
+            x = (x * 1103515245 + 12345) % 2**31
+            s.append("abz"[x % 3])
+        strs.append("".join(s))
+    con = duckdb.connect()
+    for i, a in enumerate(strs):
+        for b in strs[i + 1 :]:
+            want = con.execute(
+                "SELECT damerau_levenshtein(?, ?)", [a, b]
+            ).fetchone()[0]
+            assert damerau_levenshtein_exact(a, b) == want, (a, b)
+
+
+def test_dedup_damerau(ray_session):
+    got = _df(QUERIES["dedup_damerau"](SF))
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    rows = [(int(i), t) for i, t in docs.itertuples(index=False) if i % 5 == 1]
+    rows += [
+        (int(i) + 900_000, t[1] + "q" + t[0] + t[2:])
+        for i, t in rows
+        if i % 17 == 0 and len(t) >= 2
+    ]
+    want = set()
+    for ai, (a, ta) in enumerate(rows):
+        for b, tb in rows[ai + 1 :]:
+            if abs(len(ta) - len(tb)) <= 6 and damerau_levenshtein_exact(ta, tb) <= 6:
+                want.add((min(a, b), max(a, b)))
+    assert set(map(tuple, got[["a", "b"]].to_numpy())) == want
+    assert want, "fixture must produce at least one qualifying pair"
+    # every mutant pairs with its source (distance exactly 2)
+    assert all((i, i + 900_000) in want for i, t in rows if i % 17 == 0 and i < 900_000 and len(t) >= 2)
+
+
+def test_doc_literal_scan(ray_session):
+    got = _df(QUERIES["doc_literal_scan"](SF))
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    pats = ("data", "model", "tion", "stream", "batch", "index")
+    want = {
+        (int(i), p): t.count(p) for i, t in docs.itertuples(index=False) for p in pats
+    }
+    assert len(got) == len(docs) * len(pats)
+    got_map = {
+        (int(r.doc_id), r.pattern): int(r.cnt) for r in got.itertuples(index=False)
+    }
+    assert got_map == want
+    assert sum(got_map.values()) > 0
