@@ -3044,3 +3044,208 @@ def doc_script_mix(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
+# S-stemmer (Harman 1991, "How effective is suffixing?") — the three
+# plural-conflation rules with their exception lists, mirrored verbatim
+# in the oracle's CASE chain. The synthetic vocabulary has no plural
+# surface forms, so the fixture injects deterministic suffix variants
+# ((doc_id + token position) % 7 selects 's'/'ies'/'es'/none), the same
+# construction pattern the dedup family uses for copies.
+_STEM_SQL = """
+        CASE
+            WHEN length(tok) > 4 AND tok LIKE '%ies'
+                 AND tok NOT LIKE '%eies' AND tok NOT LIKE '%aies'
+                THEN substr(tok, 1, length(tok) - 3) || 'y'
+            WHEN length(tok) > 3 AND tok LIKE '%es'
+                 AND tok NOT LIKE '%aes' AND tok NOT LIKE '%ees'
+                 AND tok NOT LIKE '%oes'
+                THEN substr(tok, 1, length(tok) - 1)
+            WHEN length(tok) > 2 AND tok LIKE '%s'
+                 AND tok NOT LIKE '%us' AND tok NOT LIKE '%ss'
+                THEN substr(tok, 1, length(tok) - 1)
+            ELSE tok
+        END
+"""
+
+
+def _s_stem_np(toks: "np.ndarray") -> "np.ndarray":
+    """Vectorized S-stemmer over an object array of tokens (pandas str
+    kernels; one boolean-mask pass per rule, first matching rule wins)."""
+    import pandas as pd
+
+    s = pd.Series(toks, dtype=object)
+    n = s.str.len().to_numpy()
+    r1 = (
+        (n > 4)
+        & s.str.endswith("ies").to_numpy()
+        & ~s.str.endswith(("eies", "aies")).to_numpy()
+    )
+    r2 = (
+        (n > 3)
+        & s.str.endswith("es").to_numpy()
+        & ~s.str.endswith(("aes", "ees", "oes")).to_numpy()
+        & ~r1
+    )
+    r3 = (
+        (n > 2)
+        & s.str.endswith("s").to_numpy()
+        & ~s.str.endswith(("us", "ss")).to_numpy()
+        & ~r1
+        & ~r2
+    )
+    out = s.copy()
+    out[r1] = s[r1].str[:-3] + "y"
+    out[r2] = s[r2].str[:-1]
+    out[r3] = s[r3].str[:-1]
+    return out.to_numpy()
+
+
+@register(
+    "token_stem_conflate",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               unnest({_SQL_TOKENS}) AS tok0,
+               unnest(range(len({_SQL_TOKENS}))) AS ord
+        FROM documents
+    ), surf AS (
+        SELECT tok0 || CASE (doc_id + ord) % 7
+                   WHEN 0 THEN 's' WHEN 1 THEN 'ies' WHEN 2 THEN 'es'
+                   ELSE '' END AS tok
+        FROM base
+    ), stemmed AS (
+        SELECT tok, {_STEM_SQL} AS stem FROM surf
+    )
+    SELECT stem, CAST(count(DISTINCT tok) AS BIGINT) AS n_forms,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM stemmed GROUP BY stem
+    """,
+)
+def token_stem_conflate(sf_dir: str):
+    """Plural-conflation classes under the S-stemmer (Harman 1991): each
+    vocabulary stem with how many distinct surface forms collapse into it
+    and the total token mass — the classic index-time vocabulary
+    compaction, and a direct measure of how much a cheap rule-based
+    stemmer shrinks the type inventory. The three rules ('ies'->'y',
+    drop-'s' after 'es', bare-'s') with their exception suffixes
+    (eies/aies, aes/ees/oes, us/ss) run as vectorized pandas str masks;
+    the exchange is per-batch (stem, surface) Arrow group_by partials
+    merged on the driver — bounded by vocabulary x 4 surface variants,
+    never corpus size."""
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "stem": pa.array([], pa.string()),
+                    "tok": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        starts = np.flatnonzero(np.concatenate(([True], par[1:] != par[:-1])))
+        ords = np.arange(len(flat)) - np.repeat(starts, np.diff(np.concatenate((starts, [len(flat)]))))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[par]
+        sel = (ids + ords) % 7
+        suffix = np.where(
+            sel == 0, "s", np.where(sel == 1, "ies", np.where(sel == 2, "es", ""))
+        )
+        import pandas as pd
+
+        surf = (pd.Series(flat, dtype=object) + pd.Series(suffix)).to_numpy()
+        stems = _s_stem_np(surf)
+        agg = (
+            pa.table({"stem": pa.array(stems, pa.string()), "tok": pa.array(surf, pa.string())})
+            .group_by(["stem", "tok"])
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["stem", "tok", "cnt"])
+
+    parts = _docs(sf_dir).map_batches(partials, batch_format="pyarrow").to_pandas()
+    merged = parts.groupby(["stem", "tok"], as_index=False)["cnt"].sum()
+    out = merged.groupby("stem").agg(n_forms=("tok", "size"), cnt=("cnt", "sum")).reset_index()
+    return pa.table(
+        {
+            "stem": pa.array(out["stem"], pa.string()),
+            "n_forms": pa.array(out["n_forms"].to_numpy(np.int64), pa.int64()),
+            "cnt": pa.array(out["cnt"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+@register(
+    "source_chao1_richness",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), cnt AS (
+        SELECT lang, token, count(*) AS c FROM toks GROUP BY lang, token
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(count(*) FILTER (c = 1) AS BIGINT) AS f1,
+           CAST(count(*) FILTER (c = 2) AS BIGINT) AS f2,
+           count(*) + (CAST(count(*) FILTER (c = 1) AS DOUBLE)
+                       * (CAST(count(*) FILTER (c = 1) AS DOUBLE) - 1))
+                      / (2 * (CAST(count(*) FILTER (c = 2) AS DOUBLE) + 1))
+               AS chao1
+    FROM cnt GROUP BY lang
+    """,
+)
+def source_chao1_richness(sf_dir: str):
+    """Chao1 species-richness estimate of each language's UNSEEN
+    vocabulary: chao1 = D + f1*(f1-1)/(2*(f2+1)) (the bias-corrected
+    form, so f2 = 0 is safe) from the observed type count D and the
+    singleton/doubleton frequencies-of-frequencies f1, f2 — the standard
+    ecology estimator ported to corpus health (how much vocabulary a
+    bigger crawl of this language would still discover). Per-batch
+    (lang, token) Arrow group_by partials, driver merge bounded by
+    vocabulary; the frequency-of-frequency reduction and the estimator
+    are one vectorized pandas pass. Identical double arithmetic order on
+    both sides, so the unrounded chao1 hashes bit-identically."""
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        langs = pc.take(batch["lang"], par)
+        agg = (
+            pa.table({"lang": langs, "token": flat})
+            .group_by(["lang", "token"])
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["lang", "token", "cnt"])
+
+    parts = _docs(sf_dir, columns=("lang", "text")).map_batches(
+        partials, batch_format="pyarrow"
+    ).to_pandas()
+    merged = parts.groupby(["lang", "token"], as_index=False)["cnt"].sum()
+    c = merged["cnt"].to_numpy()
+    grp = merged.groupby("lang")
+    out = grp.agg(
+        n_types=("token", "size"),
+    ).reset_index()
+    f1 = grp["cnt"].apply(lambda s: int((s == 1).sum())).to_numpy(np.int64)
+    f2 = grp["cnt"].apply(lambda s: int((s == 2).sum())).to_numpy(np.int64)
+    nt = out["n_types"].to_numpy(np.int64)
+    chao1 = nt + (f1.astype(np.float64) * (f1.astype(np.float64) - 1)) / (
+        2 * (f2.astype(np.float64) + 1)
+    )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "n_types": pa.array(nt, pa.int64()),
+            "f1": pa.array(f1, pa.int64()),
+            "f2": pa.array(f2, pa.int64()),
+            "chao1": pa.array(chao1, pa.float64()),
+        }
+    )

@@ -96,3 +96,52 @@ def test_doc_literal_scan(ray_session):
     }
     assert got_map == want
     assert sum(got_map.values()) > 0
+
+
+def _s_stem_ref(w: str) -> str:
+    if len(w) > 4 and w.endswith("ies") and not w.endswith(("eies", "aies")):
+        return w[:-3] + "y"
+    if len(w) > 3 and w.endswith("es") and not w.endswith(("aes", "ees", "oes")):
+        return w[:-1]
+    if len(w) > 2 and w.endswith("s") and not w.endswith(("us", "ss")):
+        return w[:-1]
+    return w
+
+
+def test_token_stem_conflate(ray_session):
+    got = _df(QUERIES["token_stem_conflate"](SF))
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    from collections import Counter, defaultdict
+
+    cnt = Counter()
+    forms = defaultdict(set)
+    for i, t in docs.itertuples(index=False):
+        toks = t.strip().lower().split(" ")
+        for k, tok in enumerate(toks):
+            sel = (int(i) + k) % 7
+            surf = tok + {0: "s", 1: "ies", 2: "es"}.get(sel, "")
+            stem = _s_stem_ref(surf)
+            cnt[stem] += 1
+            forms[stem].add(surf)
+    want = {(s, len(forms[s]), c) for s, c in cnt.items()}
+    assert set(map(tuple, got[["stem", "n_forms", "cnt"]].to_numpy())) == want
+    # conflation must actually happen somewhere in the fixture
+    assert any(len(forms[s]) >= 2 for s in forms)
+
+
+def test_source_chao1_richness(ray_session):
+    got = _df(QUERIES["source_chao1_richness"](SF))
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["lang", "text"])
+    from collections import Counter
+
+    per_lang = {}
+    for lang, t in docs.itertuples(index=False):
+        per_lang.setdefault(lang, Counter()).update(t.strip().lower().split(" "))
+    for r in got.itertuples(index=False):
+        c = per_lang[r.lang]
+        d = len(c)
+        f1 = sum(1 for v in c.values() if v == 1)
+        f2 = sum(1 for v in c.values() if v == 2)
+        assert (r.n_types, r.f1, r.f2) == (d, f1, f2)
+        assert abs(r.chao1 - (d + f1 * (f1 - 1) / (2 * (f2 + 1)))) < 1e-9
+    assert len(got) == len(per_lang)
