@@ -4993,3 +4993,78 @@ def graph_scc_sizes(sf_dir: str):
     from sciscraper_ray.pipelines.graph import strongly_connected_sizes
 
     return strongly_connected_sizes(_doc_edges(sf_dir))
+
+
+@register(
+    "link_reciprocity",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id AS u, unnest({_REF_TARGETS_SQL}) AS v FROM documents
+    ), e AS (
+        SELECT DISTINCT u, v FROM raw WHERE u <> v
+    ), r AS (
+        SELECT count(*) AS recip FROM e x JOIN e y ON x.u = y.v AND x.v = y.u
+    )
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT recip FROM r) AS BIGINT) AS n_reciprocal,
+           CAST((SELECT recip FROM r) AS DOUBLE)
+               / (SELECT count(*) FROM e) AS reciprocity
+    """,
+)
+def link_reciprocity(sf_dir: str):
+    """Link reciprocity of the crawled page graph — the fraction of
+    directed doc->doc reference edges whose reverse edge also exists,
+    the classic link-farm / mutual-citation-ring detector (organic web
+    link graphs sit near ~0.05-0.3; paid link networks spike it).
+    Edges are harvested from the rendered pages' reference sections
+    (DOM parse + href doc-id extraction, same stage as page_link_graph),
+    de-duplicated per batch, then every directed edge is folded onto its
+    UNORDERED key packed into one int64 ((min << 32) | max) carrying a
+    direction bit — one vocab-bounded exchange; a pair is reciprocal
+    iff its key accumulates both bits. The scalar report is exact
+    integers plus their ratio in identical double arithmetic."""
+    import pandas as pd
+
+    from sciscraper_ray.sources.page_synth import render_html
+    from sciscraper_ray.stages.dom_select import select_links
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        us: list[int] = []
+        vs: list[int] = []
+        for i, t, lg in zip(ids, texts, langs):
+            page = render_html(int(i), t, lg, with_links=True).decode()
+            for href, _anchor in select_links(page, "section.refs a"):
+                v = int(href.rsplit("doc-", 1)[1])
+                if v != int(i):
+                    us.append(int(i))
+                    vs.append(v)
+        df = pd.DataFrame({"u": us, "v": vs}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    edges = (
+        _docs(sf_dir, columns=("doc_id", "text", "lang"))
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    u = edges["u"].to_numpy(np.int64)
+    v = edges["v"].to_numpy(np.int64)
+    lo = np.minimum(u, v)
+    hi = np.maximum(u, v)
+    key = (lo << 32) | hi
+    bit = np.where(u < v, 1, 2).astype(np.int64)
+    agg = pd.DataFrame({"key": key, "bit": bit}).groupby("key")["bit"].sum()
+    n_edges = len(edges)
+    n_recip = int(2 * (agg == 3).sum())
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_reciprocal": pa.array([n_recip], pa.int64()),
+            "reciprocity": pa.array(
+                [float(n_recip) / n_edges if n_edges else 0.0], pa.float64()
+            ),
+        }
+    )

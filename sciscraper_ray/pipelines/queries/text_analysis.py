@@ -3249,3 +3249,103 @@ def source_chao1_richness(sf_dir: str):
             "chao1": pa.array(chao1, pa.float64()),
         }
     )
+
+
+def _textrank_sql(iters: int = 5) -> str:
+    """TextRank unrolled to fixed-K power iteration over the DISTINCT
+    adjacent-token co-occurrence graph (same CTE chain as the
+    round-2 _pagerank_sql, node space = token strings)."""
+    ctes = [
+        f"d AS (SELECT {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n FROM documents)",
+        "w AS (SELECT unnest(range(n - 1)) AS k, toks FROM d WHERE n >= 2)",
+        "bg AS (SELECT toks[k + 1] AS t1, toks[k + 2] AS t2 FROM w)",
+        "e0 AS (SELECT DISTINCT least(t1, t2) AS a, greatest(t1, t2) AS b"
+        " FROM bg WHERE t1 <> t2)",
+        "edges AS (SELECT a AS src, b AS dst FROM e0"
+        " UNION ALL SELECT b AS src, a AS dst FROM e0)",
+        "deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM deg)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS (
+        SELECT e.dst AS node,
+               (1.0 - 0.85) / (SELECT n FROM nn)
+                   + 0.85 * sum(p.r / dg.d) AS r
+        FROM edges e
+        JOIN r{k - 1} p ON p.node = e.src
+        JOIN deg dg ON dg.node = e.src
+        GROUP BY e.dst
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node AS token, round(r, 10) AS r FROM r{iters}"
+    )
+
+
+@register("token_textrank", oracle=_textrank_sql(5))
+def token_textrank(sf_dir: str):
+    """TextRank keyword scoring (Mihalcea & Tarau 2004): PageRank
+    (d=0.85, 5 fixed iterations) over the undirected graph whose nodes
+    are vocabulary tokens and whose edges are DISTINCT adjacent-token
+    co-occurrences — the classic unsupervised keyword extractor, run
+    corpus-wide. Per-batch shifted-slice bigram harvest with in-batch
+    distinct, a vocabulary-bounded (<= V^2 pairs, in practice ~V) driver
+    merge builds the token <-> dense-id map, and the iteration itself is
+    the shared two-plan pipelines/graph.py pagerank engine (driver
+    bincount below 50M edges, co-partitioned bucketed join + groupby-sum
+    shuffle above). The oracle unrolls the identical fixed-K recurrence
+    on VARCHAR nodes."""
+    import pandas as pd
+
+    from sciscraper_ray.pipelines.graph import pagerank
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        m = len(flat) - 1
+        if m <= 0:
+            return pa.table(
+                {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+            )
+        t1 = flat.slice(0, m).to_numpy(zero_copy_only=False)
+        t2 = flat.slice(1, m).to_numpy(zero_copy_only=False)
+        inside = (par[:m] == par[1:]) & (t1 != t2)
+        lo = np.minimum(t1[inside], t2[inside])
+        hi = np.maximum(t1[inside], t2[inside])
+        df = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (
+        _docs(sf_dir)
+        .map_batches(pair_partials, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    vocab = np.unique(np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
+    idx = {t: i for i, t in enumerate(vocab)}
+    a = pairs["a"].map(idx).to_numpy(np.int64)
+    b = pairs["b"].map(idx).to_numpy(np.int64)
+    edges = pa.table(
+        {
+            "a": pa.array(np.concatenate([a, b]), pa.int64()),
+            "b": pa.array(np.concatenate([b, a]), pa.int64()),
+        }
+    )
+    ranked = pagerank(edges, damping=0.85, iters=5)
+    if not isinstance(ranked, pa.Table):  # shuffle plan returns a Dataset
+        ranked = pa.Table.from_pandas(ranked.to_pandas(), preserve_index=False)
+    node = ranked["node"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "token": pa.array(vocab[node], pa.string()),
+            "r": ranked["r"],
+        }
+    )

@@ -145,3 +145,51 @@ def test_source_chao1_richness(ray_session):
         assert (r.n_types, r.f1, r.f2) == (d, f1, f2)
         assert abs(r.chao1 - (d + f1 * (f1 - 1) / (2 * (f2 + 1)))) < 1e-9
     assert len(got) == len(per_lang)
+
+
+def test_token_textrank(ray_session):
+    got = _df(QUERIES["token_textrank"](SF))
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["text"])
+    edges = set()
+    for (t,) in docs.itertuples(index=False):
+        toks = t.strip().lower().split(" ")
+        for x, y in zip(toks, toks[1:]):
+            if x != y:
+                edges.add((min(x, y), max(x, y)))
+    nodes = sorted({n for e in edges for n in e})
+    deg = {n: 0 for n in nodes}
+    adj = {n: [] for n in nodes}
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+        deg[a] += 1
+        deg[b] += 1
+    n = len(nodes)
+    r = {x: 1.0 / n for x in nodes}
+    for _ in range(5):
+        nxt = {}
+        for x in nodes:
+            nxt[x] = 0.15 / n + 0.85 * sum(r[y] / deg[y] for y in adj[x])
+        r = nxt
+    got_map = dict(zip(got["token"], got["r"]))
+    assert set(got_map) == set(nodes)
+    for x in nodes:
+        assert abs(got_map[x] - r[x]) < 1e-9, x
+    # ranks sum to ~1 (no dangling mass on a symmetrized graph)
+    assert abs(sum(got_map.values()) - 1.0) < 1e-6
+
+
+def test_link_reciprocity(ray_session):
+    got = _df(QUERIES["link_reciprocity"](SF))
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id"])
+    e = set()
+    for (d,) in docs.itertuples(index=False):
+        d = int(d)
+        for v in ((d * 17 + 13) % 997, (d * 29 + 7) % 997):
+            if v != d:
+                e.add((d, v))
+    recip = sum(1 for u, v in e if (v, u) in e)
+    row = got.iloc[0]
+    assert int(row.n_edges) == len(e)
+    assert int(row.n_reciprocal) == recip
+    assert abs(row.reciprocity - recip / len(e)) < 1e-12
