@@ -3125,3 +3125,83 @@ def events_hourly_ffill(sf_dir: str):
         )
 
     return bucketed_window(ds, kernel, key="user_id")
+
+
+@register(
+    "events_ks_test",
+    oracle="""
+    WITH x AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+        FROM events WHERE event_type IN ('click', 'view')
+    ), n AS (
+        SELECT CAST(sum(g) AS BIGINT) AS n1,
+               CAST(sum(1 - g) AS BIGINT) AS n2 FROM x
+    ), pts AS (
+        SELECT cents, sum(g) AS c1, sum(1 - g) AS c2 FROM x GROUP BY cents
+    ), cum AS (
+        SELECT sum(c1) OVER (ORDER BY cents) AS f1,
+               sum(c2) OVER (ORDER BY cents) AS f2
+        FROM pts
+    )
+    SELECT CAST(max(abs(f1 * n.n2 - f2 * n.n1)) AS BIGINT) AS d_num,
+           n.n1, n.n2,
+           CAST(max(abs(f1 * n.n2 - f2 * n.n1)) AS DOUBLE)
+               / (CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)) AS d
+    FROM cum, n GROUP BY n.n1, n.n2
+    """,
+)
+def events_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov distance between the 'click' and
+    'view' purchase-value distributions, in EXACT INTEGERS: with both
+    empirical CDFs evaluated at every distinct integer-cents point, the
+    supremum |F1 - F2| equals max |cum1*n2 - cum2*n1| / (n1*n2) — the
+    numerator is integer arithmetic, so the statistic is engine-exact
+    and only the final ratio is a double (identical arithmetic order on
+    both sides). Values are discretized to cents so the per-batch
+    (cents, group) count partials are DOMAIN-bounded (price range x 100
+    distinct points, never corpus rows) before the driver-side prefix
+    scan — the same bounded-exchange shape as the Mann-Whitney and
+    quantile audits. Ties are handled exactly (the CDFs step together
+    at shared points)."""
+    import pandas as pd
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "view")
+        cents = np.round(
+            batch["value"].to_numpy(zero_copy_only=False)[keep] * 100
+        ).astype(np.int64)
+        g = (et[keep] == "click").astype(np.int64)
+        df = (
+            pd.DataFrame({"cents": cents, "c1": g, "c2": 1 - g})
+            .groupby("cents", as_index=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pts = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("cents", as_index=False)
+        .sum()
+        .sort_values("cents")
+    )
+    f1 = pts["c1"].to_numpy(np.int64).cumsum()
+    f2 = pts["c2"].to_numpy(np.int64).cumsum()
+    n1, n2 = int(f1[-1]), int(f2[-1])
+    d_num = int(np.abs(f1 * n2 - f2 * n1).max())
+    return pa.table(
+        {
+            "d_num": pa.array([d_num], pa.int64()),
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "d": pa.array([float(d_num) / (float(n1) * float(n2))], pa.float64()),
+        }
+    )

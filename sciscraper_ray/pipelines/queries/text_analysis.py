@@ -3349,3 +3349,102 @@ def token_textrank(sf_dir: str):
             "r": ranked["r"],
         }
     )
+
+
+@register(
+    "token_llr_keyness",
+    oracle=f"""
+    WITH toks AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp,
+               unnest({_SQL_TOKENS}) AS token
+        FROM documents
+    ), cnt AS (
+        SELECT token,
+               CAST(sum(grp) AS BIGINT) AS k_en,
+               CAST(sum(1 - grp) AS BIGINT) AS k_rest
+        FROM toks GROUP BY token
+    ), tot AS (
+        SELECT CAST(sum(k_en) AS BIGINT) AS n_en,
+               CAST(sum(k_rest) AS BIGINT) AS n_rest
+        FROM cnt
+    ), f AS (
+        SELECT token, k_en, k_rest,
+               CAST(k_en AS DOUBLE) AS a, CAST(k_rest AS DOUBLE) AS b,
+               CAST(n_en - k_en AS DOUBLE) AS c,
+               CAST(n_rest - k_rest AS DOUBLE) AS d,
+               CAST(n_en + n_rest AS DOUBLE) AS nn,
+               CAST(k_en + k_rest AS DOUBLE) AS r1,
+               CAST(n_en AS DOUBLE) AS c1, CAST(n_rest AS DOUBLE) AS c2
+        FROM cnt, tot
+    )
+    SELECT token, k_en, k_rest,
+           2 * ((CASE WHEN a > 0 THEN a * ln((a * nn) / (r1 * c1)) ELSE 0 END
+               + CASE WHEN b > 0 THEN b * ln((b * nn) / (r1 * c2)) ELSE 0 END)
+              + (CASE WHEN c > 0 THEN c * ln((c * nn) / ((nn - r1) * c1)) ELSE 0 END
+               + CASE WHEN d > 0 THEN d * ln((d * nn) / ((nn - r1) * c2)) ELSE 0 END))
+               AS llr
+    FROM f
+    """,
+)
+def token_llr_keyness(sf_dir: str):
+    """Dunning log-likelihood-ratio keyness (Dunning 1993, the G2
+    statistic) of every token between the English subcorpus and the
+    rest — the standard corpus-comparison score that, unlike chi-square
+    (token_chi2_keyness), stays calibrated for rare words. G2 =
+    2 * sum over the 2x2 cells of k * ln(k*N / (row*col)) with the
+    0*ln(0) = 0 convention. Same vocab-bounded plan as the chi2 twin:
+    per-batch (grp, token) Arrow group_by partials, driver merge, one
+    vectorized numpy pass; the double arithmetic (and term order) is
+    mirrored exactly in the oracle, so the unrounded statistic hashes
+    bit-identically."""
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        grp = pc.take(
+            pc.cast(pc.equal(batch["lang"], "en"), pa.int64()), par
+        )
+        agg = (
+            pa.table({"token": flat, "grp": grp})
+            .group_by(["token"])
+            .aggregate([("grp", "sum"), ([], "count_all")])
+        )
+        return agg.rename_columns(["token", "k_en", "cnt"])
+
+    parts = _docs(sf_dir, columns=("lang", "text")).map_batches(
+        partials, batch_format="pyarrow"
+    ).to_pandas()
+    merged = parts.groupby("token", as_index=False).sum()
+    k_en = merged["k_en"].to_numpy(np.int64)
+    k_rest = merged["cnt"].to_numpy(np.int64) - k_en
+    n_en = int(k_en.sum())
+    n_rest = int(k_rest.sum())
+    a = k_en.astype(np.float64)
+    b = k_rest.astype(np.float64)
+    c = np.float64(n_en) - a
+    d = np.float64(n_rest) - b
+    nn = np.float64(n_en + n_rest)
+    r1 = a + b
+    c1, c2 = np.float64(n_en), np.float64(n_rest)
+
+    def term(k, row, col):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = k * np.log((k * nn) / (row * col))
+        return np.where(k > 0, t, 0.0)
+
+    llr = 2 * (
+        (term(a, r1, c1) + term(b, r1, c2))
+        + (term(c, nn - r1, c1) + term(d, nn - r1, c2))
+    )
+    return pa.table(
+        {
+            "token": pa.array(merged["token"], pa.string()),
+            "k_en": pa.array(k_en, pa.int64()),
+            "k_rest": pa.array(k_rest, pa.int64()),
+            "llr": pa.array(llr, pa.float64()),
+        }
+    )

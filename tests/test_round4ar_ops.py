@@ -193,3 +193,55 @@ def test_link_reciprocity(ray_session):
     assert int(row.n_edges) == len(e)
     assert int(row.n_reciprocal) == recip
     assert abs(row.reciprocity - recip / len(e)) < 1e-12
+
+
+def test_events_ks_test(ray_session):
+    got = _df(QUERIES["events_ks_test"](SF)).iloc[0]
+    ev = pd.read_parquet(SF + "/events.parquet", columns=["event_type", "value"])
+    ev = ev[ev.event_type.isin(["click", "view"])]
+    import numpy as np
+
+    cents = np.round(ev.value.to_numpy() * 100).astype(int)
+    g = (ev.event_type == "click").to_numpy()
+    pts = sorted(set(cents))
+    n1, n2 = int(g.sum()), int((~g).sum())
+    d_num = max(
+        abs(int((g & (cents <= p)).sum()) * n2 - int((~g & (cents <= p)).sum()) * n1)
+        for p in pts
+    )
+    assert (int(got.d_num), int(got.n1), int(got.n2)) == (d_num, n1, n2)
+    assert abs(got.d - d_num / (n1 * n2)) < 1e-15
+    assert 0 < got.d < 1
+
+
+def test_token_llr_keyness(ray_session):
+    import math
+
+    got = _df(QUERIES["token_llr_keyness"](SF))
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["lang", "text"])
+    from collections import Counter
+
+    en, rest = Counter(), Counter()
+    for lang, t in docs.itertuples(index=False):
+        (en if lang == "en" else rest).update(t.strip().lower().split(" "))
+    n_en, n_rest = sum(en.values()), sum(rest.values())
+    nn = n_en + n_rest
+    for r in got.itertuples(index=False):
+        a, b = en[r.token], rest[r.token]
+        assert (r.k_en, r.k_rest) == (a, b)
+        c, d = n_en - a, n_rest - b
+        r1 = a + b
+        want = 2 * sum(
+            k * math.log(k * nn / (row * col))
+            for k, row, col in [
+                (a, r1, n_en),
+                (b, r1, n_rest),
+                (c, nn - r1, n_en),
+                (d, nn - r1, n_rest),
+            ]
+            if k > 0
+        )
+        assert abs(r.llr - want) < 1e-6, r.token
+    assert len(got) == len(set(en) | set(rest))
+    # high-contrast tokens score positive; G2 is nonnegative up to fp noise
+    assert (got.llr > -1e-9).all()
