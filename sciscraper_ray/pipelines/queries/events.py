@@ -3205,3 +3205,94 @@ def events_ks_test(sf_dir: str):
             "d": pa.array([float(d_num) / (float(n1) * float(n2))], pa.float64()),
         }
     )
+
+
+@register(
+    "events_holt_linear",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+        SELECT CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts)
+                   AS BIGINT) AS h,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS x
+        FROM events GROUP BY 1
+    ), grid AS (
+        SELECT unnest(range((SELECT min(h) FROM hourly),
+                            (SELECT max(h) FROM hourly) + 1)) AS h
+    ), dense AS (
+        SELECT grid.h, COALESCE(hourly.x, 0) AS x,
+               row_number() OVER (ORDER BY grid.h) - 1 AS i
+        FROM grid LEFT JOIN hourly ON hourly.h = grid.h
+    ), holt AS (
+        SELECT i, h, x, CAST(x AS DOUBLE) AS l,
+               (SELECT CAST(x AS DOUBLE) FROM dense WHERE i = 1)
+                   - CAST(x AS DOUBLE) AS b
+        FROM dense WHERE i = 0
+        UNION ALL
+        SELECT d.i, d.h, d.x,
+               0.5 * CAST(d.x AS DOUBLE) + 0.5 * (p.l + p.b),
+               0.5 * ((0.5 * CAST(d.x AS DOUBLE) + 0.5 * (p.l + p.b)) - p.l)
+                   + 0.5 * p.b
+        FROM holt p JOIN dense d ON d.i = p.i + 1
+    )
+    SELECT h AS hour, CAST(x AS BIGINT) AS cents, l AS level, b AS trend
+    FROM holt
+    """,
+)
+def events_holt_linear(sf_dir: str):
+    """Holt double-exponential smoothing (level + linear trend,
+    alpha = beta = 1/2) of the global hourly revenue series — the
+    classic short-horizon forecaster run over the zero-filled dense
+    hour grid (l_t = a*x_t + (1-a)(l+b); b_t = B(l_t - l) + (1-B)b,
+    seeded l_0 = x_0, b_0 = x_1 - x_0). The distributed part is the
+    per-batch integer-cents hourly partials (exchange bounded by the
+    HOUR GRID, never event rows); the recurrence itself is inherently
+    sequential, so it runs once over the series on the driver — series
+    length is time-range-bounded, not corpus-bounded, which is the
+    honest scale story for any exponential smoother. The oracle replays
+    the identical recurrence as a recursive CTE with the same double
+    arithmetic order, so level/trend hash bit-identically."""
+    import pandas as pd
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    epoch = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        cents = np.round(batch["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        h = (ts - epoch) // 3_600_000_000
+        df = (
+            pd.DataFrame({"h": h, "x": cents}).groupby("h", as_index=False).sum()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hourly = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("h", as_index=False)
+        .sum()
+        .sort_values("h")
+    )
+    h0, h1 = int(hourly["h"].iloc[0]), int(hourly["h"].iloc[-1])
+    span = h1 - h0 + 1
+    x = np.zeros(span, np.int64)
+    x[hourly["h"].to_numpy(np.int64) - h0] = hourly["x"].to_numpy(np.int64)
+    level = np.empty(span, np.float64)
+    trend = np.empty(span, np.float64)
+    level[0] = float(x[0])
+    trend[0] = float(x[1]) - float(x[0])
+    for i in range(1, span):
+        l_new = 0.5 * float(x[i]) + 0.5 * (level[i - 1] + trend[i - 1])
+        trend[i] = 0.5 * (l_new - level[i - 1]) + 0.5 * trend[i - 1]
+        level[i] = l_new
+    return pa.table(
+        {
+            "hour": pa.array(np.arange(h0, h1 + 1, dtype=np.int64), pa.int64()),
+            "cents": pa.array(x, pa.int64()),
+            "level": pa.array(level, pa.float64()),
+            "trend": pa.array(trend, pa.float64()),
+        }
+    )

@@ -5010,3 +5010,72 @@ def orders_seasonal_decompose(sf_dir: str):
             "seasonal_cents": pa.array(seasonal, pa.float64()),
         }
     )
+
+
+@register(
+    "orders_monthly_theilsen",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(date_part('year', o_orderdate) * 12
+                    + date_part('month', o_orderdate) - 1 AS BIGINT) AS mi,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ), sl AS (
+        SELECT (CAST(y.cents AS DOUBLE) - CAST(x.cents AS DOUBLE))
+                   / (y.mi - x.mi) AS s
+        FROM m x JOIN m y ON y.mi > x.mi
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_slopes, median(s) AS slope_cents
+    FROM sl
+    """,
+)
+def orders_monthly_theilsen(sf_dir: str):
+    """Theil-Sen robust trend of monthly order revenue: the median of
+    all pairwise month-over-month slopes — the estimator that shrugs
+    off the outlier months a least-squares fit chases (up to ~29%
+    contamination). Monthly integer-cents totals come from per-batch
+    partials (exchange bounded by the MONTH grid); the O(M^2) pairwise
+    slope set is months-bounded (~80 months -> ~3k slopes), computed in
+    one numpy broadcast on the driver, never per order row. median() on
+    an even count averages the two middle doubles on both sides, so the
+    statistic hashes bit-identically."""
+    import pandas as pd
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch["o_orderdate"], pa.timestamp("us"))
+        yr = pc.year(d).to_numpy(zero_copy_only=False).astype(np.int64)
+        mo = pc.month(d).to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame({"mi": yr * 12 + mo - 1, "cents": cents})
+            .groupby("mi", as_index=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    m = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("mi", as_index=False)
+        .sum()
+        .sort_values("mi")
+    )
+    mi = m["mi"].to_numpy(np.int64)
+    cents = m["cents"].to_numpy(np.int64).astype(np.float64)
+    di = mi[None, :] - mi[:, None]
+    iu = np.triu_indices(len(mi), k=1)
+    slopes = (cents[None, :] - cents[:, None])[iu] / di[iu]
+    return pa.table(
+        {
+            "n_slopes": pa.array([len(slopes)], pa.int64()),
+            "slope_cents": pa.array([float(np.median(slopes))], pa.float64()),
+        }
+    )

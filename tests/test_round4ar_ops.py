@@ -245,3 +245,46 @@ def test_token_llr_keyness(ray_session):
     assert len(got) == len(set(en) | set(rest))
     # high-contrast tokens score positive; G2 is nonnegative up to fp noise
     assert (got.llr > -1e-9).all()
+
+
+def test_events_holt_linear(ray_session):
+    got = _df(QUERIES["events_holt_linear"](SF)).sort_values("hour")
+    ev = pd.read_parquet(SF + "/events.parquet", columns=["ts", "value"])
+    import numpy as np
+
+    h = (
+        (ev.ts.astype("datetime64[us]").astype("int64") - pd.Timestamp("2024-01-01").value // 1000)
+        // 3_600_000_000
+    ).to_numpy()
+    cents = np.round(ev.value.to_numpy() * 100).astype(int)
+    h0, h1 = h.min(), h.max()
+    x = np.zeros(h1 - h0 + 1, int)
+    np.add.at(x, h - h0, cents)
+    assert (got.cents.to_numpy() == x).all()
+    assert len(got) == h1 - h0 + 1
+    l, b = float(x[0]), float(x[1]) - float(x[0])
+    for i, r in enumerate(got.itertuples(index=False)):
+        if i > 0:
+            ln = 0.5 * float(x[i]) + 0.5 * (l + b)
+            b = 0.5 * (ln - l) + 0.5 * b
+            l = ln
+        assert abs(r.level - l) < 1e-6 and abs(r.trend - b) < 1e-6, i
+
+
+def test_orders_monthly_theilsen(ray_session):
+    got = _df(QUERIES["orders_monthly_theilsen"](SF)).iloc[0]
+    import numpy as np
+
+    o = pd.read_parquet(SF + "/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    mi = (o.o_orderdate.dt.year * 12 + o.o_orderdate.dt.month - 1).to_numpy()
+    cents = np.round(o.o_totalprice.to_numpy() * 100).astype(int)
+    df = pd.DataFrame({"mi": mi, "c": cents}).groupby("mi")["c"].sum()
+    mm = df.index.to_numpy()
+    cc = df.to_numpy().astype(float)
+    slopes = [
+        (cc[j] - cc[i]) / (mm[j] - mm[i])
+        for i in range(len(mm))
+        for j in range(i + 1, len(mm))
+    ]
+    assert int(got.n_slopes) == len(slopes)
+    assert abs(got.slope_cents - float(np.median(slopes))) < 1e-9
