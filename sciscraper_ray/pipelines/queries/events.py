@@ -3296,3 +3296,104 @@ def events_holt_linear(sf_dir: str):
             "trend": pa.array(trend, pa.float64()),
         }
     )
+
+
+@register(
+    "events_changepoint",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts)
+                   AS BIGINT) AS h,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS x
+        FROM events GROUP BY 1
+    ), grid AS (
+        SELECT unnest(range((SELECT min(h) FROM hourly),
+                            (SELECT max(h) FROM hourly) + 1)) AS h
+    ), dense AS (
+        SELECT grid.h, COALESCE(hourly.x, 0) AS x,
+               row_number() OVER (ORDER BY grid.h) - 1 AS i
+        FROM grid LEFT JOIN hourly ON hourly.h = grid.h
+    ), cum AS (
+        SELECT i, h, sum(x) OVER (ORDER BY i) AS cs FROM dense
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS ssq
+        FROM dense
+    ), gains AS (
+        SELECT i + 1 AS k,
+               CAST(cs AS DOUBLE) * cs / (i + 1)
+                   + CAST(t.s - cs AS DOUBLE) * (t.s - cs) / (t.n - i - 1)
+                   AS gain
+        FROM cum, tot t WHERE i < t.n - 1
+    ), best AS (
+        SELECT k, gain FROM gains ORDER BY gain DESC, k ASC LIMIT 1
+    )
+    SELECT CAST((SELECT min(h) FROM hourly) + b.k AS BIGINT) AS split_hour,
+           CAST(b.k AS BIGINT) AS n_left,
+           CAST(t.n - b.k AS BIGINT) AS n_right,
+           (SELECT CAST(cs AS DOUBLE) / b.k FROM cum WHERE i = b.k - 1)
+               AS mean_left,
+           CAST(t.s - (SELECT cs FROM cum WHERE i = b.k - 1) AS DOUBLE)
+               / (t.n - b.k) AS mean_right,
+           CAST(t.ssq AS DOUBLE) - b.gain AS sse_after
+    FROM best b, tot t
+    """,
+)
+def events_changepoint(sf_dir: str):
+    """Single-changepoint detection by binary segmentation over the
+    zero-filled hourly revenue series: the split k that minimizes the
+    two-segment sum of squared errors, found by maximizing
+    S_L^2/n_L + S_R^2/n_R (the SSE identity — only the between-segment
+    term varies, so no per-split variance pass is needed). Hourly
+    integer-cents partials bound the exchange to the hour grid; the
+    cumulative sums are exact int64, every candidate split's gain is
+    one vectorized double expression over the grid, and ties break on
+    the smallest split index deterministically. Reports the split hour,
+    segment sizes and means, and the post-split SSE. The oracle replays
+    the identical window-cumsum + argmax in SQL."""
+    import pandas as pd
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    epoch = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        cents = np.round(batch["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        h = (ts - epoch) // 3_600_000_000
+        df = pd.DataFrame({"h": h, "x": cents}).groupby("h", as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hourly = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("h", as_index=False)
+        .sum()
+        .sort_values("h")
+    )
+    h0, h1 = int(hourly["h"].iloc[0]), int(hourly["h"].iloc[-1])
+    span = h1 - h0 + 1
+    x = np.zeros(span, np.int64)
+    x[hourly["h"].to_numpy(np.int64) - h0] = hourly["x"].to_numpy(np.int64)
+    cs = x.cumsum()
+    s, ssq, n = int(cs[-1]), int((x * x).sum()), span
+    k = np.arange(1, n)
+    sl = cs[:-1]
+    gain = sl.astype(np.float64) * sl / k + (np.float64(s) - sl) * (s - sl) / (n - k)
+    best = int(np.argmax(gain))  # first max = smallest k on ties
+    bk = int(k[best])
+    return pa.table(
+        {
+            "split_hour": pa.array([h0 + bk], pa.int64()),
+            "n_left": pa.array([bk], pa.int64()),
+            "n_right": pa.array([n - bk], pa.int64()),
+            "mean_left": pa.array([float(cs[bk - 1]) / bk], pa.float64()),
+            "mean_right": pa.array(
+                [float(s - int(cs[bk - 1])) / (n - bk)], pa.float64()
+            ),
+            "sse_after": pa.array([float(ssq) - float(gain[best])], pa.float64()),
+        }
+    )

@@ -3448,3 +3448,66 @@ def token_llr_keyness(sf_dir: str):
             "llr": pa.array(llr, pa.float64()),
         }
     )
+
+
+@register(
+    "token_yule_k",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), cnt AS (
+        SELECT lang, token, count(*) AS c FROM toks GROUP BY lang, token
+    )
+    SELECT lang,
+           CAST(sum(c) AS BIGINT) AS m1,
+           CAST(sum(c * c) AS BIGINT) AS m2,
+           10000.0 * (CAST(sum(c * c) AS DOUBLE) - sum(c))
+               / (CAST(sum(c) AS DOUBLE) * sum(c)) AS yule_k
+    FROM cnt GROUP BY lang
+    """,
+)
+def token_yule_k(sf_dir: str):
+    """Yule's K characteristic per language — the length-invariant
+    repeat-rate constant K = 10^4 (M2 - M1) / M1^2 from the first two
+    frequency moments (M1 = token mass, M2 = sum of squared type
+    counts). Unlike raw type-token ratio it barely moves with corpus
+    size, which is what makes it the standard cross-corpus repetition
+    gauge (template floods and bot text spike it). The moments are
+    exact int64 off the same vocab-bounded (lang, token) partial
+    exchange as the chao1/type-stats family; only the final constant is
+    a double, in identical arithmetic order on both sides."""
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        langs = pc.take(batch["lang"], par)
+        agg = (
+            pa.table({"lang": langs, "token": flat})
+            .group_by(["lang", "token"])
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["lang", "token", "cnt"])
+
+    parts = _docs(sf_dir, columns=("lang", "text")).map_batches(
+        partials, batch_format="pyarrow"
+    ).to_pandas()
+    merged = parts.groupby(["lang", "token"], as_index=False)["cnt"].sum()
+    grp = merged.groupby("lang")["cnt"]
+    m1 = grp.sum().astype(np.int64)
+    m2 = grp.apply(lambda s: int((s.to_numpy(np.int64) ** 2).sum()))
+    langs = m1.index.to_numpy()
+    m1v = m1.to_numpy(np.int64)
+    m2v = m2.to_numpy(np.int64)
+    yk = 10000.0 * (m2v.astype(np.float64) - m1v) / (m1v.astype(np.float64) * m1v)
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "m1": pa.array(m1v, pa.int64()),
+            "m2": pa.array(m2v, pa.int64()),
+            "yule_k": pa.array(yk, pa.float64()),
+        }
+    )

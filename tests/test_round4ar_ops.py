@@ -288,3 +288,51 @@ def test_orders_monthly_theilsen(ray_session):
     ]
     assert int(got.n_slopes) == len(slopes)
     assert abs(got.slope_cents - float(np.median(slopes))) < 1e-9
+
+
+def test_events_changepoint(ray_session):
+    got = _df(QUERIES["events_changepoint"](SF)).iloc[0]
+    import numpy as np
+
+    ev = pd.read_parquet(SF + "/events.parquet", columns=["ts", "value"])
+    h = (
+        (ev.ts.astype("datetime64[us]").astype("int64") - pd.Timestamp("2024-01-01").value // 1000)
+        // 3_600_000_000
+    ).to_numpy()
+    cents = np.round(ev.value.to_numpy() * 100).astype(int)
+    h0 = h.min()
+    x = np.zeros(h.max() - h0 + 1, int)
+    np.add.at(x, h - h0, cents)
+    n = len(x)
+    best_k, best_gain = None, -1.0
+    cs = x.cumsum()
+    for k in range(1, n):
+        g = cs[k - 1] ** 2 / k + (cs[-1] - cs[k - 1]) ** 2 / (n - k)
+        if g > best_gain:
+            best_gain, best_k = g, k
+    assert int(got.split_hour) == h0 + best_k
+    assert (int(got.n_left), int(got.n_right)) == (best_k, n - best_k)
+    assert abs(got.mean_left - cs[best_k - 1] / best_k) < 1e-6
+    assert abs(got.mean_right - (cs[-1] - cs[best_k - 1]) / (n - best_k)) < 1e-6
+    assert abs(got.sse_after - (float((x * x).sum()) - best_gain)) < 1e-3
+    # SSE after one split can never exceed the single-segment SSE
+    sse0 = float((x * x).sum()) - cs[-1] ** 2 / n
+    assert got.sse_after <= sse0 + 1e-9
+
+
+def test_token_yule_k(ray_session):
+    got = _df(QUERIES["token_yule_k"](SF))
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["lang", "text"])
+    from collections import Counter
+
+    per_lang = {}
+    for lang, t in docs.itertuples(index=False):
+        per_lang.setdefault(lang, Counter()).update(t.strip().lower().split(" "))
+    assert len(got) == len(per_lang)
+    for r in got.itertuples(index=False):
+        c = per_lang[r.lang]
+        m1 = sum(c.values())
+        m2 = sum(v * v for v in c.values())
+        assert (r.m1, r.m2) == (m1, m2)
+        assert abs(r.yule_k - 10000.0 * (m2 - m1) / (m1 * m1)) < 1e-9
+        assert r.yule_k > 0
