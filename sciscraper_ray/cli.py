@@ -103,6 +103,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-e", "--export", required=True, help="export directory")
     p.add_argument("--date-stamp", default=None, help="YYMMDD run-dir stamp (default: today)")
     p.add_argument("--wave-size", type=int, default=64, help="resume mode: fragments per wave")
+    p.add_argument(
+        "-p",
+        "--profilers",
+        default=None,
+        choices=("benchmark", "memory", "bytecode"),
+        help="profile the run (reference -p contract, profilers.py:37-109): "
+        "benchmark = cProfile -> printed pstats + dumped .pstats file; "
+        "memory = tracemalloc peak + top allocation sites (stdlib analog "
+        "of the reference's memory_profiler, which needs no extra deps); "
+        "bytecode = dis.dis of the selected pipeline builder (no run)",
+    )
     p.add_argument("-d", "--debug", action="store_true")
     return p
 
@@ -163,18 +174,66 @@ def main(argv: list[str] | None = None) -> str:
         from sciscraper_ray.pipelines.queries import QUERIES
 
         name = args.mode.split(":", 1)[1]
-        ds = ensure_dataset(QUERIES[name](args.file))
+        builder = QUERIES[name]
     else:
-        ds = ensure_dataset(MODES[args.mode](args.file))
+        builder = MODES[args.mode]
 
-    from sciscraper_ray.pipelines.sink import export_results
+    if args.profilers == "bytecode":
+        # run_bytecode_profiler analog (profilers.py:81-92): disassemble
+        # the selected pipeline builder; nothing executes.
+        import dis
 
-    # The sink makes three passes (empty-column scan, parquet, csv) —
-    # materialize once so the pipeline executes once, not three times.
-    ds = ds.materialize()
-    run_dir = export_results(ds, args.export, date_stamp=stamp)
-    log.info("exported to %s", run_dir)
-    return run_dir
+        dis.dis(builder)
+        return args.export
+
+    def run() -> str:
+        ds = ensure_dataset(builder(args.file))
+        from sciscraper_ray.pipelines.sink import export_results
+
+        # The sink makes three passes (empty-column scan, parquet, csv) —
+        # materialize once so the pipeline executes once, not three times.
+        run_dir = export_results(ds.materialize(), args.export, date_stamp=stamp)
+        log.info("exported to %s", run_dir)
+        return run_dir
+
+    if args.profilers == "benchmark":
+        # run_benchmark analog (profilers.py:37-71): cProfile the run,
+        # print time-sorted stats, dump the .pstats artifact next to the
+        # export (no snakeviz subprocess — offline environment).
+        import cProfile
+        import pstats
+
+        os.makedirs(args.export, exist_ok=True)
+        pstats_path = os.path.join(args.export, f"profile_{stamp}.pstats")
+        with cProfile.Profile() as pr:
+            run_dir = run()
+        stats = pstats.Stats(pr)
+        stats.sort_stats(pstats.SortKey.TIME)
+        stats.print_stats(25)
+        stats.dump_stats(pstats_path)
+        log.info("profile stats dumped to %s", pstats_path)
+        return run_dir
+
+    if args.profilers == "memory":
+        # run_memory_profiler analog (profilers.py:74-78): driver-side
+        # allocation profile via stdlib tracemalloc (peak + top sites).
+        # Worker-side memory is already covered by ds.stats() / lineage
+        # metrics; this profiles the driver process like the reference.
+        import tracemalloc
+
+        tracemalloc.start(10)
+        try:
+            run_dir = run()
+            _, peak = tracemalloc.get_traced_memory()
+            snap = tracemalloc.take_snapshot()
+        finally:
+            tracemalloc.stop()
+        print(f"driver peak traced memory: {peak / 1024 / 1024:.4f} MiB")
+        for stat in snap.statistics("lineno")[:10]:
+            print(stat)
+        return run_dir
+
+    return run()
 
 
 if __name__ == "__main__":

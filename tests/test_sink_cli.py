@@ -230,3 +230,58 @@ def test_read_mode_prompt_loop():
     assert "wordscore" in prompts[0] and "resume" in prompts[0]
     assert read_mode(lambda p: "query:top_tokens_global") == "query:top_tokens_global"
     assert read_mode(lambda p: "download") == "download"
+
+
+def test_cli_profiler_benchmark(ray_session, tmp_path, capsys):
+    from sciscraper_ray.cli import main
+
+    out = main(
+        [
+            "-m", "wordscore",
+            "-f", "/root/testdata/sf0.001/documents.parquet",
+            "-e", str(tmp_path),
+            "--date-stamp", "250101",
+            "-p", "benchmark",
+        ]
+    )
+    assert (tmp_path / "profile_250101.pstats").exists()
+    captured = capsys.readouterr().out
+    assert "cumulative" in captured or "tottime" in captured
+    import os
+
+    assert os.path.isdir(out)
+
+
+def test_cli_profiler_bytecode(ray_session, tmp_path, capsys):
+    from sciscraper_ray.cli import main
+
+    main(
+        [
+            "-m", "wordscore",
+            "-f", "/root/testdata/sf0.001/documents.parquet",
+            "-e", str(tmp_path),
+            "-p", "bytecode",
+        ]
+    )
+    captured = capsys.readouterr().out
+    assert "LOAD_" in captured  # dis output, nothing executed
+    assert not list(tmp_path.iterdir())  # bytecode mode runs no pipeline
+
+
+def test_cli_profiler_memory(ray_session, tmp_path, capsys):
+    from sciscraper_ray.cli import main
+
+    out = main(
+        [
+            "-m", "wordscore",
+            "-f", "/root/testdata/sf0.001/documents.parquet",
+            "-e", str(tmp_path),
+            "--date-stamp", "250101",
+            "-p", "memory",
+        ]
+    )
+    captured = capsys.readouterr().out
+    assert "driver peak traced memory" in captured
+    import os
+
+    assert os.path.isdir(out)
