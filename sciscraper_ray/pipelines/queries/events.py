@@ -3397,3 +3397,74 @@ def events_changepoint(sf_dir: str):
             "sse_after": pa.array([float(ssq) - float(gain[best])], pa.float64()),
         }
     )
+
+
+@register(
+    "events_entropy_rate",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    ), tc AS (
+        SELECT prev AS from_type, event_type AS to_type, count(*) AS cnt
+        FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+    ), marg AS (
+        SELECT from_type, CAST(sum(cnt) AS BIGINT) AS n_out FROM tc
+        GROUP BY from_type
+    ), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM tc)
+    SELECT m.from_type, m.n_out,
+           -sum((CAST(tc.cnt AS DOUBLE) / m.n_out)
+                * ln(CAST(tc.cnt AS DOUBLE) / m.n_out)) AS h_cond,
+           (CAST(m.n_out AS DOUBLE) / t.n)
+               * -sum((CAST(tc.cnt AS DOUBLE) / m.n_out)
+                      * ln(CAST(tc.cnt AS DOUBLE) / m.n_out)) AS rate_term
+    FROM tc JOIN marg m USING (from_type), tot t
+    GROUP BY m.from_type, m.n_out, t.n
+    """,
+)
+def events_entropy_rate(sf_dir: str):
+    """Entropy rate of the user-behavior Markov chain: for every source
+    event type, the conditional next-step entropy
+    H(next | from) = -sum_j P(j|from) ln P(j|from) over the empirical
+    per-user adjacent transitions, plus its contribution to the chain's
+    entropy rate weighted by the empirical source frequency — the
+    predictability dashboard behind session-path models (a type whose
+    h_cond ~ ln(K) is a uniform random hop; ~0 is deterministic
+    funnel). Transition counts ride the shared bucketed-window plan
+    (one user-bucket shuffle, vectorized shifted compare); the exchange
+    after that is the TYPES^2 transition matrix, never event rows.
+    Double arithmetic order matches the oracle exactly."""
+    import pandas as pd
+
+    import ray.data
+
+    from sciscraper_ray.stages.window import bucket_type_transitions, bucketed_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    tc = (
+        bucketed_window(ds, bucket_type_transitions)
+        .to_pandas()
+        .groupby(["from_type", "to_type"], as_index=False)["cnt"]
+        .sum()
+    )
+    total = int(tc["cnt"].sum())
+    rows = []
+    for ft, g in tc.groupby("from_type"):
+        n_out = int(g["cnt"].sum())
+        p = g["cnt"].to_numpy(np.int64).astype(np.float64) / n_out
+        h = -float((p * np.log(p)).sum())
+        rows.append((ft, n_out, h, (float(n_out) / total) * h))
+    return pa.table(
+        {
+            "from_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_out": pa.array([r[1] for r in rows], pa.int64()),
+            "h_cond": pa.array([r[2] for r in rows], pa.float64()),
+            "rate_term": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )

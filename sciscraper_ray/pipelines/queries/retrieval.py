@@ -5068,3 +5068,105 @@ def link_reciprocity(sf_dir: str):
             ),
         }
     )
+
+
+_RICH_CLUB_KS = (1, 2, 3, 4)
+
+
+@register(
+    "graph_rich_club",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id AS u, unnest({_REF_TARGETS_SQL}) AS v FROM documents
+    ), und AS (
+        SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        FROM raw WHERE u <> v
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY node
+    ), ks AS (
+        SELECT * FROM (VALUES {", ".join(f"({k})" for k in _RICH_CLUB_KS)}) AS t(k)
+    ), club AS (
+        SELECT ks.k, deg.node FROM ks JOIN deg ON deg.d > ks.k
+    ), within AS (
+        SELECT c1.k, count(*) AS e
+        FROM und
+        JOIN club c1 ON c1.node = und.a
+        JOIN club c2 ON c2.node = und.b AND c2.k = c1.k
+        GROUP BY c1.k
+    ), sizes AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n FROM club GROUP BY k
+    )
+    SELECT s.k, s.n AS n_nodes,
+           CAST(COALESCE(w.e, 0) AS BIGINT) AS n_edges,
+           2 * CAST(COALESCE(w.e, 0) AS DOUBLE) / (CAST(s.n AS DOUBLE) * (s.n - 1))
+               AS phi
+    FROM sizes s LEFT JOIN within w ON w.k = s.k
+    WHERE s.n > 1
+    """,
+)
+def graph_rich_club(sf_dir: str):
+    """Rich-club coefficient curve of the page link graph: for each
+    degree threshold k, phi(k) = 2 E_k / (N_k (N_k - 1)) — the density
+    of the subgraph induced by nodes of degree > k (Colizza et al.
+    2006). A rising phi(k) exposes hub collusion (mega-hosts linking
+    each other), the structural signature link-spam demotes on. Edges
+    come from the rendered pages' reference sections (DOM harvest,
+    de-duplicated unordered pairs); the curve itself is one vectorized
+    pass over the (node, degree) table per threshold — degrees via
+    bincount, club membership masks, and an isin filter over the edge
+    list, never per-node Python. Exact integer sizes/edges; phi in
+    identical double arithmetic."""
+    import pandas as pd
+
+    from sciscraper_ray.sources.page_synth import render_html
+    from sciscraper_ray.stages.dom_select import select_links
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        aa: list[int] = []
+        bb: list[int] = []
+        for i, t, lg in zip(ids, texts, langs):
+            page = render_html(int(i), t, lg, with_links=True).decode()
+            for href, _anchor in select_links(page, "section.refs a"):
+                v = int(href.rsplit("doc-", 1)[1])
+                if v != int(i):
+                    aa.append(min(int(i), v))
+                    bb.append(max(int(i), v))
+        df = pd.DataFrame({"a": aa, "b": bb}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    und = (
+        _docs(sf_dir, columns=("doc_id", "text", "lang"))
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    a = und["a"].to_numpy(np.int64)
+    b = und["b"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    deg = np.bincount(ai, minlength=len(nodes)) + np.bincount(bi, minlength=len(nodes))
+    out_k, out_n, out_e, out_phi = [], [], [], []
+    for k in _RICH_CLUB_KS:
+        member = deg > k
+        n = int(member.sum())
+        if n <= 1:  # degenerate club: phi undefined, skip (oracle parity)
+            continue
+        e = int((member[ai] & member[bi]).sum())
+        out_k.append(k)
+        out_n.append(n)
+        out_e.append(e)
+        out_phi.append(2 * float(e) / (float(n) * (n - 1)))
+    return pa.table(
+        {
+            "k": pa.array(out_k, pa.int32()),
+            "n_nodes": pa.array(out_n, pa.int64()),
+            "n_edges": pa.array(out_e, pa.int64()),
+            "phi": pa.array(out_phi, pa.float64()),
+        }
+    )

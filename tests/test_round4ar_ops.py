@@ -336,3 +336,56 @@ def test_token_yule_k(ray_session):
         assert (r.m1, r.m2) == (m1, m2)
         assert abs(r.yule_k - 10000.0 * (m2 - m1) / (m1 * m1)) < 1e-9
         assert r.yule_k > 0
+
+
+def test_events_entropy_rate(ray_session):
+    import math
+
+    got = _df(QUERIES["events_entropy_rate"](SF))
+    ev = pd.read_parquet(
+        SF + "/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    ).sort_values(["user_id", "ts", "event_id"])
+    from collections import Counter
+
+    trans = Counter()
+    for _, g in ev.groupby("user_id"):
+        et = g.event_type.tolist()
+        for a, b in zip(et, et[1:]):
+            trans[(a, b)] += 1
+    total = sum(trans.values())
+    by_from = {}
+    for (a, b), c in trans.items():
+        by_from.setdefault(a, Counter())[b] = c
+    assert len(got) == len(by_from)
+    for r in got.itertuples(index=False):
+        c = by_from[r.from_type]
+        n_out = sum(c.values())
+        h = -sum(v / n_out * math.log(v / n_out) for v in c.values())
+        assert r.n_out == n_out
+        assert abs(r.h_cond - h) < 1e-9
+        assert abs(r.rate_term - n_out / total * h) < 1e-9
+        assert -1e-12 <= r.h_cond <= math.log(5) + 1e-9
+
+
+def test_graph_rich_club(ray_session):
+    got = _df(QUERIES["graph_rich_club"](SF))
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id"])
+    und = set()
+    for (d,) in docs.itertuples(index=False):
+        d = int(d)
+        for v in ((d * 17 + 13) % 997, (d * 29 + 7) % 997):
+            if v != d:
+                und.add((min(d, v), max(d, v)))
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    for r in got.itertuples(index=False):
+        club = {n for n, d in deg.items() if d > r.k}
+        e = sum(1 for a, b in und if a in club and b in club)
+        assert len(club) == r.n_nodes and e == r.n_edges
+        assert abs(r.phi - 2 * e / (len(club) * (len(club) - 1))) < 1e-12
+    # thresholds increase, club density (phi) must be monotone in k here
+    assert (got.sort_values("k").n_nodes.diff().dropna() <= 0).all()
