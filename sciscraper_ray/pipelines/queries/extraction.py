@@ -2064,3 +2064,72 @@ def dom_xpath_select(sf_dir: str):
     return _docs(sf_dir, columns=("doc_id",)).map_batches(
         run, batch_format="pyarrow"
     )
+
+
+@register(
+    "host_crawl_fairness",
+    oracle="""
+    WITH per_host AS (
+        SELECT CASE WHEN doc_id % 10 < 3 THEN 'mega.example.org'
+               ELSE CASE doc_id % 5
+                    WHEN 0 THEN 'alpha.example.com'
+                    WHEN 1 THEN 'beta.example.net'
+                    WHEN 2 THEN 'gamma.example.io'
+                    WHEN 3 THEN 'delta.example.edu'
+                    ELSE 'epsilon.example.dev' END END AS host,
+               CAST(count(*) AS BIGINT) AS docs
+        FROM documents GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+           CAST(sum(docs) AS BIGINT) AS total_docs,
+           CAST(max(docs) AS BIGINT) AS max_docs,
+           (CAST(sum(docs) AS DOUBLE) * sum(docs))
+               / (count(*) * CAST(sum(docs * docs) AS DOUBLE)) AS jain_index
+    FROM per_host
+    """,
+)
+def host_crawl_fairness(sf_dir: str):
+    """Jain's fairness index of the crawl's per-host page allocation:
+    J = (sum x)^2 / (n * sum x^2) — 1.0 is a perfectly even crawl, 1/n
+    is one host hogging the budget. The politeness-scheduler health
+    gauge that catches mega-host skew BEFORE it becomes a shuffle
+    hot-key problem downstream (this fixture's mega.example.org takes
+    ~30% by construction). Per-batch host tallies bound the exchange to
+    the host set; moments are exact int64 and only the final index is a
+    double, identical arithmetic order both sides."""
+    import pandas as pd
+
+    from sciscraper_ray.sources.page_synth import host_for
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hosts = [host_for(int(i)) for i in ids]
+        df = (
+            pd.DataFrame({"host": hosts})
+            .value_counts()
+            .rename("docs")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    per_host = (
+        _docs(sf_dir, columns=("doc_id",))
+        .map_batches(partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("host", as_index=False)["docs"]
+        .sum()
+    )
+    docs = per_host["docs"].to_numpy(np.int64)
+    n = len(docs)
+    s = int(docs.sum())
+    ssq = int((docs * docs).sum())
+    return pa.table(
+        {
+            "n_hosts": pa.array([n], pa.int64()),
+            "total_docs": pa.array([s], pa.int64()),
+            "max_docs": pa.array([int(docs.max())], pa.int64()),
+            "jain_index": pa.array(
+                [(float(s) * s) / (n * float(ssq))], pa.float64()
+            ),
+        }
+    )

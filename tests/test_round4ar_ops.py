@@ -389,3 +389,46 @@ def test_graph_rich_club(ray_session):
         assert abs(r.phi - 2 * e / (len(club) * (len(club) - 1))) < 1e-12
     # thresholds increase, club density (phi) must be monotone in k here
     assert (got.sort_values("k").n_nodes.diff().dropna() <= 0).all()
+
+
+def test_events_emd(ray_session):
+    got = _df(QUERIES["events_emd"](SF)).iloc[0]
+    import numpy as np
+
+    ev = pd.read_parquet(SF + "/events.parquet", columns=["event_type", "value"])
+    ev = ev[ev.event_type.isin(["click", "view"])]
+    cents = np.round(ev.value.to_numpy() * 100).astype(int)
+    g = (ev.event_type == "click").to_numpy()
+    pts = sorted(set(cents))
+    n1, n2 = int(g.sum()), int((~g).sum())
+    num = 0
+    for k in range(len(pts) - 1):
+        c1 = int((g & (cents <= pts[k])).sum())
+        c2 = int((~g & (cents <= pts[k])).sum())
+        num += abs(c1 * n2 - c2 * n1) * (pts[k + 1] - pts[k])
+    assert got.emd_num == float(num)
+    assert (int(got.n1), int(got.n2)) == (n1, n2)
+    assert abs(got.emd_cents - num / (n1 * n2)) < 1e-9
+    # scipy-free sanity: EMD in cents is positive and below the value range
+    assert 0 < got.emd_cents < pts[-1] - pts[0]
+
+
+def test_host_crawl_fairness(ray_session):
+    got = _df(QUERIES["host_crawl_fairness"](SF)).iloc[0]
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id"])
+    from collections import Counter
+
+    from sciscraper_ray.sources.page_synth import host_for
+
+    c = Counter(host_for(int(d)) for (d,) in docs.itertuples(index=False))
+    xs = list(c.values())
+    n, s, ssq = len(xs), sum(xs), sum(x * x for x in xs)
+    assert (int(got.n_hosts), int(got.total_docs), int(got.max_docs)) == (
+        n,
+        s,
+        max(xs),
+    )
+    want = (s * s) / (n * ssq)
+    assert abs(got.jain_index - want) < 1e-12
+    # mega-host skew must push fairness measurably below 1
+    assert 1 / n <= got.jain_index < 0.99
