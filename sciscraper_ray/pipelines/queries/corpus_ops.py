@@ -3882,3 +3882,136 @@ def doc_longest_repeat(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
+@register(
+    "orc_roundtrip",
+    oracle="SELECT doc_id, lang, n_chars, text FROM documents",
+)
+def orc_roundtrip(sf_dir: str):
+    """documents -> sharded Apache ORC -> distributed read-back, byte
+    exact including the text column (the column-stride format used by
+    Hive-era warehouses; ingesting it is table stakes for a crawl
+    engine sitting next to one). Ray Data has no native ORC IO, so both
+    directions are the custom-sink/source pattern: the WRITE is a
+    map_batches stage where each task serializes its own Arrow block
+    with pyarrow.orc (one shard per block — the same one-file-per-
+    fragment layout every resumable sink here uses), and the READ is a
+    from_items(shard paths) fan-out where each task deserializes one
+    shard back to Arrow — both sides embarrassingly parallel, no
+    driver-side table."""
+    import os
+    import tempfile
+
+    import ray.data
+
+    out_dir = tempfile.mkdtemp(prefix="orc_", dir="/tmp")
+    cols = ["doc_id", "lang", "n_chars", "text"]
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        import pyarrow.orc as orc
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        path = os.path.join(out_dir, f"shard-{int(ids.min()):08d}.orc")
+        orc.write_table(batch, path)
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    paths = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+        .map_batches(write_shard, batch_format="pyarrow")
+        .to_pandas()["path"]
+        .tolist()
+    )
+
+    def read_shard(batch: pa.Table) -> pa.Table:
+        import pyarrow.orc as orc
+
+        return pa.concat_tables(
+            [orc.ORCFile(p).read() for p in batch["path"].to_pylist()]
+        )
+
+    return ray.data.from_items([{"path": p} for p in sorted(paths)]).map_batches(
+        read_shard, batch_format="pyarrow"
+    )
+
+
+def _duckdb_fixture(sf_dir: str) -> str:
+    """Build (once, cached) a .duckdb database file holding the sf dir's
+    documents table. Cache key = source parquet identity (abspath,
+    mtime_ns, size); the db is built at a temp path and published with
+    an atomic rename so concurrent runs never open a half-built file."""
+    import hashlib
+    import os
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    key = hashlib.sha256(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    db_path = f"/tmp/ingest_{key}.duckdb"
+    if not os.path.exists(db_path):
+        import duckdb
+
+        tmp = f"{db_path}.tmp.{os.getpid()}"
+        con = duckdb.connect(tmp)
+        con.execute(
+            f"CREATE TABLE documents AS SELECT * FROM read_parquet('{src}')"
+        )
+        con.close()
+        try:
+            os.rename(tmp, db_path)
+        except OSError:
+            os.unlink(tmp)
+    return db_path
+
+
+@register(
+    "duckdb_ingest",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def duckdb_ingest(sf_dir: str):
+    """Parallel ingest FROM AN OLTP-STYLE DATABASE FILE: key-range
+    sharded SELECTs against a DuckDB database, each shard pulled by its
+    own actor holding a read-only connection opened ONCE in __init__
+    (the canonical read_sql shape — at warehouse scale the shards are
+    range predicates against a replica, and the connection is the
+    expensive per-worker state an actor pool amortizes). The key range
+    comes from one min/max probe; shard boundaries are arithmetic, so
+    no coordination and any shard can be retried idempotently."""
+    import ray
+    import ray.data
+
+    db_path = _duckdb_fixture(sf_dir)
+    import duckdb
+
+    probe = duckdb.connect(db_path, read_only=True)
+    lo, hi = probe.execute("SELECT min(doc_id), max(doc_id) FROM documents").fetchone()
+    probe.close()
+    n_shards = 8
+    step = (int(hi) - int(lo)) // n_shards + 1
+    bounds = [
+        {"lo": int(lo) + s * step, "hi": min(int(lo) + (s + 1) * step, int(hi) + 1)}
+        for s in range(n_shards)
+    ]
+
+    class RangeReader:
+        def __init__(self):
+            self.con = duckdb.connect(db_path, read_only=True)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            tables = []
+            for lo_k, hi_k in zip(
+                batch["lo"].to_pylist(), batch["hi"].to_pylist()
+            ):
+                tables.append(
+                    self.con.execute(
+                        "SELECT doc_id, text, lang, source, n_chars "
+                        "FROM documents WHERE doc_id >= ? AND doc_id < ?",
+                        [lo_k, hi_k],
+                    ).arrow()
+                )
+            return pa.concat_tables(tables)
+
+    return ray.data.from_items(bounds).map_batches(
+        RangeReader, batch_format="pyarrow", concurrency=4, batch_size=1
+    )

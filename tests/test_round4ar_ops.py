@@ -432,3 +432,26 @@ def test_host_crawl_fairness(ray_session):
     assert abs(got.jain_index - want) < 1e-12
     # mega-host skew must push fairness measurably below 1
     assert 1 / n <= got.jain_index < 0.99
+
+
+def test_orc_roundtrip(ray_session):
+    got = _df(QUERIES["orc_roundtrip"](SF)).sort_values("doc_id").reset_index(drop=True)
+    want = (
+        pd.read_parquet(SF + "/documents.parquet")[
+            ["doc_id", "lang", "n_chars", "text"]
+        ]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got[["doc_id", "lang", "n_chars", "text"]].equals(
+        want[["doc_id", "lang", "n_chars", "text"]]
+    )
+
+
+def test_duckdb_ingest(ray_session):
+    got = _df(QUERIES["duckdb_ingest"](SF)).sort_values("doc_id").reset_index(drop=True)
+    want = pd.read_parquet(SF + "/documents.parquet").sort_values("doc_id").reset_index(drop=True)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    assert got[cols].equals(want[cols])
+    # shard boundaries cover the full key range exactly once
+    assert len(got) == len(want)
