@@ -3511,3 +3511,153 @@ def token_yule_k(sf_dir: str):
             "yule_k": pa.array(yk, pa.float64()),
         }
     )
+
+
+@register(
+    "source_js_divergence",
+    oracle=f"""
+    WITH toks AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp,
+               unnest({_SQL_TOKENS}) AS token
+        FROM documents
+    ), c AS (
+        SELECT token,
+               CAST(sum(grp) AS BIGINT) AS ce,
+               CAST(sum(1 - grp) AS BIGINT) AS cr
+        FROM toks GROUP BY token
+    ), tot AS (
+        SELECT CAST(sum(ce) AS BIGINT) AS ne, CAST(sum(cr) AS BIGINT) AS nr
+        FROM c
+    ), pq AS (
+        SELECT CAST(ce AS DOUBLE) / ne AS p, CAST(cr AS DOUBLE) / nr AS q
+        FROM c, tot
+    )
+    SELECT (SELECT count(*) FROM c) AS n_types,
+           round(sum(CASE WHEN p > 0
+                          THEN 0.5 * (p * log2(p / ((p + q) / 2)))
+                          ELSE 0 END
+                   + CASE WHEN q > 0
+                          THEN 0.5 * (q * log2(q / ((p + q) / 2)))
+                          ELSE 0 END), 6) AS js_bits
+    FROM pq
+    """,
+)
+def source_js_divergence(sf_dir: str):
+    """Jensen-Shannon divergence (bits) between the English and
+    non-English unigram distributions — the SYMMETRIC, always-finite
+    sibling of source_kl_divergence (KL explodes on tokens absent from
+    one side; JS handles them with the 0*log0 = 0 convention against
+    the mixture M = (P+Q)/2), which is why JS is the drift metric used
+    when neither distribution is a safe reference. Same vocab-bounded
+    (grp, token) partial exchange and one vectorized pass; round(,6)
+    pins the double comparison as in the KL twin."""
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        grp = pc.take(pc.cast(pc.equal(batch["lang"], "en"), pa.int64()), par)
+        agg = (
+            pa.table({"token": flat, "grp": grp})
+            .group_by(["token"])
+            .aggregate([("grp", "sum"), ([], "count_all")])
+        )
+        return agg.rename_columns(["token", "ce", "cnt"])
+
+    parts = _docs(sf_dir, columns=("lang", "text")).map_batches(
+        partials, batch_format="pyarrow"
+    ).to_pandas()
+    merged = parts.groupby("token", as_index=False).sum()
+    ce = merged["ce"].to_numpy(np.int64)
+    cr = merged["cnt"].to_numpy(np.int64) - ce
+    ne, nr = int(ce.sum()), int(cr.sum())
+    p = ce.astype(np.float64) / ne
+    q = cr.astype(np.float64) / nr
+    m = (p + q) / 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tp = 0.5 * (p * np.log2(p / m))
+        tq = 0.5 * (q * np.log2(q / m))
+    js = float(np.where(p > 0, tp, 0.0).sum() + np.where(q > 0, tq, 0.0).sum())
+    return pa.table(
+        {
+            "n_types": pa.array([len(merged)], pa.int64()),
+            "js_bits": pa.array([np.round(js, 6)], pa.float64()),
+        }
+    )
+
+
+@register(
+    "token_symspell_neighbors",
+    oracle=f"""
+    WITH v AS (
+        SELECT DISTINCT unnest({_SQL_TOKENS}) AS tok FROM documents
+    )
+    SELECT x.tok AS token, CAST(count(y.tok) AS BIGINT) AS n_neighbors
+    FROM v x LEFT JOIN v y
+      ON x.tok <> y.tok
+     AND abs(length(x.tok) - length(y.tok)) <= 1
+     AND levenshtein(x.tok, y.tok) <= 1
+    GROUP BY x.tok
+    """,
+)
+def token_symspell_neighbors(sf_dir: str):
+    """Typo-neighborhood degree of every vocabulary token (how many
+    other types sit within edit distance 1) via the SymSpell
+    deletion-key plan: two words with lev <= 1 always share a key in
+    {w} ∪ {w minus one char}, so candidate pairs come from ONE groupby
+    on deletion variants — O(V * avg_len) keys — instead of the V^2
+    all-pairs scan the oracle runs. Survivors are verified with the
+    vectorized Levenshtein row-DP. This is the spell-correction /
+    OCR-noise index build (Garbe's SymSpell), and the neighbor degree
+    itself flags vocabulary noise: natural-language types average a
+    handful of neighbors, OCR shards spike. Exchange is vocabulary-
+    bounded end to end; the per-batch stage only emits distinct
+    tokens."""
+    import pandas as pd
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+    from sciscraper_ray.pipelines.dedup import levenshtein_np
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        return (
+            pa.table({"tok": flat})
+            .group_by("tok")
+            .aggregate([])
+        )
+
+    vocab = (
+        _docs(sf_dir)
+        .map_batches(vocab_partial, batch_format="pyarrow")
+        .to_pandas()["tok"]
+        .drop_duplicates()
+        .tolist()
+    )
+    # deletion-key buckets: word itself + each single-char deletion
+    keys: dict[str, list[int]] = {}
+    for i, w in enumerate(vocab):
+        for k in {w} | {w[:j] + w[j + 1 :] for j in range(len(w))}:
+            keys.setdefault(k, []).append(i)
+    cand = set()
+    for members in keys.values():
+        for a in range(len(members)):
+            for b in range(a + 1, len(members)):
+                cand.add((members[a], members[b]))
+    deg = np.zeros(len(vocab), np.int64)
+    for a, b in cand:
+        wa, wb = vocab[a], vocab[b]
+        if abs(len(wa) - len(wb)) <= 1 and levenshtein_np(wa, wb) <= 1:
+            deg[a] += 1
+            deg[b] += 1
+    return pa.table(
+        {
+            "token": pa.array(vocab, pa.string()),
+            "n_neighbors": pa.array(deg, pa.int64()),
+        }
+    )

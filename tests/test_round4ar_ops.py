@@ -455,3 +455,61 @@ def test_duckdb_ingest(ray_session):
     assert got[cols].equals(want[cols])
     # shard boundaries cover the full key range exactly once
     assert len(got) == len(want)
+
+
+def test_source_js_divergence(ray_session):
+    import math
+
+    got = _df(QUERIES["source_js_divergence"](SF)).iloc[0]
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["lang", "text"])
+    from collections import Counter
+
+    en, rest = Counter(), Counter()
+    for lang, t in docs.itertuples(index=False):
+        (en if lang == "en" else rest).update(t.strip().lower().split(" "))
+    ne, nr = sum(en.values()), sum(rest.values())
+    vocab = set(en) | set(rest)
+    js = 0.0
+    for w in vocab:
+        p, q = en[w] / ne, rest[w] / nr
+        m = (p + q) / 2
+        if p > 0:
+            js += 0.5 * p * math.log2(p / m)
+        if q > 0:
+            js += 0.5 * q * math.log2(q / m)
+    assert int(got.n_types) == len(vocab)
+    assert abs(got.js_bits - js) < 1e-5
+    assert 0 <= got.js_bits <= 1  # JS in bits is bounded by 1
+
+
+def test_token_symspell_neighbors(ray_session):
+    got = _df(QUERIES["token_symspell_neighbors"](SF))
+
+    def lev1(a, b):
+        if abs(len(a) - len(b)) > 1:
+            return False
+        # brute force small strings
+        import itertools
+
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(
+                    prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1])
+                )
+            prev = cur
+        return prev[-1] <= 1
+
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["text"])
+    vocab = sorted(
+        {w for (t,) in docs.itertuples(index=False) for w in t.strip().lower().split(" ")}
+    )
+    want = {
+        a: sum(1 for b in vocab if a != b and lev1(a, b)) for a in vocab
+    }
+    got_map = dict(zip(got.token, got.n_neighbors.astype(int)))
+    assert got_map == want
+    # the deletion-key recall is exact: brute-force and SymSpell agree even
+    # if the corpus happens to have zero distance-1 type pairs
