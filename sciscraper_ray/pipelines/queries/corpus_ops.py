@@ -4015,3 +4015,121 @@ def duckdb_ingest(sf_dir: str):
     return ray.data.from_items(bounds).map_batches(
         RangeReader, batch_format="pyarrow", concurrency=4, batch_size=1
     )
+
+
+def _csv_quarantine_fixture(sf_dir: str, n_shards: int = 8) -> str:
+    """Build (once, cached, atomically published) CSV shards of
+    (doc_id, lang, n_chars) with DETERMINISTIC malformations:
+    doc_id % 23 == 0 rows drop their last field (field-count error);
+    else doc_id % 41 == 0 rows write 'NaN' for n_chars (type error).
+    Shard = doc_id % n_shards. Values are unquoted and comma-free by
+    construction, so a strict split(',') parser is exact."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    key = hashlib.sha256(
+        f"csvq|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    out_dir = f"/tmp/csvq_{key}"
+    if not os.path.isdir(out_dir):
+        tmp = f"{out_dir}.tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        t = pq.read_table(src, columns=["doc_id", "lang", "n_chars"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        langs = t["lang"].to_pylist()
+        ncs = t["n_chars"].to_numpy(zero_copy_only=False)
+        shards: list[list[str]] = [[] for _ in range(n_shards)]
+        for i, lg, nc in zip(ids, langs, ncs):
+            i = int(i)
+            if i % 23 == 0:
+                line = f"{i},{lg}"  # missing n_chars field
+            elif i % 41 == 0:
+                line = f"{i},{lg},NaN"  # non-integer n_chars
+            else:
+                line = f"{i},{lg},{int(nc)}"
+            shards[i % n_shards].append(line)
+        for sh, lines in enumerate(shards):
+            with open(os.path.join(tmp, f"shard-{sh:04d}.csv"), "w") as f:
+                f.write("doc_id,lang,n_chars\n")
+                f.write("\n".join(lines) + "\n")
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir
+
+
+@register(
+    "csv_malformed_quarantine",
+    oracle="""
+    SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
+           CAST(count(*) FILTER (doc_id % 23 <> 0 AND doc_id % 41 <> 0)
+               AS BIGINT) AS n_good,
+           CAST(count(*) FILTER (doc_id % 23 = 0) AS BIGINT) AS n_bad_fields,
+           CAST(count(*) FILTER (doc_id % 23 <> 0 AND doc_id % 41 = 0)
+               AS BIGINT) AS n_bad_type,
+           CAST(sum(n_chars) FILTER (doc_id % 23 <> 0 AND doc_id % 41 <> 0)
+               AS BIGINT) AS good_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def csv_malformed_quarantine(sf_dir: str):
+    """Tolerant CSV ingest with a DEAD-LETTER CHANNEL: each shard is
+    parsed line by line (vectorized split on a comma-free fixture);
+    rows failing the declared 3-field schema quarantine with reason
+    'field_count', rows whose n_chars fails integer parse quarantine
+    with 'type_error', and the survivors aggregate per shard — the
+    quarantine-not-crash contract every production ingest needs (a
+    single malformed row must never poison a 100 TB load, and the
+    dead-letter counts must reconcile: good + quarantined = input).
+    One task per shard, no exchange beyond the per-shard summary row.
+    The fixture injects both failure modes deterministically
+    (doc_id % 23 / % 41), so the oracle states the ledger from pure
+    arithmetic."""
+    import os
+
+    import ray.data
+
+    src_dir = _csv_quarantine_fixture(sf_dir)
+    paths = sorted(
+        os.path.join(src_dir, f) for f in os.listdir(src_dir) if f.endswith(".csv")
+    )
+
+    def parse_shard(batch: pa.Table) -> pa.Table:
+        out = []
+        for path in batch["path"].to_pylist():
+            shard = int(os.path.basename(path).split("-")[1].split(".")[0])
+            n_good = n_bad_fields = n_bad_type = good_chars = 0
+            with open(path) as f:
+                next(f)  # header
+                for line in f:
+                    parts = line.rstrip("\n").split(",")
+                    if len(parts) != 3:
+                        n_bad_fields += 1
+                        continue
+                    try:
+                        nc = int(parts[2])
+                    except ValueError:
+                        n_bad_type += 1
+                        continue
+                    n_good += 1
+                    good_chars += nc
+            out.append((shard, n_good, n_bad_fields, n_bad_type, good_chars))
+        return pa.table(
+            {
+                "shard": pa.array([r[0] for r in out], pa.int64()),
+                "n_good": pa.array([r[1] for r in out], pa.int64()),
+                "n_bad_fields": pa.array([r[2] for r in out], pa.int64()),
+                "n_bad_type": pa.array([r[3] for r in out], pa.int64()),
+                "good_chars": pa.array([r[4] for r in out], pa.int64()),
+            }
+        )
+
+    return ray.data.from_items([{"path": p} for p in paths]).map_batches(
+        parse_shard, batch_format="pyarrow"
+    )

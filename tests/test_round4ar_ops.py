@@ -513,3 +513,54 @@ def test_token_symspell_neighbors(ray_session):
     assert got_map == want
     # the deletion-key recall is exact: brute-force and SymSpell agree even
     # if the corpus happens to have zero distance-1 type pairs
+
+
+def test_graph_bipartite_projection(ray_session):
+    got = _df(QUERIES["graph_bipartite_projection"](SF))
+    li = pd.read_parquet(SF + "/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    e = li.drop_duplicates()
+    from collections import Counter
+
+    w = Counter()
+    for _, g in e.groupby("l_partkey"):
+        ss = sorted(g.l_suppkey.unique())
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                w[(ss[i], ss[j])] += 1
+    want = sorted(
+        ((c, a, b) for (a, b), c in w.items() if c >= 2),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:1000]
+    got_t = [(int(r.weight), int(r.s1), int(r.s2)) for r in got.itertuples(index=False)]
+    assert got_t == want
+    assert all(a < b for _, a, b in got_t)
+
+
+def test_csv_malformed_quarantine(ray_session):
+    got = _df(QUERIES["csv_malformed_quarantine"](SF)).sort_values("shard")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "n_chars"])
+    ledger = {}
+    for i, nc in docs.itertuples(index=False):
+        i = int(i)
+        sh = i % 8
+        g, bf, bt, gc = ledger.get(sh, (0, 0, 0, 0))
+        if i % 23 == 0:
+            bf += 1
+        elif i % 41 == 0:
+            bt += 1
+        else:
+            g += 1
+            gc += int(nc)
+        ledger[sh] = (g, bf, bt, gc)
+    assert len(got) == len(ledger)
+    for r in got.itertuples(index=False):
+        assert ledger[int(r.shard)] == (
+            int(r.n_good),
+            int(r.n_bad_fields),
+            int(r.n_bad_type),
+            int(r.good_chars),
+        )
+    # reconciliation: good + quarantined == total input rows
+    assert int(got.n_good.sum() + got.n_bad_fields.sum() + got.n_bad_type.sum()) == len(docs)
+    # both failure modes actually fire in the fixture
+    assert got.n_bad_fields.sum() > 0 and got.n_bad_type.sum() > 0
