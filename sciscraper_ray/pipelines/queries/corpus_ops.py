@@ -4133,3 +4133,95 @@ def csv_malformed_quarantine(sf_dir: str):
     return ray.data.from_items([{"path": p} for p in paths]).map_batches(
         parse_shard, batch_format="pyarrow"
     )
+
+
+@register(
+    "join_size_cms_estimate",
+    oracle=f"""
+    WITH oc AS (
+        SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    ), lc AS (
+        SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1
+    ), exact AS (
+        SELECT CAST(sum(oc.c * lc.c) AS BIGINT) AS x
+        FROM oc JOIN lc USING (k)
+    ), ocell AS (
+        {" UNION ALL ".join(
+            f'''SELECT {r} AS r,
+                {_cms_cell_sql("CAST(k AS VARCHAR)", salt)} AS cell,
+                CAST(sum(c) AS BIGINT) AS total FROM oc GROUP BY cell'''
+            for r, salt in enumerate(_CMS_SALTS)
+        )}
+    ), lcell AS (
+        {" UNION ALL ".join(
+            f'''SELECT {r} AS r,
+                {_cms_cell_sql("CAST(k AS VARCHAR)", salt)} AS cell,
+                CAST(sum(c) AS BIGINT) AS total FROM lc GROUP BY cell'''
+            for r, salt in enumerate(_CMS_SALTS)
+        )}
+    ), ip AS (
+        SELECT o.r, CAST(sum(o.total * l.total) AS BIGINT) AS est
+        FROM ocell o JOIN lcell l ON l.r = o.r AND l.cell = o.cell
+        GROUP BY o.r
+    )
+    SELECT (SELECT x FROM exact) AS exact_size,
+           (SELECT CAST(min(est) AS BIGINT) FROM ip) AS cms_estimate,
+           CAST((SELECT min(est) FROM ip) >= (SELECT x FROM exact)
+               AS BIGINT) AS overcount_ok
+    """,
+)
+def join_size_cms_estimate(sf_dir: str):
+    """Join-cardinality estimation by count-min inner product (Cormode
+    & Muthukrishnan 2005 §4.2): |orders JOIN lineitem| is estimated as
+    min over sketch rows of <cms_orders[r], cms_lineitem[r]> — the
+    query-planner primitive that prices a join WITHOUT running it, from
+    two sketches whose size (d=2 x w=1024 cells) is independent of the
+    tables. Each side's sketch is built from per-batch partial cell
+    counts (the exchange is 2048 cells per side, never key rows); the
+    exact size Σ c_o(k)·c_l(k) is recomputed as the audit baseline, and
+    the CMS guarantee est >= exact must hold collision-for-collision —
+    the oracle rebuilds both hash rows cell-exactly from the same md5
+    cell function as the engine (shared with token_cms_estimate)."""
+    import pandas as pd
+
+    import ray.data
+
+    def side(path: str, col: str) -> tuple["pd.Series", "np.ndarray"]:
+        ds = ray.data.read_parquet(path, columns=[col])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = (
+                pd.DataFrame({"k": batch[col].to_numpy(zero_copy_only=False)})
+                .groupby("k", as_index=False)
+                .size()
+                .rename(columns={"size": "c"})
+            )
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        counts = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .to_pandas()
+            .groupby("k")["c"]
+            .sum()
+        )
+        keys = [str(int(k)) for k in counts.index]
+        cms = np.zeros((len(_CMS_SALTS), _CMS_W), np.int64)
+        for r, salt in enumerate(_CMS_SALTS):
+            cells = _cms_cells(keys, salt)
+            np.add.at(cms[r], cells, counts.to_numpy(np.int64))
+        return counts, cms
+
+    oc, ocms = side(f"{sf_dir}/orders.parquet", "o_orderkey")
+    lc, lcms = side(f"{sf_dir}/lineitem.parquet", "l_orderkey")
+    joined = oc.to_frame("co").join(lc.to_frame("cl"), how="inner")
+    exact = int((joined["co"].to_numpy(np.int64) * joined["cl"].to_numpy(np.int64)).sum())
+    est = int(min((ocms[r] * lcms[r]).sum() for r in range(len(_CMS_SALTS))))
+    return pa.table(
+        {
+            "exact_size": pa.array([exact], pa.int64()),
+            "cms_estimate": pa.array([est], pa.int64()),
+            "overcount_ok": pa.array([int(est >= exact)], pa.int64()),
+        }
+    )

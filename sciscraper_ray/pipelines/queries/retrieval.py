@@ -5170,3 +5170,89 @@ def graph_rich_club(sf_dir: str):
             "phi": pa.array(out_phi, pa.float64()),
         }
     )
+
+
+_CDX_PROBES = (0, 7, 23, 46, 92, 997001, 997007)  # last two never exist
+
+
+@register(
+    "warc_cdx_lookup",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               127 + 2 * length(CAST(doc_id AS VARCHAR))
+                   + length(CAST(octet_length(encode(text)) AS VARCHAR))
+                   + octet_length(encode(text)) AS rec_len
+        FROM documents
+    ), cdx AS (
+        SELECT doc_id, shard,
+               sum(rec_len) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - rec_len AS offset,
+               rec_len
+        FROM r
+    )
+    SELECT p.doc_id, CAST(p.doc_id % 8 AS BIGINT) AS shard,
+           CAST(coalesce(cdx.offset, -1) AS BIGINT) AS offset,
+           CAST(coalesce(cdx.rec_len, -1) AS BIGINT) AS rec_len,
+           CAST(cdx.doc_id IS NOT NULL AS BIGINT) AS found
+    FROM (VALUES {", ".join(f"({p})" for p in _CDX_PROBES)}) AS p(doc_id)
+    LEFT JOIN cdx ON cdx.doc_id = p.doc_id
+    """,
+)
+def warc_cdx_lookup(sf_dir: str):
+    """Random-access record lookup through a CDX index — the serving
+    path of a crawl archive (wayback-style): each shard task SCANS its
+    WARC shard once to build the sorted in-shard index, binary-searches
+    the broadcast probe list (probe shard = id % 8, so each probe has
+    exactly one owner and misses are provably absent, not elsewhere),
+    then actually SEEKS the returned (offset, rec_len) slice and
+    verifies the record magic before reporting it found — an index
+    entry that doesn't dereference is a corrupt archive, reported as
+    absent rather than trusted. Probes include two ids beyond any
+    fixture's range to pin the miss path. Zero exchange beyond the
+    7-row probe result; the oracle states offsets from the record-
+    length arithmetic already proven by warc_cdx_index."""
+    import os
+
+    import ray.data
+
+    from sciscraper_ray.sources.warc import cdx_scan
+
+    out_dir, n_shards = _warc_fixture_dir(sf_dir)
+    by_shard: dict[int, list[int]] = {}
+    for p in _CDX_PROBES:
+        by_shard.setdefault(p % n_shards, []).append(p)
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        rows = []
+        for path, blob in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
+            shard = int(os.path.basename(path).split("-")[1].split(".")[0])
+            probes = by_shard.get(shard, [])
+            if not probes:
+                continue
+            idx = sorted((rec_id, off, ln) for rec_id, _u, off, ln in cdx_scan(blob))
+            ids = [r[0] for r in idx]
+            import bisect
+
+            for p in probes:
+                j = bisect.bisect_left(ids, p)
+                if j < len(ids) and ids[j] == p:
+                    off, ln = idx[j][1], idx[j][2]
+                    ok = blob[off : off + 8] == b"WARC/1.0"
+                    rows.append((p, shard, off if ok else -1, ln if ok else -1, int(ok)))
+                else:
+                    rows.append((p, shard, -1, -1, 0))
+        return pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "shard": pa.array([r[1] for r in rows], pa.int64()),
+                "offset": pa.array([r[2] for r in rows], pa.int64()),
+                "rec_len": pa.array([r[3] for r in rows], pa.int64()),
+                "found": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+
+    return ray.data.read_binary_files(
+        [os.path.join(out_dir, f"shard-{s:04d}.warc") for s in range(n_shards)],
+        include_paths=True,
+    ).map_batches(lookup, batch_format="pyarrow")

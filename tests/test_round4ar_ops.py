@@ -564,3 +564,39 @@ def test_csv_malformed_quarantine(ray_session):
     assert int(got.n_good.sum() + got.n_bad_fields.sum() + got.n_bad_type.sum()) == len(docs)
     # both failure modes actually fire in the fixture
     assert got.n_bad_fields.sum() > 0 and got.n_bad_type.sum() > 0
+
+
+def test_join_size_cms_estimate(ray_session):
+    got = _df(QUERIES["join_size_cms_estimate"](SF)).iloc[0]
+    o = pd.read_parquet(SF + "/orders.parquet", columns=["o_orderkey"])
+    li = pd.read_parquet(SF + "/lineitem.parquet", columns=["l_orderkey"])
+    oc = o.o_orderkey.value_counts()
+    lc = li.l_orderkey.value_counts()
+    exact = int(sum(int(oc[k]) * int(lc[k]) for k in oc.index if k in lc.index))
+    assert int(got.exact_size) == exact
+    assert int(got.overcount_ok) == 1
+    assert int(got.cms_estimate) >= exact
+    # the CMS bound: est <= exact + (colliding mass)^2/w is loose; just
+    # sanity-bound the blowup at this scale
+    assert int(got.cms_estimate) < 50 * max(exact, 1)
+
+
+def test_warc_cdx_lookup(ray_session):
+    got = _df(QUERIES["warc_cdx_lookup"](SF)).sort_values("doc_id")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    existing = set(int(d) for d in docs.doc_id)
+    probes = (0, 7, 23, 46, 92, 997001, 997007)
+    assert list(got.doc_id) == sorted(probes)
+    for r in got.itertuples(index=False):
+        if int(r.doc_id) in existing:
+            assert int(r.found) == 1 and r.offset >= 0 and r.rec_len > 0
+        else:
+            assert (int(r.found), int(r.offset), int(r.rec_len)) == (0, -1, -1)
+    # dereference one hit independently: record really starts at offset
+    hit = got[got.found == 1].iloc[0]
+    from sciscraper_ray.pipelines.queries.retrieval import _warc_fixture_dir
+
+    out_dir, _ = _warc_fixture_dir(SF)
+    with open(f"{out_dir}/shard-{int(hit.shard):04d}.warc", "rb") as f:
+        f.seek(int(hit.offset))
+        assert f.read(8) == b"WARC/1.0"
