@@ -3556,3 +3556,123 @@ def events_emd(sf_dir: str):
             ),
         }
     )
+
+
+@register(
+    "events_viterbi_regime",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+        SELECT CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts)
+                   AS BIGINT) AS h,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS x
+        FROM events GROUP BY 1
+    ), grid AS (
+        SELECT unnest(range((SELECT min(h) FROM hourly),
+                            (SELECT max(h) FROM hourly) + 1)) AS h
+    ), dense AS (
+        SELECT grid.h, COALESCE(hourly.x, 0) AS x,
+               row_number() OVER (ORDER BY grid.h) - 1 AS i
+        FROM grid LEFT JOIN hourly ON hourly.h = grid.h
+    ), params AS (
+        SELECT (3 * ((SELECT sum(x) FROM dense) // (SELECT count(*) FROM dense))) // 2 AS muh,
+               ((SELECT sum(x) FROM dense) // (SELECT count(*) FROM dense)) // 2 AS mul
+    ), pen AS (
+        SELECT params.muh, params.mul,
+               ((muh - mul) // 2) * ((muh - mul) // 2) AS p
+        FROM params
+    ), vit AS (
+        -- single forward recursion; the backtrack rides along as two
+        -- candidate path strings (ph = best path ending high, pl = low),
+        -- each step appending its own state — so no second recursion
+        SELECT d.i, d.x,
+               (d.x - q.muh) * (d.x - q.muh) AS vh,
+               (d.x - q.mul) * (d.x - q.mul) AS vl,
+               'H' AS ph, 'L' AS pl
+        FROM dense d, pen q WHERE d.i = 0
+        UNION ALL
+        SELECT d.i, d.x,
+               (d.x - q.muh) * (d.x - q.muh) + least(p.vh, p.vl + q.p),
+               (d.x - q.mul) * (d.x - q.mul) + least(p.vl, p.vh + q.p),
+               (CASE WHEN p.vh <= p.vl + q.p THEN p.ph ELSE p.pl END) || 'H',
+               (CASE WHEN p.vl <= p.vh + q.p THEN p.pl ELSE p.ph END) || 'L'
+        FROM vit p JOIN dense d ON d.i = p.i + 1, pen q
+    ), winner AS (
+        SELECT CASE WHEN vh <= vl THEN ph ELSE pl END AS path
+        FROM vit WHERE i = (SELECT max(i) FROM vit)
+    )
+    SELECT d.h AS hour, CAST(d.x AS BIGINT) AS cents,
+           CASE substr((SELECT path FROM winner), CAST(d.i + 1 AS INTEGER), 1)
+                WHEN 'H' THEN 'high' ELSE 'low' END AS regime
+    FROM dense d
+    """,
+)
+def events_viterbi_regime(sf_dir: str):
+    """Two-state regime decoding of the hourly revenue series by
+    EXACT-INTEGER Viterbi (min-sum): emissions are squared deviations
+    from data-derived high/low level centers (mu_high = 3*mu/2,
+    mu_low = mu/2, integer floor division), the switch penalty is
+    ((mu_high-mu_low)/2)^2, and every comparison is int64 — so the
+    decoded path is bit-deterministic with documented tie-breaks (ties
+    prefer staying in state; the final state prefers 'high'). This is
+    the max-product HMM decode behind burst/lull segmentation of
+    traffic, done without floats so the oracle can replay BOTH the
+    forward recursion and the backtrack as recursive CTEs and match
+    hash-exactly. Hourly integer-cents partials bound the exchange to
+    the hour grid; the recursion is series-length-bounded driver work
+    like the Holt smoother. At sf >= 10 the squared emissions approach
+    int64 range — the scale path banks cents/10 (documented, not
+    silently applied here)."""
+    import pandas as pd
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    epoch = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        cents = np.round(batch["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        h = (ts - epoch) // 3_600_000_000
+        df = pd.DataFrame({"h": h, "x": cents}).groupby("h", as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hourly = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("h", as_index=False)
+        .sum()
+        .sort_values("h")
+    )
+    h0, h1 = int(hourly["h"].iloc[0]), int(hourly["h"].iloc[-1])
+    span = h1 - h0 + 1
+    x = np.zeros(span, np.int64)
+    x[hourly["h"].to_numpy(np.int64) - h0] = hourly["x"].to_numpy(np.int64)
+    mu = int(x.sum()) // span
+    muh, mul = (3 * mu) // 2, mu // 2
+    pen = ((muh - mul) // 2) ** 2
+    eh = (x - muh) ** 2
+    el = (x - mul) ** 2
+    vh = np.empty(span, np.int64)
+    vl = np.empty(span, np.int64)
+    vh[0], vl[0] = eh[0], el[0]
+    for t in range(1, span):
+        vh[t] = eh[t] + min(vh[t - 1], vl[t - 1] + pen)
+        vl[t] = el[t] + min(vl[t - 1], vh[t - 1] + pen)
+    st = np.empty(span, np.int64)
+    st[-1] = 1 if vh[-1] <= vl[-1] else 0
+    for t in range(span - 2, -1, -1):
+        if st[t + 1] == 1:
+            st[t] = 1 if vh[t] <= vl[t] + pen else 0
+        else:
+            st[t] = 0 if vl[t] <= vh[t] + pen else 1
+    return pa.table(
+        {
+            "hour": pa.array(np.arange(h0, h1 + 1, dtype=np.int64), pa.int64()),
+            "cents": pa.array(x, pa.int64()),
+            "regime": pa.array(
+                ["high" if s == 1 else "low" for s in st], pa.string()
+            ),
+        }
+    )

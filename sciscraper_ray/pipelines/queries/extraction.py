@@ -2133,3 +2133,53 @@ def host_crawl_fairness(sf_dir: str):
             ),
         }
     )
+
+
+@register(
+    "page_extract_idempotent",
+    oracle="""
+    SELECT doc_id, text AS extracted, CAST(1 AS BIGINT) AS fixpoint
+    FROM documents
+    """,
+)
+def page_extract_idempotent(sf_dir: str):
+    """Extraction idempotence audit — the north-rule invariant run as a
+    FIXPOINT test: render(text) -> extract must reproduce text
+    byte-identically, and re-wrapping THAT extraction in fresh
+    boilerplate and extracting again must be a no-op (extract ∘ render
+    is idempotent). A main-content stripper that only approximately
+    inverts the chrome drifts a little on every re-crawl/re-process
+    cycle; this query pins drift to zero per url. Pure map stage (both
+    render and the two extraction passes stay inside the task); the
+    oracle is the input text itself, so any byte of drift in EITHER
+    pass hash-fails."""
+    from sciscraper_ray.sources.page_synth import render_html
+    from sciscraper_ray.stages.html_extract import extract_main_content
+
+    def audit(batch: pa.Table) -> pa.Table:
+        ids_, texts_, fix_ = [], [], []
+        for i, t, lg in zip(
+            batch["doc_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["lang"].to_pylist(),
+        ):
+            once, _ = extract_main_content(
+                render_html(int(i), t, lg).decode("utf-8")
+            )
+            twice, _ = extract_main_content(
+                render_html(int(i), once, lg).decode("utf-8")
+            )
+            ids_.append(int(i))
+            texts_.append(once)
+            fix_.append(1 if twice == once else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_, pa.int64()),
+                "extracted": pa.array(texts_, pa.string()),
+                "fixpoint": pa.array(fix_, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+        audit, batch_format="pyarrow"
+    )
