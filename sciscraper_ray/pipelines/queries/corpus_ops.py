@@ -4225,3 +4225,137 @@ def join_size_cms_estimate(sf_dir: str):
             "overcount_ok": pa.array([int(est >= exact)], pa.int64()),
         }
     )
+
+
+_CBF_PROBES = tuple(range(1, 21))
+
+
+@register(
+    "counting_bloom_deletes",
+    oracle=f"""
+    WITH ins AS (
+        SELECT o_custkey AS k FROM orders
+    ), dels AS (
+        SELECT o_custkey AS k FROM orders WHERE o_orderkey % 2 = 0
+    ), cells AS (
+        SELECT cell, CAST(sum(d) AS BIGINT) AS c FROM (
+            SELECT {_bloom_pos_sql("k", "b1")} AS cell, 1 AS d FROM ins
+            UNION ALL
+            SELECT {_bloom_pos_sql("k", "b2")} AS cell, 1 AS d FROM ins
+            UNION ALL
+            SELECT {_bloom_pos_sql("k", "b1")} AS cell, -1 AS d FROM dels
+            UNION ALL
+            SELECT {_bloom_pos_sql("k", "b2")} AS cell, -1 AS d FROM dels
+        ) GROUP BY cell
+    ), truth AS (
+        SELECT o_custkey AS k, count(*) AS live
+        FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1
+    )
+    SELECT p.k AS custkey,
+           CAST(coalesce((SELECT c FROM cells
+                 WHERE cell = {_bloom_pos_sql("p.k", "b1")}), 0) > 0
+            AND coalesce((SELECT c FROM cells
+                 WHERE cell = {_bloom_pos_sql("p.k", "b2")}), 0) > 0
+               AS BIGINT) AS cbf_hit,
+           CAST(coalesce((SELECT live FROM truth WHERE truth.k = p.k), 0) > 0
+               AS BIGINT) AS true_present,
+           CAST(CAST(coalesce((SELECT c FROM cells
+                 WHERE cell = {_bloom_pos_sql("p.k", "b1")}), 0) > 0
+            AND coalesce((SELECT c FROM cells
+                 WHERE cell = {_bloom_pos_sql("p.k", "b2")}), 0) > 0
+               AS BIGINT)
+             >= CAST(coalesce((SELECT live FROM truth WHERE truth.k = p.k), 0) > 0
+               AS BIGINT) AS BIGINT) AS no_false_negative
+    FROM (VALUES {", ".join(f"({p})" for p in _CBF_PROBES)}) AS p(k)
+    """,
+)
+def counting_bloom_deletes(sf_dir: str):
+    """COUNTING Bloom filter (Fan et al. 1998) with live deletions — the
+    membership sketch plain Bloom can't give a streaming system, because
+    retractions (cancelled orders, redacted docs, CDC deletes) must
+    decrement. Inserts are every order's custkey x2 salted cells;
+    deletes retract the even-orderkey half; a probe reports present iff
+    BOTH its cells stay positive. The no-false-negative guarantee (a
+    live key can never read absent) is asserted per probe against
+    recomputed ground truth; false positives remain possible and are
+    part of the contract. Cell deltas are per-batch partials (exchange
+    bounded by 4096 cells); the oracle rebuilds every cell from the
+    same salted md5 the engine uses, collision-for-collision."""
+    import ray
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def cell_partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        deleted = ok % 2 == 0
+        cells = np.concatenate(
+            [
+                _bloom_positions(ck, "b1"),
+                _bloom_positions(ck, "b2"),
+                _bloom_positions(ck[deleted], "b1"),
+                _bloom_positions(ck[deleted], "b2"),
+            ]
+        )
+        delta = np.concatenate(
+            [
+                np.ones(2 * len(ck), np.int64),
+                -np.ones(2 * int(deleted.sum()), np.int64),
+            ]
+        )
+        df = (
+            pd.DataFrame({"cell": cells, "c": delta})
+            .groupby("cell", as_index=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cells_df = (
+        orders.map_batches(cell_partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("cell")["c"]
+        .sum()
+    )
+    arr = np.zeros(_BLOOM_M, np.int64)
+    arr[cells_df.index.to_numpy(np.int64)] = cells_df.to_numpy(np.int64)
+
+    def live_truth(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        live = ck[ok % 2 == 1]
+        df = (
+            pd.DataFrame({"k": live})
+            .groupby("k", as_index=False)
+            .size()
+            .rename(columns={"size": "live"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    truth = (
+        orders.map_batches(live_truth, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("k")["live"]
+        .sum()
+    )
+    probes = np.array(_CBF_PROBES, np.int64)
+    hit = (arr[_bloom_positions(probes, "b1")] > 0) & (
+        arr[_bloom_positions(probes, "b2")] > 0
+    )
+    present = np.array([int(truth.get(int(p), 0) > 0) for p in probes], np.int64)
+    return pa.table(
+        {
+            "custkey": pa.array(probes, pa.int64()),
+            "cbf_hit": pa.array(hit.astype(np.int64), pa.int64()),
+            "true_present": pa.array(present, pa.int64()),
+            "no_false_negative": pa.array(
+                (hit.astype(np.int64) >= present).astype(np.int64), pa.int64()
+            ),
+        }
+    )

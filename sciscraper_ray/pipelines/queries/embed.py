@@ -1397,3 +1397,103 @@ def embedding_mutual_knn(sf_dir: str):
             "n_nodes": pa.array(n_nodes, pa.int64()),
         }
     )
+
+
+_MMR_POOL = 200
+_MMR_K = 8
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR: step k picks argmax over remaining candidates
+    of 0.7*rel - 0.3*max_sim_to_selected (ties -> smallest vec_id),
+    selected = union of steps 1..k-1. Step 1's penalty term is 0."""
+    steps = ["s1 AS MATERIALIZED (SELECT vec_id FROM cand ORDER BY 0.7 * rel DESC, vec_id LIMIT 1)"]
+    for k in range(2, _MMR_K + 1):
+        sel = " UNION ALL ".join(f"SELECT vec_id FROM s{j}" for j in range(1, k))
+        steps.append(
+            f"""s{k} AS MATERIALIZED (
+        SELECT c.vec_id FROM cand c
+        JOIN p2 p ON p.ca = c.vec_id AND p.cb IN ({sel})
+        WHERE c.vec_id NOT IN ({sel})
+        GROUP BY c.vec_id, c.rel
+        ORDER BY 0.7 * c.rel - 0.3 * max(p.s) DESC, c.vec_id
+        LIMIT 1
+    )"""
+        )
+    ranks = " UNION ALL ".join(
+        f"SELECT {k} AS rank, vec_id FROM s{k}" for k in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH pool AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_MMR_POOL}
+    ), q AS (
+        SELECT embedding AS qe FROM pool WHERE vec_id = 0
+    ), cand AS MATERIALIZED (
+        SELECT vec_id,
+               list_cosine_similarity(embedding, (SELECT qe FROM q)) AS rel,
+               embedding
+        FROM pool WHERE vec_id <> 0
+    ), p2 AS MATERIALIZED (
+        SELECT a.vec_id AS ca, b.vec_id AS cb,
+               list_cosine_similarity(a.embedding, b.embedding) AS s
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ), {", ".join(steps)}
+    SELECT CAST(rank AS BIGINT) AS rank, vec_id FROM ({ranks})
+    """
+
+
+@register("retrieval_mmr_rerank", oracle=_mmr_oracle())
+def retrieval_mmr_rerank(sf_dir: str):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick 8 results from a 200-vector candidate pool
+    maximizing 0.7*relevance-to-query - 0.3*max-similarity-to-already-
+    picked — THE standard diversity re-ranker between ANN retrieval and
+    an LLM context window (near-duplicate passages waste the budget;
+    MMR spends it on coverage). MMR always runs on a bounded rerank
+    pool, so the pool rides one broadcast and the greedy loop is k
+    vectorized argmax passes over a (pool,) score array on the driver —
+    the pairwise matrix is pool^2, never corpus^2; upstream ANN
+    (knn_cosine / ann_ivf) is the corpus-scale stage. float64 cosine
+    throughout, ties broken on vec_id; the oracle unrolls the identical
+    greedy steps."""
+    import ray.data
+
+    from sciscraper_ray.stages.ann import _stack
+
+    pool = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .filter(lambda r: r["vec_id"] < _MMR_POOL)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    ids = pool["vec_id"].to_numpy(np.int64)
+    mat = np.stack([np.asarray(v, np.float64) for v in pool["embedding"]])
+    norms = np.linalg.norm(mat, axis=1)
+    qi = int(np.flatnonzero(ids == 0)[0])
+    cand_mask = ids != 0
+    cid = ids[cand_mask]
+    cm = mat[cand_mask]
+    cn = norms[cand_mask]
+    rel = (cm @ mat[qi]) / (cn * norms[qi])
+    pair = (cm @ cm.T) / (cn[:, None] * cn[None, :])
+    picked: list[int] = []
+    picked_rows: list[int] = []
+    for _ in range(_MMR_K):
+        if picked_rows:
+            penalty = pair[:, picked_rows].max(axis=1)
+        else:
+            penalty = np.zeros(len(cid))
+        score = 0.7 * rel - 0.3 * penalty
+        score[picked_rows] = -np.inf
+        # argmax with vec_id tiebreak: stable argmax over (-score, cid)
+        best = int(np.lexsort((cid, -score))[0])
+        picked_rows.append(best)
+        picked.append(int(cid[best]))
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, _MMR_K + 1, dtype=np.int64), pa.int64()),
+            "vec_id": pa.array(picked, pa.int64()),
+        }
+    )

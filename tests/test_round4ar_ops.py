@@ -649,3 +649,44 @@ def test_events_viterbi_regime(ray_session):
     # the derived penalty is weak and the path tracks the data closely —
     # the smoothing-strength regime is exercised at sf0.01+ by the oracle)
     assert {"high", "low"} == set(got.regime)
+
+
+def test_counting_bloom_deletes(ray_session):
+    got = _df(QUERIES["counting_bloom_deletes"](SF))
+    o = pd.read_parquet(SF + "/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    live = set(o[o.o_orderkey % 2 == 1].o_custkey.astype(int))
+    assert (got.no_false_negative == 1).all()
+    for r in got.itertuples(index=False):
+        assert int(r.true_present) == int(int(r.custkey) in live)
+        if r.true_present:
+            assert r.cbf_hit == 1  # live keys can never read absent
+
+
+def test_retrieval_mmr_rerank(ray_session):
+    import numpy as np
+
+    got = _df(QUERIES["retrieval_mmr_rerank"](SF)).sort_values("rank")
+    emb = pd.read_parquet(SF + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = emb[emb.vec_id < 200].sort_values("vec_id")
+    mat = np.stack([np.asarray(v, np.float64) for v in emb.embedding])
+    ids = emb.vec_id.to_numpy(int)
+    nm = np.linalg.norm(mat, axis=1)
+    q = int(np.flatnonzero(ids == 0)[0])
+    cmask = ids != 0
+    cid, cm, cn = ids[cmask], mat[cmask], nm[cmask]
+    rel = (cm @ mat[q]) / (cn * nm[q])
+    pair = (cm @ cm.T) / np.outer(cn, cn)
+    picked = []
+    for _ in range(8):
+        pen = pair[:, picked].max(axis=1) if picked else np.zeros(len(cid))
+        score = 0.7 * rel - 0.3 * pen
+        for j in picked:
+            score[j] = -np.inf
+        best = min(range(len(cid)), key=lambda j: (-score[j], cid[j]))
+        picked.append(best)
+    assert list(got.vec_id) == [int(cid[j]) for j in picked]
+    # MMR property: picks are pairwise less similar than a pure top-k head
+    topk = np.argsort(-rel, kind="stable")[:8]
+    mmr_div = pair[np.ix_(picked, picked)][np.triu_indices(8, 1)].mean()
+    top_div = pair[np.ix_(topk, topk)][np.triu_indices(8, 1)].mean()
+    assert mmr_div <= top_div + 1e-9
