@@ -4359,3 +4359,123 @@ def counting_bloom_deletes(sf_dir: str):
             ),
         }
     )
+
+
+def _pb_varint(n: int) -> bytes:
+    """Protobuf base-128 varint (unsigned)."""
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = val = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, pos
+        shift += 7
+
+
+@register(
+    "protobuf_roundtrip",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def protobuf_roundtrip(sf_dir: str):
+    """documents -> length-delimited protobuf wire format -> distributed
+    parse-back, byte-exact: each record is a message with field 1
+    (varint doc_id), field 2 (LEN lang utf-8), field 3 (varint n_chars),
+    framed by an outer length varint — the canonical streaming protobuf
+    layout (what a gRPC crawl-log or an embedded record bus emits),
+    encoded and decoded FROM SCRATCH (base-128 varints, wire-type tags),
+    no generated stubs. Write: map_batches, one shard per block (same
+    fragment layout as the ORC/JSONL sinks). Read: from_items fan-out,
+    one decoder task per shard. The decoder tolerates and skips unknown
+    fields (wire-type-driven skip), which the fixture exercises with an
+    injected field 15 every 7th record — forward compatibility is the
+    entire point of the format."""
+    import os
+    import tempfile
+
+    import ray.data
+
+    out_dir = tempfile.mkdtemp(prefix="pb_", dir="/tmp")
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        langs = batch["lang"].to_pylist()
+        ncs = batch["n_chars"].to_numpy(zero_copy_only=False)
+        buf = bytearray()
+        for k, (i, lg, nc) in enumerate(zip(ids, langs, ncs)):
+            body = bytearray()
+            body += b"\x08" + _pb_varint(int(i))  # field 1, varint
+            lb = lg.encode()
+            body += b"\x12" + _pb_varint(len(lb)) + lb  # field 2, LEN
+            body += b"\x18" + _pb_varint(int(nc))  # field 3, varint
+            if k % 7 == 0:  # unknown field 15 (varint) — must be skipped
+                body += b"\x78" + _pb_varint(99)
+            buf += _pb_varint(len(body)) + body
+        path = os.path.join(out_dir, f"shard-{int(ids.min()):08d}.pb")
+        with open(path, "wb") as f:
+            f.write(bytes(buf))
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    paths = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        )
+        .map_batches(write_shard, batch_format="pyarrow")
+        .to_pandas()["path"]
+        .tolist()
+    )
+
+    def read_shard(batch: pa.Table) -> pa.Table:
+        ids, langs, ncs = [], [], []
+        for p in batch["path"].to_pylist():
+            with open(p, "rb") as f:
+                buf = f.read()
+            pos = 0
+            while pos < len(buf):
+                mlen, pos = _pb_read_varint(buf, pos)
+                end = pos + mlen
+                i = nc = None
+                lg = None
+                while pos < end:
+                    tag, pos = _pb_read_varint(buf, pos)
+                    field, wt = tag >> 3, tag & 7
+                    if wt == 0:
+                        val, pos = _pb_read_varint(buf, pos)
+                        if field == 1:
+                            i = val
+                        elif field == 3:
+                            nc = val
+                        # unknown varint fields: skipped by the read
+                    elif wt == 2:
+                        ln, pos = _pb_read_varint(buf, pos)
+                        raw, pos = buf[pos : pos + ln], pos + ln
+                        if field == 2:
+                            lg = raw.decode()
+                    else:  # pragma: no cover - fixture emits only 0/2
+                        raise ValueError(f"unsupported wire type {wt}")
+                ids.append(i)
+                langs.append(lg)
+                ncs.append(nc)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "n_chars": pa.array(ncs, pa.int64()),
+            }
+        )
+
+    return ray.data.from_items([{"path": p} for p in sorted(paths)]).map_batches(
+        read_shard, batch_format="pyarrow"
+    )

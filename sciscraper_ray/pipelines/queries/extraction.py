@@ -2183,3 +2183,101 @@ def page_extract_idempotent(sf_dir: str):
     return _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
         audit, batch_format="pyarrow"
     )
+
+
+@register(
+    "host_budget_waterfill",
+    oracle="""
+    WITH per_host AS (
+        SELECT CASE WHEN doc_id % 10 < 3 THEN 'mega.example.org'
+               ELSE CASE doc_id % 5
+                    WHEN 0 THEN 'alpha.example.com'
+                    WHEN 1 THEN 'beta.example.net'
+                    WHEN 2 THEN 'gamma.example.io'
+                    WHEN 3 THEN 'delta.example.edu'
+                    ELSE 'epsilon.example.dev' END END AS host,
+               CAST(count(*) AS BIGINT) AS cap
+        FROM documents GROUP BY 1
+    ), b AS (
+        SELECT CAST(sum(cap) // 2 AS BIGINT) AS budget,
+               CAST(count(*) AS BIGINT) AS n
+        FROM per_host
+    ), ord AS (
+        SELECT host, cap,
+               row_number() OVER (ORDER BY cap, host) - 1 AS i,
+               sum(cap) OVER (ORDER BY cap, host
+                   ROWS UNBOUNDED PRECEDING) - cap AS prefix
+        FROM per_host
+    ), lvl AS (
+        -- water level L: the largest fill where smaller hosts saturate;
+        -- remaining budget spreads over the n-i unsaturated hosts
+        SELECT CAST(max((b.budget - o.prefix) // (b.n - o.i)) FILTER (
+                   o.cap * (b.n - o.i) + o.prefix >= b.budget
+               ) AS BIGINT) AS level
+        FROM ord o, b
+    )
+    SELECT o.host, o.cap,
+           CAST(least(o.cap, l.level)
+                + CASE WHEN o.cap > l.level
+                       AND o.i >= b.n - ((b.budget
+                           - (SELECT sum(least(cap, l2.level))
+                              FROM per_host, lvl l2)))
+                  THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM ord o, lvl l, b
+    """,
+)
+def host_budget_waterfill(sf_dir: str):
+    """Max-min fair (water-filling) crawl-budget allocation: a budget of
+    half the corpus is poured across hosts, each capped by its own page
+    count — small hosts saturate, the rest share the common water level
+    L = max over saturation points of (remaining budget // unsaturated
+    hosts), and the integer remainder goes one page each to the LARGEST
+    unsaturated hosts (deterministic (cap, host) order). This is the
+    politeness scheduler's inverse of host_crawl_fairness: given the
+    skew, compute the fairest feasible allocation in exact integers.
+    Host tallies are per-batch partials (host-bounded exchange); the
+    fill itself is one sorted prefix-sum pass."""
+    import pandas as pd
+
+    from sciscraper_ray.sources.page_synth import host_for
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hosts = [host_for(int(i)) for i in ids]
+        df = (
+            pd.DataFrame({"host": hosts})
+            .value_counts()
+            .rename("cap")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    per_host = (
+        _docs(sf_dir, columns=("doc_id",))
+        .map_batches(partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("host", as_index=False)["cap"]
+        .sum()
+        .sort_values(["cap", "host"])
+        .reset_index(drop=True)
+    )
+    cap = per_host["cap"].to_numpy(np.int64)
+    n = len(cap)
+    budget = int(cap.sum()) // 2
+    prefix = np.concatenate(([0], cap.cumsum()[:-1]))
+    # water level: max feasible fill among saturation candidates
+    feasible = cap * (n - np.arange(n)) + prefix >= budget
+    level = int(((budget - prefix) // (n - np.arange(n)))[feasible].max())
+    alloc = np.minimum(cap, level)
+    rem = budget - int(alloc.sum())
+    # remainder: one page each to the largest unsaturated hosts
+    unsat = np.flatnonzero(cap > level)
+    if rem > 0:
+        alloc[unsat[-rem:]] += 1
+    return pa.table(
+        {
+            "host": pa.array(per_host["host"], pa.string()),
+            "cap": pa.array(cap, pa.int64()),
+            "alloc": pa.array(alloc, pa.int64()),
+        }
+    )

@@ -690,3 +690,54 @@ def test_retrieval_mmr_rerank(ray_session):
     mmr_div = pair[np.ix_(picked, picked)][np.triu_indices(8, 1)].mean()
     top_div = pair[np.ix_(topk, topk)][np.triu_indices(8, 1)].mean()
     assert mmr_div <= top_div + 1e-9
+
+
+def test_host_budget_waterfill(ray_session):
+    got = _df(QUERIES["host_budget_waterfill"](SF))
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id"])
+    from collections import Counter
+
+    from sciscraper_ray.sources.page_synth import host_for
+
+    caps = Counter(host_for(int(d)) for (d,) in docs.itertuples(index=False))
+    budget = sum(caps.values()) // 2
+    # water-filling reference: raise level until budget exhausted
+    alloc = {h: 0 for h in caps}
+    level = 0
+    while sum(min(caps[h], level + 1) for h in caps) <= budget:
+        level += 1
+    alloc = {h: min(caps[h], level) for h in caps}
+    rem = budget - sum(alloc.values())
+    unsat = sorted((h for h in caps if caps[h] > level), key=lambda h: (caps[h], h))
+    for h in unsat[-rem:] if rem else []:
+        alloc[h] += 1
+    got_map = {r.host: (int(r.cap), int(r.alloc)) for r in got.itertuples(index=False)}
+    assert got_map == {h: (caps[h], alloc[h]) for h in caps}
+    # allocation is feasible, exhausts the budget, and is max-min fair:
+    assert sum(a for _, a in got_map.values()) == budget
+    assert all(a <= c for c, a in got_map.values())
+
+
+def test_protobuf_roundtrip(ray_session):
+    got = _df(QUERIES["protobuf_roundtrip"](SF)).sort_values("doc_id").reset_index(drop=True)
+    want = (
+        pd.read_parquet(SF + "/documents.parquet")[["doc_id", "lang", "n_chars"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got[["doc_id", "lang", "n_chars"]].astype(
+        {"doc_id": "int64", "n_chars": "int64"}
+    ).equals(want.astype({"doc_id": "int64", "n_chars": "int64"}))
+
+
+def test_pb_varint_kernel():
+    from sciscraper_ray.pipelines.queries.corpus_ops import (
+        _pb_read_varint,
+        _pb_varint,
+    )
+
+    for n in [0, 1, 127, 128, 300, 2**21 - 1, 2**35 + 7]:
+        buf = _pb_varint(n)
+        val, pos = _pb_read_varint(buf, 0)
+        assert (val, pos) == (n, len(buf))
+    assert _pb_varint(300) == b"\xac\x02"  # protobuf docs' canonical example
