@@ -1497,3 +1497,116 @@ def retrieval_mmr_rerank(sf_dir: str):
             "vec_id": pa.array(picked, pa.int64()),
         }
     )
+
+
+_GG_POOL = 300
+_GG_DEG = 8
+_GG_STEPS = 10
+
+
+def _greedy_graph_oracle() -> str:
+    """Greedy best-first walk on the exact 8-NN graph, unrolled to 10
+    steps (each step materialized; LATERAL picks the current node's best
+    neighbor by query similarity, ties -> smallest id; the walk absorbs
+    when no neighbor improves)."""
+    steps = []
+    for k in range(1, _GG_STEPS + 1):
+        steps.append(
+            f"""g{k} AS MATERIALIZED (
+        SELECT CASE WHEN bn.s > sq.s THEN bn.nb ELSE g.node END AS node
+        FROM g{k - 1} g
+        JOIN simq sq ON sq.node = g.node,
+        LATERAL (
+            SELECT n.nb, s2.s FROM nbrs n
+            JOIN simq s2 ON s2.node = n.nb
+            WHERE n.node = g.node
+            ORDER BY s2.s DESC, n.nb ASC LIMIT 1
+        ) bn
+    )"""
+        )
+    ranks = " UNION ALL ".join(
+        f"SELECT {k} AS step, node FROM g{k}" for k in range(_GG_STEPS + 1)
+    )
+    return f"""
+    WITH pool AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_GG_POOL}
+    ), q AS (
+        SELECT embedding AS qe FROM pool WHERE vec_id = 0
+    ), nodes AS MATERIALIZED (
+        SELECT vec_id, embedding FROM pool WHERE vec_id <> 0
+    ), simq AS MATERIALIZED (
+        SELECT vec_id AS node,
+               list_cosine_similarity(embedding, (SELECT qe FROM q)) AS s
+        FROM nodes
+    ), nbrs AS MATERIALIZED (
+        SELECT node, nb FROM (
+            SELECT a.vec_id AS node, b.vec_id AS nb,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.embedding, b.embedding)
+                           DESC, b.vec_id ASC
+                   ) AS rk
+            FROM nodes a JOIN nodes b ON a.vec_id <> b.vec_id
+        ) WHERE rk <= {_GG_DEG}
+    ), g0 AS MATERIALIZED (SELECT 1 AS node),
+    {", ".join(steps)}
+    SELECT CAST(step AS BIGINT) AS step, CAST(node AS BIGINT) AS node
+    FROM ({ranks})
+    """
+
+
+@register("embedding_greedy_graph_search", oracle=_greedy_graph_oracle())
+def embedding_greedy_graph_search(sf_dir: str):
+    """Graph-based ANN search (the HNSW/NSG layer-0 primitive): greedy
+    best-first walk over the exact 8-NN cosine graph of a 300-vector
+    pool toward a query — at each step move to the current node's
+    best-scoring neighbor if it improves on the current node, else
+    absorb. This is the search side of modern vector indexes (the IVF
+    family here is the partition side); emitting the full 10-step
+    trajectory (absorbed steps repeat the node) makes convergence
+    behavior auditable, not just the endpoint. Pool rides one
+    broadcast; the kNN graph build is one pool^2 float64 matmul and the
+    walk is k argmax probes — at corpus scale the same walk runs
+    against a sharded neighbor table with the query fanned out, which
+    is exactly ann_ivf's probe shape. Ties break on neighbor id; the
+    oracle unrolls the identical walk with LATERAL best-neighbor
+    picks."""
+    import ray.data
+
+    pool = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .filter(lambda r: r["vec_id"] < _GG_POOL)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    ids = pool["vec_id"].to_numpy(np.int64)
+    mat = np.stack([np.asarray(v, np.float64) for v in pool["embedding"]])
+    nm = np.linalg.norm(mat, axis=1)
+    qi = int(np.flatnonzero(ids == 0)[0])
+    mask = ids != 0
+    nid, nmx, nnm = ids[mask], mat[mask], nm[mask]
+    simq = (nmx @ mat[qi]) / (nnm * nm[qi])
+    pair = (nmx @ nmx.T) / np.outer(nnm, nnm)
+    np.fill_diagonal(pair, -np.inf)
+    # exact kNN graph: top-8 by (sim desc, id asc)
+    nbr_rows = []
+    for r in range(len(nid)):
+        order = np.lexsort((nid, -pair[r]))[:_GG_DEG]
+        nbr_rows.append(order)
+    pos_of = {int(v): i for i, v in enumerate(nid)}
+    cur = pos_of[1]
+    trail = [int(nid[cur])]
+    for _ in range(_GG_STEPS):
+        nbs = nbr_rows[cur]
+        best = nbs[int(np.lexsort((nid[nbs], -simq[nbs]))[0])]
+        if simq[best] > simq[cur]:
+            cur = int(best)
+        trail.append(int(nid[cur]))
+    return pa.table(
+        {
+            "step": pa.array(np.arange(_GG_STEPS + 1, dtype=np.int64), pa.int64()),
+            "node": pa.array(trail, pa.int64()),
+        }
+    )

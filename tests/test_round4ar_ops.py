@@ -786,3 +786,33 @@ def test_retrieval_bm25_prf(ray_session):
     # feedback must actually change the ranking vs the seed query
     seed_top = sorted(seed, key=lambda d: (-seed[d], d))[:10]
     assert want != seed_top or exp  # expansion terms exist
+
+
+def test_embedding_greedy_graph_search(ray_session):
+    import numpy as np
+
+    got = _df(QUERIES["embedding_greedy_graph_search"](SF)).sort_values("step")
+    emb = pd.read_parquet(SF + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = emb[emb.vec_id < 300].sort_values("vec_id")
+    ids = emb.vec_id.to_numpy(int)
+    mat = np.stack([np.asarray(v, np.float64) for v in emb.embedding])
+    nm = np.linalg.norm(mat, axis=1)
+    q = int(np.flatnonzero(ids == 0)[0])
+    mask = ids != 0
+    nid, nmx, nnm = ids[mask], mat[mask], nm[mask]
+    simq = (nmx @ mat[q]) / (nnm * nm[q])
+    pair = (nmx @ nmx.T) / np.outer(nnm, nnm)
+    np.fill_diagonal(pair, -np.inf)
+    pos = {int(v): i for i, v in enumerate(nid)}
+    cur = pos[1]
+    trail = [1]
+    for _ in range(10):
+        nbs = sorted(range(len(nid)), key=lambda j: (-pair[cur][j], nid[j]))[:8]
+        best = min(nbs, key=lambda j: (-simq[j], nid[j]))
+        if simq[best] > simq[cur]:
+            cur = best
+        trail.append(int(nid[cur]))
+    assert list(got.node) == trail
+    # the walk's query similarity is monotone nondecreasing
+    sims = [simq[pos[n]] for n in got.node]
+    assert all(b >= a - 1e-12 for a, b in zip(sims, sims[1:]))
