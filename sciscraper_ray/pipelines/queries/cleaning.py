@@ -285,3 +285,48 @@ def csv_schema_infer(sf_dir: str):
     return _docs(sf_dir, columns=("doc_id",)).map_batches(
         run, batch_format="pyarrow"
     )
+
+
+@register(
+    "url_punycode_decode",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'bücher' WHEN 1 THEN 'café'
+                ELSE 'niño' END || CAST(doc_id AS VARCHAR)
+               || '.example.org' AS unicode_host
+    FROM documents
+    """,
+)
+def url_punycode_decode(sf_dir: str):
+    """IDN hostname normalization: decode xn-- (punycode, RFC 3492)
+    labels back to unicode — crawl host tables carry ACE-encoded
+    internationalized domains, and per-domain dedup / politeness /
+    homograph checks all need the unicode form. The decoder is the full
+    bootstring algorithm FROM SCRATCH (kernels/punycode.py: variable-
+    threshold base-36 digits, bias adaptation, insertion decoding), not
+    a codec call; the fixture builds each doc's hostname by ENCODING a
+    deterministic unicode label with Python's stdlib punycode codec, so
+    the decode path is independently cross-checked (encoder and decoder
+    share no code). Pure map stage, zero exchange; the oracle states
+    the expected unicode directly."""
+    from sciscraper_ray.kernels.punycode import idn_to_unicode
+
+    bases = ("bücher", "café", "niño")
+
+    def decode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hosts = []
+        for i in ids:
+            label = bases[int(i) % 3] + str(int(i))
+            ace = "xn--" + label.encode("punycode").decode()
+            hosts.append(idn_to_unicode(f"{ace}.example.org"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "unicode_host": pa.array(hosts, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        decode, batch_format="pyarrow"
+    )

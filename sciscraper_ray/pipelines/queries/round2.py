@@ -2585,3 +2585,153 @@ def orders_value_quantiles_by_segment(sf_dir: str):
             "n_rows": pa.array([r[3] for r in out], pa.int64()),
         }
     )
+
+
+_SWEEP_K = 40
+
+
+def _ppr_sweep_sql(iters: int = 5) -> str:
+    """graph_ppr's unrolled iteration, then the Andersen-Chung-Lang
+    sweep: rank nodes by r/deg (desc, node asc), take prefixes
+    S_1..S_40, and score each by exact-integer conductance
+    cut(S)/min(vol(S), 2m - vol(S)) via the incremental identity
+    cut(S_k) = sum(deg) - 2*sum(internal edges)."""
+    p_case = (
+        "CASE WHEN {col} < 50 THEN 1.0 / (SELECT s FROM seedn) ELSE 0.0 END"
+    )
+    ctes = [
+        "e0 AS (SELECT DISTINCT l_partkey AS a, l_suppkey + 10000000 AS b FROM lineitem)",
+        "edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b AS src, a AS dst FROM e0)",
+        "deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src)",
+        "seedn AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM deg WHERE node < 50)",
+        f"r0 AS (SELECT node, {p_case.format(col='node')} AS r FROM deg)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS (
+        SELECT e.dst AS node,
+               (1.0 - 0.85) * ({p_case.format(col='e.dst')})
+                   + 0.85 * sum(p.r / dg.d) AS r
+        FROM edges e
+        JOIN r{k - 1} p ON p.node = e.src
+        JOIN deg dg ON dg.node = e.src
+        GROUP BY e.dst
+    )"""
+        )
+    ctes.append(
+        f"""ranked AS MATERIALIZED (
+        SELECT r.node, CAST(dg.d AS BIGINT) AS deg,
+               row_number() OVER (
+                   ORDER BY round(r.r, 10) / dg.d DESC, r.node ASC
+               ) AS rk
+        FROM r{iters} r JOIN deg dg ON dg.node = r.node
+    )"""
+    )
+    ctes.append(
+        f"""ein AS (
+        SELECT r1.rk, CAST(count(*) AS BIGINT) AS e_in
+        FROM edges e
+        JOIN ranked r1 ON r1.node = e.src AND r1.rk <= {_SWEEP_K}
+        JOIN ranked r2 ON r2.node = e.dst AND r2.rk < r1.rk
+        GROUP BY r1.rk
+    )"""
+    )
+    ctes.append(
+        "m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM edges)"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(r.rk AS BIGINT) AS k, r.node,
+           CAST(sum(r.deg) OVER w
+                - 2 * sum(coalesce(ein.e_in, 0)) OVER w AS BIGINT) AS cut,
+           CAST(sum(r.deg) OVER w AS BIGINT) AS vol,
+           CAST(sum(r.deg) OVER w
+                - 2 * sum(coalesce(ein.e_in, 0)) OVER w AS DOUBLE)
+               / least(sum(r.deg) OVER w,
+                       (SELECT m2 FROM m2) - sum(r.deg) OVER w)
+               AS conductance
+    FROM ranked r LEFT JOIN ein ON ein.rk = r.rk
+    WHERE r.rk <= {_SWEEP_K}
+    WINDOW w AS (ORDER BY r.rk ROWS UNBOUNDED PRECEDING)
+    """
+    )
+
+
+@register("graph_ppr_sweep_cut", oracle=_ppr_sweep_sql(5))
+def graph_ppr_sweep_cut(sf_dir: str):
+    """Local community detection by the PPR sweep cut (Andersen, Chung
+    & Lang FOCS'06): rank nodes by personalized-PageRank mass divided
+    by degree, then score every rank prefix S_k by its conductance
+    cut(S_k)/min(vol(S_k), 2m - vol(S_k)) — the prefix at the
+    conductance minimum is the seed set's community, with a provable
+    quality bound. The PPR is the shared two-plan pagerank engine
+    (seeds = part ids < 50); the sweep itself is exact integers: degree
+    cumsums and internal-edge counts (cut shrinks by 2 for every edge
+    closed inside the prefix), evaluated vectorized over the top-40
+    prefix — only the ranking key is a double, identical on both sides
+    because it divides the same rounded-to-10 PPR mass by the same
+    integer degree. Emits the full sweep curve (k, node, cut, vol,
+    conductance), auditable rather than just the argmin."""
+    import ray.data
+
+    from sciscraper_ray.pipelines.graph import _dedup_edges, pagerank
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"a": b["l_partkey"], "b": pc.add(b["l_suppkey"], 10_000_000)}
+        )
+
+    e0 = _dedup_edges(li.map_batches(to_edges, batch_format="pyarrow"))
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([a, bb]), pa.int64()),
+                "b": pa.array(np.concatenate([bb, a]), pa.int64()),
+            }
+        )
+
+    edges_ds = e0.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    ranked = pagerank(edges_ds, damping=0.85, iters=5, seeds=np.arange(50))
+    if not isinstance(ranked, pa.Table):
+        ranked = pa.Table.from_pandas(ranked.to_pandas(), preserve_index=False)
+    ed = edges_ds.to_pandas()
+    src = ed["a"].to_numpy(np.int64)
+    dst = ed["b"].to_numpy(np.int64)
+    nodes = ranked["node"].to_numpy(zero_copy_only=False)
+    r = ranked["r"].to_numpy(zero_copy_only=False)
+    order_all = np.argsort(nodes)
+    nodes_s = nodes[order_all]
+    deg = np.bincount(np.searchsorted(nodes_s, src)).astype(np.int64)
+    r_s = r[order_all]
+    key = r_s / deg
+    sweep = np.lexsort((nodes_s, -key))[:_SWEEP_K]
+    rank_of = {int(nodes_s[j]): i for i, j in enumerate(sweep)}
+    m2 = len(src)
+    # internal-edge counts per prefix step
+    e_in = np.zeros(_SWEEP_K, np.int64)
+    rs = np.array([rank_of.get(int(u), _SWEEP_K) for u in src])
+    rd = np.array([rank_of.get(int(v), _SWEEP_K) for v in dst])
+    inside = (rs < _SWEEP_K) & (rd < rs)
+    np.add.at(e_in, rs[inside], 1)
+    degs = deg[sweep]
+    vol = degs.cumsum()
+    cut = vol - 2 * e_in.cumsum()
+    cond = cut.astype(np.float64) / np.minimum(vol, m2 - vol)
+    return pa.table(
+        {
+            "k": pa.array(np.arange(1, _SWEEP_K + 1, dtype=np.int64), pa.int64()),
+            "node": pa.array(nodes_s[sweep].astype(np.int64), pa.int64()),
+            "cut": pa.array(cut, pa.int64()),
+            "vol": pa.array(vol, pa.int64()),
+            "conductance": pa.array(cond, pa.float64()),
+        }
+    )

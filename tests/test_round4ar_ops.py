@@ -816,3 +816,49 @@ def test_embedding_greedy_graph_search(ray_session):
     # the walk's query similarity is monotone nondecreasing
     sims = [simq[pos[n]] for n in got.node]
     assert all(b >= a - 1e-12 for a, b in zip(sims, sims[1:]))
+
+
+def test_url_punycode_decode(ray_session):
+    got = _df(QUERIES["url_punycode_decode"](SF))
+    bases = ("bücher", "café", "niño")
+    for r in got.itertuples(index=False):
+        i = int(r.doc_id)
+        assert r.unicode_host == f"{bases[i % 3]}{i}.example.org"
+
+
+def test_punycode_decoder_fuzz_vs_stdlib():
+    from sciscraper_ray.kernels.punycode import punycode_decode
+
+    # deterministic unicode fuzz: mixed ASCII + BMP chars
+    alphabet = "aé9ü日ñz語"
+    for seed in range(60):
+        x, s = seed * 2654435761 % 2**32, []
+        for _ in range(seed % 11 + 1):
+            x = (x * 1103515245 + 12345) % 2**31
+            s.append(alphabet[x % len(alphabet)])
+        label = "".join(s)
+        enc = label.encode("punycode").decode()
+        assert punycode_decode(enc) == label, (label, enc)
+
+
+def test_graph_ppr_sweep_cut(ray_session):
+    got = _df(QUERIES["graph_ppr_sweep_cut"](SF)).sort_values("k")
+    li = pd.read_parquet(SF + "/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    e0 = {(int(p), int(s) + 10_000_000) for p, s in li.itertuples(index=False)}
+    edges = list(e0) + [(b, a) for a, b in e0]
+    from collections import Counter
+
+    deg = Counter(u for u, _ in edges)
+    m2 = len(edges)
+    members = list(got.node.astype(int))
+    # verify the exact conductance of each reported prefix independently
+    for k in range(1, len(members) + 1):
+        s = set(members[:k])
+        vol = sum(deg[u] for u in s)
+        # edges holds both directions; an undirected boundary edge crosses twice
+        cut = sum(1 for u, v in edges if (u in s) != (v in s)) // 2
+        row = got.iloc[k - 1]
+        assert (int(row.vol), int(row.cut)) == (vol, cut), k
+        assert abs(row.conductance - cut / min(vol, m2 - vol)) < 1e-12
+    # sweep members are high-PPR nodes: seeds and their neighborhood
+    assert any(n < 50 for n in members)
