@@ -3676,3 +3676,96 @@ def events_viterbi_regime(sf_dir: str):
             ),
         }
     )
+
+
+@register(
+    "events_bounce_rate",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM o
+    ), firsts AS (
+        SELECT event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, session_id ORDER BY ts, event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY user_id, session_id) AS n
+        FROM s
+    )
+    SELECT event_type AS entry_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (n = 1) AS BIGINT) AS n_bounces,
+           CAST(count(*) FILTER (n = 1) AS DOUBLE) / count(*) AS bounce_rate
+    FROM firsts WHERE rn = 1 GROUP BY event_type
+    """,
+)
+def events_bounce_rate(sf_dir: str):
+    """Bounce rate by session entry type: sessionize (same 30-minute
+    gap rule as events_sessionize, same bucketed-window plan), take
+    each session's FIRST event type as its landing page, and report
+    what fraction of sessions ended after that single event — the
+    engagement metric every funnel report leads with, here grouped by
+    what the user landed on. In-bucket the per-session (entry, n)
+    reduction is reduceat over session segments; the exchange after
+    that is TYPES-bounded. Exact integers plus one identically-ordered
+    double ratio."""
+    import pandas as pd
+
+    import ray.data
+
+    from sciscraper_ray.stages.window import bucketed_window
+
+    gap_us = 30 * 60 * 1_000_000
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+
+    def kernel(g: "pd.DataFrame") -> "pd.DataFrame":
+        user = g["user_id"].to_numpy()
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, user))
+        user, ts, et = user[order], ts[order], et[order]
+        new_s = np.ones(len(user), bool)
+        if len(user) > 1:
+            new_s[1:] = (user[1:] != user[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        starts = np.flatnonzero(new_s)
+        lens = np.diff(np.concatenate((starts, [len(user)])))
+        entry = et[starts]
+        df = pd.DataFrame({"entry_type": entry, "one": lens == 1})
+        out = df.groupby("entry_type", as_index=False).agg(
+            n_sessions=("one", "size"), n_bounces=("one", "sum")
+        )
+        return out
+
+    parts = (
+        bucketed_window(ds, kernel)
+        .to_pandas()
+        .groupby("entry_type", as_index=False)
+        .sum()
+    )
+    ns = parts["n_sessions"].to_numpy(np.int64)
+    nb = parts["n_bounces"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "entry_type": pa.array(parts["entry_type"], pa.string()),
+            "n_sessions": pa.array(ns, pa.int64()),
+            "n_bounces": pa.array(nb, pa.int64()),
+            "bounce_rate": pa.array(
+                nb.astype(np.float64) / ns.astype(np.float64), pa.float64()
+            ),
+        }
+    )

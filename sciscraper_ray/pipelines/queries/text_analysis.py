@@ -3661,3 +3661,128 @@ def token_symspell_neighbors(sf_dir: str):
             "n_neighbors": pa.array(deg, pa.int64()),
         }
     )
+
+
+_SUBSAMPLE_T = 1e-3
+
+from sciscraper_ray.pipelines.queries.dedup import _md5_hex15_sql  # noqa: E402
+
+
+@register(
+    "token_subsample_mikolov",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               unnest({_SQL_TOKENS}) AS token,
+               unnest(range(len({_SQL_TOKENS}))) AS ord
+        FROM documents
+    ), tot AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM base
+    ), freq AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+               count(*) / (SELECT n FROM tot) AS f
+        FROM base GROUP BY token
+    ), p AS (
+        SELECT token, cnt,
+               least(1.0, sqrt({_SUBSAMPLE_T} / f) + {_SUBSAMPLE_T} / f) AS keep_p
+        FROM freq
+    ), coin AS (
+        SELECT b.token,
+               CAST({{u}} AS DOUBLE) / 1152921504606846976 AS u
+        FROM base b
+    )
+    SELECT p.token, p.cnt AS orig_cnt,
+           CAST(count(*) FILTER (c.u < p.keep_p) AS BIGINT) AS kept_cnt
+    FROM coin c JOIN p ON p.token = c.token
+    GROUP BY p.token, p.cnt
+    """.replace(
+        "{u}",
+        _md5_hex15_sql(
+            "CAST(b.doc_id AS VARCHAR) || ':' || CAST(b.ord AS VARCHAR)"
+            " || ':' || b.token"
+        ),
+    ),
+)
+def token_subsample_mikolov(sf_dir: str):
+    """word2vec-style frequency subsampling (Mikolov et al. 2013 eq. 5):
+    each token OCCURRENCE survives with probability
+    min(1, sqrt(t/f) + t/f), t = 1e-3 — the pass that deletes most
+    'the'-class occurrences while keeping every rare word, standard in
+    embedding-corpus prep. The coin is a deterministic md5 of
+    (doc, position, token) mapped to [0,1), so the subsample is
+    reproducible and resumable by construction (re-running a shard
+    keeps exactly the same occurrences — no RNG state to checkpoint).
+    Per-batch (token, orig, kept) partials keep the exchange
+    vocab-bounded; the oracle replays the same md5 coin and the same
+    double threshold, collision-for-collision."""
+    import hashlib
+
+    import pandas as pd
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+    from ray.data.aggregate import Sum
+
+    # pass 1: global frequencies (vocab-bounded)
+    def freq_partial(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        agg = pa.table({"token": flat}).group_by("token").aggregate([([], "count_all")])
+        return agg.rename_columns(["token", "cnt"])
+
+    freq = (
+        _docs(sf_dir)
+        .map_batches(freq_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    total = float(freq["cnt"].sum())
+    f = freq["cnt"].to_numpy(np.int64) / total
+    keep_p = np.minimum(1.0, np.sqrt(_SUBSAMPLE_T / f) + _SUBSAMPLE_T / f)
+    p_map = dict(zip(freq["token"], keep_p))
+    import ray
+
+    p_ref = ray.put(p_map)
+
+    def sample_partial(batch: pa.Table) -> pa.Table:
+        pm = ray.get(p_ref)
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        rows: dict[str, list[int]] = {}
+        for i, lst in zip(ids, flat):
+            for k, t in enumerate(lst):
+                h = int(
+                    hashlib.md5(f"{int(i)}:{k}:{t}".encode()).hexdigest()[:15], 16
+                )
+                u = float(h) / 1152921504606846976.0
+                r = rows.setdefault(t, [0, 0])
+                r[0] += 1
+                if u < pm[t]:
+                    r[1] += 1
+        return pa.table(
+            {
+                "token": pa.array(list(rows), pa.string()),
+                "orig": pa.array([v[0] for v in rows.values()], pa.int64()),
+                "kept": pa.array([v[1] for v in rows.values()], pa.int64()),
+            }
+        )
+
+    parts = (
+        _docs(sf_dir)
+        .map_batches(sample_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("token", as_index=False)
+        .sum()
+    )
+    return pa.table(
+        {
+            "token": pa.array(parts["token"], pa.string()),
+            "orig_cnt": pa.array(parts["orig"].to_numpy(np.int64), pa.int64()),
+            "kept_cnt": pa.array(parts["kept"].to_numpy(np.int64), pa.int64()),
+        }
+    )

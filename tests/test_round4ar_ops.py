@@ -862,3 +862,64 @@ def test_graph_ppr_sweep_cut(ray_session):
         assert abs(row.conductance - cut / min(vol, m2 - vol)) < 1e-12
     # sweep members are high-PPR nodes: seeds and their neighborhood
     assert any(n < 50 for n in members)
+
+
+def test_events_bounce_rate(ray_session):
+    got = _df(QUERIES["events_bounce_rate"](SF))
+    ev = pd.read_parquet(
+        SF + "/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    ).sort_values(["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=30)
+    from collections import Counter
+
+    n_sessions, n_bounces = Counter(), Counter()
+    for _, g in ev.groupby("user_id"):
+        entry, n, prev = None, 0, None
+        for r in g.itertuples(index=False):
+            if prev is None or r.ts - prev > gap:
+                if entry is not None:
+                    n_sessions[entry] += 1
+                    n_bounces[entry] += int(n == 1)
+                entry, n = r.event_type, 0
+            n += 1
+            prev = r.ts
+        n_sessions[entry] += 1
+        n_bounces[entry] += int(n == 1)
+    for r in got.itertuples(index=False):
+        assert (int(r.n_sessions), int(r.n_bounces)) == (
+            n_sessions[r.entry_type],
+            n_bounces[r.entry_type],
+        )
+        assert abs(r.bounce_rate - n_bounces[r.entry_type] / n_sessions[r.entry_type]) < 1e-12
+    assert len(got) == len(n_sessions)
+
+
+def test_token_subsample_mikolov(ray_session):
+    import hashlib
+    import math
+
+    got = _df(QUERIES["token_subsample_mikolov"](SF))
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    from collections import Counter
+
+    freq = Counter()
+    occ = []
+    for i, t in docs.itertuples(index=False):
+        toks = t.strip().lower().split(" ")
+        freq.update(toks)
+        occ.extend((int(i), k, tok) for k, tok in enumerate(toks))
+    total = sum(freq.values())
+    kept = Counter()
+    for i, k, tok in occ:
+        f = freq[tok] / total
+        p = min(1.0, math.sqrt(1e-3 / f) + 1e-3 / f)
+        u = int(hashlib.md5(f"{i}:{k}:{tok}".encode()).hexdigest()[:15], 16) / 1152921504606846976
+        if u < p:
+            kept[tok] += 1
+    got_map = {
+        r.token: (int(r.orig_cnt), int(r.kept_cnt)) for r in got.itertuples(index=False)
+    }
+    assert got_map == {t: (freq[t], kept[t]) for t in freq}
+    # frequent tokens are thinned, rare tokens survive intact
+    common = max(freq, key=freq.get)
+    assert got_map[common][1] < got_map[common][0]
