@@ -163,3 +163,96 @@ def test_tokenize_column_matches_reference_contract(texts):
     got = tokenize_column(pa.array(texts, pa.string())).to_pylist()
     want = [t.strip().lower().split(" ") for t in texts]
     assert got == want
+
+
+# --- session-AR kernels: edit distances, punycode, varints ---------------
+
+
+@given(
+    st.text(alphabet="abcde ", max_size=24),
+    st.text(alphabet="abcde ", max_size=24),
+)
+@settings(max_examples=150, deadline=None)
+def test_damerau_osa_lev_sandwich(a, b):
+    """DL <= OSA <= Lev <= 2*DL (the bound the three-tier verify relies
+    on), plus symmetry and identity-of-indiscernibles."""
+    from sciscraper_ray.pipelines.dedup import (
+        damerau_levenshtein_exact,
+        levenshtein_np,
+        osa_np,
+    )
+
+    dl = damerau_levenshtein_exact(a, b)
+    osa = osa_np(a, b)
+    lev = levenshtein_np(a, b)
+    assert dl <= osa <= lev <= 2 * dl or (dl == 0 and lev == 0)
+    assert dl == damerau_levenshtein_exact(b, a)
+    assert (dl == 0) == (a == b)
+    # length difference is a universal lower bound
+    assert dl >= abs(len(a) - len(b))
+
+
+@given(st.text(alphabet="abcde ", max_size=16), st.integers(0, 15), st.integers(0, 15))
+@settings(max_examples=100, deadline=None)
+def test_damerau_triangle_inequality(s, i, j):
+    """DL is a metric: check the triangle through a derived midpoint."""
+    from sciscraper_ray.pipelines.dedup import damerau_levenshtein_exact as dl
+
+    if not s:
+        return
+    mid = s[: i % len(s)] + s[j % len(s)] + s[i % len(s) :]
+    other = s[::-1]
+    assert dl(s, other) <= dl(s, mid) + dl(mid, other)
+
+
+@given(st.text(alphabet="aébz語ü0-", min_size=1, max_size=20))
+@settings(max_examples=150, deadline=None)
+def test_punycode_roundtrip_property(label):
+    """Decoding the stdlib encoder's output recovers any unicode label."""
+    from sciscraper_ray.kernels.punycode import punycode_decode
+
+    enc = label.encode("punycode").decode()
+    assert punycode_decode(enc) == label
+
+
+@given(st.integers(0, 2**63 - 1))
+@settings(max_examples=200, deadline=None)
+def test_pb_varint_roundtrip_property(n):
+    from sciscraper_ray.pipelines.queries.corpus_ops import (
+        _pb_read_varint,
+        _pb_varint,
+    )
+
+    buf = _pb_varint(n)
+    assert len(buf) <= 9
+    val, pos = _pb_read_varint(buf + b"\x01\x02", 0)
+    assert (val, pos) == (n, len(buf))
+
+
+@given(st.lists(st.integers(0, 5000), min_size=2, max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_waterfill_invariants(caps):
+    """Max-min fair fill: feasible, budget-exhausting, and no host below
+    the water level unless capped."""
+    import numpy as np
+
+    caps_arr = np.sort(np.asarray(caps, np.int64))
+    total = int(caps_arr.sum())
+    budget = total // 2
+    n = len(caps_arr)
+    if budget == 0:
+        return
+    prefix = np.concatenate(([0], caps_arr.cumsum()[:-1]))
+    feasible = caps_arr * (n - np.arange(n)) + prefix >= budget
+    level = int(((budget - prefix) // (n - np.arange(n)))[feasible].max())
+    alloc = np.minimum(caps_arr, level)
+    rem = budget - int(alloc.sum())
+    unsat = np.flatnonzero(caps_arr > level)
+    if rem > 0:
+        alloc[unsat[-rem:]] += 1
+    assert (alloc <= caps_arr).all()
+    assert int(alloc.sum()) == budget
+    assert 0 <= rem <= max(0, len(unsat))
+    # max-min fairness: any host strictly under the level is at its cap
+    under = alloc < level
+    assert (alloc[under] == caps_arr[under]).all()
