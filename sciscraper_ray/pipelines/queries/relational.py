@@ -5171,3 +5171,87 @@ def graph_bipartite_projection(sf_dir: str):
             "weight": pa.array(dfp["weight"].to_numpy(np.int64), pa.int64()),
         }
     )
+
+
+@register(
+    "lineitem_simpson_audit",
+    oracle="""
+    WITH x AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(l_discount * 100) AS BIGINT) AS d,
+               CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem
+    ), per AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d * q) AS BIGINT) AS sdq,
+               CAST(sum(d) AS BIGINT) AS sd,
+               CAST(sum(q) AS BIGINT) AS sq
+        FROM x GROUP BY grp
+    ), tot AS (
+        SELECT 'ALL' AS grp, CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(sdq) AS BIGINT) AS sdq,
+               CAST(sum(sd) AS BIGINT) AS sd,
+               CAST(sum(sq) AS BIGINT) AS sq
+        FROM per
+    ), u AS (
+        SELECT * FROM per UNION ALL SELECT * FROM tot
+    )
+    SELECT grp, n,
+           CAST(CASE WHEN n * sdq - sd * sq > 0 THEN 1
+                     WHEN n * sdq - sd * sq < 0 THEN -1 ELSE 0 END
+               AS BIGINT) AS cov_sign
+    FROM u
+    """,
+)
+def lineitem_simpson_audit(sf_dir: str):
+    """Simpson's-paradox detector for the discount-quantity relationship:
+    the SIGN of the covariance numerator n*Σxy - Σx*Σy (exact int64 on
+    integer discount-percent and quantity) per return-flag stratum and
+    for the pooled table — when the pooled sign disagrees with every
+    stratum's sign, any dashboard aggregating across the strata reports
+    a reversed trend, the classic aggregation hazard audit. Per-batch
+    (group, n, Σxy, Σx, Σy) moment partials make the exchange
+    groups-bounded; the sign test is exact integer arithmetic, no
+    doubles anywhere."""
+    import pandas as pd
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_discount", "l_quantity"],
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        g = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        d = np.round(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"grp": g, "n": 1, "sdq": d * q, "sd": d, "sq": q})
+        return pa.Table.from_pandas(
+            df.groupby("grp", as_index=False).sum(), preserve_index=False
+        )
+
+    per = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("grp", as_index=False)
+        .sum()
+    )
+    tot = per.drop(columns="grp").sum()
+    rows = [(r.grp, int(r.n), int(r.sdq), int(r.sd), int(r.sq)) for r in per.itertuples(index=False)]
+    rows.append(("ALL", int(tot["n"]), int(tot["sdq"]), int(tot["sd"]), int(tot["sq"])))
+    grps, ns, signs = [], [], []
+    for grp, n, sdq, sd, sq in rows:
+        num = n * sdq - sd * sq
+        grps.append(grp)
+        ns.append(n)
+        signs.append(1 if num > 0 else (-1 if num < 0 else 0))
+    return pa.table(
+        {
+            "grp": pa.array(grps, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "cov_sign": pa.array(signs, pa.int64()),
+        }
+    )

@@ -923,3 +923,29 @@ def test_token_subsample_mikolov(ray_session):
     # frequent tokens are thinned, rare tokens survive intact
     common = max(freq, key=freq.get)
     assert got_map[common][1] < got_map[common][0]
+
+
+def test_lineitem_simpson_audit(ray_session):
+    got = _df(QUERIES["lineitem_simpson_audit"](SF))
+    li = pd.read_parquet(
+        SF + "/lineitem.parquet",
+        columns=["l_returnflag", "l_discount", "l_quantity"],
+    )
+    import numpy as np
+
+    d = np.round(li.l_discount.to_numpy() * 100).astype(int)
+    q = li.l_quantity.to_numpy().astype(int)
+    g = li.l_returnflag.to_numpy()
+
+    def sign(mask):
+        n = int(mask.sum())
+        num = n * int((d[mask] * q[mask]).sum()) - int(d[mask].sum()) * int(
+            q[mask].sum()
+        )
+        return (n, 1 if num > 0 else (-1 if num < 0 else 0))
+
+    want = {grp: sign(g == grp) for grp in set(g)}
+    want["ALL"] = sign(np.ones(len(g), bool))
+    got_map = {r.grp: (int(r.n), int(r.cov_sign)) for r in got.itertuples(index=False)}
+    assert got_map == want
+    assert len(got) == len(set(g)) + 1
