@@ -5255,3 +5255,80 @@ def lineitem_simpson_audit(sf_dir: str):
             "cov_sign": pa.array(signs, pa.int64()),
         }
     )
+
+
+@register(
+    "orders_mann_kendall",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(date_part('year', o_orderdate) * 12
+                    + date_part('month', o_orderdate) - 1 AS BIGINT) AS mi,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ), s AS (
+        SELECT CAST(sum(CASE WHEN y.cents > x.cents THEN 1
+                             WHEN y.cents < x.cents THEN -1 ELSE 0 END)
+                   AS BIGINT) AS s_stat
+        FROM m x JOIN m y ON y.mi > x.mi
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m)
+    SELECT n.n AS n_months, s.s_stat,
+           CAST(n.n * (n.n - 1) * (2 * n.n + 5) AS BIGINT) AS var18,
+           CAST(s.s_stat AS DOUBLE)
+               / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) AS DOUBLE) / 18)
+               AS z
+    FROM s, n
+    """,
+)
+def orders_mann_kendall(sf_dir: str):
+    """Mann-Kendall monotonic-trend test on monthly revenue — the
+    nonparametric companion to orders_monthly_theilsen (same pairwise
+    month structure; Kendall's S = sum of pairwise sign comparisons is
+    EXACT int64, and the no-ties variance n(n-1)(2n+5)/18 is carried as
+    its integer numerator so only the final z is a double in identical
+    arithmetic order). Month-bounded exchange (integer-cents partials),
+    one vectorized sign-matrix pass on the driver — the standard
+    'is this KPI really drifting' gate that doesn't assume normality."""
+    import pandas as pd
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch["o_orderdate"], pa.timestamp("us"))
+        yr = pc.year(d).to_numpy(zero_copy_only=False).astype(np.int64)
+        mo = pc.month(d).to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame({"mi": yr * 12 + mo - 1, "cents": cents})
+            .groupby("mi", as_index=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    m = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("mi", as_index=False)
+        .sum()
+        .sort_values("mi")
+    )
+    c = m["cents"].to_numpy(np.int64)
+    n = len(c)
+    diff = np.sign(c[None, :] - c[:, None])
+    iu = np.triu_indices(n, k=1)
+    s_stat = int(diff[iu].sum())
+    var18 = n * (n - 1) * (2 * n + 5)
+    z = float(s_stat) / np.sqrt(float(var18) / 18)
+    return pa.table(
+        {
+            "n_months": pa.array([n], pa.int64()),
+            "s_stat": pa.array([s_stat], pa.int64()),
+            "var18": pa.array([var18], pa.int64()),
+            "z": pa.array([z], pa.float64()),
+        }
+    )

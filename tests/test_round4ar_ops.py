@@ -949,3 +949,42 @@ def test_lineitem_simpson_audit(ray_session):
     got_map = {r.grp: (int(r.n), int(r.cov_sign)) for r in got.itertuples(index=False)}
     assert got_map == want
     assert len(got) == len(set(g)) + 1
+
+
+def test_orders_mann_kendall(ray_session):
+    import numpy as np
+
+    got = _df(QUERIES["orders_mann_kendall"](SF)).iloc[0]
+    o = pd.read_parquet(SF + "/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    mi = (o.o_orderdate.dt.year * 12 + o.o_orderdate.dt.month - 1).to_numpy()
+    cents = np.round(o.o_totalprice.to_numpy() * 100).astype(int)
+    m = pd.DataFrame({"mi": mi, "c": cents}).groupby("mi")["c"].sum().sort_index()
+    c = m.to_numpy()
+    n = len(c)
+    s = sum(
+        int(np.sign(c[j] - c[i])) for i in range(n) for j in range(i + 1, n)
+    )
+    var18 = n * (n - 1) * (2 * n + 5)
+    assert (int(got.n_months), int(got.s_stat), int(got.var18)) == (n, s, var18)
+    assert abs(got.z - s / (var18 / 18) ** 0.5) < 1e-9
+    assert abs(got.s_stat) <= n * (n - 1) / 2
+
+
+def test_link_powerlaw_alpha(ray_session):
+    import math
+
+    got = _df(QUERIES["link_powerlaw_alpha"](SF)).iloc[0]
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id"])
+    from collections import Counter
+
+    ind = Counter()
+    for (i,) in docs.itertuples(index=False):
+        i = int(i)
+        ind[(i * 17 + 13) % 997] += 1
+        ind[(i * 29 + 7) % 997] += 1
+    dm = min(ind.values())
+    n = len(ind)
+    alpha = 1 + n / sum(math.log(d / dm) for d in ind.values())
+    assert (int(got.n_nodes), int(got.d_min)) == (n, dm)
+    assert abs(got.alpha - alpha) < 1e-9
+    assert got.alpha > 1
