@@ -3769,3 +3769,78 @@ def events_bounce_rate(sf_dir: str):
             ),
         }
     )
+
+
+@register(
+    "events_mutual_info_type_hour",
+    oracle="""
+    WITH x AS (
+        SELECT event_type AS t,
+               CAST(date_part('hour', ts) AS BIGINT) AS h
+        FROM events
+    ), joint AS (
+        SELECT t, h, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY t, h
+    ), mt AS (SELECT t, CAST(sum(c) AS BIGINT) AS ct FROM joint GROUP BY t),
+    mh AS (SELECT h, CAST(sum(c) AS BIGINT) AS ch FROM joint GROUP BY h),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM joint)
+    SELECT (SELECT n FROM n) AS n_events,
+           (SELECT count(*) FROM joint) AS n_cells,
+           round(sum((CAST(j.c AS DOUBLE) / nn.n)
+                     * ln((CAST(j.c AS DOUBLE) * nn.n)
+                          / (CAST(mt.ct AS DOUBLE) * mh.ch))), 8) AS mi_nats
+    FROM joint j JOIN mt USING (t) JOIN mh USING (h), n nn
+    """,
+)
+def events_mutual_info_type_hour(sf_dir: str):
+    """Mutual information between event type and hour-of-day (nats):
+    MI = sum over the TYPES x 24 contingency table of
+    p(t,h) ln(p(t,h) n / (c_t c_h)) — the dependence gauge behind
+    'does behavior have a clock': MI ~ 0 says the type mix is
+    time-invariant (safe to sample uniformly); high MI says any
+    hour-sliced training split is type-biased. Counts are exact int64
+    off a cells-bounded per-batch partial exchange (TYPES x 24 cells,
+    never event rows); only the final ln-sum is a double, pinned at
+    round(,8) like the PMI family."""
+    import pandas as pd
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        h = (
+            pc.hour(pc.cast(batch["ts"], pa.timestamp("us")))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        t = batch["event_type"].to_numpy(zero_copy_only=False)
+        df = (
+            pd.DataFrame({"t": t, "h": h})
+            .value_counts()
+            .rename("c")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    joint = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["t", "h"], as_index=False)["c"]
+        .sum()
+    )
+    n = int(joint["c"].sum())
+    ct = joint.groupby("t")["c"].sum()
+    ch = joint.groupby("h")["c"].sum()
+    c = joint["c"].to_numpy(np.int64).astype(np.float64)
+    ctv = joint["t"].map(ct).to_numpy(np.int64).astype(np.float64)
+    chv = joint["h"].map(ch).to_numpy(np.int64).astype(np.float64)
+    mi = float(((c / n) * np.log((c * n) / (ctv * chv))).sum())
+    return pa.table(
+        {
+            "n_events": pa.array([n], pa.int64()),
+            "n_cells": pa.array([len(joint)], pa.int64()),
+            "mi_nats": pa.array([np.round(mi, 8)], pa.float64()),
+        }
+    )

@@ -3786,3 +3786,100 @@ def token_subsample_mikolov(sf_dir: str):
             "kept_cnt": pa.array(parts["kept"].to_numpy(np.int64), pa.int64()),
         }
     )
+
+
+_DELTA_TOPK = 15
+
+
+@register(
+    "source_burrows_delta",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), mfw AS MATERIALIZED (
+        SELECT token FROM toks GROUP BY token
+        ORDER BY count(*) DESC, token ASC LIMIT {_DELTA_TOPK}
+    ), st AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY source
+    ), cnt AS (
+        SELECT t.source, t.token, CAST(count(*) AS BIGINT) AS c
+        FROM toks t JOIN mfw USING (token) GROUP BY t.source, t.token
+    ), rel AS MATERIALIZED (
+        SELECT s.source, m.token,
+               COALESCE(c.c, 0) / CAST(s.n AS DOUBLE) AS f
+        FROM st s CROSS JOIN mfw m
+        LEFT JOIN cnt c ON c.source = s.source AND c.token = m.token
+    ), mu AS MATERIALIZED (
+        SELECT token, avg(f) AS mu,
+               sqrt(avg(f * f) - avg(f) * avg(f)) AS sd
+        FROM rel GROUP BY token
+    ), z AS MATERIALIZED (
+        SELECT r.source, r.token, (r.f - m.mu) / m.sd AS z
+        FROM rel r JOIN mu m USING (token)
+    )
+    SELECT a.source AS s1, b.source AS s2,
+           round(avg(abs(a.z - b.z)), 8) AS delta
+    FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def source_burrows_delta(sf_dir: str):
+    """Burrows' Delta (2002) between every pair of ingest sources — THE
+    stylometric distance: relative frequencies of the corpus's top-15
+    most-frequent words, z-scored per word across sources, then the
+    mean absolute z-difference per source pair. In a crawl pipeline
+    this fingerprints template/bot sources (machine-generated feeds
+    cluster at tiny deltas; organic prose spreads). Per-batch (source,
+    token) partials keep the exchange at sources x 15 words; the
+    z-profile matrix and all pairwise deltas are one vectorized pass.
+    Population sd computed as sqrt(E[f^2]-E[f]^2) identically on both
+    sides; round(,8) pins the 15-term averages."""
+    import pandas as pd
+
+    from sciscraper_ray.kernels.tokenize import tokenize_column
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        src = pc.take(batch["source"], par)
+        agg = (
+            pa.table({"source": src, "token": flat})
+            .group_by(["source", "token"])
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["source", "token", "cnt"])
+
+    parts = _docs(sf_dir, columns=("source", "text")).map_batches(
+        partials, batch_format="pyarrow"
+    ).to_pandas()
+    merged = parts.groupby(["source", "token"], as_index=False)["cnt"].sum()
+    tot_by_tok = merged.groupby("token")["cnt"].sum()
+    # exactly the oracle's MFW rank: count desc, token asc
+    mfw = sorted(tot_by_tok.index, key=lambda t: (-tot_by_tok[t], t))[:_DELTA_TOPK]
+    n_by_src = merged.groupby("source")["cnt"].sum()
+    sources = sorted(n_by_src.index)
+    f = np.zeros((len(sources), len(mfw)), np.float64)
+    sub = merged[merged["token"].isin(mfw)]
+    si = {s: i for i, s in enumerate(sources)}
+    ti = {t: i for i, t in enumerate(mfw)}
+    for r in sub.itertuples(index=False):
+        f[si[r.source], ti[r.token]] = r.cnt / float(n_by_src[r.source])
+    mu = f.mean(axis=0)
+    sd = np.sqrt((f * f).mean(axis=0) - mu * mu)
+    z = (f - mu) / sd
+    s1o, s2o, deltas = [], [], []
+    for i in range(len(sources)):
+        for j in range(i + 1, len(sources)):
+            s1o.append(sources[i])
+            s2o.append(sources[j])
+            deltas.append(np.round(np.abs(z[i] - z[j]).mean(), 8))
+    return pa.table(
+        {
+            "s1": pa.array(s1o, pa.string()),
+            "s2": pa.array(s2o, pa.string()),
+            "delta": pa.array(np.array(deltas, np.float64), pa.float64()),
+        }
+    )

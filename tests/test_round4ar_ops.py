@@ -988,3 +988,57 @@ def test_link_powerlaw_alpha(ray_session):
     assert (int(got.n_nodes), int(got.d_min)) == (n, dm)
     assert abs(got.alpha - alpha) < 1e-9
     assert got.alpha > 1
+
+
+def test_source_burrows_delta(ray_session):
+    import numpy as np
+
+    got = _df(QUERIES["source_burrows_delta"](SF))
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["source", "text"])
+    from collections import Counter
+
+    per_src, tot = {}, Counter()
+    for s, t in docs.itertuples(index=False):
+        ws = t.strip().lower().split(" ")
+        per_src.setdefault(s, Counter()).update(ws)
+        tot.update(ws)
+    mfw = sorted(tot, key=lambda t: (-tot[t], t))[:15]
+    sources = sorted(per_src)
+    f = np.array(
+        [
+            [per_src[s][w] / sum(per_src[s].values()) for w in mfw]
+            for s in sources
+        ]
+    )
+    mu = f.mean(axis=0)
+    sd = np.sqrt((f * f).mean(axis=0) - mu * mu)
+    z = (f - mu) / sd
+    want = {}
+    for i in range(len(sources)):
+        for j in range(i + 1, len(sources)):
+            want[(sources[i], sources[j])] = np.abs(z[i] - z[j]).mean()
+    assert len(got) == len(want)
+    for r in got.itertuples(index=False):
+        assert abs(r.delta - want[(r.s1, r.s2)]) < 1e-6
+    assert (got.delta > 0).all()
+
+
+def test_events_mutual_info_type_hour(ray_session):
+    import math
+
+    got = _df(QUERIES["events_mutual_info_type_hour"](SF)).iloc[0]
+    ev = pd.read_parquet(SF + "/events.parquet", columns=["event_type", "ts"])
+    from collections import Counter
+
+    joint = Counter(zip(ev.event_type, ev.ts.dt.hour))
+    n = sum(joint.values())
+    ct, ch = Counter(), Counter()
+    for (t, h), c in joint.items():
+        ct[t] += c
+        ch[h] += c
+    mi = sum(
+        (c / n) * math.log(c * n / (ct[t] * ch[h])) for (t, h), c in joint.items()
+    )
+    assert int(got.n_events) == n and int(got.n_cells) == len(joint)
+    assert abs(got.mi_nats - mi) < 1e-6
+    assert got.mi_nats >= -1e-9  # MI is nonnegative
