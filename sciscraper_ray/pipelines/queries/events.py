@@ -3844,3 +3844,69 @@ def events_mutual_info_type_hour(sf_dir: str):
             "mi_nats": pa.array([np.round(mi, 8)], pa.float64()),
         }
     )
+
+
+@register(
+    "events_dau_stickiness",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts)
+                   AS BIGINT) AS day, user_id
+        FROM events
+    ), dau AS (
+        SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM d GROUP BY day
+    ), mau AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS mau FROM d
+    )
+    SELECT dau.day, dau.dau, mau.mau,
+           CAST(dau.dau AS DOUBLE) / mau.mau AS stickiness
+    FROM dau, mau
+    """,
+)
+def events_dau_stickiness(sf_dir: str):
+    """DAU/MAU stickiness per day — the engagement ratio every product
+    dashboard leads with (what share of the month's distinct users show
+    up on a given day). Distinctness is computed without shipping event
+    rows: per-batch (day, user) DISTINCT partials bound the exchange to
+    active (day, user) pairs, the day-level distinct is a groupby over
+    that pair table, and the monthly denominator reuses the same pairs —
+    exact integers, one identically-ordered double ratio. At multi-month
+    scale the denominator becomes a trailing-window distinct per day
+    (the events_distinct_sliding machinery); this fixture's single-month
+    stream keeps it one constant."""
+    import pandas as pd
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    epoch = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        day = (ts - epoch) // 86_400_000_000
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"day": day, "user_id": u}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    dau = pairs.groupby("day")["user_id"].nunique().sort_index()
+    mau = int(pairs["user_id"].nunique())
+    days = dau.index.to_numpy(np.int64)
+    dv = dau.to_numpy(np.int64)
+    return pa.table(
+        {
+            "day": pa.array(days, pa.int64()),
+            "dau": pa.array(dv, pa.int64()),
+            "mau": pa.array(np.full(len(days), mau, np.int64), pa.int64()),
+            "stickiness": pa.array(
+                dv.astype(np.float64) / np.float64(mau), pa.float64()
+            ),
+        }
+    )

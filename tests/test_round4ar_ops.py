@@ -1042,3 +1042,19 @@ def test_events_mutual_info_type_hour(ray_session):
     assert int(got.n_events) == n and int(got.n_cells) == len(joint)
     assert abs(got.mi_nats - mi) < 1e-6
     assert got.mi_nats >= -1e-9  # MI is nonnegative
+
+
+def test_events_dau_stickiness(ray_session):
+    got = _df(QUERIES["events_dau_stickiness"](SF)).sort_values("day")
+    ev = pd.read_parquet(SF + "/events.parquet", columns=["ts", "user_id"])
+    day = (
+        (ev.ts.astype("datetime64[us]").astype("int64") - pd.Timestamp("2024-01-01").value // 1000)
+        // 86_400_000_000
+    )
+    dau = ev.assign(day=day).groupby("day")["user_id"].nunique()
+    mau = ev.user_id.nunique()
+    assert list(got.day) == sorted(dau.index)
+    for r in got.itertuples(index=False):
+        assert int(r.dau) == dau[r.day] and int(r.mau) == mau
+        assert abs(r.stickiness - dau[r.day] / mau) < 1e-12
+    assert (got.stickiness <= 1).all() and (got.stickiness > 0).all()
