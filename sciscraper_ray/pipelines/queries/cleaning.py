@@ -153,7 +153,7 @@ def resumable_extract(sf_dir: str):
         persisted = ray.data.read_parquet(
             CheckpointStore(out).data_dir, columns=["doc_id", "extracted_text"]
         )
-        # materialize before the tempdir vanishes (finally: rmtree)
+        # final — materialize before the tempdir vanishes (finally: rmtree)
         return persisted.to_pandas()
     finally:
         shutil.rmtree(work, ignore_errors=True)

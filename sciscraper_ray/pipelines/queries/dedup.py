@@ -365,6 +365,7 @@ def doc_tfidf_topk(sf_dir: str, k: int = 3):
         .map_batches(df_partial, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum(on="df", alias_name="df"))
+        # bounded: vocab-sized post-aggregate DF table (the broadcast side)
         .to_pandas()
     )
     df_ref = ray.put(df_pd)
@@ -467,6 +468,7 @@ def doc_decontaminate(sf_dir: str):
     bench_parts = (
         _docs(sf_dir)
         .map_batches(bench_ngrams, batch_format="pyarrow")
+        # bounded: benchmark-subset n-grams (the small decontamination side)
         .to_pandas()
     )
     bench = pa.array(bench_parts["ng"].unique(), type=pa.string())
@@ -1059,6 +1061,7 @@ def dedup_cluster_survivors(sf_dir: str):
 
     ds = _with_copies(sf_dir, mod=7, offset=200_000, drop_last_word=True)
     pairs = near_dup_pairs_minhash(ds, threshold=0.8, est_input_rows=ds.count())
+    # bounded: dup-cluster members only (the drop-list broadcast side)
     comp = connected_components(pairs).to_pandas()
     drop_arr = pa.array(
         comp.loc[comp["doc_id"] != comp["comp_id"], "doc_id"].to_numpy(), pa.int64()
@@ -1201,6 +1204,7 @@ def events_hll_rollup(sf_dir: str):
         )
         .groupby(["day", "bucket"])
         .aggregate(Max(on="rho", alias_name="mr"))
+        # bounded: |days| x 2^p HLL registers
         .to_pandas()
     )
     levels: list[str] = []
@@ -1283,8 +1287,12 @@ def token_kn_continuation(sf_dir: str):
             .aggregate([])
         )
 
-    parts = (
-        _docs(sf_dir).map_batches(partials, batch_format="pyarrow").to_pandas()
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+    parts = driver_frame(
+        _docs(sf_dir).map_batches(partials, batch_format="pyarrow"),
+        DRIVER_PLAN_LIMIT,
+        "token_kn_continuation",
     )
     db = parts.drop_duplicates(["prev", "nxt"])
     total = float(len(db))
@@ -1416,7 +1424,7 @@ def dedup_cascade(sf_dir: str):
     if isinstance(pairs, pa.Table):
         b_vals = pairs["b"].to_numpy(zero_copy_only=False)
     else:
-        b_vals = pairs.to_pandas()["b"].to_numpy()
+        b_vals = pairs.to_pandas()["b"].to_numpy()  # bounded: dup mass
     r2 = int(len(np.unique(b_vals)))
     return pa.table(
         {
@@ -1551,7 +1559,7 @@ def dedup_minhash_jaccard_audit(
         docs.map_batches(prefix_partial, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(expand_pairs, batch_format="pandas")
-        .to_pandas()  # bounded by duplicate mass, never corpus size
+        .to_pandas()  # bounded: duplicate mass, never corpus size
     )
     if len(pairs) == 0:
         return pa.table(
@@ -1613,6 +1621,7 @@ def dedup_minhash_jaccard_audit(
             }
         )
 
+    # bounded: candidate-pair docs only (cand_partial pre-filters on cand_arr)
     rows = docs.map_batches(cand_partial, batch_format="pyarrow").to_pandas()
     sig: dict[tuple[int, int], int] = {}
     grams_by_doc: dict[int, set[tuple[int, int]]] = {}
@@ -1775,7 +1784,7 @@ def dedup_incremental_ingest(sf_dir: str, num_buckets: int = 16):
         docs.map_batches(prefix_partial, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(expand_cross_pairs, batch_format="pandas")
-        .to_pandas()  # bounded by cross-class dup mass
+        .to_pandas()  # bounded: cross-class dup mass
         .drop_duplicates()
     )
 
@@ -1809,6 +1818,7 @@ def dedup_incremental_ingest(sf_dir: str, num_buckets: int = 16):
                 }
             )
 
+        # bounded: candidate-pair docs only (gram_partial pre-filters)
         rows = docs.map_batches(gram_partial, batch_format="pyarrow").to_pandas()
         grams: dict[int, set] = {}
         for doc, v1, v2 in zip(

@@ -145,8 +145,8 @@ def ann_ivf(sf_dir: str):
     pruning) live in tests/test_ann.py. Both top-k tables are
     O(queries x k) — the driver-side compare reads ~50 rows, never the
     corpus."""
-    ivf = _ivf_neighbors(sf_dir).to_pandas()
-    bf = knn_cosine(sf_dir).to_pandas()
+    ivf = _ivf_neighbors(sf_dir).to_pandas()  # bounded: Q x k rows
+    bf = knn_cosine(sf_dir).to_pandas()  # bounded: Q x k rows
     rows = []
     for qid, g in bf.groupby("qid"):
         truth = set(g["neighbor"])
@@ -861,12 +861,24 @@ def knn_label_classify(sf_dir: str):
     )
     topk = partials.groupby("qid").map_groups(
         lambda g: topk_reduce(g, ANN_K), batch_format="pandas"
-    ).to_pandas()  # Q x k rows
+    ).to_pandas()  # bounded: Q x k rows
 
+    need = pa.array(
+        np.unique(
+            np.concatenate(
+                [topk["neighbor"].to_numpy(np.int64), topk["qid"].to_numpy(np.int64)]
+            )
+        )
+    )
     labels = (
         ray.data.read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
         )
+        .map_batches(
+            lambda b: b.filter(pc.is_in(b["vec_id"], value_set=need)),
+            batch_format="pyarrow",
+        )
+        # bounded: semi-joined to the Q x (k+1) id set before the pull
         .to_pandas()
         .set_index("vec_id")["label"]
     )
@@ -951,6 +963,7 @@ def embedding_label_centroid_sim(sf_dir: str):
             }
         )
 
+    # bounded: |labels| rows per block partial (labels is a small class set)
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     labels = sorted(parts["label"].unique())
     cents = {}
@@ -1159,10 +1172,18 @@ def embedding_power_iteration(sf_dir: str):
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    from ray.data.aggregate import Sum
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("idx")
+        .aggregate(Sum(on="cell", alias_name="cell"))
+        # bounded: d^2 rows after the distributed integer sum
+        .to_pandas()
+    )
     d = _PI_DIM
     m = (
-        parts.groupby("idx")["cell"].sum().to_numpy().reshape(d, d).astype(np.float64)
+        parts.sort_values("idx")["cell"].to_numpy().reshape(d, d).astype(np.float64)
     )
     v = np.ones(d, np.float64)
     for _ in range(_PI_ITERS):
@@ -1259,7 +1280,7 @@ def ann_dim_truncation_recall(sf_dir: str):
         .map_batches(BothVariants, batch_format="pyarrow", concurrency=(1, 4))
         .groupby(["variant", "qid"])
         .map_groups(lambda g: topk_reduce(g, ANN_K), batch_format="pandas")
-        .to_pandas()
+        .to_pandas()  # bounded: 2 variants x Q x k rows
     )
     full_sets = {
         q: set(g["neighbor"])
@@ -1383,7 +1404,7 @@ def embedding_mutual_knn(sf_dir: str):
         )
         .groupby("degree")
         .aggregate(Count())
-        .to_pandas()  # <= k+1 rows
+        .to_pandas()  # bounded: <= k+1 rows
     )
     degree = hist["degree"].to_numpy(np.int64)
     n_nodes = hist["count()"].to_numpy(np.int64)
@@ -1465,7 +1486,7 @@ def retrieval_mmr_rerank(sf_dir: str):
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
         .filter(lambda r: r["vec_id"] < _MMR_POOL)
-        .to_pandas()
+        .to_pandas()  # bounded: _MMR_POOL rows (fixed pool)
         .sort_values("vec_id")
     )
     ids = pool["vec_id"].to_numpy(np.int64)
@@ -1578,7 +1599,7 @@ def embedding_greedy_graph_search(sf_dir: str):
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
         .filter(lambda r: r["vec_id"] < _GG_POOL)
-        .to_pandas()
+        .to_pandas()  # bounded: _GG_POOL rows (fixed pool)
         .sort_values("vec_id")
     )
     ids = pool["vec_id"].to_numpy(np.int64)

@@ -3864,20 +3864,32 @@ def events_mutual_info_type_hour(sf_dir: str):
     FROM dau, mau
     """,
 )
-def events_dau_stickiness(sf_dir: str):
+def events_dau_stickiness(sf_dir: str, mode: str = "auto"):
     """DAU/MAU stickiness per day — the engagement ratio every product
     dashboard leads with (what share of the month's distinct users show
     up on a given day). Distinctness is computed without shipping event
     rows: per-batch (day, user) DISTINCT partials bound the exchange to
-    active (day, user) pairs, the day-level distinct is a groupby over
-    that pair table, and the monthly denominator reuses the same pairs —
-    exact integers, one identically-ordered double ratio. At multi-month
-    scale the denominator becomes a trailing-window distinct per day
-    (the events_distinct_sliding machinery); this fixture's single-month
+    active (day, user) pairs. The pair table is data-proportional
+    (~window-days x MAU rows), so it routes through ``resolve_plan``
+    (VERDICT r4 item 1): below the 50M-row bound the pairs merge on the
+    driver (one drop_duplicates + nunique); above it a distributed
+    groupby(day, user) dedups the pairs and two day-/scalar-bounded
+    aggregates produce DAU and the MAU denominator — only |days| rows
+    ever reach the driver on that plan. Exact integers, one
+    identically-ordered double ratio. At multi-month scale the
+    denominator becomes a trailing-window distinct per day (the
+    events_distinct_sliding machinery); this fixture's single-month
     stream keeps it one constant."""
     import pandas as pd
 
     import ray.data
+    from ray.data.aggregate import Count
+
+    from sciscraper_ray.pipelines.plan import (
+        DRIVER_PLAN_LIMIT,
+        driver_frame,
+        resolve_plan,
+    )
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
@@ -3891,22 +3903,46 @@ def events_dau_stickiness(sf_dir: str):
         df = pd.DataFrame({"day": day, "user_id": u}).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    pairs = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
-    )
+    pairs_ds = ds.map_batches(partials, batch_format="pyarrow")
+    plan, pairs_ds = resolve_plan(pairs_ds, mode)
+
+    def result_table(days, dv, mau) -> pa.Table:
+        days = np.asarray(days, np.int64)
+        dv = np.asarray(dv, np.int64)
+        return pa.table(
+            {
+                "day": pa.array(days, pa.int64()),
+                "dau": pa.array(dv, pa.int64()),
+                "mau": pa.array(np.full(len(days), mau, np.int64), pa.int64()),
+                "stickiness": pa.array(
+                    dv.astype(np.float64) / np.float64(mau), pa.float64()
+                ),
+            }
+        )
+
+    if plan == "shuffle":
+        # Global pair distinct via one hash-partitioned aggregate; both
+        # downstream reductions consume it, so materialize once (object
+        # store blocks, spillable — never the driver heap).
+        distinct = (
+            pairs_ds.groupby(["day", "user_id"])
+            .aggregate(Count(alias_name="c"))
+            .materialize()
+        )
+        dau_df = (
+            distinct.groupby("day")
+            .aggregate(Count(alias_name="dau"))
+            .to_pandas()  # bounded: |days| rows
+            .sort_values("day")
+        )
+        mau = distinct.groupby("user_id").aggregate(Count(alias_name="c")).count()
+        return result_table(
+            dau_df["day"].to_numpy(), dau_df["dau"].to_numpy(), int(mau)
+        )
+
+    pairs = driver_frame(
+        pairs_ds, DRIVER_PLAN_LIMIT, "events_dau_stickiness"
+    ).drop_duplicates()
     dau = pairs.groupby("day")["user_id"].nunique().sort_index()
     mau = int(pairs["user_id"].nunique())
-    days = dau.index.to_numpy(np.int64)
-    dv = dau.to_numpy(np.int64)
-    return pa.table(
-        {
-            "day": pa.array(days, pa.int64()),
-            "dau": pa.array(dv, pa.int64()),
-            "mau": pa.array(np.full(len(days), mau, np.int64), pa.int64()),
-            "stickiness": pa.array(
-                dv.astype(np.float64) / np.float64(mau), pa.float64()
-            ),
-        }
-    )
+    return result_table(dau.index.to_numpy(np.int64), dau.to_numpy(np.int64), mau)

@@ -1162,6 +1162,8 @@ def warc_revisit_dedup(sf_dir: str):
                 lambda b: b.filter(pc.greater(b["cnt"], 1)),
                 batch_format="pyarrow",
             )
+            # bounded: duplicated revisit keys only (cnt>1) — the broadcast
+            # side the classify step ray.put's, so it must fit regardless
             .to_pandas()
         )
     refs = ray.put(dups[["h_hi", "h_lo", "val"]].astype("int64"))
@@ -2112,10 +2114,16 @@ def host_crawl_fairness(sf_dir: str):
         )
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
     per_host = (
-        _docs(sf_dir, columns=("doc_id",))
-        .map_batches(partials, batch_format="pyarrow")
-        .to_pandas()
+        driver_frame(
+            _docs(sf_dir, columns=("doc_id",)).map_batches(
+                partials, batch_format="pyarrow"
+            ),
+            DRIVER_PLAN_LIMIT,
+            "host_crawl_fairness",
+        )
         .groupby("host", as_index=False)["docs"]
         .sum()
     )
@@ -2252,10 +2260,16 @@ def host_budget_waterfill(sf_dir: str):
         )
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
     per_host = (
-        _docs(sf_dir, columns=("doc_id",))
-        .map_batches(partials, batch_format="pyarrow")
-        .to_pandas()
+        driver_frame(
+            _docs(sf_dir, columns=("doc_id",)).map_batches(
+                partials, batch_format="pyarrow"
+            ),
+            DRIVER_PLAN_LIMIT,
+            "host_budget_waterfill",
+        )
         .groupby("host", as_index=False)["cap"]
         .sum()
         .sort_values(["cap", "host"])

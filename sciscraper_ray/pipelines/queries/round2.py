@@ -297,16 +297,27 @@ def token_bigram_next(sf_dir: str):
     FROM s
     """,
 )
-def token_zipf_slope(sf_dir: str):
+def token_zipf_slope(sf_dir: str, mode: str = "auto"):
     """Corpus-QA Zipf fit: least-squares slope of ln(frequency) against
     ln(rank) over the full token frequency table (natural text sits near
     -1; a flat or cliffed slope flags boilerplate floods or dedup
     failures — a standard crawl-health dashboard stat). Per-batch Arrow
-    group_by partials bound the exchange by vocabulary; the rank +
-    closed-form regression is one vectorized pass over the vocab-sized
-    merge, mirrored term-for-term in the oracle so the rounded double
-    matches."""
+    group_by partials bound each batch's rows by its vocabulary, but the
+    merged partial table is vocab x blocks rows — data-proportional at
+    crawl scale — so it routes through ``resolve_plan`` (VERDICT r4
+    item 1, same policy as top_tokens_global): below the 50M-row bound
+    one pandas hash groupby + lexsort on the driver; above it a
+    distributed Sum-aggregate + distributed sort by (cnt desc, token),
+    then the five regression sums accumulate STREAMING over
+    ``iter_batches`` with a running rank offset — O(1) driver memory,
+    never the full frequency table. The closed form is mirrored
+    term-for-term in the oracle so the rounded double matches."""
     from sciscraper_ray.kernels.tokenize import tokenize_column
+    from sciscraper_ray.pipelines.plan import (
+        DRIVER_PLAN_LIMIT,
+        driver_frame,
+        resolve_plan,
+    )
 
     def partials(batch: pa.Table) -> pa.Table:
         toks = tokenize_column(batch["text"])
@@ -316,21 +327,54 @@ def token_zipf_slope(sf_dir: str):
         agg = pa.table({"token": flat}).group_by("token").aggregate([([], "count_all")])
         return agg.rename_columns(["token", "cnt"])
 
-    parts = _docs(sf_dir).map_batches(partials, batch_format="pyarrow").to_pandas()
+    parts_ds = _docs(sf_dir).map_batches(partials, batch_format="pyarrow")
+    plan, parts_ds = resolve_plan(parts_ds, mode)
+
+    def fit(n, sx, sy, sxy, sxx) -> pa.Table:
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return pa.table(
+            {
+                "slope": pa.array([round(float(slope), 8)], pa.float64()),
+                "n_types": pa.array([int(n)], pa.int64()),
+            }
+        )
+
+    if plan == "shuffle":
+        from ray.data.aggregate import Sum
+
+        ranked = (
+            parts_ds.groupby("token")
+            .aggregate(Sum(on="cnt", alias_name="cnt"))
+            .sort(key=["cnt", "token"], descending=[True, False])
+        )
+        n = 0
+        sx = sy = sxy = sxx = 0.0
+        for batch in ranked.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        ):
+            c = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+            x = np.log(np.arange(n + 1, n + 1 + len(c), dtype=np.float64))
+            y = np.log(c)
+            n += len(c)
+            sx += float(np.sum(x))
+            sy += float(np.sum(y))
+            sxy += float(np.sum(x * y))
+            sxx += float(np.sum(x * x))
+        return fit(float(n), sx, sy, sxy, sxx)
+
+    parts = driver_frame(parts_ds, DRIVER_PLAN_LIMIT, "token_zipf_slope")
     merged = parts.groupby("token", as_index=False)["cnt"].sum()
     order = np.lexsort((merged["token"].to_numpy(), -merged["cnt"].to_numpy()))
     c = merged["cnt"].to_numpy()[order].astype(np.float64)
     n = len(c)
     x = np.log(np.arange(1, n + 1, dtype=np.float64))
     y = np.log(c)
-    slope = (n * np.sum(x * y) - np.sum(x) * np.sum(y)) / (
-        n * np.sum(x * x) - np.sum(x) ** 2
-    )
-    return pa.table(
-        {
-            "slope": pa.array([round(float(slope), 8)], pa.float64()),
-            "n_types": pa.array([n], pa.int64()),
-        }
+    return fit(
+        float(n),
+        float(np.sum(x)),
+        float(np.sum(y)),
+        float(np.sum(x * y)),
+        float(np.sum(x * x)),
     )
 
 
