@@ -153,10 +153,10 @@ def orders_by_region(sf_dir: str, mode: str = "auto"):
 
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
-    ).to_pandas()
+    ).to_pandas()  # bounded: 25-row dimension
     region = pq.read_table(
         f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
-    ).to_pandas()
+    ).to_pandas()  # bounded: 5-row dimension
     nat2reg = nation.merge(
         region, left_on="n_regionkey", right_on="r_regionkey"
     )[["n_nationkey", "r_name"]]
@@ -176,7 +176,7 @@ def orders_by_region(sf_dir: str, mode: str = "auto"):
     if mode == "broadcast":
         cust = pq.read_table(
             f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-        ).to_pandas()
+        ).to_pandas()  # bounded: explicit broadcast plan (auto flips on row bound)
         mapping = cust.merge(
             nat2reg, left_on="c_nationkey", right_on="n_nationkey"
         )[["c_custkey", "r_name"]].rename(columns={"c_custkey": "o_custkey"})
@@ -967,7 +967,7 @@ def customer_order_dist(sf_dir: str):
 
     dist = (
         per.map_batches(hist, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: |distinct per-customer order counts| x blocks
         .groupby("c_count")["custdist"]
         .sum()
     )
@@ -1137,6 +1137,7 @@ def customer_idle_highvalue(sf_dir: str):
             }
         )
 
+    # bounded: one scalar row per block
     st = cust.map_batches(bal_stats, batch_format="pyarrow").to_pandas()
     s_pos, n_pos = int(st["s"].sum()), int(st["n"].sum())
 
@@ -1154,12 +1155,13 @@ def customer_idle_highvalue(sf_dir: str):
             }
         ),
         batch_format="pyarrow",
+        # bounded: broadcast semi-join key set (must fit to ray.put anyway)
     ).to_pandas()
     key_ref = ray.put(pa.array(ordered["k"].unique(), pa.int64()))
 
     nat = ray.data.read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    ).to_pandas()
+    ).to_pandas()  # bounded: 25-row dimension
     nat_ref = ray.put(dict(zip(nat["n_nationkey"], nat["n_name"])))
 
     class IdleTally:
@@ -1539,7 +1541,7 @@ def promo_revenue_share(sf_dir: str):
             columns=["l_partkey", "l_extendedprice", "l_discount"],
         )
         .map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4))
-        .to_pandas()
+        .to_pandas()  # bounded: one scalar row per block
         .sum()
     )
     promo_rev, total_rev = int(parts["promo"]), int(parts["total"])
@@ -1622,15 +1624,15 @@ def top_suppliers_by_nation(sf_dir: str):
         li.map_batches(partial, batch_format="pyarrow")
         .groupby("l_suppkey")
         .aggregate(Sum(on="r", alias_name="rev_c2"))
-        .to_pandas()  # supplier-bounded
+        .to_pandas()  # bounded: supplier dimension
     )
     supp = pq.read_table(
         f"{sf_dir}/supplier.parquet",
         columns=["s_suppkey", "s_name", "s_nationkey"],
-    ).to_pandas()
+    ).to_pandas()  # bounded: supplier dimension (small side)
     nat = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    ).to_pandas()
+    ).to_pandas()  # bounded: 25-row dimension
     j = rev.merge(supp, left_on="l_suppkey", right_on="s_suppkey").merge(
         nat, left_on="s_nationkey", right_on="n_nationkey"
     )
@@ -1735,7 +1737,7 @@ def returned_revenue_topk(sf_dir: str):
 
     nat = (
         pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-        .to_pandas()
+        .to_pandas()  # bounded: 25-row dimension
         .set_index("n_nationkey")
     )
     nat_ref = ray.put(nat)
@@ -1987,7 +1989,7 @@ def brand_supplier_counts(sf_dir: str):
         pq.read_table(
             f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
         )
-        .to_pandas()
+        .to_pandas()  # bounded: part dimension (broadcast side)
         .set_index("p_partkey")
     )
     part_ref = ray.put(part)
@@ -2075,10 +2077,10 @@ def volume_shipping_pairs(sf_dir: str):
 
     supp = pq.read_table(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
+    ).to_pandas()  # bounded: supplier dimension (broadcast side)
     nat = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    ).to_pandas()
+    ).to_pandas()  # bounded: 25-row dimension
     supp2nat = (
         supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
         .set_index("s_suppkey")[["n_name"]]
@@ -2179,7 +2181,7 @@ def disjunctive_revenue(sf_dir: str):
         pq.read_table(
             f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
         )
-        .to_pandas()
+        .to_pandas()  # bounded: part dimension (broadcast side)
         .set_index("p_partkey")
     )
     part_ref = ray.put(part)
@@ -2450,7 +2452,7 @@ def orders_yoy_growth(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow")
         .groupby("yr")
         .aggregate(Sum(on="revenue_cents", alias_name="revenue_cents"))
-        .to_pandas()  # |years|-bounded
+        .to_pandas()  # bounded: |years|
         .sort_values("yr")
         .reset_index(drop=True)
     )
@@ -2508,10 +2510,10 @@ def nation_revenue_hhi(sf_dir: str):
 
     supp = pq.read_table(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
+    ).to_pandas()  # bounded: supplier dimension (broadcast side)
     nat = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    ).to_pandas()
+    ).to_pandas()  # bounded: 25-row dimension
     s2n = (
         supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
         .set_index("s_suppkey")[["n_name"]]
@@ -2540,7 +2542,7 @@ def nation_revenue_hhi(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["n_name", "s_suppkey"])
         .aggregate(Sum(on="cents", alias_name="cents"))
-        .to_pandas()  # supplier-bounded
+        .to_pandas()  # bounded: supplier dimension
     )
     rows = []
     for n_name, g in rev.groupby("n_name", sort=True):
@@ -2687,7 +2689,7 @@ def customer_order_gaps(sf_dir: str):
             .rename_columns(
                 ["o_custkey", "n_orders", "total_gap_days", "max_gap_days"]
             )
-            .to_pandas()
+            .to_pandas()  # bounded: worker-side kernel return
         )
 
     ds = ray.data.read_parquet(
@@ -2758,8 +2760,10 @@ def orders_pareto_cutoff(sf_dir: str):
         )
         .groupby("o_custkey")
         .aggregate(Sum(on="cents", alias_name="cents"))
-        .to_pandas()  # customer-bounded
     )
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+    pc_ds = driver_frame(pc_ds, DRIVER_PLAN_LIMIT, "orders_pareto_cutoff")
     cents = pc_ds["cents"].to_numpy().astype(np.int64)
     keys = pc_ds["o_custkey"].to_numpy().astype(np.int64)
     order = np.lexsort((keys, -cents))
@@ -3207,6 +3211,7 @@ def lineitem_range_partition(sf_dir: str):
             }
         )
 
+    # bounded: fixed-rate sample rows per block
     sample = ds.map_batches(sample_batch, batch_format="pyarrow").to_pandas()
     order = np.lexsort((sample["k"].to_numpy(), sample["p"].to_numpy()))
     p_sorted = sample["p"].to_numpy()[order]
@@ -3820,7 +3825,7 @@ def lineitem_skyline(sf_dir: str):
             columns=["l_extendedprice", "l_quantity"],
         )
         .map_batches(batch_skyline, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: per-block skyline candidates (tiny frontier)
     )
     kk = np.unique(
         locals_df["price_c"].to_numpy(np.int64) * 64
@@ -4015,7 +4020,7 @@ def customer_segment_nation_independence(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["seg", "nk"])
         .aggregate(Sum(on="obs", alias_name="obs"))
-        .to_pandas()
+        .to_pandas()  # bounded: |segments| x |nations|
     )
     segs = sorted(cells["seg"].unique())
     nks = sorted(cells["nk"].unique())
@@ -4346,6 +4351,7 @@ def table_constraint_audit(sf_dir: str):
                 }
             )
 
+        # bounded: one scalar row per block
         m = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
         return int(m["n"]), int(m["v"])
 
@@ -4355,10 +4361,16 @@ def table_constraint_audit(sf_dir: str):
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"]
     )
-    parts = cust.map_batches(
-        lambda b: pa.table({"k": pc.unique(b["c_custkey"])}),
-        batch_format="pyarrow",
-    ).to_pandas()
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+    parts = driver_frame(
+        cust.map_batches(
+            lambda b: pa.table({"k": pc.unique(b["c_custkey"])}),
+            batch_format="pyarrow",
+        ),
+        DRIVER_PLAN_LIMIT,
+        "table_constraint_audit (FK broadcast side)",
+    )
     n_cust_rows = int(
         ray.data.read_parquet(
             f"{sf_dir}/customer.parquet", columns=["c_custkey"]
@@ -4609,7 +4621,7 @@ def orders_incremental_agg(sf_dir: str):
             Sum(on="n_orders", alias_name="n_orders"),
             Sum(on="rev_c", alias_name="rev_c"),
         )
-        .to_pandas()  # bounded by 2 x calendar months
+        .to_pandas()  # bounded: 2 x calendar months
     )
     merged = (
         parts.groupby("month", as_index=False)[["n_orders", "rev_c"]]
@@ -4709,7 +4721,7 @@ def bloom_fpr_audit(sf_dir: str):
 
     pos_rows = (
         part.map_batches(build_partial, batch_format="pyarrow")
-        .to_pandas()["pos"]
+        .to_pandas()["pos"]  # bounded: bloom bit positions (filter width)
         .to_numpy()
     )
     mask = np.zeros(_BLOOM_M, bool)
@@ -4737,7 +4749,7 @@ def bloom_fpr_audit(sf_dir: str):
 
     m = (
         part.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 4))
-        .to_pandas()
+        .to_pandas()  # bounded: one scalar row per block
         .sum()
     )
     return pa.table(
@@ -4817,6 +4829,7 @@ def orders_key_islands(sf_dir: str, num_ranges: int = 16):
             {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
         ),
         batch_format="pyarrow",
+        # bounded: one 16-byte min/max row per block
     ).to_pandas()
     lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
     width = max(1, (hi - lo + num_ranges) // num_ranges)
@@ -4855,7 +4868,7 @@ def orders_key_islands(sf_dir: str, num_ranges: int = 16):
         keys.map_batches(assign, batch_format="pyarrow")
         .groupby("r")
         .map_groups(range_summary, batch_format="pandas")
-        .to_pandas()  # B rows
+        .to_pandas()  # bounded: B range summaries
         .sort_values("r")
     )
     tot_keys = int(summaries["n_keys"].sum())
@@ -4969,7 +4982,7 @@ def orders_seasonal_decompose(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow")
         .groupby("ym")
         .aggregate(Sum(on="cents", alias_name="cents"))
-        .to_pandas()  # calendar-bounded (~80 rows)
+        .to_pandas()  # bounded: calendar months (~80 rows)
         .sort_values("ym")
     )
     ym = m["ym"].to_numpy(np.int64)
@@ -5063,7 +5076,7 @@ def orders_monthly_theilsen(sf_dir: str):
 
     m = (
         ds.map_batches(partials, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: |months| x blocks
         .groupby("mi", as_index=False)
         .sum()
         .sort_values("mi")
@@ -5127,9 +5140,14 @@ def graph_bipartite_projection(sf_dir: str):
         ).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
     e = (
-        li.map_batches(distinct_edges, batch_format="pyarrow")
-        .to_pandas()
+        driver_frame(
+            li.map_batches(distinct_edges, batch_format="pyarrow"),
+            DRIVER_PLAN_LIMIT,
+            "graph_bipartite_projection",
+        )
         .drop_duplicates()
         .sort_values(["p", "s"])
     )
@@ -5235,7 +5253,7 @@ def lineitem_simpson_audit(sf_dir: str):
 
     per = (
         ds.map_batches(moments, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: |groups| x blocks
         .groupby("grp", as_index=False)
         .sum()
     )
@@ -5312,7 +5330,7 @@ def orders_mann_kendall(sf_dir: str):
 
     m = (
         ds.map_batches(partials, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: |months| x blocks
         .groupby("mi", as_index=False)
         .sum()
         .sort_values("mi")
