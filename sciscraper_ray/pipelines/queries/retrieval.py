@@ -139,7 +139,7 @@ def doc_bm25_topk(sf_dir: str):
         .map_batches(stats_partial, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum(on="a", alias_name="a"), Sum(on="b", alias_name="b"))
-        .to_pandas()
+        .to_pandas()  # bounded: vocabulary term stats (broadcast side)
     )
     srow = stats[stats["term"] == ""].iloc[0]
     n_docs, total_len = float(srow["a"]), float(srow["b"])
@@ -618,7 +618,7 @@ def doc_mixture_quota(sf_dir: str):
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         df = pd.DataFrame(
             {
-                "source": batch["source"].to_pandas(),
+                "source": batch["source"].to_pandas(),  # bounded: worker-side column conversion
                 "h": _md5_hex15_np(ids),
                 "doc_id": ids,
             }
@@ -633,7 +633,7 @@ def doc_mixture_quota(sf_dir: str):
     cand = (
         _docs(sf_dir, columns=("doc_id", "source"))
         .map_batches(partial, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: quota x |sources| candidates per block
     )
     kept = (
         cand.sort_values(["source", "h", "doc_id"])
@@ -653,7 +653,7 @@ def doc_mixture_quota(sf_dir: str):
         c = ray.get(cut_ref)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         h = _md5_hex15_np(ids)
-        src = batch["source"].to_pandas()
+        src = batch["source"].to_pandas()  # bounded: worker-side column conversion
         lim_h = src.map(c["h"]).to_numpy(np.int64)
         lim_id = src.map(c["doc_id"]).to_numpy(np.int64)
         keep = (h < lim_h) | ((h == lim_h) & (ids <= lim_id))
@@ -722,7 +722,7 @@ def doc_unigram_freq_score(sf_dir: str):
             tokens = tokens.combine_chunks()
         flat = pc.list_flatten(tokens)
         parents = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
-        freqs = pd.Series(flat.to_pandas()).map(lut).to_numpy(np.int64)
+        freqs = pd.Series(flat.to_pandas()).map(lut).to_numpy(np.int64)  # bounded: worker-side column conversion
         sums = np.zeros(len(batch), np.int64)
         np.add.at(sums, parents, freqs)
         lens = pc.list_value_length(tokens).to_numpy(zero_copy_only=False)
@@ -792,7 +792,7 @@ def events_latest_k(sf_dir: str):
         )
         return pa.Table.from_pandas(pruned, preserve_index=False)
 
-    cand = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cand = ev.map_batches(partial, batch_format="pyarrow").to_pandas()  # bounded: K-per-user candidates (broadcast decision side)
     kept = (
         cand.sort_values(["user_id", "ts_us", "event_id"], ascending=[True, False, False])
         .groupby("user_id", sort=False)
@@ -1003,7 +1003,7 @@ def crawl_depth_from_seeds(sf_dir: str):
     seeds = (
         _docs(sf_dir, columns=("doc_id",))
         .map_batches(seed_filter, batch_format="pyarrow")
-        .to_pandas()["doc_id"]
+        .to_pandas()["doc_id"]  # bounded: 1%-sample seed set (broadcast side)
         .to_numpy()
     )
     return bfs_distances(_doc_edges(sf_dir), seeds, max_rounds=_BFS_ROUNDS)
@@ -1043,7 +1043,7 @@ def link_indegree_histogram(sf_dir: str):
         .groupby("dst")
         .aggregate(Sum(on="cnt", alias_name="cnt"))
         .map_batches(deg_partial, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: node id space (synth targets < 997)
     )
     out = parts.groupby("indegree", as_index=False)["n_pages"].sum()
     return pa.table(
@@ -1225,7 +1225,7 @@ def doc_iqr_filter(sf_dir: str):
 
     h = (
         src.map_batches(hist, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: |distinct lengths| x blocks
         .groupby("v", as_index=False)["c"]
         .sum()
         .sort_values("v")
@@ -1704,7 +1704,7 @@ def host_topk_docs(sf_dir: str, plan: str = "auto"):
                 batch_format="pyarrow",
             )
         )
-        df = reduced.to_pandas()
+        df = reduced.to_pandas()  # bounded: k x buckets merged top-k
     df = df.sort_values(
         ["host", "n_chars", "doc_id"], ascending=[True, False, True]
     )
@@ -1810,7 +1810,7 @@ def doc_length_median_by_lang(sf_dir: str):
     def hist(batch: pa.Table) -> pa.Table:
         df = (
             batch.select(["lang", "n_chars"])
-            .to_pandas()
+            .to_pandas()  # bounded: worker-side batch conversion
             .value_counts()
             .rename("c")
             .reset_index()
@@ -1819,7 +1819,7 @@ def doc_length_median_by_lang(sf_dir: str):
 
     h = (
         src.map_batches(hist, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: |langs| x |distinct lengths|
         .groupby(["lang", "n_chars"], as_index=False)["c"]
         .sum()
         .sort_values(["lang", "n_chars"])
@@ -1894,7 +1894,7 @@ def crawl_schedule_waves(sf_dir: str):
 
     h = (
         src.map_batches(hist, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: |hosts| x |ranges|
         .groupby(["host", "rng"], as_index=False)["c"]
         .sum()
         .sort_values(["host", "rng"])
@@ -2000,7 +2000,7 @@ def host_triangle_count(sf_dir: str):
     edges = (
         _docs(sf_dir, columns=("doc_id",))
         .map_batches(edge_partials, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: host-level edge set
         .drop_duplicates(ignore_index=True)
     )
     em = set(zip(edges["a"], edges["b"]))
@@ -2077,7 +2077,7 @@ def top_tokens_by_lang(sf_dir: str, plan: str = "auto"):
         agg = (
             partials.groupby(["lang", "token"])
             .aggregate(Sum(on="cnt", alias_name="cnt"))
-            .to_pandas()
+            .to_pandas()  # bounded: vocab x langs post-aggregate
         )
     agg = agg.sort_values(["lang", "cnt", "token"], ascending=[True, False, True])
     agg["rank"] = agg.groupby("lang").cumcount() + 1
@@ -2226,7 +2226,7 @@ def lr_train_gd(sf_dir: str):
     agg = (
         _docs(sf_dir, columns=("text", "lang", "n_chars"))
         .map_batches(acc_partial, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: one scalar row per block
         .sum()
     )
     return pa.table(
@@ -2310,14 +2310,14 @@ def doc_bigram_lm_ppl(sf_dir: str):
         .map_batches(uni_partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum(on="cnt", alias_name="cnt"))
-        .to_pandas()
+        .to_pandas()  # bounded: vocab LM table (broadcast side)
     )
     bgc = (
         _docs(sf_dir)
         .map_batches(bg_partial, batch_format="pyarrow")
         .groupby("bg")
         .aggregate(Sum(on="cnt", alias_name="cnt"))
-        .to_pandas()
+        .to_pandas()  # bounded: bigram LM table (broadcast side; must fit to ray.put)
     )
     vocab_size = len(uni)
     lm_ref = ray.put(
@@ -2335,7 +2335,7 @@ def doc_bigram_lm_ppl(sf_dir: str):
         n_bg = np.zeros(n, np.int64)
         tsum = np.zeros(n, np.float64)
         if len(pos):
-            bgs_pd = pd.Series(bgs.to_pandas())
+            bgs_pd = pd.Series(bgs.to_pandas())  # bounded: worker-side column conversion
             c2 = bgs_pd.map(bg_lut).to_numpy(np.int64)
             w1 = bgs_pd.str.split(" ").str[0]
             c1 = w1.map(uni_lut).to_numpy(np.int64)
@@ -2491,7 +2491,7 @@ def link_degree_assortativity(sf_dir: str):
         edges.map_batches(ind_partial, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Sum(on="d", alias_name="d"))
-        .to_pandas()  # bounded by the dst id space
+        .to_pandas()  # bounded: dst id space
     )
     lut = np.zeros(int(ind["node"].max()) + 1, np.int64)
     lut[ind["node"].to_numpy()] = ind["d"].to_numpy()
@@ -2519,7 +2519,7 @@ def link_degree_assortativity(sf_dir: str):
 
     m = (
         edges.map_batches(Moments, batch_format="pyarrow", concurrency=(1, 4))
-        .to_pandas()
+        .to_pandas()  # bounded: one scalar row per block
         .sum()
     )
     n, sx, sy = int(m["n"]), int(m["sx"]), int(m["sy"])
@@ -2625,7 +2625,7 @@ def node_clustering_coeff(sf_dir: str, num_buckets: int = 16):
         und.map_batches(deg_partial, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Sum(on="d", alias_name="d"))
-        .to_pandas()  # bounded by node space (synth targets < 997)
+        .to_pandas()  # bounded: node space (synth targets < 997)
         .sort_values("node", kind="stable")
     )
     dlut = np.zeros(int(deg["node"].max()) + 1, np.int64)
@@ -2725,7 +2725,7 @@ def node_clustering_coeff(sf_dir: str, num_buckets: int = 16):
         closed.map_batches(corner_partial, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Sum(on="t", alias_name="t"))
-        .to_pandas()
+        .to_pandas()  # bounded: node id space (synth targets < 997)
     )
     out = deg.merge(tri, on="node", how="left")
     t = out["t"].fillna(0).to_numpy(np.int64)
@@ -2932,7 +2932,7 @@ def graph_kcore_peel(sf_dir: str):
             ds.map_batches(deg_partial, batch_format="pyarrow")
             .groupby("node")
             .aggregate(Sum(on="d", alias_name="deg"))
-            .to_pandas()  # node-bounded (synth targets < 997)
+            .to_pandas()  # bounded: node space (synth targets < 997)
         )
 
     for _ in range(_KCORE_ROUNDS):
@@ -3412,7 +3412,7 @@ def crawl_interleave_schedule(sf_dir: str):
     counts = (
         ranked.groupby("host")
         .count()
-        .to_pandas()  # |hosts|-bounded
+        .to_pandas()  # bounded: |hosts|
         .sort_values("host")
     )
     hosts_sorted = counts["host"].tolist()
@@ -3805,7 +3805,7 @@ def link_neighbor_degree_curve(sf_dir: str):
         docs.map_batches(indeg_partial, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Sum(on="d", alias_name="d"))
-        .to_pandas()
+        .to_pandas()  # bounded: node id space (synth targets < 997)
     )
     indeg = np.zeros(_LINK_MOD, np.int64)
     indeg[ind_df["node"].to_numpy(np.int64)] = ind_df["d"].to_numpy(np.int64)
@@ -3975,9 +3975,9 @@ def link_jaccard_prediction(sf_dir: str, num_buckets: int = 16):
         .map_batches(count_partial, batch_format="pyarrow")
         .groupby("k")
         .aggregate(Sum(on="common", alias_name="common"))
-        .to_pandas()  # bounded by candidate pairs (node space < 997 here)
+        .to_pandas()  # bounded: candidate pairs (node space < 997 here)
     )
-    edges = und.to_pandas()
+    edges = und.to_pandas()  # bounded: synth edge set (node space < 997)
     ea = edges["a"].to_numpy(np.int64)
     eb = edges["b"].to_numpy(np.int64)
     ekeys = (ea << 32) | eb
@@ -4058,7 +4058,7 @@ def graph_seed_closeness(sf_dir: str):
     seeds = (
         _docs(sf_dir, columns=("doc_id",))
         .map_batches(seed_filter, batch_format="pyarrow")
-        .to_pandas()["seed"]
+        .to_pandas()["seed"]  # bounded: seed sample (broadcast side)
         .to_numpy(np.int64)
     )
     dist: dict[int, dict[int, int]] = {int(s): {int(s): 0} for s in seeds}
@@ -4098,7 +4098,7 @@ def graph_seed_closeness(sf_dir: str):
 
         cand = (
             edges.map_batches(hop, batch_format="pyarrow")
-            .to_pandas()
+            .to_pandas()  # bounded: hop frontier (synth node space)
             .drop_duplicates()
         )
         frontier = {}
@@ -4323,7 +4323,7 @@ def graph_random_walks(sf_dir: str):
 
         nb = (
             edges.map_batches(fetch, batch_format="pyarrow")
-            .to_pandas()
+            .to_pandas()  # bounded: fetched neighborhood (synth node space)
             .drop_duplicates()
         )
         nbrs: dict[int, list[int]] = {}
@@ -4409,7 +4409,7 @@ def graph_neighborhood_function(sf_dir: str):
     import ray
     import ray.data
 
-    edges = _doc_edges(sf_dir).to_pandas()  # 2 int64 per page
+    edges = _doc_edges(sf_dir).to_pandas()  # bounded: exactness-oracle scope (2 int64/page; HyperANF is the scale path)
     src_arr = edges["src"].to_numpy(np.int64)
     dst_arr = edges["dst"].to_numpy(np.int64)
     order = np.argsort(src_arr, kind="stable")
@@ -4449,7 +4449,7 @@ def graph_neighborhood_function(sf_dir: str):
     parts = (
         _docs(sf_dir, columns=("doc_id",))
         .map_batches(ball_partial, batch_format="pyarrow")
-        .to_pandas()  # (horizon+1) rows per batch
+        .to_pandas()  # (horizon+1) rows per batch  # bounded: (horizon+1) rows per block
         .groupby("d")["c"]
         .sum()
         .sort_index()
@@ -4581,7 +4581,7 @@ def doc_ccnet_ppl_bins(sf_dir: str):
         )
         .groupby(["lang", "lp"])
         .aggregate(Sum(on="cnt", alias_name="cnt"))
-        .to_pandas()  # resolution-bounded
+        .to_pandas()  # bounded: resolution cells
     )
 
     thresholds: dict[str, tuple[int, int]] = {}
@@ -4778,7 +4778,7 @@ def retrieval_rrf_fusion(sf_dir: str):
 
     from sciscraper_ray.pipelines.queries._shared import QUERIES
 
-    bm = QUERIES["doc_bm25_topk"](sf_dir).to_pandas()
+    bm = QUERIES["doc_bm25_topk"](sf_dir).to_pandas()  # bounded: Q x k fused top-k
     bmr = _ranks_of(bm, "score")
     tfr = _ranks_of(_tf_topk_pandas(sf_dir), "s")
 
@@ -4876,7 +4876,7 @@ def retrieval_eval_mrr(sf_dir: str):
     from sciscraper_ray.kernels.tokenize import tokenize_column
     from sciscraper_ray.pipelines.queries._shared import QUERIES
 
-    bm = QUERIES["doc_bm25_topk"](sf_dir).to_pandas()
+    bm = QUERIES["doc_bm25_topk"](sf_dir).to_pandas()  # bounded: Q x k top-k
     bmr = _ranks_of(bm, "score")
     ranked = {
         int(q): dict(zip(g["doc_id"].astype(np.int64), g["r"].astype(np.int64)))
@@ -5041,24 +5041,35 @@ def link_reciprocity(sf_dir: str):
                 if v != int(i):
                     us.append(int(i))
                     vs.append(v)
-        df = pd.DataFrame({"u": us, "v": vs}).drop_duplicates()
+        u = np.asarray(us, np.int64)
+        v = np.asarray(vs, np.int64)
+        key = (np.minimum(u, v) << 32) | np.maximum(u, v)
+        bit = np.where(u < v, 1, 2).astype(np.int64)
+        df = pd.DataFrame({"key": key, "bit": bit}).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    edges = (
+    from ray.data.aggregate import Sum
+
+    # Distributed fold (ADVICE r4): global dedup of directed edges on the
+    # packed (key, bit) pair, then sum direction bits per unordered key —
+    # only two scalars ever reach the driver.
+    distinct = (
         _docs(sf_dir, columns=("doc_id", "text", "lang"))
         .map_batches(partial, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
+        .groupby(["key", "bit"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
     )
-    u = edges["u"].to_numpy(np.int64)
-    v = edges["v"].to_numpy(np.int64)
-    lo = np.minimum(u, v)
-    hi = np.maximum(u, v)
-    key = (lo << 32) | hi
-    bit = np.where(u < v, 1, 2).astype(np.int64)
-    agg = pd.DataFrame({"key": key, "bit": bit}).groupby("key")["bit"].sum()
-    n_edges = len(edges)
-    n_recip = int(2 * (agg == 3).sum())
+    n_edges = distinct.count()
+    n_recip = 2 * (
+        distinct.groupby("key")
+        .aggregate(Sum(on="bit", alias_name="bits"))
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["bits"], 3)), batch_format="pyarrow"
+        )
+        .count()
+    )
     return pa.table(
         {
             "n_edges": pa.array([n_edges], pa.int64()),
@@ -5139,18 +5150,52 @@ def graph_rich_club(sf_dir: str):
         df = pd.DataFrame({"a": aa, "b": bb}).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    und = (
+    from ray.data.aggregate import Sum
+
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+    # Distributed fold (ADVICE r4): dedup undirected pairs with one
+    # groupby, fold degrees with a second; the driver then pulls only the
+    # deduped edge keys and the node-bounded degree table, both behind
+    # the 50M fail-fast guard.
+    und_ds = (
         _docs(sf_dir, columns=("doc_id", "text", "lang"))
         .map_batches(partial, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
+        .groupby(["a", "b"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
     )
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                b["a"].to_numpy(zero_copy_only=False),
+                b["b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        uniq, cnt = np.unique(both, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(uniq.astype(np.int64)),
+                "d": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    deg_df = driver_frame(
+        und_ds.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum(on="d", alias_name="d")),
+        DRIVER_PLAN_LIMIT,
+        "graph_rich_club (degree table)",
+    ).sort_values("node", ignore_index=True)
+    und = driver_frame(und_ds, DRIVER_PLAN_LIMIT, "graph_rich_club (edges)")
     a = und["a"].to_numpy(np.int64)
     b = und["b"].to_numpy(np.int64)
-    nodes = np.unique(np.concatenate([a, b]))
+    nodes = deg_df["node"].to_numpy(np.int64)
+    deg = deg_df["d"].to_numpy(np.int64)
     ai = np.searchsorted(nodes, a)
     bi = np.searchsorted(nodes, b)
-    deg = np.bincount(ai, minlength=len(nodes)) + np.bincount(bi, minlength=len(nodes))
     out_k, out_n, out_e, out_phi = [], [], [], []
     for k in _RICH_CLUB_KS:
         member = deg > k
@@ -5385,7 +5430,7 @@ def retrieval_bm25_prf(sf_dir: str):
         ds.map_batches(stats_partial, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum(on="a", alias_name="a"), Sum(on="b", alias_name="b"))
-        .to_pandas()
+        .to_pandas()  # bounded: vocabulary term stats (broadcast side)
     )
     srow = stats[stats["term"] == ""].iloc[0]
     n_docs, total_len = float(srow["a"]), float(srow["b"])
@@ -5437,7 +5482,7 @@ def retrieval_bm25_prf(sf_dir: str):
 
         cand = (
             ds.map_batches(score_partial, batch_format="pyarrow")
-            .to_pandas()
+            .to_pandas()  # bounded: per-block top candidates
             .sort_values(["score", "doc_id"], ascending=[False, True])
             .head(k)
         )
@@ -5467,7 +5512,7 @@ def retrieval_bm25_prf(sf_dir: str):
 
     fb = (
         ds.map_batches(fb_tokens, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: feedback-doc vocabulary
         .groupby("token", as_index=False)["cnt"]
         .sum()
     )
@@ -5527,7 +5572,7 @@ def link_powerlaw_alpha(sf_dir: str):
     ind = (
         _docs(sf_dir, columns=("doc_id",))
         .map_batches(partials, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: node id space (synth targets < 997)
         .groupby("dst")["d"]
         .sum()
     )

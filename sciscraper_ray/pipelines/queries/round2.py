@@ -61,6 +61,7 @@ def lineitem_quantiles(sf_dir: str):
         )
         return agg.rename_columns(["l_returnflag", "l_quantity", "cnt"])
 
+    # bounded: |flags| x |quantity domain| x blocks
     hist = ds.map_batches(histogram, batch_format="pyarrow").to_pandas()
     hist = (
         hist.groupby(["l_returnflag", "l_quantity"], as_index=False)["cnt"]
@@ -179,7 +180,13 @@ def orders_anti_join(sf_dir: str):
     def distinct_part(b: pa.Table) -> pa.Table:
         return pa.table({"k": pc.unique(b["l_orderkey"])})
 
-    parts = keys.map_batches(distinct_part, batch_format="pyarrow").to_pandas()
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+    parts = driver_frame(
+        keys.map_batches(distinct_part, batch_format="pyarrow"),
+        DRIVER_PLAN_LIMIT,
+        "orders_semijoin (distinct-key broadcast side)",
+    )
     key_set = pa.array(parts["k"].unique(), type=pa.int64())
     key_ref = ray.put(key_set)
 
@@ -254,10 +261,12 @@ def token_bigram_next(sf_dir: str):
         )
         return agg.rename_columns(["token", "next_token", "cnt"])
 
-    parts = (
-        _docs(sf_dir)
-        .map_batches(partials, batch_format="pyarrow")
-        .to_pandas()
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+    parts = driver_frame(
+        _docs(sf_dir).map_batches(partials, batch_format="pyarrow"),
+        DRIVER_PLAN_LIMIT,
+        "token_bigram_next",
     )
     merged = parts.groupby(["token", "next_token"], as_index=False)["cnt"].sum()
     order = np.lexsort(
@@ -504,12 +513,12 @@ def doc_ngram_novelty(sf_dir: str, mode: str = "auto"):
         n_new_df = (
             winners.groupby("fdoc")
             .aggregate(Count(alias_name="n_new"))
-            .to_pandas()  # doc-bounded
+            .to_pandas()  # bounded: docs
         )
         totals_df = (
             pairs_ds.groupby("doc_id")
             .aggregate(Count(alias_name="n_grams"))
-            .to_pandas()  # doc-bounded
+            .to_pandas()  # bounded: docs
         )
         if totals_df.empty:
             return result_table([], [], [])
@@ -570,7 +579,13 @@ def token_type_stats(sf_dir: str):
         agg = pa.table({"token": flat}).group_by("token").aggregate([([], "count_all")])
         return agg.rename_columns(["token", "cnt"])
 
-    parts = _docs(sf_dir).map_batches(partials, batch_format="pyarrow").to_pandas()
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+    parts = driver_frame(
+        _docs(sf_dir).map_batches(partials, batch_format="pyarrow"),
+        DRIVER_PLAN_LIMIT,
+        "token_type_stats",
+    )
     merged = parts.groupby("token", as_index=False)["cnt"].sum()
     c = merged["cnt"].to_numpy()
     n_types = len(c)
@@ -647,7 +662,13 @@ def token_pmi_collocations(sf_dir: str):
         )
         return agg.rename_columns(["token", "next_token", "cnt"])
 
-    parts = _docs(sf_dir).map_batches(partials, batch_format="pyarrow").to_pandas()
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+    parts = driver_frame(
+        _docs(sf_dir).map_batches(partials, batch_format="pyarrow"),
+        DRIVER_PLAN_LIMIT,
+        "token_pmi_collocations",
+    )
     merged = parts.groupby(["token", "next_token"], as_index=False)["cnt"].sum()
     total = float(merged["cnt"].sum())
     lc = merged.groupby("token")["cnt"].transform("sum").to_numpy(np.float64)
@@ -858,6 +879,9 @@ def events_topk_users(sf_dir: str):
             ),
             batch_format="pyarrow",
         )
+        # bounded: (|types| x active users) partials — small vs the event
+        # stream; past the 50M guard the shuffle plan is a distributed
+        # groupby + per-type top-k (events_hourly_topk_users machinery)
         .to_pandas()
     )
     totals = parts.groupby(["event_type", "user_id"], as_index=False)[
@@ -952,7 +976,7 @@ def doc_length_rank(sf_dir: str):
 
     h = (
         ds.map_batches(hist, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: |distinct lengths| x blocks
         .groupby("n_chars")["cnt"]
         .sum()
         .sort_index()
@@ -1100,7 +1124,7 @@ def orders_rollup(sf_dir: str):
         )
         .groupby(["o_orderstatus", "o_orderpriority"])
         .aggregate(Sum(on="cnt", alias_name="cnt"), Sum(on="total", alias_name="total"))
-        .to_pandas()
+        .to_pandas()  # bounded: |statuses| x |priorities|
     )
 
     levels = [fine.rename(columns={"o_orderstatus": "status", "o_orderpriority": "priority"})]
@@ -1594,7 +1618,7 @@ def doc_ntile(sf_dir: str):
 
     h = (
         ds.map_batches(hist, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: |distinct lengths| x blocks
         .groupby("n_chars")["cnt"]
         .sum()
         .sort_index()
@@ -1717,7 +1741,7 @@ def token_heavy_hitters(sf_dir: str):
         .map_batches(local_hitters, batch_format="pyarrow")
         .groupby("token")
         .count()
-        .to_pandas()
+        .to_pandas()  # bounded: per-block heavy-hitter candidates
     )
     cand_arr = pa.array(cand["token"].tolist(), pa.string())
 
@@ -1741,7 +1765,7 @@ def token_heavy_hitters(sf_dir: str):
         .map_batches(count_candidates, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum(on="cnt", alias_name="cnt"))
-        .to_pandas()
+        .to_pandas()  # bounded: heavy-hitter candidate set
     )
     n = int(agg.loc[agg["token"] == sentinel, "cnt"].iloc[0])
     out = agg[(agg["token"] != sentinel) & (agg["cnt"] * inv_phi > n)]
@@ -1863,7 +1887,7 @@ def events_zscore(sf_dir: str):
             Sum(on="sx", alias_name="sx"),
             Sum(on="sxx", alias_name="sxx"),
         )
-        .to_pandas()
+        .to_pandas()  # bounded: |event types|
     )
     n = stats["n"].to_numpy(np.float64)
     mu = stats["sx"].to_numpy() / n
@@ -1958,7 +1982,7 @@ def events_funnel(sf_dir: str):
 
     import pandas as pd
 
-    parts = mins.map_batches(flags, batch_format="pyarrow").to_pandas()
+    parts = mins.map_batches(flags, batch_format="pyarrow").to_pandas()  # bounded: one scalar row per block
     return pa.Table.from_pandas(
         parts.sum().to_frame().T.astype("int64"), preserve_index=False
     )
@@ -2025,7 +2049,7 @@ def doc_pack_offsets(sf_dir: str):
 
     h = (
         counted.map_batches(range_partial, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: |ranges| x blocks
         .groupby("rng")["tot"]
         .sum()
         .sort_index()
@@ -2152,7 +2176,7 @@ def embedding_gram(sf_dir: str):
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()  # bounded: d^2 x blocks partial cells
     d = _EMB_DIM
     total = parts.groupby("idx")["cell"].sum().to_numpy().reshape(d, d)
     n = int(parts[parts["idx"] == 0]["n"].sum())
@@ -2291,7 +2315,7 @@ def lineitem_price_quantiles_twopass(sf_dir: str):
         ds.map_batches(hist_partial, batch_format="pyarrow")
         .groupby("bin")
         .aggregate(Sum(on="cnt", alias_name="cnt"))
-        .to_pandas()
+        .to_pandas()  # bounded: |bins|
         .sort_values("bin", ignore_index=True)
     )
     cnt = np.zeros(NBINS, np.int64)
@@ -2412,7 +2436,7 @@ def lineitem_winsorized_mean(sf_dir: str):
         ds.map_batches(hist_partial, batch_format="pyarrow")
         .groupby("bin")
         .aggregate(Sum(on="cnt", alias_name="cnt"))
-        .to_pandas()
+        .to_pandas()  # bounded: |bins|
     )
     cnt = np.zeros(NBINS, np.int64)
     cnt[hist["bin"].to_numpy(np.int64)] = hist["cnt"].to_numpy(np.int64)
@@ -2462,7 +2486,7 @@ def lineitem_winsorized_mean(sf_dir: str):
 
     agg = (
         ds.map_batches(clip_partial, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: one scalar row per block
         .sum()
     )
     return pa.table(
@@ -2569,7 +2593,7 @@ def orders_value_quantiles_by_segment(sf_dir: str):
         ds.map_batches(HistPartial, batch_format="pyarrow", concurrency=(1, 4))
         .groupby("k")
         .aggregate(Sum(on="cnt", alias_name="cnt"))
-        .to_pandas()
+        .to_pandas()  # bounded: |bins|
     )
     cnt = np.zeros(ns * NBINS, np.int64)
     cnt[hist["k"].to_numpy(np.int64)] = hist["cnt"].to_numpy(np.int64)
@@ -2746,8 +2770,8 @@ def graph_ppr_sweep_cut(sf_dir: str):
     edges_ds = e0.map_batches(symmetrize, batch_format="pyarrow").materialize()
     ranked = pagerank(edges_ds, damping=0.85, iters=5, seeds=np.arange(50))
     if not isinstance(ranked, pa.Table):
-        ranked = pa.Table.from_pandas(ranked.to_pandas(), preserve_index=False)
-    ed = edges_ds.to_pandas()
+        ranked = pa.Table.from_pandas(ranked.to_pandas(), preserve_index=False)  # bounded: ranked synth nodes (< 997)
+    ed = edges_ds.to_pandas()  # bounded: synth edge set (node space < 997)
     src = ed["a"].to_numpy(np.int64)
     dst = ed["b"].to_numpy(np.int64)
     nodes = ranked["node"].to_numpy(zero_copy_only=False)

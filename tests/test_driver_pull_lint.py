@@ -9,7 +9,7 @@ query registry must be one of
 
   * ``driver_frame(...)`` — the guarded pull (``pipelines/plan.py``),
     which fails fast past the 50M-row driver plan limit;
-  * annotated ``# bounded: <why>`` on the call line or the two lines
+  * annotated ``# bounded: <why>`` on the call line or the three lines
     above — the author's claim that the row count is bounded by something
     sf-invariant (|days|, |types|, buckets, k, vocab-of-a-fixed-list, a
     prior ``limit(...)``), checkable in review;
@@ -44,7 +44,7 @@ def test_no_unguarded_driver_pulls():
                 continue
             if "driver_frame(" in line:
                 continue
-            window = lines[max(0, i - 2) : i + 1]
+            window = lines[max(0, i - 3) : i + 1]
             if any(_MARK.search(w) for w in window):
                 continue
             offenders.append(f"{path.name}:{i + 1}: {line.strip()[:90]}")
