@@ -709,7 +709,7 @@ def doc_unigram_freq_score(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum(on="cnt", alias_name="cnt"))
-        .to_pandas()
+        .to_pandas()  # bounded: vocabulary post-aggregate (broadcast side)
     )
     lut_ref = ray.put(
         pd.Series(counts["cnt"].to_numpy(np.int64), index=counts["token"])

@@ -231,7 +231,7 @@ def doc_token_entropy(sf_dir: str):
         offs = np.asarray(toks.offsets, dtype=np.int64)
         lens = np.diff(offs)
         doc = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
-        df = pd.DataFrame({"d": doc, "t": toks.flatten().to_pandas()})
+        df = pd.DataFrame({"d": doc, "t": toks.flatten().to_pandas()})  # bounded: worker-side column conversion
         grp = df.groupby(["d", "t"], sort=False).size()
         d_idx = grp.index.get_level_values(0).to_numpy()
         cv = grp.to_numpy().astype(np.float64)
@@ -329,7 +329,7 @@ def source_kl_divergence(sf_dir: str, plan: str = "auto"):
         agg = (
             partials.groupby(["source", "token"])
             .aggregate(Sum(on="cnt", alias_name="cnt"))
-            .to_pandas()
+            .to_pandas()  # bounded: |sources| x vocab post-aggregate
         )
     c = agg["cnt"].to_numpy(np.float64)
     s_codes, s_uniq = pd.factorize(agg["source"], sort=True)
@@ -413,8 +413,8 @@ def token_window_cooc(sf_dir: str):
             )
         df = pd.DataFrame(
             {
-                "w1": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in w1s]).to_pandas(),
-                "w2": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in w2s]).to_pandas(),
+                "w1": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in w1s]).to_pandas(),  # bounded: worker-side column conversion
+                "w2": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in w2s]).to_pandas(),  # bounded: worker-side column conversion
             }
         )
         vc = df.value_counts().rename("cnt").reset_index()
@@ -552,11 +552,11 @@ def corpus_heaps_law(sf_dir: str, plan: str = "auto"):
 
     h_nt = (
         counted.map_batches(range_totals, batch_format="pyarrow")
-        .to_pandas().groupby("rng")["tot"].sum().sort_index()
+        .to_pandas().groupby("rng")["tot"].sum().sort_index()  # bounded: |ranges| x blocks
     )
     h_ft = (
         ft.map_batches(range_totals_ft, batch_format="pyarrow")
-        .to_pandas().groupby("rng")["tot"].sum().sort_index()
+        .to_pandas().groupby("rng")["tot"].sum().sort_index()  # bounded: |ranges| x blocks
     )
     base_nt = dict(zip(h_nt.index, h_nt.cumsum().shift(fill_value=0)))
     base_ft = dict(zip(h_ft.index, h_ft.cumsum().shift(fill_value=0)))
@@ -595,7 +595,7 @@ def corpus_heaps_law(sf_dir: str, plan: str = "auto"):
     parts = (
         merged.groupby("rng")
         .map_groups(scan_range, batch_format="pandas")
-        .to_pandas()
+        .to_pandas()  # bounded: |ranges| summary rows
     )
     n = float(parts["n"].sum())
     sx, sy = float(parts["sx"].sum()), float(parts["sy"].sum())
@@ -710,7 +710,7 @@ def token_prefix_autocomplete(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum(on="cnt", alias_name="cnt"))
-        .to_pandas()  # vocabulary-bounded
+        .to_pandas()  # bounded: vocabulary
     )
     tok = merged["token"].to_numpy()
     cnt = merged["cnt"].to_numpy(np.int64)
@@ -1034,7 +1034,7 @@ def char_trigram_topk(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow")
         .groupby("key")
         .aggregate(Sum(on="cnt", alias_name="cnt"))
-        .to_pandas()  # distinct-trigram-bounded (alphabet³ ceiling)
+        .to_pandas()  # bounded: distinct trigrams (alphabet³ ceiling)
     )
     agg["trigram"] = [
         chr(k & 0x1FFFFF) + chr((k >> 21) & 0x1FFFFF) + chr((k >> 42) & 0x1FFFFF)
@@ -1799,7 +1799,7 @@ def _trigram_count_hist(sf_dir: str):
         per_gram.map_batches(hist_partial, batch_format="pyarrow")
         .groupby("r")
         .aggregate(Sum(on="n_r", alias_name="n_r"))
-        .to_pandas()
+        .to_pandas()  # bounded: |r frequency classes|
         .sort_values("r", ignore_index=True)
     )
 
@@ -1980,7 +1980,7 @@ def doc_sorted_lcp(sf_dir: str):
 
     docs = _docs(sf_dir, columns=("doc_id", "text"))
     boundary_texts = sorted(
-        docs.map_batches(sample, batch_format="pyarrow").to_pandas()["text"]
+        docs.map_batches(sample, batch_format="pyarrow").to_pandas()["text"]  # bounded: per-block boundary sample
     )
     step = max(1, len(boundary_texts) // NUM_RANGES)
     bounds = boundary_texts[step::step][: NUM_RANGES - 1]
@@ -1996,7 +1996,7 @@ def doc_sorted_lcp(sf_dir: str):
         )
 
     def range_lcp(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().sort_values(
+        df = g.to_pandas().sort_values(  # bounded: worker-side kernel conversion
             ["text", "doc_id"], ignore_index=True
         )
         texts = [t.encode() for t in df["text"]]
@@ -2022,7 +2022,7 @@ def doc_sorted_lcp(sf_dir: str):
                 "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
                 "lcp_prev": pa.array(lcp),
                 "r": pa.array(
-                    np.full(n, int(df.get("r", g["r"].to_pandas()).iloc[0]))
+                    np.full(n, int(df.get("r", g["r"].to_pandas()).iloc[0]))  # bounded: worker-side kernel conversion
                 ),
                 "first_text": pa.array(first, pa.string()),
                 "last_text": pa.array(last, pa.string()),
@@ -2150,7 +2150,7 @@ def token_ams_f2(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow")
         .groupby("j")
         .aggregate(Sum(on="z", alias_name="z"))
-        .to_pandas()
+        .to_pandas()  # bounded: |j positions|
         .sort_values("j", ignore_index=True)
     )
     hist = _trigram_count_hist(sf_dir)
@@ -2472,13 +2472,13 @@ def token_stupid_backoff(sf_dir: str):
         docs.map_batches(bigram_partial, batch_format="pyarrow")
         .groupby(["w1", "w2"])
         .aggregate(Sum(on="c12", alias_name="c12"))
-        .to_pandas()
+        .to_pandas()  # bounded: bigram vocabulary post-aggregate (Heaps-law)
     )
     un = (
         docs.map_batches(unigram_partial, batch_format="pyarrow")
         .groupby("w")
         .aggregate(Sum(on="c", alias_name="c"))
-        .to_pandas()
+        .to_pandas()  # bounded: vocabulary post-aggregate
     )
     words = un["w"].tolist()
     c_of = dict(zip(words, un["c"].astype(int)))
@@ -2742,7 +2742,7 @@ def token_chi2_keyness(sf_dir: str):
             Sum(on="k_en", alias_name="k_en"),
             Sum(on="k_rest", alias_name="k_rest"),
         )
-        .to_pandas()  # vocab-bounded
+        .to_pandas()  # bounded: vocabulary
     )
     k_en = cnt["k_en"].to_numpy(np.int64)
     k_rest = cnt["k_rest"].to_numpy(np.int64)
@@ -2834,7 +2834,13 @@ def token_dice_collocations(sf_dir: str):
         )
         return agg.rename_columns(["token", "next_token", "cnt"])
 
-    parts = _docs(sf_dir).map_batches(partials, batch_format="pyarrow").to_pandas()
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+    parts = driver_frame(
+        _docs(sf_dir).map_batches(partials, batch_format="pyarrow"),
+        DRIVER_PLAN_LIMIT,
+        "token_dice_collocations",
+    )
     merged = parts.groupby(["token", "next_token"], as_index=False)["cnt"].sum()
     lc = merged.groupby("token")["cnt"].transform("sum").to_numpy(np.int64)
     rc = merged.groupby("next_token")["cnt"].transform("sum").to_numpy(np.int64)
@@ -3167,7 +3173,13 @@ def token_stem_conflate(sf_dir: str):
         )
         return agg.rename_columns(["stem", "tok", "cnt"])
 
-    parts = _docs(sf_dir).map_batches(partials, batch_format="pyarrow").to_pandas()
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+    parts = driver_frame(
+        _docs(sf_dir).map_batches(partials, batch_format="pyarrow"),
+        DRIVER_PLAN_LIMIT,
+        "token_stem_conflate",
+    )
     merged = parts.groupby(["stem", "tok"], as_index=False)["cnt"].sum()
     out = merged.groupby("stem").agg(n_forms=("tok", "size"), cnt=("cnt", "sum")).reset_index()
     return pa.table(
@@ -3225,9 +3237,15 @@ def source_chao1_richness(sf_dir: str):
         )
         return agg.rename_columns(["lang", "token", "cnt"])
 
-    parts = _docs(sf_dir, columns=("lang", "text")).map_batches(
-        partials, batch_format="pyarrow"
-    ).to_pandas()
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+    parts = driver_frame(
+        _docs(sf_dir, columns=("lang", "text")).map_batches(
+            partials, batch_format="pyarrow"
+        ),
+        DRIVER_PLAN_LIMIT,
+        "source_chao1_richness",
+    )
     merged = parts.groupby(["lang", "token"], as_index=False)["cnt"].sum()
     c = merged["cnt"].to_numpy()
     grp = merged.groupby("lang")
@@ -3323,10 +3341,14 @@ def token_textrank(sf_dir: str):
         df = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
     pairs = (
-        _docs(sf_dir)
-        .map_batches(pair_partials, batch_format="pyarrow")
-        .to_pandas()
+        driver_frame(
+            _docs(sf_dir).map_batches(pair_partials, batch_format="pyarrow"),
+            DRIVER_PLAN_LIMIT,
+            "token_textrank",
+        )
         .drop_duplicates()
     )
     vocab = np.unique(np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
@@ -3341,7 +3363,7 @@ def token_textrank(sf_dir: str):
     )
     ranked = pagerank(edges, damping=0.85, iters=5)
     if not isinstance(ranked, pa.Table):  # shuffle plan returns a Dataset
-        ranked = pa.Table.from_pandas(ranked.to_pandas(), preserve_index=False)
+        ranked = pa.Table.from_pandas(ranked.to_pandas(), preserve_index=False)  # bounded: ranked synth nodes
     node = ranked["node"].to_numpy(zero_copy_only=False)
     return pa.table(
         {
@@ -3415,9 +3437,15 @@ def token_llr_keyness(sf_dir: str):
         )
         return agg.rename_columns(["token", "k_en", "cnt"])
 
-    parts = _docs(sf_dir, columns=("lang", "text")).map_batches(
-        partials, batch_format="pyarrow"
-    ).to_pandas()
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+    parts = driver_frame(
+        _docs(sf_dir, columns=("lang", "text")).map_batches(
+            partials, batch_format="pyarrow"
+        ),
+        DRIVER_PLAN_LIMIT,
+        "token_llr_keyness",
+    )
     merged = parts.groupby("token", as_index=False).sum()
     k_en = merged["k_en"].to_numpy(np.int64)
     k_rest = merged["cnt"].to_numpy(np.int64) - k_en
@@ -3492,9 +3520,15 @@ def token_yule_k(sf_dir: str):
         )
         return agg.rename_columns(["lang", "token", "cnt"])
 
-    parts = _docs(sf_dir, columns=("lang", "text")).map_batches(
-        partials, batch_format="pyarrow"
-    ).to_pandas()
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+    parts = driver_frame(
+        _docs(sf_dir, columns=("lang", "text")).map_batches(
+            partials, batch_format="pyarrow"
+        ),
+        DRIVER_PLAN_LIMIT,
+        "token_yule_k",
+    )
     merged = parts.groupby(["lang", "token"], as_index=False)["cnt"].sum()
     grp = merged.groupby("lang")["cnt"]
     m1 = grp.sum().astype(np.int64)
@@ -3567,9 +3601,15 @@ def source_js_divergence(sf_dir: str):
         )
         return agg.rename_columns(["token", "ce", "cnt"])
 
-    parts = _docs(sf_dir, columns=("lang", "text")).map_batches(
-        partials, batch_format="pyarrow"
-    ).to_pandas()
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+    parts = driver_frame(
+        _docs(sf_dir, columns=("lang", "text")).map_batches(
+            partials, batch_format="pyarrow"
+        ),
+        DRIVER_PLAN_LIMIT,
+        "source_js_divergence",
+    )
     merged = parts.groupby("token", as_index=False).sum()
     ce = merged["ce"].to_numpy(np.int64)
     cr = merged["cnt"].to_numpy(np.int64) - ce
@@ -3632,10 +3672,14 @@ def token_symspell_neighbors(sf_dir: str):
             .aggregate([])
         )
 
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
     vocab = (
-        _docs(sf_dir)
-        .map_batches(vocab_partial, batch_format="pyarrow")
-        .to_pandas()["tok"]
+        driver_frame(
+            _docs(sf_dir).map_batches(vocab_partial, batch_format="pyarrow"),
+            DRIVER_PLAN_LIMIT,
+            "token_symspell_neighbors",
+        )["tok"]
         .drop_duplicates()
         .tolist()
     )
@@ -3736,7 +3780,7 @@ def token_subsample_mikolov(sf_dir: str):
         .map_batches(freq_partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum(on="cnt", alias_name="cnt"))
-        .to_pandas()
+        .to_pandas()  # bounded: |j cells| post-aggregate
     )
     total = float(freq["cnt"].sum())
     f = freq["cnt"].to_numpy(np.int64) / total
@@ -3772,10 +3816,14 @@ def token_subsample_mikolov(sf_dir: str):
             }
         )
 
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
     parts = (
-        _docs(sf_dir)
-        .map_batches(sample_partial, batch_format="pyarrow")
-        .to_pandas()
+        driver_frame(
+            _docs(sf_dir).map_batches(sample_partial, batch_format="pyarrow"),
+            DRIVER_PLAN_LIMIT,
+            "token_subsample_mikolov",
+        )
         .groupby("token", as_index=False)
         .sum()
     )
@@ -3852,9 +3900,15 @@ def source_burrows_delta(sf_dir: str):
         )
         return agg.rename_columns(["source", "token", "cnt"])
 
-    parts = _docs(sf_dir, columns=("source", "text")).map_batches(
-        partials, batch_format="pyarrow"
-    ).to_pandas()
+    from sciscraper_ray.pipelines.plan import DRIVER_PLAN_LIMIT, driver_frame
+
+    parts = driver_frame(
+        _docs(sf_dir, columns=("source", "text")).map_batches(
+            partials, batch_format="pyarrow"
+        ),
+        DRIVER_PLAN_LIMIT,
+        "source_burrows_delta",
+    )
     merged = parts.groupby(["source", "token"], as_index=False)["cnt"].sum()
     tot_by_tok = merged.groupby("token")["cnt"].sum()
     # exactly the oracle's MFW rank: count desc, token asc
