@@ -3907,7 +3907,10 @@ def orc_roundtrip(sf_dir: str):
     fragment layout every resumable sink here uses), and the READ is a
     from_items(shard paths) fan-out where each task deserializes one
     shard back to Arrow — both sides embarrassingly parallel, no
-    driver-side table."""
+    driver-side table. The shard dir is a driver-created /tmp path, so
+    writer and reader tasks must share a filesystem — single-node or
+    shared-FS only, like the jsonl/langpart sinks (ADVICE r4); a
+    multi-node run points the export/config path at network storage."""
     import os
     import tempfile
 
@@ -4422,7 +4425,9 @@ def protobuf_roundtrip(sf_dir: str):
     one decoder task per shard. The decoder tolerates and skips unknown
     fields (wire-type-driven skip), which the fixture exercises with an
     injected field 15 every 7th record — forward compatibility is the
-    entire point of the format."""
+    entire point of the format. Shards live in a driver-created /tmp
+    dir: single-node or shared-FS only, like the ORC/JSONL sinks
+    (ADVICE r4); multi-node runs route the dir through export/config."""
     import os
     import tempfile
 

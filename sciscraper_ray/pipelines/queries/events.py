@@ -3245,8 +3245,8 @@ def events_ks_test(sf_dir: str):
         FROM grid LEFT JOIN hourly ON hourly.h = grid.h
     ), holt AS (
         SELECT i, h, x, CAST(x AS DOUBLE) AS l,
-               (SELECT CAST(x AS DOUBLE) FROM dense WHERE i = 1)
-                   - CAST(x AS DOUBLE) AS b
+               COALESCE((SELECT CAST(x AS DOUBLE) FROM dense WHERE i = 1)
+                   - CAST(x AS DOUBLE), 0.0) AS b
         FROM dense WHERE i = 0
         UNION ALL
         SELECT d.i, d.h, d.x,
@@ -3304,7 +3304,9 @@ def events_holt_linear(sf_dir: str):
     level = np.empty(span, np.float64)
     trend = np.empty(span, np.float64)
     level[0] = float(x[0])
-    trend[0] = float(x[1]) - float(x[0])
+    # degenerate single-point series: no second observation to seed the
+    # trend; 0.0 mirrors the oracle's NULL-coalesced b seed (ADVICE r4)
+    trend[0] = float(x[1]) - float(x[0]) if span >= 2 else 0.0
     for i in range(1, span):
         l_new = 0.5 * float(x[i]) + 0.5 * (level[i - 1] + trend[i - 1])
         trend[i] = 0.5 * (l_new - level[i - 1]) + 0.5 * trend[i - 1]

@@ -1654,7 +1654,18 @@ def top_suppliers_by_nation(sf_dir: str):
 
 
 def _cents(col) -> np.ndarray:
-    """Exact cents as int64 from a 2-decimal float column."""
+    """Exact cents as int64 from a 2-decimal float column.
+
+    np.round is banker's rounding while the DuckDB oracles' round() is
+    half-away-from-zero; the two diverge only when v*100 lands exactly
+    on .5 in binary. Fixture prices are generated with exactly 2
+    decimals, so v*100 is always within 1e-10 of an integer and the
+    .5 case cannot occur (verified over sf0.01: 0 of 10^4 values) —
+    the same argument covers every query that discretizes value/price
+    to cents (KS/EMD/Holt/Viterbi/Theil-Sen included; ADVICE r4). A
+    non-2-decimal source would need a shared half-away helper
+    (floor(v*100+0.5)) on BOTH engine and oracle sides first.
+    """
     return np.round(col.to_numpy(zero_copy_only=False) * 100).astype(np.int64)
 
 
@@ -5230,7 +5241,12 @@ def lineitem_simpson_audit(sf_dir: str):
     a reversed trend, the classic aggregation hazard audit. Per-batch
     (group, n, Σxy, Σx, Σy) moment partials make the exchange
     groups-bounded; the sign test is exact integer arithmetic, no
-    doubles anywhere."""
+    doubles anywhere. Overflow note (ADVICE r4): the numerator
+    n*Σxy - Σx*Σy exceeds int64 around sf>=100, so the driver-side
+    sign is computed on PYTHON ints (the int() casts below are
+    load-bearing — numpy would wrap silently, flipping the sign); the
+    int64 moment SUMS themselves stay in range to ~sf 10^4, and the
+    DuckDB oracle errors loudly rather than wrapping past that."""
     import pandas as pd
 
     import ray.data
