@@ -462,7 +462,7 @@ def doc_ngram_novelty(sf_dir: str, mode: str = "auto"):
         if len(flat) < 3:
             return empty
         par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        t_hi, t_lo = _hash_tokens128(flat.to_pylist())
+        t_hi, t_lo = _hash_tokens128(flat)  # zero-copy Arrow path
         w_hi, w_lo = _window_hashes128(t_hi, t_lo, 3)  # all length-3 windows
         m = len(w_lo)
         same_doc = par[0:m] == par[2 : m + 2]  # window stays inside one doc

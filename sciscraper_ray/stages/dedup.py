@@ -136,27 +136,94 @@ def _window_hashes128(
     return _fmix64(s2), _fmix64(s1)
 
 
-def _hash_tokens128(tokens: list[str]) -> tuple[np.ndarray, np.ndarray]:
-    """(hi, lo) uint64 halves of a 128-bit blake2b per token — hashed once
-    per DISTINCT token, like ``_hash_tokens``."""
-    arr = np.asarray(tokens, dtype=object)
-    uniq, inv = np.unique(arr, return_inverse=True)
-    digests = b"".join(
-        hashlib.blake2b(t.encode(), digest_size=16).digest() for t in uniq
-    )
-    u = np.frombuffer(digests, dtype="<u8").reshape(-1, 2)
-    return u[:, 1][inv].copy(), u[:, 0][inv].copy()
+# Vectorized string hashing over the raw Arrow buffers (VERDICT r4 item
+# 3: the per-distinct-token Python blake2b loop sat in the hottest
+# kernels — MinHash, novelty, the n-gram families). Two independent
+# byte-wise polynomial channels (distinct odd multipliers, distinct
+# length-mix constants) cross-mixed through the murmur3 finalizer: two
+# different strings collide in the 128-bit key only if BOTH linear codes
+# collide. Tokens longer than _HASH_CAP bytes (vanishingly rare in
+# natural-language streams) fold a per-token blake2b tail so arbitrarily
+# long strings stay fully discriminated.
+_HASH_CAP = 64
+_PW1 = np.uint64(0x9E3779B97F4A7C15)
+_PW2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_LEN1 = np.uint64(0xFF51AFD7ED558CCD)
+_LEN2 = np.uint64(0x2545F4914F6CDD1D)
 
 
-def _hash_tokens(tokens: list[str]) -> np.ndarray:
-    """uint64 blake2b per token — hashed once per DISTINCT token (the
-    per-doc vocabulary is much smaller than the token stream)."""
-    arr = np.asarray(tokens, dtype=object)
-    uniq, inv = np.unique(arr, return_inverse=True)
-    uh = np.fromiter(
-        (_stable_hash64(t) for t in uniq), dtype=np.uint64, count=len(uniq)
+def _hash_string_array(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(hi, lo) uint64 channels per element of an Arrow string array,
+    computed with ONE gather over the offsets+data buffers — zero Python
+    per-string work below _HASH_CAP bytes."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offs = (
+        np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + n + 1]
+        .astype(np.int64)
     )
-    return uh[inv]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    lens = np.diff(offs)
+    h1 = lens.astype(np.uint64) * _LEN1
+    h2 = lens.astype(np.uint64) * _LEN2
+    m = int(min(lens.max(initial=0), _HASH_CAP))
+    if m:
+        pos = np.arange(m, dtype=np.int64)
+        idx = offs[:-1, None] + pos[None, :]
+        np.minimum(idx, max(len(data) - 1, 0), out=idx)  # clamp; masked next
+        mat = data[idx].astype(np.uint64)
+        mat[pos[None, :] >= lens[:, None]] = 0
+        w1 = np.cumprod(np.full(m, _PW1, np.uint64))  # wraps mod 2^64
+        w2 = np.cumprod(np.full(m, _PW2, np.uint64))
+        h1 += (mat * w1[None, :]).sum(axis=1, dtype=np.uint64)
+        h2 += (mat * w2[None, :]).sum(axis=1, dtype=np.uint64)
+    for i in np.flatnonzero(lens > _HASH_CAP):  # rare tail fold
+        d = hashlib.blake2b(
+            data[offs[i] : offs[i + 1]].tobytes(), digest_size=16
+        ).digest()
+        h1[i] ^= np.uint64(int.from_bytes(d[:8], "little"))
+        h2[i] ^= np.uint64(int.from_bytes(d[8:], "little"))
+    return (
+        _fmix64(h2 ^ (h1 >> np.uint64(32))),
+        _fmix64(h1 ^ (h2 << np.uint64(1))),
+    )
+
+
+def _as_string_array(tokens) -> pa.Array:
+    if isinstance(tokens, (pa.Array, pa.ChunkedArray)):
+        return tokens
+    return pa.array(tokens, type=pa.string())
+
+
+def _hash_tokens128(tokens) -> tuple[np.ndarray, np.ndarray]:
+    """(hi, lo) uint64 channels per token — hashed once per DISTINCT
+    token via the buffer-vectorized kernel (accepts a list[str] or an
+    Arrow string array; pass the Arrow array to stay zero-copy)."""
+    arr = _as_string_array(tokens)
+    if len(arr) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    import pyarrow.compute as pc
+
+    uniq = pc.unique(arr)
+    inv = pc.index_in(arr, value_set=uniq).to_numpy(zero_copy_only=False)
+    hi, lo = _hash_string_array(uniq)
+    return hi[inv], lo[inv]
+
+
+def _hash_tokens(tokens) -> np.ndarray:
+    """uint64 per token — hashed once per DISTINCT token (the per-doc
+    vocabulary is much smaller than the token stream); lo channel of the
+    vectorized 128-bit kernel."""
+    return _hash_tokens128(tokens)[1]
 
 
 def word_shingles(tokens: list[str], k: int = 3) -> np.ndarray:
@@ -266,14 +333,10 @@ def _flat_word_elements(texts_arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     valid = ~texts_arr.is_null().to_numpy(zero_copy_only=False)
     lens = np.diff(offs)
     kept_offs = np.concatenate(([0], np.cumsum(lens[valid])))
-    flat = np.asarray(toks.values.to_pandas(), dtype=object)
-    if flat.size == 0:
+    flat = toks.values
+    if len(flat) == 0:
         return np.empty(0, np.uint64), kept_offs
-    uniq, inv = np.unique(flat, return_inverse=True)
-    uh = np.fromiter(
-        (_stable_hash64(t) for t in uniq), dtype=np.uint64, count=len(uniq)
-    )
-    return uh[inv], kept_offs
+    return _hash_tokens(flat), kept_offs
 
 
 def _flat_char_elements(texts: list) -> tuple[np.ndarray, np.ndarray]:
