@@ -32,6 +32,7 @@ from sciscraper_ray.pipelines.queries import (  # noqa: F401  isort: skip
     round2 as _m_round2,
     corpus_ops as _m_corpus_ops,
     retrieval as _m_retrieval,
+    web_graph as _m_web_graph,
 )
 from sciscraper_ray.pipelines.queries import _order as _m_order  # noqa: F401
 
@@ -50,6 +51,7 @@ for _m in (
     _m_round2,
     _m_corpus_ops,
     _m_retrieval,
+    _m_web_graph,
 ):
     globals().update(
         {

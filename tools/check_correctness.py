@@ -5,7 +5,14 @@ Runs every ``queries()`` entry and its ``oracle_sql()`` twin over an sf dir
 order-insensitive value hash (columns sorted by name, rows sorted by all
 columns, values canonicalized). Exit 1 on any mismatch.
 
-Usage: python tools/check_correctness.py [--json OUT.json] [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json OUT.json] [--timeout S]
+       [sf_dir] [query ...]
+
+``--timeout S`` wall-clocks each query's ray+oracle pair with SIGALRM and
+records a timed-out query as ``err: "skipped: timeout"`` (listed, not
+counted as a failure) — the scale-stress sweep mode: at 10x the gate
+scale a handful of O(n^2)-oracle queries are intractable for DuckDB and
+are skipped-as-intractable rather than silently omitted.
 
 With ``--json`` the per-query verdicts are also written to OUT.json in the
 driver's CORRECTNESS_r{N}.json format ({name: {rows_match, schema_match,
@@ -60,12 +67,28 @@ def to_pandas(result) -> pd.DataFrame:
     return result.to_pandas()  # ray.data.Dataset
 
 
+class _QueryTimeout(Exception):
+    pass
+
+
 def main() -> int:
+    import signal
+
     argv = sys.argv[1:]
     json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
+    timeout_s = 0
+    while argv and argv[0] in ("--json", "--timeout"):
+        if argv[0] == "--json":
+            json_out = argv[1]
+        else:
+            timeout_s = int(argv[1])
         argv = argv[2:]
+
+    def _alarm(_sig, _frm):
+        raise _QueryTimeout
+
+    if timeout_s:
+        signal.signal(signal.SIGALRM, _alarm)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -108,8 +131,14 @@ def main() -> int:
             "err": None,
         }
         records[name] = rec
+        if timeout_s:
+            signal.alarm(timeout_s)
         try:
             got = to_pandas(fn(sf_dir))
+        except _QueryTimeout:
+            rec["err"] = "skipped: timeout"
+            print(f"skip {name}: ray side exceeded {timeout_s}s")
+            continue
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             rec["err"] = f"ray: {type(exc).__name__}: {exc}"
@@ -122,13 +151,37 @@ def main() -> int:
             rec["err"] = "no_oracle"
             print(f"ok   {name}: rows-only ({len(got)} rows)")
             continue
+        # DuckDB executes in C and never re-enters the Python signal
+        # handler, so the oracle timeout is a watchdog thread calling
+        # con.interrupt() (raises duckdb.InterruptException in execute).
+        import threading
+
+        signal.alarm(0)
+        timed_out = threading.Event()
+
+        def _interrupt():
+            timed_out.set()
+            con.interrupt()
+
+        watchdog = (
+            threading.Timer(timeout_s, _interrupt) if timeout_s else None
+        )
+        if watchdog:
+            watchdog.start()
         try:
             want = con.execute(sql).fetchdf()
         except Exception as exc:  # noqa: BLE001
+            if timed_out.is_set():
+                rec["err"] = "skipped: timeout"
+                print(f"skip {name}: oracle exceeded {timeout_s}s")
+                continue
             failures.append(name)
             rec["err"] = f"oracle: {type(exc).__name__}: {exc}"
             print(f"FAIL {name}: oracle raised {type(exc).__name__}: {exc}")
             continue
+        finally:
+            if watchdog:
+                watchdog.cancel()
         rec["oracle_rows"] = len(want)
         rec["rows_match"] = len(got) == len(want)
         rec["schema_match"] = sorted(got.columns) == sorted(want.columns)
