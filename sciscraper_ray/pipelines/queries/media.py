@@ -431,6 +431,58 @@ def media_gif_features(sf_dir: str):
 
 
 @register(
+    "media_h261_frames",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, unnest(range(2 + doc_id % 3)) AS k
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS frame_no,
+           CAST(176 AS INTEGER) AS width,
+           CAST(144 AS INTEGER) AS height,
+           CAST(least(254, greatest(1, (doc_id * 13 + 29 * k) % 256))
+                AS DOUBLE) AS mean_luma
+    FROM f
+    """,
+)
+def media_h261_frames(sf_dir: str):
+    """REAL DCT-video BITSTREAM decode, end to end: deterministic
+    H.261-class all-intra streams (stages/h261.py — picture/GOB/
+    macroblock/block syntax, TCOEFF VLC, spec dequant rule) decoded
+    frame by frame in an actor pool. Constant-luma QCIF frames make the
+    transform round trip exactly SQL-predictable (intra DC index
+    clamp(v,1,254), rec = idx*8, IDCT -> idx), so the oracle states
+    every frame's mean from doc_id arithmetic while the engine entropy-
+    decodes real variable-length codes. One doc in three carries video
+    (QCIF is 100x the pixel area of the 16x16 MJPEG fixtures); closes
+    the video tier: MP4 container + AVI/MJPEG frames + H.261 transform
+    streams all decode for real, only H.264/5 stays gated."""
+    from sciscraper_ray.stages.multimodal import (
+        H261FrameStage,
+        synth_media_batch,
+    )
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return synth_media_batch(b.filter(pa.array(ids % 3 == 0)), kind="h261")
+
+    frames = (
+        _docs(sf_dir, columns=("doc_id",))
+        .map_batches(synth, batch_format="pyarrow")
+        .map_batches(
+            H261FrameStage,
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=(1, 8),
+        )
+    )
+    return frames.select_columns(
+        ["doc_id", "frame_no", "width", "height", "mean_luma"]
+    )
+
+
+@register(
     "media_avi_frames",
     oracle="""
     WITH f AS (

@@ -171,6 +171,14 @@ def _dequant_ac(levels: np.ndarray, q: int) -> np.ndarray:
 
 
 def _put_block(bits: _Bits, block: np.ndarray, q: int) -> None:
+    flat = np.asarray(block).ravel()
+    if (flat == flat[0]).all():
+        # constant block: DC = 8*v exactly (orthonormal DCT), zero ACs —
+        # skip the transform and emit DC + EOB directly
+        bits.put(int(np.clip(flat[0], 1, 254)), 8)
+        for c in _EOB:
+            bits.put(c == "1", 1)
+        return
     coefs = _fdct_blocks(block[None].astype(np.float64) - 0.0)[0]
     zz = coefs.ravel()[_ZIGZAG]
     dc_idx = int(np.clip(np.round(zz[0] / 8.0), 1, 254))

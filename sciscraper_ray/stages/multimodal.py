@@ -298,6 +298,8 @@ def synth_media_batch(batch: pa.Table, kind: str = "image") -> pa.Table:
             payloads.append(synth_mp4_payload(i))
         elif kind == "avi":
             payloads.append(synth_avi_payload(i))
+        elif kind == "h261":
+            payloads.append(synth_h261_payload(i))
         else:
             payloads.append(
                 encode_fake_video(32, 18, 60 + i % 240, 30, i % 251)
@@ -514,6 +516,16 @@ def encode_fake_video(
 
 def decode_video_payload(payload: bytes):
     """binary -> (w, h, n_frames, fps, frame_fn(t) -> (h, w) uint8)."""
+    if len(payload) >= 3 and payload[:2] == b"\x00\x01" and (payload[2] & 0xF0) == 0:
+        # H.261-class PSC (0x00010 in the top 20 bits): real DCT decode
+        from sciscraper_ray.stages.h261 import decode_h261_intra
+
+        w, h, frames = decode_h261_intra(payload)
+
+        def frame261(t: int) -> np.ndarray:
+            return frames[t]
+
+        return w, h, len(frames), 30, frame261
     if payload[:4] == VIDEO_MAGIC:
         w, h, n, fps, seed = struct.unpack("<HHHHB", payload[4:13])
 
@@ -525,8 +537,9 @@ def decode_video_payload(payload: bytes):
         import av  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "real video decode requires PyAV/ffmpeg (not in this container); "
-            "payloads must use the FVID fake format here"
+            "H.264/H.265 payload decode requires PyAV/ffmpeg (not in this "
+            "container); H.261-class intra streams (stages/h261.py) and the "
+            "FVID fake format decode for real here"
         ) from exc
     raise NotImplementedError("non-FVID decode path not implemented")
 
@@ -563,6 +576,70 @@ class VideoFrameSampleStage:
                 "frame_idx": pa.array(idxs, pa.list_(pa.int32())),
                 "frame_mean_luma": pa.array(lumas, pa.list_(pa.float64())),
                 "duration_s": pa.array(durs, pa.float64()),
+                "decode_status": pa.array(status, pa.string()),
+            }
+        )
+
+
+def synth_h261_payload(doc_id: int) -> bytes:
+    """Deterministic REAL H.261-class all-intra stream for ``doc_id``
+    (stages/h261.py encoder — picture/GOB/MB/block syntax, TCOEFF VLC):
+
+        n_frames = 2 + doc_id % 3, QCIF 176x144, q = 8
+        frame k  = constant luma (doc_id * 13 + 29 * k) % 256
+
+    Constant frames make the transform round trip exactly predictable:
+    intra DC index = clamp(v, 1, 254), rec = idx*8, IDCT -> idx — so
+    decoded mean luma is least(254, greatest(1, v)) in plain doc_id
+    arithmetic an oracle can state."""
+    from sciscraper_ray.stages.h261 import encode_h261_intra
+
+    n_frames = 2 + doc_id % 3
+    frames = [
+        np.full((144, 176), (doc_id * 13 + 29 * k) % 256, np.uint8)
+        for k in range(n_frames)
+    ]
+    return encode_h261_intra(frames, q=8)
+
+
+class H261FrameStage:
+    """Actor-pool stage: H.261-class intra bitstream decode
+    (stages/h261.py) -> one row per frame with mean luma — the DCT-video
+    twin of AviFrameStage. Errors degrade to a null row + status."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from sciscraper_ray.stages.h261 import H261Error, decode_h261_intra
+
+        ids, fnos, ws, hs, means, status = [], [], [], [], [], []
+        for doc_id, payload in zip(
+            batch["doc_id"].to_pylist(), batch[self.payload_col].to_pylist()
+        ):
+            try:
+                w, h, frames = decode_h261_intra(bytes(payload))
+                for k, px in enumerate(frames):
+                    ids.append(doc_id)
+                    fnos.append(k)
+                    ws.append(w)
+                    hs.append(h)
+                    means.append(float(px.mean()))
+                    status.append("ok")
+            except H261Error as exc:
+                ids.append(doc_id)
+                fnos.append(None)
+                ws.append(None)
+                hs.append(None)
+                means.append(None)
+                status.append(f"error: {type(exc).__name__}")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "frame_no": pa.array(fnos, pa.int64()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "mean_luma": pa.array(means, pa.float64()),
                 "decode_status": pa.array(status, pa.string()),
             }
         )
