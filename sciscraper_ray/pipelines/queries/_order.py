@@ -17,6 +17,28 @@ from sciscraper_ray.pipelines.queries._shared import ORACLE, QUERIES
 # round has verified. The complement (everything newer or never sampled,
 # including the round-4 additions media_png_features and
 # page_validate_identifiers) goes to the front of the registry.
+# Round-4 driver sample (CORRECTNESS_r04.json): all 50 green.
+_DRIVER_CHECKED_R4 = (
+    "ann_ivf", "doc_ngram_novelty", "orders_by_region", "events_debounce",
+    "events_user_mode", "graph_pagerank", "doc_dup_substrings",
+    "dedup_editdistance", "dedup_ngram_jaccard", "doc_segment_dedup",
+    "cdc_merge", "zonemap_scan", "events_user_overlap", "events_k_anonymity",
+    "embedding_dim_stats", "doc_token_entropy", "source_kl_divergence",
+    "media_avi_frames", "events_ab_welch", "token_window_cooc",
+    "events_attribution_first_touch", "source_dup_rate", "graph_ppr",
+    "doc_snippets", "events_user_activity_fullouter", "events_gap_stats",
+    "corpus_heaps_law", "orders_q3_priority", "lineitem_weighted_median",
+    "events_markov_stationary", "events_time_to_convert",
+    "doc_lang_confusion", "token_prefix_autocomplete",
+    "lineitem_price_qty_corr", "media_png_features", "media_wav_features",
+    "media_jpeg_features", "media_mp4_metadata", "media_gif_features",
+    "page_validate_identifiers", "pdf_reading_order_extract",
+    "page_extract_damage_matrix", "warc_revisit_dedup",
+    "dedup_minhash_jaccard_audit", "graph_random_walks",
+    "orders_key_islands", "bloom_fpr_audit", "warc_gzip_member_split",
+    "csv_quoted_roundtrip", "events_sliding_velocity",
+)
+
 _DRIVER_CHECKED_R123 = (
     # r01 sample
     "doc_tokenize", "doc_wordscore", "doc_wordscore_refwords",
@@ -67,50 +89,35 @@ _DRIVER_CHECKED_R123 = (
 # so this tier decides WHICH never-checked queries get external evidence
 # this round — all 170 are green in the committed local full sweep.
 _PRIORITY = (
-    # 1-12: the VERDICT r3 must-recheck set
-    "ann_ivf", "doc_ngram_novelty", "orders_by_region",
-    "events_debounce", "events_user_mode", "graph_pagerank",
-    "doc_dup_substrings", "dedup_editdistance", "dedup_ngram_jaccard",
-    "doc_segment_dedup", "cdc_merge", "zonemap_scan",
-    # 13-23: round-4 late-session additions
-    "events_user_overlap", "events_k_anonymity",
-    "embedding_dim_stats", "doc_token_entropy", "source_kl_divergence",
-    "media_avi_frames", "events_ab_welch", "token_window_cooc",
-    "events_attribution_first_touch", "source_dup_rate", "graph_ppr",
-    "doc_snippets", "events_user_activity_fullouter", "events_gap_stats",
-    "corpus_heaps_law", "orders_q3_priority", "lineitem_weighted_median",
-    "events_markov_stationary", "events_time_to_convert",
-    "doc_lang_confusion", "token_prefix_autocomplete",
-    "lineitem_price_qty_corr",
-    # 24-29: the real-codec media family + identifier validation
-    "media_png_features", "media_wav_features", "media_jpeg_features",
-    "media_mp4_metadata", "media_gif_features", "page_validate_identifiers",
-    # 30-32: the north-star extraction-tier contracts — two-column
-    # reading order, byte-exact extraction under page damage, WARC
-    # revisit-record crawl dedup
-    "pdf_reading_order_extract", "page_extract_damage_matrix",
-    "warc_revisit_dedup",
-    # 41-50: the late-session round-4 additions with the newest claims
-    # (estimator audits, deterministic walks, boundary stitching, real
-    # gzip-member/CSV ingestion) — these carry this session's novel
-    # physical plans, so they get the remaining driver-sample slots
-    "dedup_minhash_jaccard_audit", "graph_random_walks",
-    "orders_key_islands", "bloom_fpr_audit", "warc_gzip_member_split",
-    "csv_quoted_roundtrip", "events_sliding_velocity",
-    "link_jaccard_prediction", "table_constraint_audit",
-    "schema_evolution_union",
-    # 51+: richest earlier never-checked round-4 ops — behind the sample
-    # window now, but every one is green in the committed local full
-    # sweep (CORRECTNESS_full_r4.json)
-    "dedup_semantic", "embedding_pq_encode", "ann_ivf_pq",
-    "doc_filter_chain", "events_scd2", "lr_train_gd", "doc_bigram_lm_ppl",
-    "doc_dsir_weight", "doc_shuffle_deterministic",
-    "dedup_exact_stateful", "bucketed_storage_join",
-    "small_files_compaction", "events_anomaly_mad",
-    "source_budget_allocation", "events_watermark",
-    "events_value_quantile_sketch", "events_distinct_sliding",
-    "embedding_quantize", "event_type_hll_users", "bloom_semijoin",
-    "token_cms_estimate",
+    # Round-5 must-recheck head: every query whose PHYSICAL PLAN changed
+    # this round (two-plan guards via resolve_plan/driver_frame,
+    # distributed reciprocity/rich-club/survival folds — VERDICT r4
+    # item 1 and ADVICE r4), the consumers of the vectorized token-hash
+    # kernel (VERDICT r4 item 3 — same 128-bit contract, new hash
+    # values), the one oracle-touched query (Holt seed guard), and the
+    # new H.261 bitstream-decode query. All are green in the committed
+    # CORRECTNESS_full_r5.json; this head hands them the external
+    # driver-sample slots.
+    "events_dau_stickiness", "token_zipf_slope", "events_survival_km",
+    "link_reciprocity", "graph_rich_club", "graph_bipartite_projection",
+    "orders_pareto_cutoff", "table_constraint_audit", "events_retention",
+    "host_crawl_fairness", "host_budget_waterfill", "host_template_lcp",
+    "token_kn_continuation", "token_bigram_next", "token_type_stats",
+    "token_pmi_collocations", "orders_anti_join", "knn_label_classify",
+    "embedding_power_iteration", "token_dice_collocations",
+    "token_stem_conflate", "source_chao1_richness", "token_textrank",
+    "token_llr_keyness", "token_yule_k", "source_js_divergence",
+    "token_symspell_neighbors", "token_subsample_mikolov",
+    "source_burrows_delta", "join_size_cms_estimate",
+    "dedup_minhash", "dedup_cascade", "dedup_incremental_ingest",
+    "events_holt_linear", "media_h261_frames",
+    # previously-prioritized still-relevant recheck tail (plan unchanged
+    # but newest external evidence): fills the remaining sample slots
+    "events_topk_users", "bloom_semijoin",
+    "lineitem_simpson_audit", "events_changepoint", "doc_filter_chain",
+    "dedup_semantic", "embedding_pq_encode", "ann_ivf_pq", "events_scd2",
+    "lr_train_gd", "doc_bigram_lm_ppl", "doc_dsir_weight",
+    "doc_shuffle_deterministic", "dedup_exact_stateful",
 )
 
 
@@ -118,7 +125,7 @@ def _rotate_registry() -> None:
     """Rebuild both registries: must-recheck tier first, then the rest of
     the never-driver-checked set (registration order), driver-checked
     behind (registration order)."""
-    checked = set(_DRIVER_CHECKED_R123)
+    checked = set(_DRIVER_CHECKED_R123) | set(_DRIVER_CHECKED_R4)
     pri = {n: i for i, n in enumerate(_PRIORITY)}
 
     def reorder(d: dict) -> dict:

@@ -800,9 +800,9 @@ def events_user_activity_fullouter(sf_dir: str):
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, count(gap_us) AS n_gaps,
-           round(CAST(sum(gap_us) AS DOUBLE) / 1000000.0 / count(gap_us), 6)
+           CAST(sum(gap_us) AS DOUBLE) / 1000000.0 / count(gap_us)
                AS mean_gap_s,
-           round(CAST(max(gap_us) AS DOUBLE) / 1000000.0, 6) AS max_gap_s
+           CAST(max(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s
     FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
     """,
 )
@@ -846,15 +846,15 @@ def events_gap_stats(sf_dir: str):
         maxs_us = np.maximum.reduceat(np.where(same, d, np.int64(-1)), s2)
         n = (e2 - s2).astype(np.int64)
         # integer-exact microsecond sums make the float path identical
-        # on both engines: (sum_us / 1e6) / n, one rounding at the end
+        # on both engines: (sum_us / 1e6) / n, NO trailing round — a 6dp
+        # round here hit the banker's-vs-half-away divergence at sf0.1
+        # (scale-stress sweep r5); the unrounded doubles are bit-identical
         return pd.DataFrame(
             {
                 "user_id": us[s2],
                 "n_gaps": n,
-                "mean_gap_s": np.round(
-                    sums_us.astype(np.float64) / 1e6 / n, 6
-                ),
-                "max_gap_s": np.round(maxs_us.astype(np.float64) / 1e6, 6),
+                "mean_gap_s": sums_us.astype(np.float64) / 1e6 / n,
+                "max_gap_s": maxs_us.astype(np.float64) / 1e6,
             }
         )
 

@@ -1322,10 +1322,13 @@ def basket_part_pairs(sf_dir: str, num_buckets: int = 16):
         g = b.group_by(["l_orderkey", "l_partkey"]).aggregate([])
         return g
 
+    # Per-batch distinct only — the global (order, part) dedup happens
+    # vectorized INSIDE the bucket kernel (one mask after the lexsort it
+    # already does). The previous global composite-key groupby.count()
+    # paid the documented ~100us/group sort-aggregate overhead on ~|li|
+    # mostly-unique keys and timed out the sf0.1 scale-stress sweep.
     distinct = (
         li.map_batches(dedup_partial, batch_format="pyarrow")
-        .groupby(["l_orderkey", "l_partkey"])
-        .count()
         .map_batches(
             lambda b: pa.table(
                 {
@@ -1353,6 +1356,8 @@ def basket_part_pairs(sf_dir: str, num_buckets: int = 16):
         p = g["p"].to_numpy()
         order = np.lexsort((p, o))
         o, p = o[order], p[order]
+        uniq = np.r_[True, (o[1:] != o[:-1]) | (p[1:] != p[:-1])]
+        o, p = o[uniq], p[uniq]  # global (order, part) distinct, in-bucket
         starts = np.flatnonzero(np.r_[True, o[1:] != o[:-1]])
         ends = np.r_[starts[1:], len(o)]
         seg_end = np.repeat(ends, ends - starts)
@@ -1374,10 +1379,37 @@ def basket_part_pairs(sf_dir: str, num_buckets: int = 16):
         )
         return out
 
+    pair_parts = distinct.groupby("bucket").map_groups(
+        pairs, batch_format="pandas"
+    )
+    # Final pair reduction through the shared two-plan policy: the pair
+    # table (sum of per-order C(w,2), basket-width-bounded) merges on the
+    # driver below the 50M bound — one pandas groupby + partial sort —
+    # and flips to the distributed sort-aggregate above it (the groupby
+    # alone cost ~100us x |pairs| and carried the sf0.1 timeout).
+    from sciscraper_ray.pipelines.plan import (
+        DRIVER_PLAN_LIMIT,
+        driver_frame,
+        resolve_plan,
+    )
+
+    mode, pair_parts = resolve_plan(pair_parts, "auto")
+    if mode == "driver":
+        import pandas as pd
+
+        df = driver_frame(pair_parts, DRIVER_PLAN_LIMIT, "basket_part_pairs")
+        agg = df.groupby(["part_a", "part_b"], as_index=False)["c"].sum()
+        agg = agg.rename(columns={"c": "support"})
+        return (
+            agg.sort_values(
+                ["support", "part_a", "part_b"],
+                ascending=[False, True, True],
+            )
+            .head(50)
+            .reset_index(drop=True)
+        )
     return (
-        distinct.groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["part_a", "part_b"])
+        pair_parts.groupby(["part_a", "part_b"])
         .aggregate(Sum(on="c", alias_name="support"))
         .sort(
             key=["support", "part_a", "part_b"],

@@ -558,6 +558,13 @@ def corpus_heaps_law(sf_dir: str, plan: str = "auto"):
         ft.map_batches(range_totals_ft, batch_format="pyarrow")
         .to_pandas().groupby("rng")["tot"].sum().sort_index()  # bounded: |ranges| x blocks
     )
+    # reindex over the union range grid: a range where the (early-
+    # saturating) vocabulary adds no new types is absent from h_ft, but
+    # its BASE is still the full prior total — without the reindex the
+    # base fell to 0 and log(cy)=log(0) poisoned the fit (sf0.1 finding)
+    all_rngs = sorted(set(h_nt.index) | set(h_ft.index))
+    h_nt = h_nt.reindex(all_rngs, fill_value=0)
+    h_ft = h_ft.reindex(all_rngs, fill_value=0)
     base_nt = dict(zip(h_nt.index, h_nt.cumsum().shift(fill_value=0)))
     base_ft = dict(zip(h_ft.index, h_ft.cumsum().shift(fill_value=0)))
 
