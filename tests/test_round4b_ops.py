@@ -221,13 +221,20 @@ def test_events_gap_stats_matches_pandas(ray_session):
         ["user_id", "ts", "event_id"]
     )
     for uid, g in ev.groupby("user_id"):
-        gaps = g["ts"].diff().dropna().dt.total_seconds().to_numpy()
-        if len(gaps) == 0:
+        # exact integer microseconds, matching the query's float path
+        # (sum_us / 1e6 / n) — the query intentionally does NOT round
+        # (banker's-vs-half-away divergence at sf0.1, scale-stress r5)
+        gaps_us = (
+            g["ts"].astype("datetime64[us]").astype("int64").diff().dropna()
+        ).to_numpy()
+        if len(gaps_us) == 0:
             assert uid not in out.index
             continue
-        assert out.loc[uid, "n_gaps"] == len(gaps)
-        assert out.loc[uid, "mean_gap_s"] == round(float(gaps.mean()), 6)
-        assert out.loc[uid, "max_gap_s"] == round(float(gaps.max()), 6)
+        assert out.loc[uid, "n_gaps"] == len(gaps_us)
+        assert out.loc[uid, "mean_gap_s"] == float(gaps_us.sum()) / 1e6 / len(
+            gaps_us
+        )
+        assert out.loc[uid, "max_gap_s"] == float(gaps_us.max()) / 1e6
 
 
 def test_corpus_heaps_law_matches_closed_form(ray_session):
