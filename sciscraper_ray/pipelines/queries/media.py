@@ -638,3 +638,166 @@ def media_phash_dedup(sf_dir: str):
         )
 
     return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+@register(
+    "media_png_full_depth",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id,
+               3 + d.doc_id % 13 AS w, 2 + d.doc_id % 11 AS h,
+               (CASE d.doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 2
+                     WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END) AS depth,
+               y.y AS y, x.x AS x
+        FROM documents d
+        JOIN generate_series(0, 11) AS y(y) ON y.y < 2 + d.doc_id % 11
+        JOIN generate_series(0, 14) AS x(x) ON x.x < 3 + d.doc_id % 13
+    )
+    SELECT doc_id,
+           CAST(depth AS BIGINT) AS depth,
+           CAST(doc_id % 2 AS BIGINT) AS interlaced,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(sum((doc_id + 3 * y + 5 * x) % (1 << depth)) AS BIGINT)
+               AS pix_sum
+    FROM px GROUP BY doc_id, depth, w, h
+    """,
+)
+def media_png_full_depth(sf_dir: str):
+    """Full-spec PNG decode sweep: every legal gray bit depth (1/2/4/8/16)
+    and both interlace modes (sequential + Adam7 seven-pass) chosen by
+    doc_id, per-scanline filter types cycling all five predictors. Each
+    doc synthesizes pixel(y, x) = (doc_id + 3y + 5x) mod 2**depth,
+    encodes with the from-scratch writer, decodes with the from-scratch
+    reader (stages/png.py), and reports the exact pixel sum — one wrong
+    bit anywhere in the bit-unpacking, 16-bit byte order, or Adam7 pass
+    scatter flips the sum. The oracle recomputes the sum from closed
+    form via a generate_series pixel grid (exact integers both sides).
+    Payload work is batch-local; only (doc_id, scalar) rows move."""
+    from sciscraper_ray.stages.png import decode_png, encode_png
+
+    def sweep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        depths = np.empty(len(ids), np.int64)
+        inter = np.empty(len(ids), np.int64)
+        widths = np.empty(len(ids), np.int64)
+        heights = np.empty(len(ids), np.int64)
+        sums = np.empty(len(ids), np.int64)
+        for j, i in enumerate(np.asarray(ids, np.int64)):
+            i = int(i)
+            w, h = 3 + i % 13, 2 + i % 11
+            depth = (1, 2, 4, 8, 16)[i % 5]
+            il = i % 2
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = (i + 3 * yy + 5 * xx) % (1 << depth)
+            img = img.astype(np.uint16 if depth == 16 else np.uint8)
+            payload = encode_png(
+                img,
+                filter_type=[(i + r) % 5 for r in range(_adam7_rows(w, h, il))],
+                depth=depth,
+                interlace=il,
+            )
+            decoded = decode_png(payload)[:, :, 0]
+            depths[j], inter[j] = depth, il
+            widths[j], heights[j] = w, h
+            sums[j] = int(decoded.sum(dtype=np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(ids, np.int64)),
+                "depth": pa.array(depths),
+                "interlaced": pa.array(inter),
+                "width": pa.array(widths),
+                "height": pa.array(heights),
+                "pix_sum": pa.array(sums),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        sweep, batch_format="pyarrow"
+    )
+
+
+def _adam7_rows(w: int, h: int, interlace: int) -> int:
+    """Scanline count the encoder's per-row filter list must cover."""
+    if not interlace:
+        return h
+    from sciscraper_ray.stages.png import _pass_layout
+
+    return sum(ph for *_, pw, ph in _pass_layout(w, h) if pw and ph)
+
+
+@register(
+    "media_gif_interlace",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id,
+               4 + d.doc_id % 12 AS w, 3 + d.doc_id % 14 AS h,
+               (1 << (2 + d.doc_id % 3)) AS pal_n,
+               y.y AS y, x.x AS x
+        FROM documents d
+        JOIN generate_series(0, 15) AS y(y) ON y.y < 3 + d.doc_id % 14
+        JOIN generate_series(0, 14) AS x(x) ON x.x < 4 + d.doc_id % 12
+    )
+    SELECT doc_id,
+           CAST(doc_id % 2 AS BIGINT) AS interlaced,
+           CAST((doc_id // 2) % 2 AS BIGINT) AS local_pal,
+           CAST(pal_n AS BIGINT) AS pal_n,
+           CAST(sum((5 * ((doc_id + y * w + x) % pal_n) + 1) % 256)
+               AS BIGINT) AS c0_sum,
+           CAST(sum((7 * ((doc_id + y * w + x) % pal_n) + 2) % 256)
+               AS BIGINT) AS c1_sum
+    FROM px GROUP BY doc_id, pal_n
+    """,
+)
+def media_gif_interlace(sf_dir: str):
+    """GIF four-pass interlace + local-color-table sweep: per doc the
+    frame is idx(y, x) = (doc_id + y*w + x) mod pal_n with a closed-form
+    palette, encoded with (interlace, local_palette) chosen by doc_id
+    bits and decoded by the from-scratch LZW decoder (stages/gif.py).
+    The local-palette fixtures carry DECOY ZEROS in the global table, so
+    a decoder that ignored the LCT would zero both channel sums; a
+    single row misplaced by the interlace scatter leaves the sums
+    unchanged ONLY if the scatter is a permutation — which the oracle's
+    positional sum covers because idx depends on (y, x). Exchanges:
+    (doc_id, scalar) rows only."""
+    from sciscraper_ray.stages.gif import decode_gif, encode_gif
+
+    def sweep(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        inter = np.empty(len(ids), np.int64)
+        localp = np.empty(len(ids), np.int64)
+        pal_ns = np.empty(len(ids), np.int64)
+        c0 = np.empty(len(ids), np.int64)
+        c1 = np.empty(len(ids), np.int64)
+        for j, i in enumerate(ids):
+            i = int(i)
+            w, h = 4 + i % 12, 3 + i % 14
+            pal_n = 1 << (2 + i % 3)
+            il, lp = bool(i % 2), bool((i // 2) % 2)
+            k = np.arange(pal_n, dtype=np.int64)
+            pal = np.stack(
+                [(5 * k + 1) % 256, (7 * k + 2) % 256, (11 * k + 3) % 256],
+                axis=1,
+            ).astype(np.uint8)
+            yy, xx = np.mgrid[0:h, 0:w]
+            idx = ((i + yy * w + xx) % pal_n).astype(np.uint8)
+            rgb, n = decode_gif(
+                encode_gif(idx, pal, interlace=il, local_palette=lp)
+            )
+            inter[j], localp[j], pal_ns[j] = il, lp, n
+            c0[j] = int(rgb[:, :, 0].sum(dtype=np.int64))
+            c1[j] = int(rgb[:, :, 1].sum(dtype=np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "interlaced": pa.array(inter),
+                "local_pal": pa.array(localp),
+                "pal_n": pa.array(pal_ns),
+                "c0_sum": pa.array(c0),
+                "c1_sum": pa.array(c1),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        sweep, batch_format="pyarrow"
+    )

@@ -1,21 +1,25 @@
 """From-scratch GIF (GIF87a/89a) codec — stdlib ``struct`` only.
 
 Implements the public GIF89a specification: logical screen descriptor +
-global color table, variable-width LZW (3..12-bit codes, LSB-first bit
-packing, clear/EOI codes, table reset at 4096), 255-byte sub-block
-framing, and extension-block walking (the encoder emits a Graphic
-Control Extension so the decoder's skip path is exercised). This closes
-the last gated IMAGE format in the multimodal tier — PNG, JPEG and WAV
-already decode for real (stages/png.py, jpeg.py, wav.py); the reference
-handles real image bytes in ``downloaders.py:283-366``.
+global color table, local color tables (per-image, overriding the GCT),
+four-pass row interlacing (spec appendix E), variable-width LZW
+(3..12-bit codes, LSB-first bit packing, clear/EOI codes, table reset
+at 4096), 255-byte sub-block framing, and extension-block walking (the
+encoder emits a Graphic Control Extension so the decoder's skip path is
+exercised). This closes the last gated IMAGE format in the multimodal
+tier — PNG, JPEG and WAV already decode for real (stages/png.py,
+jpeg.py, wav.py); the reference handles real image bytes in
+``downloaders.py:283-366``.
 
 Scope (explicitly rejected otherwise, never silently wrong):
-  - single image frame, no interlace, no local color tables
+  - first image frame only (animation frames after the first are not
+    composited)
 
 Performance notes: LZW is inherently sequential per payload (each code's
 width depends on the running table size), so decode runs inside an
 actor-pool ``map_batches`` stage over SMALL batches like the other real
-codecs; palette mapping and index->RGB expansion are vectorized.
+codecs; palette mapping, de-interlace scatter and index->RGB expansion
+are vectorized.
 """
 
 from __future__ import annotations
@@ -161,34 +165,71 @@ def lzw_decode(data: bytes, min_code_size: int) -> np.ndarray:
     return np.array(out, np.uint8)
 
 
-def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
-    """(h, w) uint8 index array + (n, 3) uint8 palette -> GIF89a bytes.
-    The palette is padded to the next power of two (>= 2, <= 256)."""
-    if indices.ndim != 2:
-        raise GifError("indices must be (h, w)")
-    h, w = indices.shape
+def _interlace_order(h: int) -> np.ndarray:
+    """Row storage order for an interlaced frame (spec appendix E):
+    pass 1 rows 0,8,16..., pass 2 rows 4,12..., pass 3 rows 2,6,10...,
+    pass 4 rows 1,3,5,..."""
+    return np.concatenate(
+        [
+            np.arange(0, h, 8),
+            np.arange(4, h, 8),
+            np.arange(2, h, 4),
+            np.arange(1, h, 2),
+        ]
+    )
+
+
+def _padded_palette(palette: np.ndarray) -> tuple[np.ndarray, int]:
+    """Pad a palette to the next power of two (>= 2, <= 256); returns
+    (padded table, size_bits)."""
     n = len(palette)
     if not 1 <= n <= 256:
         raise GifError("palette size out of range")
     size_bits = 1
     while (1 << size_bits) < n:
         size_bits += 1
-    n_pad = 1 << size_bits
-    if indices.max(initial=0) >= n_pad:
-        raise GifError("index exceeds palette")
-    pal = np.zeros((n_pad, 3), np.uint8)
+    pal = np.zeros((1 << size_bits, 3), np.uint8)
     pal[:n] = palette
+    return pal, size_bits
+
+
+def encode_gif(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    interlace: bool = False,
+    local_palette: bool = False,
+) -> bytes:
+    """(h, w) uint8 index array + (n, 3) uint8 palette -> GIF89a bytes.
+    The palette is padded to the next power of two (>= 2, <= 256).
+
+    ``interlace=True`` stores rows in the four-pass order. With
+    ``local_palette=True`` the real palette is written as the image's
+    LOCAL color table and the global table holds decoy zeros — a decoder
+    that ignores the LCT produces all-black, so fixtures prove the
+    override path."""
+    if indices.ndim != 2:
+        raise GifError("indices must be (h, w)")
+    h, w = indices.shape
+    pal, size_bits = _padded_palette(palette)
+    if indices.max(initial=0) >= len(pal):
+        raise GifError("index exceeds palette")
     min_code_size = max(2, size_bits)
     out = bytearray()
     out += b"GIF89a"
     packed = 0x80 | ((size_bits - 1) << 4) | (size_bits - 1)
     out += struct.pack("<HHBBB", w, h, packed, 0, 0)
-    out += pal.tobytes()
+    out += (np.zeros_like(pal) if local_palette else pal).tobytes()
     # Graphic Control Extension (no-op; exercises the decoder's skip path)
     out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    ipacked = (0x40 if interlace else 0) | (
+        0x80 | (size_bits - 1) if local_palette else 0
+    )
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+    if local_palette:
+        out += pal.tobytes()
     out.append(min_code_size)
-    data = lzw_encode(indices.ravel(), min_code_size)
+    rows = indices[_interlace_order(h)] if interlace else indices
+    data = lzw_encode(rows.ravel(), min_code_size)
     for i in range(0, len(data), 255):
         block = data[i : i + 255]
         out.append(len(block))
@@ -223,10 +264,13 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, int]:
             raise GifError(f"unexpected block 0x{marker:02x}")
         left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
-        if ipacked & 0x80:
-            raise GifError("local color tables out of scope")
-        if ipacked & 0x40:
-            raise GifError("interlace out of scope")
+        frame_pal, pal_n = palette, gct_n
+        if ipacked & 0x80:  # local color table overrides the global one
+            pal_n = 2 << (ipacked & 0x07)
+            frame_pal = np.frombuffer(
+                payload, np.uint8, pal_n * 3, pos
+            ).reshape(-1, 3)
+            pos += pal_n * 3
         min_code_size = payload[pos]
         pos += 1
         chunks = bytearray()
@@ -240,8 +284,13 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, int]:
             raise GifError(
                 f"decoded {len(idx)} pixels for {iw}x{ih} frame"
             )
-        if idx.max(initial=0) >= gct_n:
+        if idx.max(initial=0) >= pal_n:
             raise GifError("pixel index outside color table")
-        rgb = palette[idx.reshape(ih, iw)]
-        return np.ascontiguousarray(rgb), gct_n
+        idx = idx.reshape(ih, iw)
+        if ipacked & 0x40:  # de-interlace: scatter stored rows back
+            out = np.empty_like(idx)
+            out[_interlace_order(ih)] = idx
+            idx = out
+        rgb = frame_pal[idx]
+        return np.ascontiguousarray(rgb), pal_n
     raise GifError("no image descriptor before trailer")

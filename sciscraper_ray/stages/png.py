@@ -1,24 +1,27 @@
 """From-scratch PNG codec (stdlib ``zlib`` + ``struct`` only).
 
 Implements the public PNG specification (W3C PNG, RFC 2083): chunk
-framing with CRC-32 validation, IHDR/PLTE/IDAT/IEND, zlib inflate, and
-all five scanline filters (None/Sub/Up/Average/Paeth). This makes the
+framing with CRC-32 validation, IHDR/PLTE/IDAT/IEND, zlib inflate, all
+five scanline filters (None/Sub/Up/Average/Paeth), every legal bit
+depth (1/2/4/8/16) for every legal color-type combination, and Adam7
+interlacing (seven-pass sub-image extraction). This makes the
 multimodal image tier honest over a REAL container format — the
 reference handles real image bytes (reference ``downloaders.py:283-366``
 fetches/stores real payloads); here the decode path itself is real, and
-only formats needing out-of-container codecs (JPEG/ffmpeg) stay gated.
+only formats needing out-of-container codecs (H.264/ffmpeg) stay gated.
 
-Scope (explicitly rejected otherwise, never silently wrong):
-  - bit depth 8 only
-  - color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA)
-  - interlace 0 (no Adam7)
+Sample semantics: sub-byte gray/palette samples are returned at their
+RAW code values (0..2**depth-1, uint8) and 16-bit samples as uint16 —
+no rescale to 8-bit, so round-trips are exact.
 
 Performance notes: decode is inherently per-payload work (run inside an
 actor-pool ``map_batches`` stage over SMALL batches). Within one image,
 Up is fully vectorized, Sub is a per-lane prefix-sum (mod 256, exact via
 ``np.cumsum`` in a wider dtype), and Average/Paeth vectorize across the
 pixel's channel lanes with a sequential pass along x — the spec's data
-dependence, not a Python-loop accident.
+dependence, not a Python-loop accident. Sub-byte bit packing uses
+``np.unpackbits``/``np.packbits`` (MSB-first, matching the spec's
+pixel-packing order).
 """
 
 from __future__ import annotations
@@ -30,10 +33,29 @@ import numpy as np
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
-# color type -> samples per pixel (bit depth 8 => bytes per pixel)
+# color type -> samples per pixel
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# legal bit depths per color type (PNG spec §11.2.2, Table 11.1)
+_LEGAL_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
 # inferred color type when encoding from an (h, w, c) array
 _COLOR_TYPE_FOR_C = {1: 0, 2: 4, 3: 2, 4: 6}
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 class PngError(ValueError):
@@ -59,14 +81,23 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+def _row_stride(w: int, depth: int, channels: int) -> int:
+    """Bytes per packed scanline (spec: rows pad to a byte boundary)."""
+    return (w * depth * channels + 7) // 8
+
+
+def _filter_bpp(depth: int, channels: int) -> int:
+    """Filter byte distance: whole bytes per pixel, min 1 (spec §9.2)."""
+    return max(1, (depth * channels) // 8)
+
+
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
 
 
-def _defilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
-    """Filtered scanline stream -> (h, w*bpp) uint8 recon array."""
-    stride = w * bpp
+def _defilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Filtered scanline stream -> (h, stride) uint8 recon byte array."""
     if len(raw) != h * (stride + 1):
         raise PngError(
             f"decompressed IDAT length {len(raw)} != expected {h * (stride + 1)}"
@@ -76,6 +107,7 @@ def _defilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
     data = lines[:, 1:]
     recon = np.zeros((h, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
+    nlanes = stride // bpp  # whole filter lanes; stride % bpp == 0 always
     for y in range(h):
         f = int(ftypes[y])
         row = data[y]
@@ -83,14 +115,15 @@ def _defilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
             cur = row.copy()
         elif f == 1:  # Sub: prefix-sum per bpp lane, mod 256
             cur = (
-                np.cumsum(row.reshape(w, bpp).astype(np.uint32), axis=0) % 256
+                np.cumsum(row.reshape(nlanes, bpp).astype(np.uint32), axis=0)
+                % 256
             ).astype(np.uint8).reshape(stride)
         elif f == 2:  # Up
             cur = row + prev  # uint8 wraps mod 256
         elif f == 3:  # Average
             cur = np.empty(stride, np.uint8)
             left = np.zeros(bpp, np.uint16)
-            for x in range(w):
+            for x in range(nlanes):
                 s = slice(x * bpp, (x + 1) * bpp)
                 cur[s] = row[s] + ((left + prev[s]) >> 1).astype(np.uint8)
                 left = cur[s].astype(np.uint16)
@@ -98,7 +131,7 @@ def _defilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
             cur = np.empty(stride, np.uint8)
             left = np.zeros(bpp, np.uint8)
             upleft = np.zeros(bpp, np.uint8)
-            for x in range(w):
+            for x in range(nlanes):
                 s = slice(x * bpp, (x + 1) * bpp)
                 cur[s] = row[s] + _paeth(left, prev[s], upleft)
                 left = cur[s]
@@ -110,11 +143,38 @@ def _defilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
     return recon
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG bytes -> (h, w, channels) uint8 array (palette expanded to RGB).
+def _rows_to_samples(
+    recon: np.ndarray, w: int, depth: int, channels: int
+) -> np.ndarray:
+    """(h, stride) packed recon bytes -> (h, w, channels) sample array."""
+    h = recon.shape[0]
+    nsamp = w * channels
+    if depth == 8:
+        return recon[:, :nsamp].reshape(h, w, channels).copy()
+    if depth == 16:
+        hi = recon[:, 0 : 2 * nsamp : 2].astype(np.uint16)
+        lo = recon[:, 1 : 2 * nsamp : 2].astype(np.uint16)
+        return ((hi << 8) | lo).reshape(h, w, channels)
+    # sub-byte depths: MSB-first d-bit groups across the scanline
+    bits = np.unpackbits(np.ascontiguousarray(recon), axis=1)
+    groups = bits[:, : nsamp * depth].reshape(h, nsamp, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (groups * weights).sum(axis=2).astype(np.uint8)
+    return vals.reshape(h, w, channels)
 
-    Raises PngError on malformed input, NotImplementedError on valid PNGs
-    outside the supported scope (16-bit, sub-byte depths, Adam7).
+
+def _pass_layout(w: int, h: int):
+    """Adam7 pass geometry: (x0, y0, dx, dy, pass_w, pass_h) per pass."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = max(0, (w - x0 + dx - 1) // dx)
+        ph = max(0, (h - y0 + dy - 1) // dy)
+        yield x0, y0, dx, dy, pw, ph
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, channels) sample array (palette expanded to
+    RGB). uint16 for 16-bit images, uint8 otherwise; sub-byte samples
+    keep their raw code values. Raises PngError on malformed input.
     """
     if payload[:8] != PNG_SIGNATURE:
         raise PngError("bad PNG signature")
@@ -154,23 +214,41 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color_type, compression, filter_method, interlace = ihdr
     if compression != 0 or filter_method != 0:
         raise PngError("nonstandard compression/filter method")
-    if interlace == 1:
-        raise NotImplementedError("Adam7 interlace not supported")
-    if interlace != 0:
+    if interlace not in (0, 1):
         raise PngError(f"bad interlace method {interlace}")
-    if depth != 8:
-        raise NotImplementedError(f"bit depth {depth} not supported (8 only)")
     if color_type not in _CHANNELS:
         raise PngError(f"bad color type {color_type}")
+    if depth not in _LEGAL_DEPTHS[color_type]:
+        raise PngError(
+            f"illegal bit depth {depth} for color type {color_type}"
+        )
     if w == 0 or h == 0:
         raise PngError("zero-dimension image")
-    bpp = _CHANNELS[color_type]
+    channels = _CHANNELS[color_type]
+    bpp = _filter_bpp(depth, channels)
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise PngError(f"IDAT inflate failed: {exc}") from exc
-    recon = _defilter(raw, h, w, bpp)
-    img = recon.reshape(h, w, bpp)
+    out_dtype = np.uint16 if depth == 16 else np.uint8
+    if interlace == 0:
+        recon = _defilter(raw, h, _row_stride(w, depth, channels), bpp)
+        img = _rows_to_samples(recon, w, depth, channels)
+    else:
+        img = np.zeros((h, w, channels), out_dtype)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in _pass_layout(w, h):
+            if pw == 0 or ph == 0:
+                continue  # empty passes contribute no scanlines (spec §8.2)
+            stride = _row_stride(pw, depth, channels)
+            need = ph * (stride + 1)
+            recon = _defilter(raw[off : off + need], ph, stride, bpp)
+            off += need
+            img[y0::dy, x0::dx] = _rows_to_samples(recon, pw, depth, channels)
+        if off != len(raw):
+            raise PngError(
+                f"decompressed IDAT length {len(raw)} != Adam7 expected {off}"
+            )
     if color_type == 3:
         if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
             raise PngError("palette image without valid PLTE")
@@ -211,41 +289,121 @@ def _filter_line(
     raise PngError(f"unknown filter type {ftype}")
 
 
-def encode_png(
-    img: np.ndarray, filter_type: int | list[int] = 0, level: int = 6
-) -> bytes:
-    """(h, w) or (h, w, c) uint8 array -> PNG bytes.
+def _pack_rows(img: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w, c) sample array -> (h, stride) packed scanline bytes."""
+    h, w, c = img.shape
+    nsamp = w * c
+    flat = img.reshape(h, nsamp)
+    if depth == 8:
+        return flat.astype(np.uint8)
+    if depth == 16:
+        out = np.empty((h, nsamp * 2), np.uint8)
+        v = flat.astype(np.uint16)
+        out[:, 0::2] = (v >> 8).astype(np.uint8)
+        out[:, 1::2] = (v & 0xFF).astype(np.uint8)
+        return out
+    if (flat >= (1 << depth)).any():
+        raise PngError(f"sample value out of range for depth {depth}")
+    shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
+    bits = ((flat[:, :, None].astype(np.uint8) >> shifts) & 1).reshape(h, -1)
+    return np.packbits(bits, axis=1)  # MSB-first, zero-padded to the byte
 
-    ``filter_type`` is one filter for every scanline or a per-scanline
-    list — fixtures use varying types to exercise the decoder's five
-    filter paths deterministically.
+
+def _encode_scanlines(
+    img: np.ndarray, depth: int, channels: int, ftypes: list[int]
+) -> bytes:
+    """Filter one (sub-)image's packed scanlines; consumes len(img) of
+    ``ftypes`` (mutated: callers thread one list across Adam7 passes)."""
+    h = img.shape[0]
+    packed = _pack_rows(img, depth)
+    bpp = _filter_bpp(depth, channels)
+    stride = packed.shape[1]
+    lines = bytearray()
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        ft = ftypes.pop(0)
+        lines.append(ft)
+        lines.extend(_filter_line(ft, packed[y], prev, bpp).tobytes())
+        prev = packed[y]
+    return bytes(lines)
+
+
+def encode_png(
+    img: np.ndarray,
+    filter_type: int | list[int] = 0,
+    level: int = 6,
+    depth: int = 8,
+    interlace: int = 0,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Sample array -> PNG bytes.
+
+    - ``img``: (h, w) or (h, w, c) array. uint8 for depths <= 8 (values
+      must fit the depth), uint16 for depth 16. With ``palette`` set,
+      ``img`` holds palette indices (1 channel) and ``palette`` is an
+      (n, 3) uint8 RGB table written as PLTE (color type 3).
+    - ``filter_type``: one filter for every scanline or a per-scanline
+      list — fixtures use varying types to exercise the decoder's five
+      filter paths deterministically. For ``interlace=1`` the list is
+      consumed across passes in pass order.
+    - ``interlace``: 0 (sequential) or 1 (Adam7 seven-pass).
     """
     if img.ndim == 2:
         img = img[:, :, None]
-    if img.dtype != np.uint8 or img.ndim != 3:
-        raise PngError("encoder takes (h, w[, c]) uint8")
+    if img.ndim != 3:
+        raise PngError("encoder takes (h, w[, c]) arrays")
     h, w, c = img.shape
-    if c not in _COLOR_TYPE_FOR_C:
+    if palette is not None:
+        if c != 1 or depth == 16:
+            raise PngError("palette images are 1-channel, depth <= 8")
+        color_type = 3
+        pal = np.ascontiguousarray(palette, dtype=np.uint8)
+        if pal.ndim != 2 or pal.shape[1] != 3 or not len(pal):
+            raise PngError("palette must be (n, 3) uint8")
+        if int(img.max(initial=0)) >= len(pal):
+            raise PngError("palette index out of range")
+    elif c not in _COLOR_TYPE_FOR_C:
         raise PngError(f"unsupported channel count {c}")
-    color_type = _COLOR_TYPE_FOR_C[c]
+    else:
+        color_type = _COLOR_TYPE_FOR_C[c]
+        if depth in (1, 2, 4) and color_type != 0:
+            raise PngError("sub-byte depths are grayscale/palette only")
+    if depth not in _LEGAL_DEPTHS[color_type]:
+        raise PngError(
+            f"illegal bit depth {depth} for color type {color_type}"
+        )
+    want_dtype = np.uint16 if depth == 16 else np.uint8
+    if img.dtype != want_dtype:
+        raise PngError(f"depth {depth} takes {np.dtype(want_dtype).name}")
+    if interlace not in (0, 1):
+        raise PngError(f"bad interlace {interlace}")
+    total_rows = (
+        h
+        if interlace == 0
+        else sum(ph for *_unused, pw, ph in _pass_layout(w, h) if pw and ph)
+    )
     ftypes = (
-        [int(filter_type)] * h
+        [int(filter_type)] * total_rows
         if isinstance(filter_type, int)
         else list(filter_type)
     )
-    if len(ftypes) != h:
-        raise PngError("per-scanline filter list length != height")
-    flat = np.ascontiguousarray(img).reshape(h, w * c)
-    lines = bytearray()
-    prev = np.zeros(w * c, np.uint8)
-    for y in range(h):
-        lines.append(ftypes[y])
-        lines.extend(_filter_line(ftypes[y], flat[y], prev, c).tobytes())
-        prev = flat[y]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        PNG_SIGNATURE
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(lines), level))
-        + _chunk(b"IEND", b"")
+    if len(ftypes) != total_rows:
+        raise PngError("per-scanline filter list length != scanline count")
+    img = np.ascontiguousarray(img)
+    if interlace == 0:
+        lines = _encode_scanlines(img, depth, c, ftypes)
+    else:
+        parts = []
+        for x0, y0, dx, dy, pw, ph in _pass_layout(w, h):
+            if pw == 0 or ph == 0:
+                continue
+            sub = np.ascontiguousarray(img[y0::dy, x0::dx])
+            parts.append(_encode_scanlines(sub, depth, c, ftypes))
+        lines = b"".join(parts)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    out = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", pal.tobytes())
+    return out + _chunk(b"IDAT", zlib.compress(lines, level)) + _chunk(
+        b"IEND", b""
     )

@@ -78,18 +78,31 @@ def test_extension_blocks_are_skipped():
     assert np.array_equal(rgb[:, :, 0], idx)
 
 
-def test_out_of_scope_rejected_loudly():
+def test_bad_signature_rejected_loudly():
     idx = np.zeros((2, 2), np.uint8)
     pal = np.zeros((4, 3), np.uint8)
     g = bytearray(encode_gif(idx, pal))
     with pytest.raises(GifError):
         decode_gif(b"NOTGIF" + bytes(g[6:]))
-    # interlace flag set -> explicit rejection, not silent garbage
-    desc_at = g.index(0x2C, 13)
-    bad = bytearray(g)
-    bad[desc_at + 9] |= 0x40
-    with pytest.raises(GifError):
-        decode_gif(bytes(bad))
+
+
+@pytest.mark.parametrize("dims", [(1, 1), (2, 3), (7, 5), (8, 8), (13, 17), (31, 9)])
+def test_interlace_and_local_palette_roundtrip(dims):
+    """Four-pass interlace row scatter (spec appendix E) and the local
+    color table override, in all four combinations. The LCT fixture
+    writes DECOY ZEROS as the global table — a decoder that ignores the
+    LCT decodes all-black, so parity here proves the override path."""
+    h, w = dims
+    rng = np.random.default_rng(h * 37 + w)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+    for interlace in (False, True):
+        for local in (False, True):
+            rgb, n = decode_gif(
+                encode_gif(idx, pal, interlace=interlace, local_palette=local)
+            )
+            assert n == 16
+            assert (rgb == pal[idx]).all(), (interlace, local)
 
 
 def test_truncated_stream_rejected():

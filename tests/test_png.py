@@ -130,8 +130,7 @@ def test_crc_mismatch_rejected():
         decode_png(bytes(payload))
 
 
-def test_out_of_scope_rejected_loudly():
-    # 16-bit depth
+def test_malformed_rejected_loudly():
     def chunk(ctype, data):
         return (
             struct.pack(">I", len(data))
@@ -140,22 +139,35 @@ def test_out_of_scope_rejected_loudly():
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
+    # 16-bit is now in scope: a hand-built 2x2 gray16 of zeros decodes
     p16 = (
         PNG_SIGNATURE
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
         + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_png(p16)
-    adam7 = (
+    out = decode_png(p16)
+    assert out.dtype == np.uint16 and out.shape == (2, 2, 1)
+    assert not out.any()
+    # Adam7 with the wrong scanline byte count (6 vs the 7 the seven-pass
+    # layout of a 2x2 needs) is a loud length error, not a silent decode
+    adam7_short = (
         PNG_SIGNATURE
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
         + chunk(b"IDAT", zlib.compress(b"\x00" * 6))
         + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        decode_png(adam7)
+    with pytest.raises(PngError, match="length"):
+        decode_png(adam7_short)
+    # illegal depth/color combos stay rejected (spec Table 11.1)
+    rgb2 = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 2, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 6))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="illegal bit depth"):
+        decode_png(rgb2)
     with pytest.raises(PngError, match="signature"):
         decode_png(b"JUNKJUNKJUNK")
     with pytest.raises(PngError, match="truncated"):
@@ -181,3 +193,102 @@ def test_synth_png_payload_formula():
         assert img[:, :, 0].mean() == expect0
         if c > 1:
             assert img[:, :, c - 1].mean() == expect0 + 10 * (c - 1)
+
+
+# ---------------------------------------------------------------------------
+# Full-depth + Adam7 coverage (spec §8.2, Table 11.1)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ftype", range(5))
+def test_16bit_rgb_roundtrip_every_filter(ftype):
+    rng = np.random.default_rng(40 + ftype)
+    img = rng.integers(0, 65536, (9, 7, 3), dtype=np.uint16)
+    out = decode_png(encode_png(img, filter_type=ftype, depth=16))
+    assert out.dtype == np.uint16
+    assert (out == img).all()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("ftype", range(5))
+def test_subbyte_gray_roundtrip(depth, ftype):
+    rng = np.random.default_rng(depth * 10 + ftype)
+    img = rng.integers(0, 1 << depth, (11, 13), dtype=np.uint8)
+    out = decode_png(encode_png(img, filter_type=ftype, depth=depth))
+    # raw code values, no rescale
+    assert (out[:, :, 0] == img).all()
+
+
+def test_subbyte_palette_roundtrip():
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, (6, 10), dtype=np.uint8)
+    out = decode_png(encode_png(idx, filter_type=1, depth=2, palette=pal))
+    assert (out == pal[idx]).all()
+
+
+def test_1bit_known_vector():
+    # hand-packed 1-bit: row bits 1,0,1 pack MSB-first to byte 0b1010_0000
+    img = np.array([[1, 0, 1], [0, 1, 1]], np.uint8)
+    payload = encode_png(img, filter_type=0, depth=1)
+    raw = zlib.decompress(
+        payload[41 : 41 + struct.unpack(">I", payload[33:37])[0]]
+    )
+    assert raw == b"\x00\xa0\x00\x60"
+    assert (decode_png(payload)[:, :, 0] == img).all()
+
+
+@pytest.mark.parametrize("dims", [(1, 1), (2, 2), (3, 5), (8, 8), (13, 17), (7, 2)])
+def test_adam7_roundtrip_all_sizes(dims):
+    h, w = dims
+    rng = np.random.default_rng(h * 100 + w)
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (
+        decode_png(encode_png(rgb, filter_type=2, depth=8, interlace=1)) == rgb
+    ).all()
+    g16 = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+    assert (
+        decode_png(encode_png(g16, filter_type=4, depth=16, interlace=1))[
+            :, :, 0
+        ]
+        == g16
+    ).all()
+    g1 = rng.integers(0, 2, (h, w), dtype=np.uint8)
+    assert (
+        decode_png(encode_png(g1, filter_type=0, depth=1, interlace=1))[
+            :, :, 0
+        ]
+        == g1
+    ).all()
+
+
+def test_adam7_palette_with_per_pass_filters():
+    from sciscraper_ray.stages.png import _pass_layout
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (10, 11), dtype=np.uint8)
+    nrows = sum(ph for *_, pw, ph in _pass_layout(11, 10) if pw and ph)
+    fts = [i % 5 for i in range(nrows)]
+    out = decode_png(
+        encode_png(idx, filter_type=fts, depth=4, palette=pal, interlace=1)
+    )
+    assert (out == pal[idx]).all()
+
+
+def test_encoder_rejects_bad_combos():
+    img16 = np.zeros((2, 2), np.uint16)
+    with pytest.raises(PngError, match="uint8"):
+        encode_png(img16, depth=8)
+    with pytest.raises(PngError, match="grayscale/palette only"):
+        encode_png(np.zeros((2, 2, 3), np.uint8), depth=4)
+    with pytest.raises(PngError, match="illegal bit depth"):
+        encode_png(np.zeros((2, 2), np.uint8), depth=3)
+    with pytest.raises(PngError, match="out of range"):
+        encode_png(np.full((2, 2), 4, np.uint8), depth=2)
+    with pytest.raises(PngError, match="out of range"):
+        encode_png(
+            np.full((2, 2), 9, np.uint8),
+            depth=8,
+            palette=np.zeros((4, 3), np.uint8),
+        )
