@@ -801,3 +801,54 @@ def media_gif_interlace(sf_dir: str):
     return _docs(sf_dir, columns=("doc_id",)).map_batches(
         sweep, batch_format="pyarrow"
     )
+
+
+@register(
+    "doc_gzip_inflate",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+                WHEN 2 THEN 6 ELSE 9 END AS BIGINT) AS level,
+           CAST(octet_length(encode(text)) AS BIGINT) AS inflated_len,
+           CAST(1 AS BIGINT) AS roundtrip_exact
+    FROM documents
+    """,
+)
+def doc_gzip_inflate(sf_dir: str):
+    """Gzip member decode with the from-scratch DEFLATE inflater
+    (stages/inflate.py): stdlib gzip is the untrusted PRODUCER (levels
+    0/1/6/9 by doc_id — stored, fixed and dynamic Huffman blocks all
+    appear across the corpus), the from-scratch decoder walks the RFC
+    1952 header, inflates, and verifies CRC-32 + ISIZE; the decoded
+    bytes are compared to the original UTF-8 — any divergence flips
+    roundtrip_exact and fails the value hash (and a corrupt stream
+    raises, failing the query outright). Decode is per-payload batch
+    work; only (doc_id, scalar) rows move."""
+    import gzip as _gzip
+
+    from sciscraper_ray.stages.inflate import gzip_decompress
+
+    def sweep(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        texts = b["text"].to_pylist()
+        levels = np.empty(len(ids), np.int64)
+        lens = np.empty(len(ids), np.int64)
+        exact = np.empty(len(ids), np.int64)
+        for j, (i, t) in enumerate(zip(ids, texts)):
+            raw = (t or "").encode("utf-8")
+            level = (0, 1, 6, 9)[int(i) % 4]
+            member = _gzip.compress(raw, compresslevel=level, mtime=0)
+            out = gzip_decompress(member)
+            levels[j] = level
+            lens[j] = len(out)
+            exact[j] = int(out == raw)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "level": pa.array(levels),
+                "inflated_len": pa.array(lens),
+                "roundtrip_exact": pa.array(exact),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")
