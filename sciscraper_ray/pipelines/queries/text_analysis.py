@@ -3944,3 +3944,68 @@ def source_burrows_delta(sf_dir: str):
             "delta": pa.array(np.array(deltas, np.float64), pa.float64()),
         }
     )
+
+
+# Dictionary for the Aho-Corasick scan: drawn from the corpus vocabulary,
+# chosen BORDERLESS (no pattern has a proper prefix equal to a suffix), so
+# occurrences cannot self-overlap and the oracle's single-pass
+# replace-count equals the automaton's all-occurrence count; cross-pattern
+# overlaps ("able" inside "table", "art" inside "part", "or" inside
+# "sort") exercise the suffix-link output path.
+_AHO_PATTERNS = (
+    "table", "tab", "able", "part", "art", "row", "sort", "or", "scan",
+)
+
+
+@register(
+    "doc_aho_dictionary_scan",
+    oracle="""
+    SELECT d.doc_id, p.pattern,
+           CAST((length(lower(d.text))
+                 - length(replace(lower(d.text), p.pattern, '')))
+                / length(p.pattern) AS BIGINT) AS n_hits
+    FROM documents d
+    CROSS JOIN (VALUES {values}) AS p(pattern)
+    """.format(
+        values=", ".join(f"('{p}')" for p in _AHO_PATTERNS)
+    ),
+)
+def doc_aho_dictionary_scan(sf_dir: str):
+    """Aho-Corasick one-pass multi-pattern scan (stages/aho.py): the
+    automaton (goto trie -> BFS failure links -> byte-DFA) compiles once
+    per ACTOR in __init__ — the house stateful-stage pattern — and each
+    document is scanned once for all dictionary patterns simultaneously,
+    counting every occurrence including matches ending inside longer
+    ones via the collapsed suffix-link outputs. Patterns are borderless,
+    so the oracle's replace-based count is exactly the all-occurrence
+    count. Output is (doc, pattern, hits) — dictionary-bounded wide
+    rows, no shuffle; at 100 TB this is the blocklist/PII/contamination
+    lexicon scrubber's counting pass."""
+
+    class AhoScan:
+        def __init__(self) -> None:
+            from sciscraper_ray.stages.aho import AhoCorasick
+
+            self.ac = AhoCorasick(list(_AHO_PATTERNS))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = np.asarray(
+                b["doc_id"].to_numpy(zero_copy_only=False), np.int64
+            )
+            counts = self.ac.scan_batch(
+                [(t or "").lower() for t in b["text"].to_pylist()]
+            )
+            n, p = counts.shape
+            return pa.table(
+                {
+                    "doc_id": pa.array(np.repeat(ids, p)),
+                    "pattern": pa.array(
+                        list(_AHO_PATTERNS) * n, pa.string()
+                    ),
+                    "n_hits": pa.array(counts.ravel()),
+                }
+            )
+
+    return _docs(sf_dir).map_batches(
+        AhoScan, batch_format="pyarrow", concurrency=(1, 8)
+    )
