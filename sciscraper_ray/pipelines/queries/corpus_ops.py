@@ -4505,3 +4505,104 @@ def protobuf_roundtrip(sf_dir: str):
     return ray.data.from_items([{"path": p} for p in sorted(paths)]).map_batches(
         read_shard, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exactly-K weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+# 2006, IPL 97(5): top-K by u^(1/w)): the companion to the Bernoulli
+# doc_sample_weighted above — fixed sample SIZE, inclusion probability
+# proportional to weight, and mergeable because the top-K of a union is
+# the top-K of per-partition top-K's. u is the deterministic md5 coin
+# (hex15 / 2^60), so the sample is reproducible across runs, cluster
+# sizes and partitionings, and the oracle can rank the identical keys.
+# ---------------------------------------------------------------------------
+
+
+_ES_SAMPLE_K = 64
+
+
+@register(
+    "doc_reservoir_weighted",
+    oracle=f"""
+    WITH k AS (
+        SELECT doc_id, n_chars,
+               ln(CAST({_md5_hex15_sql("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+                  / 1152921504606846976.0)
+                   / greatest(n_chars, 1) AS es_key
+        FROM documents
+    )
+    SELECT doc_id, n_chars FROM k
+    ORDER BY es_key DESC, doc_id LIMIT {_ES_SAMPLE_K}
+    """,
+)
+def doc_reservoir_weighted(sf_dir: str):
+    """Distributed Efraimidis-Spirakis reservoir: per batch the key
+    ln(u)/w is vectorized (one md5 per row for the deterministic coin,
+    numpy for the rest) and only that batch's top-K survive, so the
+    driver merge sees <= K rows per batch — sample-bounded, not
+    data-bounded; the final top-K is one argpartition. At 100 TB this
+    is the loss-weighted eval-set sampler: every worker ships K
+    candidates no matter how many rows it scanned."""
+    import hashlib
+
+    import ray.data
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        if not ids:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "es_key": pa.array([], pa.float64()),
+                }
+            )
+        digests = b"".join(
+            hashlib.md5(str(i).encode()).digest() for i in ids
+        )
+        h = (np.frombuffer(digests, ">u8")[::2] >> np.uint64(4)).astype(
+            np.int64
+        )
+        w = np.maximum(
+            np.asarray(
+                batch["n_chars"].to_numpy(zero_copy_only=False), np.int64
+            ),
+            1,
+        )
+        u = h.astype(np.float64) / float(1 << 60)
+        key = np.log(u) / w
+        k = min(_ES_SAMPLE_K, len(key))
+        keep = np.argpartition(-key, k - 1)[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.asarray(ids, np.int64)[keep]
+                ),
+                "n_chars": pa.array(
+                    np.asarray(
+                        batch["n_chars"].to_numpy(zero_copy_only=False),
+                        np.int64,
+                    )[keep]
+                ),
+                "es_key": pa.array(key[keep]),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        .map_batches(partial_topk, batch_format="pyarrow")
+        # bounded: <= K rows per batch by construction (sample-bounded)
+        .to_pandas()
+    )
+    order = np.lexsort(
+        (parts["doc_id"].to_numpy(), -parts["es_key"].to_numpy())
+    )
+    top = parts.iloc[order[:_ES_SAMPLE_K]]
+    return pa.table(
+        {
+            "doc_id": pa.array(top["doc_id"].to_numpy(), pa.int64()),
+            "n_chars": pa.array(top["n_chars"].to_numpy(), pa.int64()),
+        }
+    )
