@@ -852,3 +852,44 @@ def doc_gzip_inflate(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")
+
+
+@register(
+    "doc_lz4_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS inflated_len,
+           CAST(1 AS BIGINT) AS roundtrip_exact
+    FROM documents
+    """,
+)
+def doc_lz4_roundtrip(sf_dir: str):
+    """LZ4 block-format roundtrip with the from-scratch codec
+    (stages/lz4.py): the greedy hash-table encoder emits real spec
+    blocks (deterministic across workers — exact 4-byte dict keys, not
+    Python's randomized hash) and the decoder replays them including
+    overlapping copies; decoded bytes are compared to the original
+    UTF-8, so any sequence-framing or window-copy bug flips
+    roundtrip_exact and fails the value hash. Per-payload batch work,
+    only (doc_id, scalar) rows move — LZ4 is the codec the shuffle
+    layer itself speaks at 100 TB."""
+    from sciscraper_ray.stages.lz4 import lz4_compress, lz4_decompress
+
+    def sweep(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        lens = np.empty(len(ids), np.int64)
+        exact = np.empty(len(ids), np.int64)
+        for j, t in enumerate(b["text"].to_pylist()):
+            raw = (t or "").encode("utf-8")
+            out = lz4_decompress(lz4_compress(raw))
+            lens[j] = len(raw)
+            exact[j] = int(out == raw)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "inflated_len": pa.array(lens),
+                "roundtrip_exact": pa.array(exact),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")
