@@ -4606,3 +4606,93 @@ def doc_reservoir_weighted(sf_dir: str):
             "n_chars": pa.array(top["n_chars"].to_numpy(), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling with an EXACT per-stratum quota: K docs per language
+# by the deterministic md5 coin — the eval-set construction shape (equal
+# representation per stratum regardless of stratum skew). Mergeable like
+# the weighted reservoir above: per-batch per-stratum bottom-K partials,
+# driver merge bounded by K x |strata| x batches.
+# ---------------------------------------------------------------------------
+
+
+_STRAT_K = 16
+
+
+@register(
+    "doc_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_md5_hex15_sql("CAST(doc_id AS VARCHAR)")},
+                            doc_id
+               ) AS rnk
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_STRAT_K}
+    """,
+)
+def doc_stratified_sample(sf_dir: str):
+    """Exactly-K-per-stratum sample: rank within each language by the
+    deterministic md5 coin (bottom-K of a union is the bottom-K of
+    per-batch bottom-K's), so every batch ships at most K rows per
+    stratum and the driver merge is quota-bounded, not data-bounded.
+    Ranks are recomputed after the merge so the output carries the
+    exact global per-stratum rank the oracle's row_number() assigns."""
+    import hashlib
+
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch["doc_id"].to_pylist()
+        if not ids:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                    "coin": pa.array([], pa.int64()),
+                }
+            )
+        digests = b"".join(
+            hashlib.md5(str(i).encode()).digest() for i in ids
+        )
+        h = (np.frombuffer(digests, ">u8")[::2] >> np.uint64(4)).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, np.int64),
+                "lang": batch["lang"].to_pylist(),
+                "coin": h,
+            }
+        )
+        order = np.lexsort((df["doc_id"].to_numpy(), df["coin"].to_numpy()))
+        df = df.iloc[order]
+        keep = df.groupby("lang", sort=False).cumcount() < _STRAT_K
+        return pa.Table.from_pandas(df[keep], preserve_index=False)
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        # bounded: <= K rows per (stratum, batch) by construction
+        .to_pandas()
+    )
+    order = np.lexsort((parts["doc_id"].to_numpy(), parts["coin"].to_numpy()))
+    parts = parts.iloc[order]
+    parts["rnk"] = parts.groupby("lang", sort=False).cumcount() + 1
+    top = parts[parts["rnk"] <= _STRAT_K]
+    return pa.table(
+        {
+            "doc_id": pa.array(top["doc_id"].to_numpy(), pa.int64()),
+            "lang": pa.array(top["lang"], pa.string()),
+            "rnk": pa.array(top["rnk"].to_numpy(), pa.int64()),
+        }
+    )
