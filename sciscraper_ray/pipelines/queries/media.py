@@ -893,3 +893,97 @@ def doc_lz4_roundtrip(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")
+
+
+@register(
+    "media_gif_animation",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+               1 + doc_id % 3 AS c1, 4 + doc_id % 4 AS c2,
+               8 + doc_id % 4 AS c3
+        FROM documents
+    )
+    SELECT doc_id, CAST(3 AS BIGINT) AS n_frames,
+           CAST((5 * c2 + 1) % 256 * (w - 6) * (h - 6)
+                + (5 * c1 + 1) % 256 * (w * h - (w - 6) * (h - 6))
+               AS BIGINT) AS f2_c0_sum,
+           CAST((5 * c3 + 1) % 256 * 4
+                + 1 * (w - 4) * (h - 4)
+                + (5 * c1 + 1) % 256 * (w * h - (w - 4) * (h - 4) - 4)
+               AS BIGINT) AS final_c0_sum,
+           CAST((7 * c3 + 2) % 256 * 4
+                + 2 * (w - 4) * (h - 4)
+                + (7 * c1 + 2) % 256 * (w * h - (w - 4) * (h - 4) - 4)
+               AS BIGINT) AS final_c1_sum
+    FROM p
+    """,
+)
+def media_gif_animation(sf_dir: str):
+    """Animated GIF compositing sweep: per doc a three-frame GIF89a
+    (full-screen base color, an offset rect whose 1-px ring is the
+    TRANSPARENT index with disposal 2 restore-to-background, then a
+    corner patch) is encoded and decoded frame-by-frame with the
+    from-scratch animation walker (stages/gif.py decode_gif_frames).
+    The oracle states the exact channel sums of the second composite
+    (transparency must show the base through the ring) and the final
+    composite (disposal 2 must have reset the rect to background index
+    0, whose palette channel values are 1 and 2) in closed form — any
+    GCE mis-parse, transparency leak or disposal error shifts a sum.
+    Per-payload batch work; only (doc_id, scalar) rows move."""
+    from sciscraper_ray.stages.gif import decode_gif_frames, encode_gif_frames
+
+    k = np.arange(16, dtype=np.int64)
+    _pal = np.stack(
+        [(5 * k + 1) % 256, (7 * k + 2) % 256, (11 * k + 3) % 256], axis=1
+    ).astype(np.uint8)
+
+    def sweep(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        nf = np.empty(len(ids), np.int64)
+        f2s = np.empty(len(ids), np.int64)
+        fc0 = np.empty(len(ids), np.int64)
+        fc1 = np.empty(len(ids), np.int64)
+        for j, i in enumerate(ids):
+            i = int(i)
+            w, h = 8 + i % 9, 8 + i % 7
+            c1, c2, c3, T = 1 + i % 3, 4 + i % 4, 8 + i % 4, 12
+            f1 = np.full((h, w), c1, np.uint8)
+            rect = np.full((h - 4, w - 4), T, np.uint8)
+            rect[1:-1, 1:-1] = c2
+            f3 = np.full((2, 2), c3, np.uint8)
+            frames = decode_gif_frames(
+                encode_gif_frames(
+                    (w, h),
+                    [
+                        dict(indices=f1, disposal=0),
+                        dict(
+                            indices=rect,
+                            left=2,
+                            top=2,
+                            disposal=2,
+                            transparent=T,
+                        ),
+                        dict(indices=f3, disposal=0),
+                    ],
+                    _pal,
+                )
+            )
+            nf[j] = len(frames)
+            f2s[j] = int(frames[1][:, :, 0].sum(dtype=np.int64))
+            fc0[j] = int(frames[2][:, :, 0].sum(dtype=np.int64))
+            fc1[j] = int(frames[2][:, :, 1].sum(dtype=np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_frames": pa.array(nf),
+                "f2_c0_sum": pa.array(f2s),
+                "final_c0_sum": pa.array(fc0),
+                "final_c1_sum": pa.array(fc1),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        sweep, batch_format="pyarrow"
+    )

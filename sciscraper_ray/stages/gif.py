@@ -11,9 +11,12 @@ tier — PNG, JPEG and WAV already decode for real (stages/png.py,
 jpeg.py, wav.py); the reference handles real image bytes in
 ``downloaders.py:283-366``.
 
-Scope (explicitly rejected otherwise, never silently wrong):
-  - first image frame only (animation frames after the first are not
-    composited)
+Animation: ``decode_gif_frames`` walks every image block and composites
+onto the logical screen — Graphic Control Extension disposal methods 0/1
+(leave) and 2 (restore to background), transparency index skipping, and
+per-frame (left, top) offsets. Disposal 3 (restore to previous) is
+rejected loudly (scope), as GIF89a deprecates it and no mainstream
+encoder emits it.
 
 Performance notes: LZW is inherently sequential per payload (each code's
 width depends on the running table size), so decode runs inside an
@@ -294,3 +297,160 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, int]:
         rgb = frame_pal[idx]
         return np.ascontiguousarray(rgb), pal_n
     raise GifError("no image descriptor before trailer")
+
+
+# ---------------------------------------------------------------------------
+# Animation: multi-frame encode + composited decode (GIF89a §23 GCE)
+# ---------------------------------------------------------------------------
+
+
+def encode_gif_frames(
+    screen_wh: tuple[int, int],
+    frames: list[dict],
+    palette: np.ndarray,
+) -> bytes:
+    """Animated GIF89a: logical screen + one image block per frame.
+
+    Each frame dict: ``indices`` (h, w) uint8, ``left``/``top`` offsets,
+    ``disposal`` (0/1/2), optional ``transparent`` index (None = opaque).
+    All frames share the global color table; background index is 0.
+    """
+    sw, sh = screen_wh
+    pal, size_bits = _padded_palette(palette)
+    min_code_size = max(2, size_bits)
+    out = bytearray()
+    out += b"GIF89a"
+    packed = 0x80 | ((size_bits - 1) << 4) | (size_bits - 1)
+    out += struct.pack("<HHBBB", sw, sh, packed, 0, 0)
+    out += pal.tobytes()
+    for fr in frames:
+        idx = fr["indices"]
+        if idx.ndim != 2:
+            raise GifError("frame indices must be (h, w)")
+        fh, fw = idx.shape
+        left, top = fr.get("left", 0), fr.get("top", 0)
+        if left + fw > sw or top + fh > sh:
+            raise GifError("frame exceeds logical screen")
+        if idx.max(initial=0) >= len(pal):
+            raise GifError("index exceeds palette")
+        disposal = fr.get("disposal", 0)
+        transparent = fr.get("transparent")
+        gce_packed = (disposal & 0x07) << 2
+        tidx = 0
+        if transparent is not None:
+            gce_packed |= 0x01
+            tidx = int(transparent)
+        out += b"\x21\xf9\x04" + bytes([gce_packed, 0, 0, tidx, 0])
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, 0)
+        out.append(min_code_size)
+        data = lzw_encode(idx.ravel(), min_code_size)
+        for i in range(0, len(data), 255):
+            block = data[i : i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+    """Animated GIF -> list of composited (screen_h, screen_w, 3) RGB
+    frames. Honors GCE disposal 0/1 (leave) and 2 (restore background),
+    the transparency index, and frame offsets; disposal 3 is rejected."""
+    if payload[:6] not in GIF_SIGNATURES:
+        raise GifError("not a GIF signature")
+    sw, sh, packed, bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not packed & 0x80:
+        raise GifError("global color table required in this scope")
+    gct_n = 2 << (packed & 0x07)
+    palette = np.frombuffer(payload, np.uint8, gct_n * 3, pos).reshape(-1, 3)
+    pos += gct_n * 3
+    if bg >= gct_n:
+        raise GifError("background index outside color table")
+    canvas = np.empty((sh, sw), np.uint8)
+    canvas[:] = bg
+    composites: list[np.ndarray] = []
+    disposal = 0
+    transparent: int | None = None
+    while pos < len(payload):
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x3B:
+            break
+        if marker == 0x21:
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # Graphic Control Extension
+                blen = payload[pos]
+                if blen != 4:
+                    raise GifError("bad GCE block size")
+                gce_packed = payload[pos + 1]
+                disposal = (gce_packed >> 2) & 0x07
+                if disposal == 3:
+                    raise GifError("disposal 3 (restore previous) rejected")
+                if disposal > 3:
+                    raise GifError(f"reserved disposal {disposal}")
+                transparent = (
+                    payload[pos + 4] if gce_packed & 0x01 else None
+                )
+                pos += 5
+                if payload[pos]:
+                    raise GifError("unterminated GCE")
+                pos += 1
+            else:  # other extensions: skip sub-blocks
+                while payload[pos]:
+                    pos += 1 + payload[pos]
+                pos += 1
+            continue
+        if marker != 0x2C:
+            raise GifError(f"unexpected block 0x{marker:02x}")
+        left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        frame_pal, pal_n = palette, gct_n
+        if ipacked & 0x80:
+            pal_n = 2 << (ipacked & 0x07)
+            frame_pal = np.frombuffer(
+                payload, np.uint8, pal_n * 3, pos
+            ).reshape(-1, 3)
+            pos += pal_n * 3
+        if left + iw > sw or top + ih > sh:
+            raise GifError("frame exceeds logical screen")
+        min_code_size = payload[pos]
+        pos += 1
+        chunks = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            chunks += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = lzw_decode(bytes(chunks), min_code_size)
+        if len(idx) != iw * ih:
+            raise GifError(f"decoded {len(idx)} pixels for {iw}x{ih} frame")
+        if idx.max(initial=0) >= pal_n:
+            raise GifError("pixel index outside color table")
+        idx = idx.reshape(ih, iw)
+        if ipacked & 0x40:
+            out = np.empty_like(idx)
+            out[_interlace_order(ih)] = idx
+            idx = out
+        region = canvas[top : top + ih, left : left + iw]
+        if transparent is None:
+            region[:] = idx
+        else:
+            np.copyto(region, idx, where=(idx != transparent))
+        # composite snapshot (frames may use local palettes only when the
+        # whole frame covers the screen — mixed-palette compositing would
+        # need an RGB canvas; reject the ambiguous case loudly)
+        if ipacked & 0x80 and (iw, ih) != (sw, sh):
+            raise GifError(
+                "partial frame with local palette needs RGB compositing"
+            )
+        composites.append(np.ascontiguousarray(frame_pal[canvas]))
+        if disposal == 2:
+            canvas[top : top + ih, left : left + iw] = bg
+        disposal = 0
+        transparent = None
+    if not composites:
+        raise GifError("no image descriptor before trailer")
+    return composites

@@ -156,3 +156,67 @@ def test_final_code_on_width_growth_boundary():
     for n in range(1, 80):  # min_code_size=2: boundaries at 8/16/32/64
         seq = rng.integers(0, 4, n).astype(np.uint8)
         assert np.array_equal(lzw_decode(lzw_encode(seq, 2), 2), seq), n
+
+
+def test_animation_composite_disposal_transparency():
+    """Three-frame animation: full-screen base, offset rect with a
+    transparent ring (disposal 2), then a corner patch — checks GCE
+    parsing, transparency skip, compositing, and restore-to-background."""
+    from sciscraper_ray.stages.gif import decode_gif_frames, encode_gif_frames
+
+    k = np.arange(16)
+    pal = np.stack(
+        [(5 * k + 1) % 256, (7 * k + 2) % 256, (11 * k + 3) % 256], axis=1
+    ).astype(np.uint8)
+    w, h = 10, 9
+    c1, c2, c3, T = 1, 5, 9, 12
+    f1 = np.full((h, w), c1, np.uint8)
+    rect = np.full((h - 4, w - 4), T, np.uint8)
+    rect[1:-1, 1:-1] = c2
+    f3 = np.full((2, 2), c3, np.uint8)
+    payload = encode_gif_frames(
+        (w, h),
+        [
+            dict(indices=f1, disposal=0),
+            dict(indices=rect, left=2, top=2, disposal=2, transparent=T),
+            dict(indices=f3, disposal=0),
+        ],
+        pal,
+    )
+    frames = decode_gif_frames(payload)
+    assert len(frames) == 3
+
+    def P(i):
+        return (5 * i + 1) % 256
+
+    assert frames[0][:, :, 0].sum() == P(c1) * w * h
+    inner = (w - 6) * (h - 6)
+    assert frames[1][:, :, 0].sum() == P(c2) * inner + P(c1) * (w * h - inner)
+    r2 = (w - 4) * (h - 4)
+    assert frames[2][:, :, 0].sum() == P(c3) * 4 + P(0) * r2 + P(c1) * (
+        w * h - r2 - 4
+    )
+
+
+def test_animation_disposal3_rejected():
+    from sciscraper_ray.stages.gif import decode_gif_frames, encode_gif_frames
+
+    pal = np.zeros((4, 3), np.uint8)
+    f = np.zeros((2, 2), np.uint8)
+    payload = bytearray(
+        encode_gif_frames((2, 2), [dict(indices=f, disposal=3)], pal)
+    )
+    with pytest.raises(GifError, match="disposal 3"):
+        decode_gif_frames(bytes(payload))
+
+
+def test_single_frame_animation_matches_decode_gif():
+    from sciscraper_ray.stages.gif import decode_gif_frames
+
+    rng = np.random.default_rng(8)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (6, 7), dtype=np.uint8)
+    payload = encode_gif(idx, pal)
+    frames = decode_gif_frames(payload)
+    assert len(frames) == 1
+    assert (frames[0] == decode_gif(payload)[0]).all()
