@@ -2295,3 +2295,121 @@ def host_budget_waterfill(sf_dir: str):
             "alloc": pa.array(alloc, pa.int64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Stored-payload wire formats (kernels/wire.py): data: URIs carrying
+# base64 bodies and HTTP/1.1 chunked transfer coding — both decoded from
+# scratch, attested against closed-form lengths + exact roundtrips.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "page_data_uri_decode",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS mime,
+           CAST(4 * ((octet_length(encode(text)) + 2) // 3) AS BIGINT)
+               AS b64_len,
+           CAST(octet_length(encode(text)) AS BIGINT) AS decoded_len,
+           CAST(1 AS BIGINT) AS roundtrip_exact
+    FROM documents
+    """,
+)
+def page_data_uri_decode(sf_dir: str):
+    """data: URI (RFC 2397) round trip: each doc's text becomes
+    ``data:text/plain;base64,<b64>`` via the from-scratch RFC 4648
+    encoder, then the URI is parsed and STRICT-decoded (padding
+    placement, canonical trailing bits, symbol validation —
+    kernels/wire.py). The oracle pins the base64 length closed-form
+    (4*ceil(n/3)) and the decoded byte length; roundtrip_exact attests
+    content equality, so one wrong sextet anywhere fails the hash."""
+    from sciscraper_ray.kernels.wire import base64_decode, base64_encode
+
+    def sweep(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        b64l = np.empty(len(ids), np.int64)
+        decl = np.empty(len(ids), np.int64)
+        exact = np.empty(len(ids), np.int64)
+        for j, t in enumerate(b["text"].to_pylist()):
+            raw = (t or "").encode("utf-8")
+            uri = b"data:text/plain;base64," + base64_encode(raw)
+            header, _, payload = uri.partition(b",")
+            assert header == b"data:text/plain;base64"
+            out = base64_decode(payload)
+            b64l[j] = len(payload)
+            decl[j] = len(out)
+            exact[j] = int(out == raw)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "mime": pa.array(["text/plain"] * len(ids), pa.string()),
+                "b64_len": pa.array(b64l),
+                "decoded_len": pa.array(decl),
+                "roundtrip_exact": pa.array(exact),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")
+
+
+@register(
+    "page_chunked_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(5 + doc_id % 11 AS BIGINT) AS chunk_size,
+           CAST((octet_length(encode(text)) + 4 + doc_id % 11)
+                // (5 + doc_id % 11) AS BIGINT) AS n_chunks,
+           CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+           CAST(1 AS BIGINT) AS roundtrip_exact,
+           CAST(1 AS BIGINT) AS trailer_ok
+    FROM documents
+    """,
+)
+def page_chunked_decode(sf_dir: str):
+    """HTTP/1.1 chunked transfer decoding (RFC 9112 §7.1,
+    kernels/wire.py): each doc's UTF-8 body is framed into fixed-size
+    chunks (size 5 + doc_id%11, so every size-line/CRLF alignment
+    appears across the corpus) with a trailer field carrying the body
+    length; the decoder re-assembles the body, skips a chunk extension
+    on the first chunk, and parses the trailer. The oracle pins the
+    chunk count closed-form (ceil division) and body length;
+    roundtrip_exact + trailer_ok attest content and trailer parsing."""
+    from sciscraper_ray.kernels.wire import chunked_decode, chunked_encode
+
+    def sweep(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        csz = np.empty(len(ids), np.int64)
+        nch = np.empty(len(ids), np.int64)
+        blen = np.empty(len(ids), np.int64)
+        exact = np.empty(len(ids), np.int64)
+        trok = np.empty(len(ids), np.int64)
+        for j, (i, t) in enumerate(zip(ids, b["text"].to_pylist())):
+            raw = (t or "").encode("utf-8")
+            s = 5 + int(i) % 11
+            n_chunks = (len(raw) + s - 1) // s
+            framed = chunked_encode(
+                raw, [s] * n_chunks, {"x-len": str(len(raw))}
+            )
+            # exercise the extension-skip path on the first size line
+            if n_chunks:
+                eol = framed.index(b"\r\n")
+                framed = framed[:eol] + b";ext=1" + framed[eol:]
+            body, trailers = chunked_decode(framed)
+            csz[j] = s
+            nch[j] = n_chunks
+            blen[j] = len(body)
+            exact[j] = int(body == raw)
+            trok[j] = int(trailers.get("x-len") == str(len(raw)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "chunk_size": pa.array(csz),
+                "n_chunks": pa.array(nch),
+                "body_len": pa.array(blen),
+                "roundtrip_exact": pa.array(exact),
+                "trailer_ok": pa.array(trok),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")
