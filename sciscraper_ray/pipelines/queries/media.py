@@ -987,3 +987,47 @@ def media_gif_animation(sf_dir: str):
     return _docs(sf_dir, columns=("doc_id",)).map_batches(
         sweep, batch_format="pyarrow"
     )
+
+
+@register(
+    "doc_snappy_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS inflated_len,
+           CAST(1 AS BIGINT) AS roundtrip_exact
+    FROM documents
+    """,
+)
+def doc_snappy_decode(sf_dir: str):
+    """Snappy raw-format decode with the from-scratch decoder
+    (stages/snappy.py): the container's REAL C++ snappy
+    (pyarrow.Codec) is the untrusted producer — the exact codec
+    Parquet pages in this engine's own inputs use — and the
+    from-scratch decoder replays its literals and 1/2/4-byte-offset
+    copies; decoded bytes are compared to the original UTF-8 so any
+    tag-parse or window-copy bug flips roundtrip_exact and fails the
+    value hash. Per-payload batch work; only (doc_id, scalar) rows
+    move."""
+    import pyarrow as _pa_codec
+
+    from sciscraper_ray.stages.snappy import snappy_decompress
+
+    def sweep(b: pa.Table) -> pa.Table:
+        codec = _pa_codec.Codec("snappy")
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        lens = np.empty(len(ids), np.int64)
+        exact = np.empty(len(ids), np.int64)
+        for j, t in enumerate(b["text"].to_pylist()):
+            raw = (t or "").encode("utf-8")
+            out = snappy_decompress(bytes(codec.compress(raw)))
+            lens[j] = len(raw)
+            exact[j] = int(out == raw)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "inflated_len": pa.array(lens),
+                "roundtrip_exact": pa.array(exact),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")

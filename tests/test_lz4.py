@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import random
 
+import pyarrow as pa
 import pytest
 
 from sciscraper_ray.stages.lz4 import Lz4Error, lz4_compress, lz4_decompress
@@ -66,3 +67,14 @@ def test_malformed_rejected():
         lz4_decompress(bytes([0x00, 0x05, 0x00]))
     with pytest.raises(Lz4Error, match="zero match offset"):
         lz4_decompress(bytes([0x10]) + b"A" + b"\x00\x00" + bytes([0x10]) + b"B")
+
+
+def test_parity_against_real_lz4():
+    """pyarrow ships the REAL C++ LZ4 (lz4_raw): our decoder must accept
+    its output, and its decoder must accept ours."""
+    codec = pa.Codec("lz4_raw")
+    for p in _payloads():
+        real = bytes(codec.compress(p))
+        assert lz4_decompress(real) == p
+        mine = lz4_compress(p)
+        assert bytes(codec.decompress(mine, len(p))) == p
