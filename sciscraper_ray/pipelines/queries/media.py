@@ -1031,3 +1031,54 @@ def doc_snappy_decode(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")
+
+
+@register(
+    "doc_zstd_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
+                WHEN 2 THEN 9 ELSE 19 END AS BIGINT) AS level,
+           CAST(octet_length(encode(text)) AS BIGINT) AS inflated_len,
+           CAST(1 AS BIGINT) AS roundtrip_exact
+    FROM documents
+    """,
+)
+def doc_zstd_decode(sf_dir: str):
+    """Zstandard frame decode with the from-scratch RFC 8878 decoder
+    (stages/zstd.py: FSE/tANS tables, backward bitstreams, Huffman
+    literals with FSE-compressed weights, sequence repeat-offset
+    history): the container's REAL C++ zstd (pyarrow.Codec) is the
+    untrusted producer at levels 1/3/9/19 chosen by doc_id — different
+    levels pick different block/mode strategies, so the corpus sweeps
+    RLE blocks, predefined vs compressed FSE and treeless literals.
+    Decoded bytes are compared to the original UTF-8; any entropy-table
+    or window-copy bug flips roundtrip_exact and fails the value hash.
+    Per-payload batch work; only (doc_id, scalar) rows move."""
+    import pyarrow as _pa_codec
+
+    from sciscraper_ray.stages.zstd import zstd_decompress
+
+    def sweep(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        levels = np.empty(len(ids), np.int64)
+        lens = np.empty(len(ids), np.int64)
+        exact = np.empty(len(ids), np.int64)
+        for j, (i, t) in enumerate(zip(ids, b["text"].to_pylist())):
+            raw = (t or "").encode("utf-8")
+            level = (1, 3, 9, 19)[int(i) % 4]
+            codec = _pa_codec.Codec("zstd", level)
+            out = zstd_decompress(bytes(codec.compress(raw)))
+            levels[j] = level
+            lens[j] = len(raw)
+            exact[j] = int(out == raw)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "level": pa.array(levels),
+                "inflated_len": pa.array(lens),
+                "roundtrip_exact": pa.array(exact),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")
