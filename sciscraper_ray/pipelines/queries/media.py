@@ -1082,3 +1082,50 @@ def doc_zstd_decode(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")
+
+
+@register(
+    "doc_bzip2_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 9 AS BIGINT) AS level,
+           CAST(octet_length(encode(text)) AS BIGINT) AS inflated_len,
+           CAST(1 AS BIGINT) AS roundtrip_exact
+    FROM documents
+    """,
+)
+def doc_bzip2_decode(sf_dir: str):
+    """bzip2 decode with the from-scratch transform-stack decoder
+    (stages/bzip2.py: selector-switched multi-table Huffman, RUNA/RUNB
+    bijective zero runs, MTF inverse, counting-sort inverse BWT, RLE1,
+    both CRC layers): stdlib bz2 — the real libbzip2 — is the untrusted
+    producer at level 1 + doc_id%9, so all nine block-size levels
+    appear across the corpus. Decoded bytes are compared to the
+    original UTF-8; any BWT/MTF/Huffman slip flips roundtrip_exact and
+    fails the value hash (and the CRCs catch it first, loudly)."""
+    import bz2 as _bz2
+
+    from sciscraper_ray.stages.bzip2 import bzip2_decompress
+
+    def sweep(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        levels = np.empty(len(ids), np.int64)
+        lens = np.empty(len(ids), np.int64)
+        exact = np.empty(len(ids), np.int64)
+        for j, (i, t) in enumerate(zip(ids, b["text"].to_pylist())):
+            raw = (t or "").encode("utf-8")
+            level = 1 + int(i) % 9
+            out = bzip2_decompress(_bz2.compress(raw, level))
+            levels[j] = level
+            lens[j] = len(raw)
+            exact[j] = int(out == raw)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "level": pa.array(levels),
+                "inflated_len": pa.array(lens),
+                "roundtrip_exact": pa.array(exact),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")
