@@ -1129,3 +1129,68 @@ def doc_bzip2_decode(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")
+
+
+@register(
+    "doc_tar_webdataset",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 AS BIGINT) AS n_members,
+           CAST(octet_length(encode(text)) + 8
+                + length(CAST(doc_id AS VARCHAR)) + 1
+               AS BIGINT) AS payload_bytes,
+           CAST(1 AS BIGINT) AS roundtrip_exact
+    FROM documents
+    """,
+)
+def doc_tar_webdataset(sf_dir: str):
+    """WebDataset-style tar sample groups walked with the from-scratch
+    ustar/pax parser (kernels/tar.py): per doc, stdlib tarfile (the
+    untrusted producer, PAX mode) packs the sample's three files —
+    <id>.txt (the text), <id>.json ('{"id": N}'), <id>.cls (label) —
+    and the walker re-extracts them with checksum verification. The
+    oracle pins member count and the closed-form total payload size;
+    roundtrip_exact attests every payload byte-for-byte. This is the
+    shard-ingest shape of every multimodal training pipeline; walking
+    is per-payload batch work, only (doc_id, scalar) rows move."""
+    import io
+    import tarfile as _tarfile
+
+    from sciscraper_ray.kernels.tar import tar_members
+
+    def sweep(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        nm = np.empty(len(ids), np.int64)
+        pb = np.empty(len(ids), np.int64)
+        exact = np.empty(len(ids), np.int64)
+        for j, (i, t) in enumerate(zip(ids, b["text"].to_pylist())):
+            i = int(i)
+            files = [
+                (f"{i:08d}.txt", (t or "").encode("utf-8")),
+                (f"{i:08d}.json", b'{"id": %d}' % i),
+                (f"{i:08d}.cls", str(i % 10).encode()),
+            ]
+            buf = io.BytesIO()
+            with _tarfile.open(
+                fileobj=buf, mode="w", format=_tarfile.PAX_FORMAT
+            ) as tf:
+                for name, content in files:
+                    info = _tarfile.TarInfo(name)
+                    info.size = len(content)
+                    tf.addfile(info, io.BytesIO(content))
+            members = tar_members(buf.getvalue())
+            nm[j] = len(members)
+            pb[j] = sum(m["size"] for m in members)
+            exact[j] = int(
+                [(m["name"], m["payload"]) for m in members] == files
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_members": pa.array(nm),
+                "payload_bytes": pa.array(pb),
+                "roundtrip_exact": pa.array(exact),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")
