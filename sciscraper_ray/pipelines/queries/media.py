@@ -1194,3 +1194,66 @@ def doc_tar_webdataset(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")
+
+
+@register(
+    "doc_zip_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_members,
+           CAST(octet_length(encode(text)) AS BIGINT) AS txt_bytes,
+           CAST(1 AS BIGINT) AS roundtrip_exact
+    FROM documents
+    """,
+)
+def doc_zip_extract(sf_dir: str):
+    """ZIP member extraction with the from-scratch reader
+    (kernels/zip.py) over stdlib-zipfile-produced archives: each doc
+    packs its text twice — once STORED, once DEFLATED — so the deflated
+    copy flows through the repo's own from-scratch inflater
+    (stages/inflate.py) inside the ZIP framing, and the two extracted
+    payloads must agree with each other and the original (CRC-verified
+    per member). Oracle pins member count and text byte length;
+    roundtrip_exact attests both copies byte-for-byte."""
+    import io
+    import zipfile as _zipfile
+
+    from sciscraper_ray.kernels.zip import zip_members
+
+    def sweep(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        nm = np.empty(len(ids), np.int64)
+        tb = np.empty(len(ids), np.int64)
+        exact = np.empty(len(ids), np.int64)
+        for j, (i, t) in enumerate(zip(ids, b["text"].to_pylist())):
+            raw = (t or "").encode("utf-8")
+            buf = io.BytesIO()
+            with _zipfile.ZipFile(buf, "w") as zf:
+                zf.writestr(
+                    f"{int(i)}.stored.txt",
+                    raw,
+                    compress_type=_zipfile.ZIP_STORED,
+                )
+                zf.writestr(
+                    f"{int(i)}.deflated.txt",
+                    raw,
+                    compress_type=_zipfile.ZIP_DEFLATED,
+                )
+            members = zip_members(buf.getvalue())
+            nm[j] = len(members)
+            tb[j] = len(raw)
+            exact[j] = int(
+                len(members) == 2
+                and members[0]["payload"] == raw
+                and members[1]["payload"] == raw
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_members": pa.array(nm),
+                "txt_bytes": pa.array(tb),
+                "roundtrip_exact": pa.array(exact),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")
