@@ -1257,3 +1257,80 @@ def doc_zip_extract(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")
+
+
+@register(
+    "doc_sqlite_scan",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS txt_bytes,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(1 AS BIGINT) AS roundtrip_exact
+    FROM documents
+    """,
+)
+def doc_sqlite_scan(sf_dir: str):
+    """SQLite-file table scan with the from-scratch reader
+    (kernels/sqlite.py): each BATCH is written into a real SQLite
+    database by stdlib sqlite3 (the untrusted producer — multi-page
+    table b-trees, overflow chains for long texts), then re-read by
+    walking the file bytes directly: sqlite_master bootstrap, b-tree
+    traversal, record decoding, rowid aliasing. Every doc's recovered
+    (text, n_chars) must match the batch input; the oracle pins byte
+    lengths and attests equality. At scale this is the ingest shape
+    for crawler-metadata sidecar DBs: one distributed read of the
+    files, no per-file subprocess."""
+    import os
+    import sqlite3 as _sqlite3
+    import tempfile
+
+    from sciscraper_ray.kernels.sqlite import SqliteFile
+
+    def sweep(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        texts = b["text"].to_pylist()
+        nchars = np.asarray(
+            b["n_chars"].to_numpy(zero_copy_only=False), np.int64
+        )
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "batch.db")
+            con = _sqlite3.connect(path)
+            con.execute(
+                "CREATE TABLE docs (doc_id INTEGER PRIMARY KEY,"
+                " text TEXT, n_chars INTEGER)"
+            )
+            con.executemany(
+                "INSERT INTO docs VALUES (?,?,?)",
+                [
+                    (int(i), t or "", int(n))
+                    for i, t, n in zip(ids, texts, nchars)
+                ],
+            )
+            con.commit()
+            con.close()
+            recovered = {
+                rowid: rec
+                for rowid, rec in SqliteFile(
+                    open(path, "rb").read()
+                ).rows("docs")
+            }
+        tb = np.empty(len(ids), np.int64)
+        exact = np.empty(len(ids), np.int64)
+        for j, (i, t, n) in enumerate(zip(ids, texts, nchars)):
+            rec = recovered.get(int(i))
+            tb[j] = len((t or "").encode("utf-8"))
+            exact[j] = int(
+                rec is not None and rec[1] == (t or "") and rec[2] == int(n)
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "txt_bytes": pa.array(tb),
+                "n_chars": pa.array(nchars),
+                "roundtrip_exact": pa.array(exact),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id", "text", "n_chars")).map_batches(
+        sweep, batch_format="pyarrow"
+    )
