@@ -4696,3 +4696,95 @@ def doc_stratified_sample(sf_dir: str):
             "rnk": pa.array(top["rnk"].to_numpy(), pa.int64()),
         }
     )
+
+
+@register(
+    "corpus_tarzst_shard_ingest",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS txt_bytes,
+           CAST(length(text) AS BIGINT) AS n_chars_decoded,
+           CAST(unicode(text) AS BIGINT) AS first_cp
+    FROM documents
+    """,
+)
+def corpus_tarzst_shard_ingest(sf_dir: str):
+    """WebDataset-shaped shard ingest, end to end: documents ->
+    .tar.zst shards on disk -> distributed read-back THROUGH THE
+    FROM-SCRATCH DECODE TIER. The write stage packs each Arrow block
+    into a tar (stdlib tarfile, one member per doc) and compresses it
+    with the REAL C++ zstd (the untrusted producer); the read stage
+    fans shard paths out to tasks that decompress with the from-scratch
+    RFC 8878 decoder (stages/zstd.py) and walk members with the
+    from-scratch tar parser (kernels/tar.py) — the exact ingest path a
+    100 TB multimodal corpus uses, with the codec layer fully owned.
+    Both sides are embarrassingly parallel (one file per fragment, no
+    driver table beyond the path manifest); the shard dir is
+    driver-created /tmp, so single-node/shared-FS like the
+    orc/jsonl sinks (multi-node points at network storage)."""
+    import os
+    import tempfile
+
+    import pyarrow as _pa_codec
+
+    import ray.data
+
+    out_dir = tempfile.mkdtemp(prefix="tarzst_", dir="/tmp")
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        import io
+        import tarfile as _tarfile
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        buf = io.BytesIO()
+        with _tarfile.open(
+            fileobj=buf, mode="w", format=_tarfile.PAX_FORMAT
+        ) as tf:
+            for i, t in zip(ids, batch["text"].to_pylist()):
+                raw = (t or "").encode("utf-8")
+                info = _tarfile.TarInfo(f"{int(i):012d}.txt")
+                info.size = len(raw)
+                tf.addfile(info, io.BytesIO(raw))
+        comp = bytes(_pa_codec.Codec("zstd", 3).compress(buf.getvalue()))
+        path = os.path.join(out_dir, f"shard-{int(ids.min()):012d}.tar.zst")
+        with open(path, "wb") as f:
+            f.write(comp)
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    paths = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(write_shard, batch_format="pyarrow")
+        .to_pandas()["path"]  # bounded: one path per shard
+        .tolist()
+    )
+
+    def read_shard(batch: pa.Table) -> pa.Table:
+        from sciscraper_ray.kernels.tar import tar_members
+        from sciscraper_ray.stages.zstd import zstd_decompress
+
+        ids, tbs, ncs, fcs = [], [], [], []
+        for p in batch["path"].to_pylist():
+            with open(p, "rb") as f:
+                tar_bytes = zstd_decompress(f.read())
+            for m in tar_members(tar_bytes):
+                text = m["payload"].decode("utf-8")
+                ids.append(int(m["name"].split(".")[0]))
+                tbs.append(m["size"])
+                # content-sensitive attest: decoded char count + first
+                # code point must match the oracle's length()/unicode()
+                ncs.append(len(text))
+                fcs.append(ord(text[0]) if text else -1)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(ids, np.int64)),
+                "txt_bytes": pa.array(np.asarray(tbs, np.int64)),
+                "n_chars_decoded": pa.array(np.asarray(ncs, np.int64)),
+                "first_cp": pa.array(np.asarray(fcs, np.int64)),
+            }
+        )
+
+    return ray.data.from_items(
+        [{"path": p} for p in sorted(paths)]
+    ).map_batches(read_shard, batch_format="pyarrow")
