@@ -172,3 +172,31 @@ def chunked_encode(
         out += f"{k}: {v}\r\n".encode("latin-1")
     out += b"\r\n"
     return bytes(out)
+
+
+def parse_http_response(raw: bytes) -> tuple[int, dict[str, str], bytes]:
+    """HTTP/1.1 response bytes -> (status, headers, raw body bytes).
+
+    Status line + CRLF header block parsing (field names case-folded,
+    values trimmed — RFC 9112 §2.1/§5); the body is returned verbatim
+    for the caller to de-chunk / decompress per the framing headers."""
+    head_end = raw.find(b"\r\n\r\n")
+    if head_end < 0:
+        raise WireError("missing header terminator")
+    lines = raw[:head_end].split(b"\r\n")
+    parts = lines[0].split(b" ", 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise WireError(f"bad status line {lines[0]!r}")
+    try:
+        status = int(parts[1])
+    except ValueError:
+        raise WireError(f"bad status code {parts[1]!r}") from None
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        colon = line.find(b":")
+        if colon < 0:
+            raise WireError(f"bad header line {line!r}")
+        headers[line[:colon].decode("latin-1").strip().lower()] = (
+            line[colon + 1 :].decode("latin-1").strip()
+        )
+    return status, headers, raw[head_end + 4 :]

@@ -2413,3 +2413,140 @@ def page_chunked_decode(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")
+
+
+@register(
+    "page_http_response_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(200 AS BIGINT) AS status,
+           CAST(3 AS BIGINT) AS n_headers,
+           CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+           CAST(1 AS BIGINT) AS roundtrip_exact
+    FROM documents
+    """,
+)
+def page_http_response_decode(sf_dir: str):
+    """Stored raw HTTP response decoding, three owned layers deep: the
+    fixture wraps each doc's text as a full HTTP/1.1 response with
+    ``Transfer-Encoding: chunked`` AND ``Content-Encoding: gzip``
+    (stdlib gzip is the inner untrusted producer); the decoder parses
+    the status line + headers (kernels/wire.py parse_http_response),
+    de-chunks with the from-scratch chunked decoder, and inflates with
+    the from-scratch DEFLATE inflater (stages/inflate.py) — the exact
+    unwrap every WARC-stored crawl response needs. roundtrip_exact
+    attests the recovered body byte-for-byte."""
+    import gzip as _gzip
+
+    from sciscraper_ray.kernels.wire import (
+        chunked_decode,
+        chunked_encode,
+        parse_http_response,
+    )
+    from sciscraper_ray.stages.inflate import gzip_decompress
+
+    def sweep(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        status = np.empty(len(ids), np.int64)
+        nh = np.empty(len(ids), np.int64)
+        bl = np.empty(len(ids), np.int64)
+        exact = np.empty(len(ids), np.int64)
+        for j, (i, t) in enumerate(zip(ids, b["text"].to_pylist())):
+            raw = (t or "").encode("utf-8")
+            body = chunked_encode(
+                _gzip.compress(raw, mtime=0), [64 + int(i) % 64]
+            )
+            resp = (
+                b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/plain; charset=utf-8\r\n"
+                b"Transfer-Encoding: chunked\r\n"
+                b"Content-Encoding: gzip\r\n\r\n" + body
+            )
+            st, headers, raw_body = parse_http_response(resp)
+            assert headers["transfer-encoding"] == "chunked"
+            dechunked, _tr = chunked_decode(raw_body)
+            assert headers["content-encoding"] == "gzip"
+            out = gzip_decompress(dechunked)
+            status[j] = st
+            nh[j] = len(headers)
+            bl[j] = len(out)
+            exact[j] = int(out == raw)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "status": pa.array(status),
+                "n_headers": pa.array(nh),
+                "body_len": pa.array(bl),
+                "roundtrip_exact": pa.array(exact),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")
+
+
+@register(
+    "doc_mojibake_repair",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS was_mojibake,
+           CAST(length(text) + 2 + doc_id % 3 AS BIGINT) AS orig_chars,
+           CAST(1 AS BIGINT) AS repaired_exact
+    FROM documents
+    """,
+)
+def doc_mojibake_repair(sf_dir: str):
+    """Double-encoding (mojibake) detection + repair — the ftfy-class
+    cleanup every web corpus needs: the fixture builds an accented
+    original (text + a doc_id-chosen accented suffix), then simulates
+    the classic crawl bug of decoding its UTF-8 bytes as Latin-1
+    ('café' -> 'cafÃ©'). The repair detects the UTF-8-lead-byte
+    signature in the char stream and reverses it (latin-1 re-encode ->
+    UTF-8 decode), which must recover the original EXACTLY; plain-ASCII
+    strings must pass through untouched (checked per doc against the
+    un-suffixed text). Oracle pins the original char count closed-form
+    (text + space + 1+doc_id%3 accented chars)."""
+
+    accents = ("é", "ü", "ñ", "ø")
+
+    def repair(s: str) -> tuple[str, bool]:
+        # UTF-8 lead byte (0xC2-0xF4) followed by a continuation byte
+        # (0x80-0xBF), both visible as Latin-1 chars
+        suspicious = any(
+            0xC2 <= ord(a) <= 0xF4 and 0x80 <= ord(b2) <= 0xBF
+            for a, b2 in zip(s, s[1:])
+        )
+        if not suspicious:
+            return s, False
+        try:
+            return s.encode("latin-1").decode("utf-8"), True
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            return s, False
+
+    def sweep(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        was = np.empty(len(ids), np.int64)
+        oc = np.empty(len(ids), np.int64)
+        exact = np.empty(len(ids), np.int64)
+        for j, (i, t) in enumerate(zip(ids, b["text"].to_pylist())):
+            i = int(i)
+            original = (t or "") + " " + accents[i % 4] * (1 + i % 3)
+            mojibake = original.encode("utf-8").decode("latin-1")
+            repaired, detected = repair(mojibake)
+            clean_roundtrip, clean_detected = repair(t or "")
+            was[j] = int(detected)
+            oc[j] = len(original)
+            exact[j] = int(
+                repaired == original
+                and not clean_detected
+                and clean_roundtrip == (t or "")
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "was_mojibake": pa.array(was),
+                "orig_chars": pa.array(oc),
+                "repaired_exact": pa.array(exact),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")

@@ -70,3 +70,26 @@ def test_empty_body():
 def test_chunked_malformed_rejected(bad):
     with pytest.raises(WireError):
         chunked_decode(bad)
+
+
+def test_parse_http_response():
+    from sciscraper_ray.kernels.wire import parse_http_response
+
+    resp = (
+        b"HTTP/1.1 404 Not Found\r\n"
+        b"Content-Type: text/html\r\n"
+        b"X-Custom:  spaced value \r\n\r\nbody bytes"
+    )
+    status, headers, body = parse_http_response(resp)
+    assert status == 404
+    assert headers == {
+        "content-type": "text/html",
+        "x-custom": "spaced value",
+    }
+    assert body == b"body bytes"
+    with pytest.raises(WireError, match="terminator"):
+        parse_http_response(b"HTTP/1.1 200 OK\r\n")
+    with pytest.raises(WireError, match="status line"):
+        parse_http_response(b"ICY 200 OK\r\n\r\n")
+    with pytest.raises(WireError, match="status code"):
+        parse_http_response(b"HTTP/1.1 abc OK\r\n\r\n")
