@@ -4788,3 +4788,50 @@ def corpus_tarzst_shard_ingest(sf_dir: str):
     return ray.data.from_items(
         [{"path": p} for p in sorted(paths)]
     ).map_batches(read_shard, batch_format="pyarrow")
+
+
+@register(
+    "table_parquet_raw_scan",
+    oracle="""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(length(text) AS BIGINT) AS text_chars
+    FROM documents
+    """,
+)
+def table_parquet_raw_scan(sf_dir: str):
+    """The engine reads its OWN input format from scratch: the
+    documents.parquet bytes are decoded with the from-scratch Parquet
+    reader (kernels/parquet_raw.py — Thrift compact metadata, v1/v2
+    data pages, dictionary + PLAIN + DELTA + RLE encodings,
+    definition/repetition levels, and page decompression through the
+    repo's own Snappy/gzip/zstd decoders), with NO pyarrow parsing in
+    the path. One task per file (the natural multi-file parallelism of
+    a real corpus); every row's (doc_id, lang, n_chars, len(text))
+    must match DuckDB's read of the same bytes — a wrong bit anywhere
+    in the thrift walk, hybrid runs or page split shifts a value."""
+    import ray.data
+
+    def scan(batch: pa.Table) -> pa.Table:
+        from sciscraper_ray.kernels.parquet_raw import read_parquet_raw
+
+        tables = []
+        for p in batch["path"].to_pylist():
+            with open(p, "rb") as f:
+                cols = read_parquet_raw(f.read())
+            tables.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(cols["doc_id"], pa.int64()),
+                        "lang": pa.array(cols["lang"], pa.string()),
+                        "n_chars": pa.array(cols["n_chars"], pa.int64()),
+                        "text_chars": pa.array(
+                            [len(t) for t in cols["text"]], pa.int64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    return ray.data.from_items(
+        [{"path": f"{sf_dir}/documents.parquet"}]
+    ).map_batches(scan, batch_format="pyarrow")
