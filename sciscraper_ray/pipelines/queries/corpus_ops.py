@@ -4835,3 +4835,56 @@ def table_parquet_raw_scan(sf_dir: str):
     return ray.data.from_items(
         [{"path": f"{sf_dir}/documents.parquet"}]
     ).map_batches(scan, batch_format="pyarrow")
+
+
+@register(
+    "table_orc_raw_scan",
+    oracle="""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(length(text) AS BIGINT) AS text_chars
+    FROM documents
+    """,
+)
+def table_orc_raw_scan(sf_dir: str):
+    """Warehouse-format scan with the from-scratch ORC reader
+    (kernels/orc_raw.py): each batch is written to real ORC by the C++
+    writer (pyarrow.orc, ZLIB compression so the stream framing decodes
+    through the repo's own inflater) and read back by walking the file
+    bytes — protobuf postscript/footer/stripe-footers, RLEv2 integer
+    runs, dictionary strings, presence bitmaps. Every recovered row
+    must match the oracle's read of the same documents; together with
+    table_parquet_raw_scan and doc_sqlite_scan this closes the
+    columnar-source trilogy with zero third-party parsing in the
+    path."""
+    import io
+
+    import pyarrow.orc as _orc
+
+    from sciscraper_ray.kernels.orc_raw import read_orc_raw
+
+    def sweep(b: pa.Table) -> pa.Table:
+        table = pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang": b["lang"],
+                "n_chars": b["n_chars"],
+                "text": b["text"],
+            }
+        )
+        buf = io.BytesIO()
+        _orc.write_table(table, buf, compression="ZLIB")
+        cols = read_orc_raw(buf.getvalue())
+        return pa.table(
+            {
+                "doc_id": pa.array(cols["doc_id"], pa.int64()),
+                "lang": pa.array(cols["lang"], pa.string()),
+                "n_chars": pa.array(cols["n_chars"], pa.int64()),
+                "text_chars": pa.array(
+                    [len(t) for t in cols["text"]], pa.int64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id", "lang", "n_chars", "text")).map_batches(
+        sweep, batch_format="pyarrow"
+    )
