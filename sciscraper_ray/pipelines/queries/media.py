@@ -1334,3 +1334,55 @@ def doc_sqlite_scan(sf_dir: str):
     return _docs(sf_dir, columns=("doc_id", "text", "n_chars")).map_batches(
         sweep, batch_format="pyarrow"
     )
+
+
+@register(
+    "doc_xz_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS inflated_len,
+           CAST(1 AS BIGINT) AS roundtrip_exact
+    FROM documents
+    """,
+)
+def doc_xz_decode(sf_dir: str):
+    """xz/LZMA decode with the from-scratch decoder
+    (stages/lzma_raw.py: binary range coder with adaptive 11-bit
+    probabilities, the 12-state machine, matched literals, bit-tree
+    length/position coders, repeat-distance history, LZMA2 chunking
+    with state/dict resets, xz container with CRC32/CRC64/SHA-256
+    block checks): stdlib lzma — the real liblzma — is the untrusted
+    producer; docs alternate .xz (CRC64) and legacy .lzma ALONE
+    framing by doc_id parity. Decoded bytes are compared to the
+    original UTF-8; a single wrong range-coder bit cascades into a
+    wrong byte and flips roundtrip_exact."""
+    import lzma as _lzma
+
+    from sciscraper_ray.stages.lzma_raw import (
+        lzma_alone_decompress,
+        xz_decompress,
+    )
+
+    def sweep(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        lens = np.empty(len(ids), np.int64)
+        exact = np.empty(len(ids), np.int64)
+        for j, (i, t) in enumerate(zip(ids, b["text"].to_pylist())):
+            raw = (t or "").encode("utf-8")
+            if int(i) % 2:
+                out = xz_decompress(_lzma.compress(raw))
+            else:
+                out = lzma_alone_decompress(
+                    _lzma.compress(raw, format=_lzma.FORMAT_ALONE)
+                )
+            lens[j] = len(raw)
+            exact[j] = int(out == raw)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "inflated_len": pa.array(lens),
+                "roundtrip_exact": pa.array(exact),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")
