@@ -2550,3 +2550,82 @@ def doc_mojibake_repair(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")
+
+
+@register(
+    "page_mime_multipart",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_parts,
+           CAST(octet_length(encode(text)) AS BIGINT) AS text_bytes,
+           CAST(1 AS BIGINT) AS roundtrip_exact
+    FROM documents
+    """,
+)
+def page_mime_multipart(sf_dir: str):
+    """MIME multipart decoding (kernels/mime.py) over bodies built by
+    stdlib email (the real producer): each doc becomes a two-part
+    message — its text as a quoted-printable part and a deterministic
+    binary attachment as base64 — flattened to wire bytes, then walked
+    with the from-scratch boundary parser and decoded through the
+    from-scratch QP and base64 kernels. roundtrip_exact attests both
+    payloads byte-for-byte; the form-data/mail-archive unwrap every
+    crawl-adjacent corpus needs."""
+    import io
+    import re as _re
+    from email.generator import BytesGenerator
+    from email.message import EmailMessage
+
+    from sciscraper_ray.kernels.mime import multipart_parse
+
+    def sweep(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        nparts = np.empty(len(ids), np.int64)
+        tbytes = np.empty(len(ids), np.int64)
+        exact = np.empty(len(ids), np.int64)
+        for j, (i, t) in enumerate(zip(ids, b["text"].to_pylist())):
+            i = int(i)
+            text = t or ""
+            blob = bytes((i + k) % 256 for k in range(64))
+            msg = EmailMessage()
+            msg.set_content(text, cte="quoted-printable")
+            msg.add_attachment(
+                blob,
+                maintype="application",
+                subtype="octet-stream",
+                filename=f"{i}.bin",
+                cte="base64",
+            )
+            buf = io.BytesIO()
+            BytesGenerator(buf).flatten(msg)
+            raw = buf.getvalue().replace(b"\n", b"\r\n")
+            boundary = (
+                _re.search(rb'boundary="?([^"\r\n]+)"?', raw)
+                .group(1)
+                .decode()
+            )
+            body = raw[raw.index(b"\r\n\r\n") + 4 :]
+            parts = multipart_parse(body, boundary)
+            # set_content appends a trailing newline to text bodies
+            got_text = (
+                parts[0]["payload"].decode("utf-8").rstrip("\r\n")
+                if parts
+                else None
+            )
+            nparts[j] = len(parts)
+            tbytes[j] = len(text.encode("utf-8"))
+            exact[j] = int(
+                len(parts) == 2
+                and got_text == text
+                and parts[1]["payload"] == blob
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_parts": pa.array(nparts),
+                "text_bytes": pa.array(tbytes),
+                "roundtrip_exact": pa.array(exact),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")
