@@ -2629,3 +2629,57 @@ def page_mime_multipart(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")
+
+
+@register(
+    "page_bplist_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS text_chars,
+           CAST(doc_id % 97 AS BIGINT) AS score,
+           CAST(1 AS BIGINT) AS roundtrip_exact
+    FROM documents
+    """,
+)
+def page_bplist_metadata(sf_dir: str):
+    """Binary-plist metadata extraction (kernels/bplist.py): stdlib
+    plistlib (the real producer) serializes each doc's sidecar record —
+    nested dict with the text, a score, flags and a binary token — as
+    bplist00 bytes; the from-scratch parser walks the offset table and
+    marker-typed objects to recover every field. roundtrip_exact
+    attests the full tree; the oracle pins the extracted scalars. The
+    app-bundle/browser-cache metadata shape a crawl of Apple-ecosystem
+    artifacts yields."""
+    import plistlib as _plistlib
+
+    from sciscraper_ray.kernels.bplist import bplist_parse
+
+    def sweep(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        tc = np.empty(len(ids), np.int64)
+        sc = np.empty(len(ids), np.int64)
+        exact = np.empty(len(ids), np.int64)
+        for j, (i, t) in enumerate(zip(ids, b["text"].to_pylist())):
+            i = int(i)
+            record = {
+                "text": t or "",
+                "score": i % 97,
+                "flags": {"indexed": True, "spam": False},
+                "token": bytes((i + k) % 256 for k in range(16)),
+                "tags": ["t%d" % (i % 5), "t%d" % (i % 7)],
+            }
+            raw = _plistlib.dumps(record, fmt=_plistlib.FMT_BINARY)
+            got = bplist_parse(raw)
+            tc[j] = len(got.get("text", ""))
+            sc[j] = got.get("score", -1)
+            exact[j] = int(got == record)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text_chars": pa.array(tc),
+                "score": pa.array(sc),
+                "roundtrip_exact": pa.array(exact),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(sweep, batch_format="pyarrow")
